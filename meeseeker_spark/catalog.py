@@ -1,0 +1,536 @@
+"""Operator catalog: every implemented SURVEY §2 operator exposed as a
+(PySpark query, DuckDB oracle SQL) pair over the driver tables.
+
+This feeds ``__spark_entry__.queries()`` / ``oracle_sql()``.  Conventions
+that keep the driver's order-insensitive value-hash comparison exact:
+
+- every computed/aggregate column is aliased identically in both engines;
+- any double that went through arithmetic is ``round()``-ed the same on both
+  sides (raw passthrough doubles are bit-exact from parquet and stay raw);
+- timestamps that reach the output are formatted to strings with an explicit
+  format on both sides, so engine timestamp precision/zone handling can
+  never skew the hash;
+- LIMIT-style queries order by a deterministic integer mix, never rand().
+
+Scale notes are in each query's docstring: the point is that the *plan*
+(pushdown, partial agg, broadcast vs shuffle join) survives 100 TB, which
+``tests/test_plans.py`` asserts via explain() output.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .tables import load
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+# Spark format / DuckDB strftime pairs used for timestamp → string outputs.
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+HOUR_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+HOUR_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@dataclass(frozen=True)
+class Entry:
+    name: str
+    spark: SparkQuery
+    sql: str | None  # None → non-SQL-expressible, driver does rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)  # SURVEY §2 ids
+
+
+ENTRIES: dict[str, Entry] = {}
+
+
+def register(name: str, sql: str | None, tags: tuple[str, ...] = ()):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        ENTRIES[name] = Entry(name=name, spark=fn, sql=sql, tags=tags)
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Flagship / channel aggregation (the meeseeker "what just happened" question
+# in batch form: per-channel volume per hour; SURVEY §2 C5/S8 consumer view)
+# ---------------------------------------------------------------------------
+
+@register(
+    "channel_volume",
+    f"""
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '{HOUR_FMT_DUCK}') AS hour_ts,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type, hour_ts
+    """,
+    tags=("C5", "S8", "F6"),
+)
+def channel_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel hourly volume. Scale: single hash-agg with map-side
+    partial aggregation; grouping keys are low-cardinality so the shuffle is
+    tiny regardless of input size."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", F.col("ts")), HOUR_FMT_SPARK).alias("hour_ts"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# C1 — key-pattern scans (Redis SCAN globs become pushed-down predicates;
+# the real glob→predicate translator lives in keys.py and is fixture-tested)
+# ---------------------------------------------------------------------------
+
+@register(
+    "scan_by_type",
+    "SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'click'",
+    tags=("C1",),
+)
+def scan_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCAN 'hive:*:click' analog: predicate reaches the parquet scan
+    (PushedFilters), only 4 columns read (ReadSchema pruning)."""
+    return (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+@register(
+    "scan_block_range",
+    "SELECT event_id, event_type, value FROM events WHERE event_id BETWEEN 100 AND 199",
+    tags=("C1",),
+)
+def scan_block_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCAN 'hive:<block>:*' analog — range predicate, min/max row-group
+    pruning on the sort column at scale."""
+    return (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_id").between(100, 199))
+        .select("event_id", "event_type", "value")
+    )
+
+
+@register(
+    "point_lookup",
+    f"""
+    SELECT event_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_str, user_id, event_type, value, props
+    FROM events WHERE event_id = 123
+    """,
+    tags=("C2",),
+)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GET <key> analog: single-row equality lookup, fully pushed down."""
+    return (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_id") == 123)
+        .select(
+            "event_id",
+            F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+            "user_id", "event_type", "value", "props",
+        )
+    )
+
+
+@register(
+    "find_trx",
+    "SELECT event_id, event_type, value FROM events WHERE user_id = 7",
+    tags=("C3",),
+)
+def find_trx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`meeseeker find trx <id>` analog — secondary-key equality scan."""
+    return (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id") == 7)
+        .select("event_id", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B3/B5/B6/B7/B8 — the flatten-pipeline transformations as window/scalar ops
+# ---------------------------------------------------------------------------
+
+@register(
+    "trx_index",
+    """
+    SELECT l_orderkey, l_linenumber,
+           row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1 AS trx_index
+    FROM lineitem
+    """,
+    tags=("B5",),
+)
+def trx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op-ordinal-within-transaction (reference keeps a mutable counter in
+    its single-threaded loop; here it's a window over the natural order —
+    repartition-safe, which arrival-order state is not)."""
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey", "l_linenumber",
+            (F.row_number().over(w) - 1).alias("trx_index"),
+        )
+    )
+
+
+@register(
+    "transaction_num",
+    """
+    SELECT o_orderkey,
+           row_number() OVER (PARTITION BY o_orderdate ORDER BY o_orderkey) - 1 AS transaction_num
+    FROM orders
+    """,
+    tags=("B6",),
+)
+def transaction_num(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction ordinal within its block (block ≅ order date here)."""
+    w = Window.partitionBy("o_orderdate").orderBy("o_orderkey")
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", (F.row_number().over(w) - 1).alias("transaction_num"))
+    )
+
+
+@register(
+    "op_key_channel",
+    """
+    SELECT event_id,
+           concat_ws(':', 'hive', user_id, event_id,
+                     regexp_replace(event_type, '_operation$', '')) AS key,
+           concat('hive:op:', regexp_replace(event_type, '_operation$', '')) AS channel
+    FROM events
+    """,
+    tags=("B3", "B7", "B8"),
+)
+def op_key_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key synthesis + op_type suffix strip + channel routing —
+    pure narrow projection, stays inside whole-stage codegen."""
+    norm = F.regexp_replace(F.col("event_type"), "_operation$", "")
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.concat_ws(":", F.lit("hive"), F.col("user_id"), F.col("event_id"), norm).alias("key"),
+            F.concat(F.lit("hive:op:"), norm).alias("channel"),
+        )
+    )
+
+
+@register(
+    "custom_json_channels",
+    """
+    SELECT concat('hive:op:custom_json:', regexp_extract(props, '"k": (\\d+)', 1)) AS channel,
+           count(*) AS n
+    FROM events
+    WHERE event_type IN ('click', 'view')
+      AND regexp_extract(props, '"k": (\\d+)', 1) <> ''
+    GROUP BY channel
+    """,
+    tags=("B8",),
+)
+def custom_json_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-custom_json.id sub-channel derivation: channel names are *data*,
+    not code (new ids need no deploy, as the reference README stresses)."""
+    k = F.regexp_extract(F.col("props"), '"k": (\\d+)', 1)
+    return (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "view") & (k != ""))
+        .groupBy(F.concat(F.lit("hive:op:custom_json:"), k).alias("channel"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# B1 — the nested flatten itself, round-tripped so it is oracle-checkable:
+# build block-shaped nested rows, then posexplode back to op rows.
+# ---------------------------------------------------------------------------
+
+@register(
+    "flatten_ops",
+    """
+    WITH nested AS (
+        SELECT l_orderkey,
+               list_sort(list({'l_linenumber': l_linenumber,
+                               'l_partkey': l_partkey,
+                               'l_quantity': l_quantity})) AS ops
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           unnest(list_transform(ops, (x, i) ->
+               {'pos': i,
+                'l_linenumber': x.l_linenumber,
+                'l_partkey': x.l_partkey,
+                'l_quantity': x.l_quantity}), recursive := true)
+    FROM nested
+    """,
+    tags=("B1", "B2"),
+)
+def flatten_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """block→trx→op flatten (posexplode): nest lineitems under their order,
+    then explode back out with positions. At scale the nesting groupBy is the
+    only shuffle; the explode is narrow."""
+    li = load(spark, sf_dir, "lineitem")
+    nested = (
+        li.select(
+            "l_orderkey",
+            F.struct("l_linenumber", "l_partkey", "l_quantity").alias("op"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("op")).alias("ops"))
+    )
+    return nested.select(
+        "l_orderkey", F.posexplode("ops").alias("pos", "op")
+    ).select(
+        "l_orderkey",
+        (F.col("pos") + 1).alias("pos"),
+        F.col("op.l_linenumber").alias("l_linenumber"),
+        F.col("op.l_partkey").alias("l_partkey"),
+        F.col("op.l_quantity").alias("l_quantity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D1–D5 — verification analytics
+# ---------------------------------------------------------------------------
+
+@register(
+    "d1_trx_reconcile",
+    """
+    SELECT l_orderkey, count(*) AS n_ops, max(l_linenumber) AS max_idx,
+           (count(*) = max(l_linenumber)) AS reconciled
+    FROM lineitem GROUP BY l_orderkey
+    """,
+    tags=("D1",),
+)
+def d1_trx_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-block set reconciliation (expected == actual cardinality)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_ops"),
+            F.max("l_linenumber").alias("max_idx"),
+            (F.count("*") == F.max("l_linenumber")).alias("reconciled"),
+        )
+    )
+
+
+@register(
+    "d2_missing_refs",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("D1", "D2"),
+)
+def d2_missing_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-difference as an anti-join (the reference prints `expected -
+    actual` diffs; distributed form is left_anti, no driver-side sets)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "d3_ref_join",
+    """
+    SELECT o.o_orderkey, o.o_orderstatus,
+           s.n_supp, s.supp_set
+    FROM orders o
+    JOIN (
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS n_supp,
+               list_sort(list(DISTINCT l_suppkey)) AS supp_set
+        FROM lineitem GROUP BY l_orderkey
+    ) s ON s.l_orderkey = o.o_orderkey
+    """,
+    tags=("D3",),
+)
+def d3_ref_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sidechain↔mainnet referential join shape: group one side into a set
+    per referenced key, join to the referenced table, carry the set. Both
+    sides are large → shuffle hash join on the same key; the groupBy and
+    join share the partitioning so AQE can avoid a second full shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    side = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.sort_array(F.collect_set("l_suppkey")).alias("supp_set"),
+        )
+    )
+    return (
+        orders.join(side, orders.o_orderkey == side.l_orderkey)
+        .select("o_orderkey", "o_orderstatus", "n_supp", "supp_set")
+    )
+
+
+@register(
+    "d4_round_witnesses",
+    """
+    SELECT event_id // 21 AS round_id,
+           list_sort(list(DISTINCT event_type)) AS witness_set,
+           count(*) AS n_events
+    FROM events GROUP BY round_id
+    """,
+    tags=("D4",),
+)
+def d4_round_witnesses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Witness-round set comparison shape: 21-block windows → collected
+    distinct sets, compared downstream with array_except."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("event_id") / 21).cast("long").alias("round_id"))
+        .agg(
+            F.array_sort(F.collect_set("event_type")).alias("witness_set"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "d5_sample_audit",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    ORDER BY (event_id * 2654435761) % 4294967296, event_id
+    LIMIT 10
+    """,
+    tags=("D5",),
+)
+def d5_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random sample-k audit, made deterministic (Knuth multiplicative mix
+    instead of rand()) so the oracle can reproduce the same sample."""
+    mix = (F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296)
+    return (
+        load(spark, sf_dir, "events")
+        .orderBy(mix, "event_id")
+        .limit(10)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation / window headline queries (bench anchors)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("bench",),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the scan+hash-agg throughput anchor. Predicate and
+    the 7-column projection push into the parquet scan; partial aggregation
+    makes the shuffle 4 rows."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "top_events_per_user",
+    """
+    SELECT user_id, event_id, value, rk FROM (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
+        FROM events
+    ) WHERE rk <= 3
+    """,
+    tags=("topk",),
+)
+def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranked window; rank filter is pushed below the
+    final sort at scale (WindowGroupLimit in Spark ≥3.5 explain)."""
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", "value", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "distinct_cardinality",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    tags=("F6",),
+)
+def distinct_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-channel cardinalities (oracle-checkable twin of the
+    approx_count_distinct variant registered without an oracle)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register("approx_cardinality", None, tags=("F6",))
+def approx_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch cardinality — constant memory per group at any scale.
+    No oracle (approximate by construction); driver does rows-only check."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.percentile_approx("value", 0.5).alias("p50_value"),
+        )
+    )
+
+
+def queries() -> dict[str, SparkQuery]:
+    return {name: e.spark for name, e in ENTRIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: e.sql for name, e in ENTRIES.items() if e.sql is not None}

@@ -1,0 +1,37 @@
+"""SparkSession construction.
+
+Local test profile mirrors the driver: local[$SPARK_GRAFT_CPUS] (default 32),
+32 shuffle partitions.  The conf choices below are the 100 TB-scale defaults
+too — AQE (runtime coalesce + skew-join splitting), Arrow for any pandas UDF
+exchange, UTC session time so timestamp semantics are engine-independent.
+On a real cluster only master/memory change; the plan-shaping confs stay.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(app_name: str = "meeseeker-spark", cpus: int | str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,53 @@
+"""Driver-table access (TESTDATA.md).
+
+All loads go through ``load``/``register_views`` so every query in the
+catalog reads via the same path: plain parquet scans, letting Catalyst do
+predicate pushdown + column pruning (check with ``.explain``: PushedFilters /
+ReadSchema should reflect the query, not the full table).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Parquet columns written with TIMESTAMP(NANOS), which Spark only reads as
+# long via the legacy conf; we floor-divide to micros (same truncation DuckDB
+# applies) and restore a proper TimestampType column.
+_NANO_TS_COLS = {"events": ("ts",)}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # The driver owns the session; pin the two confs our results depend on
+    # (both are runtime-settable session confs). UTC keeps timestamp
+    # formatting aligned with the DuckDB oracle's naive timestamps.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nano_cols = _NANO_TS_COLS.get(name, ())
+    if nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in nano_cols:
+        if isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view for spark.sql queries."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,29 @@
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from meeseeker_spark.session import get_spark
+    # Modest local profile: test suites don't need 32 threads each.
+    cpus = os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")
+    s = get_spark(app_name="meeseeker-tests", cpus=cpus, shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_SMOKE
