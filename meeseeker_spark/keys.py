@@ -1,0 +1,126 @@
+"""Composite keys and Redis-glob → Catalyst-predicate translation.
+
+The reference's only index is the composite string key
+``chain:block_num:trx_id:trx_index:op_type`` (mainnet, 5 segments;
+/root/reference/lib/meeseeker/block_follower_job.rb:19,45) or
+``chain:block_num:trx_id:trx_index:contract:action`` (sidechain, 6 segments;
+steem_engine/follower_job.rb:57), scanned with Redis globs like
+``hive:*:vote`` (README.md:250-309).
+
+Here key segments are real columns; the glob becomes column predicates that
+Catalyst pushes into the parquet scan (partition pruning on ``chain``,
+min/max row-group pruning on ``block_num``).  Globs with intra-segment
+wildcards fall back to an rlike residual on the derived ``key`` column —
+still correct, just not prunable beyond whatever segment predicates were
+extracted.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+
+from pyspark.sql import Column, functions as F
+
+MAINNET_SEGMENTS = ("chain", "block_num", "trx_id", "trx_index", "op_type")
+SIDECHAIN_SEGMENTS = ("chain", "block_num", "trx_id", "trx_index",
+                      "contract", "action")
+
+_HEX40 = re.compile(r"^[0-9a-f]{40}$")
+
+
+def key_column(sidechain: bool = False) -> Column:
+    """Derived composite key, kept for wire-compat with reference consumers."""
+    segs = SIDECHAIN_SEGMENTS if sidechain else MAINNET_SEGMENTS
+    return F.concat_ws(":", *[F.col(s) for s in segs])
+
+
+def parse_key(key: str) -> dict[str, str]:
+    """Destructure a composite key (the reference's test invariant:
+    ``n, b, t, i, o = key.split(':')``, meeseeker_test.rb:38)."""
+    parts = key.split(":")
+    if len(parts) == 5:
+        names = MAINNET_SEGMENTS
+    elif len(parts) == 6:
+        names = SIDECHAIN_SEGMENTS
+    else:
+        raise ValueError(f"bad key (want 5 or 6 segments): {key!r}")
+    return dict(zip(names, parts))
+
+
+def _glob_to_regex(pattern: str) -> str:
+    # Redis glob: * any chars (including ':'), ? one char, [..] class.
+    return fnmatch.translate(pattern)
+
+
+def glob_to_filter(pattern: str) -> Column:
+    """Translate a Redis key glob into a Catalyst predicate.
+
+    Exact translation when every segment is a literal or a bare ``*``
+    (the only shapes the reference README documents); otherwise extracts
+    whatever segment predicates it can and ANDs an rlike residual on the
+    composite key so semantics stay glob-exact.
+    """
+    segs = pattern.split(":")
+    sidechain = len(segs) == 6 or segs[0].endswith("_engine")
+    names = SIDECHAIN_SEGMENTS if sidechain else MAINNET_SEGMENTS
+
+    preds: list[Column] = []
+    exact = True
+
+    if len(segs) == len(names):
+        # positional: each glob segment lines up with one key segment
+        for name, seg in zip(names, segs):
+            if seg == "*":
+                continue
+            if any(ch in seg for ch in "*?["):
+                exact = False
+                continue
+            col = F.col(name)
+            if name in ("block_num", "trx_index"):
+                preds.append(col == int(seg))
+            else:
+                preds.append(col == seg)
+    else:
+        # fewer segments than the key: '*' spans multiple segments
+        # (e.g. 'hive:*:vote'). Anchor literal head/tail segments,
+        # classify literal middles by shape.
+        exact = all(s == "*" or not any(ch in s for ch in "*?[") for s in segs)
+        head, tail = segs[0], segs[-1]
+        if head != "*" and not any(ch in head for ch in "*?["):
+            preds.append(F.col("chain") == head)
+        if tail != "*" and not any(ch in tail for ch in "*?["):
+            if sidechain:
+                preds.append(F.col("action") == tail)
+            else:
+                preds.append(F.col("op_type") == tail)
+        if sidechain and len(segs) >= 2:
+            penult = segs[-2]
+            if penult not in ("*", head) and not any(c in penult for c in "*?["):
+                if penult in ("tokens", "market", "sscstore", "steempegged",
+                              "contract", "mining", "witnesses"):
+                    preds.append(F.col("contract") == penult)
+        for seg in segs[1:-1]:
+            if seg == "*" or any(ch in seg for ch in "*?["):
+                continue
+            if seg.isdigit():
+                preds.append(F.col("block_num") == int(seg))
+            elif _HEX40.match(seg):
+                preds.append(F.col("trx_id") == seg)
+        # middles that are neither digits nor hex nor known contracts can't
+        # be positionally resolved → need the residual
+        unresolved = [s for s in segs[1:-1]
+                      if s != "*" and not s.isdigit() and not _HEX40.match(s)
+                      and not any(ch in s for ch in "*?[")]
+        if unresolved:
+            exact = False
+
+    if not exact:
+        preds.append(key_column(sidechain).rlike(_glob_to_regex(pattern)))
+
+    if not preds:
+        return F.lit(True)
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out

@@ -1,0 +1,104 @@
+"""Key synthesis round-trip + glob translator vs brute-force fnmatch.
+
+The oracle here is Python's fnmatch over the materialized key strings —
+glob_to_filter must select exactly the same rows Redis SCAN MATCH would."""
+
+from __future__ import annotations
+
+import fnmatch
+
+import pytest
+
+from meeseeker_spark import fixtures
+from meeseeker_spark.flatten import flatten_engine_blocks, flatten_ops_with_virtual
+from meeseeker_spark.keys import glob_to_filter, parse_key
+from meeseeker_spark.schemas import BLOCKS, ENGINE_BLOCKS, VIRTUAL_OPS
+
+
+@pytest.fixture(scope="module")
+def ops(spark, tmp_path_factory):
+    fx = fixtures.generate(n_blocks=63, seed=7)
+    out = tmp_path_factory.mktemp("keysfx")
+    fixtures.write_parquet(fx, str(out))
+    blocks = spark.read.schema(BLOCKS).parquet(str(out / "blocks.parquet"))
+    vops = spark.read.schema(VIRTUAL_OPS).parquet(str(out / "virtual_ops.parquet"))
+    return flatten_ops_with_virtual(blocks, vops).cache()
+
+
+@pytest.fixture(scope="module")
+def engine_ops(spark, tmp_path_factory):
+    fx = fixtures.generate(n_blocks=63, seed=7)
+    out = tmp_path_factory.mktemp("keysfx_eng")
+    fixtures.write_parquet(fx, str(out))
+    eb = spark.read.schema(ENGINE_BLOCKS).parquet(str(out / "engine_blocks.parquet"))
+    return flatten_engine_blocks(eb).cache()
+
+
+def _fnmatch_keys(keys, pattern):
+    return sorted(k for k in keys if fnmatch.fnmatchcase(k, pattern))
+
+
+def _spark_keys(df, pattern):
+    return sorted(r["key"] for r in df.where(glob_to_filter(pattern)).collect())
+
+
+def test_key_roundtrip(ops):
+    # meeseeker_test.rb:38 invariant: key.split(':') destructures back
+    for r in ops.limit(50).collect():
+        seg = parse_key(r["key"])
+        assert seg["chain"] == r["chain"]
+        assert int(seg["block_num"]) == r["block_num"]
+        assert seg["trx_id"] == r["trx_id"]
+        assert int(seg["trx_index"]) == r["trx_index"]
+        assert seg["op_type"] == r["op_type"]
+
+
+MAINNET_PATTERNS = [
+    "hive:*:vote",
+    "hive:*:custom_json",
+    "hive:*",
+    "*",
+]
+
+
+@pytest.mark.parametrize("pattern", MAINNET_PATTERNS)
+def test_glob_mainnet(ops, pattern):
+    keys = [r["key"] for r in ops.select("key").collect()]
+    assert _spark_keys(ops, pattern) == _fnmatch_keys(keys, pattern)
+
+
+def test_glob_block(ops):
+    some_block = ops.select("block_num").first()["block_num"]
+    pattern = f"hive:{some_block}:*"
+    keys = [r["key"] for r in ops.select("key").collect()]
+    assert _spark_keys(ops, pattern) == _fnmatch_keys(keys, pattern)
+
+
+def test_glob_trx(ops):
+    trx = ops.where("trx_id not like '0000%'").select("trx_id").first()["trx_id"]
+    pattern = f"hive:*:{trx}:*"
+    keys = [r["key"] for r in ops.select("key").collect()]
+    got = _spark_keys(ops, pattern)
+    assert got == _fnmatch_keys(keys, pattern)
+    assert got, "trx pattern should match something"
+
+
+def test_glob_full_positional(ops):
+    r = ops.first()
+    pattern = f"{r['chain']}:{r['block_num']}:{r['trx_id']}:{r['trx_index']}:{r['op_type']}"
+    got = _spark_keys(ops, pattern)
+    assert got == [r["key"]]
+
+
+def test_glob_partial_wildcard_fallback(ops):
+    # intra-segment wildcard → rlike fallback must stay glob-exact
+    pattern = "hive:*:com*"   # comment, comment_options
+    keys = [r["key"] for r in ops.select("key").collect()]
+    assert _spark_keys(ops, pattern) == _fnmatch_keys(keys, pattern)
+
+
+def test_glob_sidechain(engine_ops):
+    keys = [r["key"] for r in engine_ops.select("key").collect()]
+    for pattern in ["hive_engine:*:tokens:transfer", "hive_engine:*:market:*",
+                    "hive_engine:*"]:
+        assert _spark_keys(engine_ops, pattern) == _fnmatch_keys(keys, pattern), pattern

@@ -1,0 +1,114 @@
+"""D1–D5 verification analytics over clean + corrupted fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from meeseeker_spark import fixtures, verify
+from meeseeker_spark.channels import block_channels, op_channels, transaction_channels
+from meeseeker_spark.flatten import flatten_engine_blocks, flatten_ops_with_virtual
+from meeseeker_spark.schemas import (
+    BLOCKS, ENGINE_BLOCKS, VIRTUAL_OPS, WITNESS_SCHEDULES,
+)
+
+
+@pytest.fixture(scope="module")
+def fx():
+    return fixtures.generate(n_blocks=105, seed=42)
+
+
+@pytest.fixture(scope="module")
+def dfs(spark, fx, tmp_path_factory):
+    out = tmp_path_factory.mktemp("verifyfx")
+    fixtures.write_parquet(fx, str(out))
+    blocks = spark.read.schema(BLOCKS).parquet(str(out / "blocks.parquet"))
+    vops = spark.read.schema(VIRTUAL_OPS).parquet(str(out / "virtual_ops.parquet"))
+    eng = spark.read.schema(ENGINE_BLOCKS).parquet(str(out / "engine_blocks.parquet"))
+    sched = spark.read.schema(WITNESS_SCHEDULES).parquet(
+        str(out / "witness_schedules.parquet"))
+    return {
+        "blocks": blocks, "vops": vops, "eng": eng, "sched": sched,
+        "ops": flatten_ops_with_virtual(blocks, vops).cache(),
+        "engine_ops": flatten_engine_blocks(eng).cache(),
+    }
+
+
+def test_d1_clean_reconciles(dfs):
+    rec = verify.reconcile_blocks(dfs["ops"], dfs["blocks"])
+    bad = rec.where(~F.col("reconciled")).collect()
+    assert bad == []
+
+
+def test_d1_detects_missing(dfs):
+    # drop one trx's ops from the store → that block must flag, with the
+    # missing id named in the diff (Rakefile prints both set differences)
+    victim = dfs["ops"].where("transaction_num IS NOT NULL").first()
+    crippled = dfs["ops"].where(F.col("trx_id") != victim["trx_id"])
+    rec = verify.reconcile_blocks(crippled, dfs["blocks"])
+    flagged = rec.where(~F.col("reconciled")).collect()
+    assert len(flagged) == 1
+    assert flagged[0]["block_num"] == victim["block_num"]
+    assert victim["trx_id"] in flagged[0]["missing"]
+
+
+def test_d2_engine_clean_reconciles(dfs):
+    rec = verify.reconcile_engine_blocks(dfs["engine_ops"], dfs["eng"])
+    assert rec.where(~F.col("reconciled")).collect() == []
+
+
+def test_d3_referential_clean(dfs):
+    ref = verify.referential_join(dfs["engine_ops"], dfs["blocks"])
+    assert ref.count() > 0
+    assert ref.where(~F.col("ref_exists")).collect() == []
+
+
+def test_d3_detects_dangling_ref(dfs):
+    # hide the first half of mainnet blocks → refs into them dangle
+    cut = dfs["blocks"].approxQuantile("block_num", [0.5], 0)[0]
+    partial = dfs["blocks"].where(F.col("block_num") > cut)
+    ref = verify.referential_join(dfs["engine_ops"], partial)
+    assert ref.where(~F.col("ref_exists")).count() > 0
+
+
+def test_d4_rounds_exact_except_corrupted(dfs, fx):
+    res = verify.witness_rounds(dfs["blocks"], dfs["sched"])
+    rows = {r["id"]: r for r in res.collect()}
+    assert len(rows) == len(fx.witness_schedules)
+    for rid, r in rows.items():
+        if rid == fx.corrupted_round:
+            assert not r["ok"]
+            # swapped witness: one missing (the outsider never produced)
+            # and one extra (the displaced witness did produce)
+            assert r["penalty"] == 2
+        else:
+            assert r["ok"], f"round {rid}: missing={r['missing']} extra={r['extra']}"
+
+
+def test_d5_sample_deterministic(dfs):
+    a = verify.sample_audit(dfs["ops"], k=10).collect()
+    b = verify.sample_audit(dfs["ops"], k=10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 10
+    # every sampled pair exists in the blocks fixture
+    ids = {(r["block_num"], t) for r in dfs["blocks"].collect()
+           for t in r["transaction_ids"]}
+    assert all((r["block_num"], r["trx_id"]) in ids for r in a)
+
+
+def test_channels_match_golden(dfs, fx):
+    from collections import Counter
+    got = Counter(
+        (r["channel"], r["kind"])
+        for r in op_channels(dfs["ops"]).collect()
+    ) + Counter(
+        (r["channel"], r["kind"]) for r in block_channels(dfs["blocks"]).collect()
+    ) + Counter(
+        (r["channel"], r["kind"])
+        for r in transaction_channels(dfs["ops"]).collect()
+    )
+    exp = Counter((c["channel"], c["kind"]) for c in fx.channels_expected)
+    # fixture golden doesn't enumerate engine channels; compare mainnet set
+    got_mainnet = Counter({k: v for k, v in got.items()
+                           if not k[0].startswith("hive_engine")})
+    assert got_mainnet == exp
