@@ -1,0 +1,50 @@
+"""Resume / skip-ahead policy (SURVEY §2 B10).
+
+The reference decides where to start from the HWM key + chain tip
+(/root/reference/lib/meeseeker/block_follower_job.rb:106-139): resume from
+last+1 normally; start fresh at the tip when the gap exceeds expire_keys/3
+(don't backfill what would expire before it's read); with TTL disabled,
+never skip.  In Spark the *mechanism* is the checkpoint; this policy decides
+the ``startingOffsets`` equivalent when a checkpoint is absent or stale.
+Pure function → unit-testable without a cluster.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .schemas import BLOCK_INTERVAL_S, DEFAULT_TTL_S
+
+
+@dataclass(frozen=True)
+class StartDecision:
+    start_block: int
+    fresh_sync: bool   # True → gap too large, skipped ahead to the tip
+    reason: str
+
+
+def resolve_start_block(last_block: int | None, tip_block: int,
+                        ttl_s: int = DEFAULT_TTL_S) -> StartDecision:
+    """Mirror of the reference's skip-ahead heuristic.
+
+    - no HWM → start at tip ("Starting new sync")
+    - ttl == -1 → max(last+1, tip): keys never expire, but don't re-fetch
+      what the chain already moved past us
+    - gap > (ttl/BLOCK_INTERVAL)/3 blocks → start at tip (backfill would
+      expire before consumers read it)
+    - else → resume at last+1
+    """
+    if last_block is None:
+        return StartDecision(tip_block, True, "no high-water mark; new sync")
+    nxt = last_block + 1
+    if ttl_s == -1:
+        start = max(nxt, tip_block)
+        return StartDecision(start, start != nxt,
+                             "ttl disabled; resume at max(hwm+1, tip)")
+    max_backfill = (ttl_s // BLOCK_INTERVAL_S) // 3
+    gap = tip_block - nxt
+    if gap > max_backfill:
+        return StartDecision(
+            tip_block, True,
+            f"gap {gap} blocks > ttl/3 threshold {max_backfill}; new sync")
+    return StartDecision(nxt, False, f"resuming {gap} blocks behind tip")

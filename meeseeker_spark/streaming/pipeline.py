@@ -1,0 +1,158 @@
+"""Structured Streaming ingestion (SURVEY §2 A/B streaming semantics, §3.1).
+
+The reference's whole daemon — stream blocks, flatten, key, store, publish —
+collapses into one declarative plan here:
+
+    readStream(blocks) ∪ readStream(virtual_ops, watermarked)
+      → flatten (same batch functions; posexplode is streaming-safe)
+      → foreachBatch { idempotent keyed append + channel fan-out }
+
+Choices mapped from the reference:
+- late virtual ops (fetched with ≤3 retries ≈ 18 s lag,
+  block_follower_job.rb:197-207) → a second file stream unioned in;
+  watermark bound = VOP_LATENESS_S for any stateful op downstream.
+- ``max_keys`` backpressure (:49-53) → maxFilesPerTrigger admission.
+- HWM (:78) → the checkpoint; plus an explicit per-batch _meta row for
+  wire-compat with `find`/resume consumers.
+- exactly-once: the reference is at-least-once on restart, idempotent only
+  by key re-SET. We do the same but better: batch writes land under
+  ``batch_id=N`` subdirs, so a retried batch overwrites itself (parquet-level
+  idempotence without Delta).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..channels import op_channels
+from ..flatten import flatten_blocks, flatten_virtual_ops
+from ..schemas import BLOCKS, VIRTUAL_OPS, WITNESS_SCHEDULES
+
+VOP_LATENESS = "18 seconds"   # Σ(retry × BLOCK_INTERVAL), see SURVEY §4.5
+
+
+def read_block_stream(spark: SparkSession, blocks_dir: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    reader = spark.readStream.schema(BLOCKS)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(blocks_dir)
+
+
+def read_vop_stream(spark: SparkSession, vops_dir: str,
+                    max_files_per_trigger: int | None = None) -> DataFrame:
+    reader = spark.readStream.schema(VIRTUAL_OPS)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(vops_dir)
+
+
+def streaming_ops(blocks_stream: DataFrame, vops_stream: DataFrame | None,
+                  chain: str = "hive") -> DataFrame:
+    """The flatten plan, shared verbatim with batch mode — one code path,
+    two execution modes (the Structured Streaming promise)."""
+    ops = flatten_blocks(blocks_stream, chain)
+    if vops_stream is not None:
+        vops = vops_stream.withWatermark("timestamp", VOP_LATENESS)
+        ops = ops.unionByName(flatten_virtual_ops(vops, chain))
+    return ops
+
+
+def start_ingest(ops_stream: DataFrame, ops_path: str, channels_path: str,
+                 checkpoint: str, available_now: bool = True) -> StreamingQuery:
+    """foreachBatch sink: keyed op append + channel fan-out + _meta HWM.
+
+    Writes go to ``batch_id=N`` subdirectories → a replayed batch after a
+    crash overwrites its own output (idempotent at-least-once ⇒ effectively
+    exactly-once for readers of `ops_view`).
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            (
+                batch_df.dropDuplicates(["key"])
+                .withColumn("ingested_at", F.current_timestamp())
+                .write.mode("overwrite")
+                .parquet(os.path.join(ops_path, f"batch_id={batch_id}"))
+            )
+            (
+                op_channels(batch_df)
+                .write.mode("overwrite")
+                .parquet(os.path.join(channels_path, f"batch_id={batch_id}"))
+            )
+            hwm = batch_df.agg(
+                F.first("chain").alias("chain"),
+                F.max("block_num").alias("last_block_num"),
+            ).withColumn("batch_id", F.lit(batch_id))
+            hwm.write.mode("overwrite").parquet(
+                os.path.join(ops_path + "_meta", f"batch_id={batch_id}"))
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        ops_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def ops_view(spark: SparkSession, ops_path: str) -> DataFrame:
+    """Reader view over the streamed store; key-dedup guards the one
+    non-idempotent corner (same op in two batches via vop replay)."""
+    return (
+        spark.read.option("basePath", ops_path).parquet(ops_path + "/batch_id=*")
+        .dropDuplicates(["key"])
+    )
+
+
+def last_block_num(spark: SparkSession, ops_path: str) -> int | None:
+    """The explicit HWM probe (reference: GET {chain}:meeseeker:last_block_num)."""
+    meta_path = ops_path + "_meta"
+    if not os.path.exists(meta_path):
+        return None
+    row = (
+        spark.read.option("basePath", meta_path).parquet(meta_path + "/batch_id=*")
+        .agg(F.max("last_block_num").alias("m")).first()
+    )
+    return row["m"] if row and row["m"] is not None else None
+
+
+# ---------------------------------------------------------------------------
+# Witness-schedule publish-once (SURVEY §2 B12)
+# ---------------------------------------------------------------------------
+
+def read_schedule_stream(spark: SparkSession, sched_dir: str) -> DataFrame:
+    return spark.readStream.schema(WITNESS_SCHEDULES).parquet(sched_dir)
+
+
+def schedule_publish_once(sched_stream: DataFrame) -> DataFrame:
+    """The reference publishes a schedule only when next_shuffle_block_num
+    advances (witness_schedule_job.rb:58-62) — here: streaming
+    dropDuplicates keyed on the shuffle boundary (state bounded by the
+    tiny key domain; one key per 63 s round)."""
+    return sched_stream.select(
+        "id", "next_shuffle_block_num", "current_shuffled_witnesses"
+    ).dropDuplicates(["next_shuffle_block_num"])
+
+
+def start_schedule_publisher(sched_stream: DataFrame, out_path: str,
+                             checkpoint: str) -> StreamingQuery:
+    deduped = schedule_publish_once(sched_stream)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch_id={batch_id}"))
+
+    return (
+        deduped.writeStream.outputMode("update")
+        .foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

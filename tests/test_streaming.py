@@ -1,0 +1,151 @@
+"""Structured Streaming ingestion: incremental flatten, checkpoint resume,
+late virtual ops, publish-once dedup, HWM, resume policy."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from meeseeker_spark import fixtures
+from meeseeker_spark.flatten import flatten_blocks
+from meeseeker_spark.resume import resolve_start_block
+from meeseeker_spark.schemas import BLOCKS, VIRTUAL_OPS
+from meeseeker_spark.streaming import pipeline as P
+
+
+@pytest.fixture(scope="module")
+def fx():
+    return fixtures.generate(n_blocks=63, seed=5)
+
+
+def _write_batches(rows, schema, out_dir, n_files):
+    """Split fixture rows into n parquet files (micro-batch boundaries)."""
+    os.makedirs(out_dir, exist_ok=True)
+    chunk = max(1, len(rows) // n_files)
+    for i in range(0, len(rows), chunk):
+        t = pa.Table.from_pylist(rows[i:i + chunk],
+                                 schema=fixtures._ARROW_SCHEMAS[schema])
+        pq.write_table(t, os.path.join(out_dir, f"part-{i:05d}.parquet"))
+
+
+def test_stream_matches_batch(spark, fx, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream1")
+    _write_batches(fx.blocks, "blocks", str(d / "blocks"), 4)
+    _write_batches(fx.virtual_ops, "virtual_ops", str(d / "vops"), 3)
+
+    ops = P.streaming_ops(
+        P.read_block_stream(spark, str(d / "blocks"), max_files_per_trigger=1),
+        P.read_vop_stream(spark, str(d / "vops"), max_files_per_trigger=1),
+    )
+    q = P.start_ingest(ops, str(d / "ops"), str(d / "channels"),
+                       str(d / "ckpt"))
+    q.awaitTermination(120)
+
+    got = P.ops_view(spark, str(d / "ops"))
+    assert sorted(r["key"] for r in got.collect()) == sorted(
+        o["key"] for o in fx.ops_expected)
+    # multiple micro-batches actually happened
+    assert len(glob.glob(str(d / "ops" / "batch_id=*"))) > 1
+    # channel fan-out landed
+    ch = spark.read.option("basePath", str(d / "channels")).parquet(
+        str(d / "channels") + "/batch_id=*")
+    assert ch.count() > 0
+    # HWM matches the last fixture block
+    assert P.last_block_num(spark, str(d / "ops")) == fx.blocks[-1]["block_num"]
+
+
+def test_checkpoint_resume_no_duplicates(spark, fx, tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream2")
+    half = len(fx.blocks) // 2
+    _write_batches(fx.blocks[:half], "blocks", str(d / "blocks"), 2)
+
+    def run():
+        ops = P.streaming_ops(
+            P.read_block_stream(spark, str(d / "blocks")), None)
+        q = P.start_ingest(ops, str(d / "ops"), str(d / "channels"),
+                           str(d / "ckpt"))
+        q.awaitTermination(120)
+
+    run()
+    n1 = P.ops_view(spark, str(d / "ops")).count()
+
+    # late delivery: second half of the chain arrives, same checkpoint
+    _write_batches(fx.blocks[half:], "blocks", str(d / "blocks2"), 2)
+    for f in glob.glob(str(d / "blocks2" / "*.parquet")):
+        os.rename(f, str(d / "blocks" / ("late-" + os.path.basename(f))))
+    run()
+    got = P.ops_view(spark, str(d / "ops"))
+    n2 = got.count()
+
+    expected_real = [o for o in fx.ops_expected
+                     if o["trx_id"] != "0" * 40]
+    assert n2 == len(expected_real)
+    assert n2 > n1
+    # resume processed only the new files — no key appears twice
+    raw = spark.read.option("basePath", str(d / "ops")).parquet(
+        str(d / "ops") + "/batch_id=*")
+    assert raw.count() == raw.dropDuplicates(["key"]).count()
+
+
+def test_late_vops_join_their_block(spark, fx, tmp_path_factory):
+    # vops arrive AFTER their block's batch (the reference's retry lag).
+    # The vop source is wired from the start (a source can't be added to an
+    # existing checkpoint) but its directory starts empty — the late data
+    # must still land with correct keys/ordinals on the next run.
+    d = tmp_path_factory.mktemp("stream3")
+    _write_batches(fx.blocks, "blocks", str(d / "blocks"), 1)
+    os.makedirs(str(d / "vops"), exist_ok=True)
+
+    def run():
+        ops = P.streaming_ops(
+            P.read_block_stream(spark, str(d / "blocks")),
+            P.read_vop_stream(spark, str(d / "vops")))
+        q = P.start_ingest(ops, str(d / "ops"), str(d / "channels"),
+                           str(d / "ckpt"))
+        q.awaitTermination(120)
+
+    run()
+    _write_batches(fx.virtual_ops, "virtual_ops", str(d / "vops"), 1)
+    run()
+
+    got = P.ops_view(spark, str(d / "ops"))
+    assert sorted(r["key"] for r in got.collect()) == sorted(
+        o["key"] for o in fx.ops_expected)
+
+
+def test_schedule_publish_once(spark, fx, tmp_path_factory):
+    # feed each schedule 3× across separate files → exactly one publish per
+    # shuffle boundary survives (stateful dropDuplicates)
+    d = tmp_path_factory.mktemp("sched")
+    tripled = [s for s in fx.witness_schedules for _ in range(3)]
+    _write_batches(tripled, "witness_schedules", str(d / "in"), 3)
+    q = P.start_schedule_publisher(
+        P.read_schedule_stream(spark, str(d / "in")),
+        str(d / "out"), str(d / "ckpt"))
+    q.awaitTermination(120)
+    out = spark.read.option("basePath", str(d / "out")).parquet(
+        str(d / "out") + "/batch_id=*")
+    rows = out.collect()
+    assert len(rows) == len(fx.witness_schedules)
+    assert (sorted(r["next_shuffle_block_num"] for r in rows)
+            == sorted(s["next_shuffle_block_num"] for s in fx.witness_schedules))
+
+
+def test_resume_policy():
+    # B10 unit cases mirroring block_follower_job.rb:106-139
+    d = resolve_start_block(None, 1000)
+    assert d.fresh_sync and d.start_block == 1000
+    d = resolve_start_block(990, 1000)
+    assert not d.fresh_sync and d.start_block == 991
+    # gap beyond ttl/3 (default ttl 86400s → 9600 blocks threshold)
+    d = resolve_start_block(0, 20_000)
+    assert d.fresh_sync and d.start_block == 20_000
+    # ttl disabled: resume from hwm+1 even when far behind...
+    d = resolve_start_block(0, 20_000, ttl_s=-1)
+    assert d.start_block == 20_000  # ...but never before the tip
+    d = resolve_start_block(19_999, 10_000, ttl_s=-1)
+    assert d.start_block == 20_000  # hwm ahead of a lagging tip wins
