@@ -528,6 +528,298 @@ def approx_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# F1–F6 extensions: dedup / similarity / text analysis / multimodal
+# (driver north star — training-data pipeline operators at 100 TB design)
+# ---------------------------------------------------------------------------
+
+_DUCK_SHINGLES = """
+    words AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(w) >= 3
+                   THEN list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                   ELSE [array_to_string(w, ' ')] END) AS shingles
+        FROM words
+    )
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT doc_id, n_chars FROM (
+        SELECT doc_id, n_chars,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+    tags=("F1",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a controlled survivor (min doc_id per text)."""
+    from .ext.dedup import exact_dedup
+    docs = load(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["text"], "doc_id").select("doc_id", "n_chars")
+
+
+@register(
+    "dedup_fingerprint",
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           min(doc_id) AS survivor_id, count(*) AS n_docs
+    FROM documents GROUP BY fp
+    """,
+    tags=("F1", "F4"),
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-fingerprint dedup groups (hash-groupBy; one shuffle)."""
+    from .ext.text import fingerprint
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(fingerprint(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("survivor_id"),
+             F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "near_dup_pairs",
+    f"""
+    WITH {_DUCK_SHINGLES},
+    sig AS (
+        SELECT doc_id, shingles,
+               list_transform(range(0, 8), k ->
+                   list_min(list_transform(shingles, s -> md5(k || ':' || s))))
+               AS sigs
+        FROM sh
+    ),
+    bands AS (
+        SELECT doc_id, shingles,
+               unnest(list_transform(range(0, 4), b ->
+                   b || '|' || sigs[b*2 + 1] || '|' || sigs[b*2 + 2]))
+               AS band_key
+        FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT c.doc_a, c.doc_b,
+               round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+                     len(list_distinct(sa.shingles || sb.shingles)), 4) AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
+    """,
+    tags=("F2",),
+)
+def near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, md5-based so the oracle reproduces the
+    signatures bit-for-bit. 8 sigs, 4 bands × 2 rows, Jaccard ≥ 0.5."""
+    from .ext.dedup import near_dup_pairs
+    docs = load(spark, sf_dir, "documents")
+    return near_dup_pairs(docs, threshold=0.5, k=8, bands=4, rows=2)
+
+
+@register(
+    "text_stats",
+    """
+    WITH t AS (
+        SELECT doc_id, text, length(text) AS n_chars,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS tok
+        FROM documents
+    )
+    SELECT doc_id, n_chars,
+           len(tok) AS n_tokens,
+           len(list_distinct(tok)) AS n_uniq_tokens,
+           round(n_chars::DOUBLE / greatest(len(tok), 1), 2) AS chars_per_token,
+           round(len(list_filter(tok, x -> list_contains(
+                 ['the','a','and','of','to','in','is'], x)))::DOUBLE
+                 / greatest(len(tok), 1), 4) AS stopword_ratio
+    FROM t
+    """,
+    tags=("F4",),
+)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.text import text_stats
+    return text_stats(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_scores",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS tok
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               round((2 * least(len(tok), 100) * greatest(len(tok), 1)
+                      + 200 * len(list_distinct(tok))
+                      + 100 * len(list_filter(tok, x -> list_contains(
+                            ['the','a','and','of','to','in','is'], x))))::DOUBLE
+                     / (500 * greatest(len(tok), 1)), 4) AS quality
+        FROM t
+    )
+    SELECT doc_id, quality,
+           CASE WHEN quality >= 0.5 THEN 'high'
+                WHEN quality >= 0.25 THEN 'medium'
+                ELSE 'low' END AS quality_bucket
+    FROM s
+    """,
+    tags=("F4",),
+)
+def quality_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.text import quality_scores
+    return quality_scores(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "lang_id",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS tok
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               len(list_filter(tok, x -> list_contains(
+                   ['the','a','and','of','to','in','is'], x))) AS s_en,
+               len(list_filter(tok, x -> list_contains(
+                   ['el','la','de','que','los','y','un'], x))) AS s_es,
+               len(list_filter(tok, x -> list_contains(
+                   ['der','die','und','das','ist','ein'], x))) AS s_de,
+               len(list_filter(tok, x -> list_contains(
+                   ['le','les','et','des','une','dans'], x))) AS s_fr
+        FROM t
+    )
+    SELECT doc_id, s_en, s_es, s_de, s_fr,
+           CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'unknown'
+                WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+    tags=("F4",),
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.text import lang_id
+    return lang_id(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_totals",
+    """
+    SELECT lang, source, count(*) AS n_docs,
+           sum(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> ''))) AS total_tokens,
+           round(avg(length(text)), 2) AS avg_chars
+    FROM documents GROUP BY lang, source
+    """,
+    tags=("F4",),
+)
+def token_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.text import token_totals
+    return token_totals(load(spark, sf_dir, "documents"), ["lang", "source"])
+
+
+@register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+    tags=("F4",),
+)
+def doc_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ext.text import fingerprint
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "knn_topk",
+    """
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+        SELECT q.q_id, c.vec_id AS c_id,
+               round(list_cosine_similarity(q.qv, c.v), 4) AS sim
+        FROM q CROSS JOIN e c
+        WHERE c.vec_id <> q.q_id
+    )
+    SELECT q_id, c_id, sim, rk FROM (
+        SELECT q_id, c_id, sim,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY sim DESC, c_id) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+    """,
+    tags=("F3",),
+)
+def knn_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors — the exactness
+    baseline the LSH variant is judged against."""
+    from .ext.similarity import cosine_topk
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, k=5, max_query_filter=10)
+
+
+@register("knn_lsh", None, tags=("F3",))
+def knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH approximate top-k (the 100 TB path: bucket
+    join instead of cross product). Approximate → rows-only check."""
+    from .ext.similarity import lsh_cosine_topk
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_cosine_topk(emb, query_ids=list(range(10)), k=5)
+
+
+@register("simhash_dups", None, tags=("F2",))
+def simhash_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-≤3 candidate pairs (xxhash64-based — not
+    reproducible outside Spark → rows-only check)."""
+    from .ext.dedup import simhash_dup_pairs
+    return simhash_dup_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id, 'application/octet-stream' AS mime,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents
+    """,
+    tags=("F5",),
+)
+def multimodal_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column plumbing: metadata projection that must never
+    decode (or even read) beyond the blob header at scale."""
+    from .ext.multimodal import attach_media, media_meta
+    docs = load(spark, sf_dir, "documents")
+    return media_meta(attach_media(docs))
+
+
 def queries() -> dict[str, SparkQuery]:
     return {name: e.spark for name, e in ENTRIES.items()}
 

@@ -1,0 +1,169 @@
+"""Deduplication operators (SURVEY §2 F1/F2, driver north star).
+
+- exact: hash-groupBy with a controlled survivor (min id wins) — one shuffle
+  on the dedup key, no driver state.
+- near-dup: MinHash + LSH banding. Shingle → k md5-minhash signatures →
+  band keys → bucket self-join → exact Jaccard verify on candidates only.
+  The pair space is pruned from O(n²) to Σ|bucket|² — the standard path to
+  near-dup at 100 TB (band buckets shuffle-partition naturally; a skewed
+  bucket means a true dup cluster, which AQE's skew-join splitting handles).
+- SimHash: 64-bit sign-aggregated token hashes; Hamming-ball candidates via
+  16-bit band exact-match (any pair within Hamming distance 3 shares at
+  least one of 4 bands).
+
+md5 (not xxhash) for minhash so the DuckDB oracle can reproduce signatures
+bit-for-bit; the md5 cost is per-shingle-once and stays JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .text import tokens
+
+
+def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Keep one row per key group — the survivor is min(order_col), so reruns
+    pick the same winner (dropDuplicates' winner is partition-order luck)."""
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def shingles(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles; whole text as one shingle when the
+    doc is shorter than n words."""
+    w = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j + 1) for j in range(n)]),
+    )
+    return F.array_distinct(
+        F.when(F.size(w) >= n, grams)
+        .otherwise(F.array(F.concat_ws(" ", w))))
+
+
+def minhash_signatures(shingle_col: Column, k: int = 8) -> Column:
+    """k MinHash signatures: sig_i = min over shingles of md5('i:'+s)."""
+    return F.array(*[
+        F.array_min(F.transform(
+            shingle_col, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
+        for i in range(k)
+    ])
+
+
+def band_keys(sig_col: Column, bands: int = 4, rows: int = 2) -> Column:
+    """LSH banding: concat `rows` consecutive signatures per band."""
+    return F.array(*[
+        F.concat_ws("|", F.lit(str(b)),
+                    *[sig_col[b * rows + r] for r in range(rows)])
+        for b in range(bands)
+    ])
+
+
+def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", threshold: float = 0.5,
+                   k: int = 8, bands: int = 4, rows: int = 2,
+                   n_shingle: int = 3) -> DataFrame:
+    """MinHash/LSH candidate generation + exact-Jaccard verification.
+
+    Returns (doc_a, doc_b, jaccard) for pairs ≥ threshold. Deterministic:
+    same input → same pairs, on any partitioning.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), n_shingle).alias("_sh"),
+    )
+    banded = base.select(
+        "_id", "_sh",
+        F.explode(band_keys(minhash_signatures(F.col("_sh"), k), bands, rows))
+        .alias("_band"),
+    )
+    left = banded.select(F.col("_id").alias("doc_a"),
+                         F.col("_sh").alias("_sh_a"), "_band")
+    right = banded.select(F.col("_id").alias("doc_b"),
+                          F.col("_sh").alias("_sh_b"), "_band")
+    cand = (
+        left.join(right, ["_band"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "_sh_a", "_sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_distinct(F.concat("_sh_a", "_sh_b")))
+    return (
+        cand.select(
+            "doc_a", "doc_b",
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", threshold: float = 0.5) -> DataFrame:
+    """Drop near-duplicates: the min-id member of each near-dup pair
+    survives (greedy edge-wise survivor — at true connected-component scale
+    use iterative label propagation; pairs here are the expensive part)."""
+    pairs = near_dup_pairs(df, id_col, text_col, threshold)
+    losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash_table(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document: explode tokens, hash once, then 64
+    static-bit sign-sums in ONE hash aggregate (partial aggregation makes
+    the token shuffle carry only 64 counters per doc — the scale-correct
+    shape; per-row loops or Python UDFs are not)."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.col(text_col))).alias("_t"),
+    ).select("_id", F.xxhash64("_t").alias("_h"))
+    bit_sums = toks.groupBy("_id").agg(*[
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1,
+                   F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"_b{b}")
+        for b in range(64)
+    ])
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"_b{b}") > 0,
+                   F.shiftleft(F.lit(1).cast("long"), b))
+            .otherwise(F.lit(0).cast("long")))
+    return bit_sums.select("_id", sim.alias("_sh"))
+
+
+def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs within a Hamming ball: split the 64-bit hash into 4
+    16-bit bands; any pair at distance ≤ 3 must agree on ≥ 1 band
+    (pigeonhole), so band-equality buckets catch all of them."""
+    base = simhash_table(df, id_col, text_col)
+    bands = base.select(
+        "_id", "_sh",
+        F.explode(F.array(*[
+            F.concat_ws("|", F.lit(str(b)),
+                        F.shiftright(F.col("_sh"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF)))
+            for b in range(4)
+        ])).alias("_band"),
+    )
+    l = bands.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("_ha"), "_band")
+    r = bands.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("_hb"), "_band")
+    cand = (
+        l.join(r, ["_band"]).where(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

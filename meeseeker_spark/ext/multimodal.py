@@ -1,0 +1,116 @@
+"""Multimodal columns (SURVEY §2 F5, driver north star).
+
+Images/audio/video are opaque ``binary`` columns + a typed metadata struct;
+heavy per-item work (decode, resize, frame-sample, feature-extract) runs as
+Arrow-batched ``mapInPandas`` — the Spark-side plumbing (schema, batch
+shape, partition sizing) is real and tested; the codec itself is STUBBED
+behind a guarded import because media libraries aren't in this container:
+``decode_media`` raises NotImplementedError unless ``fake=True``, which
+substitutes a deterministic metadata extractor so the pipeline is
+end-to-end testable.
+
+At scale: binary payloads ride the same parquet files; metadata-only
+queries never touch the blob column (column pruning), and mapInPandas
+batches amortize Python crossing costs over Arrow record batches.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType([
+    T.StructField("mime", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+])
+
+DECODED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("mime", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("checksum", T.StringType()),
+])
+
+
+def attach_media(df: DataFrame, text_col: str = "text",
+                 mime: str = "application/octet-stream") -> DataFrame:
+    """Stand-in media ingestion: carries a real binary column derived from
+    the text payload (same plumbing a real image column would use)."""
+    return df.withColumn("media", F.struct(
+        F.encode(F.col(text_col), "utf-8").alias("bytes"),
+        F.lit(mime).alias("mime"),
+    ))
+
+
+def media_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Metadata-only projection: never reads beyond the binary length —
+    at scale this is the query that must NOT decode anything."""
+    return df.select(
+        id_col,
+        F.col("media.mime").alias("mime"),
+        F.octet_length(F.col("media.bytes")).alias("n_bytes"),
+        F.md5(F.col("media.bytes")).alias("checksum"),
+    )
+
+
+def decode_media(df: DataFrame, id_col: str = "doc_id",
+                 fake: bool = False) -> DataFrame:
+    """Arrow-batched decode via mapInPandas.
+
+    Real decode needs PIL/ffmpeg (absent here) → NotImplementedError.
+    ``fake=True`` swaps in a deterministic extractor (dimensions derived
+    from the byte content) so schema/batching/partitioning are exercised
+    for real.
+    """
+    try:
+        import PIL.Image  # noqa: F401
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    if not fake and not have_pil:
+        raise NotImplementedError(
+            "media decode requires an image library not present in this "
+            "environment; pass fake=True for the deterministic test decoder")
+
+    src = df.select(F.col(id_col).alias("doc_id"), "media")
+
+    def _decode(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                blob: bytes = row["media"]["bytes"]
+                digest = hashlib.md5(blob).hexdigest()
+                out.append({
+                    "doc_id": row["doc_id"],
+                    "mime": row["media"]["mime"],
+                    "n_bytes": len(blob),
+                    # deterministic fake dimensions from content
+                    "width": int(digest[:4], 16) % 4096,
+                    "height": int(digest[4:8], 16) % 4096,
+                    "checksum": digest,
+                })
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(_decode, schema=DECODED_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: one row per sampled frame index.
+    The decode of each frame is the stubbed step; index fan-out + partition
+    shape (explode before decode so frames parallelize) is the real part."""
+    n_frames = (F.octet_length(F.col("media.bytes")) / 1000).cast("int") + 1
+    return df.select(
+        "doc_id", "media",
+        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n)))
+        .alias("frame_idx"),
+    )

