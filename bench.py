@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "extras": {...}}
+
+The reference's own envelope (BASELINE.md) is operational — 1 block/3 s
+sustained ingest with a bounded store — so besides query wall-times we also
+report ingest_blocks_per_s from a fixture-driven flatten→sink run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# representative spread: scan+agg throughput, window, join, flatten,
+# dedup/minhash, knn, text rollup
+HEADLINE = [
+    "pricing_summary",
+    "channel_volume",
+    "flatten_ops",
+    "d3_ref_join",
+    "trx_index",
+    "top_events_per_user",
+    "d1_trx_reconcile",
+    "dedup_fingerprint",
+    "near_dup_pairs",
+    "knn_topk",
+    "token_totals",
+    "scan_by_type",
+]
+
+
+def _consume(df) -> int:
+    """Force full execution without driver-side materialization costs."""
+    return df.write.mode("overwrite").format("noop").save() or df.count()
+
+
+def main() -> None:
+    from meeseeker_spark import catalog
+    from meeseeker_spark.session import get_spark
+
+    spark = get_spark(app_name="meeseeker-bench")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    # JVM/codegen warmup on the smallest table
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
+    results: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = catalog.ENTRIES[name].spark
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+        results[name] = round(time.perf_counter() - t0, 3)
+
+    # ingest throughput: flatten 210 fixture blocks → keyed store
+    from meeseeker_spark import fixtures
+    from meeseeker_spark.flatten import flatten_ops_with_virtual
+    from meeseeker_spark.query import OpsStore
+    from meeseeker_spark.schemas import BLOCKS, VIRTUAL_OPS
+
+    with tempfile.TemporaryDirectory() as d:
+        fx = fixtures.generate(n_blocks=210, seed=42)
+        fixtures.write_parquet(fx, d)
+        blocks = spark.read.schema(BLOCKS).parquet(f"{d}/blocks.parquet")
+        vops = spark.read.schema(VIRTUAL_OPS).parquet(f"{d}/virtual_ops.parquet")
+        t0 = time.perf_counter()
+        OpsStore.write(flatten_ops_with_virtual(blocks, vops), f"{d}/ops")
+        ingest_s = time.perf_counter() - t0
+    blocks_per_s = round(210 / ingest_s, 2)
+
+    total = round(sum(results.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+        "extras": {
+            "ingest_blocks_per_s": blocks_per_s,
+            "baseline_chain_blocks_per_s": 0.33,
+        },
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -33,10 +33,15 @@ def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
     )
 
 
-def shingles(text_col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles; whole text as one shingle when the
-    doc is shorter than n words."""
-    w = tokens(text_col)
+def shingles_from_tokens(w: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a tokens column; whole text as one
+    shingle when the doc is shorter than n words.
+
+    ``w`` MUST be a bound column (projected in a previous select), not an
+    inline expression: higher-order lambdas are interpreted, so an inlined
+    tokenizer would re-run split+filter at every element_at site — O(len²)
+    per document. ``shingle_df`` below wires this correctly.
+    """
     grams = F.transform(
         F.sequence(F.lit(0), F.size(w) - n),
         lambda i: F.concat_ws(
@@ -45,6 +50,17 @@ def shingles(text_col: Column, n: int = 3) -> Column:
     return F.array_distinct(
         F.when(F.size(w) >= n, grams)
         .otherwise(F.array(F.concat_ws(" ", w))))
+
+
+def shingle_df(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shingles) with the tokenize→shingle projection split so the
+    token array materializes once per row (see shingles_from_tokens)."""
+    return (
+        df.select(F.col(id_col).alias("_id"),
+                  tokens(F.col(text_col)).alias("_w"))
+        .select("_id", shingles_from_tokens(F.col("_w"), n).alias("_sh"))
+    )
 
 
 def minhash_signatures(shingle_col: Column, k: int = 8) -> Column:
@@ -74,29 +90,32 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     Returns (doc_a, doc_b, jaccard) for pairs ≥ threshold. Deterministic:
     same input → same pairs, on any partitioning.
     """
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        shingles(F.col(text_col), n_shingle).alias("_sh"),
+    base = shingle_df(df, id_col, text_col, n_shingle)
+    # sigs materialized as their own projection (bound column) so the 4 band
+    # expressions index one computed array instead of re-hashing per band
+    sigs = base.select(
+        "_id", minhash_signatures(F.col("_sh"), k).alias("_sigs"))
+    # banded rows stay SKINNY (id, band) — shingle arrays do not ride
+    # through the bucket join/dedup shuffle; they're re-joined per side
+    # only for the (few) surviving candidate pairs
+    banded = sigs.select(
+        "_id",
+        F.explode(band_keys(F.col("_sigs"), bands, rows)).alias("_band"),
     )
-    banded = base.select(
-        "_id", "_sh",
-        F.explode(band_keys(minhash_signatures(F.col("_sh"), k), bands, rows))
-        .alias("_band"),
-    )
-    left = banded.select(F.col("_id").alias("doc_a"),
-                         F.col("_sh").alias("_sh_a"), "_band")
-    right = banded.select(F.col("_id").alias("doc_b"),
-                          F.col("_sh").alias("_sh_b"), "_band")
     cand = (
-        left.join(right, ["_band"])
+        banded.alias("a")
+        .join(banded.alias("b"), ["_band"])
+        .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "_sh_a", "_sh_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sh_a = base.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("_sh_a"))
+    sh_b = base.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("_sh_b"))
+    scored = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
     union = F.size(F.array_distinct(F.concat("_sh_a", "_sh_b")))
     return (
-        cand.select(
+        scored.select(
             "doc_a", "doc_b",
             F.round(inter / union, 4).alias("jaccard"),
         )

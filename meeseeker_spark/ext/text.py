@@ -42,13 +42,24 @@ def stopword_hits(tok: Column, words: list[str]) -> Column:
     return F.size(F.filter(tok, lambda x: x.isin(*words)))
 
 
+def _with_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Project the token array once (bound column) so downstream lambdas
+    don't re-run the tokenizer at every reference site — higher-order
+    functions are interpreted, not codegen'd, so inline duplication is
+    paid per element."""
+    return df.select(
+        F.col(id_col), F.col(text_col),
+        tokens(F.col(text_col)).alias("_tok"))
+
+
 def text_stats(df: DataFrame, id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
     """Per-document statistics (length, tokens, uniq ratio, stopword ratio).
-    One narrow projection — no shuffle at any scale."""
-    tok = tokens(F.col(text_col))
+    Narrow projections — no shuffle at any scale."""
+    t = _with_tokens(df, id_col, text_col)
+    tok = F.col("_tok")
     n_tok = F.size(tok)
-    return df.select(
+    return t.select(
         id_col,
         F.length(text_col).alias("n_chars"),
         n_tok.alias("n_tokens"),
@@ -65,7 +76,8 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """Composite quality score ∈ [0,1]: length signal + vocabulary
     diversity + stopword plausibility, with a deterministic bucket."""
-    tok = tokens(F.col(text_col))
+    t = _with_tokens(df, id_col, text_col)
+    tok = F.col("_tok")
     n_tok = F.size(tok)
     n = F.greatest(n_tok, F.lit(1))
     u = F.size(F.array_distinct(tok))
@@ -75,7 +87,7 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id",
     # (independent float terms differ in the last bit at round() boundaries)
     num = (2 * F.least(n_tok, F.lit(100)) * n + 200 * u + 100 * s)
     score = F.round(num.cast("double") / (500 * n), 4)
-    return df.select(
+    return t.select(
         id_col,
         score.alias("quality"),
         F.when(score >= 0.5, "high")
@@ -89,7 +101,8 @@ def lang_id(df: DataFrame, id_col: str = "doc_id",
     """Stopword-vote language ID; argmax with fixed priority tie-break.
     (The real-data upgrade is char-n-gram profiles; the *shape* — narrow
     scoring projection, no shuffle — is identical.)"""
-    tok = tokens(F.col(text_col))
+    t = _with_tokens(df, id_col, text_col)
+    tok = F.col("_tok")
     scores = {lang: stopword_hits(tok, words)
               for lang, words in LANG_STOPWORDS.items()}
     best = F.greatest(*scores.values())
@@ -99,7 +112,7 @@ def lang_id(df: DataFrame, id_col: str = "doc_id",
     cols = [F.col(id_col)]
     cols += [scores[lang].alias(f"s_{lang}") for lang in LANG_PRIORITY]
     cols.append(pred.alias("lang_pred"))
-    return df.select(*cols)
+    return t.select(*cols)
 
 
 def token_totals(df: DataFrame, group_cols: list[str],
