@@ -528,6 +528,90 @@ def approx_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "header_enrich",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, p.p_name, p.p_brand
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    """,
+    tags=("S3",),
+)
+def header_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-header enrichment shape (S3): broadcast the small dimension
+    into the fact scan — no shuffle of the big side at any scale."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "p_name", "p_brand")
+    )
+
+
+@register(
+    "notify_get_join",
+    """
+    SELECT e.event_id, e.event_type, c.c_name, c.c_mktsegment
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    WHERE e.event_type = 'purchase'
+    """,
+    tags=("C5",),
+)
+def notify_get_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumer's notify-then-GET dance (C5): receive {key}, fetch the
+    payload — one stream-static broadcast join instead of N round-trips."""
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .select("event_id", "event_type", "c_name", "c_mktsegment")
+    )
+
+
+@register(
+    "session_gaps",
+    """
+    SELECT user_id, event_id,
+           coalesce(date_diff('second',
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts),
+               -1) AS gap_s
+    FROM events
+    """,
+    tags=("B5", "B6"),
+)
+def session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary detection via lag() — the reference's prefix-compare state
+    (block_follower_job.rb:21) as an order-safe window."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "user_id", "event_id",
+        F.coalesce(
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+            .cast("bigint"),
+            F.lit(-1).cast("bigint"),
+        ).alias("gap_s"),
+    )
+
+
+@register(
+    "trx_id_split",
+    """
+    SELECT p_partkey, string_split(p_type, ' ')[1] AS type_head,
+           p_type LIKE '%-%' AS has_dash
+    FROM part
+    """,
+    tags=("B9",),
+)
+def trx_id_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sidechain '<id>-<n>' split shape (B9): first-segment extraction."""
+    return load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.split(F.col("p_type"), " ")[0].alias("type_head"),
+        F.col("p_type").contains("-").alias("has_dash"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # F1–F6 extensions: dedup / similarity / text analysis / multimodal
 # (driver north star — training-data pipeline operators at 100 TB design)

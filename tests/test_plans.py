@@ -1,0 +1,91 @@
+"""Physical-plan assertions: the 100 TB design claims must be visible in
+explain() output — predicate pushdown, column pruning, broadcast joins,
+partition pruning on the ops store, rank-limit pushdown. A query that is
+correct but plans a full-table scan fails here."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from meeseeker_spark import catalog, fixtures
+from meeseeker_spark.flatten import flatten_ops_with_virtual
+from meeseeker_spark.query import OpsStore
+from meeseeker_spark.schemas import BLOCKS, VIRTUAL_OPS
+
+SF = "/root/testdata/sf0.001"
+
+
+def explain_str(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_scan_pushdown_and_pruning(spark):
+    plan = explain_str(catalog.ENTRIES["scan_by_type"].spark(spark, SF))
+    assert "PushedFilters" in plan
+    assert "EqualTo(event_type,click)" in plan
+    # column pruning: the fat props column must not be read
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "props" not in read_schema
+    assert "ts" not in read_schema
+
+
+def test_pricing_summary_partial_agg(spark):
+    plan = explain_str(catalog.ENTRIES["pricing_summary"].spark(spark, SF))
+    # map-side partial + final aggregate
+    assert plan.count("HashAggregate") >= 2
+    assert "LessThanOrEqual(l_shipdate" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_partkey" not in read_schema  # untouched columns pruned
+
+
+def test_broadcast_joins(spark):
+    for name in ("header_enrich", "notify_get_join"):
+        plan = explain_str(catalog.ENTRIES[name].spark(spark, SF))
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_knn_broadcasts_queries(spark):
+    plan = explain_str(catalog.ENTRIES["knn_topk"].spark(spark, SF))
+    assert "Broadcast" in plan  # query side broadcast, no shuffle of corpus
+
+
+def test_topk_rank_limit_pushdown(spark):
+    plan = explain_str(catalog.ENTRIES["top_events_per_user"].spark(spark, SF))
+    # Spark ≥3.5 pushes rank<=k below the sort (WindowGroupLimit)
+    assert "WindowGroupLimit" in plan
+
+
+def test_ops_store_partition_pruning(spark, tmp_path_factory):
+    fx = fixtures.generate(n_blocks=21, seed=1)
+    d = tmp_path_factory.mktemp("planfx")
+    fixtures.write_parquet(fx, str(d))
+    blocks = spark.read.schema(BLOCKS).parquet(str(d / "blocks.parquet"))
+    vops = spark.read.schema(VIRTUAL_OPS).parquet(str(d / "virtual_ops.parquet"))
+    path = str(d / "ops")
+    OpsStore.write(flatten_ops_with_virtual(blocks, vops), path)
+    store = OpsStore(spark, path)
+
+    plan = explain_str(store.scan("hive:*:vote"))
+    # chain glob segment → partition filter (directory pruning),
+    # op_type segment → pushed data filter
+    assert "PartitionFilters" in plan
+    assert "chain" in plan.split("PartitionFilters", 1)[1][:200]
+    assert "EqualTo(op_type,vote)" in plan
+
+    plan2 = explain_str(store.get(store.df().first()["key"]))
+    assert "PushedFilters" in plan2
+    assert "EqualTo(block_num" in plan2
+
+
+def test_flagship_no_python_udfs(spark):
+    # hot paths stay JVM-side: no BatchEvalPython/ArrowEvalPython stages
+    for name in ("channel_volume", "pricing_summary", "near_dup_pairs",
+                 "knn_topk", "text_stats", "lang_id"):
+        plan = explain_str(catalog.ENTRIES[name].spark(spark, SF))
+        assert "EvalPython" not in plan, name
