@@ -1,0 +1,90 @@
+"""S7/S8 sink adapters (fake-client) + E1/B11 supervision policies."""
+
+from __future__ import annotations
+
+import pytest
+
+from meeseeker_spark import fixtures, sinks
+from meeseeker_spark.channels import op_channels
+from meeseeker_spark.flatten import flatten_blocks
+from meeseeker_spark.schemas import BLOCKS
+from meeseeker_spark.streaming.supervision import admission_gate, run_with_restarts
+
+
+@pytest.fixture(scope="module")
+def ops(spark, tmp_path_factory):
+    fx = fixtures.generate(n_blocks=21, seed=13)
+    d = tmp_path_factory.mktemp("sinkfx")
+    fixtures.write_parquet(fx, str(d))
+    blocks = spark.read.schema(BLOCKS).parquet(str(d / "blocks.parquet"))
+    return flatten_blocks(blocks).cache()
+
+
+def test_publish_channel_events(ops, tmp_path):
+    sink = sinks.CollectingSink(str(tmp_path / "spool"))
+    events = op_channels(ops)
+    n = events.count()
+    sinks.publish_channel_events(events, lambda: sink)
+    recs = [r for r in sink.records() if r["op"] == "publish"]
+    assert len(recs) == n
+    assert any(r["channel"].startswith("hive:op:") for r in recs)
+
+
+def test_set_keyed_ops_with_ttl(ops, tmp_path):
+    sink = sinks.CollectingSink(str(tmp_path / "spool1"))
+    sinks.set_keyed_ops(ops, lambda: sink, ttl_s=86_400)
+    recs = sink.records()
+    sets = [r for r in recs if r["op"] == "set"]
+    ttls = [r for r in recs if r["op"] == "expire"]
+    assert len(sets) == ops.count()
+    assert {r["ttl"] for r in ttls} == {86_400}
+    assert len(ttls) == len(sets)
+    # ttl -1 → no expiry calls (reference MEESEEKER_EXPIRE_KEYS=-1)
+    sink2 = sinks.CollectingSink(str(tmp_path / "spool2"))
+    sinks.set_keyed_ops(ops, lambda: sink2, ttl_s=-1)
+    assert [r for r in sink2.records() if r["op"] == "expire"] == []
+
+
+def test_redis_client_guarded():
+    with pytest.raises(NotImplementedError):
+        sinks.make_redis_client()
+
+
+def test_restart_backoff_doubles_and_caps():
+    sleeps: list[float] = []
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 14:
+            raise RuntimeError("boom")
+        return "ok"
+
+    out = run_with_restarts(flaky, max_restarts=20, base_backoff_s=0.01,
+                            cap_s=30.0, sleep=sleeps.append)
+    assert out == "ok"
+    assert sleeps[0] == pytest.approx(0.01)
+    assert sleeps[1] == pytest.approx(0.02)
+    assert max(sleeps) == 30.0  # cap reached (0.01·2^12 > 30)
+    assert len(sleeps) == 13
+
+
+def test_restart_gives_up_after_max():
+    def always_fails():
+        raise RuntimeError("nope")
+
+    with pytest.raises(RuntimeError):
+        run_with_restarts(always_fails, max_restarts=3, sleep=lambda s: None)
+
+
+def test_admission_gate_drains():
+    counts = iter([500_000, 400_000, 310_000, 299_999])
+    sleeps: list[float] = []
+    waits = admission_gate(lambda: next(counts), max_keys=300_000,
+                           sleep=sleeps.append)
+    assert waits == 3
+    assert sleeps == [3, 3, 3]
+
+
+def test_admission_gate_disabled():
+    assert admission_gate(lambda: 10**9, max_keys=-1, sleep=lambda s: None) == 0
