@@ -717,6 +717,72 @@ def near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jaccard_ngram_pairs",
+    f"""
+    WITH {_DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    inv AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+        SELECT doc_a, doc_b,
+               round(c::DOUBLE / (sa.n + sb.n - c), 4) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+    ) WHERE jaccard >= 0.5
+    """,
+    tags=("F2",),
+)
+def jaccard_ngram_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard pairs (inverted-index join, no sketch) — the
+    ground truth the MinHash/LSH path approximates."""
+    from .ext.dedup import jaccard_ngram_pairs
+    docs = load(spark, sf_dir, "documents")
+    return jaccard_ngram_pairs(docs, threshold=0.5)
+
+
+@register(
+    "embedding_dups",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_a, vec_b, sim FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(a.v, b.v), 4) AS sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ) WHERE sim >= 0.4
+    """,
+    tags=("F2", "F3"),
+)
+def embedding_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (all-pairs baseline)."""
+    from .ext.dedup import embedding_dup_pairs
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(emb, threshold=0.4)
+
+
+@register("embedding_dups_lsh", None, tags=("F2", "F3"))
+def embedding_dups_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-pruned embedding near-dup (the 100 TB path; approximate →
+    rows-only check; recall tested against the exact variant)."""
+    from .ext.dedup import embedding_dup_pairs_lsh
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs_lsh(emb, threshold=0.4)
+
+
+@register("knn_ivf", None, tags=("F3",))
+def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: broadcast codebook, probe n_probe/16 cells
+    (approximate → rows-only check; recall tested vs brute force)."""
+    from .ext.similarity import ivf_topk
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, query_ids=list(range(10)), k=5)
+
+
+@register(
     "text_stats",
     """
     WITH t AS (

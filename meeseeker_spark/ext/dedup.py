@@ -133,6 +133,112 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
     return df.join(losers, id_col, "left_anti")
 
 
+def jaccard_ngram_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.5,
+                        max_df: int | None = None) -> DataFrame:
+    """EXACT n-gram Jaccard pairs via an inverted index — no sketching.
+
+    Shape: explode distinct shingles → self-join on the shingle (the
+    inverted-index posting join) → count common per pair → Jaccard from
+    |A∩B| / (|A|+|B|-|A∩B|). Never materializes the O(n²) pair space:
+    only pairs sharing ≥1 shingle appear, and partial aggregation
+    combines map-side before the pair shuffle.
+
+    ``max_df`` drops shingles appearing in more than max_df documents
+    before the join — the standard guard against stop-shingle posting
+    lists exploding the join at corpus scale (a shingle shared by 1M
+    docs creates 10¹² pairs). With it set, jaccard is a lower bound.
+    """
+    base = shingle_df(df, id_col, text_col, n)
+    sizes = base.select("_id", F.size("_sh").alias("_n"))
+    inv = base.select("_id", F.explode("_sh").alias("_g"))
+    if max_df is not None:
+        keep = (inv.groupBy("_g").agg(F.count("*").alias("_df"))
+                .where(F.col("_df") <= max_df).select("_g"))
+        inv = inv.join(keep, "_g")
+    common = (
+        inv.alias("a").join(inv.alias("b"), "_g")
+        .where(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .agg(F.count("*").alias("_common"))
+    )
+    sa = sizes.select(F.col("_id").alias("doc_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("doc_b"), F.col("_n").alias("_nb"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("_common")
+                    / (F.col("_na") + F.col("_nb") - F.col("_common")),
+                    4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.4,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (all-pairs ground truth).
+
+    Block-nested self-join — O(n²) score space, JVM-side arithmetic.
+    This is the correctness baseline; at corpus scale use
+    ``embedding_dup_pairs_lsh`` which prunes the pair space by LSH
+    bucket before scoring.
+    """
+    from .similarity import as_double, cosine
+
+    e = emb.select(F.col(id_col).alias("_id"),
+                   as_double(F.col(vec_col)).alias("_v"))
+    a = e.select(F.col("_id").alias("vec_a"), F.col("_v").alias("_va"))
+    b = e.select(F.col("_id").alias("vec_b"), F.col("_v").alias("_vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b",
+                F.round(cosine(F.col("_va"), F.col("_vb")), 4).alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def embedding_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
+                            n_planes: int = 4, seed: int = 17,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup at scale: random-hyperplane buckets prune the
+    self-join to same-bucket (+ Hamming-1 multiprobe) pairs, then exact
+    cosine verifies — ~(planes+1)/2^planes of the all-pairs space.
+    Same output shape as embedding_dup_pairs; recall < 1 by design.
+    """
+    from .similarity import as_double, cosine, lsh_bucket, _hyperplanes
+
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        as_double(F.col(vec_col)).alias("_v"),
+        lsh_bucket(as_double(F.col(vec_col)), planes).alias("_bucket"),
+    )
+    # multiprobe on ONE side only, else Hamming-2 pairs sneak in twice
+    a = base.select(
+        F.col("_id").alias("vec_a"), F.col("_v").alias("_va"),
+        F.explode(F.array(F.col("_bucket"), *[
+            F.col("_bucket").bitwiseXOR(F.lit(1 << i))
+            for i in range(n_planes)
+        ])).alias("_bucket"),
+    )
+    b = base.select(F.col("_id").alias("vec_b"), F.col("_v").alias("_vb"),
+                    "_bucket")
+    return (
+        a.join(b, "_bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "vec_b",
+                F.round(cosine(F.col("_va"), F.col("_vb")), 4).alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+
+
 def simhash_table(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document: explode tokens, hash once, then 64

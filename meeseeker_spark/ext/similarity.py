@@ -76,6 +76,70 @@ def cosine_topk(emb: DataFrame, query_ids: list[int] | None = None,
     )
 
 
+def ivf_topk(emb: DataFrame, query_ids: list[int] | None = None,
+             k: int = 5, n_centroids: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
+
+    Coarse quantizer: every vector is assigned to its nearest centroid
+    cell; queries probe only their ``n_probe`` nearest cells, so the
+    scored pair space is ~n_probe/n_centroids of brute force. The
+    codebook is driver/broadcast-side BY DESIGN — n_centroids × dim
+    floats (here 16×64), the one structure in an IVF index that is
+    always tiny regardless of corpus size; cell assignment and scoring
+    stay fully distributed and JVM-side.
+
+    Centroids here are a deterministic id-ordered sample (no kmeans
+    dependency); at scale swap in MLlib KMeans centers — the plan shape
+    is identical. Same output schema as cosine_topk.
+    """
+    from pyspark.sql import Window
+
+    cents = [
+        [float(x) for x in row[0]]
+        for row in emb.select(vec_col).orderBy(id_col).limit(n_centroids)
+        .collect()
+    ]
+
+    def cell_sims(v: Column) -> Column:
+        # array<struct<s,i>> so array_max/array_sort give argmax for free
+        return F.array(*[
+            F.struct(
+                F.round(cosine(v, F.array(*[F.lit(x) for x in c])), 6)
+                .alias("s"),
+                F.lit(i).alias("i"))
+            for i, c in enumerate(cents)
+        ])
+
+    base = emb.select(F.col(id_col).alias("_id"),
+                      as_double(F.col(vec_col)).alias("_v"))
+    assigned = base.select(
+        "_id", "_v", F.array_max(cell_sims(F.col("_v")))["i"].alias("_cell"))
+    q = assigned
+    if query_ids is not None:
+        q = q.where(F.col("_id").isin(query_ids))
+    probes = F.slice(F.reverse(F.array_sort(cell_sims(F.col("_v")))),
+                     1, n_probe)
+    q = q.select(
+        F.col("_id").alias("q_id"), F.col("_v").alias("qv"),
+        F.explode(F.transform(probes, lambda s: s["i"])).alias("_cell"),
+    )
+    c = assigned.select(F.col("_id").alias("c_id"), F.col("_v").alias("cv"),
+                        "_cell")
+    scored = (
+        F.broadcast(q).join(c, "_cell")
+        .where(F.col("c_id") != F.col("q_id"))
+        .dropDuplicates(["q_id", "c_id"])
+        .select("q_id", "c_id",
+                F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 17) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]

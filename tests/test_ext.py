@@ -92,6 +92,85 @@ def test_lsh_recall_vs_bruteforce(emb):
     sims = {(r["q_id"], r["c_id"]): r["sim"] for r in exact.collect()}
 
 
+def test_jaccard_ngram_exact_vs_python(docs):
+    import re
+
+    pairs = {(p["doc_a"], p["doc_b"]): p["jaccard"]
+             for p in dedup.jaccard_ngram_pairs(docs, threshold=0.5).collect()}
+
+    def sh(txt):
+        w = [t for t in re.split(r"[^a-z0-9]+", txt.lower()) if t]
+        if len(w) < 3:
+            return {" ".join(w)}
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    texts = {r["doc_id"]: sh(r["text"]) for r in docs.collect()}
+    truth = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(texts[a] & texts[b])
+            if inter:
+                j = inter / len(texts[a] | texts[b])
+                if j >= 0.5:
+                    truth[(a, b)] = round(j, 4)
+
+    # inverted-index path is EXACT — no sketch miss probability at all
+    assert pairs == truth
+
+
+def test_jaccard_max_df_is_lower_bound(docs):
+    full = {(p["doc_a"], p["doc_b"]): p["jaccard"]
+            for p in dedup.jaccard_ngram_pairs(docs, threshold=0.0).collect()}
+    capped = {(p["doc_a"], p["doc_b"]): p["jaccard"]
+              for p in dedup.jaccard_ngram_pairs(
+                  docs, threshold=0.0, max_df=2).collect()}
+    assert set(capped) <= set(full)
+    for k, j in capped.items():
+        assert j <= full[k] + 1e-9
+
+
+def test_embedding_dups_exact_vs_numpy(emb):
+    import numpy as np
+
+    got = {(r["vec_a"], r["vec_b"]): r["sim"]
+           for r in dedup.embedding_dup_pairs(emb, threshold=0.35).collect()}
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in rows}
+    truth = {}
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            s = float(vecs[a] @ vecs[b]
+                      / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
+            if round(s, 4) >= 0.35:
+                truth[(a, b)] = round(s, 4)
+    assert got == truth
+
+
+def test_embedding_dups_lsh_subset_of_exact(emb):
+    exact = {(r["vec_a"], r["vec_b"])
+             for r in dedup.embedding_dup_pairs(emb, threshold=0.35).collect()}
+    approx = {(r["vec_a"], r["vec_b"])
+              for r in dedup.embedding_dup_pairs_lsh(
+                  emb, threshold=0.35).collect()}
+    # every LSH pair is cosine-verified → must be a true pair
+    assert approx <= exact
+    if exact:
+        assert len(approx) / len(exact) >= 0.2
+
+
+def test_ivf_recall_vs_bruteforce(emb):
+    exact = similarity.cosine_topk(emb, k=5, max_query_filter=10)
+    approx = similarity.ivf_topk(emb, query_ids=list(range(10)), k=5)
+    e = {(r["q_id"], r["c_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["c_id"]) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.2
+    # 10 queries × k=5 — probing can only return full lists
+    assert len(a) == len(e)
+
+
 def test_lang_id_priority_tiebreak(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="xyzzy qwerty")])
     out = text.lang_id(df).collect()[0]
