@@ -717,6 +717,41 @@ def near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "nai_amounts",
+    """
+    WITH a AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR)
+                   AS amount, 2 AS precision, '@@000000021' AS nai
+        FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, amount,
+           CAST(CAST(amount AS DECIMAL(29,0))
+                / CAST(pow(10, precision) AS DECIMAL(19,0))
+                AS DECIMAL(18,2)) AS amount_dec
+    FROM a
+    """,
+    tags=("scalar", "§1-NAI"),
+)
+def nai_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAI string-decimal decode (reference README.md:233 wire shape):
+    asset triples modeled from lineitem prices, decoded decimal-exact —
+    proves the fixed-point path never rides through float."""
+    from .flatten import nai_decimal
+    li = load(spark, sf_dir, "lineitem")
+    asset = F.struct(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").cast("string")
+        .alias("amount"),
+        F.lit(2).alias("precision"),
+        F.lit("@@000000021").alias("nai"),
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", asset["amount"].alias("amount"),
+        nai_decimal(asset).cast("decimal(18,2)").alias("amount_dec"),
+    )
+
+
+@register(
     "jaccard_ngram_pairs",
     f"""
     WITH {_DUCK_SHINGLES},

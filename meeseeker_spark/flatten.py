@@ -27,6 +27,22 @@ def normalize_op_type(col: F.Column) -> F.Column:
     return F.regexp_replace(col, "_operation$", "")
 
 
+def nai_decimal(asset: F.Column) -> F.Column:
+    """Decode an NAI asset triple {amount: string, precision, nai} into an
+    exact DECIMAL — never through float (SURVEY §7 hard part; the wire
+    shape is README.md:233 in the reference: amounts are string-encoded
+    fixed point, e.g. {"amount": "3000", "precision": 3} = 3.000 HIVE).
+
+    Decimal ÷ decimal stays decimal in Spark: amount casts to
+    DECIMAL(29,0) exactly, 10^precision is float-exact for precision ≤ 15
+    then cast to DECIMAL(19,0), and the quotient lands on DECIMAL(38,9) —
+    so 18-digit amounts that float64 cannot represent survive intact.
+    """
+    amt = asset["amount"].cast("decimal(29,0)")
+    scale = F.pow(F.lit(10.0), asset["precision"]).cast("decimal(19,0)")
+    return amt / scale
+
+
 def flatten_blocks(blocks: DataFrame, chain: str = "hive") -> DataFrame:
     """Mainnet flatten: two posexplodes (transactions, then operations).
 

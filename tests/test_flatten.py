@@ -6,6 +6,7 @@ transaction_num asymmetry."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from meeseeker_spark import fixtures
 from meeseeker_spark.flatten import (
@@ -90,3 +91,26 @@ def test_block_timestamp_enrichment(fixture_dfs):
               for r in fixture_dfs["blocks"].select("block_num", "timestamp").collect()}
     got = flatten_blocks(fixture_dfs["blocks"]).select("block_num", "timestamp").collect()
     assert all(blocks[r["block_num"]] == r["timestamp"] for r in got)
+
+
+def test_nai_decimal_exact_beyond_float(spark):
+    # §7 hard part: string-encoded fixed point must NOT ride through
+    # float64 — 123456789012345678 is not representable as a double.
+    from decimal import Decimal
+
+    from pyspark.sql import Row
+
+    from meeseeker_spark.flatten import nai_decimal
+
+    df = spark.createDataFrame([
+        Row(amount="3000", precision=3, nai="@@000000021"),
+        Row(amount="123456789012345678", precision=3, nai="@@000000021"),
+        Row(amount="1", precision=6, nai="@@000000013"),
+        Row(amount="0", precision=3, nai="@@000000021"),
+    ])
+    asset = F.struct("amount", "precision", "nai")
+    got = [r[0] for r in df.select(nai_decimal(asset)).collect()]
+    want = [Decimal("3.000"), Decimal("123456789012345.678"),
+            Decimal("0.000001"), Decimal("0")]
+    assert got == want
+    assert float(want[1]) != want[1]  # the float path would have corrupted it

@@ -61,6 +61,21 @@ def test_topk_rank_limit_pushdown(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_lsh_and_jaccard_avoid_cartesian(spark):
+    # the whole point of LSH/inverted-index candidate generation is that
+    # the pair space is an equi-join, never a cross product
+    for name in ("embedding_dups_lsh", "near_dup_pairs",
+                 "jaccard_ngram_pairs", "simhash_dups"):
+        plan = explain_str(catalog.ENTRIES[name].spark(spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_ivf_broadcasts_probe_side(spark):
+    plan = explain_str(catalog.ENTRIES["knn_ivf"].spark(spark, SF))
+    assert "Broadcast" in plan  # query/probe side broadcast on the cell join
+
+
 def test_ops_store_partition_pruning(spark, tmp_path_factory):
     fx = fixtures.generate(n_blocks=21, seed=1)
     d = tmp_path_factory.mktemp("planfx")
