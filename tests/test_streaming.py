@@ -149,3 +149,69 @@ def test_resume_policy():
     assert d.start_block == 20_000  # ...but never before the tip
     d = resolve_start_block(19_999, 10_000, ttl_s=-1)
     assert d.start_block == 20_000  # hwm ahead of a lagging tip wins
+
+
+def test_ttl_keyed_state_expires(spark, tmp_path_factory):
+    """S7 TTL in pure streaming state: keys expire exactly once when the
+    watermark passes last_seen + ttl; re-SET pushes expiry forward."""
+    import datetime as dt
+
+    d = tmp_path_factory.mktemp("ttlstate")
+    src, out = str(d / "src"), str(d / "out")
+    os.makedirs(src)
+    t0 = dt.datetime(2020, 1, 1, 0, 0, 0)
+
+    def write_file(name, rows, mtime):
+        # FileStreamSource orders batches by mtime, not name — pin it
+        t = pa.Table.from_pylist(
+            rows, schema=pa.schema([("key", pa.string()),
+                                    ("timestamp", pa.timestamp("us"))]))
+        path = os.path.join(src, name)
+        pq.write_table(t, path)
+        os.utime(path, (mtime, mtime))
+
+    # batch 1: two keys at t0 — watermark still unset
+    write_file("f1.parquet", mtime=1_000_000_000, rows=[
+        {"key": "hive:1:a:0:vote", "timestamp": t0},
+        {"key": "hive:1:b:0:comment", "timestamp": t0},
+    ])
+    # batch 2: key b re-observed at +400 s (inside its refreshed ttl),
+    # plus a fresh key far in the future that drags the watermark past
+    # a's expiry (t0 + 300 s)
+    write_file("f2.parquet", mtime=1_000_000_100, rows=[
+        {"key": "hive:1:b:0:comment", "timestamp": t0 + dt.timedelta(seconds=400)},
+        {"key": "hive:9:z:0:vote", "timestamp": t0 + dt.timedelta(seconds=2000)},
+    ])
+    # batch 3: advance the watermark again so b (expires at 400+300) and z
+    # (expires at 2000+300) both time out
+    write_file("f3.parquet", mtime=1_000_000_200, rows=[
+        {"key": "hive:99:w:0:vote", "timestamp": t0 + dt.timedelta(seconds=9000)},
+    ])
+
+    from meeseeker_spark.streaming.state import ttl_keyed_state
+
+    stream = (spark.readStream.schema("key string, timestamp timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    ttl = ttl_keyed_state(stream, ttl_seconds=300, lateness="0 seconds")
+
+    def _sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (ttl.writeStream.outputMode("update").foreachBatch(_sink)
+         .option("checkpointLocation", str(d / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(out).collect()
+    expired = sorted(r["key"] for r in rows if r["status"] == "expired")
+    assert expired == ["hive:1:a:0:vote", "hive:1:b:0:comment",
+                       "hive:9:z:0:vote"]
+    # b was re-observed → expired from its REFRESHED last_seen, not t0
+    b_exp = [r for r in rows
+             if r["key"] == "hive:1:b:0:comment" and r["status"] == "expired"]
+    t0_ms = int(t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert b_exp[0]["last_seen_ms"] == t0_ms + 400_000
+    # every key emitted live at least once; expired at most once
+    from collections import Counter
+    c = Counter((r["key"], r["status"]) for r in rows)
+    assert all(v == 1 for (k, s), v in c.items() if s == "expired")
