@@ -55,8 +55,13 @@ def main() -> None:
     spark = get_spark(app_name="meeseeker-bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
-    # JVM/codegen warmup on the smallest table
-    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+    # warm the JVM/codegen path and every input's file listing + parquet
+    # footer (count() is metadata-served) so timings measure steady-state
+    # query execution, not first-touch filesystem cache effects
+    from meeseeker_spark.tables import load as load_table
+    for t in ("region", "lineitem", "orders", "events", "documents",
+              "embeddings"):
+        load_table(spark, SF_DIR, t).count()
 
     results: dict[str, float] = {}
     for name in HEADLINE:

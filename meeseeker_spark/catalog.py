@@ -719,6 +719,41 @@ def near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ref_join_salted",
+    """
+    SELECT o.o_orderkey, o.o_orderstatus, s.n_supp, s.supp_set
+    FROM orders o
+    JOIN (
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS n_supp,
+               list_sort(list(DISTINCT l_suppkey)) AS supp_set
+        FROM lineitem GROUP BY l_orderkey
+    ) s ON s.l_orderkey = o.o_orderkey
+    """,
+    tags=("D3", "skew"),
+)
+def ref_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d3_ref_join's aggregation through the skew-resistant two-phase
+    salted collect_set (ext.skew) — identical results, but a hot
+    ref-block key fans out over 8 reducers in the wide stage. The oracle
+    is the SAME SQL as d3_ref_join: salting must be invisible."""
+    from .ext.skew import salted_collect_set
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    side = (
+        salted_collect_set(li, ["l_orderkey"], "l_suppkey",
+                           out_col="supp_set")
+        .select("l_orderkey",
+                F.size("supp_set").cast("bigint").alias("n_supp"),
+                "supp_set")
+    )
+    return (
+        orders.join(side, orders.o_orderkey == side.l_orderkey)
+        .select("o_orderkey", "o_orderstatus", "n_supp", "supp_set")
+    )
+
+
+@register(
     "nai_amounts",
     """
     WITH a AS (

@@ -205,3 +205,25 @@ def test_frame_sample_fanout(docs):
             multimodal.media_meta(media).collect()}
     for did, n in per_doc.items():
         assert n == meta[did] // 1000 + 1
+
+
+def test_salted_aggs_match_unsalted(spark):
+    from pyspark.sql import Row
+
+    from meeseeker_spark.ext import skew
+
+    # one hot key (90% of rows) + several normal keys
+    rows = [Row(k="hot", v=i % 37) for i in range(900)]
+    rows += [Row(k=f"k{i}", v=j) for i in range(10) for j in range(i + 1)]
+    df = spark.createDataFrame(rows).repartition(13)
+
+    got = {r["k"]: r["v_set"]
+           for r in skew.salted_collect_set(df, ["k"], "v").collect()}
+    want = {r["k"]: sorted(r["s"]) for r in
+            df.groupBy("k").agg(F.sort_array(F.collect_set("v")).alias("s"))
+            .collect()}
+    assert got == want
+
+    got_n = {r["k"]: r["n_distinct"] for r in
+             skew.salted_count_distinct(df, ["k"], "v").collect()}
+    assert got_n == {k: len(v) for k, v in want.items()}
