@@ -978,6 +978,62 @@ def doc_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_token_counts",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text),
+               '[a-z]+|[0-9]{1,3}|[^a-z0-9\\s]+')) AS n_bpe_tokens,
+           len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS n_word_tokens
+    FROM documents
+    """,
+    tags=("F4",),
+)
+def bpe_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-tokenizer-shaped counting: BPE-ish pretoken count (letter runs /
+    short digit groups / punctuation runs) next to whitespace-word count —
+    the usual budget metric for training-data token accounting."""
+    from .ext.text import bpe_token_count, token_count
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        token_count(F.col("text")).alias("n_word_tokens"),
+    )
+
+
+@register(
+    "winnow_fps",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(length(s) - 7, 1) + 1),
+                              i -> md5(substr(s, i, 8))) AS hs
+        FROM t
+    )
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(hs) - 3, 1) + 1),
+               j -> list_min(hs[j:j+3])))) AS fp
+    FROM h
+    """,
+    tags=("F4", "F2"),
+)
+def winnow_fps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (k=8 char-grams, window 4):
+    shared substrings ≥ 11 chars guarantee a shared fp — feeds the same
+    inverted-index pair join as jaccard_ngram_pairs."""
+    from .ext.text import winnow_fingerprints
+    docs = load(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=8, w=4)
+
+
+@register(
     "knn_topk",
     """
     WITH e AS (

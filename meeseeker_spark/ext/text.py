@@ -38,6 +38,58 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(col), "\\s+", " ")))
 
 
+# BPE-style pretokenizer: letter runs | 1-3 digit runs | punctuation runs.
+# Deliberately lookahead-free so Java regex (Spark) and RE2 (DuckDB)
+# extract identical token streams — real BPE pretokenizers (GPT-2's) need
+# lookaheads that RE2 refuses; this keeps the count oracle-reproducible.
+BPE_TOKEN_RE = "[a-z]+|[0-9]{1,3}|[^a-z0-9\\s]+"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish subword pretokens of the lowercased text (the unit an LLM
+    tokenizer would merge from) — letters, short digit groups, punctuation
+    runs; whitespace never tokenizes."""
+    return F.regexp_extract_all(F.lower(col), F.lit(BPE_TOKEN_RE), 0)
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.size(bpe_tokens(col))
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 8,
+                        w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash family: Schleimer et
+    al., SIGMOD'03): hash every char k-gram of the normalized text, slide
+    a w-window over the hash sequence, keep each window's minimum, emit
+    the distinct selected hashes as (id, fp) rows.
+
+    Guarantees: any shared substring of length ≥ k+w-1 between two docs
+    yields at least one shared fingerprint — the standard near-copy
+    detector for code/text plagiarism at corpus scale. All JVM-side
+    (substr/md5/array ops over a bound column); output is explodable into
+    an inverted fp→doc index for pair generation, exactly like
+    jaccard_ngram_pairs.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    base = df.select(F.col(id_col).alias("_id"), norm.alias("_t"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(F.col("_t")) - k + 1,
+                                        F.lit(1))),
+        lambda i: F.md5(F.substr(F.col("_t"), i, F.lit(k))),
+    )
+    hashed = base.select("_id", grams.alias("_h"))
+    minima = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(F.col("_h")) - w + 1,
+                                        F.lit(1))),
+        lambda j: F.array_min(F.slice(F.col("_h"), j, w)),
+    )
+    return (
+        hashed.select("_id", F.explode(F.array_distinct(minima)).alias("fp"))
+        .select(F.col("_id").alias(id_col), "fp")
+    )
+
+
 def stopword_hits(tok: Column, words: list[str]) -> Column:
     return F.size(F.filter(tok, lambda x: x.isin(*words)))
 

@@ -227,3 +227,31 @@ def test_salted_aggs_match_unsalted(spark):
     got_n = {r["k"]: r["n_distinct"] for r in
              skew.salted_count_distinct(df, ["k"], "v").collect()}
     assert got_n == {k: len(v) for k, v in want.items()}
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    # Schleimer guarantee: any shared substring of length >= k+w-1 (11)
+    # produces at least one shared fingerprint
+    from pyspark.sql import Row
+
+    shared = "the quick brown fox jumps"
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=f"AAAA {shared} BBBB"),
+        Row(doc_id=2, text=f"zzzz {shared} yyyy"),
+        Row(doc_id=3, text="completely unrelated content qqq"),
+    ])
+    fps = text.winnow_fingerprints(df, k=8, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3] and by_doc[2] & by_doc[3])
+
+
+def test_bpe_tokens_shape(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(text="Hello, world! 12345 don't")])
+    toks = df.select(text.bpe_tokens(F.col("text")).alias("t")).first()["t"]
+    # letters split from punctuation; digit runs capped at 3
+    assert toks == ["hello", ",", "world", "!", "123", "45", "don", "'", "t"]
