@@ -102,3 +102,42 @@ def test_glob_sidechain(engine_ops):
     for pattern in ["hive_engine:*:tokens:transfer", "hive_engine:*:market:*",
                     "hive_engine:*"]:
         assert _spark_keys(engine_ops, pattern) == _fnmatch_keys(keys, pattern), pattern
+
+
+def test_glob_hypothesis_fuzz(ops):
+    """Property: for ANY glob assembled from segment literals/wildcards/
+    prefix-globs, glob_to_filter == fnmatch over the composite keys."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    rows = ops.select("chain", "block_num", "trx_id", "trx_index",
+                      "op_type", "key").collect()
+    keys = [r["key"] for r in rows]
+    r0 = rows[0]
+
+    def seg_strategy(values):
+        lits = sorted({str(v) for v in values})[:8]
+        return st.one_of(
+            st.just("*"),
+            st.sampled_from(lits),
+            st.sampled_from([v[:2] + "*" for v in lits]),
+        )
+
+    pattern_st = st.tuples(
+        seg_strategy([r0["chain"], "steem"]),
+        seg_strategy([r["block_num"] for r in rows[:20]]),
+        seg_strategy([r["trx_id"] for r in rows[:20]]),
+        seg_strategy([r["trx_index"] for r in rows[:20]]),
+        seg_strategy([r["op_type"] for r in rows[:20]]),
+        st.integers(min_value=1, max_value=5),  # how many segments to keep
+    ).map(lambda t: ":".join(list(t[:5])[:t[5]])
+          + ("" if t[5] == 5 else (":*" if t[5] < 5 else "")))
+
+    @settings(max_examples=30, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(pattern=pattern_st)
+    def check(pattern):
+        assert _spark_keys(ops, pattern) == _fnmatch_keys(keys, pattern), \
+            pattern
+
+    check()
