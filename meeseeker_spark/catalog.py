@@ -90,6 +90,37 @@ def channel_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "channel_rollup",
+    """
+    SELECT event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_ts,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY ROLLUP(event_type, day_ts)
+    """,
+    tags=("C5", "free-relational"),
+)
+def channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical channel/day subtotals + grand total via ROLLUP — one of
+    the relational surfaces the reference lacks entirely (SURVEY §2 intro)
+    that Spark gives for free; one Expand + one hash-agg, still map-side
+    partial, so the shuffle stays proportional to group count not input."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.rollup(
+            "event_type",
+            F.date_format(F.date_trunc("day", F.col("ts")),
+                          "yyyy-MM-dd").alias("day_ts"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # C1 — key-pattern scans (Redis SCAN globs become pushed-down predicates;
 # the real glob→predicate translator lives in keys.py and is fixture-tested)
