@@ -706,10 +706,7 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "near_dup_pairs",
-    f"""
-    WITH {_DUCK_SHINGLES},
+_DUCK_NEARDUP = f"""{_DUCK_SHINGLES},
     sig AS (
         SELECT doc_id, shingles,
                list_transform(range(0, 8), k ->
@@ -736,7 +733,13 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cand c
         JOIN sh sa ON sa.doc_id = c.doc_a
         JOIN sh sb ON sb.doc_id = c.doc_b
-    )
+    )"""
+
+
+@register(
+    "near_dup_pairs",
+    f"""
+    WITH {_DUCK_NEARDUP}
     SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
     """,
     tags=("F2",),
@@ -883,6 +886,35 @@ def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.similarity import ivf_topk
     emb = load(spark, sf_dir, "embeddings")
     return ivf_topk(emb, query_ids=list(range(10)), k=5)
+
+
+@register(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE {_DUCK_NEARDUP},
+    pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, least(u, min(v)) AS component
+    FROM reach GROUP BY u
+    """,
+    tags=("F2",),
+)
+def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level dedup: connected components of the MinHash near-dup
+    graph via distributed min-label propagation (A≈B, B≈C ⇒ one cluster).
+    Oracle = transitive closure as a recursive CTE — the iterative Spark
+    loop must land on exactly the closure's min labels."""
+    from .ext.dedup import connected_components, near_dup_pairs
+    docs = load(spark, sf_dir, "documents")
+    return connected_components(near_dup_pairs(docs, threshold=0.5))
 
 
 @register(

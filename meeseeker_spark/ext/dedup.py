@@ -133,6 +133,59 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
     return df.join(losers, id_col, "left_anti")
 
 
+def connected_components(pairs: DataFrame, a_col: str = "doc_a",
+                         b_col: str = "doc_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Min-label propagation over a near-dup pair graph → (doc_id,
+    component) where component is the smallest doc id reachable.
+
+    Pairwise dedup keeps the min of each EDGE; real pipelines dedup whole
+    clusters (A≈B, B≈C ⇒ one survivor for {A,B,C}), which needs the
+    transitive closure. Each iteration is one distributed join+min-agg
+    (label ← min(label, neighbors' labels)); iterations = graph diameter,
+    and dup clusters are shallow, so this converges in a handful of
+    rounds. ``localCheckpoint`` truncates the growing lineage each round
+    — the standard Spark idiom for iterative graph algorithms (same loop
+    GraphFrames' CC runs). The driver only orchestrates; per-row work
+    never leaves the executors.
+    """
+    edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .select("u", "label")
+        )
+        new_labels = (
+            labels.union(prop).groupBy("u").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"),
+                         F.col("label").alias("component"))
+
+
+def cc_dedup(df: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text", threshold: float = 0.5) -> DataFrame:
+    """Cluster-level near-dup removal: one survivor (the min id) per
+    connected component of the MinHash pair graph; singletons survive."""
+    comps = connected_components(
+        near_dup_pairs(df, id_col, text_col, threshold))
+    losers = (comps.where(F.col("doc_id") != F.col("component"))
+              .select(F.col("doc_id").alias(id_col)))
+    return df.join(losers, id_col, "left_anti")
+
+
 def jaccard_ngram_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.5,

@@ -255,3 +255,32 @@ def test_bpe_tokens_shape(spark):
     toks = df.select(text.bpe_tokens(F.col("text")).alias("t")).first()["t"]
     # letters split from punctuation; digit runs capped at 3
     assert toks == ["hello", ",", "world", "!", "123", "45", "don", "'", "t"]
+
+
+def test_connected_components_chain(spark):
+    from pyspark.sql import Row
+
+    pairs = spark.createDataFrame([
+        Row(doc_a=2, doc_b=7), Row(doc_a=7, doc_b=9),   # chain {2,7,9}
+        Row(doc_a=9, doc_b=11),                          # extends to 11
+        Row(doc_a=4, doc_b=5),                           # separate {4,5}
+    ])
+    comps = {r["doc_id"]: r["component"]
+             for r in dedup.connected_components(pairs).collect()}
+    assert comps == {2: 2, 7: 2, 9: 2, 11: 2, 4: 4, 5: 4}
+
+
+def test_cc_dedup_one_survivor_per_cluster(docs):
+    kept = dedup.cc_dedup(docs, threshold=0.5)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    comps = dedup.connected_components(
+        dedup.near_dup_pairs(docs, threshold=0.5)).collect()
+    clusters = {}
+    for r in comps:
+        clusters.setdefault(r["component"], set()).add(r["doc_id"])
+    for root, members in clusters.items():
+        assert kept_ids & members == {root}, "exactly the min id survives"
+    # pairwise (edge-greedy) dedup can keep >1 member of a chain cluster;
+    # cluster dedup must never keep more than the root
+    assert kept.count() == docs.count() - sum(
+        len(m) - 1 for m in clusters.values())
