@@ -48,3 +48,31 @@ def resolve_start_block(last_block: int | None, tip_block: int,
             tip_block, True,
             f"gap {gap} blocks > ttl/3 threshold {max_backfill}; new sync")
     return StartDecision(nxt, False, f"resuming {gap} blocks behind tip")
+
+
+def resolve_start_block_engine(last_block: int | None, tip_block: int,
+                               tip_age_s: float,
+                               ttl_s: int = DEFAULT_TTL_S) -> StartDecision:
+    """Sidechain variant (steem_engine/follower_job.rb:116-144): staleness
+    is measured in SECONDS — how old the chain's latest block timestamp is
+    vs wall clock — not in blocks, because the sidechain block cadence is
+    irregular. On a new or stale sync the reference starts at tip+1 (the
+    next block to be produced), not the tip itself.
+
+    - no HWM → new sync at tip+1
+    - ttl == -1 → max(hwm+1, tip), never skip data
+    - tip_age_s > ttl → everything resumable already expired; tip+1
+    - else → resume at hwm+1
+    """
+    new_sync = last_block is None
+    nxt = tip_block if new_sync else last_block + 1
+    if ttl_s == -1:
+        start = max(nxt, tip_block)
+        return StartDecision(start, start != nxt,
+                             "ttl disabled; resume at max(hwm+1, tip)")
+    if new_sync or tip_age_s > ttl_s:
+        why = ("no high-water mark" if new_sync
+               else f"chain tip {tip_age_s:.0f}s stale > ttl {ttl_s}s")
+        return StartDecision(tip_block + 1, True, why + "; new sync")
+    return StartDecision(nxt, False,
+                         f"resuming from sidechain block {nxt}")

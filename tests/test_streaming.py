@@ -215,3 +215,19 @@ def test_ttl_keyed_state_expires(spark, tmp_path_factory):
     from collections import Counter
     c = Counter((r["key"], r["status"]) for r in rows)
     assert all(v == 1 for (k, s), v in c.items() if s == "expired")
+
+
+def test_resume_policy_engine():
+    # B10 sidechain variant: staleness in seconds, fresh starts at tip+1
+    from meeseeker_spark.resume import resolve_start_block_engine
+
+    d = resolve_start_block_engine(None, 500, tip_age_s=3.0)
+    assert d.fresh_sync and d.start_block == 501
+    d = resolve_start_block_engine(490, 500, tip_age_s=3.0)
+    assert not d.fresh_sync and d.start_block == 491
+    d = resolve_start_block_engine(490, 500, tip_age_s=90_000.0)
+    assert d.fresh_sync and d.start_block == 501
+    d = resolve_start_block_engine(490, 500, tip_age_s=90_000.0, ttl_s=-1)
+    assert d.start_block == 500
+    d = resolve_start_block_engine(510, 500, tip_age_s=3.0, ttl_s=-1)
+    assert d.start_block == 511
