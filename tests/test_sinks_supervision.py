@@ -88,3 +88,35 @@ def test_admission_gate_drains():
 
 def test_admission_gate_disabled():
     assert admission_gate(lambda: 10**9, max_keys=-1, sleep=lambda s: None) == 0
+
+
+def test_node_pool_failover():
+    from meeseeker_spark.failover import NodePool
+
+    pool = NodePool(["a", "b", "c"], seed=7)
+    picks = {pool.shuffle() for _ in range(30)}
+    assert picks == {"a", "b", "c"}
+
+    nxt = pool.report_failure("a")
+    assert nxt in {"b", "c"}
+    assert "a" in pool.blacklist
+    assert all(pool.shuffle() != "a" for _ in range(30))
+
+    # blacklisting everything recovers instead of deadlocking
+    pool.report_failure("b")
+    assert pool.report_failure("c") in {"a", "b", "c"}
+    assert not pool.blacklist or len(pool.blacklist) < 3
+
+
+def test_node_pool_amnesty_and_report():
+    from meeseeker_spark.failover import NodePool
+
+    pool = NodePool(["a", "b"], seed=1, amnesty_every=5)
+    pool.report_failure("a")
+    assert "a" in pool.blacklist
+    for _ in range(5):
+        pool.shuffle()
+    assert "a" not in pool.blacklist  # amnestied
+
+    pool.refresh_from_report(["x", "y", "x"], keep=lambda u: u != "y")
+    assert {pool.shuffle() for _ in range(20)} == {"x"}
