@@ -91,6 +91,35 @@ def channel_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_field_stats",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 3)
+               AS avg_k
+    FROM events GROUP BY event_type
+    """,
+    tags=("B-scalar", "§1-json"),
+)
+def json_field_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless-at-rest value extraction (the reference's op `value` is
+    opaque JSON, SURVEY §1.1): get_json_object pulls a typed field out of
+    the fat JSON column on demand — the scan only reads props for this
+    query; nothing is pre-parsed at ingest."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"),
+             F.min(k).alias("min_k"),
+             F.max(k).alias("max_k"),
+             F.round(F.avg(k), 3).alias("avg_k"))
+    )
+
+
+@register(
     "channel_rollup",
     """
     SELECT event_type,
