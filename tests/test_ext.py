@@ -284,3 +284,42 @@ def test_cc_dedup_one_survivor_per_cluster(docs):
     # cluster dedup must never keep more than the root
     assert kept.count() == docs.count() - sum(
         len(m) - 1 for m in clusters.values())
+
+
+def test_resize_clamps_longer_side(docs):
+    media = multimodal.attach_media(docs.limit(30))
+    out = multimodal.resize_media(media, max_side=256, fake=True).collect()
+    assert len(out) == 30
+    for r in out:
+        assert max(r["out_width"], r["out_height"]) <= 256
+        if max(r["width"], r["height"]) <= 256:
+            assert (r["out_width"], r["out_height"]) == (r["width"], r["height"])
+        else:  # aspect preserved within rounding
+            in_ratio = r["width"] / max(r["height"], 1)
+            out_ratio = r["out_width"] / max(r["out_height"], 1)
+            assert abs(in_ratio - out_ratio) / max(in_ratio, 1e-9) < 0.15
+
+
+def test_extract_features_contract(docs):
+    media = multimodal.attach_media(docs.limit(10))
+    a = {r["doc_id"]: r["features"] for r in
+         multimodal.extract_features(media, dim=16, fake=True).collect()}
+    b = {r["doc_id"]: r["features"] for r in
+         multimodal.extract_features(media, dim=16, fake=True).collect()}
+    assert a == b, "deterministic"
+    import math
+    for v in a.values():
+        assert len(v) == 16
+        assert abs(math.fsum(x * x for x in v) - 1.0) < 1e-3, "unit norm"
+    # feeds ext.similarity directly (same array<float> contract)
+    feats = multimodal.extract_features(media, dim=16, fake=True) \
+        .withColumnRenamed("doc_id", "vec_id") \
+        .withColumnRenamed("features", "embedding")
+    topk = similarity.cosine_topk(feats, k=2, max_query_filter=3)
+    assert topk.count() > 0
+
+
+def test_extract_features_requires_model(docs):
+    media = multimodal.attach_media(docs.limit(1))
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_features(media, fake=False)
