@@ -231,3 +231,68 @@ def test_resume_policy_engine():
     assert d.start_block == 500
     d = resolve_start_block_engine(510, 500, tip_age_s=3.0, ttl_s=-1)
     assert d.start_block == 511
+
+
+def test_stream_batch_parity_channel_volume(spark, tmp_path_factory):
+    """The flagship batch query and its streaming twin agree row-for-row:
+    one declarative plan serves both `spark.read` and `readStream`
+    (SURVEY §1.2 'batch backfill = same pipeline with spark.read').
+    Streaming forbids exact distinct aggs, so n_users streams as
+    dropDuplicates→count — the standard streaming-exact rewrite."""
+    from pyspark.sql import functions as F
+
+    from meeseeker_spark import catalog
+    from meeseeker_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("sbparity")
+    batch = {(r["event_type"], r["hour_ts"]):
+             (r["n_events"], r["total_value"], r["n_users"])
+             for r in catalog.ENTRIES["channel_volume"].spark(spark, sf).collect()}
+
+    load(spark, sf, "events")  # pins nanosAsLong + UTC session confs
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    # the file stream source wants a directory, not a file
+    srcdir = d / "events"
+    os.makedirs(srcdir, exist_ok=True)
+    os.symlink(f"{sf}/events.parquet", srcdir / "events.parquet")
+
+    def stream_src():
+        return (
+            spark.readStream.schema(raw_schema)
+            .parquet(str(srcdir))
+            .withColumn("ts", F.timestamp_micros(
+                (F.col("ts") / 1000).cast("long")))
+            .withColumn("hour_ts", F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"))
+        )
+
+    def run(df, ckpt):
+        got = []
+
+        def _sink(batch_df, batch_id):
+            got.extend(batch_df.collect())
+
+        q = (df.writeStream.outputMode("complete").foreachBatch(_sink)
+             .option("checkpointLocation", str(d / ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return got
+
+    main = run(
+        stream_src().groupBy("event_type", "hour_ts")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value")), "c1")
+    users = run(
+        stream_src().select("event_type", "hour_ts", "user_id")
+        .dropDuplicates(["event_type", "hour_ts", "user_id"])
+        .groupBy("event_type", "hour_ts")
+        .agg(F.count("*").alias("n_users")), "c2")
+
+    got_main = {(r["event_type"], r["hour_ts"]):
+                (r["n_events"], r["total_value"]) for r in main}
+    got_users = {(r["event_type"], r["hour_ts"]): r["n_users"] for r in users}
+    assert got_main.keys() == batch.keys() == got_users.keys()
+    for k, (n, tv, nu) in batch.items():
+        assert got_main[k] == (n, tv), k
+        assert got_users[k] == nu, k
