@@ -576,6 +576,31 @@ def distinct_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+    tags=("F6",),
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per channel (continuous interpolation — Spark
+    `percentile` and DuckDB `quantile_cont` share the definition). At
+    100 TB swap to `percentile_approx` (t-digest, mergeable map-side);
+    this exact twin is what anchors that sketch's error bound."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(*[F.round(F.percentile("value", F.lit(q)), 4)
+               .alias(f"p{int(q * 100)}")
+               for q in (0.5, 0.95, 0.99)])
+    )
+
+
 @register("approx_cardinality", None, tags=("F6",))
 def approx_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL sketch cardinality — constant memory per group at any scale.
