@@ -1,8 +1,12 @@
 """Embedding similarity search (SURVEY §2 F3, driver north star).
 
 - brute-force cosine top-k: broadcast the (small) query set against the
-  candidate corpus; dot products via zip_with/aggregate stay in JVM
-  codegen — no Python in the hot path; ranked with a per-query window.
+  candidate corpus; dot products via zip_with/aggregate stay JVM-side
+  (higher-order functions are interpreted, not codegen'd, but avoid the
+  Python boundary and — decisive here — reproduce the DuckDB oracle's
+  summation order exactly; an Arrow/numpy path measured ~1.5× faster but
+  its pairwise summation can flip 4-dp rounding vs the oracle); ranked
+  with a per-query window.
 - LSH variant: random-hyperplane sign buckets prune the candidate space;
   this is the 100 TB path (bucket join instead of full cross product),
   trading recall for a ~2^bits reduction in pairs scored.

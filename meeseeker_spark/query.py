@@ -45,6 +45,28 @@ class OpsStore:
             .parquet(path)
         )
 
+    @staticmethod
+    def write_bucketed(ops: DataFrame, table: str, buckets: int = 32,
+                       mode: str = "overwrite") -> None:
+        """Bucketed variant of the keyed store (catalog table, not a bare
+        path): hash-bucketed AND sorted by block_num. Any join or
+        aggregation keyed on block_num between two tables bucketed the
+        same way runs WITHOUT a shuffle on either side — at 100 TB this is
+        how the notify-get join (C5) and the reconciliation joins (D1-D3)
+        avoid re-exchanging the big ops table every query. Requires a
+        metastore-backed table (saveAsTable); the path-based writer above
+        stays the hermetic default.
+        """
+        if "ingested_at" not in ops.columns:
+            ops = ops.withColumn("ingested_at", F.current_timestamp())
+        (
+            ops.repartition(buckets, "block_num")
+            .write.bucketBy(buckets, "block_num")
+            .sortBy("block_num")
+            .mode(mode)
+            .saveAsTable(table)
+        )
+
     def df(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
 

@@ -104,3 +104,38 @@ def test_flagship_no_python_udfs(spark):
                  "knn_topk", "text_stats", "lang_id"):
         plan = explain_str(catalog.ENTRIES[name].spark(spark, SF))
         assert "EvalPython" not in plan, name
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path_factory):
+    """Two tables bucketed on block_num join with ZERO exchanges — the
+    co-located join that keeps D1-D3/C5 shuffle-free at scale."""
+    import pyspark.sql.functions as F
+
+    fx = fixtures.generate(n_blocks=21, seed=3)
+    d = tmp_path_factory.mktemp("bucketed")
+    fixtures.write_parquet(fx, str(d))
+    from meeseeker_spark.schemas import BLOCKS, VIRTUAL_OPS
+    blocks = spark.read.schema(BLOCKS).parquet(str(d / "blocks.parquet"))
+    vops = spark.read.schema(VIRTUAL_OPS).parquet(str(d / "virtual_ops.parquet"))
+    ops = flatten_ops_with_virtual(blocks, vops)
+
+    spark.sql("DROP TABLE IF EXISTS ops_bucketed")
+    spark.sql("DROP TABLE IF EXISTS notif_bucketed")
+    OpsStore.write_bucketed(ops, "ops_bucketed", buckets=8)
+    OpsStore.write_bucketed(
+        ops.select("chain", "block_num", "key"), "notif_bucketed", buckets=8)
+    try:
+        a = spark.table("ops_bucketed")
+        b = spark.table("notif_bucketed").select(
+            F.col("block_num"), F.col("key").alias("notif_key"))
+        # hint("merge") pins SMJ (at test size the planner would broadcast
+        # instead; at real scale neither side is broadcastable and SMJ is
+        # what the planner picks on its own)
+        joined = a.hint("merge").join(b, "block_num")
+        plan = explain_str(joined)
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert "SortMergeJoin" in plan
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ops_bucketed")
+        spark.sql("DROP TABLE IF EXISTS notif_bucketed")
