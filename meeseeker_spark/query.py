@@ -32,13 +32,22 @@ class OpsStore:
     # -- write side (S7) ----------------------------------------------------
 
     @staticmethod
-    def write(ops: DataFrame, path: str, mode: str = "overwrite") -> None:
+    def write(ops: DataFrame, path: str, mode: str = "overwrite",
+              writers_per_chain: int = 8) -> None:
         """Partition by chain, cluster files by block_num so C1 scans prune.
-        ``ingested_at`` drives TTL retention (O-3)."""
+        ``ingested_at`` drives TTL retention (O-3).
+
+        The shuffle is a RANGE partition on (chain, block_num), NOT a hash
+        on chain alone — a chain-only repartition means ONE writer task
+        per chain, a serial choke at any real volume. Range partitioning
+        keeps every output file a contiguous block range (min/max
+        row-group pruning stays as sharp as a global sort) while
+        ``writers_per_chain`` tasks write in parallel per chain directory.
+        """
         if "ingested_at" not in ops.columns:
             ops = ops.withColumn("ingested_at", F.current_timestamp())
         (
-            ops.repartition("chain")
+            ops.repartitionByRange(writers_per_chain, "chain", "block_num")
             .sortWithinPartitions("block_num", "trx_id", "trx_index")
             .write.partitionBy("chain")
             .mode(mode)
