@@ -577,6 +577,48 @@ def distinct_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_last_purchase",
+    """
+    WITH l AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    r AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.event_id, l.user_id,
+           epoch_us(l.ts) AS click_us,
+           epoch_us(r.ts) AS purchase_us,
+           round(r.value, 4) AS purchase_value
+    FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    tags=("asof", "custom-op"),
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click aligned to the same user's most recent
+    prior-or-simultaneous purchase. Spark has no ASOF operator — this is
+    the union+window composition (ext.asof); DuckDB's native ASOF JOIN is
+    the oracle. Inner-match semantics: clicks with no prior purchase drop,
+    matching ASOF JOIN's default."""
+    from .ext.asof import asof_join
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value")
+    out = asof_join(clicks, purchases, on="ts", by=("user_id",),
+                    right_cols=("value",))
+    return (
+        out.where(F.col("ts_asof").isNotNull())
+        .select(
+            "event_id", "user_id",
+            F.unix_micros("ts").alias("click_us"),
+            F.unix_micros("ts_asof").alias("purchase_us"),
+            F.round("value_asof", 4).alias("purchase_value"),
+        )
+    )
+
+
+@register(
     "value_percentiles",
     """
     SELECT event_type,

@@ -39,7 +39,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in nano_cols:
         if isinstance(df.schema[c].dataType, LongType):
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+            # integer div, NOT /1000: epoch-nanos (~1.7e18) exceed double's
+            # 2^53 mantissa, so float division drifts by whole microseconds
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

@@ -323,3 +323,31 @@ def test_extract_features_requires_model(docs):
     media = multimodal.attach_media(docs.limit(1))
     with pytest.raises(NotImplementedError):
         multimodal.extract_features(media, fake=False)
+
+
+def test_asof_join_semantics(spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from meeseeker_spark.ext import asof
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame([
+        Row(event_id=1, user_id=1, ts=t(10)),   # after r@5 → matches 5
+        Row(event_id=2, user_id=1, ts=t(20)),   # after r@15 → matches 15
+        Row(event_id=3, user_id=1, ts=t(15)),   # EQUAL ts → inclusive match
+        Row(event_id=4, user_id=2, ts=t(30)),   # user 2 has no right rows
+        Row(event_id=5, user_id=1, ts=t(1)),    # before all → null
+    ])
+    right = spark.createDataFrame([
+        Row(user_id=1, ts=t(5), value=50.0),
+        Row(user_id=1, ts=t(15), value=150.0),
+    ])
+    out = {r["event_id"]: (r["ts_asof"], r["value_asof"])
+           for r in asof.asof_join(left, right).collect()}
+    assert out[1] == (t(5), 50.0)
+    assert out[2] == (t(15), 150.0)
+    assert out[3] == (t(15), 150.0), "equal timestamps match inclusively"
+    assert out[4] == (None, None)
+    assert out[5] == (None, None)
