@@ -261,8 +261,7 @@ def test_stream_batch_parity_channel_volume(spark, tmp_path_factory):
         return (
             spark.readStream.schema(raw_schema)
             .parquet(str(srcdir))
-            .withColumn("ts", F.timestamp_micros(
-                (F.col("ts") / 1000).cast("long")))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
             .withColumn("hour_ts", F.date_format(
                 F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"))
         )
