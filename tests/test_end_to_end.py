@@ -1,0 +1,86 @@
+"""One full system pass — the reference's deployment story in a test:
+stream blocks+vops in → keyed store → SCAN/GET query surface → D1
+reconciliation oracle-clean → TTL retention → reset. Every stage is the
+same code the individual suites test; this asserts they compose."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from meeseeker_spark import fixtures
+from meeseeker_spark.query import OpsStore
+from meeseeker_spark.retention import expire
+from meeseeker_spark.streaming import pipeline as P
+from meeseeker_spark.verify import reconcile_blocks
+
+
+def _write_batches(rows, schema, out_dir, n_files):
+    os.makedirs(out_dir, exist_ok=True)
+    chunk = max(1, len(rows) // n_files)
+    for i in range(0, len(rows), chunk):
+        t = pa.Table.from_pylist(rows[i:i + chunk],
+                                 schema=fixtures._ARROW_SCHEMAS[schema])
+        pq.write_table(t, os.path.join(out_dir, f"part-{i:05d}.parquet"))
+
+
+def test_full_lifecycle(spark, tmp_path_factory):
+    fx = fixtures.generate(n_blocks=42, seed=11)
+    d = tmp_path_factory.mktemp("e2e")
+    _write_batches(fx.blocks, "blocks", str(d / "blocks"), 3)
+    _write_batches(fx.virtual_ops, "virtual_ops", str(d / "vops"), 2)
+
+    # 1. streaming ingest (checkpointed, idempotent)
+    ops_stream = P.streaming_ops(
+        P.read_block_stream(spark, str(d / "blocks")),
+        P.read_vop_stream(spark, str(d / "vops")))
+    q = P.start_ingest(ops_stream, str(d / "ops"), str(d / "channels"),
+                       str(d / "ckpt"))
+    q.awaitTermination(120)
+
+    # 2. materialize the keyed store from the streamed sink
+    view = P.ops_view(spark, str(d / "ops"))
+    OpsStore.write(view, str(d / "store"))
+    store = OpsStore(spark, str(d / "store"))
+    assert store.df().count() == len(fx.ops_expected)
+
+    # 3. consumer query surface over the store
+    votes = store.scan("hive:*:vote")
+    assert votes.count() == sum(
+        1 for o in fx.ops_expected if o["op_type"] == "vote")
+    some = fx.ops_expected[7]
+    got = store.get(some["key"]).collect()
+    assert len(got) == 1 and got[0]["trx_id"] == some["trx_id"]
+    assert store.has_block(some["block_num"])
+
+    # 4. verification analytics: D1 must be exact on uncorrupted data
+    from pyspark.sql import functions as F
+
+    from meeseeker_spark.schemas import BLOCKS
+
+    blocks_df = spark.read.schema(BLOCKS).parquet(str(d / "blocks"))
+    rec = reconcile_blocks(store.df(), blocks_df)
+    assert rec.where("NOT reconciled").count() == 0
+
+    # 5. TTL retention: age half the store, expire, verify bound
+    aged = store.df().withColumn(
+        "ingested_at",
+        F.when(F.col("block_num") % 2 == 0, dt.datetime(2000, 1, 1))
+        .otherwise(dt.datetime(2100, 1, 1)))
+    OpsStore.write(aged, str(d / "store2"))
+    removed = expire(spark, str(d / "store2"), ttl_s=86_400,
+                     now=dt.datetime(2000, 1, 3))
+    left = spark.read.parquet(str(d / "store2"))
+    assert removed > 0
+    assert left.where("block_num % 2 = 0").count() == 0
+    assert left.where("block_num % 2 = 1").count() > 0
+
+    # 6. reset drops the chain partition wholesale (directory-level
+    # delete — an emptied store has no schema left to read, by design)
+    store2 = OpsStore(spark, str(d / "store2"))
+    store2.reset("hive")
+    assert not (d / "store2" / "chain=hive").exists()
