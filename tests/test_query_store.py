@@ -98,3 +98,25 @@ def test_reset_partition_drop(spark, store, tmp_path_factory):
     assert chains == {"hive"}
     s.reset("all")
     assert os.listdir(path) == []
+
+
+def test_raw_sql_surface(spark):
+    """Consumers get plain spark.sql over registered views — the 'SQL
+    layer' is Spark's own, no dialect of ours in between."""
+    from meeseeker_spark.tables import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    out = spark.sql("""
+        SELECT e.event_type, count(*) AS n, count(DISTINCT e.user_id) AS u
+        FROM events e
+        WHERE e.value > 0
+        GROUP BY e.event_type
+        ORDER BY n DESC
+    """).collect()
+    assert out and all(r["n"] >= r["u"] for r in out)
+    joined = spark.sql("""
+        SELECT o.o_orderkey, sum(l.l_quantity) AS qty
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey LIMIT 5
+    """)
+    assert joined.count() == 5
