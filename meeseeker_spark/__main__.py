@@ -1,0 +1,116 @@
+"""CLI — the engine's answer to ``bin/meeseeker``
+(/root/reference/bin/meeseeker:19-50): sync / find / reset / verify over a
+local keyed store, hermetic (fixture or file-backed sources, parquet
+sinks). ``sync`` wraps the streaming pipeline with the reference's
+crash-restart backoff loop (bin/meeseeker:25-33 → supervision.py).
+
+    python -m meeseeker_spark sync --blocks DIR [--vops DIR] --out DIR
+    python -m meeseeker_spark find block 3044538 --store DIR
+    python -m meeseeker_spark find trx <id40> --store DIR
+    python -m meeseeker_spark scan 'hive:*:vote' --store DIR
+    python -m meeseeker_spark reset [chain] --store DIR
+    python -m meeseeker_spark verify --store DIR --blocks DIR
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark():
+    from .session import get_spark
+    return get_spark(app_name="meeseeker-cli")
+
+
+def _print_rows(df, limit: int = 100) -> int:
+    rows = df.limit(limit).collect()
+    for r in rows:
+        print(json.dumps(r.asDict(recursive=True), default=str,
+                         sort_keys=True))
+    return len(rows)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="meeseeker_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("sync", help="run the ingest pipeline to a store")
+    ps.add_argument("--blocks", required=True)
+    ps.add_argument("--vops")
+    ps.add_argument("--out", required=True)
+    ps.add_argument("--max-restarts", type=int, default=0)
+
+    pf = sub.add_parser("find", help="find block N / trx ID")
+    pf.add_argument("what", choices=["block", "trx"])
+    pf.add_argument("ident")
+    pf.add_argument("--store", required=True)
+
+    pc = sub.add_parser("scan", help="key-glob scan, e.g. 'hive:*:vote'")
+    pc.add_argument("pattern")
+    pc.add_argument("--store", required=True)
+
+    pr = sub.add_parser("reset", help="drop a chain partition (or all)")
+    pr.add_argument("chain", nargs="?", default="all")
+    pr.add_argument("--store", required=True)
+
+    pv = sub.add_parser("verify", help="D1 reconciliation vs a blocks dir")
+    pv.add_argument("--store", required=True)
+    pv.add_argument("--blocks", required=True)
+
+    a = p.parse_args(argv)
+
+    if a.cmd == "sync":
+        from .streaming import pipeline as P
+        from .streaming.supervision import run_with_restarts
+
+        spark = _spark()
+
+        def run_once():
+            ops = P.streaming_ops(
+                P.read_block_stream(spark, a.blocks),
+                P.read_vop_stream(spark, a.vops) if a.vops else None)
+            q = P.start_ingest(ops, f"{a.out}/ops", f"{a.out}/channels",
+                               f"{a.out}/ckpt")
+            q.awaitTermination()
+            return P.last_block_num(spark, f"{a.out}/ops")
+
+        last = run_with_restarts(run_once, max_restarts=a.max_restarts)
+        print(f"synced through block {last}")
+        return 0
+
+    if a.cmd in ("find", "scan", "reset"):
+        from .query import OpsStore
+        store = OpsStore(_spark(), a.store)
+        if a.cmd == "find":
+            df = (store.find_block(int(a.ident)) if a.what == "block"
+                  else store.find_trx(a.ident))
+            n = _print_rows(df)
+            return 0 if n else 1
+        if a.cmd == "scan":
+            n = _print_rows(store.scan(a.pattern))
+            return 0 if n else 1
+        store.reset(a.chain)
+        print(f"reset chain={a.chain}")
+        return 0
+
+    # verify
+    from .schemas import BLOCKS
+    from .verify import reconcile_blocks
+
+    spark = _spark()
+    ops = spark.read.parquet(a.store)
+    blocks = spark.read.schema(BLOCKS).parquet(a.blocks)
+    rec = reconcile_blocks(ops, blocks)
+    bad = rec.where("NOT reconciled").collect()
+    for r in bad:
+        print(json.dumps(r.asDict(recursive=True), default=str))
+    print(f"{rec.count()} blocks checked, {len(bad)} mismatched")
+    # reference semantics: non-zero exit encodes the mismatch count
+    # (Rakefile:263)
+    return min(len(bad), 125)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -84,3 +84,35 @@ def test_full_lifecycle(spark, tmp_path_factory):
     store2 = OpsStore(spark, str(d / "store2"))
     store2.reset("hive")
     assert not (d / "store2" / "chain=hive").exists()
+
+
+def test_cli_surface(spark, tmp_path_factory, capsys):
+    """bin/meeseeker parity: sync → find/scan → verify → reset, exit codes
+    matching the reference's conventions (0 ok, N mismatches for verify)."""
+    from meeseeker_spark.__main__ import main
+
+    fx = fixtures.generate(n_blocks=21, seed=13)
+    d = tmp_path_factory.mktemp("cli")
+    _write_batches(fx.blocks, "blocks", str(d / "blocks"), 2)
+    _write_batches(fx.virtual_ops, "virtual_ops", str(d / "vops"), 1)
+
+    assert main(["sync", "--blocks", str(d / "blocks"),
+                 "--vops", str(d / "vops"), "--out", str(d / "out")]) == 0
+    # materialize a store for the query commands
+    view = P.ops_view(spark, str(d / "out" / "ops"))
+    OpsStore.write(view, str(d / "store"))
+
+    blk = str(fx.blocks[0]["block_num"])
+    assert main(["find", "block", blk, "--store", str(d / "store")]) == 0
+    out = capsys.readouterr().out
+    assert f"hive:{blk}:" in out  # reference prints key+value pairs
+
+    assert main(["scan", "hive:*:vote", "--store", str(d / "store")]) == 0
+    assert main(["find", "trx", "ffffffffffffffffffffffffffffffffffffffff",
+                 "--store", str(d / "store")]) == 1  # not found
+
+    assert main(["verify", "--store", str(d / "store"),
+                 "--blocks", str(d / "blocks")]) == 0
+
+    assert main(["reset", "hive", "--store", str(d / "store")]) == 0
+    assert not (d / "store" / "chain=hive").exists()
