@@ -42,6 +42,11 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--out", required=True)
     ps.add_argument("--max-restarts", type=int, default=0)
 
+    pw = sub.add_parser("schedule",
+                        help="witness-schedule publisher (publish-once)")
+    pw.add_argument("--schedules", required=True)
+    pw.add_argument("--out", required=True)
+
     pf = sub.add_parser("find", help="find block N / trx ID")
     pf.add_argument("what", choices=["block", "trx"])
     pf.add_argument("ident")
@@ -78,6 +83,19 @@ def main(argv: list[str] | None = None) -> int:
 
         last = run_with_restarts(run_once, max_restarts=a.max_restarts)
         print(f"synced through block {last}")
+        return 0
+
+    if a.cmd == "schedule":
+        from .streaming import pipeline as P
+
+        spark = _spark()
+        q = P.start_schedule_publisher(
+            P.read_schedule_stream(spark, a.schedules),
+            f"{a.out}/schedules", f"{a.out}/ckpt")
+        q.awaitTermination()
+        n = (spark.read.option("basePath", f"{a.out}/schedules")
+             .parquet(f"{a.out}/schedules/batch_id=*").count())
+        print(f"published {n} schedules")
         return 0
 
     if a.cmd in ("find", "scan", "reset"):

@@ -116,3 +116,16 @@ def test_cli_surface(spark, tmp_path_factory, capsys):
 
     assert main(["reset", "hive", "--store", str(d / "store")]) == 0
     assert not (d / "store" / "chain=hive").exists()
+
+
+def test_cli_schedule(tmp_path_factory, capsys):
+    from meeseeker_spark.__main__ import main
+
+    fx = fixtures.generate(n_blocks=42, seed=13)
+    d = tmp_path_factory.mktemp("clisched")
+    tripled = [s for s in fx.witness_schedules for _ in range(3)]
+    _write_batches(tripled, "witness_schedules", str(d / "in"), 2)
+    assert main(["schedule", "--schedules", str(d / "in"),
+                 "--out", str(d / "out")]) == 0
+    out = capsys.readouterr().out
+    assert f"published {len(fx.witness_schedules)} schedules" in out
