@@ -1222,6 +1222,16 @@ def knn_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, k=5, max_query_filter=10)
 
 
+@register("knn_quantized", None, tags=("F3", "F5"))
+def knn_quantized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over int8-quantized embeddings (4× storage/shuffle cut; the
+    binding constraint at 100 TB). Approximate → rows-only check; recall
+    pinned vs the float path in tests."""
+    from .ext.similarity import quantized_topk
+    emb = load(spark, sf_dir, "embeddings")
+    return quantized_topk(emb, query_ids=list(range(10)), k=5)
+
+
 @register("knn_lsh", None, tags=("F3",))
 def knn_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH approximate top-k (the 100 TB path: bucket

@@ -144,6 +144,47 @@ def ivf_topk(emb: DataFrame, query_ids: list[int] | None = None,
     )
 
 
+def quantize_embeddings(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Scalar int8 quantization: per-vector min/max affine map to [-127,
+    127]. 4× smaller at rest and on the wire — at 100 TB the embedding
+    column's storage/shuffle footprint, not FLOPs, is the binding
+    constraint. Returns (id, codes: array<tinyint>, scale, offset); all
+    JVM-side arithmetic. Dequantize: x ≈ code * scale + offset.
+    """
+    v = as_double(F.col(vec_col))
+    lo, hi = F.array_min(v), F.array_max(v)
+    scale = F.when(hi > lo, (hi - lo) / F.lit(254.0)).otherwise(F.lit(1.0))
+    offset = (hi + lo) / F.lit(2.0)
+    return emb.select(
+        F.col(id_col),
+        F.transform(v, lambda x: F.round((x - offset) / scale)
+                    .cast("tinyint")).alias("codes"),
+        scale.alias("scale"),
+        offset.alias("offset"),
+    )
+
+
+def dequantize(codes: Column, scale: Column, offset: Column) -> Column:
+    return F.transform(codes, lambda c: c.cast("double") * scale + offset)
+
+
+def quantized_topk(emb: DataFrame, query_ids: list[int] | None = None,
+                   k: int = 5, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Brute-force top-k over int8-quantized vectors (the storage-bound
+    scale path): quantize once, score on dequantized codes. Approximate —
+    max error per element is scale/2 — so rows-only checked; the recall
+    test pins it against the float path."""
+    q8 = quantize_embeddings(emb, id_col, vec_col)
+    deq = q8.select(
+        F.col(id_col),
+        dequantize(F.col("codes"), F.col("scale"), F.col("offset"))
+        .alias(vec_col))
+    return cosine_topk(deq, query_ids=query_ids, k=k, id_col=id_col,
+                       vec_col=vec_col)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 17) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]

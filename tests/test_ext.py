@@ -351,3 +351,29 @@ def test_asof_join_semantics(spark):
     assert out[3] == (t(15), 150.0), "equal timestamps match inclusively"
     assert out[4] == (None, None)
     assert out[5] == (None, None)
+
+
+def test_quantization_roundtrip_error_bound(emb):
+    q8 = similarity.quantize_embeddings(emb.limit(50))
+    deq = q8.select(
+        "vec_id",
+        similarity.dequantize(F.col("codes"), F.col("scale"), F.col("offset"))
+        .alias("back"), "scale")
+    orig = {r["vec_id"]: r["embedding"] for r in
+            emb.limit(50).select("vec_id", "embedding").collect()}
+    for r in deq.collect():
+        half_step = r["scale"] / 2 + 1e-9
+        for x, y in zip(orig[r["vec_id"]], r["back"]):
+            assert abs(float(x) - y) <= half_step
+    # codes really are int8 (the 4x claim)
+    row = q8.first()
+    assert all(-127 <= c <= 127 for c in row["codes"])
+
+
+def test_quantized_topk_recall(emb):
+    exact = similarity.cosine_topk(emb, k=5, max_query_filter=10)
+    quant = similarity.quantized_topk(emb, query_ids=list(range(10)), k=5)
+    e = {(r["q_id"], r["c_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["c_id"]) for r in quant.collect()}
+    # int8 keeps ~8 bits of precision — recall should be near-total
+    assert len(a & e) / len(e) >= 0.8
