@@ -59,16 +59,33 @@ def glob_to_filter(pattern: str) -> Column:
     Exact translation when every segment is a literal or a bare ``*``
     (the only shapes the reference README documents); otherwise extracts
     whatever segment predicates it can and ANDs an rlike residual on the
-    composite key so semantics stay glob-exact.
+    stored ``key`` column so semantics stay glob-exact.
+
+    Soundness note: a Redis ``*`` matches ``:`` too, so segment-count
+    alignment is only knowable when the chain segment is a literal
+    (mainnet names vs ``*_engine`` names). A wildcarded chain segment
+    means a 5-segment pattern can match 6-segment engine keys with a
+    ``*`` absorbing a colon — positional predicates would silently drop
+    those rows — so that case degrades to a pure rlike on ``key``
+    (matching the reference: a leading-* SCAN is a full scan anyway).
     """
     segs = pattern.split(":")
-    sidechain = len(segs) == 6 or segs[0].endswith("_engine")
+    residual = F.col("key").rlike(_glob_to_regex(pattern))
+
+    head = segs[0]
+    if any(ch in head for ch in "*?["):
+        return residual
+    sidechain = head.endswith("_engine")
     names = SIDECHAIN_SEGMENTS if sidechain else MAINNET_SEGMENTS
+    if len(segs) > len(names):
+        return residual
 
     preds: list[Column] = []
     exact = True
 
     if len(segs) == len(names):
+        # chain literal + equal counts: no spare colons for a '*' to
+        # absorb, so alignment is forced positional
         # positional: each glob segment lines up with one key segment
         for name, seg in zip(names, segs):
             if seg == "*":
@@ -104,7 +121,13 @@ def glob_to_filter(pattern: str) -> Column:
             if seg == "*" or any(ch in seg for ch in "*?["):
                 continue
             if seg.isdigit():
-                preds.append(F.col("block_num") == int(seg))
+                # a bare digit middle is positionally ambiguous — the glob
+                # matches it against block_num OR trx_index — so bind the
+                # disjunction (still prunes: both are min/max-tracked) and
+                # let the residual restore exactness
+                preds.append((F.col("block_num") == int(seg))
+                             | (F.col("trx_index") == int(seg)))
+                exact = False
             elif _HEX40.match(seg):
                 preds.append(F.col("trx_id") == seg)
         # middles that are neither digits nor hex nor known contracts can't
@@ -116,7 +139,7 @@ def glob_to_filter(pattern: str) -> Column:
             exact = False
 
     if not exact:
-        preds.append(key_column(sidechain).rlike(_glob_to_regex(pattern)))
+        preds.append(residual)
 
     if not preds:
         return F.lit(True)

@@ -141,3 +141,38 @@ def test_glob_hypothesis_fuzz(ops):
             pattern
 
     check()
+
+
+def test_glob_engine_and_mixed_fuzz(ops, engine_ops):
+    """Cross-shape soundness: Redis '*' crosses ':', so 5-segment patterns
+    can match 6-segment engine keys — the translator must stay glob-exact
+    on engine-only AND mixed stores (wildcard-chain → rlike fallback)."""
+    import random
+
+    mixed = ops.select("key", "chain", "block_num", "trx_id", "trx_index",
+                       "op_type", "contract", "action").unionByName(
+        engine_ops.select("key", "chain", "block_num", "trx_id", "trx_index",
+                          "op_type", "contract", "action")).cache()
+    rng = random.Random(4242)
+    for df in (engine_ops, mixed):
+        keys = [r["key"] for r in df.select("key").collect()]
+        nseg = max(len(k.split(":")) for k in keys)
+        segvals = [sorted({k.split(":")[i] for k in keys
+                           if len(k.split(":")) > i}) for i in range(nseg)]
+        for _ in range(25):
+            segs = []
+            keep = rng.randint(1, nseg)
+            for i in range(keep):
+                roll = rng.random()
+                v = rng.choice(segvals[i])
+                if roll < 0.4:
+                    segs.append("*")
+                elif roll < 0.7:
+                    segs.append(v)
+                elif roll < 0.85:
+                    segs.append(v[:max(1, len(v) // 2)] + "*")
+                else:
+                    segs.append("*" + v[len(v) // 2:])
+            pattern = ":".join(segs) + ("" if keep == nseg else ":*")
+            assert _spark_keys(df, pattern) == _fnmatch_keys(keys, pattern), \
+                pattern
