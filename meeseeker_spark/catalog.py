@@ -619,6 +619,59 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sessionize",
+    """
+    WITH g AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                         > 1800 * 1000000 OR
+                         lag(epoch_us(ts)) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, us,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                                   ROWS UNBOUNDED PRECEDING) AS session_num
+        FROM g
+    )
+    SELECT user_id, session_num,
+           count(*) AS n_events,
+           min(us) AS start_us,
+           max(us) AS end_us,
+           max(us) - min(us) AS duration_us
+    FROM s GROUP BY user_id, session_num
+    """,
+    tags=("windows", "sessionization"),
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap): lag → gap flag → running
+    sum as session id → per-session rollup. Two stacked windows + one
+    agg, all sharing the user_id partitioning, so the whole thing is ONE
+    shuffle — the standard sessionize-at-scale shape (the streaming twin
+    is `F.session_window`, same semantics with state instead of sort)."""
+    from pyspark.sql import Window
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    prev = F.lag("us").over(w)
+    new_sess = (prev.isNull() | (F.col("us") - prev > 1800 * 1_000_000))
+    sess = ev.withColumn(
+        "session_num",
+        F.sum(new_sess.cast("bigint")).over(
+            Window.partitionBy("user_id").orderBy("us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return (
+        sess.groupBy("user_id", "session_num")
+        .agg(F.count("*").alias("n_events"),
+             F.min("us").alias("start_us"),
+             F.max("us").alias("end_us"),
+             (F.max("us") - F.min("us")).alias("duration_us"))
+    )
+
+
+@register(
     "value_percentiles",
     """
     SELECT event_type,
