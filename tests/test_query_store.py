@@ -120,3 +120,24 @@ def test_raw_sql_surface(spark):
         GROUP BY o.o_orderkey LIMIT 5
     """)
     assert joined.count() == 5
+
+
+def test_sessionize_matches_session_window(spark):
+    """The lag/cumsum sessionizer and Spark's native session_window agree
+    on session boundaries and sizes (same 30-min gap semantics)."""
+    from meeseeker_spark import catalog
+    from meeseeker_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    mine = {(r["user_id"], r["start_us"]): r["n_events"]
+            for r in catalog.ENTRIES["sessionize"].spark(spark, sf).collect()}
+
+    ev = load(spark, sf, "events")
+    native = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"),
+             F.unix_micros(F.min("ts")).alias("start_us"))
+    )
+    theirs = {(r["user_id"], r["start_us"]): r["n_events"]
+              for r in native.collect()}
+    assert mine == theirs
