@@ -1038,6 +1038,88 @@ def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stratified_sample",
+    """
+    WITH h AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang, n_chars FROM h
+    WHERE (lang = 'en' AND bucket < 10)
+       OR (lang <> 'en' AND bucket < 50)
+    """,
+    tags=("F4", "sampling"),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep 10% of the dominant
+    language, 50% of the rest (the standard corpus-rebalancing shape).
+    The keep decision is a hash of the ID, not rand() — retried tasks,
+    resumed jobs, and the DuckDB oracle all pick the SAME rows, which
+    per-partition RNG sampling cannot promise. Pure narrow filter: no
+    shuffle at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("bigint"), F.lit(100))
+    return (
+        docs.withColumn("_b", bucket)
+        .where(((F.col("lang") == "en") & (F.col("_b") < 10))
+               | ((F.col("lang") != "en") & (F.col("_b") < 50)))
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@register(
+    "top_bigrams",
+    """
+    WITH t AS (
+        SELECT lang,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    bg AS (
+        SELECT lang,
+               unnest(list_transform(range(1, greatest(len(w), 1)),
+                      i -> w[i] || ' ' || w[i+1])) AS bigram
+        FROM t WHERE len(w) >= 2
+    ),
+    c AS (
+        SELECT lang, bigram, count(*) AS n FROM bg GROUP BY lang, bigram
+    )
+    SELECT lang, bigram, n, rk FROM (
+        SELECT lang, bigram, n,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n DESC, bigram) AS rk
+        FROM c
+    ) WHERE rk <= 5
+    """,
+    tags=("F4",),
+)
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-5 bigrams: explode word bigrams → two-phase count
+    (partial agg map-side) → per-lang rank with WindowGroupLimit pushing
+    the top-k below the sort. The n-gram frequency table every corpus
+    analysis starts from."""
+    from .ext.text import tokens
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("lang", tokens(F.col("text")).alias("_w")) \
+        .where(F.size("_w") >= 2)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - 1),
+        lambda i: F.concat_ws(" ", F.element_at("_w", i),
+                              F.element_at("_w", i + 1)))
+    bg = w.select("lang", F.explode(grams).alias("bigram"))
+    counts = bg.groupBy("lang", "bigram").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.col("n").desc(), "bigram"))
+    return counts.withColumn("rk", rk).where(F.col("rk") <= 5)
+
+
+@register(
     "dedup_components",
     f"""
     WITH RECURSIVE {_DUCK_NEARDUP},
