@@ -1120,6 +1120,109 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "repetition_scores",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(w), 1)),
+                      i -> w[i] || ' ' || w[i+1])) AS bigram
+        FROM t WHERE len(w) >= 2
+    ),
+    c AS (
+        SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY doc_id, bigram
+    )
+    SELECT doc_id,
+           sum(n) AS n_bigrams,
+           max(n) AS top_bigram_n,
+           round(max(n)::DOUBLE / sum(n), 4) AS top_bigram_frac
+    FROM c GROUP BY doc_id
+    """,
+    tags=("F4", "quality"),
+)
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: fraction of all bigrams taken by
+    the single most frequent one (high → looping/boilerplate text, the
+    classic pretraining-quality reject). Two hash aggregations sharing
+    the doc_id key — partial agg keeps the shuffle at distinct-bigram
+    cardinality, never token count."""
+    from .ext.text import tokens
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("doc_id", tokens(F.col("text")).alias("_w")) \
+        .where(F.size("_w") >= 2)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - 1),
+        lambda i: F.concat_ws(" ", F.element_at("_w", i),
+                              F.element_at("_w", i + 1)))
+    bg = w.select("doc_id", F.explode(grams).alias("bigram"))
+    counts = bg.groupBy("doc_id", "bigram").agg(F.count("*").alias("n"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(F.sum("n").alias("n_bigrams"),
+             F.max("n").alias("top_bigram_n"),
+             F.round(F.max("n") / F.sum("n"), 4).alias("top_bigram_frac"))
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> x <> '')) AS toks
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, unnest(toks) AS term FROM t
+    ),
+    df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(ln((SELECT n_docs FROM n)::DOUBLE / df.df), 4) AS idf
+        FROM tf JOIN df ON df.term = tf.term
+    )
+    SELECT doc_id, term, idf, rk FROM (
+        SELECT doc_id, term, idf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY idf DESC, term) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    """,
+    tags=("F4",),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most distinctive terms per doc by IDF over distinct terms
+    (set-of-words model, so tf ≡ 1 and the score is pure idf — the
+    deterministic core of tf-idf keyword extraction). The df table is a
+    grouped count of the SAME exploded projection Spark reuses for
+    scoring; join on term is a shuffle join at vocabulary cardinality."""
+    from .ext.text import tokens
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("term"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df, "term").select(
+        "doc_id", "term",
+        F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias("idf"))
+    from pyspark.sql import Window
+    rk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("idf").desc(), "term"))
+    return scored.withColumn("rk", rk).where(F.col("rk") <= 3)
+
+
+@register(
     "dedup_components",
     f"""
     WITH RECURSIVE {_DUCK_NEARDUP},
