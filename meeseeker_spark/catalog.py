@@ -1460,6 +1460,51 @@ def knn_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, k=5, max_query_filter=10)
 
 
+@register(
+    "label_centroids",
+    """
+    WITH e AS (
+        SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    dims AS (
+        SELECT label,
+               unnest(list_transform(range(1, len(v) + 1),
+                      i -> {'idx': i, 'x': v[i]})) AS u
+        FROM e
+    ),
+    flat AS (SELECT label, u.idx AS idx, u.x AS x FROM dims),
+    c AS (
+        SELECT label, idx, round(avg(x), 6) AS m
+        FROM flat GROUP BY label, idx
+    )
+    SELECT label,
+           count(*) AS dim,
+           round(sum(m * m), 6) AS centroid_sq_norm
+    FROM c GROUP BY label
+    """,
+    tags=("F3", "F5", "vector-agg"),
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the distributed
+    vector aggregation every clustering/IVF build starts from. Scale
+    shape: posexplode to (label, dim, x), ONE hash-agg keyed (label, dim)
+    with map-side partials (parallel across dims and labels — an
+    array-typed avg would serialize per label), then a per-label rollup
+    of the centroid's squared norm."""
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("idx", "x"))
+    cent = (dims.groupBy("label", "idx")
+            .agg(F.round(F.avg("x"), 6).alias("m")))
+    return (
+        cent.groupBy("label")
+        .agg(F.count("*").alias("dim"),
+             F.round(F.sum(F.col("m") * F.col("m")), 6)
+             .alias("centroid_sq_norm"))
+    )
+
+
 @register("knn_quantized", None, tags=("F3", "F5"))
 def knn_quantized_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k over int8-quantized embeddings (4× storage/shuffle cut; the
