@@ -619,6 +619,30 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "notified_blocks_semi",
+    """
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    """,
+    tags=("C6", "D1", "semi-join"),
+)
+def notified_blocks_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence-probe shape (C6: 'has anything for this key arrived?')
+    as a LEFT SEMI join — rows stream through without duplication or
+    payload from the probe side (an inner join would both multiply rows
+    and shuffle the probe's columns)."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
     "sessionize",
     """
     WITH g AS (
