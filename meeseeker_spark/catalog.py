@@ -1463,13 +1463,19 @@ def winnow_fps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "knn_topk",
     """
-    WITH e AS (
+    WITH e0 AS (
         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ),
-    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+    e AS (
+        SELECT vec_id,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                   AS nv
+        FROM e0
+    ),
+    q AS (SELECT vec_id AS q_id, nv AS qv FROM e WHERE vec_id < 10),
     scored AS (
         SELECT q.q_id, c.vec_id AS c_id,
-               round(list_cosine_similarity(q.qv, c.v), 4) AS sim
+               round(list_dot_product(q.qv, c.nv), 4) AS sim
         FROM q CROSS JOIN e c
         WHERE c.vec_id <> q.q_id
     )

@@ -40,6 +40,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def normalized(emb: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id_col, _nv): unit-normalized double vectors, norm computed once
+    per row. All similarity paths score on these so the pair stage never
+    re-derives norms."""
+    e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+    e = e.select(id_col, "_v", l2_norm(F.col("_v")).alias("_n"))
+    return e.select(id_col, F.transform(
+        F.col("_v"), lambda x: x / F.col("_n")).alias("_nv"))
+
+
 def cosine_topk(emb: DataFrame, query_ids: list[int] | None = None,
                 k: int = 5, id_col: str = "vec_id",
                 vec_col: str = "embedding",
@@ -52,25 +63,23 @@ def cosine_topk(emb: DataFrame, query_ids: list[int] | None = None,
     """
     from pyspark.sql import Window
 
-    cand = emb.select(
-        F.col(id_col).alias("c_id"),
-        as_double(F.col(vec_col)).alias("cv"),
-    )
-    q = emb
+    # normalize once per vector (linear) so the scored stage is a bare
+    # dot product — cosine() would recompute both norms per pair
+    normed = normalized(emb, id_col, vec_col)
+    cand = normed.select(F.col(id_col).alias("c_id"),
+                         F.col("_nv").alias("cv"))
+    q = normed
     if query_ids is not None:
         q = q.where(F.col(id_col).isin(query_ids))
     elif max_query_filter is not None:
         q = q.where(F.col(id_col) < max_query_filter)
-    q = q.select(
-        F.col(id_col).alias("q_id"),
-        as_double(F.col(vec_col)).alias("qv"),
-    )
+    q = q.select(F.col(id_col).alias("q_id"), F.col("_nv").alias("qv"))
     scored = (
         F.broadcast(q).crossJoin(cand)
         .where(F.col("c_id") != F.col("q_id"))
         .select(
             "q_id", "c_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("sim"),
+            F.round(dot(F.col("qv"), F.col("cv")), 4).alias("sim"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
@@ -115,8 +124,8 @@ def ivf_topk(emb: DataFrame, query_ids: list[int] | None = None,
             for i, c in enumerate(cents)
         ])
 
-    base = emb.select(F.col(id_col).alias("_id"),
-                      as_double(F.col(vec_col)).alias("_v"))
+    base = normalized(emb, id_col, vec_col).select(
+        F.col(id_col).alias("_id"), F.col("_nv").alias("_v"))
     assigned = base.select(
         "_id", "_v", F.array_max(cell_sims(F.col("_v")))["i"].alias("_cell"))
     q = assigned
@@ -135,7 +144,7 @@ def ivf_topk(emb: DataFrame, query_ids: list[int] | None = None,
         .where(F.col("c_id") != F.col("q_id"))
         .dropDuplicates(["q_id", "c_id"])
         .select("q_id", "c_id",
-                F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("sim"))
+                F.round(dot(F.col("qv"), F.col("cv")), 4).alias("sim"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
     return (
@@ -215,9 +224,13 @@ def lsh_cosine_topk(emb: DataFrame, query_ids: list[int] | None = None,
 
     dim = len(emb.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
-    with_bucket = emb.select(
-        F.col(id_col), as_double(F.col(vec_col)).alias("v"),
-        lsh_bucket(as_double(F.col(vec_col)), planes).alias("bucket"),
+    # buckets are sign-of-projection → invariant under normalization, so
+    # hashing the unit vectors gives identical buckets and a dot-only
+    # scoring stage
+    nrm = normalized(emb, id_col, vec_col)
+    with_bucket = nrm.select(
+        F.col(id_col), F.col("_nv").alias("v"),
+        lsh_bucket(F.col("_nv"), planes).alias("bucket"),
     )
     q = with_bucket
     if query_ids is not None:
@@ -240,7 +253,7 @@ def lsh_cosine_topk(emb: DataFrame, query_ids: list[int] | None = None,
         .where(F.col("c_id") != F.col("q_id"))
         .dropDuplicates(["q_id", "c_id"])
         .select("q_id", "c_id",
-                F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("sim"))
+                F.round(dot(F.col("qv"), F.col("cv")), 4).alias("sim"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
     return (
