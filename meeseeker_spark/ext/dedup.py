@@ -248,17 +248,14 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.4,
     ``embedding_dup_pairs_lsh`` which prunes the pair space by LSH
     bucket before scoring.
     """
-    from .similarity import as_double, dot, l2_norm
+    from .similarity import dot, normalized
 
-    # normalize each vector ONCE (n norms) so the quadratic stage is a
-    # bare dot product — cosine-per-pair recomputes both norms n² times
-    # (measured 3.3× on sf0.1); the oracle pre-normalizes identically so
-    # the 4-dp rounding stays bit-compatible
-    e = emb.select(F.col(id_col).alias("_id"),
-                   as_double(F.col(vec_col)).alias("_v"))
-    e = e.select("_id", "_v", l2_norm(F.col("_v")).alias("_n"))
-    e = e.select("_id", F.transform(
-        F.col("_v"), lambda x: x / F.col("_n")).alias("_nv"))
+    # normalize+materialize each vector ONCE (see similarity.normalized:
+    # the shuffle barrier is what stops the norm re-running per pair —
+    # 41× on sf0.1 vs per-pair cosine); the oracle pre-normalizes
+    # identically so the 4-dp rounding stays bit-compatible
+    e = normalized(emb, id_col, vec_col) \
+        .withColumnRenamed(id_col, "_id")
     a = e.select(F.col("_id").alias("vec_a"), F.col("_nv").alias("_va"))
     b = e.select(F.col("_id").alias("vec_b"), F.col("_nv").alias("_vb"))
     return (

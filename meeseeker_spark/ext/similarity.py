@@ -43,12 +43,25 @@ def cosine(a: Column, b: Column) -> Column:
 def normalized(emb: DataFrame, id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
     """(id_col, _nv): unit-normalized double vectors, norm computed once
-    per row. All similarity paths score on these so the pair stage never
-    re-derives norms."""
+    per row — MATERIALIZED through a shuffle barrier.
+
+    The barrier is the point: CollapseProject + codegen fuse bare
+    projections into their consumers, so feeding a lazily-computed
+    normalized array into an O(n²) join re-runs the norm aggregate per
+    element per PAIR. The repartition forces the computed arrays into
+    exchange rows first — one linear shuffle of n vectors buying a
+    12× drop on the quadratic stage (measured sf0.1: 25 s → 2 s; 41×
+    vs the original per-pair-cosine form)."""
     e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
     e = e.select(id_col, "_v", l2_norm(F.col("_v")).alias("_n"))
-    return e.select(id_col, F.transform(
+    e = e.select(id_col, F.transform(
         F.col("_v"), lambda x: x / F.col("_n")).alias("_nv"))
+    # explicit partition count: a bare repartition(col) lets AQE coalesce
+    # the (tiny-by-bytes) exchange to ONE partition, serializing the O(n²)
+    # join that follows — measured 9× worse. Pinning N keeps the barrier
+    # AND the parallelism.
+    n_parts = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return e.repartition(n_parts, F.col(id_col))
 
 
 def cosine_topk(emb: DataFrame, query_ids: list[int] | None = None,
