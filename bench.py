@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_fingerprint",
     "near_dup_pairs",
     "knn_topk",
+    "embedding_dups",
     "token_totals",
     "scan_by_type",
 ]
