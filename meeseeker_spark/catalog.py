@@ -417,7 +417,8 @@ def d2_missing_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN (
         SELECT l_orderkey,
                count(DISTINCT l_suppkey) AS n_supp,
-               list_sort(list(DISTINCT l_suppkey)) AS supp_set
+               array_to_string(list_sort(list(DISTINCT l_suppkey)), ',')
+                   AS supp_set
         FROM lineitem GROUP BY l_orderkey
     ) s ON s.l_orderkey = o.o_orderkey
     """,
@@ -427,7 +428,11 @@ def d3_ref_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sidechain↔mainnet referential join shape: group one side into a set
     per referenced key, join to the referenced table, carry the set. Both
     sides are large → shuffle hash join on the same key; the groupBy and
-    join share the partitioning so AQE can avoid a second full shuffle."""
+    join share the partitioning so AQE can avoid a second full shuffle.
+
+    The set column is serialized to a comma-joined string (sorted
+    numerically first) — array-typed output is not hashable by the
+    driver's canonicalizer, and the CSV form is engine-neutral."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     # collect_set already dedups — deriving n_supp as size(set) instead of
@@ -435,9 +440,13 @@ def d3_ref_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured 4× on sf0.1: one aggregate exchange instead of two passes)
     side = (
         li.groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("supp_set"))
-        .select("l_orderkey",
-                F.size("supp_set").cast("bigint").alias("n_supp"), "supp_set")
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("supp_arr"))
+        .select(
+            "l_orderkey",
+            F.size("supp_arr").cast("bigint").alias("n_supp"),
+            F.concat_ws(",", F.col("supp_arr").cast("array<string>"))
+            .alias("supp_set"),
+        )
     )
     return (
         orders.join(side, orders.o_orderkey == side.l_orderkey)
@@ -449,7 +458,8 @@ def d3_ref_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d4_round_witnesses",
     """
     SELECT event_id // 21 AS round_id,
-           list_sort(list(DISTINCT event_type)) AS witness_set,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',')
+               AS witness_set,
            count(*) AS n_events
     FROM events GROUP BY round_id
     """,
@@ -457,12 +467,15 @@ def d3_ref_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d4_round_witnesses(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Witness-round set comparison shape: 21-block windows → collected
-    distinct sets, compared downstream with array_except."""
+    distinct sets, compared downstream with array_except. Output set is
+    serialized to a sorted comma-joined string (driver canonicalizer
+    cannot hash array columns)."""
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy((F.col("event_id") / 21).cast("long").alias("round_id"))
         .agg(
-            F.array_sort(F.collect_set("event_type")).alias("witness_set"),
+            F.concat_ws(",", F.array_sort(F.collect_set("event_type")))
+            .alias("witness_set"),
             F.count("*").alias("n_events"),
         )
     )
@@ -660,7 +673,7 @@ def notified_blocks_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ROWS UNBOUNDED PRECEDING) AS session_num
         FROM g
     )
-    SELECT user_id, session_num,
+    SELECT user_id, CAST(session_num AS BIGINT) AS session_num,
            count(*) AS n_events,
            min(us) AS start_us,
            max(us) AS end_us,
@@ -933,7 +946,8 @@ def near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN (
         SELECT l_orderkey,
                count(DISTINCT l_suppkey) AS n_supp,
-               list_sort(list(DISTINCT l_suppkey)) AS supp_set
+               array_to_string(list_sort(list(DISTINCT l_suppkey)), ',')
+                   AS supp_set
         FROM lineitem GROUP BY l_orderkey
     ) s ON s.l_orderkey = o.o_orderkey
     """,
@@ -943,16 +957,20 @@ def ref_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """d3_ref_join's aggregation through the skew-resistant two-phase
     salted collect_set (ext.skew) — identical results, but a hot
     ref-block key fans out over 8 reducers in the wide stage. The oracle
-    is the SAME SQL as d3_ref_join: salting must be invisible."""
+    is the SAME SQL as d3_ref_join: salting must be invisible. Set is
+    serialized to a sorted CSV string like d3_ref_join."""
     from .ext.skew import salted_collect_set
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     side = (
         salted_collect_set(li, ["l_orderkey"], "l_suppkey",
-                           out_col="supp_set")
-        .select("l_orderkey",
-                F.size("supp_set").cast("bigint").alias("n_supp"),
-                "supp_set")
+                           out_col="supp_arr")
+        .select(
+            "l_orderkey",
+            F.size("supp_arr").cast("bigint").alias("n_supp"),
+            F.concat_ws(",", F.sort_array("supp_arr").cast("array<string>"))
+            .alias("supp_set"),
+        )
     )
     return (
         orders.join(side, orders.o_orderkey == side.l_orderkey)
@@ -970,9 +988,9 @@ def ref_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
     )
     SELECT l_orderkey, l_linenumber, amount,
-           CAST(CAST(amount AS DECIMAL(29,0))
+           CAST(CAST(CAST(amount AS DECIMAL(29,0))
                 / CAST(pow(10, precision) AS DECIMAL(19,0))
-                AS DECIMAL(18,2)) AS amount_dec
+                AS DECIMAL(18,2)) AS VARCHAR) AS amount_dec
     FROM a
     """,
     tags=("scalar", "§1-NAI"),
@@ -980,7 +998,10 @@ def ref_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def nai_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NAI string-decimal decode (reference README.md:233 wire shape):
     asset triples modeled from lineitem prices, decoded decimal-exact —
-    proves the fixed-point path never rides through float."""
+    proves the fixed-point path never rides through float. The decoded
+    decimal is emitted as its canonical string ('123.40', two fractional
+    digits) — decimal objects hash differently across engines, the
+    rendered form doesn't."""
     from .flatten import nai_decimal
     li = load(spark, sf_dir, "lineitem")
     asset = F.struct(
@@ -991,7 +1012,8 @@ def nai_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.select(
         "l_orderkey", "l_linenumber", asset["amount"].alias("amount"),
-        nai_decimal(asset).cast("decimal(18,2)").alias("amount_dec"),
+        nai_decimal(asset).cast("decimal(18,2)").cast("string")
+        .alias("amount_dec"),
     )
 
 
@@ -1168,7 +1190,7 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY doc_id, bigram
     )
     SELECT doc_id,
-           sum(n) AS n_bigrams,
+           CAST(sum(n) AS BIGINT) AS n_bigrams,
            max(n) AS top_bigram_n,
            round(max(n)::DOUBLE / sum(n), 4) AS top_bigram_frac
     FROM c GROUP BY doc_id
@@ -1377,8 +1399,9 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_totals",
     """
     SELECT lang, source, count(*) AS n_docs,
-           sum(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                               x -> x <> ''))) AS total_tokens,
+           CAST(sum(len(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> ''))) AS BIGINT) AS total_tokens,
            round(avg(length(text)), 2) AS avg_chars
     FROM documents GROUP BY lang, source
     """,
