@@ -21,9 +21,11 @@ _CUSTOM_TYPES = ("custom", "custom_binary", "custom_json")
 
 
 def op_channels(ops: DataFrame, include_custom_id: bool = True) -> DataFrame:
-    """Per-op channel rows: ``{chain}:op:{op_type}`` (mainnet) or
-    ``{chain}:contract:{contract}[.:{action}]`` (sidechain), plus custom-id
-    sub-channels. Pure narrow projections + unions — no shuffle."""
+    """Per-op channel rows: ``{chain}:op:{op_type}`` (mainnet,
+    block_follower_job.rb:83) or ``{chain}:{contract}`` /
+    ``{chain}:{contract}:{action}`` (sidechain, follower_job.rb:81-82 —
+    note: NO literal segment between chain and contract on the wire), plus
+    custom-id sub-channels. Pure narrow projections + unions — no shuffle."""
     mainnet = ops.where(F.col("op_type").isNotNull())
     side = ops.where(F.col("contract").isNotNull())
 
@@ -50,13 +52,12 @@ def op_channels(ops: DataFrame, include_custom_id: bool = True) -> DataFrame:
         out = out.unionByName(sub)
 
     per_contract = side.select(
-        F.concat_ws(":", "chain", F.lit("contract"), "contract").alias("channel"),
+        F.concat_ws(":", "chain", "contract").alias("channel"),
         F.lit("contract").alias("kind"), "key", "block_num",
         F.to_json(F.struct("key")).alias("payload"),
     )
     per_action = side.select(
-        F.concat_ws(":", "chain", F.lit("contract"), "contract", "action")
-        .alias("channel"),
+        F.concat_ws(":", "chain", "contract", "action").alias("channel"),
         F.lit("contract_action").alias("kind"), "key", "block_num",
         F.to_json(F.struct("key")).alias("payload"),
     )

@@ -50,7 +50,10 @@ def parse_key(key: str) -> dict[str, str]:
 
 def _glob_to_regex(pattern: str) -> str:
     # Redis glob: * any chars (including ':'), ? one char, [..] class.
-    return fnmatch.translate(pattern)
+    # Spark RLIKE has Java find() substring semantics — fnmatch.translate
+    # only \Z-anchors the end, so a bare residual could match mid-string
+    # (pattern 'vote' inside key '...:unvote').  Anchor both ends.
+    return "^(?:" + fnmatch.translate(pattern) + ")$"
 
 
 def glob_to_filter(pattern: str) -> Column:
@@ -99,9 +102,17 @@ def glob_to_filter(pattern: str) -> Column:
             else:
                 preds.append(col == seg)
     else:
-        # fewer segments than the key: '*' spans multiple segments
-        # (e.g. 'hive:*:vote'). Anchor literal head/tail segments,
-        # classify literal middles by shape.
+        # fewer segments than the key: only a '*' can absorb the missing
+        # ':' separators (Redis MATCH is full-string).  Without one, a
+        # short pattern like 'hive:vote' matches NOTHING — '?' and [..]
+        # eat exactly one char, so they can absorb at most one colon each;
+        # a pure literal can absorb none.
+        if not any("*" in s for s in segs):
+            if not any(ch in pattern for ch in "?["):
+                return F.lit(False)   # literal with too few segments
+            return residual           # ?/[..] might still eat a ':'
+        # '*' present: anchor literal head/tail segments, classify literal
+        # middles by shape.
         exact = all(s == "*" or not any(ch in s for ch in "*?[") for s in segs)
         head, tail = segs[0], segs[-1]
         if head != "*" and not any(ch in head for ch in "*?["):

@@ -7,6 +7,12 @@ last+1 normally; start fresh at the tip when the gap exceeds expire_keys/3
 never skip.  In Spark the *mechanism* is the checkpoint; this policy decides
 the ``startingOffsets`` equivalent when a checkpoint is absent or stale.
 Pure function → unit-testable without a cluster.
+
+Which "tip" the gap is measured against is the stream-mode policy
+(meeseeker.rb:95 ``MEESEEKER_STREAM_MODE``; block_follower_job.rb:113-123):
+``head`` reads the not-yet-irreversible chain head (read-uncommitted),
+``irreversible`` waits for finality (read-committed). ``resolve_tip``
+implements exactly that dispatch.
 """
 
 from __future__ import annotations
@@ -14,6 +20,20 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from .schemas import BLOCK_INTERVAL_S, DEFAULT_TTL_S
+
+STREAM_MODES = ("head", "irreversible")
+
+
+def resolve_tip(head_block_num: int, last_irreversible_block_num: int,
+                mode: str = "head") -> int:
+    """Pick the sync tip per stream mode (block_follower_job.rb:113-123:
+    ``dgpo.head_block_number`` vs ``dgpo.last_irreversible_block_num``;
+    unknown modes abort, matching the reference)."""
+    if mode == "head":
+        return head_block_num
+    if mode == "irreversible":
+        return last_irreversible_block_num
+    raise ValueError(f"Unknown stream mode: {mode}")
 
 
 @dataclass(frozen=True)
@@ -30,8 +50,12 @@ def resolve_start_block(last_block: int | None, tip_block: int,
     - no HWM → start at tip ("Starting new sync")
     - ttl == -1 → max(last+1, tip): keys never expire, but don't re-fetch
       what the chain already moved past us
-    - gap > (ttl/BLOCK_INTERVAL)/3 blocks → start at tip (backfill would
-      expire before consumers read it)
+    - gap > expire_keys/3 *blocks* → start at tip.  The reference compares
+      the gap IN BLOCKS against ``expire_keys / 3`` IN SECONDS
+      (block_follower_job.rb:129-132) — with the default 86 400 s TTL the
+      threshold is 28 800 blocks (a full day of 3 s blocks), i.e. resume as
+      long as ≤ ttl/BLOCK_INTERVAL blocks behind; the /3 and the ×3 of
+      seconds-per-block cancel.
     - else → resume at last+1
     """
     if last_block is None:
@@ -41,12 +65,13 @@ def resolve_start_block(last_block: int | None, tip_block: int,
         start = max(nxt, tip_block)
         return StartDecision(start, start != nxt,
                              "ttl disabled; resume at max(hwm+1, tip)")
-    max_backfill = (ttl_s // BLOCK_INTERVAL_S) // 3
+    max_backfill = ttl_s // BLOCK_INTERVAL_S   # == expire_keys(s) / 3
     gap = tip_block - nxt
     if gap > max_backfill:
         return StartDecision(
             tip_block, True,
-            f"gap {gap} blocks > ttl/3 threshold {max_backfill}; new sync")
+            f"gap {gap} blocks > expire_keys/3 threshold {max_backfill};"
+            " new sync")
     return StartDecision(nxt, False, f"resuming {gap} blocks behind tip")
 
 

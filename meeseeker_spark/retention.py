@@ -7,8 +7,15 @@ equivalents:
 
 - retention delete: drop rows whose ``ingested_at`` fell past the TTL.
   On Delta/Iceberg this is a metadata DELETE; on plain parquet (this repo's
-  hermetic mode) it's a partition-preserving rewrite of only the affected
-  files — we prune first, so partitions with no expired rows aren't touched.
+  hermetic mode) it's a rewrite of ONLY the ``chain=`` partitions that
+  actually contain expired rows — untouched partitions keep their exact
+  files (asserted byte-identical in tests).  The swap is crash-safe by
+  ordering: live rows are written to a hidden ``.tmp`` dir, the old
+  partition is renamed aside to a hidden ``.old`` dir, the tmp renamed in,
+  and only then is the old copy deleted.  A crash at any point leaves every
+  row on disk in at least one of the three locations (Spark ignores
+  dot-prefixed dirs, so readers never see doubles); nothing is ever
+  removed before its replacement is in place.
 - admission control: handled at the streaming trigger (maxFilesPerTrigger /
   maxOffsetsPerTrigger), see streaming/pipeline.py.
 """
@@ -24,35 +31,71 @@ from pyspark.sql import SparkSession, functions as F
 from .schemas import DEFAULT_TTL_S
 
 
+def _recover(path: str) -> None:
+    """Roll a crashed swap forward or back so ``expire`` can re-run.
+
+    - ``.old_chain=X`` present with ``chain=X`` missing → the crash hit
+      between the two renames: restore the original (the expired rows come
+      back; the re-run expires them again).
+    - ``.old_chain=X`` present alongside ``chain=X`` → the swap completed,
+      only the delete was lost: finish it.
+    - ``.tmp_chain=X`` → an incomplete (or superseded) rewrite: discard.
+    """
+    for d in os.listdir(path):
+        full = os.path.join(path, d)
+        if d.startswith(".old_chain="):
+            chain_dir = os.path.join(path, d.replace(".old_chain=", "chain="))
+            if not os.path.exists(chain_dir):
+                os.rename(full, chain_dir)
+            else:
+                shutil.rmtree(full)
+        elif d.startswith(".tmp_chain="):
+            shutil.rmtree(full)
+
+
 def expire(spark: SparkSession, path: str, ttl_s: int = DEFAULT_TTL_S,
            now: dt.datetime | None = None) -> int:
     """Delete rows older than ttl; returns rows removed.
 
     ttl_s == -1 disables expiry (reference semantics: keys live forever).
+    One counting job (expired rows per chain) decides which partitions to
+    rewrite; chains with zero expired rows are never read again or touched.
     """
     if ttl_s == -1:
         return 0
+    _recover(path)
     now = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     cutoff = now - dt.timedelta(seconds=ttl_s)
 
     df = spark.read.parquet(path)
-    total = df.count()
-    live = df.where(F.col("ingested_at") >= F.lit(cutoff))
-    n_live = live.count()
-    if n_live == total:
+    expired_per_chain = (
+        df.where(F.col("ingested_at") < F.lit(cutoff))
+        .groupBy("chain").agg(F.count("*").alias("n"))
+        .collect()
+    )
+    if not expired_per_chain:
         return 0
 
-    tmp = path.rstrip("/") + ".__expiring__"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    (
-        live.repartition("chain")
-        .sortWithinPartitions("block_num", "trx_id", "trx_index")
-        .write.partitionBy("chain").mode("overwrite").parquet(tmp)
-    )
-    shutil.rmtree(path)
-    os.rename(tmp, path)
-    return total - n_live
+    removed = 0
+    for row in expired_per_chain:
+        chain, n = row["chain"], row["n"]
+        part_dir = os.path.join(path, f"chain={chain}")
+        tmp_dir = os.path.join(path, f".tmp_chain={chain}")
+        old_dir = os.path.join(path, f".old_chain={chain}")
+        live = (
+            spark.read.parquet(part_dir)
+            .where(F.col("ingested_at") >= F.lit(cutoff))
+            .sortWithinPartitions("block_num", "trx_id", "trx_index")
+        )
+        live.write.mode("overwrite").parquet(tmp_dir)
+        # crash-safe ordering: old aside → tmp in → delete old.  The store
+        # never loses rows: before the first rename both copies exist;
+        # between the renames the data lives in tmp_dir + old_dir.
+        os.rename(part_dir, old_dir)
+        os.rename(tmp_dir, part_dir)
+        shutil.rmtree(old_dir)
+        removed += n
+    return removed
 
 
 def live_key_count(spark: SparkSession, path: str,

@@ -97,6 +97,28 @@ def test_glob_partial_wildcard_fallback(ops):
     assert _spark_keys(ops, pattern) == _fnmatch_keys(keys, pattern)
 
 
+def test_glob_short_literal_matches_nothing(ops):
+    """Redis MATCH is full-string: a wildcard-free pattern with fewer
+    segments than the key ('hive:vote') has no '*' to absorb the missing
+    ':' separators, so it must return NOTHING — not chain+op_type rows."""
+    keys = [r["key"] for r in ops.select("key").collect()]
+    for pattern in ["hive:vote", "hive", "hive:1:vote",
+                    "hive:0000000000000000000000000000000000000000"]:
+        assert _spark_keys(ops, pattern) == _fnmatch_keys(keys, pattern) == [], \
+            pattern
+
+
+def test_glob_residual_is_anchored(ops):
+    """RLIKE has find() substring semantics: an unanchored residual for
+    'vote' would match '...:effective_comment_vote' mid-string. The
+    translator must anchor — matching fnmatch's full-string behavior."""
+    keys = [r["key"] for r in ops.select("key").collect()]
+    # pure-residual shapes (wildcarded chain segment → rlike fallback)
+    for pattern in ["*vote", "*:vote", "?ive:*:vote", "*ote"]:
+        assert _spark_keys(ops, pattern) == _fnmatch_keys(keys, pattern), \
+            pattern
+
+
 def test_glob_sidechain(engine_ops):
     keys = [r["key"] for r in engine_ops.select("key").collect()]
     for pattern in ["hive_engine:*:tokens:transfer", "hive_engine:*:market:*",
@@ -130,8 +152,9 @@ def test_glob_hypothesis_fuzz(ops):
         seg_strategy([r["trx_index"] for r in rows[:20]]),
         seg_strategy([r["op_type"] for r in rows[:20]]),
         st.integers(min_value=1, max_value=5),  # how many segments to keep
+        st.booleans(),                          # trailing ':*' or bare short
     ).map(lambda t: ":".join(list(t[:5])[:t[5]])
-          + ("" if t[5] == 5 else (":*" if t[5] < 5 else "")))
+          + ("" if t[5] == 5 or not t[6] else ":*"))
 
     @settings(max_examples=30, deadline=None,
               suppress_health_check=[HealthCheck.too_slow])
@@ -173,6 +196,10 @@ def test_glob_engine_and_mixed_fuzz(ops, engine_ops):
                     segs.append(v[:max(1, len(v) // 2)] + "*")
                 else:
                     segs.append("*" + v[len(v) // 2:])
-            pattern = ":".join(segs) + ("" if keep == nseg else ":*")
+            # half the short patterns keep their ':*' tail, half stay bare —
+            # bare short patterns are the Redis MATCH arity trap (they must
+            # match nothing unless a wildcard absorbs the missing colons)
+            tail = ":*" if keep < nseg and rng.random() < 0.5 else ""
+            pattern = ":".join(segs) + tail
             assert _spark_keys(df, pattern) == _fnmatch_keys(keys, pattern), \
                 pattern

@@ -89,6 +89,108 @@ def test_retention_expire(spark, store, tmp_path_factory):
     assert retention.expire(spark, path, ttl_s=-1, now=now) == 0
 
 
+def test_retention_untouched_partition_byte_identical(spark, store,
+                                                      tmp_path_factory):
+    """Only partitions containing expired rows are rewritten: a chain with
+    no expired rows keeps its exact files (names and bytes)."""
+    path = str(tmp_path_factory.mktemp("ttl_prune") / "ops")
+    now = dt.datetime(2024, 6, 1, 12, 0, 0)
+    old = now - dt.timedelta(days=2)
+    df = store.df().withColumn(
+        "ingested_at",
+        F.when(F.col("chain") == "hive", F.lit(old)).otherwise(F.lit(now)))
+    OpsStore.write(df, path)
+
+    eng_dir = os.path.join(path, "chain=hive_engine")
+
+    def snap(d):
+        return {f: open(os.path.join(d, f), "rb").read()
+                for f in sorted(os.listdir(d))
+                if not f.startswith(("_", "."))}
+
+    before = snap(eng_dir)
+    n_hive = spark.read.parquet(path).where("chain = 'hive'").count()
+    removed = retention.expire(spark, path, ttl_s=86_400, now=now)
+    assert removed == n_hive
+    assert snap(eng_dir) == before
+    # the expired chain is gone, the fresh chain fully intact
+    chains = {r["chain"] for r in
+              spark.read.parquet(path).select("chain").distinct().collect()}
+    assert chains == {"hive_engine"}
+
+
+def test_retention_crash_safe_swap(spark, store, tmp_path_factory,
+                                   monkeypatch):
+    """A crash after the swap but before the old copy is deleted loses
+    nothing: the store stays whole, and a re-run recovers the leftovers."""
+    import shutil as _shutil
+
+    path = str(tmp_path_factory.mktemp("ttl_crash") / "ops")
+    now = dt.datetime(2024, 6, 1, 12, 0, 0)
+    old = now - dt.timedelta(days=2)
+    # only 'hive' has expired rows (half of them); hive_engine all fresh
+    df = store.df().withColumn(
+        "ingested_at",
+        F.when((F.col("chain") == "hive") & (F.col("block_num") % 2 == 0),
+               F.lit(old)).otherwise(F.lit(now)))
+    OpsStore.write(df, path)
+    n_total = spark.read.parquet(path).count()
+    n_expired = spark.read.parquet(path).where(
+        F.col("ingested_at") < F.lit(now - dt.timedelta(seconds=86_400))
+    ).count()
+    assert n_expired > 0
+
+    real_rmtree = _shutil.rmtree
+
+    def boom(p, *a, **kw):
+        if ".old_chain=" in str(p):
+            raise RuntimeError("injected crash before old-copy delete")
+        return real_rmtree(p, *a, **kw)
+
+    monkeypatch.setattr("meeseeker_spark.retention.shutil.rmtree", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        retention.expire(spark, path, ttl_s=86_400, now=now)
+    monkeypatch.undo()
+
+    # the swap already landed: visible store is complete and expired-free
+    # (Spark ignores the dot-prefixed .old_chain= leftover)
+    assert spark.read.parquet(path).count() == n_total - n_expired
+    assert os.path.exists(os.path.join(path, ".old_chain=hive"))
+    # re-run finishes the recovery: leftover gone, nothing more to expire
+    assert retention.expire(spark, path, ttl_s=86_400, now=now) == 0
+    assert not os.path.exists(os.path.join(path, ".old_chain=hive"))
+    assert spark.read.parquet(path).count() == n_total - n_expired
+
+
+def test_retention_recover_restores_interrupted_rename(spark, store,
+                                                       tmp_path_factory):
+    """The harder crash window — between the two renames — leaves the
+    partition aside in .old_chain=; _recover restores it and a re-run
+    completes the expiry with no rows lost."""
+    path = str(tmp_path_factory.mktemp("ttl_crash2") / "ops")
+    now = dt.datetime(2024, 6, 1, 12, 0, 0)
+    old = now - dt.timedelta(days=2)
+    df = store.df().withColumn(
+        "ingested_at",
+        F.when((F.col("chain") == "hive") & (F.col("block_num") % 2 == 0),
+               F.lit(old)).otherwise(F.lit(now)))
+    OpsStore.write(df, path)
+    n_live = spark.read.parquet(path).where(
+        F.col("ingested_at") >= F.lit(now - dt.timedelta(seconds=86_400))
+    ).count()
+
+    # simulate: old renamed aside, tmp write present, second rename lost
+    os.rename(os.path.join(path, "chain=hive"),
+              os.path.join(path, ".old_chain=hive"))
+    os.makedirs(os.path.join(path, ".tmp_chain=hive"))
+
+    removed = retention.expire(spark, path, ttl_s=86_400, now=now)
+    assert removed > 0
+    assert spark.read.parquet(path).count() == n_live
+    assert not os.path.exists(os.path.join(path, ".old_chain=hive"))
+    assert not os.path.exists(os.path.join(path, ".tmp_chain=hive"))
+
+
 def test_reset_partition_drop(spark, store, tmp_path_factory):
     path = str(tmp_path_factory.mktemp("reset") / "ops")
     OpsStore.write(store.df(), path)

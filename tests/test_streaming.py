@@ -141,14 +141,30 @@ def test_resume_policy():
     assert d.fresh_sync and d.start_block == 1000
     d = resolve_start_block(990, 1000)
     assert not d.fresh_sync and d.start_block == 991
-    # gap beyond ttl/3 (default ttl 86400s → 9600 blocks threshold)
+    # threshold is expire_keys/3 SECONDS compared against a gap in BLOCKS
+    # (block_follower_job.rb:129-132): 86400/3 = 28,800 blocks.  A 10k- or
+    # 28.8k-block gap resumes; only beyond 28,800 does it skip ahead.
     d = resolve_start_block(0, 20_000)
-    assert d.fresh_sync and d.start_block == 20_000
+    assert not d.fresh_sync and d.start_block == 1
+    d = resolve_start_block(0, 28_801)          # gap exactly at threshold
+    assert not d.fresh_sync and d.start_block == 1
+    d = resolve_start_block(0, 28_802)          # one past → new sync
+    assert d.fresh_sync and d.start_block == 28_802
     # ttl disabled: resume from hwm+1 even when far behind...
     d = resolve_start_block(0, 20_000, ttl_s=-1)
     assert d.start_block == 20_000  # ...but never before the tip
     d = resolve_start_block(19_999, 10_000, ttl_s=-1)
     assert d.start_block == 20_000  # hwm ahead of a lagging tip wins
+
+
+def test_stream_mode_tip():
+    # meeseeker.rb:95 / block_follower_job.rb:113-123: head mode reads the
+    # chain head, irreversible waits for finality, anything else aborts
+    from meeseeker_spark.resume import resolve_tip
+    assert resolve_tip(1000, 985, "head") == 1000
+    assert resolve_tip(1000, 985, "irreversible") == 985
+    with pytest.raises(ValueError, match="Unknown stream mode"):
+        resolve_tip(1000, 985, "laggy")
 
 
 def test_ttl_keyed_state_expires(spark, tmp_path_factory):
