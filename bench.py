@@ -26,7 +26,10 @@ if str(REPO) not in sys.path:
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # representative spread: scan+agg throughput, window, join, flatten,
-# dedup/minhash, knn, text rollup
+# dedup/minhash, knn, text rollup.  Embedding dedup benches the SCALE path
+# (LSH bucket join, ~linear in bucket width) — the exact O(n²) twin
+# `embedding_dups` stays a test-only recall oracle, per VERDICT r2: a
+# quadratic plan in the headline measures noise, not the engine.
 HEADLINE = [
     "pricing_summary",
     "channel_volume",
@@ -38,7 +41,7 @@ HEADLINE = [
     "dedup_fingerprint",
     "near_dup_pairs",
     "knn_topk",
-    "embedding_dups",
+    "embedding_dups_lsh",
     "token_totals",
     "scan_by_type",
 ]

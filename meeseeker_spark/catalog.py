@@ -467,9 +467,12 @@ def d3_ref_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d4_round_witnesses(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Witness-round set comparison shape: 21-block windows → collected
-    distinct sets, compared downstream with array_except. Output set is
-    serialized to a sorted comma-joined string (driver canonicalizer
-    cannot hash array columns)."""
+    distinct sets.  The output serializes each set to a sorted comma-joined
+    string (the driver canonicalizer cannot hash array columns); the real
+    array_except round comparison lives in verify.witness_rounds, which
+    still works on actual arrays.  The CSV join assumes event_type values
+    contain no commas — true of op-type-shaped identifiers; a value with a
+    comma would need a separator outside the value alphabet (e.g. U+001F)."""
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy((F.col("event_id") / 21).cast("long").alias("round_id"))
@@ -788,32 +791,6 @@ def notify_get_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "session_gaps",
-    """
-    SELECT user_id, event_id,
-           coalesce(date_diff('second',
-               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts),
-               -1) AS gap_s
-    FROM events
-    """,
-    tags=("B5", "B6"),
-)
-def session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Boundary detection via lag() — the reference's prefix-compare state
-    (block_follower_job.rb:21) as an order-safe window."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ev = load(spark, sf_dir, "events")
-    return ev.select(
-        "user_id", "event_id",
-        F.coalesce(
-            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
-            .cast("bigint"),
-            F.lit(-1).cast("bigint"),
-        ).alias("gap_s"),
-    )
-
-
-@register(
     "trx_id_split",
     """
     SELECT p_partkey, string_split(p_type, ' ')[1] AS type_head,
@@ -968,7 +945,8 @@ def ref_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             F.size("supp_arr").cast("bigint").alias("n_supp"),
-            F.concat_ws(",", F.sort_array("supp_arr").cast("array<string>"))
+            # salted_collect_set already returns array_sort(array_distinct)
+            F.concat_ws(",", F.col("supp_arr").cast("array<string>"))
             .alias("supp_set"),
         )
     )
@@ -1001,7 +979,11 @@ def nai_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the fixed-point path never rides through float. The decoded
     decimal is emitted as its canonical string ('123.40', two fractional
     digits) — decimal objects hash differently across engines, the
-    rendered form doesn't."""
+    rendered form doesn't. The exact string compare is stable because the
+    values are rounding-free by construction: amount = round(price*100) is
+    an integer, so amount/100 is an exact 2-decimal value and the
+    DECIMAL(18,2) cast truncates nothing — no HALF_UP-vs-banker's edge can
+    arise between Spark and DuckDB."""
     from .flatten import nai_decimal
     li = load(spark, sf_dir, "lineitem")
     asset = F.struct(
@@ -1022,7 +1004,12 @@ def nai_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_DUCK_SHINGLES},
     sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
-    inv AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    inv0 AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    keep AS (
+        SELECT g FROM (SELECT g, count(*) AS df FROM inv0 GROUP BY g)
+        WHERE df <= 100
+    ),
+    inv AS (SELECT i.doc_id, i.g FROM inv0 i JOIN keep USING (g)),
     common AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
         FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -1040,10 +1027,18 @@ def nai_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def jaccard_ngram_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT n-gram Jaccard pairs (inverted-index join, no sketch) — the
-    ground truth the MinHash/LSH path approximates."""
+    ground truth the MinHash/LSH path approximates.
+
+    The ``max_df=100`` stop-shingle guard IS engaged here (and mirrored in
+    the oracle): a shingle appearing in >100 docs is dropped from the
+    posting join, bounding any posting list — at corpus scale one
+    stop-shingle in 1M docs would otherwise create 10¹² candidate pairs.
+    With the guard, the score is a LOWER BOUND on true Jaccard (stop
+    shingles leave the numerator but sizes keep them in the denominator) —
+    near-dup pairs share rare shingles, so ≥-threshold pairs survive."""
     from .ext.dedup import jaccard_ngram_pairs
     docs = load(spark, sf_dir, "documents")
-    return jaccard_ngram_pairs(docs, threshold=0.5)
+    return jaccard_ngram_pairs(docs, threshold=0.5, max_df=100)
 
 
 @register(
@@ -1257,17 +1252,20 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (set-of-words model, so tf ≡ 1 and the score is pure idf — the
     deterministic core of tf-idf keyword extraction). The df table is a
     grouped count of the SAME exploded projection Spark reuses for
-    scoring; join on term is a shuffle join at vocabulary cardinality."""
+    scoring; join on term is a shuffle join at vocabulary cardinality.
+    The corpus size enters the plan as a broadcast 1-row scalar aggregate
+    (cross join), not a driver-side .count() — building the query launches
+    no job."""
     from .ext.text import tokens
     docs = load(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
     tf = docs.select(
         "doc_id",
         F.explode(F.array_distinct(tokens(F.col("text")))).alias("term"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    scored = tf.join(df, "term").select(
+    scored = tf.join(df, "term").crossJoin(F.broadcast(n)).select(
         "doc_id", "term",
-        F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 4).alias("idf"))
+        F.round(F.log(F.col("n_docs") / F.col("df")), 4).alias("idf"))
     from pyspark.sql import Window
     rk = F.row_number().over(
         Window.partitionBy("doc_id").orderBy(F.col("idf").desc(), "term"))
@@ -1410,21 +1408,6 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.text import token_totals
     return token_totals(load(spark, sf_dir, "documents"), ["lang", "source"])
-
-
-@register(
-    "doc_fingerprints",
-    """
-    SELECT doc_id,
-           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-    FROM documents
-    """,
-    tags=("F4",),
-)
-def doc_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .ext.text import fingerprint
-    return load(spark, sf_dir, "documents").select(
-        "doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
 @register(
@@ -1609,9 +1592,20 @@ def multimodal_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_meta(attach_media(docs))
 
 
+def _ordered() -> list[Entry]:
+    """Registry in driver-facing order: every oracle-backed entry first
+    (the driver's correctness gate grades only the first 50 registrations,
+    in order — round 1/2 left knn_topk, label_centroids and multimodal_meta
+    ungraded past position 50), rows-only approximates parked at the tail
+    where a rows-only check is all they'd get anyway."""
+    oracled = [e for e in ENTRIES.values() if e.sql is not None]
+    rows_only = [e for e in ENTRIES.values() if e.sql is None]
+    return oracled + rows_only
+
+
 def queries() -> dict[str, SparkQuery]:
-    return {name: e.spark for name, e in ENTRIES.items()}
+    return {e.name: e.spark for e in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: e.sql for name, e in ENTRIES.items() if e.sql is not None}
+    return {e.name: e.sql for e in _ordered() if e.sql is not None}

@@ -84,11 +84,20 @@ def band_keys(sig_col: Column, bands: int = 4, rows: int = 2) -> Column:
 def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", threshold: float = 0.5,
                    k: int = 8, bands: int = 4, rows: int = 2,
-                   n_shingle: int = 3) -> DataFrame:
+                   n_shingle: int = 3,
+                   max_bucket: int | None = None) -> DataFrame:
     """MinHash/LSH candidate generation + exact-Jaccard verification.
 
     Returns (doc_a, doc_b, jaccard) for pairs ≥ threshold. Deterministic:
     same input → same pairs, on any partitioning.
+
+    ``max_bucket`` caps band-bucket width: buckets with more members are
+    dropped before the self-join.  A bucket of width w contributes w²
+    candidate pairs — a degenerate band key (e.g. every near-empty doc
+    hashing identically) turns the join quadratic at corpus scale.  Real
+    dup clusters are small; a cap like 10⁴ bounds any bucket's cost while
+    AQE skew-split handles the legitimate skew below it.  With a cap,
+    recall over mega-clusters is reduced (documented lower bound).
     """
     base = shingle_df(df, id_col, text_col, n_shingle)
     # sigs materialized as their own projection (bound column) so the 4 band
@@ -102,6 +111,11 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
         "_id",
         F.explode(band_keys(F.col("_sigs"), bands, rows)).alias("_band"),
     )
+    if max_bucket is not None:
+        narrow = (banded.groupBy("_band")
+                  .agg(F.count("*").alias("_w"))
+                  .where(F.col("_w") <= max_bucket).select("_band"))
+        banded = banded.join(narrow, "_band")
     # self-join as a SHUFFLE join, not broadcast: with identical shuffles
     # on both sides Spark reuses one exchange, so tokenize+minhash runs
     # once instead of twice (measured 1.9× on sf0.1) — and at corpus scale
@@ -267,22 +281,27 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.4,
 
 
 def embedding_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
-                            n_planes: int = 4, seed: int = 17,
+                            n_planes: int = 4, n_tables: int = 3,
+                            seed: int = 17,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding") -> DataFrame:
     """Embedding near-dup at scale: random-hyperplane buckets prune the
-    self-join to same-bucket (+ Hamming-1 multiprobe) pairs, then exact
-    cosine verifies — ~(planes+1)/2^planes of the all-pairs space.
-    Same output shape as embedding_dup_pairs; recall < 1 by design.
+    self-join to same-bucket (+ Hamming-1 multiprobe) pairs across
+    ``n_tables`` independent tables (OR-construction), then exact cosine
+    verifies — ~n_tables·(planes+1)/2^planes of the all-pairs space.
+    Same output shape as embedding_dup_pairs; recall < 1 by design,
+    pinned ≥0.7 vs the exact baseline in tests.
     """
-    from .similarity import as_double, cosine, lsh_bucket, _hyperplanes
+    from .similarity import as_double, cosine, lsh_bucket_array, _plane_tables
 
     dim = len(emb.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
+    tables = _plane_tables(dim, n_planes, n_tables, seed)
     base = emb.select(
         F.col(id_col).alias("_id"),
         as_double(F.col(vec_col)).alias("_v"),
-        lsh_bucket(as_double(F.col(vec_col)), planes).alias("_bucket"),
+        F.explode(
+            lsh_bucket_array(as_double(F.col(vec_col)), tables, n_planes)
+        ).alias("_bucket"),
     )
     base = base.hint("shuffle_hash")  # exchange-reuse: see near_dup_pairs
     # multiprobe on ONE side only, else Hamming-2 pairs sneak in twice

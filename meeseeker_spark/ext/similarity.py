@@ -217,6 +217,26 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 17) -> list[list[float]]:
     return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def _plane_tables(dim: int, n_planes: int, n_tables: int,
+                  seed: int = 17) -> list[list[list[float]]]:
+    """Independent hyperplane sets for OR-construction LSH: a pair is a
+    candidate if it collides in ANY table — recall 1-(1-p^b)^L instead of
+    p^b, the standard lever when one table's bucket recall isn't enough."""
+    return [_hyperplanes(dim, n_planes, seed + 101 * t)
+            for t in range(n_tables)]
+
+
+def lsh_bucket_array(vec: Column, tables: list[list[list[float]]],
+                     n_planes: int) -> Column:
+    """One bucket id per table, table id packed into the high bits so
+    buckets from different tables never collide; Hamming-probe XORs touch
+    only the low ``n_planes`` sign bits, staying inside the table."""
+    return F.array(*[
+        F.lit(t << n_planes) + lsh_bucket(vec, planes)
+        for t, planes in enumerate(tables)
+    ])
+
+
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-of-projection bucket id (random hyperplane LSH for cosine)."""
     bits = [
@@ -230,25 +250,28 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
 
 
 def lsh_cosine_topk(emb: DataFrame, query_ids: list[int] | None = None,
-                    k: int = 5, n_planes: int = 4, seed: int = 17,
-                    multiprobe: bool = True, id_col: str = "vec_id",
+                    k: int = 5, n_planes: int = 4, n_tables: int = 3,
+                    seed: int = 17, multiprobe: bool = True,
+                    id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: score only candidates sharing the query's LSH
-    bucket (~2^planes pair-space reduction).  Multi-probe additionally
-    visits every Hamming-1 bucket of the query — the standard recall lever
-    that costs (planes+1)/2^planes of the pair space instead of re-hashing.
+    """Approximate top-k: score only candidates sharing an LSH bucket with
+    the query in at least one of ``n_tables`` independent tables
+    (~n_tables·(planes+1)/2^planes of the pair space with multi-probe).
+    Multi-probe additionally visits every Hamming-1 bucket of the query —
+    recall ≈ 1-(1-p_table)^L, pinned ≥0.7 vs brute force in tests.
     Same output shape as cosine_topk."""
     from pyspark.sql import Window
 
     dim = len(emb.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
+    tables = _plane_tables(dim, n_planes, n_tables, seed)
     # buckets are sign-of-projection → invariant under normalization, so
     # hashing the unit vectors gives identical buckets and a dot-only
     # scoring stage
     nrm = normalized(emb, id_col, vec_col)
     with_bucket = nrm.select(
         F.col(id_col), F.col("_nv").alias("v"),
-        lsh_bucket(F.col("_nv"), planes).alias("bucket"),
+        F.explode(lsh_bucket_array(F.col("_nv"), tables, n_planes))
+        .alias("bucket"),
     )
     q = with_bucket
     if query_ids is not None:
@@ -264,8 +287,7 @@ def lsh_cosine_topk(emb: DataFrame, query_ids: list[int] | None = None,
         q = q.select(F.col(id_col).alias("q_id"), F.col("v").alias("qv"),
                      "bucket")
     c = with_bucket.select(F.col(id_col).alias("c_id"),
-                           F.col("cv" if "cv" in with_bucket.columns else "v")
-                           .alias("cv"), "bucket")
+                           F.col("v").alias("cv"), "bucket")
     scored = (
         F.broadcast(q).join(c, "bucket")
         .where(F.col("c_id") != F.col("q_id"))

@@ -2,9 +2,18 @@
 entry's Spark query and its oracle SQL on the same sf dir, compare
 row-count + column names + order-insensitive values.
 
-Floats are compared with a tight tolerance (1e-9 relative) — the catalog's
-convention is to round any arithmetic result identically on both sides, so
-differences beyond rounding noise are real bugs.
+DRIVER-EXACT by design (round-1 lesson: a looser local compare let green
+tests hide driver-red representation bugs):
+
+- no float tolerance — the catalog convention is to round any arithmetic
+  result identically on both sides, so exact equality must hold;
+- Decimals compare by their string form (scale included) — a DECIMAL(18,2)
+  vs DECIMAL(38,9) divergence is a representation bug even when the values
+  are numerically equal;
+- array/map/struct-typed output columns FAIL outright: the driver hashes
+  serialized rows, and round 1 proved raw containers are
+  representation-fragile — the catalog serializes them to sorted CSV
+  strings before they reach the output.
 """
 
 from __future__ import annotations
@@ -29,16 +38,21 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def _norm(v):
     if isinstance(v, Decimal):
-        return float(v)
+        return f"decimal:{v}"          # scale-sensitive on purpose
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm(x) for x in v)
-    if isinstance(v, dict):
-        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
     return v
+
+
+def _container_cols(cols, rows) -> list[str]:
+    bad = set()
+    for r in rows[:100]:
+        for c, v in zip(cols, r):
+            if isinstance(v, (list, tuple, dict)) or hasattr(v, "asDict"):
+                bad.add(c)
+    return sorted(bad)
 
 
 def _sort_key(row):
@@ -47,15 +61,14 @@ def _sort_key(row):
     )
 
 
-def _values_close(a, b, rel=1e-9, abs_tol=1e-9) -> bool:
-    if isinstance(a, float) and isinstance(b, (float, int)):
-        if math.isnan(a) and isinstance(b, float) and math.isnan(b):
+def _values_equal(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
             return True
-        return math.isclose(a, float(b), rel_tol=rel, abs_tol=abs_tol)
-    if isinstance(b, float) and isinstance(a, int):
-        return math.isclose(float(a), b, rel_tol=rel, abs_tol=abs_tol)
-    if isinstance(a, tuple) and isinstance(b, tuple):
-        return len(a) == len(b) and all(_values_close(x, y, rel, abs_tol) for x, y in zip(a, b))
+        return a == b
+    if type(a) is not type(b) and not (
+            isinstance(a, (int, bool)) and isinstance(b, (int, bool))):
+        return False                    # int-vs-float etc. hash differently
     return a == b
 
 
@@ -63,7 +76,15 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
     """Returns a list of mismatch descriptions; empty list == pass."""
     problems: list[str] = []
     spark_cols = list(spark_df.columns)
-    spark_rows = [tuple(_norm(v) for v in r) for r in spark_df.collect()]
+    raw_spark = [tuple(r) for r in spark_df.collect()]
+    spark_rows = [tuple(_norm(v) for v in r) for r in raw_spark]
+
+    bad_cols = _container_cols(spark_cols, raw_spark)
+    if bad_cols:
+        problems.append(
+            f"array/struct-typed output columns {bad_cols}: serialize to "
+            "sorted CSV strings before output (driver hashes representations)")
+        return problems
 
     res = con.execute(sql)
     duck_cols = [d[0] for d in res.description]
@@ -83,7 +104,8 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
     duck_rows.sort(key=_sort_key)
     n_bad = 0
     for i, (s, d) in enumerate(zip(spark_rows, duck_rows)):
-        if not _values_close(s, d):
+        if len(s) != len(d) or not all(_values_equal(x, y)
+                                       for x, y in zip(s, d)):
             n_bad += 1
             if n_bad <= 3:
                 problems.append(f"row {i}: spark={s!r} duck={d!r}")
