@@ -808,6 +808,57 @@ def trx_id_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "engine_scan",
+    """
+    WITH eng AS (
+        SELECT 'hive_engine' AS chain,
+               o_orderkey % 4096 AS block_num,
+               md5(CAST(o_orderkey AS VARCHAR)) AS trx_id,
+               0 AS trx_index,
+               CASE o_orderkey % 3 WHEN 0 THEN 'tokens'
+                    WHEN 1 THEN 'market' ELSE 'sscstore' END AS contract,
+               CASE o_custkey % 2 WHEN 0 THEN 'transfer'
+                    ELSE 'issue' END AS action
+        FROM orders
+    )
+    SELECT concat_ws(':', chain, block_num, trx_id, trx_index,
+                     contract, action) AS key,
+           block_num, trx_id, contract, action
+    FROM eng
+    WHERE contract = 'tokens' AND action = 'transfer'
+    """,
+    tags=("C1", "S5"),
+)
+def engine_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-store key-pattern scan — SCAN 'hive_engine:*:tokens:transfer'
+    (README.md:355-369; the 6-segment sidechain key shape of
+    follower_job.rb:57) — through the REAL glob→predicate translator
+    (keys.glob_to_filter), not a hand-written filter: the catalog proves
+    the translated predicate is exactly the contract/action equality the
+    oracle states, pushed down to the scan.  Engine-shaped rows are
+    modeled deterministically from orders so DuckDB can reproduce them."""
+    from .keys import glob_to_filter
+    o = load(spark, sf_dir, "orders")
+    eng = o.select(
+        F.lit("hive_engine").alias("chain"),
+        (F.col("o_orderkey") % 4096).alias("block_num"),
+        F.md5(F.col("o_orderkey").cast("string")).alias("trx_id"),
+        F.lit(0).alias("trx_index"),
+        F.when(F.col("o_orderkey") % 3 == 0, "tokens")
+        .when(F.col("o_orderkey") % 3 == 1, "market")
+        .otherwise("sscstore").alias("contract"),
+        F.when(F.col("o_custkey") % 2 == 0, "transfer")
+        .otherwise("issue").alias("action"),
+    ).withColumn(
+        "key", F.concat_ws(":", "chain", "block_num", "trx_id",
+                           "trx_index", "contract", "action"))
+    return (
+        eng.where(glob_to_filter("hive_engine:*:tokens:transfer"))
+        .select("key", "block_num", "trx_id", "contract", "action")
+    )
+
+
 # ---------------------------------------------------------------------------
 # F1–F6 extensions: dedup / similarity / text analysis / multimodal
 # (driver north star — training-data pipeline operators at 100 TB design)

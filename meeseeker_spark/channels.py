@@ -64,16 +64,76 @@ def op_channels(ops: DataFrame, include_custom_id: bool = True) -> DataFrame:
     return out.unionByName(per_contract).unionByName(per_action)
 
 
-def block_channels(blocks: DataFrame, chain: str = "hive") -> DataFrame:
-    """One ``{chain}:block`` notification per block, payload = header JSON."""
+def block_channels(blocks: DataFrame, chain: str = "hive",
+                   include_header: bool = True) -> DataFrame:
+    """One ``{chain}:block`` notification per block.
+
+    ``include_header`` is the reference's ``MEESEEKER_INCLUDE_BLOCK_HEADER``
+    ingest gate (meeseeker.rb:97, default true; block_follower_job.rb:60-76):
+    when on, the header fields ride in the payload; when off, the payload is
+    the bare ``{block_num}`` the reference publishes without the extra
+    ``get_block_header`` round-trip."""
+    payload = (
+        F.to_json(F.struct(
+            "block_num", "previous", "timestamp", "witness",
+            "transaction_merkle_root"))
+        if include_header else F.to_json(F.struct("block_num"))
+    )
     return blocks.select(
         F.lit(f"{chain}:block").alias("channel"),
         F.lit("block").alias("kind"),
         F.lit(None).cast("string").alias("key"),
         "block_num",
+        payload.alias("payload"),
+    )
+
+
+def engine_transaction_channels(ops: DataFrame) -> DataFrame:
+    """Sidechain per-trx notifications (follower_job.rb:44-50): real trxs
+    publish to ``{chain}:transaction``, virtual ones (sentinel base id) to
+    ``{chain}:virtual_transaction``; payload = {block_num, transaction_id,
+    transaction_num}. One group per stored trx row — engine rows are
+    already trx-granular, so this is a narrow projection, no shuffle."""
+    from .schemas import VIRTUAL_TRX_ID
+    return ops.select(
+        F.concat_ws(
+            ":", "chain",
+            F.when(F.col("trx_id") == VIRTUAL_TRX_ID,
+                   F.lit("virtual_transaction"))
+            .otherwise(F.lit("transaction")),
+        ).alias("channel"),
+        F.lit("transaction").alias("kind"),
+        F.lit(None).cast("string").alias("key"),
+        "block_num",
         F.to_json(F.struct(
-            "block_num", "previous", "timestamp", "witness",
-            "transaction_merkle_root")).alias("payload"),
+            "block_num",
+            F.col("trx_id").alias("transaction_id"),
+            "transaction_num")).alias("payload"),
+    )
+
+
+def engine_block_channels(ops: DataFrame) -> DataFrame:
+    """Sidechain ``{chain}:block`` notifications, payload = {block_num} only
+    (follower_job.rb:70-77 — the engine publisher never fetches headers).
+    Derived from the stored trx rows: one distinct (chain, block_num)."""
+    return ops.select("chain", "block_num").distinct().select(
+        F.concat_ws(":", "chain", F.lit("block")).alias("channel"),
+        F.lit("block").alias("kind"),
+        F.lit(None).cast("string").alias("key"),
+        "block_num",
+        F.to_json(F.struct("block_num")).alias("payload"),
+    )
+
+
+def engine_channels(ops: DataFrame) -> DataFrame:
+    """Full sidechain fan-out for one ingest batch: per-contract +
+    per-contract:action pointers (from op_channels' sidechain branch) ∪
+    per-trx notifications ∪ per-block notifications — the complete channel
+    set follower_job.rb:20-83 publishes."""
+    return (
+        op_channels(ops)
+        .unionByName(engine_transaction_channels(ops))
+        .unionByName(engine_block_channels(ops))
     )
 
 

@@ -200,9 +200,17 @@ def generate(n_blocks: int = 210, seed: int = 42, chain: str = "hive",
         })
         # golden engine ops: trx granularity, real then virtual
         # (follower_job.rb flattens real trxs then virtual; sidechain
-        # INCLUDES virtual in transaction_num — the semantic asymmetry)
+        # INCLUDES virtual in transaction_num — the semantic asymmetry).
+        # Virtual ids are rewritten to '<sentinel>-<n>' before storage
+        # (follower_job.rb:170-180), so their stored base id is the
+        # 40-zero VIRTUAL_TRX_ID and repeats within a block.
+        rewritten = real + [
+            {**t, "transactionId":
+             f"{VIRTUAL_TRX_ID}-{t['transactionId'].split('-')[1]}"}
+            for t in virtual
+        ]
         seen: dict[str, int] = {}
-        for pos, trx in enumerate(real + virtual):
+        for pos, trx in enumerate(rewritten):
             base_id = trx["transactionId"].split("-")[0]
             idx = seen.get(base_id, 0)
             seen[base_id] = idx + 1

@@ -110,17 +110,31 @@ def flatten_engine_blocks(engine_blocks: DataFrame,
     Real trxs come first, then virtual (matching the reference's iteration
     order); transaction_num numbers BOTH (the sidechain includes virtual).
     trx_index re-counts occurrences of the same base trx_id within a block —
-    only virtual trxs ('<id>-<n>') ever repeat a base id.
+    only virtual trxs ever repeat a base id, because their ids are rewritten
+    to '<40-zero sentinel>-<n>' before storage (follower_job.rb:170-180:
+    ``'transactionId' => "#{VIRTUAL_TRX_ID}-#{vtrx_in_block}"``) — the wire
+    format consumers key on, and what makes virtual trxs identifiable in
+    the store (verify excludes the sentinel, Rakefile:366).
     """
+    virt = F.transform(
+        F.coalesce("virtualTransactions", F.array()),
+        lambda t: F.struct(
+            F.concat_ws(
+                "-", F.lit(VIRTUAL_TRX_ID),
+                F.element_at(F.split(t["transactionId"], "-"), 2),
+            ).alias("transactionId"),
+            t["contract"].alias("contract"),
+            t["action"].alias("action"),
+            t["payload"].alias("payload"),
+            t["refHiveBlockNumber"].alias("refHiveBlockNumber"),
+        ),
+    )
     both = engine_blocks.select(
         F.col("blockNumber").alias("block_num"),
         # ISO8601 without zone, parsed as UTC (follower_job.rb:124 '+Z')
         F.to_timestamp(F.col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss").alias("timestamp"),
         F.posexplode(
-            F.concat(
-                F.coalesce("transactions", F.array()),
-                F.coalesce("virtualTransactions", F.array()),
-            )
+            F.concat(F.coalesce("transactions", F.array()), virt)
         ).alias("trx_pos", "trx"),
     )
     flat = both.select(

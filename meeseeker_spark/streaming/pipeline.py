@@ -27,9 +27,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..channels import op_channels
-from ..flatten import flatten_blocks, flatten_virtual_ops
-from ..schemas import BLOCKS, VIRTUAL_OPS, WITNESS_SCHEDULES
+from ..channels import block_channels, engine_channels, op_channels
+from ..flatten import flatten_blocks, flatten_engine_blocks, flatten_virtual_ops
+from ..schemas import BLOCKS, ENGINE_BLOCKS, VIRTUAL_OPS, WITNESS_SCHEDULES
 
 VOP_LATENESS = "18 seconds"   # Σ(retry × BLOCK_INTERVAL), see SURVEY §4.5
 
@@ -62,12 +62,17 @@ def streaming_ops(blocks_stream: DataFrame, vops_stream: DataFrame | None,
 
 
 def start_ingest(ops_stream: DataFrame, ops_path: str, channels_path: str,
-                 checkpoint: str, available_now: bool = True) -> StreamingQuery:
+                 checkpoint: str, available_now: bool = True,
+                 channel_fn=op_channels) -> StreamingQuery:
     """foreachBatch sink: keyed op append + channel fan-out + _meta HWM.
 
     Writes go to ``batch_id=N`` subdirectories → a replayed batch after a
     crash overwrites its own output (idempotent at-least-once ⇒ effectively
     exactly-once for readers of `ops_view`).
+
+    ``channel_fn`` derives the fan-out rows from each batch — mainnet
+    ``op_channels`` by default; the sidechain ingest passes the fuller
+    ``engine_channels`` (contract/action + trx + block notifications).
     """
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -80,7 +85,7 @@ def start_ingest(ops_stream: DataFrame, ops_path: str, channels_path: str,
                 .parquet(os.path.join(ops_path, f"batch_id={batch_id}"))
             )
             (
-                op_channels(batch_df)
+                channel_fn(batch_df)
                 .write.mode("overwrite")
                 .parquet(os.path.join(channels_path, f"batch_id={batch_id}"))
             )
@@ -121,6 +126,97 @@ def last_block_num(spark: SparkSession, ops_path: str) -> int | None:
         .agg(F.max("last_block_num").alias("m")).first()
     )
     return row["m"] if row and row["m"] is not None else None
+
+
+# ---------------------------------------------------------------------------
+# Sidechain (engine) streaming ingestion (SURVEY §2 S5; the reference's
+# second daemon — steem_engine/follower_job.rb:148-185 poll loop, :20-83
+# sink).  The RPC poll-with-retry becomes a file/Delta stream here (same
+# substitution as the mainnet block source); flatten/key/store/publish is
+# the SAME declarative plan as batch flatten_engine_blocks — one code path.
+# ---------------------------------------------------------------------------
+
+def read_engine_stream(spark: SparkSession, engine_dir: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """Engine block stream (Agent#block poll loop ≅ micro-batch file source;
+    the nil-block sleep is the trigger interval)."""
+    reader = spark.readStream.schema(ENGINE_BLOCKS)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(engine_dir)
+
+
+def start_engine_ingest(engine_stream: DataFrame, ops_path: str,
+                        channels_path: str, checkpoint: str,
+                        chain: str = "hive_engine",
+                        available_now: bool = True) -> StreamingQuery:
+    """Engine store + full sidechain channel fan-out ({chain}:{contract},
+    {chain}:{contract}:{action}, {chain}:[virtual_]transaction,
+    {chain}:block — follower_job.rb:44-50,77,81-82) + _meta HWM
+    (LAST_STEEM_ENGINE_BLOCK_NUM_KEY_SUFFIX analog, :76).
+
+    Takes the RAW engine-block stream and flattens inside foreachBatch:
+    flatten_engine_blocks' trx_index ordinal is a row_number window, which
+    Structured Streaming forbids on unbounded inputs but is fine on each
+    micro-batch DataFrame — and a micro-batch holds whole files = whole
+    blocks, so the (block_num, trx_id)-keyed window sees every trx of a
+    block and ordinals match batch mode exactly."""
+
+    def _sink(raw_batch: DataFrame, batch_id: int) -> None:
+        ops = flatten_engine_blocks(raw_batch, chain).persist()
+        try:
+            (
+                ops.dropDuplicates(["key"])
+                .withColumn("ingested_at", F.current_timestamp())
+                .write.mode("overwrite")
+                .parquet(os.path.join(ops_path, f"batch_id={batch_id}"))
+            )
+            (
+                engine_channels(ops)
+                .write.mode("overwrite")
+                .parquet(os.path.join(channels_path, f"batch_id={batch_id}"))
+            )
+            hwm = ops.agg(
+                F.first("chain").alias("chain"),
+                F.max("block_num").alias("last_block_num"),
+            ).withColumn("batch_id", F.lit(batch_id))
+            hwm.write.mode("overwrite").parquet(
+                os.path.join(ops_path + "_meta", f"batch_id={batch_id}"))
+        finally:
+            ops.unpersist()
+
+    writer = (
+        engine_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_block_channel_publisher(blocks_stream: DataFrame, out_path: str,
+                                  checkpoint: str, chain: str = "hive",
+                                  include_header: bool = True,
+                                  available_now: bool = True) -> StreamingQuery:
+    """Per-block ``{chain}:block`` notifications with the ingest-time
+    header-merge gate (MEESEEKER_INCLUDE_BLOCK_HEADER, meeseeker.rb:97;
+    block_follower_job.rb:60-76): header fields ride in the payload when
+    the gate is on, bare {block_num} when off.  The reference pays an extra
+    get_block_header RPC per block for this; here the header is already in
+    the block row, so the gate only shapes the payload."""
+    channel_rows = block_channels(blocks_stream, chain, include_header)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"batch_id={batch_id}"))
+
+    writer = (
+        channel_rows.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 # ---------------------------------------------------------------------------

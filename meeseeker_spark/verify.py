@@ -56,15 +56,17 @@ def reconcile_engine_blocks(engine_ops: DataFrame,
         .groupBy("block_num")
         .agg(F.collect_set("trx_id").alias("expected_ids"))
     )
+    # actual side: REAL transactions only (Rakefile:372 maps
+    # block['transactions'], never virtualTransactions — virtual trxs are
+    # excluded from both sides of the reconciliation, the stored side via
+    # the sentinel their ids are rewritten to)
     actual = engine_blocks.select(
         F.col("blockNumber").alias("block_num"),
         F.array_distinct(F.transform(
-            F.concat(F.coalesce("transactions", F.array()),
-                     F.coalesce("virtualTransactions", F.array())),
+            F.coalesce("transactions", F.array()),
             lambda t: F.split(t["transactionId"], "-")[0],
         )).alias("actual_ids"),
-    ).withColumn(
-        "actual_ids", F.array_remove("actual_ids", VIRTUAL_TRX_ID))
+    )
     j = actual.join(expected, "block_num", "left").select(
         "block_num",
         F.coalesce("expected_ids", F.array()).alias("expected_ids"),

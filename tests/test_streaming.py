@@ -311,3 +311,76 @@ def test_stream_batch_parity_channel_volume(spark, tmp_path_factory):
     for k, (n, tv, nu) in batch.items():
         assert got_main[k] == (n, tv), k
         assert got_users[k] == nu, k
+
+
+def test_engine_stream_ingest(spark, fx, tmp_path_factory):
+    """Sidechain streaming ingestion (S5 daemon parity,
+    follower_job.rb:148-185 poll loop / :20-83 sink): ENGINE_BLOCKS file
+    stream → flatten in foreachBatch → engine ops store + wire-compat
+    channels + HWM.  Store rows must equal the fixture golden exactly."""
+    d = tmp_path_factory.mktemp("engstream")
+    _write_batches(fx.engine_blocks, "engine_blocks",
+                   str(d / "engine_blocks"), 3)
+
+    q = P.start_engine_ingest(
+        P.read_engine_stream(spark, str(d / "engine_blocks"),
+                             max_files_per_trigger=1),
+        str(d / "ops"), str(d / "channels"), str(d / "ckpt"))
+    q.awaitTermination(120)
+
+    got = P.ops_view(spark, str(d / "ops"))
+    cols = ["chain", "block_num", "trx_id", "trx_index", "contract",
+            "action", "transaction_num", "value", "key"]
+    got_rows = sorted(
+        (tuple(r[c] for c in cols) for r in got.select(*cols).collect()))
+    want_rows = sorted(tuple(o[c] for c in cols)
+                       for o in fx.engine_ops_expected)
+    assert got_rows == want_rows
+    # multiple micro-batches actually happened
+    assert len(glob.glob(str(d / "ops" / "batch_id=*"))) > 1
+
+    from pyspark.sql import functions as F
+    ch = spark.read.option("basePath", str(d / "channels")).parquet(
+        str(d / "channels") + "/batch_id=*")
+    names = {r["channel"] for r in ch.select("channel").distinct().collect()}
+    # wire-compat: {chain}:{contract} / {chain}:{contract}:{action}, no
+    # literal segment between chain and contract (follower_job.rb:81-82)
+    assert "hive_engine:tokens" in names
+    assert "hive_engine:tokens:transfer" in names
+    assert not any(":contract:" in n for n in names)
+    # per-trx + per-block notifications (follower_job.rb:44-50,77)
+    assert "hive_engine:transaction" in names
+    assert "hive_engine:virtual_transaction" in names
+    assert "hive_engine:block" in names
+    n_blocks = (
+        ch.where(F.col("channel") == "hive_engine:block")
+        .select("block_num").distinct().count())
+    assert n_blocks == len(fx.engine_blocks)
+
+    # HWM analog of LAST_STEEM_ENGINE_BLOCK_NUM_KEY_SUFFIX (:76)
+    assert P.last_block_num(spark, str(d / "ops")) == \
+        fx.engine_blocks[-1]["blockNumber"]
+
+
+def test_block_channel_header_gate(spark, fx, tmp_path_factory):
+    """MEESEEKER_INCLUDE_BLOCK_HEADER ingest gate (meeseeker.rb:97,
+    block_follower_job.rb:60-76): header fields ride in the {chain}:block
+    payload when on; bare {block_num} when off."""
+    import json as _json
+    d = tmp_path_factory.mktemp("blkchan")
+    _write_batches(fx.blocks, "blocks", str(d / "blocks"), 2)
+
+    for sub, include in (("with_hdr", True), ("no_hdr", False)):
+        q = P.start_block_channel_publisher(
+            P.read_block_stream(spark, str(d / "blocks")),
+            str(d / sub), str(d / f"ckpt_{sub}"), include_header=include)
+        q.awaitTermination(120)
+        rows = spark.read.option("basePath", str(d / sub)).parquet(
+            str(d / sub) + "/batch_id=*").collect()
+        assert len(rows) == len(fx.blocks)
+        payload = _json.loads(rows[0]["payload"])
+        assert rows[0]["channel"] == "hive:block"
+        if include:
+            assert {"block_num", "previous", "witness"} <= payload.keys()
+        else:
+            assert set(payload.keys()) == {"block_num"}
