@@ -217,36 +217,53 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 17) -> list[list[float]]:
     return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
 
 
-def _plane_tables(dim: int, n_planes: int, n_tables: int,
-                  seed: int = 17) -> list[list[list[float]]]:
-    """Independent hyperplane sets for OR-construction LSH: a pair is a
-    candidate if it collides in ANY table — recall 1-(1-p^b)^L instead of
-    p^b, the standard lever when one table's bucket recall isn't enough."""
-    return [_hyperplanes(dim, n_planes, seed + 101 * t)
-            for t in range(n_tables)]
+def hashed_plane_dot(vec: Column, table: int, plane: int,
+                     seed: int = 17) -> Column:
+    """Projection of ``vec`` onto a Rademacher (±1-component) hyperplane
+    that exists only as a hash function: component sign =
+    xxhash64(seed, table, plane, i) & 1.
+
+    Why not literal random planes: materializing them needs the vector
+    DIMENSION, which is not in the schema — so every invocation paid a
+    driver-side ``.first()`` probe job (the same job-in-builder wart the
+    tfidf corpus count had).  Hash-derived planes are dimension-agnostic,
+    deterministic across retries/executors with zero driver state or
+    broadcast, and ±1 components make the projection a signed sum — no
+    multiplies.  At dim ≥ ~32 the CLT makes these projections
+    effectively gaussian, so sign-LSH collision behavior matches true
+    random hyperplanes (recall is pinned empirically in tests either
+    way)."""
+    terms = F.transform(
+        vec,
+        lambda x, i: F.when(
+            F.xxhash64(F.lit(seed), F.lit(table), F.lit(plane), i)
+            .bitwiseAND(F.lit(1)) == 1, x).otherwise(-x))
+    return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def lsh_bucket_array(vec: Column, tables: list[list[list[float]]],
-                     n_planes: int) -> Column:
-    """One bucket id per table, table id packed into the high bits so
-    buckets from different tables never collide; Hamming-probe XORs touch
-    only the low ``n_planes`` sign bits, staying inside the table."""
-    return F.array(*[
-        F.lit(t << n_planes) + lsh_bucket(vec, planes)
-        for t, planes in enumerate(tables)
-    ])
+def hashed_lsh_buckets(vec: Column, n_planes: int, n_tables: int,
+                       seed: int = 17) -> Column:
+    """One sign-of-projection bucket id per table (OR-construction LSH:
+    a pair is a candidate if it collides in ANY table — recall
+    1-(1-p^b)^L instead of p^b).  Table id is packed into the high bits
+    so buckets from different tables never collide; Hamming-probe XORs
+    touch only the low ``n_planes`` sign bits, staying inside the table.
 
-
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-of-projection bucket id (random hyperplane LSH for cosine)."""
-    bits = [
-        F.when(dot(vec, F.array(*[F.lit(x) for x in p])) >= 0, 1).otherwise(0)
-        for p in planes
-    ]
-    out = F.lit(0)
-    for b in bits:
-        out = out * 2 + b
-    return out
+    ``n_planes`` sets the bucket count (2^b per table) and must scale
+    with log2(n) at corpus scale — more planes = finer buckets = fewer
+    candidate pairs but lower per-table recall (compensated by tables/
+    multiprobe). With b buckets in the join key, the candidate join has
+    only L·2^b distinct keys: at 1B rows raise b to ~20 so bucket
+    population, not key count, bounds parallelism."""
+    out = []
+    for t in range(n_tables):
+        acc = F.lit(0)
+        for p in range(n_planes):
+            bit = F.when(hashed_plane_dot(vec, t, p, seed) >= 0,
+                         1).otherwise(0)
+            acc = acc * 2 + bit
+        out.append(F.lit(t << n_planes) + acc)
+    return F.array(*out)
 
 
 def lsh_cosine_topk(emb: DataFrame, query_ids: list[int] | None = None,
@@ -262,16 +279,14 @@ def lsh_cosine_topk(emb: DataFrame, query_ids: list[int] | None = None,
     Same output shape as cosine_topk."""
     from pyspark.sql import Window
 
-    dim = len(emb.select(vec_col).first()[0])
-    tables = _plane_tables(dim, n_planes, n_tables, seed)
     # buckets are sign-of-projection → invariant under normalization, so
     # hashing the unit vectors gives identical buckets and a dot-only
-    # scoring stage
+    # scoring stage; hash-derived planes need no dimension probe
     nrm = normalized(emb, id_col, vec_col)
     with_bucket = nrm.select(
         F.col(id_col), F.col("_nv").alias("v"),
-        F.explode(lsh_bucket_array(F.col("_nv"), tables, n_planes))
-        .alias("bucket"),
+        F.explode(hashed_lsh_buckets(F.col("_nv"), n_planes, n_tables,
+                                     seed)).alias("bucket"),
     )
     q = with_bucket
     if query_ids is not None:
@@ -288,12 +303,15 @@ def lsh_cosine_topk(emb: DataFrame, query_ids: list[int] | None = None,
                      "bucket")
     c = with_bucket.select(F.col(id_col).alias("c_id"),
                            F.col("v").alias("cv"), "bucket")
+    # score BEFORE dedup: the duplicate-candidate dedup then shuffles
+    # skinny (q_id, c_id, sim) rows instead of pairs of wide vectors;
+    # re-scoring a duplicate costs one dot, shuffling it costs ~1 KB
     scored = (
         F.broadcast(q).join(c, "bucket")
         .where(F.col("c_id") != F.col("q_id"))
-        .dropDuplicates(["q_id", "c_id"])
         .select("q_id", "c_id",
                 F.round(dot(F.col("qv"), F.col("cv")), 4).alias("sim"))
+        .dropDuplicates(["q_id", "c_id"])
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
     return (
