@@ -37,10 +37,22 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     ps = sub.add_parser("sync", help="run the ingest pipeline to a store")
-    ps.add_argument("--blocks", required=True)
+    ps.add_argument("--blocks", required=True,
+                    help="block dir (mainnet BLOCKS or ENGINE_BLOCKS shape)")
     ps.add_argument("--vops")
     ps.add_argument("--out", required=True)
     ps.add_argument("--max-restarts", type=int, default=0)
+    ps.add_argument("--chain", default="hive",
+                    help="key prefix; a *_engine value selects the sidechain "
+                         "pipeline (Rakefile:58-62 dispatch); 'auto' detects "
+                         "it from --node-config (E7, meeseeker.rb:53-76)")
+    ps.add_argument("--node-config",
+                    help="path to a get_config JSON response for --chain auto")
+
+    pm = sub.add_parser("compact",
+                        help="fold micro-batch dirs into the OpsStore layout")
+    pm.add_argument("--ops", required=True)
+    pm.add_argument("--store", required=True)
 
     pw = sub.add_parser("schedule",
                         help="witness-schedule publisher (publish-once)")
@@ -70,19 +82,41 @@ def main(argv: list[str] | None = None) -> int:
         from .streaming import pipeline as P
         from .streaming.supervision import run_with_restarts
 
+        chain = a.chain
+        if chain == "auto":
+            from .chain import chain_key_prefix
+            if not a.node_config:
+                p.error("--chain auto requires --node-config")
+            with open(a.node_config) as f:
+                chain = chain_key_prefix(json.load(f))
+
         spark = _spark()
 
         def run_once():
-            ops = P.streaming_ops(
-                P.read_block_stream(spark, a.blocks),
-                P.read_vop_stream(spark, a.vops) if a.vops else None)
-            q = P.start_ingest(ops, f"{a.out}/ops", f"{a.out}/channels",
-                               f"{a.out}/ckpt")
+            if chain.endswith("_engine"):
+                q = P.start_engine_ingest(
+                    P.read_engine_stream(spark, a.blocks),
+                    f"{a.out}/ops", f"{a.out}/channels", f"{a.out}/ckpt",
+                    chain=chain)
+            else:
+                ops = P.streaming_ops(
+                    P.read_block_stream(spark, a.blocks),
+                    P.read_vop_stream(spark, a.vops) if a.vops else None,
+                    chain=chain)
+                q = P.start_ingest(ops, f"{a.out}/ops", f"{a.out}/channels",
+                                   f"{a.out}/ckpt")
             q.awaitTermination()
             return P.last_block_num(spark, f"{a.out}/ops")
 
         last = run_with_restarts(run_once, max_restarts=a.max_restarts)
         print(f"synced through block {last}")
+        return 0
+
+    if a.cmd == "compact":
+        from .streaming import pipeline as P
+
+        n = P.compact_stream_store(_spark(), a.ops, a.store)
+        print(f"compacted {n} batch dirs")
         return 0
 
     if a.cmd == "schedule":

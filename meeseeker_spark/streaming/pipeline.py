@@ -23,6 +23,7 @@ Choices mapped from the reference:
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -107,13 +108,100 @@ def start_ingest(ops_stream: DataFrame, ops_path: str, channels_path: str,
     return writer.start()
 
 
-def ops_view(spark: SparkSession, ops_path: str) -> DataFrame:
+def ops_view(spark: SparkSession, ops_path: str,
+             store_path: str | None = None) -> DataFrame:
     """Reader view over the streamed store; key-dedup guards the one
-    non-idempotent corner (same op in two batches via vop replay)."""
-    return (
-        spark.read.option("basePath", ops_path).parquet(ops_path + "/batch_id=*")
+    non-idempotent corner (same op in two batches via vop replay).
+
+    With ``store_path`` (the compacted OpsStore dir, see
+    compact_stream_store) the view unions compacted history with the
+    batch dirs that accumulated since the last compaction — consumers see
+    one uninterrupted keyed table across maintenance cycles."""
+    batches = ([d for d in os.listdir(ops_path)
+                if d.startswith("batch_id=")]
+               if os.path.exists(ops_path) else [])
+    parts: list[DataFrame] = []
+    if batches:
+        parts.append(
+            spark.read.option("basePath", ops_path)
+            .parquet(*[os.path.join(ops_path, d) for d in batches])
+            .drop("batch_id"))
+    if store_path and os.path.exists(store_path):
+        store = spark.read.parquet(store_path)
+        if parts:
+            store = store.select(*parts[0].columns)
+        parts.append(store)
+    if not parts:
+        raise FileNotFoundError(
+            f"no batch dirs under {ops_path} and no compacted store")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates(["key"])
+
+
+def compact_stream_store(spark: SparkSession, ops_path: str,
+                         store_path: str) -> int:
+    """Fold accumulated ``batch_id=N`` micro-batch dirs into the
+    chain-partitioned OpsStore layout (query.OpsStore.write: range-
+    partitioned, block-sorted files) — the small-files maintenance job
+    every long-running file-sink stream needs.  A day of 3 s triggers is
+    ~29k batch dirs; left alone, ``ops_view``'s listing + footer reads
+    become the query bottleneck long before data size does.  The reference
+    has no analog (Redis has no files); this is Spark-operational, the
+    same job Delta calls OPTIMIZE.
+
+    Returns the number of batch dirs consumed (0 = nothing to do).
+
+    Crash-safe by ordering, like retention.expire: the merged store is
+    written to a hidden ``.tmp`` dir, the old store renamed aside, tmp
+    renamed in, THEN old + consumed batch dirs are deleted.  A crash at
+    any point loses nothing: batch dirs are only removed after the swap
+    lands, and re-compacting a batch dir that survived a crash is a no-op
+    (key-idempotent dedup).  Single-writer assumption (one maintenance
+    job at a time), same as retention.
+    """
+    tmp_store = store_path + ".tmp"
+    old_store = store_path + ".old"
+    # recovery preamble: roll a crashed swap forward/back
+    if os.path.exists(old_store):
+        if os.path.exists(store_path):
+            shutil.rmtree(old_store)          # swap done; delete was lost
+        else:
+            os.rename(old_store, store_path)  # crash between renames
+    if os.path.exists(tmp_store):
+        shutil.rmtree(tmp_store)              # incomplete rewrite
+
+    if not os.path.exists(ops_path):
+        return 0
+    batches = sorted(d for d in os.listdir(ops_path)
+                     if d.startswith("batch_id="))
+    if not batches:
+        return 0
+
+    new = (
+        spark.read.option("basePath", ops_path)
+        .parquet(*[os.path.join(ops_path, d) for d in batches])
+        .drop("batch_id")
         .dropDuplicates(["key"])
     )
+    if os.path.exists(store_path):
+        old = spark.read.parquet(store_path)
+        merged = new.unionByName(old.select(*new.columns)) \
+            .dropDuplicates(["key"])
+    else:
+        merged = new
+
+    from ..query import OpsStore
+    OpsStore.write(merged, tmp_store)
+    if os.path.exists(store_path):
+        os.rename(store_path, old_store)
+    os.rename(tmp_store, store_path)
+    if os.path.exists(old_store):
+        shutil.rmtree(old_store)
+    for d in batches:
+        shutil.rmtree(os.path.join(ops_path, d))
+    return len(batches)
 
 
 def last_block_num(spark: SparkSession, ops_path: str) -> int | None:

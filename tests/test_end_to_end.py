@@ -129,3 +129,46 @@ def test_cli_schedule(tmp_path_factory, capsys):
                  "--out", str(d / "out")]) == 0
     out = capsys.readouterr().out
     assert f"published {len(fx.witness_schedules)} schedules" in out
+
+
+def test_cli_engine_sync_and_compact(spark, tmp_path_factory, capsys):
+    """`sync --chain hive_engine` parity (Rakefile:58-62 dispatch) with E7
+    auto-detection, then `compact` folds the streamed store into the
+    OpsStore layout and the 6-segment engine glob scans it."""
+    import json as _json
+
+    from meeseeker_spark.__main__ import main
+
+    fx = fixtures.generate(n_blocks=42, seed=11)
+    d = tmp_path_factory.mktemp("cliengine")
+    _write_batches(fx.engine_blocks, "engine_blocks",
+                   str(d / "engine_blocks"), 2)
+
+    assert main(["sync", "--chain", "hive_engine",
+                 "--blocks", str(d / "engine_blocks"),
+                 "--out", str(d / "out")]) == 0
+    out = capsys.readouterr().out
+    assert f"synced through block {fx.engine_blocks[-1]['blockNumber']}" in out
+
+    assert main(["compact", "--ops", str(d / "out" / "ops"),
+                 "--store", str(d / "store")]) == 0
+    assert (d / "store" / "chain=hive_engine").exists()
+
+    assert main(["scan", "hive_engine:*:tokens:transfer",
+                 "--store", str(d / "store")]) == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    rows = [_json.loads(ln) for ln in lines if ln.startswith("{")]
+    assert rows and all(
+        r["contract"] == "tokens" and r["action"] == "transfer" for r in rows)
+
+    # E7: --chain auto resolves the prefix from a get_config response and
+    # the resolved literal stamps every key
+    cfg = d / "node_config.json"
+    cfg.write_text(_json.dumps({"HIVE_CHAIN_ID": "beeab0de" + "0" * 56}))
+    _write_batches(fx.blocks, "blocks", str(d / "blocks_main"), 1)
+    assert main(["sync", "--chain", "auto", "--node-config", str(cfg),
+                 "--blocks", str(d / "blocks_main"),
+                 "--out", str(d / "out2")]) == 0
+    view = P.ops_view(spark, str(d / "out2" / "ops"))
+    assert view.where("chain = 'hive'").count() == view.count() > 0
+

@@ -384,3 +384,56 @@ def test_block_channel_header_gate(spark, fx, tmp_path_factory):
             assert {"block_num", "previous", "witness"} <= payload.keys()
         else:
             assert set(payload.keys()) == {"block_num"}
+
+
+def test_compact_stream_store(spark, fx, tmp_path_factory):
+    """Small-files maintenance: micro-batch dirs fold into the chain-
+    partitioned OpsStore layout; nothing lost, idempotent, queryable, and
+    the combined view bridges compacted history with post-compaction
+    batches."""
+    import os
+    import shutil
+
+    from meeseeker_spark.query import OpsStore
+
+    d = tmp_path_factory.mktemp("compact")
+    _write_batches(fx.blocks, "blocks", str(d / "blocks"), 4)
+    q = P.start_ingest(
+        P.streaming_ops(
+            P.read_block_stream(spark, str(d / "blocks"),
+                                max_files_per_trigger=1), None),
+        str(d / "ops"), str(d / "channels"), str(d / "ckpt"))
+    q.awaitTermination(120)
+
+    want = sorted(o["key"] for o in fx.ops_expected
+                  if o["trx_id"] != "0" * 40)  # real ops only (no vops fed)
+    store = str(d / "store")
+    n = P.compact_stream_store(spark, str(d / "ops"), store)
+    assert n > 1
+    # batch dirs consumed; compacted store holds exactly the streamed keys
+    assert not any(x.startswith("batch_id=")
+                   for x in os.listdir(str(d / "ops")))
+    got = sorted(r["key"] for r in spark.read.parquet(store).collect())
+    assert got == want
+    # chain-partitioned layout → OpsStore queries work (partition pruning)
+    st = OpsStore(spark, store)
+    assert st.scan("hive:*:vote").count() > 0
+    # idempotent: nothing left to compact
+    assert P.compact_stream_store(spark, str(d / "ops"), store) == 0
+
+    # re-stream the same blocks under a FRESH checkpoint: new batch dirs
+    # appear, and the combined view bridges store + batches without doubles
+    q2 = P.start_ingest(
+        P.streaming_ops(
+            P.read_block_stream(spark, str(d / "blocks")), None),
+        str(d / "ops"), str(d / "channels"), str(d / "ckpt2"))
+    q2.awaitTermination(120)
+    combined = P.ops_view(spark, str(d / "ops"), store)
+    assert sorted(r["key"] for r in combined.select("key").collect()) == want
+
+    # crash recovery: leftover .old with missing store rolls back
+    os.rename(store, store + ".old")
+    n3 = P.compact_stream_store(spark, str(d / "ops"), store)
+    assert os.path.exists(store) and not os.path.exists(store + ".old")
+    got3 = sorted(r["key"] for r in spark.read.parquet(store).collect())
+    assert got3 == want and n3 >= 1
