@@ -84,6 +84,9 @@ def main() -> None:
     from meeseeker_spark.query import OpsStore
     from meeseeker_spark.schemas import BLOCKS, VIRTUAL_OPS
 
+    from meeseeker_spark.flatten import flatten_engine_blocks
+    from meeseeker_spark.schemas import ENGINE_BLOCKS
+
     with tempfile.TemporaryDirectory() as d:
         fx = fixtures.generate(n_blocks=210, seed=42)
         fixtures.write_parquet(fx, d)
@@ -92,7 +95,15 @@ def main() -> None:
         t0 = time.perf_counter()
         OpsStore.write(flatten_ops_with_virtual(blocks, vops), f"{d}/ops")
         ingest_s = time.perf_counter() - t0
+        # sidechain daemon parity (S5): engine flatten → keyed store
+        eng = spark.read.schema(ENGINE_BLOCKS).parquet(
+            f"{d}/engine_blocks.parquet")
+        n_eng = eng.count()
+        t0 = time.perf_counter()
+        OpsStore.write(flatten_engine_blocks(eng), f"{d}/engine_ops")
+        engine_s = time.perf_counter() - t0
     blocks_per_s = round(210 / ingest_s, 2)
+    engine_blocks_per_s = round(n_eng / engine_s, 2)
 
     total = round(sum(results.values()), 3)
     print(json.dumps({
@@ -103,6 +114,7 @@ def main() -> None:
         "sf": sf,
         "extras": {
             "ingest_blocks_per_s": blocks_per_s,
+            "engine_ingest_blocks_per_s": engine_blocks_per_s,
             "baseline_chain_blocks_per_s": 0.33,
         },
     }))
