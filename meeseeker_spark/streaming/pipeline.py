@@ -204,6 +204,72 @@ def compact_stream_store(spark: SparkSession, ops_path: str,
     return len(batches)
 
 
+def compact_channel_store(spark: SparkSession, channels_path: str,
+                          store_path: str, writers: int = 8) -> int:
+    """Channels analog of compact_stream_store: fold per-trigger
+    channel_events batch dirs into a kind-partitioned, channel-clustered
+    layout (range-partitioned and sorted on (channel, block_num), so a
+    consumer's ``filter(channel = X)`` prunes to a handful of row groups
+    instead of listing thousands of micro-batch dirs).
+
+    Unlike the keyed op store there is NO key identity here — channel
+    events are append-only notifications — so batches are appended, not
+    merged, and compaction history never rewrites.  Crash semantics:
+    batch dirs are removed only after the append commits; a crash between
+    commit and removal re-appends those batches on the next run —
+    at-least-once, exactly the reference's own channel guarantee on
+    restart (publishes replay after a crash; README.md:13 notifications
+    are advisory).  Consumers needing exactly-once dedup on
+    (channel, kind, key, block_num) downstream.
+    """
+    if not os.path.exists(channels_path):
+        return 0
+    batches = sorted(d for d in os.listdir(channels_path)
+                     if d.startswith("batch_id="))
+    if not batches:
+        return 0
+    ev = (
+        spark.read.option("basePath", channels_path)
+        .parquet(*[os.path.join(channels_path, d) for d in batches])
+        .drop("batch_id")
+    )
+    (
+        ev.repartitionByRange(writers, "channel", "block_num")
+        .sortWithinPartitions("channel", "block_num")
+        .write.partitionBy("kind").mode("append").parquet(store_path)
+    )
+    for d in batches:
+        shutil.rmtree(os.path.join(channels_path, d))
+    return len(batches)
+
+
+def channel_events_view(spark: SparkSession, channels_path: str,
+                        store_path: str | None = None) -> DataFrame:
+    """One uninterrupted channel_events table across maintenance cycles:
+    compacted history ∪ batch dirs written since."""
+    batches = ([d for d in os.listdir(channels_path)
+                if d.startswith("batch_id=")]
+               if os.path.exists(channels_path) else [])
+    parts: list[DataFrame] = []
+    if batches:
+        parts.append(
+            spark.read.option("basePath", channels_path)
+            .parquet(*[os.path.join(channels_path, d) for d in batches])
+            .drop("batch_id"))
+    if store_path and os.path.exists(store_path):
+        store = spark.read.parquet(store_path)
+        if parts:
+            store = store.select(*parts[0].columns)
+        parts.append(store)
+    if not parts:
+        raise FileNotFoundError(
+            f"no batch dirs under {channels_path} and no compacted store")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def last_block_num(spark: SparkSession, ops_path: str) -> int | None:
     """The explicit HWM probe (reference: GET {chain}:meeseeker:last_block_num)."""
     meta_path = ops_path + "_meta"

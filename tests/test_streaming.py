@@ -437,3 +437,50 @@ def test_compact_stream_store(spark, fx, tmp_path_factory):
     assert os.path.exists(store) and not os.path.exists(store + ".old")
     got3 = sorted(r["key"] for r in spark.read.parquet(store).collect())
     assert got3 == want and n3 >= 1
+
+
+def test_compact_channel_store(spark, fx, tmp_path_factory):
+    """Channel fan-out compaction: append-only fold into a kind-partitioned
+    channel-clustered layout; counts preserved, channel filters push down,
+    view bridges store + later batches."""
+    import os
+
+    d = tmp_path_factory.mktemp("chancompact")
+    _write_batches(fx.blocks, "blocks", str(d / "blocks"), 4)
+    q = P.start_ingest(
+        P.streaming_ops(
+            P.read_block_stream(spark, str(d / "blocks"),
+                                max_files_per_trigger=1), None),
+        str(d / "ops"), str(d / "channels"), str(d / "ckpt"))
+    q.awaitTermination(120)
+
+    raw = spark.read.option("basePath", str(d / "channels")).parquet(
+        str(d / "channels") + "/batch_id=*")
+    want_total = raw.count()
+    want_vote = raw.where("channel = 'hive:op:vote'").count()
+    assert want_vote > 0
+
+    store = str(d / "chstore")
+    n = P.compact_channel_store(spark, str(d / "channels"), store)
+    assert n > 1
+    assert not any(x.startswith("batch_id=")
+                   for x in os.listdir(str(d / "channels")))
+    got = spark.read.parquet(store)
+    assert got.count() == want_total
+    # kind partitioning on disk + channel filter pushed to the scan
+    assert (d2 := [x for x in os.listdir(store) if x.startswith("kind=")])
+    plan = got.where("channel = 'hive:op:vote'")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "channel" in plan
+    assert got.where("channel = 'hive:op:vote'").count() == want_vote
+    # idempotent when nothing new
+    assert P.compact_channel_store(spark, str(d / "channels"), store) == 0
+
+    # later batches bridge through the view
+    q2 = P.start_ingest(
+        P.streaming_ops(
+            P.read_block_stream(spark, str(d / "blocks")), None),
+        str(d / "ops"), str(d / "channels"), str(d / "ckpt2"))
+    q2.awaitTermination(120)
+    view = P.channel_events_view(spark, str(d / "channels"), store)
+    assert view.count() == want_total * 2  # append-only: both copies visible
