@@ -48,6 +48,14 @@ def main(argv: list[str] | None = None) -> int:
                          "it from --node-config (E7, meeseeker.rb:53-76)")
     ps.add_argument("--node-config",
                     help="path to a get_config JSON response for --chain auto")
+    ps.add_argument("--resume-policy", action="store_true",
+                    help="apply the B10 skip-ahead policy: resume from the "
+                         "store HWM, or start fresh at the tip when the gap "
+                         "exceeds a TTL's worth of blocks "
+                         "(block_follower_job.rb:106-139)")
+    ps.add_argument("--ttl", type=int, default=None,
+                    help="expire_keys seconds for --resume-policy "
+                         "(default 86400; -1 = never skip)")
 
     pm = sub.add_parser("compact",
                         help="fold micro-batch dirs into the OpsStore layout")
@@ -99,10 +107,21 @@ def main(argv: list[str] | None = None) -> int:
                     f"{a.out}/ops", f"{a.out}/channels", f"{a.out}/ckpt",
                     chain=chain)
             else:
+                start_at = None
+                if a.resume_policy:
+                    dec = P.resolve_stream_start(
+                        spark, a.blocks, f"{a.out}/ops", ttl_s=a.ttl)
+                    # reference wording: block_follower_job.rb:133-137
+                    print("Starting new sync." if dec.fresh_sync
+                          else f"Resuming from block {dec.start_block} ...")
+                    start_at = dec.start_block
                 ops = P.streaming_ops(
                     P.read_block_stream(spark, a.blocks),
                     P.read_vop_stream(spark, a.vops) if a.vops else None,
                     chain=chain)
+                if start_at is not None:
+                    from pyspark.sql import functions as F
+                    ops = ops.where(F.col("block_num") >= start_at)
                 q = P.start_ingest(ops, f"{a.out}/ops", f"{a.out}/channels",
                                    f"{a.out}/ckpt")
             q.awaitTermination()

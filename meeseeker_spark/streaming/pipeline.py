@@ -140,6 +140,29 @@ def ops_view(spark: SparkSession, ops_path: str,
     return out.dropDuplicates(["key"])
 
 
+def resolve_stream_start(spark: SparkSession, blocks_dir: str, ops_path: str,
+                         ttl_s: int | None = None):
+    """B10 skip-ahead resume, wired to the pipeline: tip = the source's max
+    block (the dynamic-global-properties probe in the reference,
+    block_follower_job.rb:113-123), HWM = the store's _meta row, policy =
+    resume.resolve_start_block (gap > ttl-worth-of-blocks → fresh sync at
+    the tip — don't backfill what would expire before it's read).
+
+    Returns the StartDecision; callers apply it as a pushed-down
+    ``block_num >= start_block`` predicate on the stream, the declarative
+    equivalent of the reference seeking its iterator."""
+    from ..resume import resolve_start_block
+    from ..schemas import DEFAULT_TTL_S
+
+    tip = (
+        spark.read.schema(BLOCKS).parquet(blocks_dir)
+        .agg(F.max("block_num")).first()[0]
+    )
+    last = last_block_num(spark, ops_path)
+    return resolve_start_block(
+        last, tip, DEFAULT_TTL_S if ttl_s is None else ttl_s)
+
+
 def compact_stream_store(spark: SparkSession, ops_path: str,
                          store_path: str) -> int:
     """Fold accumulated ``batch_id=N`` micro-batch dirs into the

@@ -172,3 +172,58 @@ def test_cli_engine_sync_and_compact(spark, tmp_path_factory, capsys):
     view = P.ops_view(spark, str(d / "out2" / "ops"))
     assert view.where("chain = 'hive'").count() == view.count() > 0
 
+
+
+def test_cli_resume_policy(spark, tmp_path_factory, capsys):
+    """B10 wired end-to-end: a small gap resumes from the HWM ("Resuming
+    from block N"); a gap beyond a TTL's worth of blocks starts fresh at
+    the tip ("Starting new sync.") and skips the stale backlog."""
+    from meeseeker_spark.__main__ import main
+
+    fx = fixtures.generate(n_blocks=21, seed=7)
+    d = tmp_path_factory.mktemp("cliresume")
+    half = len(fx.blocks) // 2
+    _write_batches(fx.blocks[:half], "blocks", str(d / "blocks"), 1)
+
+    assert main(["sync", "--blocks", str(d / "blocks"),
+                 "--out", str(d / "out"), "--resume-policy"]) == 0
+    out1 = capsys.readouterr().out
+    assert "Starting new sync." in out1  # no HWM yet
+    hwm = fx.blocks[half - 1]["block_num"]
+
+    # the rest of the chain arrives as NEW files (the checkpoint has
+    # already consumed the old ones); small gap → resume from hwm+1
+    import glob as _glob
+    _write_batches(fx.blocks[half:], "blocks", str(d / "blocks2"), 1)
+    for f in _glob.glob(str(d / "blocks2" / "*.parquet")):
+        os.rename(f, str(d / "blocks" / ("late-" + os.path.basename(f))))
+    assert main(["sync", "--blocks", str(d / "blocks"),
+                 "--out", str(d / "out"), "--resume-policy"]) == 0
+    out2 = capsys.readouterr().out
+    assert f"Resuming from block {hwm + 1}" in out2
+    # fresh-sync semantics: the first run started AT the tip (reference:
+    # a new sync never backfills), so the store holds the tip block of the
+    # first delivery plus everything after — nothing before it
+    kept = {b["block_num"] for b in fx.blocks[half - 1:]}
+    real_kept = [o for o in fx.ops_expected
+                 if o["trx_id"] != "0" * 40 and o["block_num"] in kept]
+    view = P.ops_view(spark, str(d / "out" / "ops"))
+    assert view.count() == len(real_kept)
+    # block set matches exactly (empty blocks yield no ops rows)
+    assert {r["block_num"] for r in view.select("block_num").collect()} \
+        == {o["block_num"] for o in real_kept}
+
+    # fresh store, tiny ttl → the gap from block 1 to the tip exceeds
+    # ttl/3s-worth of blocks → skip-ahead: only the tip block lands
+    tip = fx.blocks[-1]["block_num"]
+    assert main(["sync", "--blocks", str(d / "blocks"),
+                 "--out", str(d / "out2"), "--resume-policy",
+                 "--ttl", "3"]) == 0
+    # ttl=3s → max_backfill = 1 block; HWM absent → fresh at tip: nothing
+    # below the tip may land, and the store holds exactly the tip block's
+    # ops (zero, if the tip block is empty — still a correct fresh sync)
+    view2 = P.ops_view(spark, str(d / "out2" / "ops"))
+    real_tip = [o for o in fx.ops_expected
+                if o["trx_id"] != "0" * 40 and o["block_num"] == tip]
+    assert view2.count() == len(real_tip)
+    assert view2.where(f"block_num < {tip}").count() == 0
