@@ -80,9 +80,12 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("chain", nargs="?", default="all")
     pr.add_argument("--store", required=True)
 
-    pv = sub.add_parser("verify", help="D1 reconciliation vs a blocks dir")
+    pv = sub.add_parser("verify", help="D1/D2 reconciliation vs a blocks dir")
     pv.add_argument("--store", required=True)
     pv.add_argument("--blocks", required=True)
+    pv.add_argument("--engine", action="store_true",
+                    help="sidechain D2 reconciliation (ENGINE_BLOCKS shape; "
+                         "Rakefile verify:*_engine_block_org)")
 
     a = p.parse_args(argv)
 
@@ -167,13 +170,17 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     # verify
-    from .schemas import BLOCKS
-    from .verify import reconcile_blocks
+    from .schemas import BLOCKS, ENGINE_BLOCKS
+    from .verify import reconcile_blocks, reconcile_engine_blocks
 
     spark = _spark()
     ops = spark.read.parquet(a.store)
-    blocks = spark.read.schema(BLOCKS).parquet(a.blocks)
-    rec = reconcile_blocks(ops, blocks)
+    if a.engine:
+        blocks = spark.read.schema(ENGINE_BLOCKS).parquet(a.blocks)
+        rec = reconcile_engine_blocks(ops, blocks)
+    else:
+        blocks = spark.read.schema(BLOCKS).parquet(a.blocks)
+        rec = reconcile_blocks(ops, blocks)
     bad = rec.where("NOT reconciled").collect()
     for r in bad:
         print(json.dumps(r.asDict(recursive=True), default=str))

@@ -161,6 +161,12 @@ def test_cli_engine_sync_and_compact(spark, tmp_path_factory, capsys):
     assert rows and all(
         r["contract"] == "tokens" and r["action"] == "transfer" for r in rows)
 
+    # D2 engine reconciliation through the CLI: the freshly-synced store
+    # must reconcile exactly against its own source blocks (exit 0)
+    assert main(["verify", "--engine", "--store", str(d / "store"),
+                 "--blocks", str(d / "engine_blocks")]) == 0
+    assert "0 mismatched" in capsys.readouterr().out
+
     # E7: --chain auto resolves the prefix from a get_config response and
     # the resolved literal stamps every key
     cfg = d / "node_config.json"
