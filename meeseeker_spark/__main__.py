@@ -103,10 +103,24 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = _spark()
 
+        if chain.endswith("_engine") and a.vops:
+            p.error("--vops is mainnet-only (virtual engine trxs ride "
+                    "inside ENGINE_BLOCKS)")
+
         def run_once():
             if chain.endswith("_engine"):
+                stream = P.read_engine_stream(spark, a.blocks)
+                if a.resume_policy:
+                    dec = P.resolve_engine_stream_start(
+                        spark, a.blocks, f"{a.out}/ops", ttl_s=a.ttl)
+                    # reference wording: follower_job.rb:139-143
+                    print("Starting new sync." if dec.fresh_sync
+                          else f"Resuming from block {dec.start_block} ...")
+                    from pyspark.sql import functions as F
+                    stream = stream.where(
+                        F.col("blockNumber") >= dec.start_block)
                 q = P.start_engine_ingest(
-                    P.read_engine_stream(spark, a.blocks),
+                    stream,
                     f"{a.out}/ops", f"{a.out}/channels", f"{a.out}/ckpt",
                     chain=chain)
             else:

@@ -17,8 +17,6 @@ before arithmetic so results are stable and oracle-reproducible.
 
 from __future__ import annotations
 
-import random
-
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -210,11 +208,6 @@ def quantized_topk(emb: DataFrame, query_ids: list[int] | None = None,
         .alias(vec_col))
     return cosine_topk(deq, query_ids=query_ids, k=k, id_col=id_col,
                        vec_col=vec_col)
-
-
-def _hyperplanes(dim: int, n_planes: int, seed: int = 17) -> list[list[float]]:
-    rng = random.Random(seed)
-    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
 
 
 def hashed_plane_dot(vec: Column, table: int, plane: int,

@@ -122,13 +122,28 @@ def glob_to_filter(pattern: str) -> Column:
                 preds.append(F.col("action") == tail)
             else:
                 preds.append(F.col("op_type") == tail)
-        if sidechain and len(segs) >= 2:
+        # the PENULTIMATE literal is positionally certain — but ONLY when
+        # the last segment is itself a literal: then the pattern tail
+        # ':<penult>:<tail>' is end-anchored, and since segment values
+        # contain no ':', a matching key's second-to-last segment IS the
+        # penult — contract on the sidechain (any name: the design is
+        # data-derived, new contracts must need no code change,
+        # README.md:351), trx_index on mainnet (always digits; a non-digit
+        # there can't bind positionally and falls to the residual).  A
+        # wildcard tail un-anchors the penult (the '*' may absorb any
+        # number of trailing segments), so it stays a plain middle.
+        middles = segs[1:-1]
+        tail_literal = tail != "*" and not any(ch in tail for ch in "*?[")
+        if len(segs) >= 3 and tail_literal:
             penult = segs[-2]
-            if penult not in ("*", head) and not any(c in penult for c in "*?["):
-                if penult in ("tokens", "market", "sscstore", "steempegged",
-                              "contract", "mining", "witnesses"):
+            if penult != "*" and not any(c in penult for c in "*?["):
+                if sidechain:
                     preds.append(F.col("contract") == penult)
-        for seg in segs[1:-1]:
+                    middles = segs[1:-2]
+                elif penult.isdigit():
+                    preds.append(F.col("trx_index") == int(penult))
+                    middles = segs[1:-2]
+        for seg in middles:
             if seg == "*" or any(ch in seg for ch in "*?["):
                 continue
             if seg.isdigit():
@@ -141,9 +156,9 @@ def glob_to_filter(pattern: str) -> Column:
                 exact = False
             elif _HEX40.match(seg):
                 preds.append(F.col("trx_id") == seg)
-        # middles that are neither digits nor hex nor known contracts can't
-        # be positionally resolved → need the residual
-        unresolved = [s for s in segs[1:-1]
+        # middles that are neither digits nor hex can't be positionally
+        # resolved → need the residual
+        unresolved = [s for s in middles
                       if s != "*" and not s.isdigit() and not _HEX40.match(s)
                       and not any(ch in s for ch in "*?[")]
         if unresolved:

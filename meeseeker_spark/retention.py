@@ -40,7 +40,19 @@ def _recover(path: str) -> None:
     - ``.old_chain=X`` present alongside ``chain=X`` → the swap completed,
       only the delete was lost: finish it.
     - ``.tmp_chain=X`` → an incomplete (or superseded) rewrite: discard.
+
+    The same protocol covers the whole-store swap (sibling ``<path>.old`` /
+    ``<path>.tmp``) used for stores without chain= partition dirs.
     """
+    if os.path.exists(path + ".old"):
+        if os.path.exists(path):
+            shutil.rmtree(path + ".old")
+        else:
+            os.rename(path + ".old", path)
+    if os.path.exists(path + ".tmp"):
+        shutil.rmtree(path + ".tmp")
+    if not os.path.isdir(path):
+        return
     for d in os.listdir(path):
         full = os.path.join(path, d)
         if d.startswith(".old_chain="):
@@ -58,14 +70,20 @@ def expire(spark: SparkSession, path: str, ttl_s: int = DEFAULT_TTL_S,
     """Delete rows older than ttl; returns rows removed.
 
     ttl_s == -1 disables expiry (reference semantics: keys live forever).
+    Rows with NULL ``ingested_at`` never expire — NULL means "no recorded
+    ingest time", and silently deleting them would be uncounted data loss.
     One counting job (expired rows per chain) decides which partitions to
     rewrite; chains with zero expired rows are never read again or touched.
+    Stores without chain= partition dirs (e.g. a raw un-partitioned dump)
+    fall back to a whole-store rewrite with the same crash-safe swap.
     """
     if ttl_s == -1:
         return 0
     _recover(path)
     now = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     cutoff = now - dt.timedelta(seconds=ttl_s)
+    live_pred = (F.col("ingested_at") >= F.lit(cutoff)) \
+        | F.col("ingested_at").isNull()
 
     df = spark.read.parquet(path)
     expired_per_chain = (
@@ -76,6 +94,17 @@ def expire(spark: SparkSession, path: str, ttl_s: int = DEFAULT_TTL_S,
     if not expired_per_chain:
         return 0
 
+    if not any(d.startswith("chain=") for d in os.listdir(path)):
+        # un-partitioned layout: one whole-store swap (sibling tmp/old)
+        n_total = sum(r["n"] for r in expired_per_chain)
+        live = df.where(live_pred).sortWithinPartitions(
+            "block_num", "trx_id", "trx_index")
+        live.write.mode("overwrite").parquet(path + ".tmp")
+        os.rename(path, path + ".old")
+        os.rename(path + ".tmp", path)
+        shutil.rmtree(path + ".old")
+        return n_total
+
     removed = 0
     for row in expired_per_chain:
         chain, n = row["chain"], row["n"]
@@ -84,7 +113,7 @@ def expire(spark: SparkSession, path: str, ttl_s: int = DEFAULT_TTL_S,
         old_dir = os.path.join(path, f".old_chain={chain}")
         live = (
             spark.read.parquet(part_dir)
-            .where(F.col("ingested_at") >= F.lit(cutoff))
+            .where(live_pred)
             .sortWithinPartitions("block_num", "trx_id", "trx_index")
         )
         live.write.mode("overwrite").parquet(tmp_dir)
@@ -106,5 +135,6 @@ def live_key_count(spark: SparkSession, path: str,
     df = spark.read.parquet(path)
     if ttl_s != -1:
         cutoff = now - dt.timedelta(seconds=ttl_s)
-        df = df.where(F.col("ingested_at") >= F.lit(cutoff))
+        df = df.where((F.col("ingested_at") >= F.lit(cutoff))
+                      | F.col("ingested_at").isNull())
     return df.count()

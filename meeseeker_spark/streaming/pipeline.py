@@ -108,23 +108,20 @@ def start_ingest(ops_stream: DataFrame, ops_path: str, channels_path: str,
     return writer.start()
 
 
-def ops_view(spark: SparkSession, ops_path: str,
-             store_path: str | None = None) -> DataFrame:
-    """Reader view over the streamed store; key-dedup guards the one
-    non-idempotent corner (same op in two batches via vop replay).
-
-    With ``store_path`` (the compacted OpsStore dir, see
-    compact_stream_store) the view unions compacted history with the
-    batch dirs that accumulated since the last compaction — consumers see
-    one uninterrupted keyed table across maintenance cycles."""
-    batches = ([d for d in os.listdir(ops_path)
+def _batched_view(spark: SparkSession, batch_path: str,
+                  store_path: str | None) -> DataFrame:
+    """Union of a sink's ``batch_id=N`` micro-batch dirs with an optional
+    compacted store — the shared shape behind ops_view and
+    channel_events_view (one uninterrupted table across maintenance
+    cycles)."""
+    batches = ([d for d in os.listdir(batch_path)
                 if d.startswith("batch_id=")]
-               if os.path.exists(ops_path) else [])
+               if os.path.exists(batch_path) else [])
     parts: list[DataFrame] = []
     if batches:
         parts.append(
-            spark.read.option("basePath", ops_path)
-            .parquet(*[os.path.join(ops_path, d) for d in batches])
+            spark.read.option("basePath", batch_path)
+            .parquet(*[os.path.join(batch_path, d) for d in batches])
             .drop("batch_id"))
     if store_path and os.path.exists(store_path):
         store = spark.read.parquet(store_path)
@@ -133,11 +130,22 @@ def ops_view(spark: SparkSession, ops_path: str,
         parts.append(store)
     if not parts:
         raise FileNotFoundError(
-            f"no batch dirs under {ops_path} and no compacted store")
+            f"no batch dirs under {batch_path} and no compacted store")
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.dropDuplicates(["key"])
+    return out
+
+
+def ops_view(spark: SparkSession, ops_path: str,
+             store_path: str | None = None) -> DataFrame:
+    """Reader view over the streamed store; key-dedup guards the one
+    non-idempotent corner (same op in two batches via vop replay).
+
+    With ``store_path`` (the compacted OpsStore dir, see
+    compact_stream_store) the view unions compacted history with the
+    batch dirs that accumulated since the last compaction."""
+    return _batched_view(spark, ops_path, store_path).dropDuplicates(["key"])
 
 
 def resolve_stream_start(spark: SparkSession, blocks_dir: str, ops_path: str,
@@ -151,7 +159,7 @@ def resolve_stream_start(spark: SparkSession, blocks_dir: str, ops_path: str,
     Returns the StartDecision; callers apply it as a pushed-down
     ``block_num >= start_block`` predicate on the stream, the declarative
     equivalent of the reference seeking its iterator."""
-    from ..resume import resolve_start_block
+    from ..resume import StartDecision, resolve_start_block
     from ..schemas import DEFAULT_TTL_S
 
     tip = (
@@ -159,8 +167,47 @@ def resolve_stream_start(spark: SparkSession, blocks_dir: str, ops_path: str,
         .agg(F.max("block_num")).first()[0]
     )
     last = last_block_num(spark, ops_path)
+    if tip is None:
+        # empty source (files rotated away / nothing delivered yet): no
+        # tip to measure a gap against — hold position at the HWM
+        start = 0 if last is None else last + 1
+        return StartDecision(start, last is None,
+                             "empty source; holding at high-water mark")
     return resolve_start_block(
         last, tip, DEFAULT_TTL_S if ttl_s is None else ttl_s)
+
+
+def resolve_engine_stream_start(spark: SparkSession, engine_dir: str,
+                                ops_path: str, ttl_s: int | None = None,
+                                now=None):
+    """Sidechain B10 variant, wired to the pipeline: staleness is measured
+    in SECONDS of tip age (steem_engine/follower_job.rb:116-144 — the
+    engine block cadence is irregular, so a block-count gap is
+    meaningless); a stale tip starts fresh at tip+1, the next block to be
+    produced."""
+    import datetime as dt
+
+    from ..resume import StartDecision, resolve_start_block_engine
+    from ..schemas import DEFAULT_TTL_S
+
+    row = (
+        spark.read.schema(ENGINE_BLOCKS).parquet(engine_dir)
+        .agg(
+            F.max("blockNumber").alias("tip"),
+            F.max(F.to_timestamp(F.col("timestamp"),
+                                 "yyyy-MM-dd'T'HH:mm:ss")).alias("tip_ts"),
+        ).first()
+    )
+    last = last_block_num(spark, ops_path)
+    if row["tip"] is None:
+        start = 0 if last is None else last + 1
+        return StartDecision(start, last is None,
+                             "empty source; holding at high-water mark")
+    now = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    tip_age_s = max(0.0, (now - row["tip_ts"]).total_seconds())
+    return resolve_start_block_engine(
+        last, row["tip"], tip_age_s,
+        DEFAULT_TTL_S if ttl_s is None else ttl_s)
 
 
 def compact_stream_store(spark: SparkSession, ops_path: str,
@@ -269,28 +316,8 @@ def compact_channel_store(spark: SparkSession, channels_path: str,
 def channel_events_view(spark: SparkSession, channels_path: str,
                         store_path: str | None = None) -> DataFrame:
     """One uninterrupted channel_events table across maintenance cycles:
-    compacted history ∪ batch dirs written since."""
-    batches = ([d for d in os.listdir(channels_path)
-                if d.startswith("batch_id=")]
-               if os.path.exists(channels_path) else [])
-    parts: list[DataFrame] = []
-    if batches:
-        parts.append(
-            spark.read.option("basePath", channels_path)
-            .parquet(*[os.path.join(channels_path, d) for d in batches])
-            .drop("batch_id"))
-    if store_path and os.path.exists(store_path):
-        store = spark.read.parquet(store_path)
-        if parts:
-            store = store.select(*parts[0].columns)
-        parts.append(store)
-    if not parts:
-        raise FileNotFoundError(
-            f"no batch dirs under {channels_path} and no compacted store")
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    compacted history ∪ batch dirs written since (append-only: no dedup)."""
+    return _batched_view(spark, channels_path, store_path)
 
 
 def last_block_num(spark: SparkSession, ops_path: str) -> int | None:

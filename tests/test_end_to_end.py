@@ -233,3 +233,47 @@ def test_cli_resume_policy(spark, tmp_path_factory, capsys):
                 if o["trx_id"] != "0" * 40 and o["block_num"] == tip]
     assert view2.count() == len(real_tip)
     assert view2.where(f"block_num < {tip}").count() == 0
+
+
+def test_cli_engine_resume_policy(spark, tmp_path_factory, capsys):
+    """Sidechain B10 wired end-to-end: staleness in seconds → fresh sync at
+    tip+1 ingests nothing from an old fixture; --ttl -1 with an HWM
+    resumes from hwm+1 and picks up only newly delivered blocks."""
+    from meeseeker_spark.__main__ import main
+
+    fx = fixtures.generate(n_blocks=42, seed=19)
+    d = tmp_path_factory.mktemp("cliengres")
+    half = len(fx.engine_blocks) // 2
+    _write_batches(fx.engine_blocks[:half], "engine_blocks",
+                   str(d / "eng"), 1)
+
+    # fixture timestamps are years old → default TTL declares the tip
+    # stale → fresh sync at tip+1 → nothing from the backlog lands
+    assert main(["sync", "--chain", "hive_engine", "--blocks", str(d / "eng"),
+                 "--out", str(d / "out_stale"), "--resume-policy"]) == 0
+    assert "Starting new sync." in capsys.readouterr().out
+    v = P.ops_view(spark, str(d / "out_stale" / "ops"))
+    assert v.count() == 0
+
+    # build an HWM by syncing the first half without the policy (a fresh
+    # finite-ttl engine sync starts at tip+1 — follower_job.rb:137 — so
+    # the backlog must be ingested policy-free first, like a live daemon
+    # that was already running)
+    assert main(["sync", "--chain", "hive_engine", "--blocks", str(d / "eng"),
+                 "--out", str(d / "out")]) == 0
+    capsys.readouterr()
+    hwm = fx.engine_blocks[half - 1]["blockNumber"]
+
+    # second half arrives as a new file; a not-yet-stale tip (ttl larger
+    # than the fixture's age) → the resume branch from hwm+1
+    import glob as _glob
+    _write_batches(fx.engine_blocks[half:], "engine_blocks",
+                   str(d / "eng2"), 1)
+    for f in _glob.glob(str(d / "eng2" / "*.parquet")):
+        os.rename(f, str(d / "eng" / ("late-" + os.path.basename(f))))
+    assert main(["sync", "--chain", "hive_engine", "--blocks", str(d / "eng"),
+                 "--out", str(d / "out"), "--resume-policy",
+                 "--ttl", "999999999"]) == 0
+    assert f"Resuming from block {hwm + 1}" in capsys.readouterr().out
+    v2 = P.ops_view(spark, str(d / "out" / "ops"))
+    assert v2.count() == len(fx.engine_ops_expected)

@@ -243,3 +243,72 @@ def test_sessionize_matches_session_window(spark):
     theirs = {(r["user_id"], r["start_us"]): r["n_events"]
               for r in native.collect()}
     assert mine == theirs
+
+
+def test_expire_keeps_null_ingested_at(spark, tmp_path_factory):
+    """NULL ingested_at = no recorded ingest time → never expires (and is
+    never silently dropped by a partition rewrite)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from meeseeker_spark import fixtures
+    from meeseeker_spark.flatten import flatten_blocks
+    from meeseeker_spark.query import OpsStore
+    from meeseeker_spark.retention import expire, live_key_count
+    from meeseeker_spark.schemas import BLOCKS
+
+    fx = fixtures.generate(n_blocks=21, seed=3)
+    d = tmp_path_factory.mktemp("nullttl")
+    fixtures.write_parquet(fx, str(d))
+    ops = flatten_blocks(
+        spark.read.schema(BLOCKS).parquet(str(d / "blocks.parquet")))
+    # odd blocks: ancient ingest time (expired); even blocks: NULL
+    aged = ops.withColumn(
+        "ingested_at",
+        F.when(F.col("block_num") % 2 == 1,
+               F.lit(dt.datetime(2000, 1, 1)).cast("timestamp")))
+    OpsStore.write(aged, str(d / "store"))
+    n_null = aged.where("ingested_at IS NULL").count()
+    n_old = aged.where("ingested_at IS NOT NULL").count()
+
+    removed = expire(spark, str(d / "store"), ttl_s=86_400,
+                     now=dt.datetime(2000, 1, 3))
+    left = spark.read.parquet(str(d / "store"))
+    assert removed == n_old
+    assert left.count() == n_null
+    assert left.where("ingested_at IS NOT NULL").count() == 0
+    assert live_key_count(spark, str(d / "store"), ttl_s=86_400,
+                          now=dt.datetime(2000, 1, 3)) == n_null
+
+
+def test_expire_unpartitioned_store(spark, tmp_path_factory):
+    """A store without chain= partition dirs falls back to a whole-store
+    crash-safe swap instead of crashing on the missing partition path."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from meeseeker_spark import fixtures
+    from meeseeker_spark.flatten import flatten_blocks
+    from meeseeker_spark.retention import expire
+    from meeseeker_spark.schemas import BLOCKS
+
+    fx = fixtures.generate(n_blocks=21, seed=3)
+    d = tmp_path_factory.mktemp("flatttl")
+    fixtures.write_parquet(fx, str(d))
+    ops = flatten_blocks(
+        spark.read.schema(BLOCKS).parquet(str(d / "blocks.parquet")))
+    aged = ops.withColumn(
+        "ingested_at",
+        F.when(F.col("block_num") % 2 == 0,
+               F.lit(dt.datetime(2000, 1, 1)))
+        .otherwise(F.lit(dt.datetime(2100, 1, 1))).cast("timestamp"))
+    aged.write.mode("overwrite").parquet(str(d / "flat"))  # NO partitionBy
+
+    removed = expire(spark, str(d / "flat"), ttl_s=86_400,
+                     now=dt.datetime(2000, 1, 3))
+    left = spark.read.parquet(str(d / "flat"))
+    assert removed > 0
+    assert left.where("block_num % 2 = 0").count() == 0
+    assert left.where("block_num % 2 = 1").count() > 0
