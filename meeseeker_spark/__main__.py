@@ -56,6 +56,16 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--ttl", type=int, default=None,
                     help="expire_keys seconds for --resume-policy "
                          "(default 86400; -1 = never skip)")
+    ps.add_argument("--mode", choices=("head", "irreversible"),
+                    default="head",
+                    help="stream mode (MEESEEKER_STREAM_MODE, "
+                         "meeseeker.rb:95): head = read-uncommitted; "
+                         "irreversible = hold the youngest blocks in a "
+                         "pending area until final")
+    ps.add_argument("--lib-lag", type=int, default=None,
+                    help="blocks behind head considered reversible in "
+                         "--mode irreversible (default: one 21-witness "
+                         "round)")
 
     pm = sub.add_parser("compact",
                         help="fold micro-batch dirs into the OpsStore layout")
@@ -106,6 +116,9 @@ def main(argv: list[str] | None = None) -> int:
         if chain.endswith("_engine") and a.vops:
             p.error("--vops is mainnet-only (virtual engine trxs ride "
                     "inside ENGINE_BLOCKS)")
+        if chain.endswith("_engine") and a.mode != "head":
+            p.error("--mode is mainnet-only (the sidechain follower polls "
+                    "latest blocks only, follower_job.rb:148-185)")
 
         def run_once():
             if chain.endswith("_engine"):
@@ -139,8 +152,11 @@ def main(argv: list[str] | None = None) -> int:
                 if start_at is not None:
                     from pyspark.sql import functions as F
                     ops = ops.where(F.col("block_num") >= start_at)
-                q = P.start_ingest(ops, f"{a.out}/ops", f"{a.out}/channels",
-                                   f"{a.out}/ckpt")
+                q = P.start_ingest(
+                    ops, f"{a.out}/ops", f"{a.out}/channels",
+                    f"{a.out}/ckpt", mode=a.mode,
+                    lib_lag=(P.REVERSIBLE_LAG_BLOCKS if a.lib_lag is None
+                             else a.lib_lag))
             q.awaitTermination()
             return P.last_block_num(spark, f"{a.out}/ops")
 

@@ -859,6 +859,77 @@ def engine_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "engine_channel_rollup",
+    """
+    WITH eng AS (
+        SELECT 'hive_engine' AS chain,
+               o_orderkey % 4096 AS block_num,
+               CASE WHEN o_orderkey % 5 = 0 THEN repeat('0', 40)
+                    ELSE md5(CAST(o_orderkey AS VARCHAR)) END AS trx_id,
+               CASE o_orderkey % 3 WHEN 0 THEN 'tokens'
+                    WHEN 1 THEN 'market' ELSE 'sscstore' END AS contract,
+               CASE o_custkey % 2 WHEN 0 THEN 'transfer'
+                    ELSE 'issue' END AS action
+        FROM orders
+    ),
+    ch AS (
+        SELECT chain || ':' || contract AS channel, block_num FROM eng
+        UNION ALL
+        SELECT chain || ':' || contract || ':' || action, block_num FROM eng
+        UNION ALL
+        SELECT chain || CASE WHEN trx_id = repeat('0', 40)
+                        THEN ':virtual_transaction'
+                        ELSE ':transaction' END,
+               block_num
+        FROM eng
+        UNION ALL
+        SELECT DISTINCT chain || ':block', block_num FROM eng
+    )
+    SELECT channel, count(*) AS n_events,
+           count(DISTINCT block_num) AS n_blocks
+    FROM ch GROUP BY channel
+    """,
+    tags=("S8", "S5"),
+)
+def engine_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sidechain pub/sub volume per channel through the REAL fan-out
+    (channels.engine_channels — the complete follower_job.rb:20-83 set:
+    ``{chain}:{contract}``, ``{chain}:{contract}:{action}``,
+    ``{chain}:[virtual_]transaction``, ``{chain}:block``) over
+    engine-shaped rows modeled deterministically from orders.  The oracle
+    spells each wire name out longhand, so any drift in channel naming
+    (the round-2 wire-compat bug class) hash-fails here instead of only
+    in a unit test.  Narrow projections + one grouped count — the rollup
+    shuffles (channel, partial-count) pairs only."""
+    from .channels import engine_channels
+    o = load(spark, sf_dir, "orders")
+    eng = o.select(
+        F.lit("hive_engine").alias("chain"),
+        (F.col("o_orderkey") % 4096).alias("block_num"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("0" * 40))
+        .otherwise(F.md5(F.col("o_orderkey").cast("string")))
+        .alias("trx_id"),
+        F.lit(0).alias("trx_index"),
+        F.lit(None).cast("string").alias("op_type"),
+        F.when(F.col("o_orderkey") % 3 == 0, "tokens")
+        .when(F.col("o_orderkey") % 3 == 1, "market")
+        .otherwise("sscstore").alias("contract"),
+        F.when(F.col("o_custkey") % 2 == 0, "transfer")
+        .otherwise("issue").alias("action"),
+        (F.col("o_orderkey") % 7).cast("int").alias("transaction_num"),
+        F.lit(None).cast("string").alias("value"),
+    ).withColumn(
+        "key", F.concat_ws(":", "chain", "block_num", "trx_id",
+                           "trx_index", "contract", "action"))
+    return (
+        engine_channels(eng)
+        .groupBy("channel")
+        .agg(F.count("*").alias("n_events"),
+             F.countDistinct("block_num").alias("n_blocks"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # F1–F6 extensions: dedup / similarity / text analysis / multimodal
 # (driver north star — training-data pipeline operators at 100 TB design)

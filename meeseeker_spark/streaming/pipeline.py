@@ -34,6 +34,12 @@ from ..schemas import BLOCKS, ENGINE_BLOCKS, VIRTUAL_OPS, WITNESS_SCHEDULES
 
 VOP_LATENESS = "18 seconds"   # Σ(retry × BLOCK_INTERVAL), see SURVEY §4.5
 
+# The file source carries no dgpo, so the irreversible stream mode needs a
+# stand-in for head_block_number − last_irreversible_block_num.  On mainnet
+# finality needs ~3/4 of the 21-witness round to have signed past a block,
+# so the lag is bounded by one full round — the conservative default.
+REVERSIBLE_LAG_BLOCKS = 21
+
 
 def read_block_stream(spark: SparkSession, blocks_dir: str,
                       max_files_per_trigger: int | None = None) -> DataFrame:
@@ -62,9 +68,63 @@ def streaming_ops(blocks_stream: DataFrame, vops_stream: DataFrame | None,
     return ops
 
 
+def _recover_pending(pending: str) -> None:
+    """Finish or discard an interrupted pending-dir swap (same rename-aside
+    protocol as retention._recover): ``.old`` without the live dir → the
+    swap lost its final rename, restore it; ``.tmp`` → superseded rewrite,
+    discard."""
+    if os.path.exists(pending + ".old"):
+        if os.path.exists(pending):
+            shutil.rmtree(pending + ".old")
+        else:
+            os.rename(pending + ".old", pending)
+    if os.path.exists(pending + ".tmp"):
+        shutil.rmtree(pending + ".tmp")
+
+
+def _irreversible_gate(batch_df: DataFrame, pending: str, lib_lag: int):
+    """Read-committed micro-batch gate (stream mode ``irreversible``,
+    block_follower_job.rb:113-123): the reference simply never fetches past
+    ``last_irreversible_block_num``, and re-polls the held-back range once
+    it becomes final.  A Spark file source can't re-deliver a consumed
+    file, so the equivalent is sink-side: rows younger than
+    ``head − lib_lag`` wait in a ``pending`` dir and fold into the batch
+    that sees the head move past them.
+
+    Returns ``(final_df, commit)``.  Both ``final_df`` and the rewritten
+    pending set read the OLD pending dir, so the caller must finish writing
+    ``final_df`` before calling ``commit()``, which swaps the rewritten
+    pending dir in (crash-safe rename-aside).  A batch replayed after a
+    crash anywhere in that window re-reads the same old pending dir and
+    reproduces the same split."""
+    spark = batch_df.sparkSession
+    _recover_pending(pending)
+    rows = batch_df
+    if os.path.isdir(pending):
+        rows = rows.unionByName(
+            spark.read.parquet(pending).select(*batch_df.columns))
+    head = rows.agg(F.max("block_num")).first()[0]
+    if head is None:
+        return batch_df, (lambda: None)
+    lib = head - lib_lag    # resolve_tip(head, lib, "irreversible") == lib
+    (
+        rows.where(F.col("block_num") > lib)
+        .write.mode("overwrite").parquet(pending + ".tmp")
+    )
+
+    def commit() -> None:
+        if os.path.isdir(pending):
+            os.rename(pending, pending + ".old")
+        os.rename(pending + ".tmp", pending)
+        shutil.rmtree(pending + ".old", ignore_errors=True)
+
+    return rows.where(F.col("block_num") <= lib), commit
+
+
 def start_ingest(ops_stream: DataFrame, ops_path: str, channels_path: str,
                  checkpoint: str, available_now: bool = True,
-                 channel_fn=op_channels) -> StreamingQuery:
+                 channel_fn=op_channels, mode: str = "head",
+                 lib_lag: int = REVERSIBLE_LAG_BLOCKS) -> StreamingQuery:
     """foreachBatch sink: keyed op append + channel fan-out + _meta HWM.
 
     Writes go to ``batch_id=N`` subdirectories → a replayed batch after a
@@ -74,9 +134,23 @@ def start_ingest(ops_stream: DataFrame, ops_path: str, channels_path: str,
     ``channel_fn`` derives the fan-out rows from each batch — mainnet
     ``op_channels`` by default; the sidechain ingest passes the fuller
     ``engine_channels`` (contract/action + trx + block notifications).
+
+    ``mode`` is the reference's ``MEESEEKER_STREAM_MODE`` (meeseeker.rb:95;
+    block_follower_job.rb:113-123): ``head`` ingests everything delivered
+    (read-uncommitted); ``irreversible`` ingests only blocks at least
+    ``lib_lag`` behind the delivered head (read-committed) — younger rows,
+    channels included, wait in ``<ops_path>_pending`` and land in a later
+    batch once final.  Unknown modes abort, matching the reference.
     """
+    from ..resume import STREAM_MODES
+    if mode not in STREAM_MODES:
+        raise ValueError(f"Unknown stream mode: {mode}")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        commit = None
+        if mode == "irreversible":
+            batch_df, commit = _irreversible_gate(
+                batch_df, ops_path + "_pending", lib_lag)
         batch_df = batch_df.persist()
         try:
             (
@@ -98,6 +172,8 @@ def start_ingest(ops_stream: DataFrame, ops_path: str, channels_path: str,
                 os.path.join(ops_path + "_meta", f"batch_id={batch_id}"))
         finally:
             batch_df.unpersist()
+        if commit is not None:   # only after every output landed
+            commit()
 
     writer = (
         ops_stream.writeStream.foreachBatch(_sink)

@@ -277,3 +277,15 @@ def test_cli_engine_resume_policy(spark, tmp_path_factory, capsys):
     assert f"Resuming from block {hwm + 1}" in capsys.readouterr().out
     v2 = P.ops_view(spark, str(d / "out" / "ops"))
     assert v2.count() == len(fx.engine_ops_expected)
+
+
+def test_cli_mode_is_mainnet_only(tmp_path):
+    """--mode irreversible on a sidechain sync is rejected up front (the
+    sidechain follower polls latest blocks only)."""
+    import pytest
+
+    from meeseeker_spark.__main__ import main
+
+    with pytest.raises(SystemExit):
+        main(["sync", "--chain", "hive_engine", "--blocks", str(tmp_path),
+              "--out", str(tmp_path / "out"), "--mode", "irreversible"])

@@ -167,6 +167,78 @@ def test_stream_mode_tip():
         resolve_tip(1000, 985, "laggy")
 
 
+def test_irreversible_mode_gates_and_folds(spark, fx, tmp_path_factory):
+    """Stream mode ``irreversible`` (read-committed,
+    block_follower_job.rb:113-123): blocks younger than head − lib_lag
+    wait in the pending dir — ops AND channels — and fold into the store
+    once a later delivery moves the head past them."""
+    d = tmp_path_factory.mktemp("irrev")
+    half = len(fx.blocks) // 2
+    _write_batches(fx.blocks[:half], "blocks", str(d / "blocks"), 2)
+    LAG = 5
+
+    def run():
+        ops = P.streaming_ops(
+            P.read_block_stream(spark, str(d / "blocks")), None)
+        q = P.start_ingest(ops, str(d / "ops"), str(d / "channels"),
+                           str(d / "ckpt"), mode="irreversible", lib_lag=LAG)
+        q.awaitTermination(120)
+
+    run()
+    head1 = fx.blocks[half - 1]["block_num"]
+    v1 = P.ops_view(spark, str(d / "ops"))
+    assert v1.agg({"block_num": "max"}).first()[0] == head1 - LAG
+    # the reversible tail is staged, not lost — and the channels publish
+    # nothing the store hasn't committed
+    pend = spark.read.parquet(str(d / "ops_pending"))
+    assert (sorted(r["block_num"] for r in
+                   pend.select("block_num").distinct().collect())
+            == list(range(head1 - LAG + 1, head1 + 1)))
+    ch1 = P.channel_events_view(spark, str(d / "channels"))
+    assert ch1.agg({"block_num": "max"}).first()[0] == head1 - LAG
+
+    # the head moves past the staged rows → they fold into the store
+    _write_batches(fx.blocks[half:], "blocks", str(d / "blocks2"), 1)
+    for f in glob.glob(str(d / "blocks2" / "*.parquet")):
+        os.rename(f, str(d / "blocks" / ("late-" + os.path.basename(f))))
+    run()
+    head2 = fx.blocks[-1]["block_num"]
+    v2 = P.ops_view(spark, str(d / "ops"))
+    want = sorted(o["key"] for o in fx.ops_expected
+                  if o["block_num"] <= head2 - LAG
+                  and o["trx_id"] != "0" * 40)   # no vop stream in this test
+    assert sorted(r["key"] for r in v2.collect()) == want
+    assert P.last_block_num(spark, str(d / "ops")) == head2 - LAG
+
+
+def test_irreversible_mode_unknown_rejected(spark, fx, tmp_path_factory):
+    d = tmp_path_factory.mktemp("irrev_bad")
+    _write_batches(fx.blocks[:3], "blocks", str(d / "blocks"), 1)
+    ops = P.streaming_ops(
+        P.read_block_stream(spark, str(d / "blocks")), None)
+    with pytest.raises(ValueError, match="Unknown stream mode"):
+        P.start_ingest(ops, str(d / "ops"), str(d / "channels"),
+                       str(d / "ckpt"), mode="laggy")
+
+
+def test_pending_swap_recovery(tmp_path):
+    """An interrupted pending swap self-heals: ``.old`` without the live
+    dir is restored; a stale ``.tmp`` is discarded."""
+    base = str(tmp_path / "pending")
+    os.makedirs(base + ".old")
+    open(os.path.join(base + ".old", "f.parquet"), "w").close()
+    os.makedirs(base + ".tmp")
+    P._recover_pending(base)
+    assert os.path.isdir(base)           # restored from .old
+    assert not os.path.exists(base + ".old")
+    assert not os.path.exists(base + ".tmp")
+
+    # .old alongside a live dir = swap finished, only the delete was lost
+    os.makedirs(base + ".old")
+    P._recover_pending(base)
+    assert os.path.isdir(base) and not os.path.exists(base + ".old")
+
+
 def test_ttl_keyed_state_expires(spark, tmp_path_factory):
     """S7 TTL in pure streaming state: keys expire exactly once when the
     watermark passes last_seen + ttl; re-SET pushes expiry forward."""
