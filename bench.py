@@ -92,16 +92,21 @@ def main() -> None:
         fixtures.write_parquet(fx, d)
         blocks = spark.read.schema(BLOCKS).parquet(f"{d}/blocks.parquet")
         vops = spark.read.schema(VIRTUAL_OPS).parquet(f"{d}/virtual_ops.parquet")
-        t0 = time.perf_counter()
-        OpsStore.write(flatten_ops_with_virtual(blocks, vops), f"{d}/ops")
-        ingest_s = time.perf_counter() - t0
-        # sidechain daemon parity (S5): engine flatten → keyed store
         eng = spark.read.schema(ENGINE_BLOCKS).parquet(
             f"{d}/engine_blocks.parquet")
         n_eng = eng.count()
-        t0 = time.perf_counter()
-        OpsStore.write(flatten_engine_blocks(eng), f"{d}/engine_ops")
-        engine_s = time.perf_counter() - t0
+        ingest_s = engine_s = float("inf")
+        for rep in range(reps):  # best-of-N, same policy as the queries:
+            # post-headline heaps leave GC debt that can halve the first
+            # rep's apparent throughput (measured 109 vs 225+ warm)
+            t0 = time.perf_counter()
+            OpsStore.write(flatten_ops_with_virtual(blocks, vops),
+                           f"{d}/ops{rep}")
+            ingest_s = min(ingest_s, time.perf_counter() - t0)
+            # sidechain daemon parity (S5): engine flatten → keyed store
+            t0 = time.perf_counter()
+            OpsStore.write(flatten_engine_blocks(eng), f"{d}/engine_ops{rep}")
+            engine_s = min(engine_s, time.perf_counter() - t0)
     blocks_per_s = round(210 / ingest_s, 2)
     engine_blocks_per_s = round(n_eng / engine_s, 2)
 
