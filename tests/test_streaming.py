@@ -239,12 +239,11 @@ def test_pending_swap_recovery(tmp_path):
     assert os.path.isdir(base) and not os.path.exists(base + ".old")
 
 
-def test_ttl_keyed_state_expires(spark, tmp_path_factory):
-    """S7 TTL in pure streaming state: keys expire exactly once when the
-    watermark passes last_seen + ttl; re-SET pushes expiry forward."""
+def _run_ttl_scenario(spark, d, op_fn):
+    """Shared S7 TTL scenario: 3 micro-batches, a re-SET that refreshes an
+    expiry, two watermark jumps.  Returns the collected output rows."""
     import datetime as dt
 
-    d = tmp_path_factory.mktemp("ttlstate")
     src, out = str(d / "src"), str(d / "out")
     os.makedirs(src)
     t0 = dt.datetime(2020, 1, 1, 0, 0, 0)
@@ -276,11 +275,9 @@ def test_ttl_keyed_state_expires(spark, tmp_path_factory):
         {"key": "hive:99:w:0:vote", "timestamp": t0 + dt.timedelta(seconds=9000)},
     ])
 
-    from meeseeker_spark.streaming.state import ttl_keyed_state
-
     stream = (spark.readStream.schema("key string, timestamp timestamp")
               .option("maxFilesPerTrigger", 1).parquet(src))
-    ttl = ttl_keyed_state(stream, ttl_seconds=300, lateness="0 seconds")
+    ttl = op_fn(stream, ttl_seconds=300, lateness="0 seconds")
 
     def _sink(batch_df, batch_id):
         batch_df.write.mode("append").parquet(out)
@@ -289,8 +286,13 @@ def test_ttl_keyed_state_expires(spark, tmp_path_factory):
          .option("checkpointLocation", str(d / "ckpt"))
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
+    return spark.read.parquet(out).collect()
 
-    rows = spark.read.parquet(out).collect()
+
+def _check_ttl_rows(rows):
+    import datetime as dt
+
+    t0 = dt.datetime(2020, 1, 1, 0, 0, 0)
     expired = sorted(r["key"] for r in rows if r["status"] == "expired")
     assert expired == ["hive:1:a:0:vote", "hive:1:b:0:comment",
                        "hive:9:z:0:vote"]
@@ -303,6 +305,40 @@ def test_ttl_keyed_state_expires(spark, tmp_path_factory):
     from collections import Counter
     c = Counter((r["key"], r["status"]) for r in rows)
     assert all(v == 1 for (k, s), v in c.items() if s == "expired")
+
+
+def test_ttl_keyed_state_expires(spark, tmp_path_factory):
+    """S7 TTL in pure streaming state: keys expire exactly once when the
+    watermark passes last_seen + ttl; re-SET pushes expiry forward."""
+    from meeseeker_spark.streaming.state import ttl_keyed_state
+
+    rows = _run_ttl_scenario(spark, tmp_path_factory.mktemp("ttlstate"),
+                             ttl_keyed_state)
+    _check_ttl_rows(rows)
+
+
+def test_ttl_keyed_state_tws_matches(spark, tmp_path_factory):
+    """The transformWithState TTL op (RocksDB state, first-class timers)
+    reproduces the GroupState path's exact output on the same scenario."""
+    # the TWS state-server protocol is protobuf-based; without the package
+    # the driver worker cannot even open its handle (import gate, not a
+    # behavior difference)
+    pytest.importorskip("google.protobuf.descriptor")
+    from meeseeker_spark.streaming.state import ttl_keyed_state_tws
+
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(conf, "org.apache.spark.sql.execution.streaming."
+                         "state.RocksDBStateStoreProvider")
+    try:
+        rows = _run_ttl_scenario(spark, tmp_path_factory.mktemp("ttltws"),
+                                 ttl_keyed_state_tws)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
+    _check_ttl_rows(rows)
 
 
 def test_resume_policy_engine():
