@@ -100,8 +100,70 @@ def cosine_topk(emb: DataFrame, query_ids: list[int] | None = None,
     )
 
 
+def _cell_sims(v: Column, cents: list[list[float]]) -> Column:
+    """array<struct<s,i>> of cosine(v, centroid_i) — array_max /
+    array_sort give argmax / probe order for free."""
+    return F.array(*[
+        F.struct(
+            F.round(cosine(v, F.array(*[F.lit(x) for x in c])), 6)
+            .alias("s"),
+            F.lit(i).alias("i"))
+        for i, c in enumerate(cents)
+    ])
+
+
+def _seed_centroids(emb: DataFrame, n_centroids: int, id_col: str,
+                    vec_col: str) -> list[list[float]]:
+    """Deterministic id-ordered seed sample (no RNG: retries and the
+    recall tests see the same codebook)."""
+    return [
+        [float(x) for x in row[0]]
+        for row in emb.select(vec_col).orderBy(id_col).limit(n_centroids)
+        .collect()
+    ]
+
+
+def ivf_train_centroids(emb: DataFrame, n_centroids: int = 16,
+                        n_iters: int = 2, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> list[list[float]]:
+    """Spherical k-means (Lloyd) training for the IVF coarse quantizer,
+    fully distributed: each iteration is one assignment pass (argmax over
+    the broadcast codebook, JVM-side) + one dimension-exploded mean
+    aggregate — partial aggregation ships (cell, dim, partial-sum) rows,
+    so the shuffle per iteration is ~n_centroids × dim rows no matter the
+    corpus size, and the driver only ever holds the codebook itself
+    (n_centroids × dim floats, same budget as serving). Means are taken
+    over UNIT vectors (spherical variant — cosine assignment cares about
+    direction only); empty cells keep their previous centroid.
+    """
+    cents = _seed_centroids(emb, n_centroids, id_col, vec_col)
+    base = emb.select(as_double(F.col(vec_col)).alias("_v"))
+    for _ in range(n_iters):
+        # norm inlines into the single transform lambda (one expression —
+        # the 16-way CollapseProject blowup below doesn't apply here)
+        unit = base.select(
+            F.array_max(_cell_sims(F.col("_v"), cents))["i"].alias("_cell"),
+            F.transform("_v", lambda x: x / l2_norm(F.col("_v"))).alias("_u"),
+        )
+        rows = (
+            unit.select("_cell", F.posexplode("_u").alias("_i", "_x"))
+            .groupBy("_cell", "_i").agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        new: dict[int, dict[int, float]] = {}
+        for r in rows:
+            new.setdefault(r["_cell"], {})[r["_i"]] = r["_m"]
+        cents = [
+            [new[i][d] for d in range(len(cents[i]))] if i in new
+            else cents[i]
+            for i in range(n_centroids)
+        ]
+    return cents
+
+
 def ivf_topk(emb: DataFrame, query_ids: list[int] | None = None,
              k: int = 5, n_centroids: int = 16, n_probe: int = 4,
+             train_iters: int = 0,
              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF (inverted-file) approximate top-k.
 
@@ -113,27 +175,21 @@ def ivf_topk(emb: DataFrame, query_ids: list[int] | None = None,
     always tiny regardless of corpus size; cell assignment and scoring
     stay fully distributed and JVM-side.
 
-    Centroids here are a deterministic id-ordered sample (no kmeans
-    dependency); at scale swap in MLlib KMeans centers — the plan shape
-    is identical. Same output schema as cosine_topk.
+    ``train_iters=0`` uses the deterministic id-ordered seed sample;
+    ``train_iters>0`` refines it with that many distributed spherical
+    k-means passes (``ivf_train_centroids``) — better-balanced cells,
+    same serving plan. Same output schema as cosine_topk.
     """
     from pyspark.sql import Window
 
-    cents = [
-        [float(x) for x in row[0]]
-        for row in emb.select(vec_col).orderBy(id_col).limit(n_centroids)
-        .collect()
-    ]
+    if train_iters > 0:
+        cents = ivf_train_centroids(emb, n_centroids, train_iters,
+                                    id_col, vec_col)
+    else:
+        cents = _seed_centroids(emb, n_centroids, id_col, vec_col)
 
     def cell_sims(v: Column) -> Column:
-        # array<struct<s,i>> so array_max/array_sort give argmax for free
-        return F.array(*[
-            F.struct(
-                F.round(cosine(v, F.array(*[F.lit(x) for x in c])), 6)
-                .alias("s"),
-                F.lit(i).alias("i"))
-            for i, c in enumerate(cents)
-        ])
+        return _cell_sims(v, cents)
 
     # assignment runs on RAW vectors (cosine is scale-invariant): feeding
     # pre-normalized vectors here looks free but CollapseProject inlines

@@ -213,6 +213,30 @@ def test_ivf_recall_vs_bruteforce(emb):
     assert len(a) == len(e)
 
 
+def test_ivf_lloyd_training(emb):
+    """Distributed spherical k-means: deterministic, moves the seed
+    centroids, keeps the codebook shape, and serves at the same recall
+    floor as the seeded index."""
+    seed = similarity._seed_centroids(emb, 16, "vec_id", "embedding")
+    t1 = similarity.ivf_train_centroids(emb, n_centroids=16, n_iters=2)
+    t2 = similarity.ivf_train_centroids(emb, n_centroids=16, n_iters=2)
+    assert t1 == t2                       # no RNG anywhere in training
+    assert len(t1) == 16 and all(len(c) == len(seed[0]) for c in t1)
+    assert t1 != seed                     # Lloyd actually updated cells
+    # unit-mean centroids: norms in (0, 1] (strictly <1 unless a cell
+    # collapsed to identical directions)
+    norms = [sum(x * x for x in c) ** 0.5 for c in t1]
+    assert all(0 < n <= 1.0 + 1e-9 for n in norms)
+
+    exact = similarity.cosine_topk(emb, k=5, max_query_filter=10)
+    trained = similarity.ivf_topk(emb, query_ids=list(range(10)), k=5,
+                                  train_iters=2)
+    e = {(r["q_id"], r["c_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["c_id"]) for r in trained.collect()}
+    assert len(a & e) / len(e) >= 0.8
+    assert len(a) == len(e)
+
+
 def test_lang_id_priority_tiebreak(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="xyzzy qwerty")])
     out = text.lang_id(df).collect()[0]
