@@ -64,10 +64,24 @@ def shingle_df(df: DataFrame, id_col: str = "doc_id",
 
 
 def minhash_signatures(shingle_col: Column, k: int = 8) -> Column:
-    """k MinHash signatures: sig_i = min over shingles of md5('i:'+s)."""
+    """k MinHash signatures: sig_i = min over shingles of md5('i:'+s).
+
+    The per-signature hash MUST be a single-argument lambda: a two-arg
+    lambda (the tempting ``lambda s, i=i: ...`` closure idiom) makes
+    ``F.transform`` bind the array INDEX column to the second parameter,
+    and an f-string over it bakes the stringified Column object — named
+    by a session-global lambda counter — into the hash prefix.  That
+    stays self-consistent inside ONE expression tree (a self-join dedup
+    never notices) but two separately-built DataFrames get different
+    counter values → disjoint band keys, which breaks any cross-DataFrame
+    or persisted-index use and silently diverges from the documented
+    md5('i:'+s) semantics the DuckDB oracle implements.
+    """
+    def _h(prefix: str):
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
     return F.array(*[
-        F.array_min(F.transform(
-            shingle_col, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
+        F.array_min(F.transform(shingle_col, _h(f"{i}:")))
         for i in range(k)
     ])
 
@@ -138,6 +152,67 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
             "doc_a", "doc_b",
             F.round(inter / union, 4).alias("jaccard"),
         )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def incremental_near_dups(new_df: DataFrame, corpus_df: DataFrame,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          threshold: float = 0.5, k: int = 8,
+                          bands: int = 4, rows: int = 2,
+                          n_shingle: int = 3,
+                          max_bucket: int | None = 10_000) -> DataFrame:
+    """Batch-vs-corpus near-dup detection: which NEW documents are
+    near-duplicates of something already in the corpus — the shape every
+    continuously-ingesting training pipeline needs (each incoming batch
+    screens against the historical store, not against itself; compose
+    with ``near_dup_pairs(new_df)`` for within-batch dups).
+
+    Returns (new_id, corpus_id, jaccard) for pairs ≥ threshold.
+
+    Scale shape: both sides band to SKINNY (id, band) rows and meet in a
+    shuffle join keyed on band — the corpus side never broadcasts and is
+    touched once per batch (at real scale, persist the corpus's banded
+    projection and this becomes an append-only index lookup).  Candidate
+    verification re-attaches shingles by id for surviving pairs only.
+    ``max_bucket`` drops degenerate band buckets on the CORPUS side
+    (same quadratic-bucket guard as near_dup_pairs, same lower-bound
+    caveat), measured by corpus width — a hot shingle pattern in the
+    historical store is the skew that matters.
+    """
+    nb = shingle_df(new_df, id_col, text_col, n_shingle)
+    cb = shingle_df(corpus_df, id_col, text_col, n_shingle)
+
+    def banded(base: DataFrame, side: str) -> DataFrame:
+        sigs = base.select(
+            "_id", minhash_signatures(F.col("_sh"), k).alias("_sigs"))
+        return sigs.select(
+            F.col("_id").alias(side),
+            F.explode(band_keys(F.col("_sigs"), bands, rows)).alias("_band"),
+        )
+
+    nbands = banded(nb, "new_id")
+    cbands = banded(cb, "corpus_id")
+    if max_bucket is not None:
+        narrow = (cbands.groupBy("_band")
+                  .agg(F.count("*").alias("_w"))
+                  .where(F.col("_w") <= max_bucket).select("_band"))
+        cbands = cbands.join(narrow, "_band")
+    cand = (
+        nbands.hint("shuffle_hash")
+        .join(cbands.hint("shuffle_hash"), "_band")
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    sh_n = nb.select(F.col("_id").alias("new_id"), F.col("_sh").alias("_sh_n"))
+    sh_c = cb.select(F.col("_id").alias("corpus_id"),
+                     F.col("_sh").alias("_sh_c"))
+    inter = F.size(F.array_intersect("_sh_n", "_sh_c"))
+    union = F.size(F.array_distinct(F.concat("_sh_n", "_sh_c")))
+    return (
+        cand.join(sh_n, "new_id").join(sh_c, "corpus_id")
+        .select("new_id", "corpus_id",
+                F.round(inter / union, 4).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 

@@ -444,3 +444,77 @@ def test_quantized_topk_recall(emb):
     # int8 keeps ~8 bits of precision — recall should be near-total
     # (measures 0.96-0.98)
     assert len(a & e) / len(e) >= 0.9
+
+
+def test_incremental_near_dups_vs_self_join(docs):
+    """Batch-vs-corpus dedup finds exactly the cross pairs the full
+    self-join finds (restricted to one side in each half), plus the
+    within-batch pairs stay out by construction."""
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    inc = {(r["new_id"], r["corpus_id"]): r["jaccard"]
+           for r in dedup.incremental_near_dups(new, corpus,
+                                                threshold=0.5).collect()}
+    full = dedup.near_dup_pairs(docs, threshold=0.5).collect()
+    want = {}
+    for p in full:
+        a, b = p["doc_a"], p["doc_b"]
+        if (a % 5 == 0) != (b % 5 == 0):          # cross pairs only
+            n, c = (a, b) if a % 5 == 0 else (b, a)
+            want[(n, c)] = p["jaccard"]
+    assert inc == want
+    assert all(n % 5 == 0 and c % 5 != 0 for n, c in inc)
+
+
+def test_incremental_near_dups_bucket_guard(docs):
+    """max_bucket=0 drops every corpus band bucket → no candidates."""
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    out = dedup.incremental_near_dups(new, corpus, threshold=0.0,
+                                      max_bucket=0)
+    assert out.count() == 0
+
+
+def test_pack_sequences_matches_python_oracle(docs):
+    """Distributed concat-and-chunk packing == single-threaded oracle:
+    identical offsets and bin spans for every document."""
+    from meeseeker_spark.ext.pack import pack_sequences
+
+    MAX = 512
+    got = {r["doc_id"]: (r["n_tokens"], r["start_offset"],
+                         r["first_bin"], r["last_bin"])
+           for r in pack_sequences(docs, MAX).collect()}
+
+    rows = sorted(
+        (r["doc_id"], len(r["text"].split()))
+        for r in docs.select("doc_id", "text").collect())
+    off = 0
+    for doc_id, ntok in rows:
+        first = off // MAX
+        last = (off + max(ntok, 1) - 1) // MAX
+        assert got[doc_id] == (ntok, off, first, last), doc_id
+        off += ntok
+    assert len(got) == len(rows)
+
+
+def test_pack_sequences_sharding_invariant(docs):
+    """The shard count is a parallelism knob, not a semantics knob."""
+    from meeseeker_spark.ext.pack import pack_sequences
+
+    a = sorted(map(tuple, pack_sequences(docs, 256, n_shards=1).collect()))
+    b = sorted(map(tuple, pack_sequences(docs, 256, n_shards=32).collect()))
+    assert a == b
+
+
+def test_minhash_signatures_stable_across_dataframes(docs):
+    """Signatures are a pure function of the shingles — two independently
+    built expression trees must agree (the session-global lambda-counter
+    regression: a 2-arg transform lambda bakes a per-call Column name
+    into the hash prefix, silently breaking cross-DataFrame banding)."""
+    def sigs_of(df):
+        b = dedup.shingle_df(df)
+        out = b.select("_id", dedup.minhash_signatures(F.col("_sh"))
+                       .alias("_sigs"))
+        return {r["_id"]: tuple(r["_sigs"]) for r in out.collect()}
+
+    assert sigs_of(docs.limit(50)) == sigs_of(docs.limit(50))
