@@ -11,7 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -20,10 +20,18 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Parquet columns written with TIMESTAMP(NANOS), which Spark only reads as
-# long via the legacy conf; we floor-divide to micros (same truncation DuckDB
-# applies) and restore a proper TimestampType column.
-_NANO_TS_COLS = {"events": ("ts",)}
+# Timestamp columns whose physical parquet encoding has varied across
+# driver-generated fixture versions: TIMESTAMP(NANOS) (readable only as long
+# via the legacy conf; floor-divided to micros, the same truncation DuckDB
+# applies) or TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
+# TIMESTAMP_NTZ).  Either way we normalize to a proper TimestampType column
+# under the pinned UTC session zone so downstream unix_micros()/windowing
+# behaves identically.
+_NANO_TS_COLS = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -37,12 +45,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if nano_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for c in nano_cols:
+    return normalize_ts(df, nano_cols)
+
+
+def normalize_ts(df: DataFrame, cols) -> DataFrame:
+    """Normalize fixture timestamp columns to TimestampType regardless of
+    the physical parquet encoding (shared by batch loads and the file
+    stream source in tests)."""
+    for c in cols:
+        if c not in df.columns:
+            continue
         if isinstance(df.schema[c].dataType, LongType):
             # integer div, NOT /1000: epoch-nanos (~1.7e18) exceed double's
             # 2^53 mantissa, so float division drifts by whole microseconds
             df = df.withColumn(
                 c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(df.schema[c].dataType, TimestampNTZType):
+            # NTZ micros: reinterpret the wall-clock value as UTC (session
+            # zone is pinned to UTC, so the cast is value-preserving and
+            # matches DuckDB's naive-timestamp semantics)
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

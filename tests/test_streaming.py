@@ -366,7 +366,7 @@ def test_stream_batch_parity_channel_volume(spark, tmp_path_factory):
     from pyspark.sql import functions as F
 
     from meeseeker_spark import catalog
-    from meeseeker_spark.tables import load
+    from meeseeker_spark.tables import load, normalize_ts
 
     sf = "/root/testdata/sf0.001"
     d = tmp_path_factory.mktemp("sbparity")
@@ -383,9 +383,9 @@ def test_stream_batch_parity_channel_volume(spark, tmp_path_factory):
 
     def stream_src():
         return (
-            spark.readStream.schema(raw_schema)
-            .parquet(str(srcdir))
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            normalize_ts(
+                spark.readStream.schema(raw_schema).parquet(str(srcdir)),
+                ("ts",))
             .withColumn("hour_ts", F.date_format(
                 F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"))
         )
