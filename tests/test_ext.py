@@ -192,13 +192,16 @@ def test_embedding_dups_exact_vs_numpy(emb):
 def test_embedding_dups_lsh_subset_of_exact(emb):
     exact = {(r["vec_a"], r["vec_b"])
              for r in dedup.embedding_dup_pairs(emb, threshold=0.35).collect()}
+    # same planes/tables as the catalog/bench entry so the recall floor
+    # covers the configuration that actually ships
     approx = {(r["vec_a"], r["vec_b"])
               for r in dedup.embedding_dup_pairs_lsh(
-                  emb, threshold=0.35).collect()}
+                  emb, threshold=0.35, n_planes=6, n_tables=5).collect()}
     # every LSH pair is cosine-verified → must be a true pair
     assert approx <= exact
     if exact:
-        # measures ~0.91 with 3 tables; 0.7 floor makes a broken index fail
+        # measures ~0.81 at 6 planes/5 tables; 0.7 floor makes a broken
+        # index fail
         assert len(approx) / len(exact) >= 0.7
 
 
@@ -513,7 +516,8 @@ def test_minhash_signatures_stable_across_dataframes(docs):
     into the hash prefix, silently breaking cross-DataFrame banding)."""
     def sigs_of(df):
         b = dedup.shingle_df(df)
-        out = b.select("_id", dedup.minhash_signatures(F.col("_sh"))
+        h = b.select("_id", dedup.hashed_shingles(F.col("_sh")).alias("_hs"))
+        out = h.select("_id", dedup.minhash_signatures(F.col("_hs"))
                        .alias("_sigs"))
         return {r["_id"]: tuple(r["_sigs"]) for r in out.collect()}
 
