@@ -1,0 +1,95 @@
+"""Pretraining mixture materialization (training-data pipeline extension,
+same family as SURVEY §2 F — no reference counterpart by definition).
+
+A pretraining corpus is assembled to TARGET domain proportions (so much
+web, so much code, so much reference text) against a token budget.  Each
+domain's sampling factor = weight·budget / domain_size; factors > 1 mean
+the domain is repeated for multiple epochs (the standard up-sampling of
+small high-quality domains), factors < 1 mean hash-deterministic
+down-sampling.
+
+Scale shape: the plan is one partial-aggregated sum per domain (rows =
+#domains, broadcast back onto the corpus), and materialization is a
+narrow per-row explode of ⌈factor⌉ copies with a deterministic md5 keep
+decision on the last fractional copy — no shuffle of corpus rows at any
+scale, no RNG (retried tasks and the DuckDB oracle pick identical rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_HASH_MOD = 10_000
+
+
+def _keep_hash(id_col: F.Column, copy_col: F.Column) -> F.Column:
+    """Uniform [0, _HASH_MOD) hash of (id, copy) — first 8 md5 hex chars,
+    the same oracle-reproducible idiom as stratified_sample."""
+    key = F.concat(id_col.cast("string"), F.lit(":"), copy_col.cast("string"))
+    return F.pmod(
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint"),
+        F.lit(_HASH_MOD))
+
+
+def mixture_plan(docs: DataFrame, weights: dict[str, float],
+                 budget: int | None = None, domain_col: str = "lang",
+                 size_col: str = "n_chars") -> DataFrame:
+    """Per-domain sampling factors for a target mixture.
+
+    Returns (domain, domain_size, target_size, factor, epochs, frac):
+    ``factor`` = weight·budget / domain_size, split into ``epochs`` full
+    passes and a fractional ``frac`` tail.  Domains absent from
+    ``weights`` get weight 0 (dropped).  ``budget=None`` targets the
+    full corpus size, computed IN-PLAN as a cross-joined scalar
+    aggregate — never a driver-side action inside the builder (the
+    job-in-builder wart).  One tiny aggregate either way — at 100 TB
+    this is a metadata query."""
+    w = F.create_map(*[
+        F.lit(x) for kv in weights.items() for x in kv])
+    sizes = (
+        docs.groupBy(F.col(domain_col).alias("domain"))
+        .agg(F.sum(size_col).cast("bigint").alias("domain_size"))
+    )
+    if budget is None:
+        total = docs.agg(F.sum(size_col).cast("double").alias("_budget"))
+        sizes = sizes.crossJoin(F.broadcast(total))
+        budget_col = F.col("_budget")
+    else:
+        budget_col = F.lit(float(budget))
+    factor = (
+        F.coalesce(w[F.col("domain")], F.lit(0.0)) * budget_col
+        / F.col("domain_size")
+    )
+    return sizes.select(
+        "domain", "domain_size",
+        F.round(factor * F.col("domain_size"), 4).alias("target_size"),
+        F.round(factor, 6).alias("factor"),
+        F.floor(factor).cast("bigint").alias("epochs"),
+        F.round(factor - F.floor(factor), 6).alias("frac"),
+    )
+
+
+def mixture_sample(docs: DataFrame, weights: dict[str, float],
+                   budget: int | None = None, id_col: str = "doc_id",
+                   domain_col: str = "lang",
+                   size_col: str = "n_chars") -> DataFrame:
+    """Materialize the mixture: each document appears ``epochs`` times
+    plus once more with probability ``frac`` (decided by a deterministic
+    hash of (id, copy), so the output is identical across retries/
+    engines).  Output = input columns + ``copy`` (0-based epoch index).
+
+    The plan side is #domains rows → broadcast join; the explode is
+    narrow.  Expected output size per domain = weight·budget by
+    construction."""
+    plan = mixture_plan(docs, weights, budget, domain_col, size_col)
+    frac_scaled = F.floor(F.col("frac") * _HASH_MOD).cast("bigint")
+    keep_last = _keep_hash(F.col(id_col), F.col("copy")) < frac_scaled
+    return (
+        docs.join(F.broadcast(plan),
+                  docs[domain_col] == plan["domain"])
+        .select(*docs.columns, "epochs", "frac",
+                F.explode(F.sequence(F.lit(0), F.col("epochs")))
+                .alias("copy"))
+        .where((F.col("copy") < F.col("epochs")) | keep_last)
+        .drop("epochs", "frac")
+    )
