@@ -1763,6 +1763,19 @@ def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars", "copy")
 
 
+@register("lm_quality_scores", None, tags=("F4", "quality", "lm"))
+def lm_quality_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram-LM cross-entropy per document (the CCNet-style
+    quality filter statistic).  Model = two count aggregates over the
+    corpus itself; scoring = gram-keyed shuffle joins + per-doc reduce;
+    vocabulary size rides in-plan as a cross-joined scalar.  Past the
+    driver window → rows-only there; exact DuckDB parity pinned by
+    tests/test_ext.py::test_bigram_lm_vs_duckdb."""
+    from .ext.lm import bigram_lm_scores
+    docs = load(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs, k=0.5)
+
+
 def _ordered() -> list[Entry]:
     """Registry in driver-facing order: every driver-oracled entry first
     (the driver's correctness gate grades only the first 50 registrations,

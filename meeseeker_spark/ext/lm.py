@@ -1,0 +1,79 @@
+"""Corpus n-gram language-model quality scoring (training-data pipeline
+extension, same family as SURVEY §2 F — no reference counterpart).
+
+The classic corpus-quality filter scores each document's cross-entropy
+under a smoothed n-gram model (the CCNet recipe uses a 5-gram KenLM; the
+same statistic falls out of a bigram model built from the corpus itself,
+which is what fits a hermetic fixture).  Low cross-entropy ≈ fluent,
+in-distribution text; high ≈ noise/boilerplate — threshold or bucket it
+downstream.
+
+Scale shape: the model IS two count aggregates (unigrams, bigrams) —
+shuffles proportional to *distinct* grams with map-side partials, never
+to corpus size.  Scoring joins each document's bigrams to those count
+tables keyed on the gram (shuffle joins; at 100 TB the bigram table is
+not broadcastable and doesn't need to be) and reduces per document.  The
+vocabulary size enters as a cross-joined scalar aggregate — in-plan, no
+driver-side count job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import tokens
+
+
+def doc_bigrams(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(_id, w1, bg) — one row per bigram occurrence; docs shorter than
+    2 tokens contribute nothing."""
+    toks = docs.select(F.col(id_col).alias("_id"),
+                       tokens(F.col(text_col)).alias("_w"))
+    pairs = F.zip_with(
+        F.slice(F.col("_w"), 1, F.greatest(F.size("_w") - 1, F.lit(0))),
+        F.slice(F.col("_w"), 2, F.greatest(F.size("_w") - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"),
+                              F.concat(a, F.lit(" "), b).alias("bg")),
+    )
+    return (
+        toks.select("_id", F.explode(pairs).alias("_p"))
+        .select("_id", F.col("_p.w1").alias("w1"), F.col("_p.bg").alias("bg"))
+    )
+
+
+def bigram_lm_scores(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", k: float = 0.5) -> DataFrame:
+    """Per-document cross-entropy under an add-k smoothed corpus bigram
+    model: xent = -Σ c(bg)·ln((B(bg)+k)/(U(w1)+k·V)) / n_bigrams.
+
+    Returns (doc_id, n_bigrams, logprob, xent); documents with fewer than
+    two tokens get NULL scores (left join keeps them visible).  Doubles
+    are rounded to 4 dp — the same oracle-comparison policy as the other
+    float-bearing catalog entries."""
+    bi = doc_bigrams(docs, id_col, text_col)
+    uni = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w1"))
+        .groupBy("w1").agg(F.count("*").alias("_u"))
+    )
+    bcounts = bi.groupBy("bg").agg(F.count("*").alias("_b"))
+    vocab = uni.agg(F.count("*").cast("double").alias("_v"))
+
+    per_doc_bg = bi.groupBy("_id", "w1", "bg").agg(F.count("*").alias("_c"))
+    contrib = F.col("_c") * (
+        F.log(F.col("_b") + F.lit(k))
+        - F.log(F.col("_u") + F.lit(k) * F.col("_v"))
+    )
+    scored = (
+        per_doc_bg.join(bcounts, "bg").join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("_id")
+        .agg(F.sum("_c").alias("n_bigrams"),
+             F.round(F.sum(contrib), 4).alias("logprob"),
+             F.round(-F.sum(contrib) / F.sum("_c"), 4).alias("xent"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(scored, "_id", "left")
+        .select(F.col("_id").alias(id_col), "n_bigrams", "logprob", "xent")
+    )

@@ -663,3 +663,75 @@ def test_mixture_proportions_and_determinism(docs):
     for lang, w in weights.items():
         # hash-sampling noise on a 500-doc fixture: ±35% relative
         assert abs(by_lang[lang] / total - w) / w < 0.35, lang
+
+
+def test_bigram_lm_vs_duckdb(spark):
+    """Exact DuckDB parity for the bigram-LM quality scorer (beyond the
+    driver window → this test is its correctness gate)."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["lm_quality_scores"].spark(spark, SF)
+    s = sorted((r[0], r[1], r[2], r[3]) for r in
+               sdf.select("doc_id", "n_bigrams", "logprob", "xent").collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = sorted(tuple(r) for r in con.execute("""
+        WITH words AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS w
+            FROM documents
+        ),
+        bi AS (
+            SELECT doc_id, u.w1 AS w1, u.bg AS bg
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(w), 1)),
+                           i -> {'w1': w[i], 'bg': w[i] || ' ' || w[i+1]}))
+                           AS u
+                FROM words
+            )
+        ),
+        uni AS (
+            SELECT w1, count(*) AS u
+            FROM (SELECT unnest(w) AS w1 FROM words) GROUP BY w1
+        ),
+        bcounts AS (SELECT bg, count(*) AS b FROM bi GROUP BY bg),
+        vocab AS (SELECT count(*)::DOUBLE AS v FROM uni),
+        per_doc AS (
+            SELECT doc_id, w1, bg, count(*) AS c
+            FROM bi GROUP BY doc_id, w1, bg
+        ),
+        scored AS (
+            SELECT p.doc_id,
+                   sum(c) AS n_bigrams,
+                   round(sum(c * (ln(b + 0.5) - ln(u + 0.5 * v))), 4)
+                       AS logprob,
+                   round(-sum(c * (ln(b + 0.5) - ln(u + 0.5 * v))) / sum(c), 4)
+                       AS xent
+            FROM per_doc p
+            JOIN bcounts USING (bg) JOIN uni USING (w1), vocab
+            GROUP BY p.doc_id
+        )
+        SELECT d.doc_id, s.n_bigrams, s.logprob, s.xent
+        FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+        ORDER BY d.doc_id
+    """).fetchall())
+    con.close()
+    assert s == d
+
+
+def test_bigram_lm_ranks_noise_worse(spark):
+    """A repeated-fluent-text doc must score lower cross-entropy than a
+    random-character doc under the corpus model."""
+    from meeseeker_spark.ext.lm import bigram_lm_scores
+
+    rows = ([Row(doc_id=i, text="the quick brown fox jumps over the lazy dog")
+             for i in range(20)]
+            + [Row(doc_id=99, text="zq xv jj qk wz vx qq zz kx jv")])
+    df = spark.createDataFrame(rows)
+    got = {r["doc_id"]: r["xent"] for r in bigram_lm_scores(df).collect()}
+    assert got[0] < got[99]
