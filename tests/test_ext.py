@@ -735,3 +735,27 @@ def test_bigram_lm_ranks_noise_worse(spark):
     df = spark.createDataFrame(rows)
     got = {r["doc_id"]: r["xent"] for r in bigram_lm_scores(df).collect()}
     assert got[0] < got[99]
+
+
+def test_pii_redaction_and_counts(spark):
+    rows = [
+        Row(doc_id=1, text="mail me at jane.doe+x@example.co.uk today"),
+        Row(doc_id=2, text="card 4111 1111 1111 1111 exp 12/26"),
+        Row(doc_id=3, text="ssn 123-45-6789 phone (555) 867-5309"),
+        Row(doc_id=4, text="server at 192.168.1.100 port 8080"),
+        Row(doc_id=5, text="nothing sensitive here at all"),
+    ]
+    df = spark.createDataFrame(rows)
+    red = {r["doc_id"]: r["t"] for r in df.select(
+        "doc_id", text.redact_pii(F.col("text")).alias("t")).collect()}
+    assert red[1] == "mail me at [EMAIL] today"
+    assert "[CARD]" in red[2] and "4111" not in red[2]
+    assert "[SSN]" in red[3] and "[PHONE]" in red[3]
+    assert "123-45-6789" not in red[3] and "867-5309" not in red[3]
+    assert red[4] == "server at [IPV4] port 8080"
+    assert red[5] == rows[4]["text"]
+
+    counts = {r["doc_id"]: r for r in text.pii_counts(df).collect()}
+    assert counts[1]["n_email"] == 1 and counts[1]["n_pii"] == 1
+    assert counts[3]["n_ssn"] == 1 and counts[3]["n_phone"] == 1
+    assert counts[5]["n_pii"] == 0
