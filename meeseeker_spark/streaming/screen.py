@@ -1,0 +1,82 @@
+"""Continuous-ingest dedup screening: a Structured Streaming stage that
+checks every incoming micro-batch of documents against the accumulated
+corpus before admitting it (training-data pipeline extension — the
+streaming face of ``ext.dedup.incremental_near_dups``).
+
+Loop per micro-batch (foreachBatch — the corpus side is a *growing batch
+table*, which a pure stream-stream join cannot express):
+
+    batch ──┬── incremental_near_dups(batch, corpus) → flagged pairs log
+            └── exact in-batch dedup + anti-join flagged → admitted rows
+    admitted rows APPEND to the corpus dir → later batches screen
+    against them (earlier-ingested wins, matching the reference's
+    first-writer-wins key idempotence)
+
+Scale shape: the corpus is touched once per batch through the banded
+(id, band) projection — at real scale that projection is persisted as
+the dedup index and appended per batch instead of recomputed; the code
+keeps the recompute form because fixtures are small and the plan is
+identical either way.  Batch writes land under ``batch_id=N`` subdirs
+(same parquet-level idempotence scheme as the ops sink — a retried batch
+overwrites itself, so admission is exactly-once without Delta).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..ext.dedup import exact_dedup, incremental_near_dups
+
+DOCS_SCHEMA = ("doc_id bigint, text string, lang string, source string, "
+               "n_chars bigint")
+
+
+def screen_batch(batch: DataFrame, corpus: DataFrame | None,
+                 threshold: float = 0.5) -> tuple[DataFrame, DataFrame]:
+    """(admitted, flagged) for one batch against the current corpus.
+
+    In-batch exact dups collapse first (min doc_id survives); near-dups
+    of any existing corpus doc are then rejected.  ``corpus=None`` (first
+    batch) skips the cross screen."""
+    batch = exact_dedup(batch, ["text"], "doc_id")
+    if corpus is None:
+        empty = batch.sparkSession.createDataFrame(
+            [], "new_id bigint, corpus_id bigint, jaccard double")
+        return batch, empty
+    flagged = incremental_near_dups(batch, corpus, threshold=threshold)
+    admitted = batch.join(
+        flagged.select(F.col("new_id").alias("doc_id")).distinct(),
+        "doc_id", "left_anti")
+    return admitted, flagged
+
+
+def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
+                 checkpoint_dir: str, threshold: float = 0.5,
+                 available_now: bool = True) -> StreamingQuery:
+    """File stream over ``incoming_dir`` → screened corpus under
+    ``out_dir``/corpus + rejection log under ``out_dir``/flagged."""
+    corpus_dir = os.path.join(out_dir, "corpus")
+    flagged_dir = os.path.join(out_dir, "flagged")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        corpus = None
+        if os.path.isdir(corpus_dir) and any(
+                not e.startswith(("_", ".")) for e in os.listdir(corpus_dir)):
+            corpus = s.read.schema(DOCS_SCHEMA).parquet(corpus_dir)
+        admitted, flagged = screen_batch(batch_df, corpus, threshold)
+        (admitted.write.mode("overwrite")
+         .parquet(os.path.join(corpus_dir, f"batch_id={batch_id}")))
+        (flagged.write.mode("overwrite")
+         .parquet(os.path.join(flagged_dir, f"batch_id={batch_id}")))
+
+    stream = (spark.readStream.schema(DOCS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(incoming_dir))
+    writer = (stream.writeStream.foreachBatch(_sink)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

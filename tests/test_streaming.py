@@ -592,3 +592,52 @@ def test_compact_channel_store(spark, fx, tmp_path_factory):
     q2.awaitTermination(120)
     view = P.channel_events_view(spark, str(d / "channels"), store)
     assert view.count() == want_total * 2  # append-only: both copies visible
+
+
+def test_streaming_dedup_screen(spark, tmp_path_factory):
+    """Continuous-ingest dedup: batch 1 admits its exact-deduped docs;
+    batch 2's near-copy of an admitted doc is rejected and logged, its
+    fresh doc admitted. Earlier-ingested wins — the reference's
+    first-writer key idempotence, lifted to near-dup semantics."""
+    import time as _time
+
+    from meeseeker_spark.streaming.screen import start_screen
+
+    d = tmp_path_factory.mktemp("screen")
+    incoming, out, ckpt = d / "incoming", d / "out", d / "ckpt"
+    os.makedirs(incoming)
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat watches from the warm stone wall near the garden gate")
+    near = base.replace("warm", "cold")
+
+    def doc(i, text):
+        return (i, text, "en", "web", len(text))
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    def drop(name, rows):
+        # the file source doesn't recurse into non-partition subdirs: write
+        # aside, then move the part file into the watched dir directly
+        tmp = d / ("w_" + name)
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        os.rename(tmp / part, incoming / f"{name}.parquet")
+
+    drop("b1", [doc(1, base), doc(2, base),
+                doc(3, "completely different words about ships and harbors")])
+    q = start_screen(spark, str(incoming), str(out), str(ckpt))
+    q.awaitTermination(120)
+
+    _time.sleep(1.1)  # distinct file mtime → deterministic batch order
+    drop("b2", [doc(10, near), doc(11, "fresh unrelated content regarding "
+                                       "mountain weather patterns")])
+    q = start_screen(spark, str(incoming), str(out), str(ckpt))
+    q.awaitTermination(120)
+
+    corpus = {r["doc_id"] for r in
+              spark.read.parquet(str(out / "corpus")).collect()}
+    flagged = {(r["new_id"], r["corpus_id"]) for r in
+               spark.read.parquet(str(out / "flagged")).collect()}
+    assert corpus == {1, 3, 11}      # 2 = in-batch exact dup, 10 = near-dup
+    assert flagged == {(10, 1)}
