@@ -1,0 +1,91 @@
+"""End-to-end training-corpus preparation: the extension operators
+composed in the order a real pretraining data pipeline runs them.
+
+    raw docs
+      → exact dedup            (hash-groupBy, controlled survivor)
+      → near-dup dedup         (MinHash/LSH cluster survivors)
+      → benchmark decontamination (broadcast n-gram screen)
+      → quality filter         (composite score ≥ floor)
+      → PII redaction          (chained regexp, narrow)
+      → mixture sampling       (target domain weights, multi-epoch)
+      → sequence packing       (distributed prefix-sum layout)
+
+Every stage is one of the individually-tested operators; this module
+only sequences them, so the composition inherits their scale shapes
+(the only driver-held state anywhere is the pack stage's O(n_shards)
+quantile bounds).  The stage report makes the funnel auditable — the
+first question asked of any corpus build is "where did the rows go?".
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from .decontam import decontaminate
+from .dedup import cc_dedup, exact_dedup
+from .mix import mixture_sample
+from .pack import pack_sequences
+from .text import quality_scores, redact_pii
+
+
+@dataclass
+class CorpusBuild:
+    """Result of prepare_training_corpus: the packed corpus plus the
+    per-stage row counts (computed lazily only when the report is asked
+    for — the DataFrames are unevaluated plans until then)."""
+    corpus: DataFrame                     # redacted, mixed rows + copy
+    packed: DataFrame                     # (doc_id, copy) → bin layout
+    stages: dict[str, DataFrame] = field(default_factory=dict)
+
+    def report(self) -> dict[str, int]:
+        return {name: df.count() for name, df in self.stages.items()}
+
+
+def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
+                            weights: dict[str, float],
+                            budget: int | None = None,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            domain_col: str = "lang",
+                            near_dup_threshold: float = 0.5,
+                            decontam_ngram: int = 13,
+                            quality_floor: float = 0.25,
+                            max_tokens: int = 2048) -> CorpusBuild:
+    """Run the full preparation funnel; see module docstring for the
+    stage order and scale rationale.  ``bench`` is the evaluation text
+    to decontaminate against; ``weights`` the target domain mixture."""
+    stages: dict[str, DataFrame] = {"raw": docs}
+
+    d1 = exact_dedup(docs, [text_col], id_col)
+    stages["exact_dedup"] = d1
+
+    d2 = cc_dedup(d1, id_col, text_col, near_dup_threshold)
+    stages["near_dedup"] = d2
+
+    d3 = decontaminate(d2, bench, id_col, text_col, n=decontam_ngram)
+    stages["decontaminated"] = d3
+
+    q = quality_scores(d3, id_col, text_col).where(
+        F.col("quality") >= quality_floor).select(id_col)
+    d4 = d3.join(q, id_col)
+    stages["quality_filtered"] = d4
+
+    d5 = d4.withColumn(text_col, redact_pii(F.col(text_col)))
+    stages["redacted"] = d5
+
+    mixed = mixture_sample(d5, weights, budget, id_col, domain_col)
+    stages["mixed"] = mixed
+
+    # pack on (doc_id, copy): repeats are distinct sequences in the
+    # stream, ordered deterministically by (id, copy) via a derived key
+    with_key = mixed.withColumn(
+        "_pack_id", F.col(id_col) * 1000 + F.col("copy"))
+    packed = pack_sequences(with_key, max_tokens, id_col="_pack_id",
+                            text_col=text_col)
+    packed = packed.select(
+        (F.col("_pack_id") / 1000).cast("long").alias(id_col),
+        F.pmod(F.col("_pack_id"), F.lit(1000)).alias("copy"),
+        "n_tokens", "start_offset", "first_bin", "last_bin")
+    return CorpusBuild(corpus=mixed, packed=packed, stages=stages)

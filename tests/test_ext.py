@@ -759,3 +759,33 @@ def test_pii_redaction_and_counts(spark):
     assert counts[1]["n_email"] == 1 and counts[1]["n_pii"] == 1
     assert counts[3]["n_ssn"] == 1 and counts[3]["n_phone"] == 1
     assert counts[5]["n_pii"] == 0
+
+
+def test_prepare_training_corpus_funnel(docs):
+    """The composed pipeline: counts fall monotonically through the
+    filter stages, mixture re-expands, packing covers exactly the mixed
+    rows with a consistent global layout."""
+    from meeseeker_spark.ext.pipeline import prepare_training_corpus
+
+    bench = docs.where(F.col("doc_id") % 19 == 0)
+    corpus = docs.where(F.col("doc_id") % 19 != 0)
+    weights = {"en": 0.25, "de": 0.1875, "fr": 0.1875, "es": 0.1875,
+               "zh": 0.1875}
+    build = prepare_training_corpus(corpus, bench, weights,
+                                    decontam_ngram=3, max_tokens=256)
+    r = build.report()
+    assert (r["raw"] >= r["exact_dedup"] >= r["near_dedup"]
+            >= r["decontaminated"] >= r["quality_filtered"] == r["redacted"])
+    assert r["decontaminated"] < r["near_dedup"]  # screen actually bites
+
+    mixed = build.corpus.select("doc_id", "copy").collect()
+    packed = {(p["doc_id"], p["copy"]): p for p in build.packed.collect()}
+    assert len(packed) == len(mixed) == build.stages["mixed"].count()
+
+    # global layout: offsets are contiguous in (doc_id, copy) order
+    rows = sorted(packed.values(), key=lambda p: (p["doc_id"], p["copy"]))
+    off = 0
+    for p in rows:
+        assert p["start_offset"] == off
+        assert 0 <= p["first_bin"] <= p["last_bin"]
+        off += p["n_tokens"]
