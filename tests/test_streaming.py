@@ -641,3 +641,34 @@ def test_streaming_dedup_screen(spark, tmp_path_factory):
                spark.read.parquet(str(out / "flagged")).collect()}
     assert corpus == {1, 3, 11}      # 2 = in-batch exact dup, 10 = near-dup
     assert flagged == {(10, 1)}
+
+
+def test_normalize_ts_handles_both_fixture_encodings(spark):
+    """The driver has shipped fixtures as TIMESTAMP(NANOS) (readable only
+    as long) AND as TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
+    TIMESTAMP_NTZ) across rounds — normalize_ts must fold either to the
+    same TimestampType value under the pinned UTC session zone."""
+    import datetime
+
+    from pyspark.sql.types import (LongType, StructField, StructType,
+                                   TimestampNTZType, TimestampType)
+
+    from meeseeker_spark.tables import normalize_ts
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    us = 1_700_000_000_123_456                       # 2023-11-14T22:13:20.123456Z
+    wall = datetime.datetime(2023, 11, 14, 22, 13, 20, 123456)
+
+    nanos = spark.createDataFrame(
+        [(us * 1000,)], StructType([StructField("ts", LongType())]))
+    ntz = spark.createDataFrame(
+        [(wall,)], StructType([StructField("ts", TimestampNTZType())]))
+
+    for src in (nanos, ntz):
+        out = normalize_ts(src, ("ts",))
+        assert isinstance(out.schema["ts"].dataType, TimestampType)
+        got = out.selectExpr("unix_micros(ts) AS us").first()["us"]
+        assert got == us
+    # absent columns are a no-op, not an error
+    assert normalize_ts(nanos.withColumnRenamed("ts", "other"),
+                        ("ts",)).columns == ["other"]
