@@ -51,11 +51,17 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
                             domain_col: str = "lang",
                             near_dup_threshold: float = 0.5,
                             decontam_ngram: int = 13,
+                            decontam_max_overlap: float = 0.0,
                             quality_floor: float = 0.25,
                             max_tokens: int = 2048) -> CorpusBuild:
     """Run the full preparation funnel; see module docstring for the
     stage order and scale rationale.  ``bench`` is the evaluation text
-    to decontaminate against; ``weights`` the target domain mixture."""
+    to decontaminate against; ``weights`` the target domain mixture.
+
+    ``decontam_max_overlap=0.0`` (any shared n-gram disqualifies) is the
+    conservative production default for 13-grams — at short n-grams or
+    over narrow-vocabulary corpora it can reject nearly everything, so
+    pair a small ``decontam_ngram`` with a nonzero tolerance."""
     stages: dict[str, DataFrame] = {"raw": docs}
 
     d1 = exact_dedup(docs, [text_col], id_col)
@@ -64,7 +70,13 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
     d2 = cc_dedup(d1, id_col, text_col, near_dup_threshold)
     stages["near_dedup"] = d2
 
-    d3 = decontaminate(d2, bench, id_col, text_col, n=decontam_ngram)
+    # lazy lineage truncation: everything downstream (quality, redact,
+    # mixture, pack, and each report() count) reuses the screened rows
+    # instead of re-running dedup+decontam per consumer — the in-process
+    # stand-in for the between-stage checkpoint a production run writes
+    d3 = decontaminate(d2, bench, id_col, text_col, n=decontam_ngram,
+                       max_overlap=decontam_max_overlap)
+    d3 = d3.localCheckpoint(eager=False)
     stages["decontaminated"] = d3
 
     q = quality_scores(d3, id_col, text_col).where(
