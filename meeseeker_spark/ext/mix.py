@@ -33,7 +33,8 @@ def _keep_hash(id_col: F.Column, copy_col: F.Column) -> F.Column:
 
 def mixture_plan(docs: DataFrame, weights: dict[str, float],
                  budget: int | None = None, domain_col: str = "lang",
-                 size_col: str = "n_chars") -> DataFrame:
+                 size_col: str = "n_chars",
+                 max_epochs: int = 100) -> DataFrame:
     """Per-domain sampling factors for a target mixture.
 
     Returns (domain, domain_size, target_size, factor, epochs, frac):
@@ -43,7 +44,14 @@ def mixture_plan(docs: DataFrame, weights: dict[str, float],
     full corpus size, computed IN-PLAN as a cross-joined scalar
     aggregate — never a driver-side action inside the builder (the
     job-in-builder wart).  One tiny aggregate either way — at 100 TB
-    this is a metadata query."""
+    this is a metadata query.
+
+    ``max_epochs`` clamps the factor: a near-empty domain carrying a
+    large weight would otherwise demand an unbounded repeat count, and
+    the materialization explodes ⌈factor⌉ copies PER ROW — the clamp
+    bounds that blowup (and >~30 epochs of the same text is past any
+    useful up-sampling anyway).  Clamped domains undershoot their target
+    weight; the plan row shows it (factor == max_epochs)."""
     w = F.create_map(*[
         F.lit(x) for kv in weights.items() for x in kv])
     sizes = (
@@ -56,10 +64,10 @@ def mixture_plan(docs: DataFrame, weights: dict[str, float],
         budget_col = F.col("_budget")
     else:
         budget_col = F.lit(float(budget))
-    factor = (
+    factor = F.least(
         F.coalesce(w[F.col("domain")], F.lit(0.0)) * budget_col
-        / F.col("domain_size")
-    )
+        / F.col("domain_size"),
+        F.lit(float(max_epochs)))
     return sizes.select(
         "domain", "domain_size",
         F.round(factor * F.col("domain_size"), 4).alias("target_size"),
@@ -72,7 +80,8 @@ def mixture_plan(docs: DataFrame, weights: dict[str, float],
 def mixture_sample(docs: DataFrame, weights: dict[str, float],
                    budget: int | None = None, id_col: str = "doc_id",
                    domain_col: str = "lang",
-                   size_col: str = "n_chars") -> DataFrame:
+                   size_col: str = "n_chars",
+                   max_epochs: int = 100) -> DataFrame:
     """Materialize the mixture: each document appears ``epochs`` times
     plus once more with probability ``frac`` (decided by a deterministic
     hash of (id, copy), so the output is identical across retries/
@@ -81,7 +90,8 @@ def mixture_sample(docs: DataFrame, weights: dict[str, float],
     The plan side is #domains rows → broadcast join; the explode is
     narrow.  Expected output size per domain = weight·budget by
     construction."""
-    plan = mixture_plan(docs, weights, budget, domain_col, size_col)
+    plan = mixture_plan(docs, weights, budget, domain_col, size_col,
+                        max_epochs)
     frac_scaled = F.floor(F.col("frac") * _HASH_MOD).cast("bigint")
     keep_last = _keep_hash(F.col(id_col), F.col("copy")) < frac_scaled
     return (

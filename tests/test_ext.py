@@ -789,3 +789,21 @@ def test_prepare_training_corpus_funnel(docs):
         assert p["start_offset"] == off
         assert 0 <= p["first_bin"] <= p["last_bin"]
         off += p["n_tokens"]
+
+
+def test_mixture_epoch_clamp(spark):
+    """A tiny domain with a huge effective weight cannot explode the
+    copy count past max_epochs (the per-row blowup guard)."""
+    from meeseeker_spark.ext.mix import mixture_plan, mixture_sample
+
+    rows = ([Row(doc_id=i, lang="big", n_chars=1000) for i in range(50)]
+            + [Row(doc_id=99, lang="tiny", n_chars=10)])
+    df = spark.createDataFrame(rows)
+    weights = {"big": 0.5, "tiny": 0.5}
+    plan = {r["domain"]: r for r in
+            mixture_plan(df, weights, max_epochs=7).collect()}
+    # unclamped factor would be 0.5*50010/10 = 2500.5
+    assert plan["tiny"]["factor"] == 7.0 and plan["tiny"]["epochs"] == 7
+    out = mixture_sample(df, weights, max_epochs=7)
+    copies = [r["copy"] for r in out.where(F.col("lang") == "tiny").collect()]
+    assert len(copies) == 7 and max(copies) == 6
