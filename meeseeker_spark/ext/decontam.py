@@ -61,6 +61,60 @@ def contamination(docs: DataFrame, bench: DataFrame,
     )
 
 
+def benchmark_coverage(docs: DataFrame, bench: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       n: int = 13,
+                       max_df: int | None = 10_000) -> DataFrame:
+    """The inverse report: per BENCHMARK document, how much of it leaks
+    into the training corpus — the eval-integrity question ("is this
+    benchmark still trustworthy against a model trained on this data?").
+
+    Returns (bench_id, n_grams, n_covered, coverage_frac,
+    n_corpus_docs): the benchmark doc's distinct n-gram count, how many
+    of those occur anywhere in ``docs``, the fraction, and how many
+    DISTINCT corpus documents share at least one n-gram with it.
+
+    Scale shape: coverage reduces the corpus to its distinct-gram set
+    first (aggregate ∝ distinct grams, partial-combined).  The distinct-
+    doc count needs the gram→doc posting join — the same shape (and the
+    same stop-gram hazard) as jaccard_ngram_pairs, so ``max_df`` drops
+    grams whose posting list exceeds it before the join (n_corpus_docs
+    becomes a lower bound; coverage_frac is unaffected)."""
+    bgrams = (
+        shingle_df(bench, id_col, text_col, n)
+        .select(F.col("_id").alias("bench_id"), F.explode("_sh").alias("_g"))
+    )
+    postings = (
+        shingle_df(docs, id_col, text_col, n)
+        .select(F.col("_id").alias("_cid"), F.explode("_sh").alias("_g"))
+    )
+    gram_set = postings.groupBy("_g").agg(F.count("*").alias("_df"))
+    cov = (
+        bgrams.join(gram_set, "_g", "left")
+        .groupBy("bench_id")
+        .agg(F.count("*").cast("bigint").alias("n_grams"),
+             F.count("_df").cast("bigint").alias("n_covered"))
+    )
+    if max_df is not None:
+        postings = postings.join(
+            gram_set.where(F.col("_df") <= max_df).select("_g"), "_g")
+    touch = (
+        bgrams.join(postings, "_g")
+        .groupBy("bench_id")
+        .agg(F.count_distinct("_cid").alias("n_corpus_docs"))
+    )
+    return (
+        cov.join(touch, "bench_id", "left")
+        .select(
+            "bench_id", "n_grams", "n_covered",
+            F.round(F.col("n_covered") / F.col("n_grams"), 4)
+            .alias("coverage_frac"),
+            F.coalesce(F.col("n_corpus_docs"), F.lit(0)).cast("bigint")
+            .alias("n_corpus_docs"),
+        )
+    )
+
+
 def decontaminate(docs: DataFrame, bench: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
                   n: int = 13, max_overlap: float = 0.0) -> DataFrame:

@@ -807,3 +807,32 @@ def test_mixture_epoch_clamp(spark):
     out = mixture_sample(df, weights, max_epochs=7)
     copies = [r["copy"] for r in out.where(F.col("lang") == "tiny").collect()]
     assert len(copies) == 7 and max(copies) == 6
+
+
+def test_benchmark_coverage_vs_python(docs):
+    """Inverse contamination report vs a pure-python oracle."""
+    import re
+
+    from meeseeker_spark.ext.decontam import benchmark_coverage
+
+    bench = docs.where(F.col("doc_id") % 19 == 0)
+    corpus = docs.where(F.col("doc_id") % 19 != 0)
+    got = {r["bench_id"]: (r["n_grams"], r["n_covered"], r["coverage_frac"],
+                           r["n_corpus_docs"])
+           for r in benchmark_coverage(corpus, bench, n=3).collect()}
+
+    def sh(txt):
+        w = [t for t in re.split(r"[^a-z0-9]+", txt.lower()) if t]
+        if len(w) < 3:
+            return {" ".join(w)}
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    ctexts = {r["doc_id"]: sh(r["text"]) for r in corpus.collect()}
+    cgrams = set().union(*ctexts.values())
+    for r in bench.collect():
+        g = sh(r["text"])
+        covered = g & cgrams
+        touching = {cid for cid, cg in ctexts.items() if cg & g}
+        assert got[r["doc_id"]] == (
+            len(g), len(covered), round(len(covered) / len(g), 4),
+            len(touching)), r["doc_id"]
