@@ -836,3 +836,62 @@ def test_benchmark_coverage_vs_python(docs):
         assert got[r["doc_id"]] == (
             len(g), len(covered), round(len(covered) / len(g), 4),
             len(touching)), r["doc_id"]
+
+
+def test_bpe_training_matches_python_oracle(spark):
+    """Distributed BPE learns the EXACT merge sequence a reference
+    single-machine implementation produces (count desc, lexicographic
+    tie-break), and segmentation round-trips the text."""
+    from collections import Counter
+
+    from meeseeker_spark.ext.bpe import bpe_segment, train_bpe
+
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate([
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest wide",
+        "low newer wide lowest",
+    ])]
+    df = spark.createDataFrame(rows)
+    got = train_bpe(df, n_merges=12)
+
+    # pure-python reference BPE on the same word-frequency table
+    words = Counter()
+    for r in rows:
+        for w in r.text.split():
+            words[w] += 1
+    vocab = {tuple(w): c for w, c in words.items()}
+    expect = []
+    for _ in range(12):
+        pairs = Counter()
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expect.append(best)
+        new_vocab = {}
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if (i + 1 < len(sym) and sym[i] == best[0]
+                        and sym[i + 1] == best[1]):
+                    out.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    assert got == expect
+
+    seg = {r["doc_id"]: r["tokens"]
+           for r in bpe_segment(df, got).collect()}
+    for r in rows:
+        # concatenating a word's tokens reconstructs the word exactly
+        flat = "".join(seg[r.doc_id])
+        assert flat == r.text.replace(" ", "")
+    # merges actually compress: fewer tokens than characters
+    assert all(len(seg[r.doc_id]) < len(r.text.replace(" ", ""))
+               for r in rows)
