@@ -139,3 +139,31 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS ops_bucketed")
         spark.sql("DROP TABLE IF EXISTS notif_bucketed")
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The decontamination screen must be a map-side broadcast join over
+    the corpus shingles — a sort-merge/shuffle join on the gram would
+    shuffle the whole corpus at scale."""
+    plan = explain_str(catalog.ENTRIES["contamination_screen"].spark(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mixture_no_corpus_shuffle(spark):
+    """Mixture materialization: the corpus side joins the broadcast plan
+    and explodes — the only exchanges allowed are the tiny plan-side
+    aggregates (inputs = #domains / 1 row), never the corpus rows."""
+    df = catalog.ENTRIES["mixture_sample"].spark(spark, SF)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lm_scores_partial_aggregates(spark):
+    """The bigram LM: count model + per-doc reduce are hash aggregates
+    with map-side partials; the vocab scalar rides as a broadcast, not a
+    driver-side action."""
+    plan = explain_str(catalog.ENTRIES["lm_quality_scores"].spark(spark, SF))
+    assert plan.count("HashAggregate") >= 4
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
