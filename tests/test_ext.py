@@ -895,3 +895,45 @@ def test_bpe_training_matches_python_oracle(spark):
     # merges actually compress: fewer tokens than characters
     assert all(len(seg[r.doc_id]) < len(r.text.replace(" ", ""))
                for r in rows)
+
+
+def test_lang_id_ngram_accuracy_and_shape(spark):
+    """Char-trigram profile classifier on genuinely distinct scripts:
+    perfect self-classification, bounded profiles, deterministic reruns.
+    (The parquet fixture's lang labels sit on a shared synthetic
+    vocabulary — a "zh" doc contains English words — so the fixture
+    cannot ground a language-ID accuracy claim; distinct synthetic
+    corpora can.)"""
+    from meeseeker_spark.ext.text import char_ngram_profiles, lang_id_ngram
+
+    corpora = {
+        "en": ["the quick brown fox jumps over the lazy dog",
+               "a stitch in time saves nine every single day",
+               "reading maketh a full man and writing an exact man"],
+        "fr": ["le renard brun saute par dessus le chien paresseux",
+               "il faut cultiver notre jardin chaque jour durant",
+               "la lecture fait un homme complet selon les anciens"],
+        "zh": ["\u5feb\u901f\u7684\u68d5\u8272\u72d0\u72f8\u8df3\u8fc7"
+               "\u61d2\u72d7",
+               "\u4e00\u9488\u53ca\u65f6\u7701\u4e5d\u9488\u6bcf\u5929",
+               "\u9605\u8bfb\u4f7f\u4eba\u5145\u5b9e\u5199\u4f5c\u4f7f"
+               "\u4eba\u7cbe\u786e"],
+    }
+    rows = [Row(doc_id=i * 10 + j, text=t, lang=lang)
+            for i, (lang, texts) in enumerate(sorted(corpora.items()))
+            for j, t in enumerate(texts)]
+    df = spark.createDataFrame(rows)
+
+    profiles = char_ngram_profiles(df, top_k=200)
+    per_lang = {r["lang"]: r["n"] for r in
+                profiles.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(per_lang) == {"en", "fr", "zh"}
+    assert all(n <= 200 for n in per_lang.values())
+
+    pred = {r["doc_id"]: r["lang_pred"]
+            for r in lang_id_ngram(df, profiles).collect()}
+    truth = {r.doc_id: r.lang for r in rows}
+    acc = sum(pred[i] == truth[i] for i in truth) / len(truth)
+    assert acc == 1.0, (acc, pred)
+    assert {r["doc_id"]: r["lang_pred"]
+            for r in lang_id_ngram(df, profiles).collect()} == pred
