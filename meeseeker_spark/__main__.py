@@ -10,6 +10,7 @@ crash-restart backoff loop (bin/meeseeker:25-33 → supervision.py).
     python -m meeseeker_spark scan 'hive:*:vote' --store DIR
     python -m meeseeker_spark reset [chain] --store DIR
     python -m meeseeker_spark verify --store DIR --blocks DIR
+    python -m meeseeker_spark prepare --docs PQ --out DIR [--bench PQ]
 """
 
 from __future__ import annotations
@@ -96,6 +97,24 @@ def main(argv: list[str] | None = None) -> int:
     pv.add_argument("--engine", action="store_true",
                     help="sidechain D2 reconciliation (ENGINE_BLOCKS shape; "
                          "Rakefile verify:*_engine_block_org)")
+
+    pp = sub.add_parser(
+        "prepare",
+        help="training-corpus funnel: dedup → decontam → quality → "
+             "redact → mixture → pack (ext.pipeline)")
+    pp.add_argument("--docs", required=True,
+                    help="parquet dir/file with documents-shaped rows")
+    pp.add_argument("--bench",
+                    help="parquet with benchmark/eval docs to screen against "
+                         "(omitted → no decontamination rows removed)")
+    pp.add_argument("--out", required=True)
+    pp.add_argument("--weights", default=None,
+                    help='JSON domain weights, e.g. \'{"en":0.5,"de":0.5}\''
+                         " (default: uniform over observed domains)")
+    pp.add_argument("--ngram", type=int, default=13)
+    pp.add_argument("--max-overlap", type=float, default=0.0)
+    pp.add_argument("--quality-floor", type=float, default=0.25)
+    pp.add_argument("--max-tokens", type=int, default=2048)
 
     a = p.parse_args(argv)
 
@@ -197,6 +216,29 @@ def main(argv: list[str] | None = None) -> int:
             return 0 if n else 1
         store.reset(a.chain)
         print(f"reset chain={a.chain}")
+        return 0
+
+    if a.cmd == "prepare":
+        from .ext.pipeline import prepare_training_corpus
+
+        spark = _spark()
+        docs = spark.read.parquet(a.docs)
+        if a.bench:
+            bench = spark.read.parquet(a.bench)
+        else:
+            bench = docs.limit(0)
+        if a.weights:
+            weights = json.loads(a.weights)
+        else:
+            langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+            weights = {l: 1.0 / len(langs) for l in langs}
+        build = prepare_training_corpus(
+            docs, bench, weights,
+            decontam_ngram=a.ngram, decontam_max_overlap=a.max_overlap,
+            quality_floor=a.quality_floor, max_tokens=a.max_tokens)
+        build.corpus.write.mode("overwrite").parquet(f"{a.out}/corpus")
+        build.packed.write.mode("overwrite").parquet(f"{a.out}/packed")
+        print(json.dumps(build.report(), sort_keys=True))
         return 0
 
     # verify

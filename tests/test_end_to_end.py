@@ -289,3 +289,29 @@ def test_cli_mode_is_mainnet_only(tmp_path):
     with pytest.raises(SystemExit):
         main(["sync", "--chain", "hive_engine", "--blocks", str(tmp_path),
               "--out", str(tmp_path / "out"), "--mode", "irreversible"])
+
+
+def test_cli_prepare(tmp_path_factory, capsys):
+    """`prepare` runs the corpus funnel end-to-end: report on stdout,
+    corpus + packed parquet under --out."""
+    import json
+
+    from meeseeker_spark.__main__ import main
+    from meeseeker_spark.session import get_spark
+
+    d = tmp_path_factory.mktemp("prep")
+    rc = main([
+        "prepare", "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", str(d / "out"), "--ngram", "3", "--max-overlap", "0.5",
+        "--weights",
+        '{"en":0.25,"de":0.1875,"fr":0.1875,"es":0.1875,"zh":0.1875}',
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["raw"] == 500
+    assert report["mixed"] > 0
+    spark = get_spark()
+    corpus = spark.read.parquet(str(d / "out" / "corpus"))
+    packed = spark.read.parquet(str(d / "out" / "packed"))
+    assert corpus.count() == report["mixed"]
+    assert packed.count() == corpus.count()
