@@ -230,7 +230,10 @@ def main(argv: list[str] | None = None) -> int:
         if a.weights:
             weights = json.loads(a.weights)
         else:
-            langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+            langs = [r["lang"] for r in docs.select("lang").distinct().collect()
+                     if r["lang"] is not None]
+            if not langs:
+                p.error("--docs has no non-null lang values; pass --weights")
             weights = {l: 1.0 / len(langs) for l in langs}
         build = prepare_training_corpus(
             docs, bench, weights,

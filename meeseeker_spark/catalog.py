@@ -1243,10 +1243,9 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     resumed jobs, and the DuckDB oracle all pick the SAME rows, which
     per-partition RNG sampling cannot promise. Pure narrow filter: no
     shuffle at any scale."""
+    from .ext.text import md5_int32
     docs = load(spark, sf_dir, "documents")
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
-               16, 10).cast("bigint"), F.lit(100))
+    bucket = F.pmod(md5_int32(F.col("doc_id").cast("string")), F.lit(100))
     return (
         docs.withColumn("_b", bucket)
         .where(((F.col("lang") == "en") & (F.col("_b") < 10))

@@ -79,9 +79,8 @@ def hashed_shingles(shingle_col: Column) -> Column:
     Must be projected as a BOUND column before minhash_signatures so the
     md5 map runs once per row, not once per signature (same rule as
     shingles_from_tokens)."""
-    return F.transform(
-        shingle_col,
-        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"))
+    from .text import md5_int32
+    return F.transform(shingle_col, md5_int32)
 
 
 def minhash_signatures(hashed_col: Column, k: int = 8) -> Column:

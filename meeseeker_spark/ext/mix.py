@@ -25,10 +25,9 @@ _HASH_MOD = 10_000
 def _keep_hash(id_col: F.Column, copy_col: F.Column) -> F.Column:
     """Uniform [0, _HASH_MOD) hash of (id, copy) — first 8 md5 hex chars,
     the same oracle-reproducible idiom as stratified_sample."""
+    from .text import md5_int32
     key = F.concat(id_col.cast("string"), F.lit(":"), copy_col.cast("string"))
-    return F.pmod(
-        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint"),
-        F.lit(_HASH_MOD))
+    return F.pmod(md5_int32(key), F.lit(_HASH_MOD))
 
 
 def mixture_plan(docs: DataFrame, weights: dict[str, float],

@@ -32,9 +32,12 @@ from .text import quality_scores, redact_pii
 
 @dataclass
 class CorpusBuild:
-    """Result of prepare_training_corpus: the packed corpus plus the
-    per-stage row counts (computed lazily only when the report is asked
-    for — the DataFrames are unevaluated plans until then)."""
+    """Result of prepare_training_corpus: the packed corpus plus
+    per-stage DataFrames whose counts report() computes on demand.
+    Building a CorpusBuild is NOT free: the near-dup stage's connected-
+    components loop and the pack stage's quantile probe execute jobs at
+    construction time (both bounded — see their docstrings); the other
+    stages stay lazy until consumed."""
     corpus: DataFrame                     # redacted, mixed rows + copy
     packed: DataFrame                     # (doc_id, copy) → bin layout
     stages: dict[str, DataFrame] = field(default_factory=dict)
@@ -91,13 +94,17 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
     stages["mixed"] = mixed
 
     # pack on (doc_id, copy): repeats are distinct sequences in the
-    # stream, ordered deterministically by (id, copy) via a derived key
+    # stream, ordered deterministically by (id, copy) via a derived key.
+    # copy < 1000 is guaranteed by mixture's max_epochs clamp; ids must
+    # stay ≤ ~9.2e15 for the ×1000 encode to fit int64.  Decode with
+    # integer div — float /1000 loses exactness past 2^53 (same rule as
+    # the nanos→micros conversion in tables.py).
     with_key = mixed.withColumn(
         "_pack_id", F.col(id_col) * 1000 + F.col("copy"))
     packed = pack_sequences(with_key, max_tokens, id_col="_pack_id",
                             text_col=text_col)
     packed = packed.select(
-        (F.col("_pack_id") / 1000).cast("long").alias(id_col),
+        F.expr("_pack_id div 1000").alias(id_col),
         F.pmod(F.col("_pack_id"), F.lit(1000)).alias("copy"),
         "n_tokens", "start_offset", "first_bin", "last_bin")
     return CorpusBuild(corpus=mixed, packed=packed, stages=stages)

@@ -17,6 +17,8 @@ before arithmetic so results are stable and oracle-reproducible.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -266,30 +268,6 @@ def quantized_topk(emb: DataFrame, query_ids: list[int] | None = None,
                        vec_col=vec_col)
 
 
-def hashed_plane_dot(vec: Column, table: int, plane: int,
-                     seed: int = 17) -> Column:
-    """Projection of ``vec`` onto a Rademacher (±1-component) hyperplane
-    that exists only as a hash function: component sign =
-    xxhash64(seed, table, plane, i) & 1.
-
-    Why not literal random planes: materializing them needs the vector
-    DIMENSION, which is not in the schema — so every invocation paid a
-    driver-side ``.first()`` probe job (the same job-in-builder wart the
-    tfidf corpus count had).  Hash-derived planes are dimension-agnostic,
-    deterministic across retries/executors with zero driver state or
-    broadcast, and ±1 components make the projection a signed sum — no
-    multiplies.  At dim ≥ ~32 the CLT makes these projections
-    effectively gaussian, so sign-LSH collision behavior matches true
-    random hyperplanes (recall is pinned empirically in tests either
-    way)."""
-    terms = F.transform(
-        vec,
-        lambda x, i: F.when(
-            F.xxhash64(F.lit(seed), F.lit(table), F.lit(plane), i)
-            .bitwiseAND(F.lit(1)) == 1, x).otherwise(-x))
-    return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
-
-
 def hashed_lsh_buckets(vec: Column | str, n_planes: int, n_tables: int,
                        seed: int = 17) -> Column:
     """One sign-of-projection bucket id per table (OR-construction LSH:
@@ -305,15 +283,29 @@ def hashed_lsh_buckets(vec: Column | str, n_planes: int, n_tables: int,
     only L·2^b distinct keys: at 1B rows raise b to ~20 so bucket
     population, not key count, bounds parallelism.
 
+    Each plane is a Rademacher (±1-component) hyperplane that exists
+    only as a hash function — component sign = xxhash64(seed, table,
+    plane, i) & 1.  Hash-derived planes are dimension-agnostic (no
+    driver-side ``.first()`` dimension-probe job), deterministic across
+    retries/executors with zero driver state or broadcast, and ±1
+    components make each projection a signed sum — no multiplies.  At
+    dim ≥ ~32 the CLT makes the projections effectively gaussian, so
+    sign-LSH collision behavior matches true random hyperplanes (recall
+    is pinned empirically in tests).
+
     The whole n_tables×n_planes expression is built as ONE SQL string
     through a single ``F.expr`` call: assembling it Column-by-Column
     costs thousands of py4j round-trips — measured ~1.2 s of driver-side
     DataFrame-build latency per invocation at 6 planes × 5 tables —
-    while the SQL text parses JVM-side in one hop with identical
-    semantics (same xxhash64(seed, table, plane, i) sign per component,
-    same left-to-right double summation).  ``vec`` may be a column name
-    or a Column whose SQL rendering is a plain name."""
+    while the SQL text parses JVM-side in one hop (same left-to-right
+    double summation).  ``vec`` may be a column name or a Column whose
+    SQL rendering is a plain name (anything else is rejected — the name
+    is interpolated into SQL text)."""
     name = vec if isinstance(vec, str) else vec._jc.toString()
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise ValueError(
+            "hashed_lsh_buckets needs a plain column name (got "
+            f"{name!r}); pass the name or a bare F.col(...)")
 
     def plane_dot(t: int, p: int) -> str:
         return (

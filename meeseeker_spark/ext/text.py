@@ -38,6 +38,16 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(col), "\\s+", " ")))
 
 
+def md5_int32(col: Column) -> Column:
+    """First 8 md5 hex chars as a non-negative bigint < 2^32 — THE
+    oracle-reproducible uniform hash (DuckDB twin:
+    ``('0x' || substr(md5(x), 1, 8))::BIGINT``).  Single definition so
+    every consumer (minhash shingle hashing, mixture keep decisions,
+    stratified sampling) stays bit-identical to its oracle; widen one
+    and you break the others' parity silently."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
 # BPE-style pretokenizer: letter runs | 1-3 digit runs | punctuation runs.
 # Deliberately lookahead-free so Java regex (Spark) and RE2 (DuckDB)
 # extract identical token streams — real BPE pretokenizers (GPT-2's) need
@@ -170,13 +180,17 @@ def lang_id(df: DataFrame, id_col: str = "doc_id",
 def char_ngrams(col: Column, n: int = 3) -> Column:
     """Distinct character n-grams of the whitespace-normalized lowercased
     text (the language-ID feature — word tokenizers lose scripts without
-    spaces; char grams do not)."""
+    spaces; char grams do not).  Texts shorter than ``n`` yield an EMPTY
+    array, never a truncated or empty-string gram — degenerate grams
+    would otherwise enter profile training and let empty documents vote
+    instead of falling through to 'unknown'."""
     t = F.trim(F.regexp_replace(F.lower(col), "\\s+", " "))
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(t) - n + 1, F.lit(1))),
         lambda i: F.substr(t, i, F.lit(n)),
     )
-    return F.array_distinct(grams)
+    return F.when(F.length(t) >= n, F.array_distinct(grams)) \
+        .otherwise(F.array().cast("array<string>"))
 
 
 def char_ngram_profiles(docs: DataFrame, lang_col: str = "lang",

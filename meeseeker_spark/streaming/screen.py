@@ -57,7 +57,12 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
                  checkpoint_dir: str, threshold: float = 0.5,
                  available_now: bool = True) -> StreamingQuery:
     """File stream over ``incoming_dir`` → screened corpus under
-    ``out_dir``/corpus + rejection log under ``out_dir``/flagged."""
+    ``out_dir``/corpus + rejection log under ``out_dir``/flagged.
+
+    ``out_dir`` must be a LOCAL filesystem path (the corpus-existence
+    probe is os.listdir — same hermetic file-backed-sink scope as the
+    rest of the streaming layer; an object-store deployment would swap
+    the probe for a catalog/FileSystem check)."""
     corpus_dir = os.path.join(out_dir, "corpus")
     flagged_dir = os.path.join(out_dir, "flagged")
 
@@ -66,7 +71,16 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
         corpus = None
         if os.path.isdir(corpus_dir) and any(
                 not e.startswith(("_", ".")) for e in os.listdir(corpus_dir)):
-            corpus = s.read.schema(DOCS_SCHEMA).parquet(corpus_dir)
+            # EXCLUDE this batch's own partition: a retried batch (crash
+            # after write, before checkpoint commit) would otherwise
+            # screen against its previously-written self — every doc
+            # flags as its own jaccard-1.0 duplicate and the overwrite
+            # empties the partition, silently losing admitted rows.
+            corpus = (
+                s.read.schema(DOCS_SCHEMA).parquet(corpus_dir)
+                .where(F.col("batch_id") != batch_id)
+                .drop("batch_id")
+            )
         admitted, flagged = screen_batch(batch_df, corpus, threshold)
         (admitted.write.mode("overwrite")
          .parquet(os.path.join(corpus_dir, f"batch_id={batch_id}")))

@@ -937,3 +937,15 @@ def test_lang_id_ngram_accuracy_and_shape(spark):
     assert acc == 1.0, (acc, pred)
     assert {r["doc_id"]: r["lang_pred"]
             for r in lang_id_ngram(df, profiles).collect()} == pred
+
+
+def test_char_ngrams_short_text_yields_no_grams(spark):
+    from meeseeker_spark.ext.text import char_ngrams
+
+    rows = [Row(doc_id=1, text=""), Row(doc_id=2, text="a"),
+            Row(doc_id=3, text="  "), Row(doc_id=4, text="abc")]
+    df = spark.createDataFrame(rows)
+    got = {r["doc_id"]: r["g"] for r in
+           df.select("doc_id", char_ngrams(F.col("text")).alias("g")).collect()}
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    assert got[4] == ["abc"]

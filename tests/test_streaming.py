@@ -642,6 +642,21 @@ def test_streaming_dedup_screen(spark, tmp_path_factory):
     assert corpus == {1, 3, 11}      # 2 = in-batch exact dup, 10 = near-dup
     assert flagged == {(10, 1)}
 
+    # replay-idempotence (the retry path): wipe the checkpoint so every
+    # batch reprocesses against a corpus that already contains its own
+    # prior output — the batch_id exclusion must keep each batch from
+    # flagging itself as a jaccard-1.0 duplicate and emptying its
+    # partition on overwrite
+    import shutil
+    shutil.rmtree(ckpt)
+    q = start_screen(spark, str(incoming), str(out), str(ckpt))
+    q.awaitTermination(120)
+    corpus2 = {r["doc_id"] for r in
+               spark.read.parquet(str(out / "corpus")).collect()}
+    flagged2 = {(r["new_id"], r["corpus_id"]) for r in
+                spark.read.parquet(str(out / "flagged")).collect()}
+    assert corpus2 == corpus and flagged2 == flagged
+
 
 def test_normalize_ts_handles_both_fixture_encodings(spark):
     """The driver has shipped fixtures as TIMESTAMP(NANOS) (readable only
