@@ -176,12 +176,33 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def banded_projection(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 8,
+                      bands: int = 4, rows: int = 2,
+                      n_shingle: int = 3) -> DataFrame:
+    """(id, band) rows — the persistable MinHash/LSH index projection.
+    Signatures are a pure function of the text (see minhash_signatures),
+    so rows written by one job and read by another are interchangeable
+    with a fresh recompute: append each ingested batch's projection to
+    an index table and batch-vs-corpus screening stops re-hashing the
+    history (see incremental_near_dups ``corpus_bands``)."""
+    base = shingle_df(df, id_col, text_col, n_shingle)
+    hashed = base.select("_id", hashed_shingles(F.col("_sh")).alias("_hs"))
+    sigs = hashed.select(
+        "_id", minhash_signatures(F.col("_hs"), k).alias("_sigs"))
+    return sigs.select(
+        F.col("_id").alias(id_col),
+        F.explode(band_keys(F.col("_sigs"), bands, rows)).alias("band"),
+    )
+
+
 def incremental_near_dups(new_df: DataFrame, corpus_df: DataFrame,
                           id_col: str = "doc_id", text_col: str = "text",
                           threshold: float = 0.5, k: int = 8,
                           bands: int = 4, rows: int = 2,
                           n_shingle: int = 3,
-                          max_bucket: int | None = 10_000) -> DataFrame:
+                          max_bucket: int | None = 10_000,
+                          corpus_bands: DataFrame | None = None) -> DataFrame:
     """Batch-vs-corpus near-dup detection: which NEW documents are
     near-duplicates of something already in the corpus — the shape every
     continuously-ingesting training pipeline needs (each incoming batch
@@ -191,30 +212,32 @@ def incremental_near_dups(new_df: DataFrame, corpus_df: DataFrame,
     Returns (new_id, corpus_id, jaccard) for pairs ≥ threshold.
 
     Scale shape: both sides band to SKINNY (id, band) rows and meet in a
-    shuffle join keyed on band — the corpus side never broadcasts and is
-    touched once per batch (at real scale, persist the corpus's banded
-    projection and this becomes an append-only index lookup).  Candidate
-    verification re-attaches shingles by id for surviving pairs only.
-    ``max_bucket`` drops degenerate band buckets on the CORPUS side
-    (same quadratic-bucket guard as near_dup_pairs, same lower-bound
-    caveat), measured by corpus width — a hot shingle pattern in the
-    historical store is the skew that matters.
+    shuffle join keyed on band — the corpus side never broadcasts.
+    Pass ``corpus_bands`` (a persisted ``banded_projection`` table,
+    appended per ingested batch) and the corpus text is never re-hashed:
+    per-batch candidate-generation cost is then proportional to the
+    BATCH, not the history.  Candidate verification re-shingles only the
+    corpus documents that actually appear in a candidate pair (semi-join
+    first, shingle after).  ``max_bucket`` drops degenerate band buckets
+    on the CORPUS side (same quadratic-bucket guard as near_dup_pairs,
+    same lower-bound caveat), measured by corpus width — a hot shingle
+    pattern in the historical store is the skew that matters.
     """
     nb = shingle_df(new_df, id_col, text_col, n_shingle)
-    cb = shingle_df(corpus_df, id_col, text_col, n_shingle)
-
-    def banded(base: DataFrame, side: str) -> DataFrame:
-        hashed = base.select(
-            "_id", hashed_shingles(F.col("_sh")).alias("_hs"))
-        sigs = hashed.select(
-            "_id", minhash_signatures(F.col("_hs"), k).alias("_sigs"))
-        return sigs.select(
-            F.col("_id").alias(side),
-            F.explode(band_keys(F.col("_sigs"), bands, rows)).alias("_band"),
-        )
-
-    nbands = banded(nb, "new_id")
-    cbands = banded(cb, "corpus_id")
+    nbands = (
+        nb.select("_id", hashed_shingles(F.col("_sh")).alias("_hs"))
+        .select("_id", minhash_signatures(F.col("_hs"), k).alias("_sigs"))
+        .select(F.col("_id").alias("new_id"),
+                F.explode(band_keys(F.col("_sigs"), bands, rows))
+                .alias("_band"))
+    )
+    if corpus_bands is None:
+        cbands = banded_projection(corpus_df, id_col, text_col, k, bands,
+                                   rows, n_shingle)
+    else:
+        cbands = corpus_bands
+    cbands = cbands.select(F.col(id_col).alias("corpus_id"),
+                           F.col("band").alias("_band"))
     if max_bucket is not None:
         narrow = (cbands.groupBy("_band")
                   .agg(F.count("*").alias("_w"))
@@ -227,8 +250,13 @@ def incremental_near_dups(new_df: DataFrame, corpus_df: DataFrame,
         .dropDuplicates(["new_id", "corpus_id"])
     )
     sh_n = nb.select(F.col("_id").alias("new_id"), F.col("_sh").alias("_sh_n"))
-    sh_c = cb.select(F.col("_id").alias("corpus_id"),
-                     F.col("_sh").alias("_sh_c"))
+    # shingle only candidate corpus docs: filter by id BEFORE the
+    # tokenize/shingle projection so the (expensive) text work runs for
+    # matched rows, not the whole history
+    relevant = corpus_df.join(
+        cand.select(F.col("corpus_id").alias(id_col)).distinct(), id_col)
+    sh_c = shingle_df(relevant, id_col, text_col, n_shingle).select(
+        F.col("_id").alias("corpus_id"), F.col("_sh").alias("_sh_c"))
     inter = F.size(F.array_intersect("_sh_n", "_sh_c"))
     union = F.size(F.array_distinct(F.concat("_sh_n", "_sh_c")))
     return (

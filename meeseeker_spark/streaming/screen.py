@@ -12,11 +12,12 @@ table*, which a pure stream-stream join cannot express):
     against them (earlier-ingested wins, matching the reference's
     first-writer-wins key idempotence)
 
-Scale shape: the corpus is touched once per batch through the banded
-(id, band) projection — at real scale that projection is persisted as
-the dedup index and appended per batch instead of recomputed; the code
-keeps the recompute form because fixtures are small and the plan is
-identical either way.  Batch writes land under ``batch_id=N`` subdirs
+Scale shape: each admitted batch ALSO appends its banded MinHash
+projection under ``out_dir``/index, and screening joins the incoming
+batch's bands against that persisted index — the corpus TEXT is never
+re-hashed, so per-batch candidate generation costs the batch, not the
+accumulated history (corpus rows are only read back to exact-verify the
+few candidate pairs).  Batch writes land under ``batch_id=N`` subdirs
 (same parquet-level idempotence scheme as the ops sink — a retried batch
 overwrites itself, so admission is exactly-once without Delta).
 """
@@ -28,25 +29,30 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..ext.dedup import exact_dedup, incremental_near_dups
+from ..ext.dedup import banded_projection, exact_dedup, incremental_near_dups
 
 DOCS_SCHEMA = ("doc_id bigint, text string, lang string, source string, "
                "n_chars bigint")
 
 
 def screen_batch(batch: DataFrame, corpus: DataFrame | None,
-                 threshold: float = 0.5) -> tuple[DataFrame, DataFrame]:
+                 threshold: float = 0.5,
+                 corpus_bands: DataFrame | None = None,
+                 ) -> tuple[DataFrame, DataFrame]:
     """(admitted, flagged) for one batch against the current corpus.
 
     In-batch exact dups collapse first (min doc_id survives); near-dups
     of any existing corpus doc are then rejected.  ``corpus=None`` (first
-    batch) skips the cross screen."""
+    batch) skips the cross screen.  ``corpus_bands`` is the persisted
+    banded index — when given, the corpus text is only read to verify
+    candidate pairs."""
     batch = exact_dedup(batch, ["text"], "doc_id")
     if corpus is None:
         empty = batch.sparkSession.createDataFrame(
             [], "new_id bigint, corpus_id bigint, jaccard double")
         return batch, empty
-    flagged = incremental_near_dups(batch, corpus, threshold=threshold)
+    flagged = incremental_near_dups(batch, corpus, threshold=threshold,
+                                    corpus_bands=corpus_bands)
     admitted = batch.join(
         flagged.select(F.col("new_id").alias("doc_id")).distinct(),
         "doc_id", "left_anti")
@@ -65,27 +71,47 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
     the probe for a catalog/FileSystem check)."""
     corpus_dir = os.path.join(out_dir, "corpus")
     flagged_dir = os.path.join(out_dir, "flagged")
+    index_dir = os.path.join(out_dir, "index")
+
+    def _has_data(d: str) -> bool:
+        return os.path.isdir(d) and any(
+            not e.startswith(("_", ".")) for e in os.listdir(d))
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        corpus = None
-        if os.path.isdir(corpus_dir) and any(
-                not e.startswith(("_", ".")) for e in os.listdir(corpus_dir)):
-            # EXCLUDE this batch's own partition: a retried batch (crash
-            # after write, before checkpoint commit) would otherwise
-            # screen against its previously-written self — every doc
-            # flags as its own jaccard-1.0 duplicate and the overwrite
-            # empties the partition, silently losing admitted rows.
+        corpus = bands = None
+        # EXCLUDE this batch's own partitions everywhere: a retried
+        # batch (crash after write, before checkpoint commit) would
+        # otherwise screen against its previously-written self — every
+        # doc flags as its own jaccard-1.0 duplicate and the overwrite
+        # empties the partition, silently losing admitted rows.
+        if _has_data(corpus_dir):
             corpus = (
                 s.read.schema(DOCS_SCHEMA).parquet(corpus_dir)
                 .where(F.col("batch_id") != batch_id)
                 .drop("batch_id")
             )
-        admitted, flagged = screen_batch(batch_df, corpus, threshold)
+            if _has_data(index_dir):
+                bands = (
+                    s.read.schema("doc_id bigint, band string")
+                    .parquet(index_dir)
+                    .where(F.col("batch_id") != batch_id)
+                    .drop("batch_id")
+                )
+        admitted, flagged = screen_batch(batch_df, corpus, threshold,
+                                         corpus_bands=bands)
         (admitted.write.mode("overwrite")
          .parquet(os.path.join(corpus_dir, f"batch_id={batch_id}")))
         (flagged.write.mode("overwrite")
          .parquet(os.path.join(flagged_dir, f"batch_id={batch_id}")))
+        # append this batch's banded projection so FUTURE batches screen
+        # against it without re-hashing (reads the admitted rows just
+        # written — signatures are text-pure, so index == recompute)
+        (banded_projection(
+            s.read.schema(DOCS_SCHEMA)
+            .parquet(os.path.join(corpus_dir, f"batch_id={batch_id}")))
+         .write.mode("overwrite")
+         .parquet(os.path.join(index_dir, f"batch_id={batch_id}")))
 
     stream = (spark.readStream.schema(DOCS_SCHEMA)
               .option("maxFilesPerTrigger", 1).parquet(incoming_dir))

@@ -949,3 +949,18 @@ def test_char_ngrams_short_text_yields_no_grams(spark):
            df.select("doc_id", char_ngrams(F.col("text")).alias("g")).collect()}
     assert got[1] == [] and got[2] == [] and got[3] == []
     assert got[4] == ["abc"]
+
+
+def test_incremental_near_dups_index_equals_recompute(docs):
+    """A persisted banded_projection must yield exactly the pairs a
+    fresh corpus recompute yields (signatures are text-pure)."""
+    new = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    fresh = {(r["new_id"], r["corpus_id"], r["jaccard"]) for r in
+             dedup.incremental_near_dups(new, corpus,
+                                         threshold=0.3).collect()}
+    idx = dedup.banded_projection(corpus)
+    via_index = {(r["new_id"], r["corpus_id"], r["jaccard"]) for r in
+                 dedup.incremental_near_dups(new, corpus, threshold=0.3,
+                                             corpus_bands=idx).collect()}
+    assert via_index == fresh and len(fresh) > 0
