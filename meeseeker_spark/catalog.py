@@ -991,7 +991,7 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUCK_NEARDUP = f"""{_DUCK_SHINGLES},
+_DUCK_BANDS = f"""{_DUCK_SHINGLES},
     sig AS (
         -- mirror of ext.dedup minhash: h = first 8 md5 hex chars as int,
         -- sig_k = min (a_k*h + b_k) % P with P = smallest prime > 2^32;
@@ -1011,10 +1011,21 @@ _DUCK_NEARDUP = f"""{_DUCK_SHINGLES},
                    b || '|' || sigs[b*2 + 1] || '|' || sigs[b*2 + 2]))
                AS band_key
         FROM sig
+    )"""
+
+
+_DUCK_NEARDUP = f"""{_DUCK_BANDS},
+    kept AS (
+        -- mirror of ext.dedup max_bucket=10000: a band bucket wider than
+        -- the cap is dropped before the self-join (deterministic, so the
+        -- oracle reproduces the pruning exactly)
+        SELECT band_key FROM bands GROUP BY band_key HAVING count(*) <= 10000
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
+        FROM bands a
+        JOIN kept k ON k.band_key = a.band_key
+        JOIN bands b
           ON a.band_key = b.band_key AND a.doc_id < b.doc_id
     ),
     scored AS (
@@ -1038,33 +1049,37 @@ _DUCK_NEARDUP = f"""{_DUCK_SHINGLES},
 def near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs; one md5 per shingle + affine
     permutations, overflow-free in BIGINT so the oracle reproduces the
-    signatures bit-for-bit. 8 sigs, 4 bands × 2 rows, Jaccard ≥ 0.5."""
+    signatures bit-for-bit. 8 sigs, 4 bands × 2 rows, Jaccard ≥ 0.5.
+
+    ``max_bucket=10_000`` IS engaged (and mirrored in the oracle's
+    ``kept`` CTE): a degenerate band key — every near-empty doc hashing
+    identically — otherwise turns the bucket self-join quadratic at
+    corpus scale.  The cap is deterministic, so the oracle reproduces
+    the pruning; recall over >10k-member dup clusters is the documented
+    lower bound (VERDICT r3 item 1)."""
     from .ext.dedup import near_dup_pairs
     docs = load(spark, sf_dir, "documents")
-    return near_dup_pairs(docs, threshold=0.5, k=8, bands=4, rows=2)
+    return near_dup_pairs(docs, threshold=0.5, k=8, bands=4, rows=2,
+                          max_bucket=10_000)
 
 
 @register(
     "ref_join_salted",
-    """
-    SELECT o.o_orderkey, o.o_orderstatus, s.n_supp, s.supp_set
-    FROM orders o
-    JOIN (
-        SELECT l_orderkey,
-               count(DISTINCT l_suppkey) AS n_supp,
-               array_to_string(list_sort(list(DISTINCT l_suppkey)), ',')
-                   AS supp_set
-        FROM lineitem GROUP BY l_orderkey
-    ) s ON s.l_orderkey = o.o_orderkey
-    """,
+    None,
     tags=("D3", "skew"),
 )
 def ref_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """d3_ref_join's aggregation through the skew-resistant two-phase
     salted collect_set (ext.skew) — identical results, but a hot
-    ref-block key fans out over 8 reducers in the wide stage. The oracle
-    is the SAME SQL as d3_ref_join: salting must be invisible. Set is
-    serialized to a sorted CSV string like d3_ref_join."""
+    ref-block key fans out over 8 reducers in the wide stage. Salting
+    must be invisible. Set is serialized to a sorted CSV string like
+    d3_ref_join.
+
+    Rows-only in the driver since round 4: its oracle was char-identical
+    to d3_ref_join's (both graded green in r3), so the duplicate grade
+    conveyed nothing — the freed window slot grades benchmark_coverage
+    instead (VERDICT r3 item 5).  Exact equality with d3_ref_join is
+    pinned by tests/test_ext.py::test_ref_join_salted_equals_d3."""
     from .ext.skew import salted_collect_set
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
@@ -1171,28 +1186,54 @@ def jaccard_ngram_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "embedding_dups",
-    """
-    WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    e AS (
-        SELECT vec_id,
-               list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
-                   AS nv
-        FROM e0
+    "incremental_near_dups",
+    f"""
+    WITH {_DUCK_BANDS},
+    nb AS (
+        SELECT doc_id AS new_id, band_key FROM bands WHERE doc_id % 7 = 0
+    ),
+    cb0 AS (
+        SELECT doc_id AS corpus_id, band_key FROM bands WHERE doc_id % 7 <> 0
+    ),
+    ckept AS (
+        -- max_bucket=10000 measured on CORPUS bucket width, as in
+        -- ext.dedup.incremental_near_dups
+        SELECT band_key FROM cb0 GROUP BY band_key HAVING count(*) <= 10000
+    ),
+    cb AS (
+        SELECT cb0.corpus_id, cb0.band_key FROM cb0 JOIN ckept USING (band_key)
+    ),
+    inc_cand AS (
+        SELECT DISTINCT new_id, corpus_id FROM nb JOIN cb USING (band_key)
+    ),
+    inc_scored AS (
+        SELECT c.new_id, c.corpus_id,
+               round(len(list_intersect(sn.shingles, sc.shingles))::DOUBLE /
+                     len(list_distinct(sn.shingles || sc.shingles)), 4)
+                   AS jaccard
+        FROM inc_cand c
+        JOIN sh sn ON sn.doc_id = c.new_id
+        JOIN sh sc ON sc.doc_id = c.corpus_id
     )
-    SELECT vec_a, vec_b, sim FROM (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(list_dot_product(a.nv, b.nv), 4) AS sim
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-    ) WHERE sim >= 0.4
+    SELECT new_id, corpus_id, jaccard FROM inc_scored WHERE jaccard >= 0.3
     """,
-    tags=("F2", "F3"),
+    tags=("F2", "streaming"),
 )
-def embedding_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding-cosine near-dup pairs (all-pairs baseline)."""
-    from .ext.dedup import embedding_dup_pairs
-    emb = load(spark, sf_dir, "embeddings")
-    return embedding_dup_pairs(emb, threshold=0.4)
+def incremental_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus near-dup screen — the continuous-ingest flagship
+    (ext.dedup.incremental_near_dups), now driver-graded (VERDICT r3
+    item 5): a deterministic 1-in-7 doc_id slice plays the incoming
+    batch, the rest is the historical corpus.  Banded skinny shuffle
+    join, corpus never broadcast or re-shingled beyond candidates,
+    ``max_bucket=10_000`` corpus-width guard mirrored in the oracle.
+    The driver-graded threshold (0.3) is looser than the self-join
+    entry's so cross-slice pair mass survives the split."""
+    from .ext.dedup import incremental_near_dups
+    docs = load(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    return incremental_near_dups(new, corpus, threshold=0.3,
+                                 max_bucket=10_000)
 
 
 @register("embedding_dups_lsh", None, tags=("F2", "F3"))
@@ -1431,10 +1472,12 @@ def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-level dedup: connected components of the MinHash near-dup
     graph via distributed min-label propagation (A≈B, B≈C ⇒ one cluster).
     Oracle = transitive closure as a recursive CTE — the iterative Spark
-    loop must land on exactly the closure's min labels."""
+    loop must land on exactly the closure's min labels.  Same
+    ``max_bucket=10_000`` guard as near_dup_pairs (shared oracle CTE)."""
     from .ext.dedup import connected_components, near_dup_pairs
     docs = load(spark, sf_dir, "documents")
-    return connected_components(near_dup_pairs(docs, threshold=0.5))
+    return connected_components(
+        near_dup_pairs(docs, threshold=0.5, max_bucket=10_000))
 
 
 @register(
@@ -1744,6 +1787,53 @@ def contamination_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination(corpus, bench, n=3)
 
 
+@register(
+    "benchmark_coverage",
+    f"""
+    WITH {_DUCK_SHINGLES},
+    bg AS (
+        SELECT doc_id AS bench_id, unnest(shingles) AS g FROM sh
+        WHERE doc_id % 19 = 0
+    ),
+    pg AS (
+        SELECT doc_id AS cid, unnest(shingles) AS g FROM sh
+        WHERE doc_id % 19 <> 0
+    ),
+    gs AS (SELECT g, count(*) AS df FROM pg GROUP BY g),
+    cov AS (
+        SELECT bench_id, count(*)::BIGINT AS n_grams,
+               count(df)::BIGINT AS n_covered
+        FROM bg LEFT JOIN gs USING (g) GROUP BY bench_id
+    ),
+    pgk AS (
+        SELECT pg.cid, pg.g FROM pg
+        JOIN (SELECT g FROM gs WHERE df <= 10000) k USING (g)
+    ),
+    touch AS (
+        SELECT bench_id, count(DISTINCT cid) AS n_corpus_docs
+        FROM bg JOIN pgk USING (g) GROUP BY bench_id
+    )
+    SELECT bench_id, n_grams, n_covered,
+           round(n_covered::DOUBLE / n_grams, 4) AS coverage_frac,
+           coalesce(n_corpus_docs, 0)::BIGINT AS n_corpus_docs
+    FROM cov LEFT JOIN touch USING (bench_id)
+    """,
+    tags=("F2", "F4", "decontam"),
+)
+def benchmark_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-integrity report: per BENCHMARK document, how much of it
+    leaks into the training corpus (ext.decontam.benchmark_coverage) —
+    driver-graded since round 4 (VERDICT r3 item 5).  Same 1-in-19
+    bench slice as contamination_screen; corpus reduced to its
+    distinct-gram set before the coverage join, ``max_df=10_000``
+    posting guard on the distinct-doc count mirrored in the oracle."""
+    from .ext.decontam import benchmark_coverage
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 19 == 0)
+    corpus = docs.where(F.col("doc_id") % 19 != 0)
+    return benchmark_coverage(corpus, bench, n=3)
+
+
 @register("mixture_sample", None, tags=("F4", "sampling", "mixture"))
 def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pretraining mixture materialization: target weights en=0.25 /
@@ -1782,7 +1872,14 @@ def _ordered() -> list[Entry]:
     ungraded past position 50), rows-only approximates and post-window
     extensions parked at the tail where a rows-only check is all they'd
     get anyway (the SQL-expressible ones among them carry their exact
-    parity proof in tests/test_ext.py instead)."""
+    parity proof in tests/test_ext.py instead).
+
+    Round-4 window swap (VERDICT r3 items 2+5): the all-pairs
+    ``embedding_dups`` oracle left the catalog (test-only now —
+    tests/test_ext.py pins the LSH twin's recall against it) and
+    ``ref_join_salted`` went rows-only (its oracle duplicated
+    d3_ref_join's char-for-char; parity pinned in pytest), freeing two
+    slots for ``incremental_near_dups`` and ``benchmark_coverage``."""
     oracled = [e for e in ENTRIES.values() if e.sql is not None]
     rows_only = [e for e in ENTRIES.values() if e.sql is None]
     return oracled + rows_only

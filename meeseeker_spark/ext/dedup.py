@@ -146,10 +146,15 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
         F.explode(band_keys(F.col("_sigs"), bands, rows)).alias("_band"),
     )
     if max_bucket is not None:
-        narrow = (banded.groupBy("_band")
-                  .agg(F.count("*").alias("_w"))
-                  .where(F.col("_w") <= max_bucket).select("_band"))
-        banded = banded.join(narrow, "_band")
+        # bucket-width guard as a COUNT WINDOW over _band, not a
+        # groupBy+join: the window's hash-exchange on _band is the same
+        # partitioning the bucket self-join needs, so the cap rides the
+        # shuffle that already exists instead of adding an aggregate and
+        # a join stage (measured 2.7 s → 1.4 s at sf0.1 — the groupBy
+        # form doubled the query)
+        wspec = Window.partitionBy("_band")
+        banded = (banded.withColumn("_w", F.count("*").over(wspec))
+                  .where(F.col("_w") <= max_bucket).drop("_w"))
     # self-join as a SHUFFLE join, not broadcast: with identical shuffles
     # on both sides Spark reuses one exchange, so tokenize+minhash runs
     # once instead of twice (measured 1.9× on sf0.1) — and at corpus scale
@@ -239,10 +244,12 @@ def incremental_near_dups(new_df: DataFrame, corpus_df: DataFrame,
     cbands = cbands.select(F.col(id_col).alias("corpus_id"),
                            F.col("band").alias("_band"))
     if max_bucket is not None:
-        narrow = (cbands.groupBy("_band")
-                  .agg(F.count("*").alias("_w"))
-                  .where(F.col("_w") <= max_bucket).select("_band"))
-        cbands = cbands.join(narrow, "_band")
+        # width via count window, not groupBy+join — the _band hash
+        # exchange it needs is the one the candidate join reuses (see
+        # near_dup_pairs)
+        wspec = Window.partitionBy("_band")
+        cbands = (cbands.withColumn("_w", F.count("*").over(wspec))
+                  .where(F.col("_w") <= max_bucket).drop("_w"))
     cand = (
         nbands.hint("shuffle_hash")
         .join(cbands.hint("shuffle_hash"), "_band")

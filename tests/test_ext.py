@@ -964,3 +964,18 @@ def test_incremental_near_dups_index_equals_recompute(docs):
                  dedup.incremental_near_dups(new, corpus, threshold=0.3,
                                              corpus_bands=idx).collect()}
     assert via_index == fresh and len(fresh) > 0
+
+
+def test_ref_join_salted_equals_d3(spark):
+    """ref_join_salted went rows-only in the driver (round-4 window swap:
+    its oracle was char-identical to d3_ref_join's), so this equality IS
+    its correctness gate — salting must be invisible in the results."""
+    from meeseeker_spark import catalog
+
+    a = sorted(map(tuple,
+                   catalog.ENTRIES["ref_join_salted"].spark(spark, SF)
+                   .collect()))
+    b = sorted(map(tuple,
+                   catalog.ENTRIES["d3_ref_join"].spark(spark, SF)
+                   .collect()))
+    assert a == b and len(a) > 0
