@@ -439,7 +439,7 @@ def embedding_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
     buckets = e.select(
         F.col(id_col).alias("_id"),
         F.explode(
-            hashed_lsh_buckets(F.col("_nv"), n_planes, n_tables, seed)
+            hashed_lsh_buckets("_nv", n_planes, n_tables, seed)
         ).alias("_bucket"),
     )
     # multiprobe on ONE side only, else Hamming-2 pairs sneak in twice

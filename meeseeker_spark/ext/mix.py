@@ -63,10 +63,17 @@ def mixture_plan(docs: DataFrame, weights: dict[str, float],
         budget_col = F.col("_budget")
     else:
         budget_col = F.lit(float(budget))
-    factor = F.least(
-        F.coalesce(w[F.col("domain")], F.lit(0.0)) * budget_col
-        / F.col("domain_size"),
-        F.lit(float(max_epochs)))
+    # a domain whose sizes sum to 0 would make weight·budget/0 NULL, and
+    # F.least SKIPS nulls — the degenerate domain would silently get
+    # factor == max_epochs and up-sample its zero-length rows max_epochs
+    # times (ADVICE r3); guard to 0.0 instead (nothing to sample)
+    factor = F.when(
+        F.col("domain_size") > 0,
+        F.least(
+            F.coalesce(w[F.col("domain")], F.lit(0.0)) * budget_col
+            / F.col("domain_size"),
+            F.lit(float(max_epochs))),
+    ).otherwise(F.lit(0.0))
     return sizes.select(
         "domain", "domain_size",
         F.round(factor * F.col("domain_size"), 4).alias("target_size"),

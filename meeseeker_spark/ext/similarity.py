@@ -300,8 +300,18 @@ def hashed_lsh_buckets(vec: Column | str, n_planes: int, n_tables: int,
     while the SQL text parses JVM-side in one hop (same left-to-right
     double summation).  ``vec`` may be a column name or a Column whose
     SQL rendering is a plain name (anything else is rejected — the name
-    is interpolated into SQL text)."""
-    name = vec if isinstance(vec, str) else vec._jc.toString()
+    is interpolated into SQL text).  Prefer passing the NAME: rendering
+    a Column leans on the classic client's private ``_jc`` handle, which
+    Spark Connect doesn't have (ADVICE r3)."""
+    if isinstance(vec, str):
+        name = vec
+    else:
+        jc = getattr(vec, "_jc", None)
+        if jc is None:            # Spark Connect Column — no JVM handle
+            raise TypeError(
+                "hashed_lsh_buckets cannot render a Column to SQL under "
+                "this Spark client; pass the column name as a str")
+        name = jc.toString()
     if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
         raise ValueError(
             "hashed_lsh_buckets needs a plain column name (got "
@@ -342,7 +352,7 @@ def lsh_cosine_topk(emb: DataFrame, query_ids: list[int] | None = None,
     nrm = normalized(emb, id_col, vec_col)
     with_bucket = nrm.select(
         F.col(id_col), F.col("_nv").alias("v"),
-        F.explode(hashed_lsh_buckets(F.col("_nv"), n_planes, n_tables,
+        F.explode(hashed_lsh_buckets("_nv", n_planes, n_tables,
                                      seed)).alias("bucket"),
     )
     q = with_bucket

@@ -29,7 +29,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..ext.dedup import banded_projection, exact_dedup, incremental_near_dups
+from ..ext.dedup import (banded_projection, exact_dedup,
+                         incremental_near_dups, near_dup_pairs)
 
 DOCS_SCHEMA = ("doc_id bigint, text string, lang string, source string, "
                "n_chars bigint")
@@ -41,22 +42,33 @@ def screen_batch(batch: DataFrame, corpus: DataFrame | None,
                  ) -> tuple[DataFrame, DataFrame]:
     """(admitted, flagged) for one batch against the current corpus.
 
-    In-batch exact dups collapse first (min doc_id survives); near-dups
-    of any existing corpus doc are then rejected.  ``corpus=None`` (first
-    batch) skips the cross screen.  ``corpus_bands`` is the persisted
-    banded index — when given, the corpus text is only read to verify
-    candidate pairs."""
+    In-batch exact dups collapse first (min doc_id survives), then
+    IN-BATCH near-dups (ADVICE r3: two near-copies arriving in the same
+    micro-batch used to both pass — the gap widened silently with any
+    trigger config looser than maxFilesPerTrigger=1): the min-id member
+    of each in-batch near-dup pair survives (greedy edge-wise, same
+    semantics as ext.dedup.minhash_dedup) and losers land in the flagged
+    log with the surviving doc as ``corpus_id`` — it IS about to become
+    corpus.  Cross-corpus near-dups are then rejected.  ``corpus=None``
+    (first batch) skips only the cross screen.  ``corpus_bands`` is the
+    persisted banded index — when given, the corpus text is only read to
+    verify candidate pairs."""
     batch = exact_dedup(batch, ["text"], "doc_id")
+    in_pairs = near_dup_pairs(batch, threshold=threshold, max_bucket=10_000)
+    in_flagged = in_pairs.select(
+        F.col("doc_b").alias("new_id"), F.col("doc_a").alias("corpus_id"),
+        "jaccard")
+    batch = batch.join(
+        in_flagged.select(F.col("new_id").alias("doc_id")).distinct(),
+        "doc_id", "left_anti")
     if corpus is None:
-        empty = batch.sparkSession.createDataFrame(
-            [], "new_id bigint, corpus_id bigint, jaccard double")
-        return batch, empty
+        return batch, in_flagged
     flagged = incremental_near_dups(batch, corpus, threshold=threshold,
                                     corpus_bands=corpus_bands)
     admitted = batch.join(
         flagged.select(F.col("new_id").alias("doc_id")).distinct(),
         "doc_id", "left_anti")
-    return admitted, flagged
+    return admitted, flagged.unionByName(in_flagged)
 
 
 def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,

@@ -979,3 +979,23 @@ def test_ref_join_salted_equals_d3(spark):
                    catalog.ENTRIES["d3_ref_join"].spark(spark, SF)
                    .collect()))
     assert a == b and len(a) > 0
+
+
+def test_mixture_zero_size_domain_gets_zero_factor(spark):
+    """ADVICE r3: a domain whose sizes sum to 0 must get factor 0 — not
+    max_epochs via F.least skipping the NULL from weight*budget/0."""
+    from meeseeker_spark.ext.mix import mixture_plan, mixture_sample
+
+    rows = [(1, "a b c", "en", 100), (2, "d e f", "en", 60),
+            (3, "", "xx", 0), (4, "", "xx", 0)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "n_chars"])
+    w = {"en": 0.5, "xx": 0.5}
+    # budget 400 → en factor 0.5*400/160 = 1.25 ≥ 1 (epochs=1: every en
+    # doc appears at least once — no hash-sampling luck in the assert)
+    plan = {r["domain"]: r
+            for r in mixture_plan(df, w, budget=400).collect()}
+    assert plan["xx"]["factor"] == 0.0
+    assert plan["xx"]["epochs"] == 0
+    out = mixture_sample(df, w, budget=400)
+    assert out.where(F.col("lang") == "xx").count() == 0
+    assert out.where(F.col("lang") == "en").count() > 0

@@ -629,9 +629,13 @@ def test_streaming_dedup_screen(spark, tmp_path_factory):
     q = start_screen(spark, str(incoming), str(out), str(ckpt))
     q.awaitTermination(120)
 
+    fresh = ("fresh unrelated content regarding mountain weather "
+             "patterns across the northern ranges this coming winter")
     _time.sleep(1.1)  # distinct file mtime → deterministic batch order
-    drop("b2", [doc(10, near), doc(11, "fresh unrelated content regarding "
-                                       "mountain weather patterns")])
+    drop("b2", [doc(10, near), doc(11, fresh),
+                # in-batch near-copy of 11 (ADVICE r3: same-batch
+                # near-dups must collapse, not both admit)
+                doc(12, fresh.replace("winter", "summer"))])
     q = start_screen(spark, str(incoming), str(out), str(ckpt))
     q.awaitTermination(120)
 
@@ -639,8 +643,10 @@ def test_streaming_dedup_screen(spark, tmp_path_factory):
               spark.read.parquet(str(out / "corpus")).collect()}
     flagged = {(r["new_id"], r["corpus_id"]) for r in
                spark.read.parquet(str(out / "flagged")).collect()}
-    assert corpus == {1, 3, 11}      # 2 = in-batch exact dup, 10 = near-dup
-    assert flagged == {(10, 1)}
+    # 2 = in-batch exact dup, 10 = cross-corpus near-dup, 12 = in-batch
+    # near-dup of 11 (min id wins)
+    assert corpus == {1, 3, 11}
+    assert flagged == {(10, 1), (12, 11)}
 
     # replay-idempotence (the retry path): wipe the checkpoint so every
     # batch reprocesses against a corpus that already contains its own
