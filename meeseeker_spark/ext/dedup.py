@@ -228,9 +228,29 @@ def incremental_near_dups(new_df: DataFrame, corpus_df: DataFrame,
     same lower-bound caveat), measured by corpus width — a hot shingle
     pattern in the historical store is the skew that matters.
     """
-    nb = shingle_df(new_df, id_col, text_col, n_shingle)
+    cand = incremental_candidates(new_df, corpus_df, id_col, text_col,
+                                  k, bands, rows, n_shingle, max_bucket,
+                                  corpus_bands)
+    return verify_jaccard(cand, new_df, corpus_df, id_col, text_col,
+                          threshold, n_shingle)
+
+
+def incremental_candidates(new_df: DataFrame,
+                           corpus_df: DataFrame | None = None,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           k: int = 8, bands: int = 4, rows: int = 2,
+                           n_shingle: int = 3,
+                           max_bucket: int | None = 10_000,
+                           corpus_bands: DataFrame | None = None
+                           ) -> DataFrame:
+    """The banded candidate-generation stage of incremental_near_dups:
+    (new_id, corpus_id) pairs that collide in ≥1 LSH band.  Exposed so
+    callers that own the corpus layout (the streaming screen) can PRUNE
+    the corpus read with the candidate id set before verification —
+    candidate generation needs only bands, never corpus text."""
     nbands = (
-        nb.select("_id", hashed_shingles(F.col("_sh")).alias("_hs"))
+        shingle_df(new_df, id_col, text_col, n_shingle)
+        .select("_id", hashed_shingles(F.col("_sh")).alias("_hs"))
         .select("_id", minhash_signatures(F.col("_hs"), k).alias("_sigs"))
         .select(F.col("_id").alias("new_id"),
                 F.explode(band_keys(F.col("_sigs"), bands, rows))
@@ -250,13 +270,23 @@ def incremental_near_dups(new_df: DataFrame, corpus_df: DataFrame,
         wspec = Window.partitionBy("_band")
         cbands = (cbands.withColumn("_w", F.count("*").over(wspec))
                   .where(F.col("_w") <= max_bucket).drop("_w"))
-    cand = (
+    return (
         nbands.hint("shuffle_hash")
         .join(cbands.hint("shuffle_hash"), "_band")
         .select("new_id", "corpus_id")
         .dropDuplicates(["new_id", "corpus_id"])
     )
-    sh_n = nb.select(F.col("_id").alias("new_id"), F.col("_sh").alias("_sh_n"))
+
+
+def verify_jaccard(cand: DataFrame, new_df: DataFrame, corpus_df: DataFrame,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   threshold: float = 0.5, n_shingle: int = 3) -> DataFrame:
+    """Exact-Jaccard verification of (new_id, corpus_id) candidates.
+    ``corpus_df`` may be pre-pruned to (a superset of) the candidate ids
+    — the semi-join makes any extra rows harmless, so a caller with an
+    id-pushdown-friendly corpus layout passes the pruned scan here."""
+    sh_n = shingle_df(new_df, id_col, text_col, n_shingle).select(
+        F.col("_id").alias("new_id"), F.col("_sh").alias("_sh_n"))
     # shingle only candidate corpus docs: filter by id BEFORE the
     # tokenize/shingle projection so the (expensive) text work runs for
     # matched rows, not the whole history

@@ -30,10 +30,17 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..ext.dedup import (banded_projection, exact_dedup,
-                         incremental_near_dups, near_dup_pairs)
+                         incremental_candidates, near_dup_pairs,
+                         verify_jaccard)
 
 DOCS_SCHEMA = ("doc_id bigint, text string, lang string, source string, "
                "n_chars bigint")
+
+# Above this many candidate corpus ids the screen stops collecting them
+# for predicate pushdown and falls back to the plain join (which prunes
+# rows post-scan).  Candidates per trigger are ~batch-sized by the LSH
+# design, so the cap is a driver-memory guard, not an expected path.
+PRUNE_IDS_CAP = 100_000
 
 
 def screen_batch(batch: DataFrame, corpus: DataFrame | None,
@@ -63,8 +70,20 @@ def screen_batch(batch: DataFrame, corpus: DataFrame | None,
         "doc_id", "left_anti")
     if corpus is None:
         return batch, in_flagged
-    flagged = incremental_near_dups(batch, corpus, threshold=threshold,
-                                    corpus_bands=corpus_bands)
+    # candidate generation first (bands only — no corpus text), then
+    # VERIFY against a candidate-id-pruned corpus read: the id set is
+    # per-trigger-bounded, so pushing it into the parquet scan as an In
+    # filter skips row groups of the doc_id-sorted corpus store instead
+    # of re-reading all history text every batch (VERDICT r3 item 4).
+    # localCheckpoint: the collect below and the verify plan both consume
+    # cand — without it the banded join would execute twice.
+    cand = incremental_candidates(
+        batch, corpus, corpus_bands=corpus_bands).localCheckpoint()
+    ids = [r[0] for r in cand.select("corpus_id").distinct()
+           .limit(PRUNE_IDS_CAP + 1).collect()]
+    corpus_v = (corpus.where(F.col("doc_id").isin(ids))
+                if len(ids) <= PRUNE_IDS_CAP else corpus)
+    flagged = verify_jaccard(cand, batch, corpus_v, threshold=threshold)
     admitted = batch.join(
         flagged.select(F.col("new_id").alias("doc_id")).distinct(),
         "doc_id", "left_anti")
@@ -112,7 +131,10 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
                 )
         admitted, flagged = screen_batch(batch_df, corpus, threshold,
                                          corpus_bands=bands)
-        (admitted.write.mode("overwrite")
+        # sorted by doc_id within the partition → tight row-group min/max
+        # stats, so the next batches' candidate-id In filter actually
+        # skips row groups instead of just rows
+        (admitted.sortWithinPartitions("doc_id").write.mode("overwrite")
          .parquet(os.path.join(corpus_dir, f"batch_id={batch_id}")))
         (flagged.write.mode("overwrite")
          .parquet(os.path.join(flagged_dir, f"batch_id={batch_id}")))

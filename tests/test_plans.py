@@ -110,6 +110,37 @@ def test_near_dup_bucket_cap_engaged(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_screen_verify_prunes_corpus_scan(spark, tmp_path_factory):
+    """VERDICT r3 item 4: the streaming screen's verify stage pushes the
+    per-trigger candidate-id set into the corpus parquet scan as an In
+    filter (row-group pruning over the doc_id-sorted store) instead of
+    re-reading all corpus text every batch."""
+    import pyspark.sql.functions as F
+
+    from meeseeker_spark.streaming.screen import DOCS_SCHEMA, screen_batch
+
+    d = tmp_path_factory.mktemp("screenplan")
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from the warm stone wall near the garden gate")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    corpus_rows = [(i, f"{base} tail marker {i}", "en", "web", 120)
+                   for i in range(20)]
+    (spark.createDataFrame(corpus_rows, cols)
+     .sortWithinPartitions("doc_id")
+     .write.parquet(str(d / "corpus")))
+    corpus = spark.read.schema(DOCS_SCHEMA).parquet(str(d / "corpus"))
+    batch = spark.createDataFrame(
+        [(100, base.replace("warm", "cold") + " tail marker 3", "en",
+          "web", 120)], cols)
+
+    _, flagged = screen_batch(batch, corpus)
+    plan = explain_str(flagged)
+    scan_filters = [l for l in plan.splitlines()
+                    if "PushedFilters" in l and "In(doc_id" in l]
+    assert scan_filters, plan
+    assert flagged.count() >= 1  # the near-copy is actually caught
+
+
 def test_flagship_no_python_udfs(spark):
     # hot paths stay JVM-side: no BatchEvalPython/ArrowEvalPython stages
     for name in ("channel_volume", "pricing_summary", "near_dup_pairs",
