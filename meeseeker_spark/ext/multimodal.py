@@ -3,11 +3,12 @@
 Images/audio/video are opaque ``binary`` columns + a typed metadata struct;
 heavy per-item work (decode, resize, frame-sample, feature-extract) runs as
 Arrow-batched ``mapInPandas`` — the Spark-side plumbing (schema, batch
-shape, partition sizing) is real and tested; the codec itself is STUBBED
-behind a guarded import because media libraries aren't in this container:
-``decode_media`` raises NotImplementedError unless ``fake=True``, which
-substitutes a deterministic metadata extractor so the pipeline is
-end-to-end testable.
+shape, partition sizing) is real and tested.  The codec is import-gated:
+with PIL installed ``decode_media`` decodes real image headers (see its
+docstring); without it (this container) ``fake=False`` raises
+NotImplementedError and ``fake=True`` substitutes a deterministic metadata
+extractor so the pipeline is end-to-end testable either way.  The
+feature-extraction encoder (torch) stays stubbed the same way.
 
 At scale: binary payloads ride the same parquet files; metadata-only
 queries never touch the blob column (column pruning), and mapInPandas
@@ -63,10 +64,16 @@ def decode_media(df: DataFrame, id_col: str = "doc_id",
                  fake: bool = False) -> DataFrame:
     """Arrow-batched decode via mapInPandas.
 
-    Real decode needs PIL/ffmpeg (absent here) → NotImplementedError.
-    ``fake=True`` swaps in a deterministic extractor (dimensions derived
-    from the byte content) so schema/batching/partitioning are exercised
-    for real.
+    When PIL is importable (probed at build time, re-imported inside the
+    UDF on the executors) and ``fake=False``, blobs are decoded for real:
+    PIL reads only the image header for dimensions/format, so the
+    per-item cost is parsing, not pixel decode.  A blob PIL cannot parse
+    keeps its metadata with NULL dimensions — a poisoned blob must never
+    kill a 100 TB scan.  Without PIL, ``fake=False`` raises
+    NotImplementedError (honest stub — this container has no image
+    library) and ``fake=True`` swaps in a deterministic extractor
+    (dimensions derived from the byte content) so schema/batching/
+    partitioning are exercised for real either way.
     """
     try:
         import PIL.Image  # noqa: F401
@@ -81,7 +88,7 @@ def decode_media(df: DataFrame, id_col: str = "doc_id",
 
     src = df.select(F.col(id_col).alias("doc_id"), "media")
 
-    def _decode(batches: Iterator) -> Iterator:
+    def _decode_fake(batches: Iterator) -> Iterator:
         import hashlib
 
         import pandas as pd
@@ -101,7 +108,36 @@ def decode_media(df: DataFrame, id_col: str = "doc_id",
                 })
             yield pd.DataFrame(out)
 
-    return src.mapInPandas(_decode, schema=DECODED_SCHEMA)
+    def _decode_real(batches: Iterator) -> Iterator:
+        import hashlib
+        import io
+
+        import pandas as pd
+        import PIL.Image
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                blob: bytes = row["media"]["bytes"]
+                digest = hashlib.md5(blob).hexdigest()
+                mime, width, height = row["media"]["mime"], None, None
+                try:
+                    with PIL.Image.open(io.BytesIO(blob)) as im:
+                        width, height = im.size
+                        mime = PIL.Image.MIME.get(im.format, mime)
+                except Exception:
+                    pass          # undecodable: metadata survives, dims NULL
+                out.append({
+                    "doc_id": row["doc_id"],
+                    "mime": mime,
+                    "n_bytes": len(blob),
+                    "width": width,
+                    "height": height,
+                    "checksum": digest,
+                })
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(_decode_fake if fake else _decode_real,
+                           schema=DECODED_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(DECODED_SCHEMA.fields + [

@@ -999,3 +999,30 @@ def test_mixture_zero_size_domain_gets_zero_factor(spark):
     out = mixture_sample(df, w, budget=400)
     assert out.where(F.col("lang") == "xx").count() == 0
     assert out.where(F.col("lang") == "en").count() > 0
+
+
+def test_multimodal_decode_real_with_pil(docs):
+    """When PIL exists the real codec branch decodes actual image bytes
+    (and leaves NULL dims for undecodable blobs); skipped hermetically
+    where the container has no image library."""
+    pytest.importorskip("PIL.Image")
+    import io
+
+    import PIL.Image
+
+    buf = io.BytesIO()
+    PIL.Image.new("RGB", (37, 21)).save(buf, format="PNG")
+    png = buf.getvalue()
+    spark = docs.sparkSession
+    rows = [(1, bytearray(png), "image/png"),
+            (2, bytearray(b"not an image"), "application/octet-stream")]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, b binary, m string"
+    ).select("doc_id", F.struct(F.col("b").alias("bytes"),
+                                F.col("m").alias("mime")).alias("media"))
+    got = {r["doc_id"]: r for r in
+           multimodal.decode_media(df, fake=False).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (37, 21)
+    assert got[1]["mime"] == "image/png"
+    assert got[2]["width"] is None and got[2]["height"] is None
+    assert got[2]["n_bytes"] == len(b"not an image")
