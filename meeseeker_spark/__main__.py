@@ -82,10 +82,17 @@ def main(argv: list[str] | None = None) -> int:
     pf.add_argument("what", choices=["block", "trx"])
     pf.add_argument("ident")
     pf.add_argument("--store", required=True)
+    pf.add_argument("--schedules",
+                    help="witness-schedule publish dir to include in the "
+                         "unified surface (UnifiedStore)")
 
-    pc = sub.add_parser("scan", help="key-glob scan, e.g. 'hive:*:vote'")
+    pc = sub.add_parser("scan", help="key-glob scan, e.g. 'hive:*:vote' or "
+                                     "'hive:witness:schedule:*'")
     pc.add_argument("pattern")
     pc.add_argument("--store", required=True)
+    pc.add_argument("--schedules",
+                    help="witness-schedule publish dir to include in the "
+                         "unified surface (UnifiedStore)")
 
     pr = sub.add_parser("reset", help="drop a chain partition (or all)")
     pr.add_argument("chain", nargs="?", default="all")
@@ -204,8 +211,11 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if a.cmd in ("find", "scan", "reset"):
-        from .query import OpsStore
-        store = OpsStore(_spark(), a.store)
+        from .query import OpsStore, UnifiedStore
+        if a.cmd != "reset" and a.schedules:
+            store = UnifiedStore(_spark(), a.store, a.schedules)
+        else:
+            store = OpsStore(_spark(), a.store)
         if a.cmd == "find":
             df = (store.find_block(int(a.ident)) if a.what == "block"
                   else store.find_trx(a.ident))

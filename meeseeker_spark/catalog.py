@@ -1239,17 +1239,27 @@ def incremental_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("embedding_dups_lsh", None, tags=("F2", "F3"))
 def embedding_dups_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-pruned embedding near-dup (the 100 TB path; approximate →
-    rows-only check; recall tested against the exact variant at these
-    exact parameters).
+    rows-only check; recall tested against the exact variant at the
+    shipped fixture size).
 
-    planes=6/tables=5 rather than the 4/3 function default: this corpus's
+    ``n_planes`` AUTO-SCALES with log2(corpus/32): with fixed planes the
+    candidate space is n²/2^b — still quadratic in n — so bucket count
+    must track corpus size to keep expected bucket width (~32) constant,
+    making candidates O(n·log n) with the multiprobe factor.  At the
+    driver fixture sizes this lands on 6 planes (the recall-pinned
+    config, floor 0.7; measured 0.84); the sf0.5/sf1 sweep exercises 9
+    and 10.  The ``emb.count()`` is a metadata-served parquet count — a
+    bounded driver action for parameter tuning, same budget class as the
+    IVF codebook.  tables=5 rather than the 3 default: this corpus's
     pair mass sits at sim 0.4-0.5 where hyperplane LSH prunes weakly, so
-    finer buckets (more planes) + more OR-tables is the better
-    time/recall point — measured 2.4 s vs 4.9 s at sf0.1 with recall
-    0.84 vs 0.90 (floor 0.7)."""
+    more OR-tables is the better time/recall point."""
+    import math
+
     from .ext.dedup import embedding_dup_pairs_lsh
     emb = load(spark, sf_dir, "embeddings")
-    return embedding_dup_pairs_lsh(emb, threshold=0.4, n_planes=6,
+    n = emb.count()
+    n_planes = min(16, max(6, math.ceil(math.log2(max(n, 32) / 32))))
+    return embedding_dup_pairs_lsh(emb, threshold=0.4, n_planes=n_planes,
                                    n_tables=5)
 
 

@@ -134,3 +134,113 @@ class OpsStore:
         part = os.path.join(self.path, f"chain={chain}")
         if os.path.exists(part):
             shutil.rmtree(part)
+
+
+class ScheduleStore:
+    """Keyed scan surface over the witness-schedule publish log
+    (start_schedule_publisher's ``batch_id=N`` dirs).
+
+    The reference only PUBLISHES schedules (witness_schedule_job.rb:60,
+    channel ``{chain}:witness:schedule``) and stores nothing; this view
+    is ADDITIVE — it derives one key per published row,
+    ``{chain}:witness:schedule:{next_shuffle_block_num}`` (the B12
+    publish-once boundary is the natural key), so the publish log answers
+    the same scan/get/find calls as the ops store through the same glob
+    translator.  Wire channel names are untouched.
+
+    The view carries NULL ``trx_id``/``trx_index``/``op_type``/
+    ``contract``/``action`` columns so any ops-shaped glob predicate
+    binds and (correctly) matches nothing, and the full schedule payload
+    rides in ``value`` as JSON — the shape the reference publishes."""
+
+    def __init__(self, spark: SparkSession, path: str, chain: str = "hive"):
+        self.spark = spark
+        self.path = path
+        self.chain = chain
+
+    def df(self) -> DataFrame:
+        from .schemas import WITNESS_SCHEDULES
+        import pyspark.sql.types as T
+
+        pub_schema = T.StructType(
+            [f for f in WITNESS_SCHEDULES.fields
+             if f.name in ("id", "next_shuffle_block_num",
+                           "current_shuffled_witnesses")])
+        batches = ([d for d in os.listdir(self.path)
+                    if d.startswith("batch_id=")]
+                   if os.path.isdir(self.path) else [])
+        if batches:
+            raw = (self.spark.read.option("basePath", self.path)
+                   .schema(pub_schema.add("batch_id", "long"))
+                   .parquet(*[os.path.join(self.path, d) for d in batches])
+                   .drop("batch_id"))
+        else:
+            raw = self.spark.createDataFrame([], pub_schema)
+        return raw.select(
+            F.lit(self.chain).alias("chain"),
+            F.col("next_shuffle_block_num").alias("block_num"),
+            F.lit(None).cast("string").alias("trx_id"),
+            F.lit(None).cast("int").alias("trx_index"),
+            F.lit(None).cast("string").alias("op_type"),
+            F.lit(None).cast("string").alias("contract"),
+            F.lit(None).cast("string").alias("action"),
+            F.concat_ws(":", F.lit(self.chain), F.lit("witness"),
+                        F.lit("schedule"),
+                        F.col("next_shuffle_block_num")).alias("key"),
+            F.to_json(F.struct("id", "next_shuffle_block_num",
+                               "current_shuffled_witnesses")).alias("value"),
+        )
+
+    def scan(self, pattern: str) -> DataFrame:
+        return self.df().where(glob_to_filter(pattern))
+
+
+class UnifiedStore:
+    """One scan/get/find surface over EVERY keyed artifact a deployment
+    writes — mainnet ops and engine ops (both live in one chain-
+    partitioned OpsStore after ``compact``) plus the witness-schedule
+    publish log — all through the same ``keys.glob_to_filter`` the fuzz
+    suite covers (VERDICT r3 item 8).  Schedule rows ride the ops row
+    shape with NULL trx columns, so ops globs never match them and
+    schedule globs resolve by chain predicate + anchored key residual."""
+
+    def __init__(self, spark: SparkSession, ops_path: str,
+                 schedules_path: str | None = None, chain: str = "hive"):
+        self.ops = OpsStore(spark, ops_path)
+        self.schedules = (ScheduleStore(spark, schedules_path, chain)
+                          if schedules_path else None)
+
+    def df(self) -> DataFrame:
+        df = self.ops.df()
+        if self.schedules is not None:
+            df = df.unionByName(self.schedules.df(),
+                                allowMissingColumns=True)
+        return df
+
+    def scan(self, pattern: str) -> DataFrame:
+        return self.df().where(glob_to_filter(pattern))
+
+    def get(self, key: str) -> DataFrame:
+        parts = key.split(":")
+        if len(parts) == 4 and parts[1:3] == ["witness", "schedule"]:
+            if self.schedules is None:
+                raise ValueError(
+                    f"schedule key {key!r} but no schedules path configured")
+            return self.schedules.df().where(F.col("key") == key)
+        return self.ops.get(key)
+
+    def find_block(self, block_num: int,
+                   chain: str | None = None) -> DataFrame:
+        df = self.df().where(F.col("block_num") == block_num)
+        if chain:
+            df = df.where(F.col("chain") == chain)
+        return df.select("key", "value")
+
+    def find_trx(self, trx_id: str, chain: str | None = None) -> DataFrame:
+        return self.ops.find_trx(trx_id, chain)
+
+    def has_block(self, block_num: int, chain: str | None = None) -> bool:
+        df = self.df().where(F.col("block_num") == block_num)
+        if chain:
+            df = df.where(F.col("chain") == chain)
+        return bool(df.limit(1).count() > 0)

@@ -118,8 +118,12 @@ def test_cli_surface(spark, tmp_path_factory, capsys):
     assert not (d / "store" / "chain=hive").exists()
 
 
-def test_cli_schedule(tmp_path_factory, capsys):
+def test_cli_schedule(spark, tmp_path_factory, capsys):
+    import json as _json
+
     from meeseeker_spark.__main__ import main
+    from meeseeker_spark.flatten import flatten_blocks
+    from meeseeker_spark.schemas import BLOCKS
 
     fx = fixtures.generate(n_blocks=42, seed=13)
     d = tmp_path_factory.mktemp("clisched")
@@ -129,6 +133,27 @@ def test_cli_schedule(tmp_path_factory, capsys):
                  "--out", str(d / "out")]) == 0
     out = capsys.readouterr().out
     assert f"published {len(fx.witness_schedules)} schedules" in out
+
+    # unified surface (VERDICT r3 item 8): one CLI scan, one glob
+    # translator, over ops store + schedule publish log together
+    _write_batches(fx.blocks, "blocks", str(d / "blocks"), 1)
+    OpsStore.write(
+        flatten_blocks(spark.read.schema(BLOCKS).parquet(str(d / "blocks"))),
+        str(d / "store"))
+    assert main(["scan", "hive:witness:schedule:*",
+                 "--store", str(d / "store"),
+                 "--schedules", str(d / "out" / "schedules")]) == 0
+    rows = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")]
+    assert len(rows) == len(fx.witness_schedules)
+    assert all(r["key"].startswith("hive:witness:schedule:") for r in rows)
+    assert all(r["op_type"] is None for r in rows)
+    # ops globs don't leak schedule rows through the unified surface
+    assert main(["scan", "hive:*:vote", "--store", str(d / "store"),
+                 "--schedules", str(d / "out" / "schedules")]) == 0
+    vrows = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("{")]
+    assert vrows and all(r["op_type"] == "vote" for r in vrows)
 
 
 def test_cli_engine_sync_and_compact(spark, tmp_path_factory, capsys):

@@ -312,3 +312,37 @@ def test_expire_unpartitioned_store(spark, tmp_path_factory):
     assert removed > 0
     assert left.where("block_num % 2 = 0").count() == 0
     assert left.where("block_num % 2 = 1").count() > 0
+
+
+def test_unified_store_schedule_scan(spark, tmp_path_factory, store):
+    """UnifiedStore (VERDICT r3 item 8): schedule publish log answers the
+    same scan/get surface as the ops store through the same glob
+    translator, and ops globs never match schedule rows."""
+    from meeseeker_spark.query import ScheduleStore, UnifiedStore
+
+    d = tmp_path_factory.mktemp("schedstore")
+    rows = [(1, 4200, ["w1", "w2"]), (2, 4221, ["w2", "w3"])]
+    sdf = spark.createDataFrame(
+        rows, "id bigint, next_shuffle_block_num bigint, "
+              "current_shuffled_witnesses array<string>")
+    sdf.write.parquet(str(d / "batch_id=0"))
+
+    u = UnifiedStore(spark, store.path, str(d))
+    got = u.scan("hive:witness:schedule:*").collect()
+    assert {r["key"] for r in got} == {"hive:witness:schedule:4200",
+                                      "hive:witness:schedule:4221"}
+    one = u.get("hive:witness:schedule:4200").collect()
+    assert len(one) == 1
+    assert '"next_shuffle_block_num":4200' in one[0]["value"]
+    # ops globs exclude schedule rows (NULL op_type/trx segments)
+    assert (u.scan("hive:*:vote").count()
+            == store.scan("hive:*:vote").count() > 0)
+    # engine globs still route through the same translator unchanged
+    assert (u.scan("hive_engine:*:tokens:transfer").count()
+            == store.scan("hive_engine:*:tokens:transfer").count() > 0)
+    # find_block surfaces BOTH kinds at a shuffle boundary block
+    hit = {r["key"] for r in u.find_block(4200).collect()}
+    assert "hive:witness:schedule:4200" in hit
+    # bare ScheduleStore over a missing dir is empty, not an error
+    empty = ScheduleStore(spark, str(d / "nope"))
+    assert empty.df().count() == 0
