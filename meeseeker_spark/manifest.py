@@ -1,0 +1,239 @@
+"""Manifest-committed parquet store — the Delta-equivalent commit protocol
+(VERDICT r3 item 7; SURVEY §4 O-3 upgrade path).
+
+The hermetic container has no Delta/Iceberg, so the ops sink's idempotence
+is dir-rename-by-batch_id and TTL retention is a partition rename dance
+(retention.py).  Both protocols work and are crash-tested, but each
+hand-rolls its own recovery.  This module subsumes them with the one
+primitive a transactional table actually needs: **readers only see files
+listed in the newest committed manifest, and a manifest commit is a single
+atomic rename**.
+
+Layout:
+
+    <path>/data/commit-<token>/part-*.parquet     immutable data files
+    <path>/_manifest/v{N}.json                    committed versions
+
+Protocol:
+
+- WRITE: stage a new commit dir with Spark, list its part files, then
+  commit manifest vN+1 = previous files ± changes via write-tmp + atomic
+  ``os.rename``.  A crash before the rename leaves an orphan data dir that
+  no reader ever sees (Spark is never pointed at ``data/`` itself); re-run
+  and ``gc()`` clean it.  No ``.old`` roll-back/forward cases remain — the
+  store is ALWAYS in exactly the state of its newest manifest.
+- IDEMPOTENT APPEND: ``append(df, batch_id=…)`` records the batch id in
+  the manifest; a retried foreachBatch sees its id committed and becomes a
+  no-op (exactly-once without dir overwrite semantics).
+- TTL EXPIRE: rewrite ONLY the files that contain expired rows (file set
+  found via ``input_file_name``); every untouched file is re-referenced,
+  not rewritten — byte-identical, and cheaper than the partition-level
+  rewrite in retention.py (a partition with one hot file rewrites one
+  file, not the partition).
+- GC: delete data files not referenced by the kept manifest tail.  Safe at
+  any time; crashes between commit and gc only leave garbage, never lose
+  referenced data.
+
+Single-writer assumption (one maintenance/ingest job at a time), same as
+retention.py — manifest versions make that explicit: a concurrent commit
+collides on the v{N+1} rename and raises instead of corrupting.
+
+At real scale the same design is why Delta/Iceberg win: the manifest is a
+metadata operation, O(files-touched), never O(store).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_MANIFEST_DIR = "_manifest"
+_DATA_DIR = "data"
+
+
+class ManifestStore:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(path, _DATA_DIR), exist_ok=True)
+
+    # -- manifest plumbing --------------------------------------------------
+
+    def _mdir(self) -> str:
+        return os.path.join(self.path, _MANIFEST_DIR)
+
+    def current_version(self) -> int | None:
+        versions = [
+            int(f[1:-5]) for f in os.listdir(self._mdir())
+            if f.startswith("v") and f.endswith(".json")
+            and f[1:-5].isdigit()
+        ]
+        return max(versions) if versions else None
+
+    def _read_manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        if v is None:
+            return {"version": 0, "files": [], "batch_ids": []}
+        with open(os.path.join(self._mdir(), f"v{v}.json")) as f:
+            return json.load(f)
+
+    def _commit(self, files: list[str], batch_ids: list[int]) -> int:
+        """Atomically publish a new manifest version.  The rename is the
+        commit point; everything before it is invisible to readers."""
+        prev = self.current_version() or 0
+        new_v = prev + 1
+        m = {"version": new_v, "files": sorted(files),
+             "batch_ids": sorted(set(batch_ids))}
+        tmp = os.path.join(self._mdir(), f".tmp-{uuid.uuid4().hex}.json")
+        final = os.path.join(self._mdir(), f"v{new_v}.json")
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+            f.flush()
+            os.fsync(f.fileno())
+        if os.path.exists(final):      # single-writer violated
+            os.unlink(tmp)
+            raise RuntimeError(
+                f"manifest v{new_v} already exists — concurrent writer?")
+        os.rename(tmp, final)
+        return new_v
+
+    def _stage(self, df: DataFrame) -> list[str]:
+        """Write df to a fresh immutable commit dir; return its part files
+        (relative to the store root).  Not yet visible to anyone."""
+        token = uuid.uuid4().hex[:12]
+        rel = os.path.join(_DATA_DIR, f"commit-{token}")
+        df.write.mode("error").parquet(os.path.join(self.path, rel))
+        out = []
+        for root, _, names in os.walk(os.path.join(self.path, rel)):
+            for n in names:
+                if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                    out.append(os.path.relpath(os.path.join(root, n),
+                                               self.path))
+        return out
+
+    # -- read side ----------------------------------------------------------
+
+    def files(self) -> list[str]:
+        return list(self._read_manifest()["files"])
+
+    def df(self) -> DataFrame:
+        files = self.files()
+        if not files:
+            raise FileNotFoundError(
+                f"manifest store {self.path} has no committed data")
+        return self.spark.read.parquet(
+            *[os.path.join(self.path, f) for f in files])
+
+    def committed_batch_ids(self) -> set[int]:
+        return set(self._read_manifest()["batch_ids"])
+
+    # -- write side ---------------------------------------------------------
+
+    def append(self, df: DataFrame, batch_id: int | None = None) -> bool:
+        """Append df as a new commit.  With ``batch_id``, the append is
+        IDEMPOTENT: a batch id already in the manifest is skipped (the
+        foreachBatch retry contract), returning False."""
+        m = self._read_manifest()
+        if batch_id is not None and batch_id in m["batch_ids"]:
+            return False
+        staged = self._stage(df)
+        ids = m["batch_ids"] + ([batch_id] if batch_id is not None else [])
+        self._commit(m["files"] + staged, ids)
+        return True
+
+    def overwrite(self, df: DataFrame) -> None:
+        staged = self._stage(df)
+        self._commit(staged, [])
+
+    def expire(self, ttl_s: int, now=None) -> int:
+        """TTL retention as a manifest swap: only files CONTAINING expired
+        rows are rewritten (live rows re-staged); every other file is
+        re-referenced untouched.  Returns rows removed.  Crash-safe with
+        no recovery protocol at all: before the commit rename readers see
+        the old manifest, after it the new one — there is no intermediate
+        state."""
+        import datetime as dt
+
+        if ttl_s == -1:
+            return 0
+        now = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        cutoff = now - dt.timedelta(seconds=ttl_s)
+        m = self._read_manifest()
+        if not m["files"]:
+            return 0
+        from urllib.parse import unquote, urlparse
+
+        df = self.df().withColumn("_file", F.input_file_name())
+        expired = F.col("ingested_at") < F.lit(cutoff)
+        # key on the RAW input_file_name URIs (file:///…): reconstructing
+        # them from relative paths is scheme/slash-fragile
+        hot_uris = [r["_file"] for r in
+                    df.where(expired).select("_file").distinct().collect()]
+        if not hot_uris:
+            return 0
+        hot = {os.path.relpath(unquote(urlparse(u).path), self.path)
+               for u in hot_uris}
+        n_removed = df.where(expired).count()
+        live = (df.where(~expired | F.col("ingested_at").isNull())
+                .where(F.col("_file").isin(hot_uris))
+                .drop("_file"))
+        staged = self._stage(live) if live.limit(1).count() else []
+        keep = [f for f in m["files"] if f not in hot]
+        self._commit(keep + staged, m["batch_ids"])
+        return n_removed
+
+    # -- streaming bridge ---------------------------------------------------
+
+    def sink(self):
+        """foreachBatch function writing each micro-batch as one manifest
+        commit — the replacement for the ``batch_id=N`` dir-overwrite
+        idempotence scheme: a replayed batch (crash after commit, before
+        checkpoint) short-circuits on its recorded batch id, so admission
+        is exactly-once with no overwrite semantics and no recovery scan.
+
+            stream.writeStream.foreachBatch(store.sink())...
+        """
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.append(batch_df, batch_id=batch_id)
+        return _sink
+
+    # -- maintenance --------------------------------------------------------
+
+    def gc(self, keep_versions: int = 1) -> int:
+        """Delete data files referenced by NO kept manifest (the newest
+        ``keep_versions`` manifests survive; older manifest json is
+        dropped too).  Returns files deleted.  Never touches files the
+        current manifest references, so it is safe to run at any time —
+        a crash mid-gc just leaves some garbage for the next run."""
+        cur = self.current_version()
+        if cur is None:
+            return 0
+        kept = range(max(1, cur - keep_versions + 1), cur + 1)
+        referenced: set[str] = set()
+        for v in kept:
+            referenced |= set(self._read_manifest(v)["files"])
+        deleted = 0
+        data_root = os.path.join(self.path, _DATA_DIR)
+        for d in os.listdir(data_root):
+            droot = os.path.join(data_root, d)
+            for root, _, names in os.walk(droot):
+                for n in names:
+                    rel = os.path.relpath(os.path.join(root, n), self.path)
+                    if n.endswith(".parquet") and rel not in referenced:
+                        os.unlink(os.path.join(root, n))
+                        deleted += 1
+            if not any(f.endswith(".parquet") for _, _, fs in os.walk(droot)
+                       for f in fs):
+                shutil.rmtree(droot)
+        for f in os.listdir(self._mdir()):
+            if f.startswith(".tmp-"):
+                os.unlink(os.path.join(self._mdir(), f))
+            elif (f.startswith("v") and f.endswith(".json")
+                  and f[1:-5].isdigit() and int(f[1:-5]) not in kept):
+                os.unlink(os.path.join(self._mdir(), f))
+        return deleted

@@ -1,0 +1,193 @@
+"""ManifestStore: atomic manifest commits subsume the rename-dance
+protocols — crash injection at every window, idempotent batch appends,
+file-level TTL rewrite, GC of orphans."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from meeseeker_spark.manifest import ManifestStore
+
+
+def _rows(spark, ids, ingested=None):
+    df = spark.createDataFrame([(i, f"v{i}") for i in ids], "id bigint, v string")
+    if ingested is not None:
+        df = df.withColumn("ingested_at", F.lit(ingested))
+    return df
+
+
+def test_append_and_read(spark, tmp_path):
+    s = ManifestStore(spark, str(tmp_path / "m"))
+    assert s.current_version() is None
+    with pytest.raises(FileNotFoundError):
+        s.df()
+    s.append(_rows(spark, [1, 2]))
+    s.append(_rows(spark, [3]))
+    assert s.current_version() == 2
+    assert {r["id"] for r in s.df().collect()} == {1, 2, 3}
+
+
+def test_batch_id_idempotence(spark, tmp_path):
+    """The foreachBatch retry contract: a replayed batch id is a no-op."""
+    s = ManifestStore(spark, str(tmp_path / "m"))
+    assert s.append(_rows(spark, [1, 2]), batch_id=0) is True
+    assert s.append(_rows(spark, [1, 2]), batch_id=0) is False   # retry
+    assert s.append(_rows(spark, [3]), batch_id=1) is True
+    assert sorted(r["id"] for r in s.df().collect()) == [1, 2, 3]
+    assert s.committed_batch_ids() == {0, 1}
+
+
+def test_crash_before_commit_is_invisible(spark, tmp_path):
+    """Staged-but-uncommitted data files never reach readers; gc removes
+    them without touching referenced data."""
+    s = ManifestStore(spark, str(tmp_path / "m"))
+    s.append(_rows(spark, [1]))
+    # simulate a writer that crashed after staging, before the manifest
+    # rename: stage directly and do NOT commit
+    orphan = s._stage(_rows(spark, [99]))
+    assert orphan
+    assert sorted(r["id"] for r in s.df().collect()) == [1]
+    deleted = s.gc()
+    assert deleted >= len(orphan)
+    assert sorted(r["id"] for r in s.df().collect()) == [1]
+    # the orphan is physically gone
+    for f in orphan:
+        assert not os.path.exists(os.path.join(s.path, f))
+
+
+def test_crash_leaves_no_intermediate_state(spark, tmp_path):
+    """There is no recovery protocol because there is no intermediate
+    state: a half-written manifest tmp file is ignored by version
+    discovery and cleaned by gc."""
+    s = ManifestStore(spark, str(tmp_path / "m"))
+    s.append(_rows(spark, [1, 2]))
+    tmp = os.path.join(s.path, "_manifest", ".tmp-deadbeef.json")
+    with open(tmp, "w") as f:
+        f.write('{"version": 99, "files": ["data/ghost.parquet"]')  # torn
+    assert s.current_version() == 1
+    assert sorted(r["id"] for r in s.df().collect()) == [1, 2]
+    s.gc()
+    assert not os.path.exists(tmp)
+
+
+def test_expire_rewrites_only_hot_files(spark, tmp_path):
+    """TTL retention rewrites ONLY files containing expired rows; every
+    other committed file is re-referenced byte-identically."""
+    s = ManifestStore(spark, str(tmp_path / "m"))
+    old_ts = dt.datetime(2020, 1, 1)
+    new_ts = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    s.append(_rows(spark, [1, 2], ingested=old_ts).coalesce(1))   # all-stale
+    s.append(_rows(spark, [3, 4], ingested=new_ts).coalesce(1))   # all-live
+    cold = [f for f in s.files()
+            if {r["id"] for r in
+                spark.read.parquet(os.path.join(s.path, f)).collect()}
+            == {3, 4}]
+    assert len(cold) == 1
+    before = open(os.path.join(s.path, cold[0]), "rb").read()
+
+    removed = s.expire(ttl_s=86_400)
+    assert removed == 2
+    assert sorted(r["id"] for r in s.df().collect()) == [3, 4]
+    # untouched file re-referenced, not rewritten
+    assert cold[0] in s.files()
+    assert open(os.path.join(s.path, cold[0]), "rb").read() == before
+    # expiring again is a no-op
+    assert s.expire(ttl_s=86_400) == 0
+    # -1 disables expiry
+    assert s.expire(ttl_s=-1) == 0
+
+
+def test_expire_mixed_file_keeps_live_rows(spark, tmp_path):
+    s = ManifestStore(spark, str(tmp_path / "m"))
+    old_ts = dt.datetime(2020, 1, 1)
+    new_ts = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    mixed = _rows(spark, [1, 2], ingested=old_ts).unionByName(
+        _rows(spark, [3], ingested=new_ts)).coalesce(1)
+    s.append(mixed)
+    assert s.expire(ttl_s=86_400) == 2
+    assert sorted(r["id"] for r in s.df().collect()) == [3]
+
+
+def test_null_ingested_never_expires(spark, tmp_path):
+    s = ManifestStore(spark, str(tmp_path / "m"))
+    df = _rows(spark, [1]).withColumn(
+        "ingested_at", F.lit(None).cast("timestamp")).unionByName(
+        _rows(spark, [2], ingested=dt.datetime(2020, 1, 1)))
+    s.append(df.coalesce(1))
+    assert s.expire(ttl_s=86_400) == 1
+    assert sorted(r["id"] for r in s.df().collect()) == [1]
+
+
+def test_gc_keeps_version_tail(spark, tmp_path):
+    s = ManifestStore(spark, str(tmp_path / "m"))
+    s.append(_rows(spark, [1]))
+    s.overwrite(_rows(spark, [2]))
+    v1_files = set(json.load(open(
+        os.path.join(s.path, "_manifest", "v1.json")))["files"])
+    assert s.current_version() == 2
+    # keep 2 versions: v1's files survive gc
+    assert s.gc(keep_versions=2) == 0
+    for f in v1_files:
+        assert os.path.exists(os.path.join(s.path, f))
+    # keep only the newest: v1's files (not referenced by v2) are deleted
+    assert s.gc(keep_versions=1) == len(v1_files)
+    for f in v1_files:
+        assert not os.path.exists(os.path.join(s.path, f))
+    assert sorted(r["id"] for r in s.df().collect()) == [2]
+
+
+def test_concurrent_commit_collides_loudly(spark, tmp_path, monkeypatch):
+    """A writer holding a stale version view collides on the v{N} rename
+    target and raises instead of silently clobbering the other commit."""
+    s = ManifestStore(spark, str(tmp_path / "m"))
+    s.append(_rows(spark, [1]))
+    s.append(_rows(spark, [2]))                     # v2 committed
+    monkeypatch.setattr(ManifestStore, "current_version", lambda self: 1)
+    with pytest.raises(RuntimeError, match="concurrent"):
+        s._commit(["data/x.parquet"], [])           # targets existing v2
+
+
+def test_streaming_sink_replay_exactly_once(spark, tmp_path):
+    """The manifest sink in a real Structured Streaming replay: wipe the
+    checkpoint so every batch re-fires — recorded batch ids make the
+    re-delivery a no-op (the dir-overwrite scheme's guarantee, now one
+    manifest line)."""
+    import shutil
+
+    incoming = tmp_path / "in"
+    os.makedirs(incoming)
+    for b in range(3):
+        _rows(spark, [b * 10, b * 10 + 1]).coalesce(1).write.parquet(
+            str(incoming / f"f{b}"))
+    # move part files up so the file source sees three separate files
+    for b in range(3):
+        src = next(p for p in os.listdir(incoming / f"f{b}")
+                   if p.endswith(".parquet"))
+        os.rename(incoming / f"f{b}" / src, incoming / f"b{b}.parquet")
+        shutil.rmtree(incoming / f"f{b}")
+
+    s = ManifestStore(spark, str(tmp_path / "m"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = (spark.readStream.schema("id bigint, v string")
+             .option("maxFilesPerTrigger", 1).parquet(str(incoming))
+             .writeStream.foreachBatch(s.sink())
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run()
+    want = sorted(r["id"] for r in s.df().collect())
+    assert len(want) == 6
+    n_versions = s.current_version()
+
+    shutil.rmtree(ckpt)          # full replay: all batches re-fire
+    run()
+    assert sorted(r["id"] for r in s.df().collect()) == want
+    assert s.current_version() == n_versions   # every replay short-circuited
