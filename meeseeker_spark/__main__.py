@@ -67,6 +67,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="blocks behind head considered reversible in "
                          "--mode irreversible (default: one 21-witness "
                          "round)")
+    ps.add_argument("--store-impl", choices=("dirs", "manifest"),
+                    default="dirs",
+                    help="sink layout: batch_id=N dirs (default) or "
+                         "manifest-committed store (atomic commits, "
+                         "batch-id idempotence, file-level TTL; "
+                         "mainnet sync only)")
 
     pm = sub.add_parser("compact",
                         help="fold micro-batch dirs into the OpsStore layout")
@@ -145,6 +151,8 @@ def main(argv: list[str] | None = None) -> int:
         if chain.endswith("_engine") and a.mode != "head":
             p.error("--mode is mainnet-only (the sidechain follower polls "
                     "latest blocks only, follower_job.rb:148-185)")
+        if chain.endswith("_engine") and a.store_impl != "dirs":
+            p.error("--store-impl manifest is mainnet-only for now")
 
         def run_once():
             if chain.endswith("_engine"):
@@ -182,7 +190,8 @@ def main(argv: list[str] | None = None) -> int:
                     ops, f"{a.out}/ops", f"{a.out}/channels",
                     f"{a.out}/ckpt", mode=a.mode,
                     lib_lag=(P.REVERSIBLE_LAG_BLOCKS if a.lib_lag is None
-                             else a.lib_lag))
+                             else a.lib_lag),
+                    store_impl=a.store_impl)
             q.awaitTermination()
             return P.last_block_num(spark, f"{a.out}/ops")
 

@@ -124,12 +124,20 @@ def _irreversible_gate(batch_df: DataFrame, pending: str, lib_lag: int):
 def start_ingest(ops_stream: DataFrame, ops_path: str, channels_path: str,
                  checkpoint: str, available_now: bool = True,
                  channel_fn=op_channels, mode: str = "head",
-                 lib_lag: int = REVERSIBLE_LAG_BLOCKS) -> StreamingQuery:
+                 lib_lag: int = REVERSIBLE_LAG_BLOCKS,
+                 store_impl: str = "dirs") -> StreamingQuery:
     """foreachBatch sink: keyed op append + channel fan-out + _meta HWM.
 
-    Writes go to ``batch_id=N`` subdirectories → a replayed batch after a
-    crash overwrites its own output (idempotent at-least-once ⇒ effectively
-    exactly-once for readers of `ops_view`).
+    ``store_impl="dirs"`` (default): writes go to ``batch_id=N``
+    subdirectories → a replayed batch after a crash overwrites its own
+    output (idempotent at-least-once ⇒ effectively exactly-once for
+    readers of `ops_view`).  ``store_impl="manifest"`` routes each output
+    through a ``manifest.ManifestStore`` instead: the batch id is
+    recorded in the manifest, so a replayed batch short-circuits rather
+    than overwriting, and downstream maintenance (TTL, gc, compaction)
+    is a manifest swap with no rename-recovery protocol.  The readers
+    (``ops_view``/``channel_events_view``/``last_block_num``) detect the
+    layout, so the choice is operational, not semantic.
 
     ``channel_fn`` derives the fan-out rows from each batch — mainnet
     ``op_channels`` by default; the sidechain ingest passes the fuller
@@ -145,6 +153,16 @@ def start_ingest(ops_stream: DataFrame, ops_path: str, channels_path: str,
     from ..resume import STREAM_MODES
     if mode not in STREAM_MODES:
         raise ValueError(f"Unknown stream mode: {mode}")
+    if store_impl not in ("dirs", "manifest"):
+        raise ValueError(f"Unknown store_impl: {store_impl}")
+
+    def _write(df: DataFrame, path: str, batch_id: int) -> None:
+        if store_impl == "manifest":
+            from ..manifest import ManifestStore
+            ManifestStore(df.sparkSession, path).append(df, batch_id=batch_id)
+        else:
+            df.write.mode("overwrite").parquet(
+                os.path.join(path, f"batch_id={batch_id}"))
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         commit = None
@@ -153,23 +171,16 @@ def start_ingest(ops_stream: DataFrame, ops_path: str, channels_path: str,
                 batch_df, ops_path + "_pending", lib_lag)
         batch_df = batch_df.persist()
         try:
-            (
+            _write(
                 batch_df.dropDuplicates(["key"])
-                .withColumn("ingested_at", F.current_timestamp())
-                .write.mode("overwrite")
-                .parquet(os.path.join(ops_path, f"batch_id={batch_id}"))
-            )
-            (
-                channel_fn(batch_df)
-                .write.mode("overwrite")
-                .parquet(os.path.join(channels_path, f"batch_id={batch_id}"))
-            )
+                .withColumn("ingested_at", F.current_timestamp()),
+                ops_path, batch_id)
+            _write(channel_fn(batch_df), channels_path, batch_id)
             hwm = batch_df.agg(
                 F.first("chain").alias("chain"),
                 F.max("block_num").alias("last_block_num"),
             ).withColumn("batch_id", F.lit(batch_id))
-            hwm.write.mode("overwrite").parquet(
-                os.path.join(ops_path + "_meta", f"batch_id={batch_id}"))
+            _write(hwm, ops_path + "_meta", batch_id)
         finally:
             batch_df.unpersist()
         if commit is not None:   # only after every output landed
@@ -189,7 +200,12 @@ def _batched_view(spark: SparkSession, batch_path: str,
     """Union of a sink's ``batch_id=N`` micro-batch dirs with an optional
     compacted store — the shared shape behind ops_view and
     channel_events_view (one uninterrupted table across maintenance
-    cycles)."""
+    cycles).  A manifest-committed sink (start_ingest
+    ``store_impl="manifest"``) is detected by its ``_manifest`` dir and
+    read through the manifest instead."""
+    if os.path.isdir(os.path.join(batch_path, "_manifest")):
+        from ..manifest import ManifestStore
+        return ManifestStore(spark, batch_path).df()
     batches = ([d for d in os.listdir(batch_path)
                 if d.startswith("batch_id=")]
                if os.path.exists(batch_path) else [])
@@ -401,6 +417,14 @@ def last_block_num(spark: SparkSession, ops_path: str) -> int | None:
     meta_path = ops_path + "_meta"
     if not os.path.exists(meta_path):
         return None
+    if os.path.isdir(os.path.join(meta_path, "_manifest")):
+        from ..manifest import ManifestStore
+        try:
+            meta = ManifestStore(spark, meta_path).df()
+        except FileNotFoundError:
+            return None
+        row = meta.agg(F.max("last_block_num").alias("m")).first()
+        return row["m"] if row and row["m"] is not None else None
     row = (
         spark.read.option("basePath", meta_path).parquet(meta_path + "/batch_id=*")
         .agg(F.max("last_block_num").alias("m")).first()

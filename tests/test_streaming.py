@@ -693,3 +693,49 @@ def test_normalize_ts_handles_both_fixture_encodings(spark):
     # absent columns are a no-op, not an error
     assert normalize_ts(nanos.withColumnRenamed("ts", "other"),
                         ("ts",)).columns == ["other"]
+
+
+def test_manifest_store_impl_matches_dirs(spark, fx, tmp_path_factory):
+    """start_ingest(store_impl='manifest'): same rows, HWM, and channel
+    fan-out as the dir layout, through the layout-detecting readers; a
+    checkpoint-wiped replay short-circuits on recorded batch ids instead
+    of re-committing (the dir scheme's overwrite guarantee, subsumed by
+    the manifest)."""
+    import shutil
+
+    from meeseeker_spark.manifest import ManifestStore
+
+    d = tmp_path_factory.mktemp("streammanifest")
+    _write_batches(fx.blocks, "blocks", str(d / "blocks"), 4)
+
+    def run():
+        ops = P.streaming_ops(
+            P.read_block_stream(spark, str(d / "blocks"),
+                                max_files_per_trigger=1), None)
+        q = P.start_ingest(ops, str(d / "ops"), str(d / "channels"),
+                           str(d / "ckpt"), store_impl="manifest")
+        q.awaitTermination(120)
+
+    run()
+    got = P.ops_view(spark, str(d / "ops"))
+    want = sorted(o["key"] for o in fx.ops_expected
+                  if not o["key"].split(":")[2].startswith("0000"))
+    # vop-less ingest: compare against the real-trx subset via batch path
+    batch = flatten_blocks(
+        spark.read.schema(BLOCKS).parquet(str(d / "blocks")))
+    assert (sorted(r["key"] for r in got.collect())
+            == sorted(r["key"] for r in batch.collect()))
+    assert P.last_block_num(spark, str(d / "ops")) \
+        == fx.blocks[-1]["block_num"]
+    assert P.channel_events_view(spark, str(d / "channels")).count() > 0
+    # no batch_id dirs — everything is manifest-committed
+    assert not glob.glob(str(d / "ops" / "batch_id=*"))
+    n_versions = ManifestStore(spark, str(d / "ops")).current_version()
+    assert n_versions and n_versions > 1     # one commit per micro-batch
+
+    shutil.rmtree(str(d / "ckpt"))           # full replay
+    run()
+    got2 = P.ops_view(spark, str(d / "ops"))
+    assert got2.count() == got.count()       # no duplicates
+    assert ManifestStore(spark, str(d / "ops")).current_version() \
+        == n_versions                        # every replay short-circuited
