@@ -71,8 +71,7 @@ def main(argv: list[str] | None = None) -> int:
                     default="dirs",
                     help="sink layout: batch_id=N dirs (default) or "
                          "manifest-committed store (atomic commits, "
-                         "batch-id idempotence, file-level TTL; "
-                         "mainnet sync only)")
+                         "batch-id idempotence, file-level TTL)")
 
     pm = sub.add_parser("compact",
                         help="fold micro-batch dirs into the OpsStore layout")
@@ -151,8 +150,6 @@ def main(argv: list[str] | None = None) -> int:
         if chain.endswith("_engine") and a.mode != "head":
             p.error("--mode is mainnet-only (the sidechain follower polls "
                     "latest blocks only, follower_job.rb:148-185)")
-        if chain.endswith("_engine") and a.store_impl != "dirs":
-            p.error("--store-impl manifest is mainnet-only for now")
 
         def run_once():
             if chain.endswith("_engine"):
@@ -169,7 +166,7 @@ def main(argv: list[str] | None = None) -> int:
                 q = P.start_engine_ingest(
                     stream,
                     f"{a.out}/ops", f"{a.out}/channels", f"{a.out}/ckpt",
-                    chain=chain)
+                    chain=chain, store_impl=a.store_impl)
             else:
                 start_at = None
                 if a.resume_policy:

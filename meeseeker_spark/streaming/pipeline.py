@@ -453,7 +453,8 @@ def read_engine_stream(spark: SparkSession, engine_dir: str,
 def start_engine_ingest(engine_stream: DataFrame, ops_path: str,
                         channels_path: str, checkpoint: str,
                         chain: str = "hive_engine",
-                        available_now: bool = True) -> StreamingQuery:
+                        available_now: bool = True,
+                        store_impl: str = "dirs") -> StreamingQuery:
     """Engine store + full sidechain channel fan-out ({chain}:{contract},
     {chain}:{contract}:{action}, {chain}:[virtual_]transaction,
     {chain}:block — follower_job.rb:44-50,77,81-82) + _meta HWM
@@ -464,28 +465,35 @@ def start_engine_ingest(engine_stream: DataFrame, ops_path: str,
     Structured Streaming forbids on unbounded inputs but is fine on each
     micro-batch DataFrame — and a micro-batch holds whole files = whole
     blocks, so the (block_num, trx_id)-keyed window sees every trx of a
-    block and ordinals match batch mode exactly."""
+    block and ordinals match batch mode exactly.
+
+    ``store_impl`` as in start_ingest: ``dirs`` (batch_id=N overwrite
+    idempotence) or ``manifest`` (ManifestStore commits, batch-id
+    short-circuit)."""
+    if store_impl not in ("dirs", "manifest"):
+        raise ValueError(f"Unknown store_impl: {store_impl}")
+
+    def _write(df: DataFrame, path: str, batch_id: int) -> None:
+        if store_impl == "manifest":
+            from ..manifest import ManifestStore
+            ManifestStore(df.sparkSession, path).append(df, batch_id=batch_id)
+        else:
+            df.write.mode("overwrite").parquet(
+                os.path.join(path, f"batch_id={batch_id}"))
 
     def _sink(raw_batch: DataFrame, batch_id: int) -> None:
         ops = flatten_engine_blocks(raw_batch, chain).persist()
         try:
-            (
+            _write(
                 ops.dropDuplicates(["key"])
-                .withColumn("ingested_at", F.current_timestamp())
-                .write.mode("overwrite")
-                .parquet(os.path.join(ops_path, f"batch_id={batch_id}"))
-            )
-            (
-                engine_channels(ops)
-                .write.mode("overwrite")
-                .parquet(os.path.join(channels_path, f"batch_id={batch_id}"))
-            )
+                .withColumn("ingested_at", F.current_timestamp()),
+                ops_path, batch_id)
+            _write(engine_channels(ops), channels_path, batch_id)
             hwm = ops.agg(
                 F.first("chain").alias("chain"),
                 F.max("block_num").alias("last_block_num"),
             ).withColumn("batch_id", F.lit(batch_id))
-            hwm.write.mode("overwrite").parquet(
-                os.path.join(ops_path + "_meta", f"batch_id={batch_id}"))
+            _write(hwm, ops_path + "_meta", batch_id)
         finally:
             ops.unpersist()
 

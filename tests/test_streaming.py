@@ -739,3 +739,28 @@ def test_manifest_store_impl_matches_dirs(spark, fx, tmp_path_factory):
     assert got2.count() == got.count()       # no duplicates
     assert ManifestStore(spark, str(d / "ops")).current_version() \
         == n_versions                        # every replay short-circuited
+
+
+def test_engine_manifest_store_impl(spark, fx, tmp_path_factory):
+    """Sidechain ingest through the manifest layout: same flatten output
+    and HWM as the dir scheme, read through the layout-aware views."""
+    d = tmp_path_factory.mktemp("engmanifest")
+    _write_batches(fx.engine_blocks, "engine_blocks", str(d / "blocks"), 3)
+
+    q = P.start_engine_ingest(
+        P.read_engine_stream(spark, str(d / "blocks"),
+                             max_files_per_trigger=1),
+        str(d / "ops"), str(d / "channels"), str(d / "ckpt"),
+        store_impl="manifest")
+    q.awaitTermination(120)
+
+    from meeseeker_spark.flatten import flatten_engine_blocks
+    from meeseeker_spark.schemas import ENGINE_BLOCKS
+    batch = flatten_engine_blocks(
+        spark.read.schema(ENGINE_BLOCKS).parquet(str(d / "blocks")))
+    got = P.ops_view(spark, str(d / "ops"))
+    assert (sorted(r["key"] for r in got.collect())
+            == sorted(r["key"] for r in batch.collect()))
+    assert not glob.glob(str(d / "ops" / "batch_id=*"))
+    assert P.last_block_num(spark, str(d / "ops")) \
+        == max(b["blockNumber"] for b in fx.engine_blocks)
