@@ -103,6 +103,17 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("chain", nargs="?", default="all")
     pr.add_argument("--store", required=True)
 
+    pe = sub.add_parser("expire",
+                        help="TTL retention delete (expire_keys analog); "
+                             "routes by store layout: manifest commit swap "
+                             "or partition-preserving rename protocol")
+    pe.add_argument("--store", required=True)
+    pe.add_argument("--ttl", type=int, default=None,
+                    help="seconds (default 86400; -1 = never expire)")
+    pe.add_argument("--gc", action="store_true",
+                    help="manifest layout only: also delete unreferenced "
+                         "data files and fold small commits")
+
     pv = sub.add_parser("verify", help="D1/D2 reconciliation vs a blocks dir")
     pv.add_argument("--store", required=True)
     pv.add_argument("--blocks", required=True)
@@ -201,6 +212,25 @@ def main(argv: list[str] | None = None) -> int:
 
         n = P.compact_stream_store(_spark(), a.ops, a.store)
         print(f"compacted {n} batch dirs")
+        return 0
+
+    if a.cmd == "expire":
+        import os as _os
+
+        from .schemas import DEFAULT_TTL_S
+
+        ttl = DEFAULT_TTL_S if a.ttl is None else a.ttl
+        if _os.path.isdir(_os.path.join(a.store, "_manifest")):
+            from .manifest import ManifestStore
+            ms = ManifestStore(_spark(), a.store)
+            n = ms.expire(ttl_s=ttl)
+            if a.gc:
+                ms.compact(sort_cols=("block_num",))
+                ms.gc()
+        else:
+            from .retention import expire as _expire
+            n = _expire(_spark(), a.store, ttl_s=ttl)
+        print(f"expired {n} rows")
         return 0
 
     if a.cmd == "schedule":

@@ -187,6 +187,32 @@ class ManifestStore:
         self._commit(keep + staged, m["batch_ids"])
         return n_removed
 
+    def compact(self, sort_cols: tuple[str, ...] = (),
+                target_file_bytes: int = 128 * 1024 * 1024) -> int:
+        """Fold the accumulated per-commit small files into one fresh
+        commit (the manifest answer to compact_stream_store — OPTIMIZE in
+        Delta terms).  Output file count is sized from the store's actual
+        bytes (``target_file_bytes`` per file, Delta's default bin size),
+        so a thousand trigger-sized files fold to a handful.  Optional
+        ``sort_cols`` cluster rows within the rewritten files so min/max
+        row-group pruning stays sharp (columns absent from the schema are
+        skipped).  Returns the number of files folded (0 = single file
+        already).  Readers are never disturbed: the swap is one manifest
+        commit, and the old files remain until ``gc()``."""
+        m = self._read_manifest()
+        if len(m["files"]) <= 1:
+            return 0
+        total = sum(os.path.getsize(os.path.join(self.path, f))
+                    for f in m["files"])
+        n_out = max(1, -(-total // target_file_bytes))
+        df = self.df().repartition(n_out)
+        present = [c for c in sort_cols if c in df.columns]
+        if present:
+            df = df.sortWithinPartitions(*present)
+        staged = self._stage(df)
+        self._commit(staged, m["batch_ids"])
+        return len(m["files"])
+
     # -- streaming bridge ---------------------------------------------------
 
     def sink(self):

@@ -191,3 +191,47 @@ def test_streaming_sink_replay_exactly_once(spark, tmp_path):
     run()
     assert sorted(r["id"] for r in s.df().collect()) == want
     assert s.current_version() == n_versions   # every replay short-circuited
+
+
+def test_compact_folds_commits(spark, tmp_path):
+    s = ManifestStore(spark, str(tmp_path / "m"))
+    for b in range(4):
+        s.append(_rows(spark, [b]).coalesce(1), batch_id=b)
+    assert len(s.files()) == 4
+    folded = s.compact(sort_cols=("id", "missing_col_is_skipped"))
+    assert folded == 4
+    assert sorted(r["id"] for r in s.df().collect()) == [0, 1, 2, 3]
+    assert s.committed_batch_ids() == {0, 1, 2, 3}   # idempotence survives
+    s.gc()
+    assert len(s.files()) == 1        # 4 trigger-sized files → one bin
+    assert s.compact() == 0           # single file: nothing to fold
+
+
+def test_cli_expire_both_layouts(spark, tmp_path, capsys):
+    import datetime as ddt
+
+    from meeseeker_spark.__main__ import main
+
+    old = ddt.datetime(2020, 1, 1)
+    # manifest layout
+    m = ManifestStore(spark, str(tmp_path / "mstore"))
+    m.append(_rows(spark, [1], ingested=old).withColumn(
+        "block_num", F.lit(7)).coalesce(1))
+    m.append(_rows(spark, [2]).withColumn(
+        "ingested_at", F.current_timestamp())
+        .withColumn("block_num", F.lit(8)).coalesce(1))
+    assert main(["expire", "--store", str(tmp_path / "mstore"),
+                 "--gc"]) == 0
+    assert "expired 1 rows" in capsys.readouterr().out
+    assert sorted(r["id"] for r in m.df().collect()) == [2]
+
+    # dir layout (chain-partitioned, retention.expire path)
+    d = tmp_path / "dstore"
+    df = spark.createDataFrame(
+        [("hive", 1, old), ("hive", 2, None)],
+        "chain string, block_num bigint, ingested_at timestamp")
+    (df.withColumn("trx_id", F.lit("ab")).withColumn("trx_index", F.lit(0))
+     .write.partitionBy("chain").parquet(str(d)))
+    assert main(["expire", "--store", str(d)]) == 0
+    assert "expired 1 rows" in capsys.readouterr().out
+    assert spark.read.parquet(str(d)).count() == 1
