@@ -1253,13 +1253,11 @@ def embedding_dups_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF codebook.  tables=5 rather than the 3 default: this corpus's
     pair mass sits at sim 0.4-0.5 where hyperplane LSH prunes weakly, so
     more OR-tables is the better time/recall point."""
-    import math
-
     from .ext.dedup import embedding_dup_pairs_lsh
+    from .ext.similarity import auto_planes
     emb = load(spark, sf_dir, "embeddings")
-    n = emb.count()
-    n_planes = min(16, max(6, math.ceil(math.log2(max(n, 32) / 32))))
-    return embedding_dup_pairs_lsh(emb, threshold=0.4, n_planes=n_planes,
+    return embedding_dup_pairs_lsh(emb, threshold=0.4,
+                                   n_planes=auto_planes(emb.count()),
                                    n_tables=5)
 
 

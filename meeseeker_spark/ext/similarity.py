@@ -268,6 +268,21 @@ def quantized_topk(emb: DataFrame, query_ids: list[int] | None = None,
                        vec_col=vec_col)
 
 
+def auto_planes(n: int, target_bucket: int = 32,
+                lo: int = 6, hi: int = 16) -> int:
+    """Bucket-count rule for sign-LSH: planes = ⌈log2(n / target_bucket)⌉
+    clamped to [lo, hi], keeping the expected bucket width ~constant as
+    the corpus grows.  With FIXED planes the candidate space is n²/2^b —
+    still quadratic in n; tracking log2(n) makes it O(n·target·probes).
+    The lower clamp pins the recall-tested fixture configuration; the
+    upper bounds key-space blowup (2^16 buckets/table ≈ row-group scale).
+    """
+    import math
+
+    return min(hi, max(lo, math.ceil(math.log2(max(n, target_bucket)
+                                               / target_bucket))))
+
+
 def hashed_lsh_buckets(vec: Column | str, n_planes: int, n_tables: int,
                        seed: int = 17) -> Column:
     """One sign-of-projection bucket id per table (OR-construction LSH:

@@ -1026,3 +1026,19 @@ def test_multimodal_decode_real_with_pil(docs):
     assert got[1]["mime"] == "image/png"
     assert got[2]["width"] is None and got[2]["height"] is None
     assert got[2]["n_bytes"] == len(b"not an image")
+
+
+def test_auto_planes_tracks_corpus_size():
+    """planes = ⌈log2(n/32)⌉ clamped [6,16]: constant at fixture sizes
+    (recall-pinned config), growing with log2(n) past them."""
+    from meeseeker_spark.ext.similarity import auto_planes
+
+    assert auto_planes(0) == 6
+    assert auto_planes(200) == 6        # sf0.001
+    assert auto_planes(2000) == 6       # sf0.1 — shipped recall basis
+    assert auto_planes(10_000) == 9     # sf0.5 derived
+    assert auto_planes(20_000) == 10    # sf1 derived
+    assert auto_planes(10**9) == 16     # upper clamp
+    # monotone non-decreasing
+    vals = [auto_planes(n) for n in (1, 10, 100, 10**4, 10**6, 10**8)]
+    assert vals == sorted(vals)
