@@ -16,10 +16,19 @@ Scale shape: each admitted batch ALSO appends its banded MinHash
 projection under ``out_dir``/index, and screening joins the incoming
 batch's bands against that persisted index — the corpus TEXT is never
 re-hashed, so per-batch candidate generation costs the batch, not the
-accumulated history (corpus rows are only read back to exact-verify the
-few candidate pairs).  Batch writes land under ``batch_id=N`` subdirs
-(same parquet-level idempotence scheme as the ops sink — a retried batch
-overwrites itself, so admission is exactly-once without Delta).
+accumulated history; candidate VERIFICATION pushes the per-trigger id
+set into the doc_id-sorted corpus store (row-group pruning), so the
+text read also follows the batch.  Batch writes land under
+``batch_id=N`` subdirs (same parquet-level idempotence scheme as the
+ops sink — a retried batch overwrites itself, so admission is
+exactly-once without Delta).
+
+Remaining O(history) term, documented for the next scale step: the band
+join still SHUFFLES the full index each trigger (skinny (id, band)
+rows).  The upgrade path is a metastore table bucketed by band — the
+index side then arrives pre-partitioned and only the batch side
+exchanges — at the cost of table-append idempotence bookkeeping; not
+wired here because the hermetic scope is path-based parquet.
 """
 
 from __future__ import annotations

@@ -340,3 +340,23 @@ def test_cli_prepare(tmp_path_factory, capsys):
     packed = spark.read.parquet(str(d / "out" / "packed"))
     assert corpus.count() == report["mixed"]
     assert packed.count() == corpus.count()
+
+
+def test_cli_sync_manifest_store_impl(spark, tmp_path_factory, capsys):
+    """`sync --store-impl manifest` end-to-end: manifest-committed store,
+    HWM through the layout-aware probe, scan via compacted OpsStore
+    equivalence is out of scope here — ops_view IS the reader."""
+    from meeseeker_spark.__main__ import main
+
+    fx = fixtures.generate(n_blocks=21, seed=17)
+    d = tmp_path_factory.mktemp("climanifest")
+    _write_batches(fx.blocks, "blocks", str(d / "blocks"), 2)
+    assert main(["sync", "--blocks", str(d / "blocks"),
+                 "--out", str(d / "out"), "--store-impl", "manifest"]) == 0
+    out = capsys.readouterr().out
+    assert f"synced through block {fx.blocks[-1]['block_num']}" in out
+    assert (d / "out" / "ops" / "_manifest").exists()
+    assert not list((d / "out" / "ops").glob("batch_id=*"))
+    view = P.ops_view(spark, str(d / "out" / "ops"))
+    expected_real = [o for o in fx.ops_expected if o["trx_id"] != "0" * 40]
+    assert view.count() == len(expected_real)
