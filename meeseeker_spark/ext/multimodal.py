@@ -95,7 +95,13 @@ def decode_media(df: DataFrame, id_col: str = "doc_id",
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
-                blob: bytes = row["media"]["bytes"]
+                blob = row["media"]["bytes"]
+                if blob is None:        # NULL media: metadata-only row
+                    out.append({"doc_id": row["doc_id"],
+                                "mime": row["media"]["mime"],
+                                "n_bytes": None, "width": None,
+                                "height": None, "checksum": None})
+                    continue
                 digest = hashlib.md5(blob).hexdigest()
                 out.append({
                     "doc_id": row["doc_id"],
@@ -117,7 +123,13 @@ def decode_media(df: DataFrame, id_col: str = "doc_id",
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
-                blob: bytes = row["media"]["bytes"]
+                blob = row["media"]["bytes"]
+                if blob is None:        # NULL media must not kill the scan
+                    out.append({"doc_id": row["doc_id"],
+                                "mime": row["media"]["mime"],
+                                "n_bytes": None, "width": None,
+                                "height": None, "checksum": None})
+                    continue
                 digest = hashlib.md5(blob).hexdigest()
                 mime, width, height = row["media"]["mime"], None, None
                 try:
@@ -203,6 +215,9 @@ def extract_features(df: DataFrame, dim: int = 16,
         for pdf in batches:
             vecs = []
             for blob in pdf["_bytes"]:
+                if blob is None:          # NULL media → NULL vector
+                    vecs.append(None)
+                    continue
                 seed = int.from_bytes(
                     hashlib.md5(blob).digest()[:8], "big")
                 rng = np.random.default_rng(seed)

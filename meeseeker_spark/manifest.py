@@ -170,19 +170,23 @@ class ManifestStore:
 
         df = self.df().withColumn("_file", F.input_file_name())
         expired = F.col("ingested_at") < F.lit(cutoff)
-        # key on the RAW input_file_name URIs (file:///…): reconstructing
-        # them from relative paths is scheme/slash-fragile
-        hot_uris = [r["_file"] for r in
-                    df.where(expired).select("_file").distinct().collect()]
-        if not hot_uris:
+        # ONE job finds the hot files AND the expired row count per file
+        # (keyed on the RAW input_file_name URIs — reconstructing them
+        # from relative paths is scheme/slash-fragile)
+        per_file = (df.where(expired).groupBy("_file")
+                    .agg(F.count("*").alias("_n")).collect())
+        if not per_file:
             return 0
-        hot = {os.path.relpath(unquote(urlparse(u).path), self.path)
-               for u in hot_uris}
-        n_removed = df.where(expired).count()
-        live = (df.where(~expired | F.col("ingested_at").isNull())
-                .where(F.col("_file").isin(hot_uris))
-                .drop("_file"))
-        staged = self._stage(live) if live.limit(1).count() else []
+        hot = {os.path.relpath(unquote(urlparse(r["_file"]).path), self.path)
+               for r in per_file}
+        n_removed = sum(r["_n"] for r in per_file)
+        # re-stage ONLY the hot files' live rows: the read is a direct
+        # scan of those files, never the whole store
+        live = (self.spark.read.parquet(
+                    *[os.path.join(self.path, f) for f in sorted(hot)])
+                .where((F.col("ingested_at") >= F.lit(cutoff))
+                       | F.col("ingested_at").isNull()))
+        staged = self._stage(live)
         keep = [f for f in m["files"] if f not in hot]
         self._commit(keep + staged, m["batch_ids"])
         return n_removed
@@ -242,7 +246,10 @@ class ManifestStore:
         kept = range(max(1, cur - keep_versions + 1), cur + 1)
         referenced: set[str] = set()
         for v in kept:
-            referenced |= set(self._read_manifest(v)["files"])
+            # a version in the kept window may have been dropped by an
+            # earlier gc with a smaller keep_versions — skip the gap
+            if os.path.exists(os.path.join(self._mdir(), f"v{v}.json")):
+                referenced |= set(self._read_manifest(v)["files"])
         deleted = 0
         data_root = os.path.join(self.path, _DATA_DIR)
         for d in os.listdir(data_root):

@@ -153,16 +153,7 @@ def start_ingest(ops_stream: DataFrame, ops_path: str, channels_path: str,
     from ..resume import STREAM_MODES
     if mode not in STREAM_MODES:
         raise ValueError(f"Unknown stream mode: {mode}")
-    if store_impl not in ("dirs", "manifest"):
-        raise ValueError(f"Unknown store_impl: {store_impl}")
-
-    def _write(df: DataFrame, path: str, batch_id: int) -> None:
-        if store_impl == "manifest":
-            from ..manifest import ManifestStore
-            ManifestStore(df.sparkSession, path).append(df, batch_id=batch_id)
-        else:
-            df.write.mode("overwrite").parquet(
-                os.path.join(path, f"batch_id={batch_id}"))
+    _write = _batch_writer(store_impl)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         commit = None
@@ -195,6 +186,42 @@ def start_ingest(ops_stream: DataFrame, ops_path: str, channels_path: str,
     return writer.start()
 
 
+def _has_batch_dirs(path: str) -> bool:
+    return os.path.isdir(path) and any(
+        d.startswith("batch_id=") for d in os.listdir(path))
+
+
+def _batch_writer(store_impl: str):
+    """The per-micro-batch output writer shared by the mainnet and engine
+    sinks.  ``dirs``: overwrite a ``batch_id=N`` subdir (replay overwrites
+    itself).  ``manifest``: ManifestStore.append with the batch id
+    recorded (replay short-circuits).  Both REFUSE to write into a path
+    already carrying the other layout — a mixed store would silently hide
+    the other layout's rows from the layout-detecting readers."""
+    if store_impl not in ("dirs", "manifest"):
+        raise ValueError(f"Unknown store_impl: {store_impl}")
+
+    def _write(df: DataFrame, path: str, batch_id: int) -> None:
+        if store_impl == "manifest":
+            if _has_batch_dirs(path):
+                raise RuntimeError(
+                    f"{path} already holds batch_id=N dirs; refusing to "
+                    "start a manifest layout on top (readers would hide "
+                    "the dir-layout rows). Compact or migrate first.")
+            from ..manifest import ManifestStore
+            ManifestStore(df.sparkSession, path).append(df, batch_id=batch_id)
+        else:
+            if os.path.isdir(os.path.join(path, "_manifest")):
+                raise RuntimeError(
+                    f"{path} is a manifest store; refusing to write "
+                    "batch_id=N dirs into it (readers would never see "
+                    "them). Pass store_impl='manifest'.")
+            df.write.mode("overwrite").parquet(
+                os.path.join(path, f"batch_id={batch_id}"))
+
+    return _write
+
+
 def _batched_view(spark: SparkSession, batch_path: str,
                   store_path: str | None) -> DataFrame:
     """Union of a sink's ``batch_id=N`` micro-batch dirs with an optional
@@ -202,8 +229,20 @@ def _batched_view(spark: SparkSession, batch_path: str,
     channel_events_view (one uninterrupted table across maintenance
     cycles).  A manifest-committed sink (start_ingest
     ``store_impl="manifest"``) is detected by its ``_manifest`` dir and
-    read through the manifest instead."""
+    read through the manifest instead; a path carrying BOTH layouts (or a
+    manifest plus a separate compacted store) is refused loudly rather
+    than silently hiding one side's rows."""
     if os.path.isdir(os.path.join(batch_path, "_manifest")):
+        if _has_batch_dirs(batch_path):
+            raise RuntimeError(
+                f"{batch_path} holds BOTH a _manifest and batch_id=N dirs "
+                "— mixed layouts cannot be read consistently; migrate one "
+                "into the other first.")
+        if store_path and os.path.exists(store_path):
+            raise RuntimeError(
+                "store_path is a dir-layout concept; a manifest store "
+                "already carries its whole history — compact it with "
+                "ManifestStore.compact() instead.")
         from ..manifest import ManifestStore
         return ManifestStore(spark, batch_path).df()
     batches = ([d for d in os.listdir(batch_path)
@@ -470,16 +509,7 @@ def start_engine_ingest(engine_stream: DataFrame, ops_path: str,
     ``store_impl`` as in start_ingest: ``dirs`` (batch_id=N overwrite
     idempotence) or ``manifest`` (ManifestStore commits, batch-id
     short-circuit)."""
-    if store_impl not in ("dirs", "manifest"):
-        raise ValueError(f"Unknown store_impl: {store_impl}")
-
-    def _write(df: DataFrame, path: str, batch_id: int) -> None:
-        if store_impl == "manifest":
-            from ..manifest import ManifestStore
-            ManifestStore(df.sparkSession, path).append(df, batch_id=batch_id)
-        else:
-            df.write.mode("overwrite").parquet(
-                os.path.join(path, f"batch_id={batch_id}"))
+    _write = _batch_writer(store_impl)
 
     def _sink(raw_batch: DataFrame, batch_id: int) -> None:
         ops = flatten_engine_blocks(raw_batch, chain).persist()

@@ -38,9 +38,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..ext.dedup import (banded_projection, exact_dedup,
-                         incremental_candidates, near_dup_pairs,
-                         verify_jaccard)
+from ..ext.dedup import (banded_projection, connected_components,
+                         exact_dedup, incremental_candidates,
+                         near_dup_pairs, verify_jaccard)
 
 DOCS_SCHEMA = ("doc_id bigint, text string, lang string, source string, "
                "n_chars bigint")
@@ -62,21 +62,25 @@ def screen_batch(batch: DataFrame, corpus: DataFrame | None,
     IN-BATCH near-dups (ADVICE r3: two near-copies arriving in the same
     micro-batch used to both pass — the gap widened silently with any
     trigger config looser than maxFilesPerTrigger=1): the min-id member
-    of each in-batch near-dup pair survives (greedy edge-wise, same
-    semantics as ext.dedup.minhash_dedup) and losers land in the flagged
-    log with the surviving doc as ``corpus_id`` — it IS about to become
-    corpus.  Cross-corpus near-dups are then rejected.  ``corpus=None``
-    (first batch) skips only the cross screen.  ``corpus_bands`` is the
-    persisted banded index — when given, the corpus text is only read to
-    verify candidate pairs."""
+    of each near-dup CLUSTER survives (connected components over the
+    in-batch pair graph — cluster-level, so every flagged ``corpus_id``
+    references a doc that IS admitted, never another loser) and each
+    loser lands in the flagged log against its cluster survivor with the
+    directly-computed jaccard — which can sit BELOW the threshold for
+    transitively-linked members (A≈B≈C rejects C against A even when
+    J(A,C) < τ; the chain is the evidence).  Cross-corpus near-dups are
+    then rejected.  ``corpus=None`` (first batch) skips only the cross
+    screen.  ``corpus_bands`` is the persisted banded index — when
+    given, the corpus text is only read to verify candidate pairs."""
     batch = exact_dedup(batch, ["text"], "doc_id")
     in_pairs = near_dup_pairs(batch, threshold=threshold, max_bucket=10_000)
-    in_flagged = in_pairs.select(
-        F.col("doc_b").alias("new_id"), F.col("doc_a").alias("corpus_id"),
-        "jaccard")
-    batch = batch.join(
-        in_flagged.select(F.col("new_id").alias("doc_id")).distinct(),
-        "doc_id", "left_anti")
+    losers = (connected_components(in_pairs)
+              .where(F.col("doc_id") != F.col("component")))
+    in_flagged = verify_jaccard(
+        losers.select(F.col("doc_id").alias("new_id"),
+                      F.col("component").alias("corpus_id")),
+        batch, batch, threshold=0.0)
+    batch = batch.join(losers.select("doc_id"), "doc_id", "left_anti")
     if corpus is None:
         return batch, in_flagged
     # candidate generation first (bands only — no corpus text), then

@@ -1042,3 +1042,24 @@ def test_auto_planes_tracks_corpus_size():
     # monotone non-decreasing
     vals = [auto_planes(n) for n in (1, 10, 100, 10**4, 10**6, 10**8)]
     assert vals == sorted(vals)
+
+
+def test_multimodal_null_bytes_survive(spark):
+    """A NULL media.bytes row must not kill the scan (review r4): decode
+    emits a metadata-only row with NULL dims/checksum; feature extraction
+    emits a NULL vector."""
+    df = spark.createDataFrame(
+        [(1, bytearray(b"payload"), "application/octet-stream"),
+         (2, None, "application/octet-stream")],
+        "doc_id bigint, b binary, m string"
+    ).select("doc_id", F.struct(F.col("b").alias("bytes"),
+                                F.col("m").alias("mime")).alias("media"))
+    got = {r["doc_id"]: r for r in
+           multimodal.decode_media(df, fake=True).collect()}
+    assert got[1]["checksum"] is not None and got[1]["n_bytes"] == 7
+    assert got[2]["checksum"] is None and got[2]["n_bytes"] is None
+    assert got[2]["width"] is None and got[2]["height"] is None
+    feats = {r["doc_id"]: r["features"] for r in
+             multimodal.extract_features(df, dim=8, fake=True).collect()}
+    assert feats[1] is not None and len(feats[1]) == 8
+    assert feats[2] is None

@@ -235,3 +235,39 @@ def test_cli_expire_both_layouts(spark, tmp_path, capsys):
     assert main(["expire", "--store", str(d)]) == 0
     assert "expired 1 rows" in capsys.readouterr().out
     assert spark.read.parquet(str(d)).count() == 1
+
+
+def test_gc_survives_version_gap(spark, tmp_path):
+    """gc(keep_versions=K) after an earlier gc already dropped older
+    manifest json must skip the gap, not crash (review r4)."""
+    s = ManifestStore(spark, str(tmp_path / "m"))
+    for b in range(3):
+        s.append(_rows(spark, [b]), batch_id=b)      # v1..v3
+    s.gc(keep_versions=1)                            # drops v1, v2 json
+    assert s.gc(keep_versions=2) >= 0                # window spans the gap
+    assert sorted(r["id"] for r in s.df().collect()) == [0, 1, 2]
+
+
+def test_mixed_layout_refused(spark, tmp_path):
+    """A path carrying both batch_id=N dirs and a _manifest is refused by
+    writers and readers instead of silently hiding one side (review r4)."""
+    from meeseeker_spark.streaming.pipeline import (_batch_writer,
+                                                    _batched_view)
+
+    p = tmp_path / "store"
+    _batch_writer("dirs")(_rows(spark, [1]), str(p), 0)
+    with pytest.raises(RuntimeError, match="batch_id=N dirs"):
+        _batch_writer("manifest")(_rows(spark, [2]), str(p), 1)
+
+    m = tmp_path / "mstore"
+    _batch_writer("manifest")(_rows(spark, [1]), str(m), 0)
+    with pytest.raises(RuntimeError, match="manifest store"):
+        _batch_writer("dirs")(_rows(spark, [2]), str(m), 1)
+
+    # reader guard: a hand-mixed dir is refused loudly
+    os.makedirs(p / "_manifest")
+    with pytest.raises(RuntimeError, match="BOTH"):
+        _batched_view(spark, str(p), None)
+    with pytest.raises(RuntimeError, match="compact it"):
+        _batched_view(spark, str(m), str(tmp_path / "store2x")
+                      ) if os.makedirs(tmp_path / "store2x") or True else None

@@ -764,3 +764,35 @@ def test_engine_manifest_store_impl(spark, fx, tmp_path_factory):
     assert not glob.glob(str(d / "ops" / "batch_id=*"))
     assert P.last_block_num(spark, str(d / "ops")) \
         == max(b["blockNumber"] for b in fx.engine_blocks)
+
+
+def test_screen_in_batch_chain_flags_against_survivor(spark):
+    """A≈B≈C in ONE batch (review r4): cluster-level dedup admits only A,
+    and every flagged corpus_id references the ADMITTED survivor — never
+    another loser — with the directly-computed jaccard (possibly below
+    the threshold for transitive links)."""
+    from meeseeker_spark.streaming.screen import screen_batch
+
+    # 20 tokens; B changes the last (J=17/19≈.894 vs A), C additionally
+    # changes the first (J=.894 vs B, but 16/20=.8 vs A) → at τ=0.85 the
+    # pair graph is the chain A—B—C with no (A,C) edge
+    words = [f"w{i:02d}" for i in range(20)]
+    base = " ".join(words)
+    b = " ".join(["q99" if w == "w19" else w for w in words])
+    c = b.replace("w00", "q88")
+    TAU = 0.85
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    batch = spark.createDataFrame(
+        [(1, base, "en", "w", 100), (2, b, "en", "w", 100),
+         (3, c, "en", "w", 100)], cols)
+    admitted, flagged = screen_batch(batch, None, threshold=TAU)
+    assert [r["doc_id"] for r in admitted.collect()] == [1]
+    fl = {(r["new_id"], r["corpus_id"]): r["jaccard"]
+          for r in flagged.collect()}
+    assert set(fl) == {(2, 1), (3, 1)}       # survivor 1, never 2
+    # sanity: the chain really is a chain (C is transitively linked)
+    from meeseeker_spark.ext import dedup
+    pairs = {(p["doc_a"], p["doc_b"])
+             for p in dedup.near_dup_pairs(batch, threshold=TAU).collect()}
+    assert (1, 2) in pairs and (2, 3) in pairs and (1, 3) not in pairs
+    assert fl[(3, 1)] < TAU <= fl[(2, 1)]
