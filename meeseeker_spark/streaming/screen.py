@@ -23,12 +23,14 @@ text read also follows the batch.  Batch writes land under
 ops sink — a retried batch overwrites itself, so admission is
 exactly-once without Delta).
 
-Remaining O(history) term, documented for the next scale step: the band
-join still SHUFFLES the full index each trigger (skinny (id, band)
-rows).  The upgrade path is a metastore table bucketed by band — the
-index side then arrives pre-partitioned and only the batch side
-exchanges — at the cost of table-append idempotence bookkeeping; not
-wired here because the hermetic scope is path-based parquet.
+Remaining O(history) term and its fix: with the default dir layout the
+band join SHUFFLES the full index each trigger (skinny (id, band)
+rows).  Opt into ``start_screen(index_table=...)`` and the index lives
+in a metastore table hash-bucketed by band — the index side arrives
+pre-partitioned and only the batch side exchanges per trigger
+(plan-asserted; see start_screen's idempotence note for the
+append-on-retry caveat).  The dir layout stays the default because the
+hermetic scope is path-based parquet.
 """
 
 from __future__ import annotations
@@ -105,14 +107,28 @@ def screen_batch(batch: DataFrame, corpus: DataFrame | None,
 
 def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
                  checkpoint_dir: str, threshold: float = 0.5,
-                 available_now: bool = True) -> StreamingQuery:
+                 available_now: bool = True,
+                 index_table: str | None = None,
+                 index_buckets: int = 32) -> StreamingQuery:
     """File stream over ``incoming_dir`` → screened corpus under
     ``out_dir``/corpus + rejection log under ``out_dir``/flagged.
 
     ``out_dir`` must be a LOCAL filesystem path (the corpus-existence
     probe is os.listdir — same hermetic file-backed-sink scope as the
     rest of the streaming layer; an object-store deployment would swap
-    the probe for a catalog/FileSystem check)."""
+    the probe for a catalog/FileSystem check).
+
+    ``index_table`` (opt-in) keeps the persisted band index in a
+    metastore TABLE hash-bucketed by ``band`` instead of plain parquet
+    dirs: the band-collision join then reads the index PRE-PARTITIONED —
+    only the (small) batch side shuffles per trigger, removing the
+    O(history) index-side exchange the dir layout pays every batch
+    (plan-asserted in tests).  Idempotence note: a batch retried after a
+    crash APPENDS its band rows again (bucketed tables have no partition
+    overwrite); the duplicates are exact copies — candidate pairs dedup
+    and only that batch's bucket widths overcount until the next index
+    rewrite.  The corpus/flagged dirs keep their overwrite idempotence
+    either way."""
     corpus_dir = os.path.join(out_dir, "corpus")
     flagged_dir = os.path.join(out_dir, "flagged")
     index_dir = os.path.join(out_dir, "index")
@@ -135,7 +151,12 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
                 .where(F.col("batch_id") != batch_id)
                 .drop("batch_id")
             )
-            if _has_data(index_dir):
+            if index_table is not None:
+                if s.catalog.tableExists(index_table):
+                    bands = (s.table(index_table)
+                             .where(F.col("batch_id") != batch_id)
+                             .drop("batch_id"))
+            elif _has_data(index_dir):
                 bands = (
                     s.read.schema("doc_id bigint, band string")
                     .parquet(index_dir)
@@ -154,11 +175,17 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
         # append this batch's banded projection so FUTURE batches screen
         # against it without re-hashing (reads the admitted rows just
         # written — signatures are text-pure, so index == recompute)
-        (banded_projection(
+        proj = banded_projection(
             s.read.schema(DOCS_SCHEMA)
             .parquet(os.path.join(corpus_dir, f"batch_id={batch_id}")))
-         .write.mode("overwrite")
-         .parquet(os.path.join(index_dir, f"batch_id={batch_id}")))
+        if index_table is not None:
+            (proj.withColumn("batch_id", F.lit(batch_id))
+             .write.mode("append")
+             .bucketBy(index_buckets, "band").sortBy("band")
+             .format("parquet").saveAsTable(index_table))
+        else:
+            (proj.write.mode("overwrite")
+             .parquet(os.path.join(index_dir, f"batch_id={batch_id}")))
 
     stream = (spark.readStream.schema(DOCS_SCHEMA)
               .option("maxFilesPerTrigger", 1).parquet(incoming_dir))

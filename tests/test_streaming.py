@@ -796,3 +796,81 @@ def test_screen_in_batch_chain_flags_against_survivor(spark):
              for p in dedup.near_dup_pairs(batch, threshold=TAU).collect()}
     assert (1, 2) in pairs and (2, 3) in pairs and (1, 3) not in pairs
     assert fl[(3, 1)] < TAU <= fl[(2, 1)]
+
+
+def test_screen_bucketed_index_table(spark, tmp_path_factory):
+    """Opt-in bucketed band-index table: same screening results as the
+    dir layout, and candidate generation reads the index PRE-PARTITIONED
+    — zero Exchange on the index side of the band join (the dir layout
+    pays one per trigger)."""
+    import contextlib
+    import io
+    import time as _time
+
+    from meeseeker_spark.ext.dedup import incremental_candidates
+    from meeseeker_spark.streaming.screen import start_screen
+
+    d = tmp_path_factory.mktemp("screenbkt")
+    incoming, out, ckpt = d / "incoming", d / "out", d / "ckpt"
+    os.makedirs(incoming)
+    TBL = "screen_band_index_test"
+    spark.sql(f"DROP TABLE IF EXISTS {TBL}")
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat watches from the warm stone wall near the garden gate")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    def drop(name, rows):
+        tmp = d / ("w_" + name)
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        os.rename(tmp / part, incoming / f"{name}.parquet")
+
+    try:
+        drop("b1", [(1, base, "en", "web", len(base)),
+                    (3, "completely different words about ships and "
+                        "harbors", "en", "web", 40)])
+        q = start_screen(spark, str(incoming), str(out), str(ckpt),
+                         index_table=TBL)
+        q.awaitTermination(120)
+        _time.sleep(1.1)
+        drop("b2", [(10, base.replace("warm", "cold"), "en", "web", 100),
+                    (11, "fresh unrelated content regarding mountain "
+                         "weather patterns", "en", "web", 60)])
+        q = start_screen(spark, str(incoming), str(out), str(ckpt),
+                         index_table=TBL)
+        q.awaitTermination(120)
+
+        corpus = {r["doc_id"] for r in
+                  spark.read.parquet(str(out / "corpus")).collect()}
+        flagged = {(r["new_id"], r["corpus_id"]) for r in
+                   spark.read.parquet(str(out / "flagged")).collect()}
+        assert corpus == {1, 3, 11}
+        assert flagged == {(10, 1)}
+
+        # plan shape: index side pre-partitioned by the bucketing
+        batch = spark.createDataFrame(
+            [(99, base.replace("dog", "hound"), "en", "web", 100)], cols)
+        bands = spark.table(TBL).drop("batch_id")
+
+        def explain_of(cand_df):
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                cand_df.explain("formatted")
+            return buf.getvalue()
+
+        bucketed_plan = explain_of(
+            incremental_candidates(batch, corpus_bands=bands))
+        dir_bands = bands.write.mode("overwrite").parquet(
+            str(d / "flat_index")) or spark.read.parquet(
+            str(d / "flat_index"))
+        flat_plan = explain_of(
+            incremental_candidates(batch, corpus_bands=dir_bands))
+        assert "Bucketed: true" in bucketed_plan
+        # the bucketed read arrives pre-partitioned on the band key, so
+        # the index-side exchange disappears (formatted explain mentions
+        # each node in tree + detail, hence counting, not equality-to-1)
+        assert (bucketed_plan.count("Exchange")
+                < flat_plan.count("Exchange"))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {TBL}")
