@@ -95,10 +95,12 @@ def decode_media(df: DataFrame, id_col: str = "doc_id",
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
-                blob = row["media"]["bytes"]
+                media = row["media"]
+                blob = None if media is None else media["bytes"]
                 if blob is None:        # NULL media: metadata-only row
                     out.append({"doc_id": row["doc_id"],
-                                "mime": row["media"]["mime"],
+                                "mime": None if media is None
+                                else media["mime"],
                                 "n_bytes": None, "width": None,
                                 "height": None, "checksum": None})
                     continue
@@ -123,10 +125,12 @@ def decode_media(df: DataFrame, id_col: str = "doc_id",
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
-                blob = row["media"]["bytes"]
+                media = row["media"]
+                blob = None if media is None else media["bytes"]
                 if blob is None:        # NULL media must not kill the scan
                     out.append({"doc_id": row["doc_id"],
-                                "mime": row["media"]["mime"],
+                                "mime": None if media is None
+                                else media["mime"],
                                 "n_bytes": None, "width": None,
                                 "height": None, "checksum": None})
                     continue

@@ -65,24 +65,49 @@ def screen_batch(batch: DataFrame, corpus: DataFrame | None,
     micro-batch used to both pass — the gap widened silently with any
     trigger config looser than maxFilesPerTrigger=1): the min-id member
     of each near-dup CLUSTER survives (connected components over the
-    in-batch pair graph — cluster-level, so every flagged ``corpus_id``
-    references a doc that IS admitted, never another loser) and each
-    loser lands in the flagged log against its cluster survivor with the
-    directly-computed jaccard — which can sit BELOW the threshold for
-    transitively-linked members (A≈B≈C rejects C against A even when
-    J(A,C) < τ; the chain is the evidence).  Cross-corpus near-dups are
-    then rejected.  ``corpus=None`` (first batch) skips only the cross
-    screen.  ``corpus_bands`` is the persisted banded index — when
+    in-batch pair graph) and each loser lands in the flagged log against
+    its cluster survivor — direct edges reuse the jaccard near_dup_pairs
+    already computed; only transitive chain links (A≈B≈C rejecting C
+    against A) are re-verified, and their jaccard can sit BELOW the
+    threshold (the chain is the evidence).  Cross-corpus near-dups are
+    then rejected, and any in-batch flag whose survivor was ITSELF
+    cross-rejected is remapped to that survivor's corpus doc (min id
+    when several), so every ``corpus_id`` in the final log references a
+    doc that is admitted or already corpus — never a fellow reject; for
+    remapped rows the jaccard remains the in-batch edge's (the actual
+    rejection evidence).  ``corpus=None`` (first batch) skips only the
+    cross screen.  ``corpus_bands`` is the persisted banded index — when
     given, the corpus text is only read to verify candidate pairs."""
+    spark = batch.sparkSession
+    flag_schema = "new_id bigint, corpus_id bigint, jaccard double"
     batch = exact_dedup(batch, ["text"], "doc_id")
-    in_pairs = near_dup_pairs(batch, threshold=threshold, max_bucket=10_000)
-    losers = (connected_components(in_pairs)
-              .where(F.col("doc_id") != F.col("component")))
-    in_flagged = verify_jaccard(
-        losers.select(F.col("doc_id").alias("new_id"),
-                      F.col("component").alias("corpus_id")),
-        batch, batch, threshold=0.0)
-    batch = batch.join(losers.select("doc_id"), "doc_id", "left_anti")
+    # localCheckpoint: the pair set feeds the empty-probe, the CC loop,
+    # and the direct-edge reuse — without it near_dup_pairs re-executes
+    # per consumer
+    in_pairs = near_dup_pairs(batch, threshold=threshold,
+                              max_bucket=10_000).localCheckpoint()
+    if in_pairs.isEmpty():
+        # common case: no in-batch near-dups — skip the CC loop's jobs
+        losers = None
+        in_flagged = spark.createDataFrame([], flag_schema)
+    else:
+        losers = (connected_components(in_pairs)
+                  .where(F.col("doc_id") != F.col("component"))
+                  .select(F.col("doc_id").alias("new_id"),
+                          F.col("component").alias("corpus_id")))
+        direct = in_pairs.select(F.col("doc_b").alias("new_id"),
+                                 F.col("doc_a").alias("corpus_id"),
+                                 "jaccard")
+        with_direct = losers.join(direct, ["new_id", "corpus_id"], "left")
+        fresh = verify_jaccard(
+            with_direct.where(F.col("jaccard").isNull())
+            .select("new_id", "corpus_id"),
+            batch, batch, threshold=0.0)
+        in_flagged = (with_direct.where(F.col("jaccard").isNotNull())
+                      .unionByName(fresh))
+        batch = batch.join(
+            losers.select(F.col("new_id").alias("doc_id")),
+            "doc_id", "left_anti")
     if corpus is None:
         return batch, in_flagged
     # candidate generation first (bands only — no corpus text), then
@@ -99,6 +124,19 @@ def screen_batch(batch: DataFrame, corpus: DataFrame | None,
     corpus_v = (corpus.where(F.col("doc_id").isin(ids))
                 if len(ids) <= PRUNE_IDS_CAP else corpus)
     flagged = verify_jaccard(cand, batch, corpus_v, threshold=threshold)
+    if losers is not None:
+        # a cross-rejected in-batch survivor never reaches the corpus:
+        # remap its dependents' corpus_id to the survivor's own corpus
+        # match so the log holds no dangling references
+        remap = (flagged.select(F.col("new_id").alias("_rej"),
+                                F.col("corpus_id").alias("_target"))
+                 .groupBy("_rej").agg(F.min("_target").alias("_target")))
+        in_flagged = (
+            in_flagged.join(remap, F.col("corpus_id") == F.col("_rej"),
+                            "left")
+            .select("new_id",
+                    F.coalesce("_target", "corpus_id").alias("corpus_id"),
+                    "jaccard"))
     admitted = batch.join(
         flagged.select(F.col("new_id").alias("doc_id")).distinct(),
         "doc_id", "left_anti")
@@ -126,9 +164,11 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
     (plan-asserted in tests).  Idempotence note: a batch retried after a
     crash APPENDS its band rows again (bucketed tables have no partition
     overwrite); the duplicates are exact copies — candidate pairs dedup
-    and only that batch's bucket widths overcount until the next index
-    rewrite.  The corpus/flagged dirs keep their overwrite idempotence
-    either way."""
+    and only that batch's bucket widths overcount until
+    ``rebuild_band_index`` rewrites the table from the (overwrite-
+    idempotent) corpus store.  A layout marker under ``out_dir`` refuses
+    runs that toggle ``index_table`` against existing state.  The
+    corpus/flagged dirs keep their overwrite idempotence either way."""
     corpus_dir = os.path.join(out_dir, "corpus")
     flagged_dir = os.path.join(out_dir, "flagged")
     index_dir = os.path.join(out_dir, "index")
@@ -136,6 +176,35 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
     def _has_data(d: str) -> bool:
         return os.path.isdir(d) and any(
             not e.startswith(("_", ".")) for e in os.listdir(d))
+
+    # layout marker: toggling index_table between runs (or reusing a
+    # table name whose rows survive an out_dir wipe) would silently
+    # screen against an incomplete/stale index — refuse loudly instead,
+    # like pipeline._batch_writer does for store layouts.
+    import json as _json
+    marker = os.path.join(out_dir, "_index_layout.json")
+    os.makedirs(out_dir, exist_ok=True)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            recorded = _json.load(f).get("index_table")
+        if recorded != index_table:
+            raise RuntimeError(
+                f"screen at {out_dir} was built with index_table="
+                f"{recorded!r}; restarting with {index_table!r} would "
+                "screen against an incomplete band index. Rebuild the "
+                "index in the new layout first.")
+    else:
+        if index_table is not None and spark.catalog.tableExists(index_table):
+            raise RuntimeError(
+                f"table {index_table!r} already exists but {out_dir} has "
+                "no layout marker — stale index rows from a previous "
+                "run would poison screening. Drop the table first.")
+        if index_table is not None and _has_data(index_dir):
+            raise RuntimeError(
+                f"{index_dir} already holds a dir-layout band index; "
+                "refusing to start a table layout beside it.")
+        with open(marker, "w") as f:
+            _json.dump({"index_table": index_table}, f)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
@@ -194,3 +263,22 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def rebuild_band_index(spark: SparkSession, out_dir: str, index_table: str,
+                       index_buckets: int = 32) -> int:
+    """Rewrite the bucketed band-index table from the corpus store — the
+    maintenance rewrite start_screen's idempotence note refers to: table
+    appends have no overwrite idempotence, so a crash-retried batch
+    leaves exact-duplicate band rows that inflate bucket widths until
+    this runs.  Signatures are text-pure, so recompute == index.
+    Returns the row count written."""
+    corpus_dir = os.path.join(out_dir, "corpus")
+    corpus = (spark.read.option("basePath", corpus_dir)
+              .parquet(os.path.join(corpus_dir, "batch_id=*")))
+    proj = banded_projection(corpus.drop("batch_id")).join(
+        corpus.select("doc_id", "batch_id"), "doc_id")
+    (proj.write.mode("overwrite")
+     .bucketBy(index_buckets, "band").sortBy("band")
+     .format("parquet").saveAsTable(index_table))
+    return spark.table(index_table).count()

@@ -1054,11 +1054,17 @@ def test_multimodal_null_bytes_survive(spark):
         "doc_id bigint, b binary, m string"
     ).select("doc_id", F.struct(F.col("b").alias("bytes"),
                                 F.col("m").alias("mime")).alias("media"))
+    # plus a row where the whole media STRUCT is NULL (review r4)
+    df = df.unionByName(
+        spark.createDataFrame([(3,)], "doc_id bigint").withColumn(
+            "media",
+            F.lit(None).cast("struct<bytes:binary,mime:string>")))
     got = {r["doc_id"]: r for r in
            multimodal.decode_media(df, fake=True).collect()}
     assert got[1]["checksum"] is not None and got[1]["n_bytes"] == 7
     assert got[2]["checksum"] is None and got[2]["n_bytes"] is None
     assert got[2]["width"] is None and got[2]["height"] is None
+    assert got[3]["mime"] is None and got[3]["checksum"] is None
     feats = {r["doc_id"]: r["features"] for r in
              multimodal.extract_features(df, dim=8, fake=True).collect()}
     assert feats[1] is not None and len(feats[1]) == 8

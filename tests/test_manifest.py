@@ -268,6 +268,6 @@ def test_mixed_layout_refused(spark, tmp_path):
     os.makedirs(p / "_manifest")
     with pytest.raises(RuntimeError, match="BOTH"):
         _batched_view(spark, str(p), None)
+    os.makedirs(tmp_path / "store2x")
     with pytest.raises(RuntimeError, match="compact it"):
-        _batched_view(spark, str(m), str(tmp_path / "store2x")
-                      ) if os.makedirs(tmp_path / "store2x") or True else None
+        _batched_view(spark, str(m), str(tmp_path / "store2x"))

@@ -861,9 +861,8 @@ def test_screen_bucketed_index_table(spark, tmp_path_factory):
 
         bucketed_plan = explain_of(
             incremental_candidates(batch, corpus_bands=bands))
-        dir_bands = bands.write.mode("overwrite").parquet(
-            str(d / "flat_index")) or spark.read.parquet(
-            str(d / "flat_index"))
+        bands.write.mode("overwrite").parquet(str(d / "flat_index"))
+        dir_bands = spark.read.parquet(str(d / "flat_index"))
         flat_plan = explain_of(
             incremental_candidates(batch, corpus_bands=dir_bands))
         assert "Bucketed: true" in bucketed_plan
@@ -872,5 +871,97 @@ def test_screen_bucketed_index_table(spark, tmp_path_factory):
         # each node in tree + detail, hence counting, not equality-to-1)
         assert (bucketed_plan.count("Exchange")
                 < flat_plan.count("Exchange"))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {TBL}")
+
+
+def test_screen_cross_rejected_survivor_remaps_flags(spark):
+    """Review r4 follow-up: when the in-batch cluster survivor is ITSELF
+    rejected by the cross-corpus screen, its dependents' flags remap to
+    the survivor's corpus match — the final log never references a
+    fellow reject."""
+    from meeseeker_spark.streaming.screen import screen_batch
+
+    words = [f"w{i:02d}" for i in range(20)]
+    x = " ".join(words)                                    # corpus doc
+    a = " ".join(["q99" if w == "w19" else w for w in words])   # ≈ X
+    b = a.replace("w00", "q88")                            # ≈ A
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    corpus = spark.createDataFrame([(100, x, "en", "w", 100)], cols)
+    batch = spark.createDataFrame(
+        [(1, a, "en", "w", 100), (2, b, "en", "w", 100)], cols)
+
+    admitted, flagged = screen_batch(batch, corpus, threshold=0.85)
+    assert admitted.count() == 0                     # both rejected
+    fl = {(r["new_id"], r["corpus_id"]) for r in flagged.collect()}
+    # A flags against corpus X; B's in-batch flag (B→A) remaps to X
+    assert fl == {(1, 100), (2, 100)}
+
+
+def test_screen_index_layout_marker_guard(spark, tmp_path_factory):
+    """Toggling index_table against existing screen state is refused
+    loudly (review r4 follow-up); a stale same-named table without a
+    marker is refused too."""
+    from meeseeker_spark.streaming.screen import start_screen
+
+    d = tmp_path_factory.mktemp("screenmarker")
+    incoming = d / "incoming"
+    os.makedirs(incoming)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    tmp = d / "w"
+    spark.createDataFrame(
+        [(1, "some words here about things", "en", "w", 30)], cols
+    ).coalesce(1).write.parquet(str(tmp))
+    part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+    os.rename(tmp / part, incoming / "b1.parquet")
+
+    q = start_screen(spark, str(incoming), str(d / "out"), str(d / "ckpt"))
+    q.awaitTermination(120)
+    with pytest.raises(RuntimeError, match="index_table"):
+        start_screen(spark, str(incoming), str(d / "out"),
+                     str(d / "ckpt"), index_table="some_table")
+
+    TBL = "stale_screen_index_test"
+    spark.sql(f"DROP TABLE IF EXISTS {TBL}")
+    try:
+        spark.createDataFrame(
+            [(1, "x", 0)], "doc_id bigint, band string, batch_id bigint"
+        ).write.bucketBy(4, "band").format("parquet").saveAsTable(TBL)
+        with pytest.raises(RuntimeError, match="no layout marker"):
+            start_screen(spark, str(incoming), str(d / "out2"),
+                         str(d / "ckpt2"), index_table=TBL)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {TBL}")
+
+
+def test_rebuild_band_index_clears_duplicates(spark, tmp_path_factory):
+    """rebuild_band_index rewrites the table from the corpus store —
+    retry-appended duplicate band rows disappear, content unchanged."""
+    from pyspark.sql import functions as F
+
+    from meeseeker_spark.streaming.screen import (banded_projection,
+                                                  rebuild_band_index)
+
+    d = tmp_path_factory.mktemp("rebuild")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon", "en", "w", 30),
+         (2, "zeta eta theta iota kappa", "en", "w", 25)], cols)
+    (docs.write.parquet(str(d / "out" / "corpus" / "batch_id=0")))
+    TBL = "rebuild_band_index_test"
+    spark.sql(f"DROP TABLE IF EXISTS {TBL}")
+    try:
+        proj = banded_projection(docs).withColumn("batch_id", F.lit(0))
+        for _ in range(2):      # simulate a retry double-append
+            (proj.write.mode("append").bucketBy(4, "band").sortBy("band")
+             .format("parquet").saveAsTable(TBL))
+        assert spark.table(TBL).count() == 2 * proj.count()
+        n = rebuild_band_index(spark, str(d / "out"), TBL, index_buckets=4)
+        assert n == proj.count()
+        got = {(r["doc_id"], r["band"]) for r in
+               spark.table(TBL).drop("batch_id").collect()}
+        want = {(r["doc_id"], r["band"]) for r in proj.drop("batch_id")
+                .collect()}
+        assert got == want
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {TBL}")
