@@ -271,3 +271,72 @@ def test_mixed_layout_refused(spark, tmp_path):
     os.makedirs(tmp_path / "store2x")
     with pytest.raises(RuntimeError, match="compact it"):
         _batched_view(spark, str(m), str(tmp_path / "store2x"))
+
+
+def test_manifest_random_op_sequences(spark, tmp_path_factory):
+    """Property test: any interleaving of append / replayed-append /
+    expire / compact / gc leaves the store exactly equal to a trivial
+    in-memory model, and every manifest-referenced file on disk."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    OLD = dt.datetime(2020, 1, 1)
+    NEW = dt.datetime(2030, 5, 31, 12)      # inside ttl of NOW
+    NOW = dt.datetime(2030, 6, 1)
+
+    op = st.one_of(
+        st.tuples(st.just("append"),
+                  st.lists(st.integers(0, 20), min_size=1, max_size=4),
+                  st.integers(0, 3)),
+        st.tuples(st.just("replay"), st.integers(0, 3), st.just(0)),
+        st.tuples(st.just("expire"), st.just(0), st.just(0)),
+        st.tuples(st.just("gc"), st.integers(1, 3), st.just(0)),
+        st.tuples(st.just("compact"), st.just(0), st.just(0)),
+    )
+
+    @settings(max_examples=5, deadline=None, derandomize=True,
+              suppress_health_check=list(HealthCheck))
+    @given(ops=st.lists(op, min_size=2, max_size=6))
+    def run(ops):
+        root = tmp_path_factory.mktemp("mprop")
+        s = ManifestStore(spark, str(root / "m"))
+        model: Counter = Counter()
+        batches: dict[int, list[int]] = {}
+
+        def mk(ids):
+            rows = [(i, f"v{i}", OLD if i % 2 else NEW) for i in ids]
+            return spark.createDataFrame(
+                rows, "id bigint, v string, ingested_at timestamp")
+
+        for kind, a, b in ops:
+            if kind == "append":
+                if a and b not in batches:
+                    s.append(mk(a), batch_id=b)
+                    batches[b] = a
+                    model.update((i, OLD if i % 2 else NEW) for i in a)
+            elif kind == "replay":
+                if a in batches:      # re-delivery must be a no-op
+                    assert s.append(mk(batches[a]), batch_id=a) is False
+            elif kind == "expire":
+                removed = s.expire(ttl_s=86_400, now=NOW)
+                want_removed = sum(n for (i, ts), n in model.items()
+                                   if ts == OLD)
+                assert removed == want_removed
+                model = Counter({k: n for k, n in model.items()
+                                 if k[1] != OLD})
+            elif kind == "gc":
+                s.gc(keep_versions=a)
+            elif kind == "compact":
+                s.compact(sort_cols=("id",))
+            # invariant 1: store == model
+            got = (Counter((r["id"], r["ingested_at"])
+                           for r in s.df().collect())
+                   if model else Counter())
+            assert got == model, (kind, a, b)
+            # invariant 2: every referenced file exists
+            for f in s.files():
+                assert os.path.exists(os.path.join(s.path, f)), f
+
+    run()
