@@ -98,6 +98,11 @@ def glob_to_filter(pattern: str) -> Column:
                 continue
             col = F.col(name)
             if name in ("block_num", "trx_index"):
+                if not seg.isdigit():
+                    # numeric key segments are always rendered as digits,
+                    # so a non-digit literal here matches NOTHING (found
+                    # by the unified-surface fuzz: int() used to raise)
+                    return F.lit(False)
                 preds.append(col == int(seg))
             else:
                 preds.append(col == seg)

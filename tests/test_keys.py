@@ -203,3 +203,42 @@ def test_glob_engine_and_mixed_fuzz(ops, engine_ops):
             pattern = ":".join(segs) + tail
             assert _spark_keys(df, pattern) == _fnmatch_keys(keys, pattern), \
                 pattern
+
+
+def test_glob_unified_surface_fuzz(spark, ops, tmp_path_factory):
+    """The UnifiedStore surface (mainnet ops + 4-segment schedule keys
+    with NULL trx columns) through the same translator: for any pattern
+    drawn from mixed segment vocabularies, glob_to_filter == fnmatch
+    over ALL keys in the union."""
+    import random
+
+    from meeseeker_spark.query import ScheduleStore
+
+    d = tmp_path_factory.mktemp("unifuzz")
+    rows = [(i, 4200 + 21 * i, [f"w{i}", f"w{i+1}"]) for i in range(6)]
+    (spark.createDataFrame(
+        rows, "id bigint, next_shuffle_block_num bigint, "
+              "current_shuffled_witnesses array<string>")
+     .write.parquet(str(d / "batch_id=0")))
+    sched = ScheduleStore(spark, str(d)).df()
+    unified = ops.select(*sched.columns).unionByName(sched).cache()
+    keys = [r["key"] for r in unified.select("key").collect()]
+
+    vocab = {
+        "chain": ["hive", "*", "h*", "steem"],
+        "mid": ["witness", "schedule", "*", "w*", "vote",
+                str(rows[0][1]), "42"],
+        "tail": ["schedule", "vote", "*", "s*",
+                 str(rows[1][1]), "custom_json"],
+    }
+    rng = random.Random(404)
+    for _ in range(60):
+        n_seg = rng.randint(1, 6)
+        segs = [rng.choice(vocab["chain"])]
+        for i in range(1, n_seg):
+            segs.append(rng.choice(vocab["tail" if i == n_seg - 1
+                                         else "mid"]))
+        pattern = ":".join(segs)
+        assert _spark_keys(unified, pattern) == _fnmatch_keys(keys, pattern), \
+            pattern
+    unified.unpersist()
