@@ -253,8 +253,12 @@ def main(argv: list[str] | None = None) -> int:
         else:
             store = OpsStore(_spark(), a.store)
         if a.cmd == "find":
-            df = (store.find_block(int(a.ident)) if a.what == "block"
-                  else store.find_trx(a.ident))
+            if a.what == "block":
+                if not a.ident.isdigit():
+                    p.error(f"find block needs a number, got {a.ident!r}")
+                df = store.find_block(int(a.ident))
+            else:
+                df = store.find_trx(a.ident)
             n = _print_rows(df)
             return 0 if n else 1
         if a.cmd == "scan":

@@ -88,12 +88,18 @@ class OpsStore:
     # -- C2: point lookup ---------------------------------------------------
 
     def get(self, key: str) -> DataFrame:
-        """GET <key> → at most one row, all segment predicates pushed."""
+        """GET <key> → at most one row, all segment predicates pushed.
+        A key with a non-numeric block_num/trx_index segment can exist in
+        no store (numeric segments are always rendered as digits), so it
+        returns an empty result like Redis GET on a missing key — never
+        an int() crash."""
         seg = parse_key(key)
         df = self.df()
         for name, val in seg.items():
             col = F.col(name)
             if name in ("block_num", "trx_index"):
+                if not val.isdigit():
+                    return df.where(F.lit(False))
                 df = df.where(col == int(val))
             else:
                 df = df.where(col == val)

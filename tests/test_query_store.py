@@ -346,3 +346,20 @@ def test_unified_store_schedule_scan(spark, tmp_path_factory, store):
     # bare ScheduleStore over a missing dir is empty, not an error
     empty = ScheduleStore(spark, str(d / "nope"))
     assert empty.df().count() == 0
+
+
+def test_get_malformed_numeric_segment_is_empty(store):
+    """A key whose block_num segment isn't numeric exists in no store —
+    GET returns empty (Redis nil analog), never an int() crash."""
+    assert store.get("hive:notanumber:" + "a" * 40 + ":0:vote").count() == 0
+    assert store.get("hive:12:" + "a" * 40 + ":xyz:vote").count() == 0
+
+
+def test_cli_find_block_non_numeric_errors_cleanly(tmp_path, capsys):
+    import pytest as _pytest
+
+    from meeseeker_spark.__main__ import main
+
+    with _pytest.raises(SystemExit):
+        main(["find", "block", "notanumber", "--store", str(tmp_path)])
+    assert "needs a number" in capsys.readouterr().err
