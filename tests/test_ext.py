@@ -1069,3 +1069,202 @@ def test_multimodal_null_bytes_survive(spark):
              multimodal.extract_features(df, dim=8, fake=True).collect()}
     assert feats[1] is not None and len(feats[1]) == 8
     assert feats[2] is None
+
+
+# ---------------------------------------------------------------------------
+# exact-substring span dedup + chunking (ext.spans)
+# ---------------------------------------------------------------------------
+
+_SHARED8 = "one two three four five six seven eight"
+
+
+def _span_corpus(spark):
+    return spark.createDataFrame([
+        (1, "a b c " + _SHARED8 + " x y z"),
+        (2, "p q " + _SHARED8 + " r s"),
+        (3, "totally different words here with no repeats at all ok"),
+    ], ["doc_id", "text"])
+
+
+def test_repeated_spans_known_corpus(spark):
+    from meeseeker_spark.ext import spans
+
+    out = {r["doc_id"]: (r["span_start"], r["span_end"], r["span_words"],
+                         r["n_dup_grams"])
+           for r in spans.repeated_spans(_span_corpus(spark), n=8).collect()}
+    # the shared 8-gram sits at word offset 3 in doc 1, offset 2 in doc 2
+    assert out == {1: (3, 10, 8, 1), 2: (2, 9, 8, 1)}
+
+
+def test_strip_keeps_globally_first_occurrence(spark):
+    from meeseeker_spark.ext import spans
+
+    out = {r["doc_id"]: (r["clean_text"], r["n_removed_words"],
+                         r["n_spans_removed"])
+           for r in spans.strip_repeated_spans(
+               _span_corpus(spark), n=8).collect()}
+    # doc 1 holds the first occurrence → untouched; doc 2 loses the block
+    assert out[1] == ("a b c " + _SHARED8 + " x y z", 0, 0)
+    assert out[2] == ("p q r s", 8, 1)
+    assert out[3][1] == 0
+
+
+def test_repeated_spans_adjacent_grams_merge(spark):
+    from meeseeker_spark.ext import spans
+
+    block = " ".join(f"t{i}" for i in range(16))   # 16-word repeated block
+    df = spark.createDataFrame([
+        (1, "lead in words here " + block),
+        (2, block + " trailing words here now"),
+    ], ["doc_id", "text"])
+    spans_out = {r["doc_id"]: (r["span_start"], r["span_end"])
+                 for r in spans.repeated_spans(df, n=8).collect()}
+    # 9 duplicated grams at consecutive offsets merge into ONE span of 16
+    assert spans_out == {1: (4, 19), 2: (0, 15)}
+    stripped = {r["doc_id"]: r["clean_text"]
+                for r in spans.strip_repeated_spans(df, n=8).collect()}
+    assert stripped[1] == "lead in words here " + block
+    assert stripped[2] == "trailing words here now"
+
+
+def test_spans_short_docs_pass_through(spark):
+    from meeseeker_spark.ext import spans
+
+    df = spark.createDataFrame([
+        (1, "same short text"), (2, "same short text"),
+    ], ["doc_id", "text"])
+    assert spans.repeated_spans(df, n=8).count() == 0
+    out = {r["doc_id"]: r["clean_text"]
+           for r in spans.strip_repeated_spans(df, n=8).collect()}
+    assert out == {1: "same short text", 2: "same short text"}
+
+
+def test_spans_max_df_guard_is_conservative(spark):
+    from meeseeker_spark.ext import spans
+
+    rows = [(i, "pad%d start " % i + _SHARED8 + " end%d" % i)
+            for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert spans.repeated_spans(df, n=8, max_df=3).count() == 0
+    assert spans.repeated_spans(df, n=8).count() == 5
+    kept = spans.strip_repeated_spans(df, n=8, max_df=3)
+    assert kept.where(F.col("n_removed_words") > 0).count() == 0
+
+
+def test_chunk_windows_partition_and_overlap(spark):
+    from meeseeker_spark.ext import spans
+
+    words = [f"w{i}" for i in range(50)]
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    rows = sorted(spans.chunk_windows(df, size=32, stride=24).collect(),
+                  key=lambda r: r["chunk_id"])
+    assert [(r["chunk_id"], r["chunk_start"], r["n_words"])
+            for r in rows] == [(0, 0, 32), (1, 24, 26), (2, 48, 2)]
+    assert rows[0]["chunk_text"].split(" ") == words[0:32]
+    assert rows[1]["chunk_text"].split(" ") == words[24:50]
+    # stride == size → chunks partition the doc exactly
+    rows2 = sorted(spans.chunk_windows(df, size=25, stride=25).collect(),
+                   key=lambda r: r["chunk_id"])
+    assert " ".join(r["chunk_text"] for r in rows2) == " ".join(words)
+
+
+_DUCK_SPAN_GRAMS = """
+w AS (SELECT doc_id, string_split(text,' ') AS words FROM documents),
+g AS (SELECT doc_id, i AS pos,
+             substr(md5(array_to_string(words[i+1:i+8],' ')),1,16) AS h
+      FROM w, unnest(range(0, len(words)-8+1)) t(i)
+      WHERE len(words) >= 8)"""
+
+
+def test_span_cleaned_docs_vs_duckdb(spark):
+    """Exact DuckDB parity for the corpus rewrite (entry is past the
+    driver's grading window, so this test IS its correctness gate)."""
+    from meeseeker_spark import catalog
+
+    from .oracle_harness import compare, duck_connection
+
+    sf = "/root/testdata/sf0.01"
+    sdf = catalog.ENTRIES["span_cleaned_docs"].spark(spark, sf)
+    con = duck_connection(sf)
+    problems = compare(sdf, con, f"""
+        WITH {_DUCK_SPAN_GRAMS},
+        c AS (SELECT h FROM g GROUP BY h HAVING count(*) BETWEEN 2 AND 10000),
+        hits AS (SELECT g.*, row_number() OVER (
+                     PARTITION BY g.h ORDER BY doc_id, pos) AS rn
+                 FROM g JOIN c USING (h)),
+        losers AS (SELECT doc_id, pos FROM hits WHERE rn > 1),
+        isl AS (SELECT doc_id, pos,
+                CASE WHEN pos - lag(pos) OVER (
+                         PARTITION BY doc_id ORDER BY pos) <= 8
+                     THEN 0 ELSE 1 END AS nw
+                FROM losers),
+        sp AS (SELECT doc_id, pos,
+               sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS sid
+               FROM isl),
+        spans AS (SELECT doc_id, min(pos) AS s, max(pos)+7 AS e
+                  FROM sp GROUP BY doc_id, sid),
+        dropped AS (SELECT doc_id, unnest(range(s, e+1)) AS i FROM spans),
+        wp AS (SELECT doc_id, i, words[i+1] AS word
+               FROM w, unnest(range(0, len(words))) t(i)),
+        kept AS (SELECT wp.doc_id, wp.i, wp.word FROM wp
+                 ANTI JOIN dropped USING (doc_id, i)),
+        rebuilt AS (SELECT doc_id,
+                           array_to_string(array_agg(word ORDER BY i), ' ')
+                               AS ct
+                    FROM kept GROUP BY doc_id),
+        nsp AS (SELECT doc_id, count(*) AS ns, sum(e-s+1) AS nr
+                FROM spans GROUP BY doc_id)
+        SELECT d.doc_id,
+               CASE WHEN nsp.doc_id IS NULL THEN d.text
+                    ELSE coalesce(r.ct, '') END AS clean_text,
+               coalesce(nr, 0)::INT AS n_removed_words,
+               coalesce(ns, 0)::INT AS n_spans_removed
+        FROM documents d
+        LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        LEFT JOIN nsp ON d.doc_id = nsp.doc_id
+    """)
+    con.close()
+    assert not problems, problems
+
+
+def test_chunk_windows_vs_duckdb(spark):
+    """Exact DuckDB parity for context-window chunking (past-window
+    entry → this test is its correctness gate)."""
+    from meeseeker_spark import catalog
+
+    from .oracle_harness import compare, duck_connection
+
+    sf = "/root/testdata/sf0.01"
+    sdf = catalog.ENTRIES["chunk_windows"].spark(spark, sf)
+    con = duck_connection(sf)
+    problems = compare(sdf, con, """
+        WITH w AS (SELECT doc_id, string_split(text,' ') AS words
+                   FROM documents)
+        SELECT doc_id, (s / 24)::INT AS chunk_id, s::INT AS chunk_start,
+               len(words[s+1:s+32])::INT AS n_words,
+               array_to_string(words[s+1:s+32], ' ') AS chunk_text
+        FROM w, unnest(range(0, greatest(len(words)-1, 0) + 1, 24)) t(s)
+    """)
+    con.close()
+    assert not problems, problems
+
+
+def test_dedup_fingerprint_vs_duckdb(spark):
+    """Exact DuckDB parity for the fingerprint dedup groups — demoted to
+    rows-only at the driver in round 4 (its grading slot went to
+    repeated_spans), so this test carries its oracle."""
+    from meeseeker_spark import catalog
+
+    from .oracle_harness import compare, duck_connection
+
+    sf = "/root/testdata/sf0.01"
+    sdf = catalog.ENTRIES["dedup_fingerprint"].spark(spark, sf)
+    con = duck_connection(sf)
+    problems = compare(sdf, con, r"""
+        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+               min(doc_id) AS survivor_id, count(*) AS n_docs
+        FROM documents GROUP BY fp
+    """)
+    con.close()
+    assert not problems, problems

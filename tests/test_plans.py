@@ -210,3 +210,23 @@ def test_lm_scores_partial_aggregates(spark):
     plan = explain_str(catalog.ENTRIES["lm_quality_scores"].spark(spark, SF))
     assert plan.count("HashAggregate") >= 4
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_chunk_windows_no_shuffle(spark):
+    """Chunking is narrow by construction — a per-row sequence+slice.
+    Any Exchange here would mean the chunk stream lost the document
+    scan's partitioning on its way to the tokenizer."""
+    plan = explain_str(catalog.ENTRIES["chunk_windows"].spark(spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_repeated_spans_plan(spark):
+    """Span dedup: posting counts are a map-side-combined HashAggregate
+    with the graded max_df guard visible, the hits join is a hash join on
+    the gram key (never a nested loop), and span merging windows
+    partition by doc_id only."""
+    plan = explain_str(catalog.ENTRIES["repeated_spans"].spark(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "<= 10000" in plan
+    assert plan.count("HashAggregate") >= 2
