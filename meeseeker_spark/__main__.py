@@ -134,6 +134,10 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--weights", default=None,
                     help='JSON domain weights, e.g. \'{"en":0.5,"de":0.5}\''
                          " (default: uniform over observed domains)")
+    pp.add_argument("--span-ngram", type=int, default=None,
+                    help="opt-in exact-substring span strip between dedup "
+                         "and decontamination (word-gram width, e.g. 50 "
+                         "token-ish; ext.spans)")
     pp.add_argument("--ngram", type=int, default=13)
     pp.add_argument("--max-overlap", type=float, default=0.0)
     pp.add_argument("--quality-floor", type=float, default=0.25)
@@ -287,6 +291,7 @@ def main(argv: list[str] | None = None) -> int:
             weights = {l: 1.0 / len(langs) for l in langs}
         build = prepare_training_corpus(
             docs, bench, weights,
+            span_ngram=a.span_ngram,
             decontam_ngram=a.ngram, decontam_max_overlap=a.max_overlap,
             quality_floor=a.quality_floor, max_tokens=a.max_tokens)
         build.corpus.write.mode("overwrite").parquet(f"{a.out}/corpus")

@@ -4,6 +4,7 @@ composed in the order a real pretraining data pipeline runs them.
     raw docs
       → exact dedup            (hash-groupBy, controlled survivor)
       → near-dup dedup         (MinHash/LSH cluster survivors)
+      → span strip [opt-in]    (ExactSubstr passage rewrite, ext.spans)
       → benchmark decontamination (broadcast n-gram screen)
       → quality filter         (composite score ≥ floor)
       → PII redaction          (chained regexp, narrow)
@@ -53,6 +54,7 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
                             text_col: str = "text",
                             domain_col: str = "lang",
                             near_dup_threshold: float = 0.5,
+                            span_ngram: int | None = None,
                             decontam_ngram: int = 13,
                             decontam_max_overlap: float = 0.0,
                             quality_floor: float = 0.25,
@@ -64,7 +66,15 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
     ``decontam_max_overlap=0.0`` (any shared n-gram disqualifies) is the
     conservative production default for 13-grams — at short n-grams or
     over narrow-vocabulary corpora it can reject nearly everything, so
-    pair a small ``decontam_ngram`` with a nonzero tolerance."""
+    pair a small ``decontam_ngram`` with a nonzero tolerance.
+
+    ``span_ngram`` (opt-in) inserts the Lee-et-al. exact-substring
+    rewrite between doc-level dedup and decontamination: passages
+    duplicated across the SURVIVING documents are stripped down to their
+    globally first occurrence (ext.spans.strip_repeated_spans,
+    max_df=10_000 guard).  Row counts are unchanged — text shrinks —
+    and n_chars is refreshed so the mixture stage budgets against the
+    post-strip sizes."""
     stages: dict[str, DataFrame] = {"raw": docs}
 
     d1 = exact_dedup(docs, [text_col], id_col)
@@ -72,6 +82,17 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
 
     d2 = cc_dedup(d1, id_col, text_col, near_dup_threshold)
     stages["near_dedup"] = d2
+
+    if span_ngram is not None:
+        from .spans import strip_repeated_spans
+        stripped = strip_repeated_spans(d2, id_col, text_col,
+                                        n=span_ngram, max_df=10_000)
+        d2 = stripped.withColumn(text_col, F.col("clean_text")).drop(
+            "clean_text", "n_removed_words", "n_spans_removed")
+        if "n_chars" in d2.columns:
+            d2 = d2.withColumn("n_chars", F.length(text_col).cast(
+                dict(d2.dtypes)["n_chars"]))
+        stages["span_stripped"] = d2
 
     # lazy lineage truncation: everything downstream (quality, redact,
     # mixture, pack, and each report() count) reuses the screened rows

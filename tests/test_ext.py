@@ -1268,3 +1268,98 @@ def test_dedup_fingerprint_vs_duckdb(spark):
     """)
     con.close()
     assert not problems, problems
+
+
+def test_prepare_with_span_strip_stage(spark):
+    """Opt-in ExactSubstr stage in the funnel: row counts unchanged at
+    the stripped stage (it rewrites text, not rows), text mass shrinks
+    for a passage shared by docs that are NOT near-dups (jaccard below
+    the doc-level threshold — exactly the case doc dedup cannot catch),
+    and n_chars is refreshed so mixture budgets post-strip sizes."""
+    from meeseeker_spark.ext.pipeline import prepare_training_corpus
+
+    block = _SHARED8
+    rows = [
+        (1, "a b c " + block + " x y z", "en"),
+        (2, "p q " + block + " r s", "en"),
+        (3, "totally different words here with no repeats at all ok", "en"),
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text", "lang"]) \
+        .withColumn("n_chars", F.length("text").cast("bigint"))
+    bench = corpus.limit(0)
+    build = prepare_training_corpus(corpus, bench, {"en": 1.0},
+                                    span_ngram=8, quality_floor=0.0,
+                                    decontam_ngram=3, max_tokens=256)
+    r = build.report()
+    assert r["span_stripped"] == r["near_dedup"] == 3
+    assert r["quality_filtered"] == r["redacted"]
+
+    stage = {x["doc_id"]: x
+             for x in build.stages["span_stripped"].collect()}
+    assert stage[1]["text"] == "a b c " + block + " x y z"   # first kept
+    assert stage[2]["text"] == "p q r s"                     # block gone
+    for x in stage.values():
+        assert x["n_chars"] == len(x["text"])                # refreshed
+
+
+def test_spans_property_vs_python_oracle(spark):
+    """Random tiny-vocabulary corpora vs a pure-Python ExactSubstr
+    oracle: repeated-span intervals and the first-occurrence-keeping
+    rewrite must agree exactly (one batched Spark round-trip; hypothesis
+    drives the corpus shapes)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from meeseeker_spark.ext import spans
+
+    N = 3
+
+    def py_oracle(texts, max_df):
+        words = {d: t.split(" ") for d, t in texts.items()}
+        occ = {}
+        for d in sorted(words):
+            w = words[d]
+            for i in range(len(w) - N + 1):
+                occ.setdefault(" ".join(w[i:i + N]), []).append((d, i))
+        dup = {g: os_ for g, os_ in occ.items()
+               if len(os_) >= 2 and (max_df is None or len(os_) <= max_df)}
+        cov, drop = {}, {}
+        for os_ in dup.values():
+            first = min(os_)
+            for d, i in os_:
+                cov.setdefault(d, set()).update(range(i, i + N))
+                if (d, i) != first:
+                    drop.setdefault(d, set()).update(range(i, i + N))
+        ivs = {}
+        for d, c in cov.items():
+            for p in sorted(c):
+                if d in ivs and ivs[d][-1][1] == p - 1:
+                    ivs[d][-1][1] = p
+                else:
+                    ivs.setdefault(d, []).append([p, p])
+        span_set = {(d, s, e) for d, l in ivs.items() for s, e in l}
+        clean = {d: " ".join(w for i, w in enumerate(words[d])
+                             if i not in drop.get(d, set()))
+                 for d in words}
+        return span_set, clean
+
+    doc = st.lists(st.sampled_from(["a", "b", "c"]), max_size=16)
+    corpus = st.lists(doc, min_size=1, max_size=6)
+
+    @settings(max_examples=12, deadline=None, derandomize=True,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(corpus=corpus, max_df=st.sampled_from([None, 2]))
+    def run(corpus, max_df):
+        texts = {i: " ".join(ws) for i, ws in enumerate(corpus)}
+        df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+        want_spans, want_clean = py_oracle(texts, max_df)
+        got_spans = {(r["doc_id"], r["span_start"], r["span_end"])
+                     for r in spans.repeated_spans(
+                         df, n=N, max_df=max_df).collect()}
+        assert got_spans == want_spans
+        got_clean = {r["doc_id"]: r["clean_text"]
+                     for r in spans.strip_repeated_spans(
+                         df, n=N, max_df=max_df).collect()}
+        assert got_clean == want_clean
+
+    run()
