@@ -1,0 +1,130 @@
+"""SemDeDup-style semantic deduplication (SURVEY §2 F2/F3 extension).
+
+Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+through semantic deduplication" (arXiv:2303.09540): cluster the
+embedding space with a coarse k-means codebook, then look for
+high-cosine pairs ONLY within each cluster — the quadratic pair space
+shrinks from O(n²) to Σ|cluster|², and at web scale the cluster count
+grows with the corpus so cluster width (and per-bucket cost) stays
+bounded.  The same pruning shape as MinHash banding (ext.dedup), with
+k-means cells instead of hash buckets.
+
+Built from the IVF pieces in ext.similarity: the codebook is the one
+legitimately driver-side structure (n_clusters × dim floats, identical
+to IVF serving), assignment is a JVM-side argmax over the broadcast
+codebook on RAW vectors (the CollapseProject lesson — normalizing
+before assignment inlines the division into every centroid expression),
+and normalized vectors materialize through a shuffle barrier that is
+ALSO the cluster-join exchange: one repartition(_cell) both stops the
+norm re-running per pair and pre-shuffles both self-join sides, so
+Catalyst reuses a single exchange.
+
+``max_cluster`` mirrors near-dup's ``max_bucket``: a degenerate cell
+(one centroid capturing a constant-embedding flood) is dropped from
+pairing rather than going quadratic — conservative, documents are kept.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .similarity import (_cell_sims, _seed_centroids, as_double, dot,
+                         ivf_train_centroids, l2_norm)
+
+
+def _clustered_normalized(emb: DataFrame, n_clusters: int,
+                          train_iters: int, id_col: str, vec_col: str,
+                          n_probe: int) -> DataFrame:
+    """(id, _cell, _nv): top-``n_probe`` cell assignments on raw vectors
+    + unit vectors, materialized through a repartition on the cell — the
+    barrier that feeds the self-join without a second exchange.
+
+    Multi-probe (n_probe > 1) replicates each vector into its n_probe
+    nearest cells — the IVF probing idea applied to dedup: a pair
+    sitting astride a Voronoi boundary still meets in the runner-up
+    cell.  Cost is a ×n_probe row stream and ≤ ×n_probe² candidate
+    pairs, against single-probe's boundary-pair misses."""
+    if train_iters > 0:
+        cents = ivf_train_centroids(emb, n_clusters, train_iters,
+                                    id_col, vec_col)
+    else:
+        cents = _seed_centroids(emb, n_clusters, id_col, vec_col)
+    e = emb.select(F.col(id_col).alias("_id"),
+                   as_double(F.col(vec_col)).alias("_v"))
+    # coalesce makes _cell provably non-null, so the join's inferred
+    # isnotnull(_cell) constant-folds away instead of pushing the whole
+    # argmax assignment into a Filter BELOW the barrier (a second full
+    # assignment evaluation per row, visible in the physical plan);
+    # a null/empty embedding lands in cell 0 where its null unit vector
+    # yields null sims that the threshold filter drops
+    top = F.slice(F.reverse(F.array_sort(_cell_sims(F.col("_v"), cents))),
+                  1, n_probe)
+    cells = F.coalesce(F.transform(top, lambda c: c["i"]),
+                       F.array(F.lit(0)))
+    e = e.select("_id", "_v", F.explode(cells).alias("_cell"))
+    e = e.select("_id", "_cell", "_v", l2_norm(F.col("_v")).alias("_n"))
+    e = e.select("_id", "_cell", F.transform(
+        "_v", lambda x: x / F.col("_n")).alias("_nv"))
+    n_parts = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return e.repartition(n_parts, F.col("_cell"))
+
+
+def semantic_dup_pairs(emb: DataFrame, threshold: float = 0.85,
+                       n_clusters: int = 16, train_iters: int = 0,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       max_cluster: int | None = None,
+                       n_probe: int = 2) -> DataFrame:
+    """Within-cluster high-cosine pairs: (vec_a, vec_b, cell, sim) with
+    vec_a < vec_b and sim (4-dp rounded, same convention as the exact
+    all-pairs oracle) ≥ threshold; ``cell`` is the smallest shared cell.
+    A subset of the exact pair set by construction — the recall bet is
+    that semantic duplicates share one of their ``n_probe`` nearest
+    centroids, which tests/test_ext.py pins on the fixture.
+
+    ``max_cluster`` caps cell width measured over the probed (replicated)
+    stream — the conservative reading of the degenerate-cell guard."""
+    e = _clustered_normalized(emb, n_clusters, train_iters, id_col,
+                              vec_col, n_probe)
+    if max_cluster is not None:
+        keep = (e.groupBy("_cell").agg(F.count("*").alias("_w"))
+                .where(F.col("_w") <= max_cluster).select("_cell"))
+        e = e.join(keep, "_cell")
+    # shuffle-hint the self-join: a broadcast side would RECOMPUTE the
+    # normalize+assign subtree per side (the measured 1.9-2.2× lesson on
+    # the LSH/inverted-index self-joins); SHJ on _cell reuses the
+    # barrier's exchange for both sides
+    e = e.hint("shuffle_hash")
+    a = e.select(F.col("_cell"), F.col("_id").alias("vec_a"),
+                 F.col("_nv").alias("_va"))
+    b = e.select(F.col("_cell"), F.col("_id").alias("vec_b"),
+                 F.col("_nv").alias("_vb"))
+    pairs = (
+        a.join(b, ["_cell"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.col("_cell").alias("cell"),
+                F.round(dot(F.col("_va"), F.col("_vb")), 4).alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )
+    if n_probe > 1:
+        # a pair meeting in several probed cells emits several rows —
+        # collapse to one per pair (sims are identical by construction;
+        # the dedup shuffle is proportional to surviving pairs, the same
+        # budget as LSH banding's DISTINCT over candidates)
+        pairs = (pairs.groupBy("vec_a", "vec_b")
+                 .agg(F.min("cell").alias("cell"),
+                      F.min("sim").alias("sim")))
+    return pairs
+
+
+def semantic_dedup(emb: DataFrame, threshold: float = 0.85,
+                   n_clusters: int = 16, train_iters: int = 0,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   max_cluster: int | None = None,
+                   n_probe: int = 2) -> DataFrame:
+    """Drop semantic duplicates: the min-id member of each pair survives
+    (same greedy edge-wise policy as ext.dedup.minhash_dedup; feed the
+    pairs through connected_components for cluster-level survivors)."""
+    pairs = semantic_dup_pairs(emb, threshold, n_clusters, train_iters,
+                               id_col, vec_col, max_cluster, n_probe)
+    losers = pairs.select(F.col("vec_b").alias(id_col)).distinct()
+    return emb.join(losers, id_col, "left_anti")

@@ -1,0 +1,65 @@
+"""Deterministic training-shard export (SURVEY §2 F4 extension).
+
+The last step of a corpus build: a global pseudo-random shuffle into a
+fixed number of shards, so trainers stream shards in order and see a
+well-mixed corpus without any runtime shuffling.  Requirements at
+100 TB, and how each is met:
+
+- **deterministic**: shard and in-shard position are pure functions of
+  (salt, id) via the md5_int32 convention (ext.text) — re-running the
+  export bit-reproduces every shard, and the DuckDB oracle can replay
+  the assignment (tests/test_ext.py);
+- **distributed**: one hash-repartition on the shard column; in-shard
+  order comes from sortWithinPartitions, never a global orderBy;
+- **balanced**: md5 is uniform over ids, so shard sizes concentrate at
+  n/n_shards (the test pins a loose balance envelope);
+- **one file per shard**: every row of a shard hashes to the same task,
+  and the partitionBy writer gives each (task, shard) pair its own
+  file — so shard directories carry exactly one parquet file each,
+  the layout a streaming data loader wants.
+
+Changing ``salt`` re-deals the whole corpus (a fresh epoch-level
+shuffle); changing ``n_shards`` only re-buckets the same global order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import md5_int32
+
+
+def shard_assignments(df: DataFrame, n_shards: int = 64,
+                      id_col: str = "doc_id",
+                      salt: str = "v1") -> DataFrame:
+    """Attach (shard, shard_pos_key): shard = md5(salt#id) mod n_shards;
+    the position key orders rows pseudo-randomly WITHIN a shard (an
+    independent md5 stream, so in-shard order is not correlated with the
+    shard assignment or the original id order)."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    sid = F.col(id_col).cast("string")
+    return (
+        df.withColumn(
+            "shard",
+            (md5_int32(F.concat_ws("#", F.lit(salt), sid))
+             % n_shards).cast("int"))
+        .withColumn(
+            "shard_pos_key",
+            md5_int32(F.concat_ws("#", F.lit(salt), F.lit("ord"), sid)))
+    )
+
+
+def write_training_shards(df: DataFrame, out_dir: str,
+                          n_shards: int = 64, id_col: str = "doc_id",
+                          salt: str = "v1",
+                          mode: str = "overwrite") -> None:
+    """Materialize the sharded layout: out_dir/shard=N/<one parquet
+    file>, rows inside each shard in the deterministic pseudo-random
+    order.  See module docstring for the scale rationale."""
+    a = shard_assignments(df, n_shards, id_col, salt)
+    (
+        a.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shard_pos_key", id_col)
+        .write.partitionBy("shard").mode(mode).parquet(out_dir)
+    )

@@ -1363,3 +1363,114 @@ def test_spans_property_vs_python_oracle(spark):
         assert got_clean == want_clean
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup semantic dedup (ext.semdedup) + training shards (ext.shard)
+# ---------------------------------------------------------------------------
+
+def test_semantic_pairs_subset_and_recall(emb):
+    """Semantic pairs are a subset of the exact all-pairs set with
+    identical 4-dp sims, and at fixture scale the nearest-centroid
+    pruning keeps most genuine high-cosine duplicates."""
+    from meeseeker_spark.ext import semdedup
+
+    exact = {(r["vec_a"], r["vec_b"]): r["sim"]
+             for r in dedup.embedding_dup_pairs(
+                 emb, threshold=0.35).collect()}
+    sem = {(r["vec_a"], r["vec_b"]): r["sim"]
+           for r in semdedup.semantic_dup_pairs(
+               emb, threshold=0.35, n_clusters=16, n_probe=3).collect()}
+    assert set(sem) <= set(exact)
+    for k, s in sem.items():
+        assert s == exact[k]
+    assert exact, "fixture should contain duplicate pairs"
+    # shipped config (n_probe=3) measures 0.78 here / 0.81 at sf0.01 on
+    # boundary-straddling cos≈0.4 pairs — a broken probe or dead cell
+    # assignment lands far below 0.7
+    assert len(sem) / len(exact) >= 0.7
+
+
+def test_semantic_dedup_drops_losers(emb):
+    from meeseeker_spark.ext import semdedup
+
+    pairs = semdedup.semantic_dup_pairs(emb, threshold=0.35,
+                                        n_clusters=16)
+    losers = {r["vec_b"] for r in pairs.collect()}
+    kept = semdedup.semantic_dedup(emb, threshold=0.35, n_clusters=16)
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    assert kept_ids.isdisjoint(losers)
+    assert kept.count() == emb.count() - len(losers)
+
+
+def test_semantic_max_cluster_guard(spark):
+    """A degenerate cell (identical embeddings flooding one centroid)
+    is dropped from pairing when wider than the cap — conservative,
+    like near-dup's max_bucket."""
+    from meeseeker_spark.ext import semdedup
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(8)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    uncapped = semdedup.semantic_dup_pairs(
+        df, threshold=0.9, n_clusters=2).count()
+    capped = semdedup.semantic_dup_pairs(
+        df, threshold=0.9, n_clusters=2, max_cluster=4).count()
+    assert uncapped == 28          # C(8,2) identical vectors
+    assert capped == 0
+
+
+def test_shard_assignments_vs_duckdb(spark):
+    """Exact DuckDB parity for the shard assignment (past-window entry
+    → this test is its correctness gate): both the shard and the
+    in-shard order key replay from the md5_int32 convention."""
+    from meeseeker_spark import catalog
+
+    from .oracle_harness import compare, duck_connection
+
+    sf = "/root/testdata/sf0.01"
+    sdf = catalog.ENTRIES["training_shards"].spark(spark, sf)
+    con = duck_connection(sf)
+    problems = compare(sdf, con, """
+        SELECT doc_id,
+               (('0x' || substr(md5('v1#' || doc_id), 1, 8))::BIGINT % 16)
+                   ::INT AS shard,
+               ('0x' || substr(md5('v1#ord#' || doc_id), 1, 8))::BIGINT
+                   AS shard_pos_key
+        FROM documents
+    """)
+    con.close()
+    assert not problems, problems
+
+
+def test_write_training_shards_layout(docs, tmp_path):
+    """Sharded export: reruns bit-reproduce every shard's row sequence,
+    shards partition the corpus, each shard directory carries exactly
+    one parquet file, and sizes stay near n/n_shards."""
+    from meeseeker_spark.ext.shard import write_training_shards
+
+    spark = docs.sparkSession
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_training_shards(docs, d1, n_shards=8)
+    write_training_shards(docs, d2, n_shards=8)
+
+    import glob
+    seqs = {}
+    total = 0
+    for out in (d1, d2):
+        for s in range(8):
+            files = [f for f in glob.glob(f"{out}/shard={s}/*")
+                     if f.endswith(".parquet")]
+            assert len(files) == 1, (s, files)
+            rows = [r["doc_id"] for r in
+                    spark.read.parquet(files[0]).collect()]
+            if out == d1:
+                total += len(rows)
+                seqs[s] = rows
+            else:
+                assert rows == seqs[s]     # deterministic re-deal
+    n = docs.count()
+    assert total == n
+    all_ids = {i for rows in seqs.values() for i in rows}
+    assert len(all_ids) == n
+    sizes = [len(rows) for rows in seqs.values()]
+    assert max(sizes) <= 3 * max(1, n // 8)   # loose uniformity envelope

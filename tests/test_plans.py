@@ -230,3 +230,25 @@ def test_repeated_spans_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "<= 10000" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_semantic_pairs_single_exchange_reused(spark):
+    """SemDeDup self-join: the normalize+assign barrier exchange must be
+    REUSED by both join sides (a broadcast side would recompute the
+    whole subtree — the measured LSH self-join lesson), and the
+    within-cell pairing is a hash join, never a nested loop.  AQE plans
+    only materialize reuse at runtime, so execute first and read the
+    final adaptive plan; and the argmax assignment must not leak into a
+    pushed-down null filter (the coalesce(_cell) guard).  clearCache
+    first: a cached embeddings relation from another module's fixture
+    substitutes InMemoryTableScan under one side and defeats exchange
+    canonicalization, hiding the reuse this test pins."""
+    spark.catalog.clearCache()
+    df = catalog.ENTRIES["semantic_dup_pairs"].spark(spark, SF)
+    df.collect()
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in s
+    assert s.count("ReusedExchange") >= 2
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "Filter isnotnull(coalesce(array_max" not in s
