@@ -1956,6 +1956,25 @@ def semantic_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                               max_cluster=10_000, n_probe=3)
 
 
+@register("incremental_embedding_dups", None, tags=("F2", "F3", "stream"))
+def incremental_embedding_dups_q(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus embedding near-dup screen (the ANN twin of the
+    driver-graded ``incremental_near_dups``): 1-in-7 of the embeddings
+    table plays the incoming batch, the rest the historical corpus.
+    Skinny (id, bucket) shuffle join, corpus-width ``max_bucket`` guard,
+    multiprobe on the batch side only.  Rows-only at the driver;
+    subset-of-exact + recall + index≡recompute pinned in
+    tests/test_ext.py."""
+    from .ext.dedup import incremental_embedding_dups
+    emb = load(spark, sf_dir, "embeddings")
+    new = emb.where(F.col("vec_id") % 7 == 0)
+    corpus = emb.where(F.col("vec_id") % 7 != 0)
+    return incremental_embedding_dups(new, corpus, threshold=0.35,
+                                      n_planes=6, n_tables=5,
+                                      max_bucket=10_000)
+
+
 @register("training_shards", None, tags=("F4", "shard"))
 def training_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-shard assignment (ext.shard): global

@@ -551,3 +551,94 @@ def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id",
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def embedding_bucket_projection(emb: DataFrame, n_planes: int = 4,
+                                n_tables: int = 3, seed: int = 17,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding") -> DataFrame:
+    """(id, bucket) rows — the persistable sign-LSH index projection for
+    embeddings, the vector twin of ``banded_projection``: buckets are a
+    pure function of (vector, seed, planes, tables), so rows appended by
+    one ingest job are interchangeable with a fresh recompute.  Persist
+    one per ingested batch and batch-vs-corpus screening stops
+    re-projecting the history."""
+    from .similarity import hashed_lsh_buckets, normalized
+
+    e = normalized(emb, id_col, vec_col)
+    return e.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            hashed_lsh_buckets("_nv", n_planes, n_tables, seed)
+        ).alias("_bucket"),
+    )
+
+
+def incremental_embedding_dups(new_emb: DataFrame, corpus_emb: DataFrame,
+                               threshold: float = 0.4,
+                               n_planes: int = 4, n_tables: int = 3,
+                               seed: int = 17,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               max_bucket: int | None = 10_000,
+                               corpus_buckets: DataFrame | None = None
+                               ) -> DataFrame:
+    """Batch-vs-corpus embedding near-dup screen: which NEW vectors are
+    near-duplicates (cosine ≥ threshold) of something already ingested —
+    the ANN twin of ``incremental_near_dups``, for pipelines that dedup
+    on embeddings rather than text.
+
+    Returns (new_id, corpus_id, sim), sim 4-dp rounded.
+
+    Scale shape mirrors the text path: both sides project to SKINNY
+    (id, bucket) rows and meet in a shuffle join keyed on bucket — the
+    corpus side never broadcasts and never re-projects when a persisted
+    ``embedding_bucket_projection`` table is passed as
+    ``corpus_buckets``; per-batch candidate cost is then proportional to
+    the BATCH.  Multiprobe (Hamming-1) runs on the NEW side only.
+    ``max_bucket`` drops degenerate buckets measured by CORPUS width
+    (a constant-embedding flood in the history is the skew that
+    matters).  Vectors re-attach id-keyed only for surviving candidates.
+    """
+    from .similarity import dot, hashed_lsh_buckets, normalized
+
+    en = normalized(new_emb, id_col, vec_col)
+    nb = en.select(
+        F.col(id_col).alias("new_id"),
+        F.explode(
+            hashed_lsh_buckets("_nv", n_planes, n_tables, seed)
+        ).alias("_bucket"),
+    )
+    nb = nb.select(
+        "new_id",
+        F.explode(F.array(F.col("_bucket"), *[
+            F.col("_bucket").bitwiseXOR(F.lit(1 << i))
+            for i in range(n_planes)
+        ])).alias("_bucket"),
+    )
+    if corpus_buckets is not None:
+        cb = corpus_buckets.select(F.col("_id").alias("corpus_id"),
+                                   "_bucket")
+    else:
+        cb = embedding_bucket_projection(
+            corpus_emb, n_planes, n_tables, seed, id_col, vec_col
+        ).select(F.col("_id").alias("corpus_id"), "_bucket")
+    if max_bucket is not None:
+        keep = (cb.groupBy("_bucket").agg(F.count("*").alias("_w"))
+                .where(F.col("_w") <= max_bucket).select("_bucket"))
+        cb = cb.join(keep, "_bucket")
+    cand = (
+        nb.hint("shuffle_hash").join(cb.hint("shuffle_hash"), "_bucket")
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    ec = normalized(corpus_emb, id_col, vec_col)
+    va = en.select(F.col(id_col).alias("new_id"), F.col("_nv").alias("_va"))
+    vb = ec.select(F.col(id_col).alias("corpus_id"),
+                   F.col("_nv").alias("_vb"))
+    return (
+        cand.join(va, "new_id").join(vb, "corpus_id")
+        .select("new_id", "corpus_id",
+                F.round(dot(F.col("_va"), F.col("_vb")), 4).alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )

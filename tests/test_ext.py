@@ -1474,3 +1474,75 @@ def test_write_training_shards_layout(docs, tmp_path):
     assert len(all_ids) == n
     sizes = [len(rows) for rows in seqs.values()]
     assert max(sizes) <= 3 * max(1, n // 8)   # loose uniformity envelope
+
+
+# ---------------------------------------------------------------------------
+# incremental (batch-vs-corpus) embedding dedup
+# ---------------------------------------------------------------------------
+
+def _cross_truth(emb, threshold):
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in rows}
+    units = {i: v / np.linalg.norm(v) for i, v in vecs.items()}
+    truth = {}
+    for a in units:
+        if a % 5 != 0:
+            continue
+        for b in units:
+            if b % 5 == 0:
+                continue
+            s = round(float(units[a] @ units[b]), 4)
+            if s >= threshold:
+                truth[(a, b)] = s
+    return truth
+
+
+def test_incremental_embedding_vs_bruteforce(emb):
+    """Cross-side pairs are a subset of the exact cross product with
+    identical 4-dp sims, at the shipped-params recall floor."""
+    new = emb.where(F.col("vec_id") % 5 == 0)
+    corpus = emb.where(F.col("vec_id") % 5 != 0)
+    got = {(r["new_id"], r["corpus_id"]): r["sim"]
+           for r in dedup.incremental_embedding_dups(
+               new, corpus, threshold=0.35, n_planes=6,
+               n_tables=5).collect()}
+    truth = _cross_truth(emb, 0.35)
+    assert truth, "fixture should contain cross-side duplicate pairs"
+    assert set(got) <= set(truth)
+    for k, s in got.items():
+        assert s == truth[k]
+    assert len(got) / len(truth) >= 0.7
+
+
+def test_incremental_embedding_index_equivalence(emb):
+    """A persisted bucket projection must be interchangeable with the
+    recompute path — the property that lets ingest append (id, bucket)
+    rows instead of re-projecting history every batch."""
+    new = emb.where(F.col("vec_id") % 5 == 0)
+    corpus = emb.where(F.col("vec_id") % 5 != 0)
+    idx = dedup.embedding_bucket_projection(corpus, n_planes=6,
+                                            n_tables=5)
+    a = sorted(map(tuple, dedup.incremental_embedding_dups(
+        new, corpus, threshold=0.35, n_planes=6, n_tables=5).collect()))
+    b = sorted(map(tuple, dedup.incremental_embedding_dups(
+        new, corpus, threshold=0.35, n_planes=6, n_tables=5,
+        corpus_buckets=idx).collect()))
+    assert a == b
+
+
+def test_incremental_embedding_max_bucket_guard(spark):
+    """A constant-embedding flood in the corpus lands in one bucket per
+    table; capping below its width drops it from pairing entirely."""
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    new = df.where(F.col("vec_id") < 2)
+    corpus = df.where(F.col("vec_id") >= 2)
+    full = dedup.incremental_embedding_dups(
+        new, corpus, threshold=0.9, max_bucket=None).count()
+    capped = dedup.incremental_embedding_dups(
+        new, corpus, threshold=0.9, max_bucket=5).count()
+    assert full == 16          # 2 new × 8 corpus identical vectors
+    assert capped == 0
