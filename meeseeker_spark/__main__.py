@@ -142,6 +142,10 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--max-overlap", type=float, default=0.0)
     pp.add_argument("--quality-floor", type=float, default=0.25)
     pp.add_argument("--max-tokens", type=int, default=2048)
+    pp.add_argument("--shards", type=int, default=0,
+                    help="also write OUT/shards/shard=N/: deterministic "
+                         "md5-shuffled training shards of the mixed "
+                         "corpus (ext.shard; 0 = skip)")
 
     a = p.parse_args(argv)
 
@@ -296,6 +300,17 @@ def main(argv: list[str] | None = None) -> int:
             quality_floor=a.quality_floor, max_tokens=a.max_tokens)
         build.corpus.write.mode("overwrite").parquet(f"{a.out}/corpus")
         build.packed.write.mode("overwrite").parquet(f"{a.out}/packed")
+        if a.shards:
+            from pyspark.sql import functions as SF
+
+            from .ext.shard import write_training_shards
+
+            # mixture epochs make (doc_id, copy) the row identity; the
+            # same ×1000 encode as the pack stage keys the shard hash
+            write_training_shards(
+                build.corpus.withColumn(
+                    "_row_id", SF.col("doc_id") * 1000 + SF.col("copy")),
+                f"{a.out}/shards", n_shards=a.shards, id_col="_row_id")
         print(json.dumps(build.report(), sort_keys=True))
         return 0
 

@@ -632,7 +632,13 @@ def incremental_embedding_dups(new_emb: DataFrame, corpus_emb: DataFrame,
         .select("new_id", "corpus_id")
         .dropDuplicates(["new_id", "corpus_id"])
     )
-    ec = normalized(corpus_emb, id_col, vec_col)
+    # semi-join BEFORE normalizing the verification side (the text
+    # twin's "semi-join first, shingle after" rule): with a persisted
+    # index the corpus otherwise pays a full normalize pass just to
+    # score a candidate-sized subset
+    hit = cand.select(F.col("corpus_id").alias(id_col)).distinct()
+    ec = normalized(corpus_emb.join(hit, id_col, "left_semi"),
+                    id_col, vec_col)
     va = en.select(F.col(id_col).alias("new_id"), F.col("_nv").alias("_va"))
     vb = ec.select(F.col(id_col).alias("corpus_id"),
                    F.col("_nv").alias("_vb"))

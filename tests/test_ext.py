@@ -1546,3 +1546,28 @@ def test_incremental_embedding_max_bucket_guard(spark):
         new, corpus, threshold=0.9, max_bucket=5).count()
     assert full == 16          # 2 new × 8 corpus identical vectors
     assert capped == 0
+
+
+def test_prepare_cli_writes_shards(spark, tmp_path):
+    """CLI funnel end-to-end with --shards: the sharded layout covers
+    exactly the mixed corpus rows (doc_id × copy), deterministically."""
+    import json
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "prep")
+    r = subprocess.run(
+        [sys.executable, "-m", "meeseeker_spark", "prepare",
+         "--docs", f"{SF}/documents.parquet", "--out", out,
+         "--quality-floor", "0.0", "--ngram", "3", "--shards", "4"],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**__import__("os").environ, "PYTHONPATH": "/root/repo"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads(r.stdout.strip().splitlines()[-1])
+    corpus = spark.read.parquet(f"{out}/corpus")
+    shards = spark.read.parquet(f"{out}/shards")
+    assert shards.count() == corpus.count() == report["mixed"]
+    assert shards.select("shard").distinct().count() <= 4
+    got = {(r["doc_id"], r["copy"]) for r in shards.collect()}
+    want = {(r["doc_id"], r["copy"]) for r in corpus.collect()}
+    assert got == want
