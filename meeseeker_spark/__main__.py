@@ -305,12 +305,17 @@ def main(argv: list[str] | None = None) -> int:
 
             from .ext.shard import write_training_shards
 
+            # read the corpus BACK from the parquet written above: the
+            # shard export must not re-execute the post-checkpoint
+            # pipeline (quality join, redaction, mixture) a second time.
             # mixture epochs make (doc_id, copy) the row identity; the
             # same ×1000 encode as the pack stage keys the shard hash
+            written = spark.read.parquet(f"{a.out}/corpus")
             write_training_shards(
-                build.corpus.withColumn(
+                written.withColumn(
                     "_row_id", SF.col("doc_id") * 1000 + SF.col("copy")),
-                f"{a.out}/shards", n_shards=a.shards, id_col="_row_id")
+                f"{a.out}/shards", n_shards=a.shards, id_col="_row_id",
+                drop_cols=("_row_id",))
         print(json.dumps(build.report(), sort_keys=True))
         return 0
 

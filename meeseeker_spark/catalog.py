@@ -1946,13 +1946,18 @@ def semantic_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides.  n_probe=3 multi-probe assignment because the fixture's
     planted pairs sit at cosine ≈0.4 (boundary-straddling); production
     SemDeDup scales n_clusters with the corpus so the probed pair
-    fraction ~n_probe²/k stays tiny.  Rows-only at the driver (codebook
-    seeding is not SQL-expressible); subset-of-exact + recall +
-    sim-value parity pinned by
-    tests/test_ext.py::test_semantic_pairs_subset_and_recall."""
-    from .ext.semdedup import semantic_dup_pairs
+    fraction ~n_probe²/k stays tiny.  ``n_clusters`` AUTO-SCALES via
+    ``auto_clusters`` (metadata-served count, same budget class as the
+    LSH entry's auto_planes): fixed k makes the within-cell pair space
+    quadratic — measured 116 s at sf1 with k=16 vs ~3 s per extra scale
+    point with the rule on.  At fixture sizes the rule lands on the
+    recall-pinned k=16.  Rows-only at the driver (codebook seeding is
+    not SQL-expressible); subset-of-exact + recall + sim-value parity
+    pinned by tests/test_ext.py::test_semantic_pairs_subset_and_recall."""
+    from .ext.semdedup import auto_clusters, semantic_dup_pairs
     emb = load(spark, sf_dir, "embeddings")
-    return semantic_dup_pairs(emb, threshold=0.35, n_clusters=16,
+    k = auto_clusters(emb.count(), n_probe=3)
+    return semantic_dup_pairs(emb, threshold=0.35, n_clusters=k,
                               max_cluster=10_000, n_probe=3)
 
 
@@ -1963,16 +1968,19 @@ def incremental_embedding_dups_q(spark: SparkSession,
     driver-graded ``incremental_near_dups``): 1-in-7 of the embeddings
     table plays the incoming batch, the rest the historical corpus.
     Skinny (id, bucket) shuffle join, corpus-width ``max_bucket`` guard,
-    multiprobe on the batch side only.  Rows-only at the driver;
-    subset-of-exact + recall + index≡recompute pinned in
-    tests/test_ext.py."""
+    multiprobe on the batch side only.  ``n_planes`` auto-scales with
+    the CORPUS size (auto_planes — fixed planes leave bucket width, and
+    the candidate join, growing linearly with history; measured 38 s at
+    sf1 with 6 planes).  Rows-only at the driver; subset-of-exact +
+    recall + index≡recompute pinned in tests/test_ext.py."""
     from .ext.dedup import incremental_embedding_dups
+    from .ext.similarity import auto_planes
     emb = load(spark, sf_dir, "embeddings")
     new = emb.where(F.col("vec_id") % 7 == 0)
     corpus = emb.where(F.col("vec_id") % 7 != 0)
     return incremental_embedding_dups(new, corpus, threshold=0.35,
-                                      n_planes=6, n_tables=5,
-                                      max_bucket=10_000)
+                                      n_planes=auto_planes(corpus.count()),
+                                      n_tables=5, max_bucket=10_000)
 
 
 @register("training_shards", None, tags=("F4", "shard"))

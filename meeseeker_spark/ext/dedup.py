@@ -600,15 +600,13 @@ def incremental_embedding_dups(new_emb: DataFrame, corpus_emb: DataFrame,
     (a constant-embedding flood in the history is the skew that
     matters).  Vectors re-attach id-keyed only for surviving candidates.
     """
-    from .similarity import dot, hashed_lsh_buckets, normalized
+    from .similarity import dot, normalized
 
-    en = normalized(new_emb, id_col, vec_col)
-    nb = en.select(
-        F.col(id_col).alias("new_id"),
-        F.explode(
-            hashed_lsh_buckets("_nv", n_planes, n_tables, seed)
-        ).alias("_bucket"),
-    )
+    # ONE bucket definition for both sides and the persisted index —
+    # the index≡recompute contract breaks silently if these ever drift
+    nb = embedding_bucket_projection(
+        new_emb, n_planes, n_tables, seed, id_col, vec_col
+    ).select(F.col("_id").alias("new_id"), "_bucket")
     nb = nb.select(
         "new_id",
         F.explode(F.array(F.col("_bucket"), *[
@@ -639,6 +637,7 @@ def incremental_embedding_dups(new_emb: DataFrame, corpus_emb: DataFrame,
     hit = cand.select(F.col("corpus_id").alias(id_col)).distinct()
     ec = normalized(corpus_emb.join(hit, id_col, "left_semi"),
                     id_col, vec_col)
+    en = normalized(new_emb, id_col, vec_col)
     va = en.select(F.col(id_col).alias("new_id"), F.col("_nv").alias("_va"))
     vb = ec.select(F.col(id_col).alias("corpus_id"),
                    F.col("_nv").alias("_vb"))

@@ -32,6 +32,33 @@ from .similarity import (_cell_sims, _seed_centroids, as_double, dot,
                          ivf_train_centroids, l2_norm)
 
 
+# past this many cells the argmax-over-centroid-literals expression
+# outgrows JVM codegen method limits; assignment switches to the
+# broadcast-codebook join (same answer, see _clustered_normalized)
+EXPR_ASSIGN_MAX = 64
+
+
+def auto_clusters(n: int, n_probe: int = 2, target_cell: int = 512,
+                  lo: int = 16, hi: int = 4096) -> int:
+    """Cluster-count rule: k = ⌈n_probe·n / target_cell⌉ clamped to
+    [lo, hi], keeping expected (probed) cell width ~constant as the
+    corpus grows — with FIXED k the within-cell pair space is
+    n²·n_probe²/k, quadratic in n (measured: 116 s at sf1 with k=16
+    where the sf0.1 point was 3 s; 80 s with k clamped at the old
+    expression-bound 64; ~linear once k tracks n).
+
+    Two cost regimes share k: pair verification O(n·target·n_probe) and
+    assignment O(n·k·dim) — with k ∝ n the assignment term is the one
+    that eventually dominates (SemDeDup at web scale does assignment on
+    an ANN index for exactly this reason; the paper uses FAISS).  The
+    ``hi`` clamp bounds that term: past it, prefer
+    ``ext.dedup.embedding_dup_pairs_lsh`` (hash-derived buckets track n
+    for free) or raise target_cell."""
+    import math
+
+    return min(hi, max(lo, math.ceil(n_probe * max(n, 1) / target_cell)))
+
+
 def _clustered_normalized(emb: DataFrame, n_clusters: int,
                           train_iters: int, id_col: str, vec_col: str,
                           n_probe: int) -> DataFrame:
@@ -43,25 +70,59 @@ def _clustered_normalized(emb: DataFrame, n_clusters: int,
     nearest cells — the IVF probing idea applied to dedup: a pair
     sitting astride a Voronoi boundary still meets in the runner-up
     cell.  Cost is a ×n_probe row stream and ≤ ×n_probe² candidate
-    pairs, against single-probe's boundary-pair misses."""
+    pairs, against single-probe's boundary-pair misses.
+
+    Assignment has two implementations with IDENTICAL semantics
+    (descending (cosine-rounded-6dp, cell-id) order, top n_probe):
+    k ≤ EXPR_ASSIGN_MAX uses the in-expression argmax over centroid
+    literals (no shuffle); larger k streams the n×k scores through a
+    broadcast-codebook join + per-vector rank — the skinny (id, cell,
+    s) window shuffle is what lets k track the corpus past the codegen
+    method-size limit."""
     if train_iters > 0:
+        if n_clusters > EXPR_ASSIGN_MAX:
+            raise ValueError(
+                "ivf_train_centroids assigns via the expression path; "
+                f"train_iters > 0 needs n_clusters <= {EXPR_ASSIGN_MAX}")
         cents = ivf_train_centroids(emb, n_clusters, train_iters,
                                     id_col, vec_col)
     else:
         cents = _seed_centroids(emb, n_clusters, id_col, vec_col)
     e = emb.select(F.col(id_col).alias("_id"),
                    as_double(F.col(vec_col)).alias("_v"))
-    # coalesce makes _cell provably non-null, so the join's inferred
-    # isnotnull(_cell) constant-folds away instead of pushing the whole
-    # argmax assignment into a Filter BELOW the barrier (a second full
-    # assignment evaluation per row, visible in the physical plan);
-    # a null/empty embedding lands in cell 0 where its null unit vector
-    # yields null sims that the threshold filter drops
-    top = F.slice(F.reverse(F.array_sort(_cell_sims(F.col("_v"), cents))),
-                  1, n_probe)
-    cells = F.coalesce(F.transform(top, lambda c: c["i"]),
-                       F.array(F.lit(0)))
-    e = e.select("_id", "_v", F.explode(cells).alias("_cell"))
+    if n_clusters <= EXPR_ASSIGN_MAX:
+        # coalesce makes _cell provably non-null, so the join's inferred
+        # isnotnull(_cell) constant-folds away instead of pushing the
+        # whole argmax assignment into a Filter BELOW the barrier (a
+        # second full assignment evaluation per row, visible in the
+        # physical plan); a null/empty embedding lands in cell 0 where
+        # its null unit vector yields null sims the threshold drops
+        top = F.slice(
+            F.reverse(F.array_sort(_cell_sims(F.col("_v"), cents))),
+            1, n_probe)
+        cells = F.coalesce(F.transform(top, lambda c: c["i"]),
+                           F.array(F.lit(0)))
+        e = e.select("_id", "_v", F.explode(cells).alias("_cell"))
+    else:
+        from pyspark.sql import Window
+
+        from .similarity import cosine
+
+        spark = emb.sparkSession
+        cents_df = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            schema="_cell int, _cvec array<double>")
+        scored = (
+            e.join(F.broadcast(cents_df))
+            .select("_id", "_cell",
+                    F.round(cosine(F.col("_v"), F.col("_cvec")), 6)
+                    .alias("_s")))
+        w = Window.partitionBy("_id").orderBy(F.desc("_s"),
+                                              F.desc("_cell"))
+        top = (scored.withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") <= n_probe)
+               .select("_id", F.coalesce("_cell", F.lit(0)).alias("_cell")))
+        e = e.join(top, "_id")
     e = e.select("_id", "_cell", "_v", l2_norm(F.col("_v")).alias("_n"))
     e = e.select("_id", "_cell", F.transform(
         "_v", lambda x: x / F.col("_n")).alias("_nv"))

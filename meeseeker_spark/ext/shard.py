@@ -52,14 +52,22 @@ def shard_assignments(df: DataFrame, n_shards: int = 64,
 
 def write_training_shards(df: DataFrame, out_dir: str,
                           n_shards: int = 64, id_col: str = "doc_id",
-                          salt: str = "v1",
-                          mode: str = "overwrite") -> None:
+                          salt: str = "v1", mode: str = "overwrite",
+                          drop_cols: tuple[str, ...] = ()) -> None:
     """Materialize the sharded layout: out_dir/shard=N/<one parquet
     file>, rows inside each shard in the deterministic pseudo-random
-    order.  See module docstring for the scale rationale."""
+    order.  See module docstring for the scale rationale.
+
+    The internal shard_pos_key never reaches the files (the projection
+    above the sort prunes it without disturbing the in-partition order);
+    ``drop_cols`` lets callers strip their own helper columns (e.g. a
+    synthetic id) the same way."""
     a = shard_assignments(df, n_shards, id_col, salt)
+    keep = [c for c in a.columns
+            if c != "shard_pos_key" and c not in drop_cols]
     (
         a.repartition(n_shards, "shard")
         .sortWithinPartitions("shard", "shard_pos_key", id_col)
+        .select(*keep)
         .write.partitionBy("shard").mode(mode).parquet(out_dir)
     )

@@ -55,6 +55,8 @@ def gram_positions(df: DataFrame, id_col: str = "doc_id",
     The word array is projected in a separate select so the split runs
     once per row (same bound-column rule as ext.dedup.shingles_from_tokens
     — an inlined split would re-tokenize at every element_at site)."""
+    if n < 1:
+        raise ValueError("gram width n must be >= 1")
     w = (
         df.select(F.col(id_col).alias("_id"),
                   F.split(F.col(text_col), " ").alias("_w"))
@@ -190,10 +192,15 @@ def chunk_windows(df: DataFrame, id_col: str = "doc_id",
 
     Returns (id_col, chunk_id, chunk_start, n_words, chunk_text); the
     final window is short when the tail has fewer than ``size`` words;
-    empty docs yield a single empty chunk (kept so chunk counts
-    reconcile with doc counts)."""
+    empty docs yield a single empty chunk with n_words = 0 (kept so
+    chunk counts reconcile with doc counts).  stride > size is rejected
+    — it would silently drop the words between consecutive windows."""
     if stride <= 0:
         raise ValueError("stride must be positive")
+    if stride > size:
+        raise ValueError(
+            f"stride ({stride}) > size ({size}) would leave words "
+            "covered by no chunk")
     w = df.select(F.col(id_col),
                   F.split(F.col(text_col), " ").alias("_w"))
     starts = F.sequence(
@@ -210,6 +217,9 @@ def chunk_windows(df: DataFrame, id_col: str = "doc_id",
             id_col,
             F.col("_c.chunk_id").alias("chunk_id"),
             F.col("_c.chunk_start").alias("chunk_start"),
-            F.size("_c._cw").alias("n_words"),
+            # an empty doc splits to [''] — count it as zero words, not
+            # one phantom word, so token budgets reconcile
+            F.when(F.col("_c._cw") == F.array(F.lit("")), F.lit(0))
+            .otherwise(F.size("_c._cw")).alias("n_words"),
             F.concat_ws(" ", "_c._cw").alias("chunk_text"))
     )

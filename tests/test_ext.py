@@ -1242,7 +1242,8 @@ def test_chunk_windows_vs_duckdb(spark):
         WITH w AS (SELECT doc_id, string_split(text,' ') AS words
                    FROM documents)
         SELECT doc_id, (s / 24)::INT AS chunk_id, s::INT AS chunk_start,
-               len(words[s+1:s+32])::INT AS n_words,
+               CASE WHEN words[s+1:s+32] = [''] THEN 0
+                    ELSE len(words[s+1:s+32]) END::INT AS n_words,
                array_to_string(words[s+1:s+32], ' ') AS chunk_text
         FROM w, unnest(range(0, greatest(len(words)-1, 0) + 1, 24)) t(s)
     """)
@@ -1571,3 +1572,47 @@ def test_prepare_cli_writes_shards(spark, tmp_path):
     got = {(r["doc_id"], r["copy"]) for r in shards.collect()}
     want = {(r["doc_id"], r["copy"]) for r in corpus.collect()}
     assert got == want
+
+
+def test_chunk_windows_guards_and_empty_doc(spark):
+    """Review findings: stride > size (silent word loss) and n <= 0 gram
+    width are rejected; an empty doc yields one empty chunk counted as
+    ZERO words so token budgets reconcile."""
+    from meeseeker_spark.ext import spans
+
+    df = spark.createDataFrame([(1, "")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="stride"):
+        spans.chunk_windows(df, size=8, stride=16)
+    with pytest.raises(ValueError, match="n must be"):
+        spans.repeated_spans(df, n=0)
+    rows = spans.chunk_windows(df, size=8, stride=8).collect()
+    assert [(r["chunk_id"], r["n_words"], r["chunk_text"])
+            for r in rows] == [(0, 0, "")]
+
+
+def test_training_shards_files_carry_no_helper_columns(docs, tmp_path):
+    """shard_pos_key (and caller-declared helper ids) stay out of the
+    exported files; the deterministic order survives the projection."""
+    from meeseeker_spark.ext.shard import write_training_shards
+
+    spark = docs.sparkSession
+    d = str(tmp_path / "s")
+    write_training_shards(docs, d, n_shards=4)
+    out = spark.read.parquet(d)
+    assert "shard_pos_key" not in out.columns
+    assert set(out.columns) == set(docs.columns) | {"shard"}
+
+
+def test_semantic_assignment_paths_agree(emb, monkeypatch):
+    """The expression-argmax and broadcast-codebook-join assignment
+    paths must produce identical pairs — same (cosine, cell) ranking,
+    same ties — since auto_clusters switches between them by k."""
+    from meeseeker_spark.ext import semdedup
+
+    a = sorted(map(tuple, semdedup.semantic_dup_pairs(
+        emb, threshold=0.35, n_clusters=32, n_probe=3).collect()))
+    monkeypatch.setattr(semdedup, "EXPR_ASSIGN_MAX", 8)
+    b = sorted(map(tuple, semdedup.semantic_dup_pairs(
+        emb, threshold=0.35, n_clusters=32, n_probe=3).collect()))
+    assert a == b
+    assert a, "corpus should produce pairs at this threshold"
