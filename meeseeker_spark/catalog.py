@@ -1995,6 +1995,70 @@ def training_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "shard", "shard_pos_key")
 
 
+@register("domain_cap", None, tags=("F4", "sampling"))
+def domain_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (ext.mix.domain_cap): at most 30 docs per
+    source, survivors = the 30 smallest salted-md5 ranks — the standard
+    single-crawl-source dominance guard.  Exact even with the over-cap
+    pre-filter (prefix-of-hash-order argument in the docstring).  Past
+    the grading window → rows-only there; exact DuckDB parity pinned by
+    tests/test_ext.py::test_domain_cap_vs_duckdb."""
+    from .ext.mix import domain_cap
+    docs = load(spark, sf_dir, "documents")
+    return domain_cap(docs, cap=30, domain_col="source").select(
+        "doc_id", "source", "lang", "n_chars")
+
+
+@register("domain_cap_hash", None, tags=("F4", "sampling"))
+def domain_cap_hash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shuffle approximate per-source cap (ext.mix.domain_cap_hash):
+    the 100 TB shape — broadcast per-domain counts, narrow hash-threshold
+    filter, kept count Binomial around the cap.  Rows-only in the driver;
+    exact DuckDB parity pinned by
+    tests/test_ext.py::test_domain_cap_hash_vs_duckdb."""
+    from .ext.mix import domain_cap_hash
+    docs = load(spark, sf_dir, "documents")
+    return domain_cap_hash(docs, cap=30, domain_col="source").select(
+        "doc_id", "source", "lang", "n_chars")
+
+
+@register("perplexity_buckets", None, tags=("F4", "quality"))
+def perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing
+    (ext.lm.perplexity_buckets): corpus bigram-LM cross-entropy split at
+    its in-plan exact tertiles.  Past the grading window → rows-only
+    there; exact DuckDB parity (incl. the quantile interpolation) pinned
+    by tests/test_ext.py::test_perplexity_buckets_vs_duckdb."""
+    from .ext.lm import perplexity_buckets
+    docs = load(spark, sf_dir, "documents")
+    return perplexity_buckets(docs)
+
+
+@register("hard_negatives", None, tags=("F3",))
+def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (ext.similarity.hard_negatives):
+    top-5 highest-cosine different-label neighbors for 10 query vectors —
+    broadcast query side, label predicate on the join, skinny top-k
+    window.  Rows-only in the driver; exact DuckDB brute-force parity
+    pinned by tests/test_ext.py::test_hard_negatives_vs_duckdb."""
+    from .ext.similarity import hard_negatives
+    emb = load(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, query_ids=list(range(10)), k=5)
+
+
+@register("quality_logit_scores", None, tags=("F4", "quality"))
+def quality_logit_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier scoring (ext.classifier) under the
+    checked-in distilled weights: one narrow codegen projection —
+    features, dot product, sigmoid, keep decision.  The trained-weights
+    provenance and the Spark↔NumPy training parity live in
+    tests/test_ext.py::test_train_quality_logit_matches_numpy; scoring
+    parity in ::test_quality_logit_scores_vs_duckdb."""
+    from .ext.classifier import quality_logit_scores
+    docs = load(spark, sf_dir, "documents")
+    return quality_logit_scores(docs)
+
+
 def _ordered() -> list[Entry]:
     """Registry in driver-facing order: every driver-oracled entry first
     (the driver's correctness gate grades only the first 50 registrations,

@@ -77,3 +77,49 @@ def bigram_lm_scores(docs: DataFrame, id_col: str = "doc_id",
         .join(scored, "_id", "left")
         .select(F.col("_id").alias(id_col), "n_bigrams", "logprob", "xent")
     )
+
+
+# CCNet bucket labels for the default 3-way split, lowest xent first
+# (head = most fluent / lowest perplexity — the bucket CCNet keeps).
+_BUCKET3 = ["head", "middle", "tail"]
+
+
+def perplexity_buckets(docs: DataFrame, n_buckets: int = 3,
+                       id_col: str = "doc_id",
+                       text_col: str = "text",
+                       k: float = 0.5) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document's cross-entropy under the corpus bigram LM, then split the
+    corpus at the (i/n)-quantiles of that score into equal-mass buckets —
+    head/middle/tail for the default 3.  Downstream recipes keep head(+
+    middle) or reweight by bucket.
+
+    Scale shape: scoring is ``bigram_lm_scores`` (gram-keyed shuffle
+    joins); the thresholds are ONE exact-percentile aggregate over a
+    single double column, cross-joined back as a broadcast scalar row —
+    assignment itself is a narrow comparison, no global sort and no
+    per-row shuffle.  (At 100 TB swap ``percentile`` for
+    ``approx_percentile`` — same plan shape, bounded-error cuts; kept
+    exact here so the DuckDB oracle can replay the interpolation.)
+    Documents too short to score (NULL xent) land in bucket 'na'.
+    """
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    scores = bigram_lm_scores(docs, id_col, text_col, k)
+    ths = (scores.where(F.col("xent").isNotNull())
+           .agg(*[F.round(F.expr(f"percentile(xent, {q!r})"), 4)
+                  .alias(f"_t{i}") for i, q in enumerate(qs)]))
+    bucket_ix = sum(
+        (F.col("xent") > F.col(f"_t{i}")).cast("int") for i in range(len(qs))
+    )
+    if n_buckets == 3:
+        label = F.array(*[F.lit(x) for x in _BUCKET3])[bucket_ix]
+    else:
+        label = F.concat(F.lit("b"), bucket_ix.cast("string"))
+    return (
+        scores.crossJoin(F.broadcast(ths))
+        .select(
+            id_col, "n_bigrams", "xent",
+            F.when(F.col("xent").isNull(), "na").otherwise(label)
+            .alias("ppl_bucket"),
+        )
+    )

@@ -109,3 +109,79 @@ def mixture_sample(docs: DataFrame, weights: dict[str, float],
         .where((F.col("copy") < F.col("epochs")) | keep_last)
         .drop("epochs", "frac")
     )
+
+
+def _cap_rank(id_col: str) -> F.Column:
+    """Deterministic per-row rank key for domain capping: uniform md5 of
+    the id under a fixed salt (so it's independent of the hashes used by
+    mixture_sample / stratified_sample on the same ids), id tie-break."""
+    from .text import md5_int32
+    return md5_int32(F.concat(F.lit("cap:"), F.col(id_col).cast("string")))
+
+
+def domain_cap(docs: DataFrame, cap: int, domain_col: str = "source",
+               id_col: str = "doc_id", prefilter_slack: float = 3.0,
+               ) -> DataFrame:
+    """Keep at most ``cap`` documents per domain — the standard guard
+    against one crawl source (a single site, a single dump) dominating
+    the corpus.  Survivors are the ``cap`` smallest deterministic hash
+    ranks, NOT arrival order: stable across retries, partitionings, and
+    the DuckDB oracle (which replays the same md5 rank).
+
+    Scale shape: the naive form is one window over ``partitionBy(domain)``
+    — a full shuffle of the corpus, and the over-cap mega-domain becomes
+    a single straggling sort.  Instead: (1) per-domain counts (tiny agg,
+    broadcast back); (2) domains at-or-under cap pass through with NO
+    rank work; (3) over-cap domains are pre-filtered to rank-hash <
+    ``slack·cap/count`` of the hash space BEFORE the window — because the
+    filter keeps a *prefix* of the very hash order the window ranks by,
+    the top-``cap`` rows are provably inside the surviving set whenever
+    ≥ cap rows survive, so the result is exact, and the window now sorts
+    ~``slack·cap`` rows per domain instead of the domain's full mass.
+    P(shortfall) ≤ exp(-cap·(1-1/slack)²/2) by Chernoff — at slack 3 and
+    cap 1000 that is e^-222; a shortfall would surface as a domain
+    returning < cap rows, which the parity test would catch on a fixture.
+    """
+    from pyspark.sql import Window
+
+    counts = (docs.groupBy(F.col(domain_col).alias("_dom"))
+              .agg(F.count("*").alias("_dn")))
+    rk_hash = _cap_rank(id_col)
+    # hash space is [0, 2^32); keep the prefix that over-selects slack×cap
+    threshold = F.ceil(F.lit(float(2 ** 32) * prefilter_slack * cap)
+                       / F.col("_dn")).cast("bigint")
+    joined = docs.join(F.broadcast(counts),
+                       docs[domain_col] == F.col("_dom"))
+    small = joined.where(F.col("_dn") <= cap).select(*docs.columns)
+    w = Window.partitionBy(domain_col).orderBy(rk_hash.asc(),
+                                               F.col(id_col).asc())
+    big = (
+        joined.where((F.col("_dn") > cap) & (rk_hash < threshold))
+        .select(*docs.columns)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+    return small.unionByName(big)
+
+
+def domain_cap_hash(docs: DataFrame, cap: int, domain_col: str = "source",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Approximate per-domain cap with ZERO corpus shuffle: keep rows
+    whose rank-hash falls in the first ``cap/count`` of the hash space.
+    Kept count per domain is Binomial(count, cap/count) — expectation
+    ``cap``, relative deviation O(1/√cap) — which is what a 100 TB
+    pipeline actually wants (the window variant's exactness costs a
+    per-domain sort; a ±2% wobble on a cap is meaningless there).
+    Deterministic: same fixture → same rows, DuckDB-replayable."""
+    counts = (docs.groupBy(F.col(domain_col).alias("_dom"))
+              .agg(F.count("*").alias("_dn")))
+    threshold = F.when(
+        F.col("_dn") <= cap, F.lit(2 ** 32)
+    ).otherwise(F.ceil(F.lit(float(2 ** 32) * cap) / F.col("_dn"))
+                .cast("bigint"))
+    return (
+        docs.join(F.broadcast(counts), docs[domain_col] == F.col("_dom"))
+        .where(_cap_rank(id_col) < threshold)
+        .select(*docs.columns)
+    )

@@ -41,9 +41,10 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def normalized(emb: DataFrame, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
-    """(id_col, _nv): unit-normalized double vectors, norm computed once
-    per row — MATERIALIZED through a shuffle barrier.
+               vec_col: str = "embedding",
+               keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(id_col, *keep_cols, _nv): unit-normalized double vectors, norm
+    computed once per row — MATERIALIZED through a shuffle barrier.
 
     The barrier is the point: CollapseProject + codegen fuse bare
     projections into their consumers, so feeding a lazily-computed
@@ -52,9 +53,11 @@ def normalized(emb: DataFrame, id_col: str = "vec_id",
     exchange rows first — one linear shuffle of n vectors buying a
     12× drop on the quadratic stage (measured sf0.1: 25 s → 2 s; 41×
     vs the original per-pair-cosine form)."""
-    e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
-    e = e.select(id_col, "_v", l2_norm(F.col("_v")).alias("_n"))
-    e = e.select(id_col, F.transform(
+    keep = [F.col(c) for c in keep_cols]
+    e = emb.select(F.col(id_col), *keep,
+                   as_double(F.col(vec_col)).alias("_v"))
+    e = e.select(id_col, *keep, "_v", l2_norm(F.col("_v")).alias("_n"))
+    e = e.select(id_col, *keep, F.transform(
         F.col("_v"), lambda x: x / F.col("_n")).alias("_nv"))
     # explicit partition count: a bare repartition(col) lets AQE coalesce
     # the (tiny-by-bytes) exchange to ONE partition, serializing the O(n²)
@@ -394,6 +397,54 @@ def lsh_cosine_topk(emb: DataFrame, query_ids: list[int] | None = None,
         .select("q_id", "c_id",
                 F.round(dot(F.col("qv"), F.col("cv")), 4).alias("sim"))
         .dropDuplicates(["q_id", "c_id"])
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )
+
+
+def hard_negatives(emb: DataFrame, query_ids: list[int] | None = None,
+                   k: int = 5, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the top-k
+    most-similar vectors carrying a DIFFERENT label — the standard way to
+    assemble training pairs for embedding/reranker models (highest-
+    similarity wrong answers are the examples worth training on).
+
+    Same physical shape as ``cosine_topk`` — the query side is broadcast,
+    the candidate scan is embarrassingly parallel, the label-inequality
+    predicate rides the same join filter as the self-pair guard, and the
+    only shuffle is the per-query top-k window over already-scored skinny
+    rows.  Correct at any corpus size; for non-tiny query sets swap the
+    broadcast cross join for the LSH-bucketed candidate pruning of
+    ``lsh_cosine_topk`` (identical semantics minus recall).
+
+    Returns (q_id, q_label, c_id, c_label, sim, rk)."""
+    from pyspark.sql import Window
+
+    # the label rides through the normalize shuffle as a keep_col — no
+    # second pass over the corpus and no corpus-sized broadcast
+    normed = normalized(
+        emb.select(F.col(id_col), F.col(vec_col),
+                   F.col(label_col).alias("_lab")),
+        id_col, vec_col, keep_cols=("_lab",))
+    cand = normed.select(F.col(id_col).alias("c_id"),
+                         F.col("_lab").alias("c_label"),
+                         F.col("_nv").alias("cv"))
+    q = normed
+    if query_ids is not None:
+        q = q.where(F.col(id_col).isin(query_ids))
+    q = q.select(F.col(id_col).alias("q_id"),
+                 F.col("_lab").alias("q_label"), F.col("_nv").alias("qv"))
+    scored = (
+        F.broadcast(q).crossJoin(cand)
+        .where((F.col("c_id") != F.col("q_id"))
+               & (F.col("c_label") != F.col("q_label")))
+        .select("q_id", "q_label", "c_id", "c_label",
+                F.round(dot(F.col("qv"), F.col("cv")), 4).alias("sim"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
     return (

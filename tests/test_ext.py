@@ -1616,3 +1616,259 @@ def test_semantic_assignment_paths_agree(emb, monkeypatch):
         emb, threshold=0.35, n_clusters=32, n_probe=3).collect()))
     assert a == b
     assert a, "corpus should produce pairs at this threshold"
+
+
+def test_domain_cap_vs_duckdb(spark):
+    """Exact DuckDB parity for the per-source cap — the oracle is the
+    NAIVE full window over the salted-md5 rank, so equality also proves
+    the over-cap pre-filter loses no survivor (beyond the driver window
+    → this test is the entry's correctness gate)."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["domain_cap"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = sorted(tuple(r) for r in con.execute("""
+        WITH r AS (
+            SELECT doc_id, source, lang, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY ('0x' || substr(md5('cap:' ||
+                                 CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                                doc_id) AS rk
+            FROM documents
+        )
+        SELECT doc_id, source, lang, n_chars FROM r WHERE rk <= 30
+    """).fetchall())
+    con.close()
+    assert s == d
+    # every domain ends at min(cap, domain size)
+    per = {r["source"]: r["n"] for r in
+           sdf.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    full = {r["source"]: r["n"] for r in
+            load(spark, SF, "documents")
+            .groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per == {k: min(30, v) for k, v in full.items()}
+
+
+def test_domain_cap_hash_vs_duckdb(spark):
+    """Exact DuckDB parity for the zero-shuffle approximate cap, plus a
+    sanity band on the kept counts (Binomial around the cap)."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["domain_cap_hash"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = sorted(tuple(r) for r in con.execute("""
+        WITH c AS (SELECT source AS dom, count(*) AS dn
+                   FROM documents GROUP BY source)
+        SELECT doc_id, source, lang, n_chars
+        FROM documents d JOIN c ON d.source = c.dom
+        WHERE ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)),
+                              1, 8))::BIGINT <
+              CASE WHEN dn <= 30 THEN 4294967296
+                   ELSE CAST(ceil(4294967296.0 * 30 / dn) AS BIGINT) END
+    """).fetchall())
+    con.close()
+    assert s == d
+    per = {r["source"]: r["n"] for r in
+           sdf.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert all(v <= 60 for v in per.values())  # loose Binomial band
+
+
+def test_perplexity_buckets_vs_duckdb(spark):
+    """Exact DuckDB parity for the CCNet bucketing, including the
+    tertile interpolation (quantile_cont ≡ Spark percentile)."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["perplexity_buckets"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = sorted(tuple(r) for r in con.execute("""
+        WITH words AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS w
+            FROM documents
+        ),
+        bi AS (
+            SELECT doc_id, u.w1 AS w1, u.bg AS bg
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(w), 1)),
+                           i -> {'w1': w[i], 'bg': w[i] || ' ' || w[i+1]}))
+                           AS u
+                FROM words
+            )
+        ),
+        uni AS (
+            SELECT w1, count(*) AS u
+            FROM (SELECT unnest(w) AS w1 FROM words) GROUP BY w1
+        ),
+        bcounts AS (SELECT bg, count(*) AS b FROM bi GROUP BY bg),
+        vocab AS (SELECT count(*)::DOUBLE AS v FROM uni),
+        per_doc AS (
+            SELECT doc_id, w1, bg, count(*) AS c
+            FROM bi GROUP BY doc_id, w1, bg
+        ),
+        scored AS (
+            SELECT p.doc_id, sum(c) AS n_bigrams,
+                   round(-sum(c * (ln(b + 0.5) - ln(u + 0.5 * v))) / sum(c), 4)
+                       AS xent
+            FROM per_doc p
+            JOIN bcounts USING (bg) JOIN uni USING (w1), vocab
+            GROUP BY p.doc_id
+        ),
+        ths AS (
+            SELECT round(quantile_cont(xent, 1.0/3), 4) AS t0,
+                   round(quantile_cont(xent, 2.0/3), 4) AS t1
+            FROM scored WHERE xent IS NOT NULL
+        )
+        SELECT d.doc_id, s.n_bigrams, s.xent,
+               CASE WHEN s.xent IS NULL THEN 'na'
+                    ELSE list_value('head', 'middle', 'tail')[
+                        1 + (s.xent > t.t0)::INT + (s.xent > t.t1)::INT]
+               END AS ppl_bucket
+        FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id, ths t
+    """).fetchall())
+    con.close()
+    assert s == d
+
+
+def test_hard_negatives_vs_duckdb(spark):
+    """Exact DuckDB brute-force parity for the contrastive hard-negative
+    miner (beyond the driver window → this is its correctness gate)."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["hard_negatives"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    d = sorted(tuple(r) for r in con.execute("""
+        WITH e0 AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        e AS (
+            SELECT vec_id, label,
+                   list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                       AS nv
+            FROM e0
+        ),
+        q AS (SELECT vec_id AS q_id, label AS q_label, nv AS qv
+              FROM e WHERE vec_id < 10),
+        scored AS (
+            SELECT q.q_id, q.q_label, c.vec_id AS c_id, c.label AS c_label,
+                   round(list_dot_product(q.qv, c.nv), 4) AS sim
+            FROM q CROSS JOIN e c
+            WHERE c.vec_id <> q.q_id AND c.label <> q.q_label
+        )
+        SELECT q_id, q_label, c_id, c_label, sim, rk FROM (
+            SELECT scored.*,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY sim DESC, c_id) AS rk
+            FROM scored
+        ) WHERE rk <= 5
+    """).fetchall())
+    con.close()
+    assert s == d
+    # the mined negatives really do carry a different label
+    assert all(r["q_label"] != r["c_label"] for r in sdf.collect())
+
+
+def test_quality_logit_scores_vs_duckdb(spark):
+    """Exact DuckDB parity for linear-classifier scoring under the
+    checked-in weights (features, left-assoc dot product, sigmoid)."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+    from meeseeker_spark.ext.classifier import DEFAULT_WEIGHTS
+
+    sdf = catalog.ENTRIES["quality_logit_scores"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    w0, w1, w2, w3, w4 = DEFAULT_WEIGHTS
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = sorted(tuple(r) for r in con.execute(f"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS w
+            FROM documents
+        ),
+        f AS (
+            SELECT doc_id,
+                   1.0 AS f0,
+                   least(len(w), 200)::DOUBLE / 200.0 AS f1,
+                   len(list_distinct(w))::DOUBLE / greatest(len(w), 1) AS f2,
+                   len(list_filter(w, x -> x IN
+                       ('the','a','and','of','to','in','is')))::DOUBLE
+                       / greatest(len(w), 1) AS f3,
+                   least(length(text)::DOUBLE / greatest(len(w), 1), 10.0)
+                       / 10.0 AS f4
+            FROM t
+        ),
+        z AS (
+            SELECT doc_id,
+                   round(1.0 / (1.0 + exp(-(f0 * ({w0!r}) + f1 * ({w1!r})
+                       + f2 * ({w2!r}) + f3 * ({w3!r}) + f4 * ({w4!r})))), 4)
+                       AS logit_p
+            FROM f
+        )
+        SELECT doc_id, logit_p, logit_p >= 0.5 AS keep FROM z
+    """).fetchall())
+    con.close()
+    assert s == d
+
+
+def test_train_quality_logit_matches_numpy(spark, docs):
+    """Distributed-GD training parity: the Spark trainer's weights match
+    a single-node NumPy replay of identical math (tolerance covers the
+    partition-order float summation, per the module docstring)."""
+    from meeseeker_spark.ext.classifier import (doc_features,
+                                                numpy_logit_oracle,
+                                                train_quality_logit)
+    from meeseeker_spark.ext.text import quality_scores
+
+    labeled = docs.join(
+        quality_scores(docs).select("doc_id", "quality"), "doc_id")
+    label = F.col("quality") >= 0.45
+    got = train_quality_logit(labeled, label, lr=10.0, iters=15)
+
+    feats = doc_features(docs).join(
+        labeled.select("doc_id", label.cast("double").alias("y")), "doc_id")
+    rows = [([r[f"f{i}"] for i in range(5)], r["y"])
+            for r in feats.collect()]
+    want = numpy_logit_oracle(rows, lr=10.0, iters=15)
+    assert got == pytest.approx(want, abs=1e-3)
+
+
+def test_quality_logit_distills_teacher(spark):
+    """The checked-in weights must actually reproduce the rules-based
+    quality teacher they were distilled from (≥0.9 accuracy at the
+    training SF — the honest ceiling is 0.94, see DEFAULT_WEIGHTS)."""
+    from meeseeker_spark.ext.classifier import quality_logit_scores
+    from meeseeker_spark.ext.text import quality_scores
+
+    d = load(spark, "/root/testdata/sf0.01", "documents")
+    sc = quality_logit_scores(d).join(
+        quality_scores(d).select("doc_id", "quality"), "doc_id")
+    acc = sc.select(F.avg(
+        (F.col("keep") == (F.col("quality") >= 0.45)).cast("double"))
+        .alias("a")).first()["a"]
+    assert acc >= 0.9

@@ -252,3 +252,51 @@ def test_semantic_pairs_single_exchange_reused(spark):
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
     assert "Filter isnotnull(coalesce(array_max" not in s
+
+
+def test_domain_cap_hash_no_corpus_shuffle(spark):
+    """The approximate cap is the 100 TB shape: per-domain counts ride a
+    broadcast join back onto the corpus, the keep decision is a narrow
+    filter — no sort-merge join, no window, no corpus exchange."""
+    plan = explain_str(catalog.ENTRIES["domain_cap_hash"].spark(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_domain_cap_prefilters_before_window(spark):
+    """The exact cap's window must sit above the hash pre-filter (over-cap
+    domains sort ~slack·cap survivors, not their full mass), with the
+    counts broadcast on both branches."""
+    plan = explain_str(catalog.ENTRIES["domain_cap"].spark(spark, SF))
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hard_negatives_broadcasts_queries(spark):
+    """Hard-negative mining shares cosine_topk's physical shape: tiny
+    query side broadcast over the candidate scan."""
+    plan = explain_str(catalog.ENTRIES["hard_negatives"].spark(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_quality_logit_scores_narrow_codegen(spark):
+    """Classifier scoring is one narrow codegen projection: no exchange,
+    no join, no Python evaluation anywhere in the plan."""
+    plan = explain_str(
+        catalog.ENTRIES["quality_logit_scores"].spark(spark, SF))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "python" not in plan.lower()
+
+
+def test_perplexity_buckets_thresholds_broadcast(spark):
+    """CCNet bucketing: the tertile thresholds are a 1-row aggregate
+    broadcast back over the scored corpus — assignment itself must not
+    add a corpus-sized exchange beyond the LM's gram joins (no global
+    sort / Window in the plan)."""
+    plan = explain_str(
+        catalog.ENTRIES["perplexity_buckets"].spark(spark, SF))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
