@@ -141,6 +141,15 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--ngram", type=int, default=13)
     pp.add_argument("--max-overlap", type=float, default=0.0)
     pp.add_argument("--quality-floor", type=float, default=0.25)
+    pp.add_argument("--source-cap", type=int, default=None,
+                    help="opt-in per-source document cap (zero-shuffle "
+                         "approximate hash cap; ext.mix.domain_cap_hash)")
+    pp.add_argument("--ppl-keep", default=None,
+                    help="opt-in CCNet perplexity screen: comma-joined "
+                         "buckets to keep, e.g. 'head,middle' (ext.lm)")
+    pp.add_argument("--logit-threshold", type=float, default=None,
+                    help="opt-in distilled linear-classifier keep cut "
+                         "(probability in [0,1]; ext.classifier)")
     pp.add_argument("--max-tokens", type=int, default=2048)
     pp.add_argument("--shards", type=int, default=0,
                     help="also write OUT/shards/shard=N/: deterministic "
@@ -297,7 +306,12 @@ def main(argv: list[str] | None = None) -> int:
             docs, bench, weights,
             span_ngram=a.span_ngram,
             decontam_ngram=a.ngram, decontam_max_overlap=a.max_overlap,
-            quality_floor=a.quality_floor, max_tokens=a.max_tokens)
+            quality_floor=a.quality_floor,
+            source_cap=a.source_cap,
+            ppl_keep=(tuple(x.strip() for x in a.ppl_keep.split(","))
+                      if a.ppl_keep else None),
+            logit_threshold=a.logit_threshold,
+            max_tokens=a.max_tokens)
         build.corpus.write.mode("overwrite").parquet(f"{a.out}/corpus")
         build.packed.write.mode("overwrite").parquet(f"{a.out}/packed")
         if a.shards:

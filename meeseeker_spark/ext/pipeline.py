@@ -5,8 +5,11 @@ composed in the order a real pretraining data pipeline runs them.
       → exact dedup            (hash-groupBy, controlled survivor)
       → near-dup dedup         (MinHash/LSH cluster survivors)
       → span strip [opt-in]    (ExactSubstr passage rewrite, ext.spans)
+      → source cap [opt-in]    (zero-shuffle per-source dominance guard)
       → benchmark decontamination (broadcast n-gram screen)
       → quality filter         (composite score ≥ floor)
+      → perplexity keep [opt-in] (CCNet head/middle/tail bucket screen)
+      → classifier keep [opt-in] (distilled linear model, narrow scoring)
       → PII redaction          (chained regexp, narrow)
       → mixture sampling       (target domain weights, multi-epoch)
       → sequence packing       (distributed prefix-sum layout)
@@ -58,6 +61,10 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
                             decontam_ngram: int = 13,
                             decontam_max_overlap: float = 0.0,
                             quality_floor: float = 0.25,
+                            source_cap: int | None = None,
+                            source_col: str = "source",
+                            ppl_keep: tuple[str, ...] | None = None,
+                            logit_threshold: float | None = None,
                             max_tokens: int = 2048) -> CorpusBuild:
     """Run the full preparation funnel; see module docstring for the
     stage order and scale rationale.  ``bench`` is the evaluation text
@@ -74,7 +81,17 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
     globally first occurrence (ext.spans.strip_repeated_spans,
     max_df=10_000 guard).  Row counts are unchanged — text shrinks —
     and n_chars is refreshed so the mixture stage budgets against the
-    post-strip sizes."""
+    post-strip sizes.
+
+    ``source_cap`` (opt-in) bounds any one source's document count with
+    the zero-shuffle hash cap (ext.mix.domain_cap_hash — approximate by
+    design; the funnel's caps are dominance guards, not quotas).
+    ``ppl_keep`` (opt-in, e.g. ``("head", "middle")``) keeps only the
+    named CCNet perplexity buckets (ext.lm.perplexity_buckets over the
+    post-decontamination survivors).  ``logit_threshold`` (opt-in) adds
+    the distilled linear classifier's keep decision at the given
+    probability cut (ext.classifier.quality_logit_scores) — a second,
+    model-based opinion alongside the rules-based floor."""
     stages: dict[str, DataFrame] = {"raw": docs}
 
     d1 = exact_dedup(docs, [text_col], id_col)
@@ -94,6 +111,12 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
                 dict(d2.dtypes)["n_chars"]))
         stages["span_stripped"] = d2
 
+    if source_cap is not None and source_col in d2.columns:
+        from .mix import domain_cap_hash
+        d2 = domain_cap_hash(d2, source_cap, domain_col=source_col,
+                             id_col=id_col)
+        stages["source_capped"] = d2
+
     # lazy lineage truncation: everything downstream (quality, redact,
     # mixture, pack, and each report() count) reuses the screened rows
     # instead of re-running dedup+decontam per consumer — the in-process
@@ -107,6 +130,22 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
         F.col("quality") >= quality_floor).select(id_col)
     d4 = d3.join(q, id_col)
     stages["quality_filtered"] = d4
+
+    if ppl_keep is not None:
+        from .lm import perplexity_buckets
+        keep_ids = perplexity_buckets(d4, id_col=id_col,
+                                      text_col=text_col).where(
+            F.col("ppl_bucket").isin(*ppl_keep)).select(id_col)
+        d4 = d4.join(keep_ids, id_col)
+        stages["ppl_kept"] = d4
+
+    if logit_threshold is not None:
+        from .classifier import quality_logit_scores
+        keep_ids = quality_logit_scores(
+            d4, id_col=id_col, text_col=text_col,
+            threshold=logit_threshold).where("keep").select(id_col)
+        d4 = d4.join(keep_ids, id_col)
+        stages["logit_kept"] = d4
 
     d5 = d4.withColumn(text_col, redact_pii(F.col(text_col)))
     stages["redacted"] = d5

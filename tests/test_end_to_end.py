@@ -360,3 +360,26 @@ def test_cli_sync_manifest_store_impl(spark, tmp_path_factory, capsys):
     view = P.ops_view(spark, str(d / "out" / "ops"))
     expected_real = [o for o in fx.ops_expected if o["trx_id"] != "0" * 40]
     assert view.count() == len(expected_real)
+
+
+def test_cli_prepare_optin_flags(tmp_path_factory, capsys):
+    """`prepare --source-cap/--ppl-keep/--logit-threshold` route to the
+    funnel's opt-in screens and show up in the stage report."""
+    import json
+
+    from meeseeker_spark.__main__ import main
+
+    d = tmp_path_factory.mktemp("prepopt")
+    rc = main([
+        "prepare", "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", str(d / "out"), "--ngram", "3", "--max-overlap", "0.5",
+        "--weights",
+        '{"en":0.25,"de":0.1875,"fr":0.1875,"es":0.1875,"zh":0.1875}',
+        "--source-cap", "15", "--ppl-keep", "head,middle",
+        "--logit-threshold", "0.05",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for stage in ("source_capped", "ppl_kept", "logit_kept"):
+        assert stage in report
+    assert report["ppl_kept"] <= report["quality_filtered"]

@@ -1872,3 +1872,30 @@ def test_quality_logit_distills_teacher(spark):
         (F.col("keep") == (F.col("quality") >= 0.45)).cast("double"))
         .alias("a")).first()["a"]
     assert acc >= 0.9
+
+
+def test_prepare_funnel_optin_screens(docs):
+    """The three opt-in screens (source cap, perplexity keep, classifier
+    keep) each bite, stay monotone in the stage report, and compose with
+    the baseline funnel."""
+    from meeseeker_spark.ext.pipeline import prepare_training_corpus
+
+    bench = docs.where(F.col("doc_id") % 19 == 0)
+    corpus = docs.where(F.col("doc_id") % 19 != 0)
+    weights = {"en": 0.25, "de": 0.1875, "fr": 0.1875, "es": 0.1875,
+               "zh": 0.1875}
+    build = prepare_training_corpus(
+        corpus, bench, weights, decontam_ngram=3, max_tokens=256,
+        source_cap=15, ppl_keep=("head", "middle"),
+        logit_threshold=0.05)
+    r = build.report()
+    assert (r["near_dedup"] >= r["source_capped"] >= r["decontaminated"]
+            >= r["quality_filtered"] >= r["ppl_kept"] >= r["logit_kept"]
+            == r["redacted"])
+    assert r["source_capped"] < r["near_dedup"]      # cap bites (20 srcs)
+    assert r["ppl_kept"] < r["quality_filtered"]     # tail bucket dropped
+    assert r["mixed"] > 0 and build.packed.count() == r["mixed"]
+
+    # the capped stage respects the per-source bound (approx cap ≤ 2×)
+    per = build.stages["source_capped"].groupBy("source").count().collect()
+    assert all(row["count"] <= 30 for row in per)
