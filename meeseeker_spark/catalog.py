@@ -2059,6 +2059,20 @@ def quality_logit_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_logit_scores(docs)
 
 
+@register("dsir_select", None, tags=("F4", "sampling"))
+def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (ext.dsir, Xie et al. 2023): top-100
+    raw documents by hashed-n-gram importance weight toward the corpus's
+    English slice, deterministic Gumbel top-k.  Both bucket
+    distributions are B≈10k-row broadcasts; selection plans as
+    TakeOrderedAndProject.  Past the grading window → rows-only there;
+    exact DuckDB parity pinned by
+    tests/test_ext.py::test_dsir_select_vs_duckdb."""
+    from .ext.dsir import dsir_select
+    docs = load(spark, sf_dir, "documents")
+    return dsir_select(docs, docs.where(F.col("lang") == "en"), k=100)
+
+
 def _ordered() -> list[Entry]:
     """Registry in driver-facing order: every driver-oracled entry first
     (the driver's correctness gate grades only the first 50 registrations,

@@ -1,0 +1,158 @@
+"""DSIR-style importance resampling (training-data pipeline extension,
+same family as SURVEY §2 F — no reference counterpart).
+
+Data Selection via Importance Resampling (Xie et al. 2023): select raw
+documents whose hashed n-gram distribution looks like a TARGET corpus
+(high-quality seed text), by importance weight
+
+    log w(doc) = Σ_b c_b(doc) · (log p_b − log q_b)
+
+where c_b are the doc's hashed unigram+bigram counts over B buckets,
+p is the bucket distribution fit on the target corpus and q on the raw
+corpus (both add-1 smoothed).  Sampling without replacement ∝ w is done
+with the Gumbel top-k trick; here the Gumbel noise is derived from an
+md5 of the doc id, so selection is deterministic across retries,
+partitionings, and the DuckDB oracle.
+
+Scale shape: the two distributions are gram-shuffle aggregates whose
+output is exactly B rows each (B ≈ 10k, broadcastable by construction —
+that is the point of hashing the feature space).  Per-doc scoring joins
+the doc's (bucket, count) pairs to the broadcast log-ratio table and
+reduces — shuffle ∝ doc-bucket pairs, never a corpus-wide wide row.
+Selection is ``orderBy(score).limit(k)``, which Spark plans as
+TakeOrderedAndProject: per-partition top-k then a k-row merge, no global
+sort materialization.  Everything is JVM built-ins; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import md5_int32, tokens
+
+DEFAULT_BUCKETS = 10_000
+
+
+def _grams(text_col: Column) -> Column:
+    """Unigrams + bigrams as one string array (the DSIR feature set)."""
+    w = tokens(text_col)
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.concat(w, bigrams)
+
+
+def hashed_gram_counts(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """(_id, bucket, c): per-document hashed n-gram bucket counts.
+    The md5 bucket hash is the repo-wide oracle-reproducible idiom."""
+    g = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_grams(F.col(text_col))).alias("_g"))
+    return (
+        g.select("_id", F.pmod(md5_int32(F.col("_g")),
+                               F.lit(n_buckets)).alias("bucket"))
+        .groupBy("_id", "bucket").agg(F.count("*").alias("c"))
+    )
+
+
+def _log_probs_from_doc_counts(doc_counts: DataFrame,
+                               n_buckets: int) -> DataFrame:
+    """(bucket, logp, _tot) from a ``hashed_gram_counts`` result —
+    lets callers that already hold the per-doc counts (the raw side of
+    DSIR) derive the distribution without re-tokenizing the corpus."""
+    counts = doc_counts.groupBy("bucket").agg(F.sum("c").alias("_cb"))
+    total = counts.agg(F.sum("_cb").cast("double").alias("_n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select("bucket",
+                (F.log(F.col("_cb") + F.lit(1.0))
+                 - F.log(F.col("_n") + F.lit(float(n_buckets))))
+                .alias("logp"),
+                F.col("_n").alias("_tot"))
+    )
+
+
+def bucket_log_probs(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """(bucket, logp): add-1 smoothed log bucket distribution of a
+    corpus — ln((c_b + 1) / (n + B)).  Output is ≤ B rows (absent
+    buckets are implicitly ln(1/(n+B)); consumers must coalesce).  The
+    total rides in-plan as a cross-joined scalar aggregate."""
+    return _log_probs_from_doc_counts(
+        hashed_gram_counts(docs, id_col, text_col, n_buckets), n_buckets)
+
+
+def dsir_log_weights(raw: DataFrame, target: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
+    """(doc_id, n_grams, logw): per-raw-document DSIR importance weight.
+
+    Buckets unseen in one corpus still contribute through the smoothing
+    floor ln(1/(n+B)) — the left joins coalesce to that floor instead of
+    silently dropping the bucket (dropping would bias weights toward
+    docs full of unseen grams).  Both log-prob tables are ≤ B rows and
+    broadcast; the raw corpus is tokenized ONCE — q's distribution is
+    derived from the same per-doc counts the scoring stage consumes
+    (the gram explode is the expensive pass at corpus scale)."""
+    p = bucket_log_probs(target, id_col, text_col, n_buckets)
+    c = hashed_gram_counts(raw, id_col, text_col, n_buckets)
+    q = _log_probs_from_doc_counts(c, n_buckets)
+    # the smoothing floors need each corpus total; carry them as 1-row
+    # broadcast scalars so absent buckets get ln(1/(n+B)) in-plan
+    p_tot = p.agg(F.max("_tot").alias("_pn"))
+    q_tot = q.agg(F.max("_tot").alias("_qn"))
+    ratio = (
+        p.select("bucket", F.col("logp").alias("_lp"))
+        .join(q.select("bucket", F.col("logp").alias("_lq")),
+              "bucket", "full")
+        .crossJoin(F.broadcast(p_tot)).crossJoin(F.broadcast(q_tot))
+        .select(
+            "bucket",
+            (F.coalesce(F.col("_lp"),
+                        -F.log(F.col("_pn") + F.lit(float(n_buckets))))
+             - F.coalesce(F.col("_lq"),
+                          -F.log(F.col("_qn") + F.lit(float(n_buckets)))))
+            .alias("_lam"))
+    )
+    scored = (
+        c.join(F.broadcast(ratio), "bucket")
+        .groupBy("_id")
+        .agg(F.sum("c").alias("n_grams"),
+             F.round(F.sum(F.col("c") * F.col("_lam")), 4).alias("logw"))
+    )
+    return (
+        raw.select(F.col(id_col).alias("_id"))
+        .join(scored, "_id", "left")
+        .select(F.col("_id").alias(id_col), "n_grams", "logw")
+    )
+
+
+def dsir_select(raw: DataFrame, target: DataFrame, k: int,
+                id_col: str = "doc_id", text_col: str = "text",
+                n_buckets: int = DEFAULT_BUCKETS,
+                temperature: float = 1.0) -> DataFrame:
+    """Top-k Gumbel selection: keep the k raw documents maximizing
+    ``logw/temperature + Gumbel(md5(id))`` — sampling without
+    replacement ∝ w^(1/T), made deterministic by deriving the Gumbel
+    from the doc id (same draw on every retry/engine).  ``T→0`` is
+    argmax selection; T=1 the paper's sampling.
+
+    Returns (doc_id, logw, gumbel, score) for the selected docs.  The
+    limit is planned as TakeOrderedAndProject — per-partition top-k,
+    k-row merge, no global sort.  Docs too short to produce any gram
+    (NULL logw) are never selected."""
+    w = dsir_log_weights(raw, target, id_col, text_col, n_buckets)
+    u = (md5_int32(F.concat(F.lit("dsir:"), F.col(id_col).cast("string")))
+         + F.lit(0.5)) / F.lit(float(2 ** 32))
+    gumbel = F.round(-F.log(-F.log(u)), 4)
+    scored = w.where(F.col("logw").isNotNull()).select(
+        id_col, "logw", gumbel.alias("gumbel"),
+        F.round(F.col("logw") / F.lit(float(temperature)) + gumbel, 4)
+        .alias("score"))
+    return (scored.orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k))

@@ -138,9 +138,19 @@ def domain_cap(docs: DataFrame, cap: int, domain_col: str = "source",
     the top-``cap`` rows are provably inside the surviving set whenever
     ≥ cap rows survive, so the result is exact, and the window now sorts
     ~``slack·cap`` rows per domain instead of the domain's full mass.
-    P(shortfall) ≤ exp(-cap·(1-1/slack)²/2) by Chernoff — at slack 3 and
-    cap 1000 that is e^-222; a shortfall would surface as a domain
-    returning < cap rows, which the parity test would catch on a fixture.
+
+    The "≥ cap rows survive" condition is NOT left to chance: a second
+    tiny aggregate counts each over-cap domain's pre-filter survivors,
+    and a domain that came up short (P ≤ exp(-cap·(1-1/slack)²/2) per
+    Chernoff — rare but ~1e-3 at cap 30, slack 3, i.e. real) falls back
+    to ranking its full mass, in-plan, no driver action.  The operator
+    is therefore unconditionally exact; the slack only tunes how often
+    a domain pays the full-sort price (the hypothesis property test
+    drives slack 1.5 where shortfalls actually happen).
+
+    Rows with a NULL domain are DROPPED (inner-join semantics, mirrored
+    by the oracle) — coalesce the domain to a sentinel upstream if NULL
+    should count as its own domain.  Same for ``domain_cap_hash``.
     """
     from pyspark.sql import Window
 
@@ -152,11 +162,22 @@ def domain_cap(docs: DataFrame, cap: int, domain_col: str = "source",
                        / F.col("_dn")).cast("bigint")
     joined = docs.join(F.broadcast(counts),
                        docs[domain_col] == F.col("_dom"))
+    # shortfall guard: survivors-per-domain under the pre-filter (tiny
+    # output, broadcast back; only over-cap domains matter — a domain
+    # with ZERO survivors is absent here, the left join's NULL routes it
+    # to the same full-mass fallback)
+    pre_counts = (joined.where((F.col("_dn") > cap) & (rk_hash < threshold))
+                  .groupBy(F.col(domain_col).alias("_pdom"))
+                  .agg(F.count("*").alias("_kn")))
     small = joined.where(F.col("_dn") <= cap).select(*docs.columns)
     w = Window.partitionBy(domain_col).orderBy(rk_hash.asc(),
                                                F.col(id_col).asc())
     big = (
-        joined.where((F.col("_dn") > cap) & (rk_hash < threshold))
+        joined.where(F.col("_dn") > cap)
+        .join(F.broadcast(pre_counts),
+              joined[domain_col] == F.col("_pdom"), "left")
+        .where((rk_hash < threshold)
+               | F.coalesce(F.col("_kn") < cap, F.lit(True)))
         .select(*docs.columns)
         .withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= cap)

@@ -1899,3 +1899,130 @@ def test_prepare_funnel_optin_screens(docs):
     # the capped stage respects the per-source bound (approx cap ≤ 2×)
     per = build.stages["source_capped"].groupBy("source").count().collect()
     assert all(row["count"] <= 30 for row in per)
+
+
+def test_dsir_select_vs_duckdb(spark):
+    """Exact DuckDB parity for DSIR importance resampling: hashed-gram
+    distributions, smoothing floors for absent buckets, deterministic
+    Gumbel top-k (beyond the driver window → this is its correctness
+    gate)."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["dsir_select"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = sorted(tuple(r) for r in con.execute("""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS w
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, lang,
+                   unnest(list_concat(w,
+                       list_transform(range(1, greatest(len(w), 1)),
+                                      i -> w[i] || ' ' || w[i+1]))) AS gram
+            FROM t
+        ),
+        cnt AS (
+            SELECT doc_id, lang,
+                   (('0x' || substr(md5(gram), 1, 8))::BIGINT % 10000)
+                       AS bucket,
+                   count(*) AS c
+            FROM g GROUP BY doc_id, lang, bucket
+        ),
+        pc AS (SELECT bucket, sum(c) AS cb FROM cnt
+               WHERE lang = 'en' GROUP BY bucket),
+        pt AS (SELECT sum(cb)::DOUBLE AS n FROM pc),
+        qc AS (SELECT bucket, sum(c) AS cb FROM cnt GROUP BY bucket),
+        qt AS (SELECT sum(cb)::DOUBLE AS n FROM qc),
+        p AS (SELECT bucket, ln(cb + 1.0) - ln(n + 10000.0) AS lp
+              FROM pc, pt),
+        q AS (SELECT bucket, ln(cb + 1.0) - ln(n + 10000.0) AS lq
+              FROM qc, qt),
+        ratio AS (
+            SELECT coalesce(p.bucket, q.bucket) AS bucket,
+                   coalesce(p.lp, -ln((SELECT n FROM pt) + 10000.0))
+                   - coalesce(q.lq, -ln((SELECT n FROM qt) + 10000.0))
+                       AS lam
+            FROM p FULL JOIN q ON p.bucket = q.bucket
+        ),
+        scored AS (
+            SELECT c.doc_id, sum(c.c) AS n_grams,
+                   round(sum(c.c * r.lam), 4) AS logw
+            FROM cnt c JOIN ratio r USING (bucket)
+            GROUP BY c.doc_id
+        ),
+        sel AS (
+            SELECT doc_id, logw,
+                   round(-ln(-ln(
+                       ((('0x' || substr(md5('dsir:' ||
+                           CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) + 0.5)
+                       / 4294967296.0)), 4) AS gumbel
+            FROM scored WHERE logw IS NOT NULL
+        )
+        SELECT doc_id, logw, gumbel,
+               round(logw / 1.0 + gumbel, 4) AS score
+        FROM sel
+        ORDER BY score DESC, doc_id LIMIT 100
+    """).fetchall())
+    con.close()
+    assert s == d
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """Sanity: documents FROM the target slice must average a higher
+    importance weight than the rest (the selection signal exists)."""
+    from meeseeker_spark.ext.dsir import dsir_log_weights
+
+    docs = load(spark, SF, "documents")
+    w = dsir_log_weights(docs, docs.where(F.col("lang") == "en"))
+    j = w.join(load(spark, SF, "documents").select("doc_id", "lang"),
+               "doc_id")
+    rows = {r["is_en"]: r["m"] for r in
+            j.groupBy((F.col("lang") == "en").alias("is_en"))
+            .agg(F.avg(F.col("logw") / F.col("n_grams")).alias("m"))
+            .collect()}
+    assert rows[True] > rows[False]
+
+
+def test_domain_cap_property_vs_python_oracle(spark):
+    """Random (domain, id) populations and caps vs a pure-Python oracle
+    of the naive rank-by-hash rule: the pre-filtered implementation must
+    pick EXACTLY the cap smallest salted-md5 ranks per domain, across
+    slacks tight enough to make the pre-filter the deciding factor."""
+    import hashlib
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from meeseeker_spark.ext.mix import domain_cap
+
+    def rank(i):
+        return int(hashlib.md5(f"cap:{i}".encode()).hexdigest()[:8], 16)
+
+    pop = st.lists(st.sampled_from(["a", "b", "c"]), min_size=1,
+                   max_size=40)
+
+    @settings(max_examples=10, deadline=None, derandomize=True,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(doms=pop, cap=st.sampled_from([1, 3, 7]),
+           slack=st.sampled_from([1.5, 3.0]))
+    def run(doms, cap, slack):
+        rows = [(i, d) for i, d in enumerate(doms)]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        got = sorted((r["source"], r["doc_id"]) for r in
+                     domain_cap(df, cap, prefilter_slack=slack).collect())
+        want = []
+        for d in set(doms):
+            ids = sorted((i for i, dd in rows if dd == d),
+                         key=lambda i: (rank(i), i))
+            want += [(d, i) for i in ids[:cap]]
+        assert got == sorted(want)
+
+    run()

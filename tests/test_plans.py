@@ -300,3 +300,22 @@ def test_perplexity_buckets_thresholds_broadcast(spark):
         catalog.ENTRIES["perplexity_buckets"].spark(spark, SF))
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
+
+
+def test_dsir_broadcasts_ratio_and_takes_ordered(spark):
+    """DSIR: the ≤B-row log-ratio table broadcasts onto the corpus's
+    (doc, bucket) pairs, and the top-k is TakeOrderedAndProject — never
+    a global sort materialization or a corpus-side SMJ."""
+    plan = explain_str(catalog.ENTRIES["dsir_select"].spark(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "python" not in plan.lower()
+    # the raw corpus's gram counts feed BOTH q's distribution and the
+    # scoring stage from one computation: AQE must materialize reuse at
+    # runtime (execute first, then read executedPlan — the static plan
+    # always shows the expanded twins)
+    spark.catalog.clearCache()
+    df = catalog.ENTRIES["dsir_select"].spark(spark, SF)
+    df.collect()
+    ep = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in ep
