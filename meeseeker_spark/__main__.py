@@ -150,6 +150,11 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--logit-threshold", type=float, default=None,
                     help="opt-in distilled linear-classifier keep cut "
                          "(probability in [0,1]; ext.classifier)")
+    pp.add_argument("--dsir-target", default=None,
+                    help="opt-in DSIR importance resampling: parquet of "
+                         "target-domain docs (requires --dsir-k; ext.dsir)")
+    pp.add_argument("--dsir-k", type=int, default=None,
+                    help="number of documents DSIR keeps")
     pp.add_argument("--max-tokens", type=int, default=2048)
     pp.add_argument("--shards", type=int, default=0,
                     help="also write OUT/shards/shard=N/: deterministic "
@@ -288,6 +293,8 @@ def main(argv: list[str] | None = None) -> int:
     if a.cmd == "prepare":
         from .ext.pipeline import prepare_training_corpus
 
+        if (a.dsir_target is None) != (a.dsir_k is None):
+            p.error("--dsir-target and --dsir-k must be given together")
         spark = _spark()
         docs = spark.read.parquet(a.docs)
         if a.bench:
@@ -311,6 +318,9 @@ def main(argv: list[str] | None = None) -> int:
             ppl_keep=(tuple(x.strip() for x in a.ppl_keep.split(","))
                       if a.ppl_keep else None),
             logit_threshold=a.logit_threshold,
+            dsir_target=(spark.read.parquet(a.dsir_target)
+                         if a.dsir_target else None),
+            dsir_k=a.dsir_k,
             max_tokens=a.max_tokens)
         build.corpus.write.mode("overwrite").parquet(f"{a.out}/corpus")
         build.packed.write.mode("overwrite").parquet(f"{a.out}/packed")

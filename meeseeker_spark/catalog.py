@@ -2073,6 +2073,19 @@ def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(docs, docs.where(F.col("lang") == "en"), k=100)
 
 
+@register("leakage_safe_split", None, tags=("F2", "F4", "sampling"))
+def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-protected train/val split (ext.dedup.leakage_safe_split):
+    20% hash-slice val, train docs near-duplicate (jaccard ≥ 0.3) to any
+    val doc dropped — the held-out hygiene step.  Inherits the
+    incremental screen's banded-join scale shape and max_bucket guard.
+    Past the grading window → rows-only there; exact DuckDB parity
+    pinned by tests/test_ext.py::test_leakage_safe_split_vs_duckdb."""
+    from .ext.dedup import leakage_safe_split
+    docs = load(spark, sf_dir, "documents")
+    return leakage_safe_split(docs, val_frac=0.2, threshold=0.3)
+
+
 def _ordered() -> list[Entry]:
     """Registry in driver-facing order: every driver-oracled entry first
     (the driver's correctness gate grades only the first 50 registrations,

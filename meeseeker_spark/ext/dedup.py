@@ -647,3 +647,44 @@ def incremental_embedding_dups(new_emb: DataFrame, corpus_emb: DataFrame,
                 F.round(dot(F.col("_va"), F.col("_vb")), 4).alias("sim"))
         .where(F.col("sim") >= threshold)
     )
+
+
+def leakage_safe_split(docs: DataFrame, val_frac: float = 0.1,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       threshold: float = 0.5,
+                       max_bucket: int | None = 10_000) -> DataFrame:
+    """Train/val split with near-dup leakage protection: val is a
+    deterministic hash slice of the corpus, and any TRAIN document that
+    is a near-duplicate of some val document is dropped from train
+    (labeled ``dropped``) — otherwise the model sees the eval answers
+    during training and val loss silently lies.  The standard held-out
+    hygiene step of a pretraining pipeline, run at corpus scale.
+
+    Returns (id_col, split) with split ∈ {'val', 'train', 'dropped'}.
+
+    The split decision is a salted md5 of the id (retry/engine/oracle
+    stable — the same idiom as stratified_sample); the leak screen is
+    ``incremental_near_dups`` with train as the batch side and val as
+    the corpus side, so the machinery, its ``max_bucket`` guard, and its
+    scale shape (skinny banded shuffle join, verification restricted to
+    candidates) are inherited unchanged.  Cost ∝ banding both sides +
+    candidate verification — the same as one screening pass, NOT a
+    train×val cross product."""
+    from .text import md5_int32
+
+    bucket = F.pmod(
+        md5_int32(F.concat(F.lit("split:"), F.col(id_col).cast("string"))),
+        F.lit(10_000))
+    cut = int(val_frac * 10_000)
+    val = docs.where(bucket < cut)
+    train0 = docs.where(bucket >= cut)
+    flagged = (incremental_near_dups(train0, val, id_col, text_col,
+                                     threshold, max_bucket=max_bucket)
+               .select(F.col("new_id").alias(id_col)).distinct())
+    return (
+        val.select(id_col).withColumn("split", F.lit("val"))
+        .unionByName(
+            train0.select(id_col).join(flagged, id_col, "left_anti")
+            .withColumn("split", F.lit("train")))
+        .unionByName(flagged.withColumn("split", F.lit("dropped")))
+    )

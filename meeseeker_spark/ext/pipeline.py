@@ -10,6 +10,7 @@ composed in the order a real pretraining data pipeline runs them.
       → quality filter         (composite score ≥ floor)
       → perplexity keep [opt-in] (CCNet head/middle/tail bucket screen)
       → classifier keep [opt-in] (distilled linear model, narrow scoring)
+      → DSIR select [opt-in]   (importance resampling toward a target corpus)
       → PII redaction          (chained regexp, narrow)
       → mixture sampling       (target domain weights, multi-epoch)
       → sequence packing       (distributed prefix-sum layout)
@@ -65,6 +66,8 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
                             source_col: str = "source",
                             ppl_keep: tuple[str, ...] | None = None,
                             logit_threshold: float | None = None,
+                            dsir_target: DataFrame | None = None,
+                            dsir_k: int | None = None,
                             max_tokens: int = 2048) -> CorpusBuild:
     """Run the full preparation funnel; see module docstring for the
     stage order and scale rationale.  ``bench`` is the evaluation text
@@ -91,7 +94,11 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
     post-decontamination survivors).  ``logit_threshold`` (opt-in) adds
     the distilled linear classifier's keep decision at the given
     probability cut (ext.classifier.quality_logit_scores) — a second,
-    model-based opinion alongside the rules-based floor."""
+    model-based opinion alongside the rules-based floor.
+    ``dsir_target`` + ``dsir_k`` (opt-in, both required together) apply
+    DSIR importance resampling after all screens: keep the ``dsir_k``
+    surviving documents whose hashed-n-gram profile best matches the
+    target corpus (ext.dsir.dsir_select, deterministic Gumbel top-k)."""
     stages: dict[str, DataFrame] = {"raw": docs}
 
     d1 = exact_dedup(docs, [text_col], id_col)
@@ -146,6 +153,13 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
             threshold=logit_threshold).where("keep").select(id_col)
         d4 = d4.join(keep_ids, id_col)
         stages["logit_kept"] = d4
+
+    if dsir_target is not None and dsir_k is not None:
+        from .dsir import dsir_select
+        keep_ids = dsir_select(d4, dsir_target, dsir_k, id_col=id_col,
+                               text_col=text_col).select(id_col)
+        d4 = d4.join(keep_ids, id_col)
+        stages["dsir_selected"] = d4
 
     d5 = d4.withColumn(text_col, redact_pii(F.col(text_col)))
     stages["redacted"] = d5

@@ -2026,3 +2026,97 @@ def test_domain_cap_property_vs_python_oracle(spark):
         assert got == sorted(want)
 
     run()
+
+
+def test_prepare_funnel_dsir_stage(docs):
+    """DSIR as a funnel stage: keeps exactly k survivors, all drawn from
+    the screened set, and the report stays monotone through it."""
+    from meeseeker_spark.ext.pipeline import prepare_training_corpus
+
+    bench = docs.where(F.col("doc_id") % 19 == 0)
+    corpus = docs.where(F.col("doc_id") % 19 != 0)
+    weights = {"en": 0.25, "de": 0.1875, "fr": 0.1875, "es": 0.1875,
+               "zh": 0.1875}
+    target = docs.where(F.col("lang") == "en")
+    build = prepare_training_corpus(
+        corpus, bench, weights, decontam_ngram=3,
+        decontam_max_overlap=0.5, max_tokens=256,
+        dsir_target=target, dsir_k=100)
+    r = build.report()
+    assert r["dsir_selected"] == min(100, r["quality_filtered"]) == 100
+    assert r["quality_filtered"] >= r["dsir_selected"] == r["redacted"]
+    kept = {x["doc_id"] for x in build.stages["dsir_selected"]
+            .select("doc_id").collect()}
+    screened = {x["doc_id"] for x in build.stages["quality_filtered"]
+                .select("doc_id").collect()}
+    assert kept <= screened
+
+
+def test_leakage_safe_split_vs_duckdb(spark):
+    """Exact DuckDB parity for the leakage-protected split (beyond the
+    driver window → this is its correctness gate), plus the invariant
+    that every doc lands in exactly one of val/train/dropped."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["leakage_safe_split"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = sorted(tuple(r) for r in con.execute(f"""
+        WITH {catalog._DUCK_BANDS},
+        lab AS (
+            SELECT doc_id,
+                   (('0x' || substr(md5('split:' ||
+                       CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000)
+                       < 2000 AS is_val
+            FROM documents
+        ),
+        nb AS (
+            SELECT b.doc_id AS new_id, band_key
+            FROM bands b JOIN lab USING (doc_id) WHERE NOT is_val
+        ),
+        cb0 AS (
+            SELECT b.doc_id AS corpus_id, band_key
+            FROM bands b JOIN lab USING (doc_id) WHERE is_val
+        ),
+        ckept AS (
+            SELECT band_key FROM cb0 GROUP BY band_key
+            HAVING count(*) <= 10000
+        ),
+        cb AS (
+            SELECT cb0.corpus_id, cb0.band_key
+            FROM cb0 JOIN ckept USING (band_key)
+        ),
+        cand AS (
+            SELECT DISTINCT new_id, corpus_id FROM nb JOIN cb USING (band_key)
+        ),
+        scored AS (
+            SELECT c.new_id,
+                   round(len(list_intersect(sn.shingles, sc.shingles))::DOUBLE
+                         / len(list_distinct(sn.shingles || sc.shingles)), 4)
+                       AS jaccard
+            FROM cand c
+            JOIN sh sn ON sn.doc_id = c.new_id
+            JOIN sh sc ON sc.doc_id = c.corpus_id
+        ),
+        flagged AS (
+            SELECT DISTINCT new_id AS doc_id FROM scored WHERE jaccard >= 0.3
+        )
+        SELECT doc_id, 'val' AS split FROM lab WHERE is_val
+        UNION ALL
+        SELECT l.doc_id, 'train' FROM lab l
+        LEFT JOIN flagged f USING (doc_id)
+        WHERE NOT l.is_val AND f.doc_id IS NULL
+        UNION ALL
+        SELECT doc_id, 'dropped' FROM flagged
+    """).fetchall())
+    con.close()
+    assert s == d
+    # partition property: every doc exactly once, all three labels live
+    n_docs = load(spark, SF, "documents").count()
+    assert len(s) == n_docs
+    labels = {x[1] for x in s}
+    assert labels == {"val", "train", "dropped"}
