@@ -144,6 +144,9 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--source-cap", type=int, default=None,
                     help="opt-in per-source document cap (zero-shuffle "
                          "approximate hash cap; ext.mix.domain_cap_hash)")
+    pp.add_argument("--gopher", action="store_true",
+                    help="opt-in Gopher/MassiveText quality-rule screen "
+                         "(ext.text.gopher_rules, default thresholds)")
     pp.add_argument("--ppl-keep", default=None,
                     help="opt-in CCNet perplexity screen: comma-joined "
                          "buckets to keep, e.g. 'head,middle' (ext.lm)")
@@ -315,6 +318,7 @@ def main(argv: list[str] | None = None) -> int:
             decontam_ngram=a.ngram, decontam_max_overlap=a.max_overlap,
             quality_floor=a.quality_floor,
             source_cap=a.source_cap,
+            gopher=a.gopher,
             ppl_keep=(tuple(x.strip() for x in a.ppl_keep.split(","))
                       if a.ppl_keep else None),
             logit_threshold=a.logit_threshold,

@@ -2086,6 +2086,18 @@ def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(docs, val_frac=0.2, threshold=0.3)
 
 
+@register("gopher_rules", None, tags=("F4", "quality"))
+def gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText quality-rule battery (ext.text.gopher_rules,
+    Rae et al. 2021 App. A): per-document rule booleans + measured stats
+    + composite keep, all narrow JVM expressions (no shuffle, no
+    Python).  Past the grading window → rows-only there; exact DuckDB
+    parity pinned by tests/test_ext.py::test_gopher_rules_vs_duckdb."""
+    from .ext.text import gopher_rules
+    docs = load(spark, sf_dir, "documents")
+    return gopher_rules(docs)
+
+
 def _ordered() -> list[Entry]:
     """Registry in driver-facing order: every driver-oracled entry first
     (the driver's correctness gate grades only the first 50 registrations,

@@ -8,6 +8,7 @@ composed in the order a real pretraining data pipeline runs them.
       → source cap [opt-in]    (zero-shuffle per-source dominance guard)
       → benchmark decontamination (broadcast n-gram screen)
       → quality filter         (composite score ≥ floor)
+      → Gopher rules [opt-in]  (MassiveText rule battery, narrow)
       → perplexity keep [opt-in] (CCNet head/middle/tail bucket screen)
       → classifier keep [opt-in] (distilled linear model, narrow scoring)
       → DSIR select [opt-in]   (importance resampling toward a target corpus)
@@ -64,6 +65,7 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
                             quality_floor: float = 0.25,
                             source_cap: int | None = None,
                             source_col: str = "source",
+                            gopher: bool = False,
                             ppl_keep: tuple[str, ...] | None = None,
                             logit_threshold: float | None = None,
                             dsir_target: DataFrame | None = None,
@@ -95,6 +97,9 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
     the distilled linear classifier's keep decision at the given
     probability cut (ext.classifier.quality_logit_scores) — a second,
     model-based opinion alongside the rules-based floor.
+    ``gopher=True`` (opt-in) applies the Gopher/MassiveText rule
+    battery (ext.text.gopher_rules, default thresholds) after the
+    composite floor.
     ``dsir_target`` + ``dsir_k`` (opt-in, both required together) apply
     DSIR importance resampling after all screens: keep the ``dsir_k``
     surviving documents whose hashed-n-gram profile best matches the
@@ -137,6 +142,13 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
         F.col("quality") >= quality_floor).select(id_col)
     d4 = d3.join(q, id_col)
     stages["quality_filtered"] = d4
+
+    if gopher:
+        from .text import gopher_rules
+        keep_ids = gopher_rules(d4, id_col, text_col).where(
+            "keep").select(id_col)
+        d4 = d4.join(keep_ids, id_col)
+        stages["gopher_kept"] = d4
 
     if ppl_keep is not None:
         from .lm import perplexity_buckets

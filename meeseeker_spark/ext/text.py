@@ -302,3 +302,82 @@ def token_totals(df: DataFrame, group_cols: list[str],
             F.round(F.avg("_c"), 2).alias("avg_chars"),
         )
     )
+
+
+def gopher_rules(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 max_bullet_frac: float = 0.9,
+                 max_ellipsis_frac: float = 0.3,
+                 min_alpha_frac: float = 0.8,
+                 min_stop_hits: int = 2,
+                 max_dup_line_frac: float = 0.3) -> DataFrame:
+    """Gopher/MassiveText document-quality rules (Rae et al. 2021,
+    Appendix A): the standard pre-filter battery — word-count bounds,
+    mean word length, symbol-to-word ratio (# and ellipsis), bullet /
+    ellipsis line fractions, alphabetic-word fraction, a minimum
+    stopword count, and the within-document duplicate-line fraction.
+
+    Returns one row per document with each rule's boolean, the measured
+    statistics (rounded 4 dp, oracle-comparable), and ``keep`` = AND of
+    all rules.  Everything is narrow JVM expressions over one whitespace
+    word split and one line split — no shuffle, no Python, scan-speed at
+    any corpus size.  Words are WHITESPACE tokens (the paper's reading),
+    not the a-z0-9 runs of ``tokens()`` — punctuation-only words must
+    count toward the alphabetic-fraction denominator."""
+    words = F.filter(F.split(F.col(text_col), "\\s+"), lambda x: x != "")
+    lines = F.split(F.col(text_col), "\n")
+    t = df.select(F.col(id_col), F.col(text_col).alias("_text"),
+                  words.alias("_w"), lines.alias("_l"))
+    w, l = F.col("_w"), F.col("_l")
+    n_w = F.size(w)
+    n_l = F.size(l)
+    nd = F.greatest(n_w, F.lit(1)).cast("double")
+    nld = F.greatest(n_l, F.lit(1)).cast("double")
+    mean_len = F.round(
+        F.aggregate(w, F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + F.length(x)) / nd, 4)
+    n_hash = (F.length(F.col("_text"))
+              - F.length(F.regexp_replace(F.col("_text"), "#", "")))
+    n_ell = F.floor(
+        (F.length(F.col("_text"))
+         - F.length(F.regexp_replace(F.col("_text"), "\\.\\.\\.", "")))
+        / F.lit(3))
+    symbol_ratio = F.round((n_hash + n_ell) / nd, 4)
+    bullet_frac = F.round(
+        F.size(F.filter(l, lambda x: x.rlike("^\\s*[-*•]"))) / nld, 4)
+    ellipsis_frac = F.round(
+        F.size(F.filter(l, lambda x: x.rlike("\\.\\.\\.$"))) / nld, 4)
+    alpha_frac = F.round(
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))) / nd, 4)
+    stop_hits = F.size(F.filter(
+        w, lambda x: F.lower(x).isin(*LANG_STOPWORDS["en"])))
+    dup_line_frac = F.round(
+        (n_l - F.size(F.array_distinct(l))) / nld, 4)
+
+    rules = {
+        "r_word_count": (n_w >= min_words) & (n_w <= max_words),
+        "r_mean_word_len": (mean_len >= min_mean_word_len)
+                           & (mean_len <= max_mean_word_len),
+        "r_symbol_ratio": symbol_ratio <= max_symbol_ratio,
+        "r_bullet": bullet_frac <= max_bullet_frac,
+        "r_ellipsis": ellipsis_frac <= max_ellipsis_frac,
+        "r_alpha": alpha_frac >= min_alpha_frac,
+        "r_stopwords": stop_hits >= min_stop_hits,
+        "r_dup_lines": dup_line_frac <= max_dup_line_frac,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return t.select(
+        id_col,
+        n_w.alias("n_words"), mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"), stop_hits.alias("stop_hits"),
+        dup_line_frac.alias("dup_line_frac"),
+        *[c.alias(name) for name, c in rules.items()],
+        keep.alias("keep"),
+    )

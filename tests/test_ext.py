@@ -2120,3 +2120,96 @@ def test_leakage_safe_split_vs_duckdb(spark):
     assert len(s) == n_docs
     labels = {x[1] for x in s}
     assert labels == {"val", "train", "dropped"}
+
+
+def test_gopher_rules_vs_duckdb(spark):
+    """Exact DuckDB parity for the Gopher rule battery (beyond the
+    driver window → this is its correctness gate)."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["gopher_rules"].spark(spark, SF)
+    cols = sdf.columns
+    s = sorted(tuple(r) for r in sdf.select(*sorted(cols)).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    sel = ", ".join(sorted(cols))
+    d = sorted(tuple(r) for r in con.execute(f"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') AS w,
+                   string_split(text, chr(10)) AS l
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   len(w) AS n_words,
+                   round(list_sum(list_transform(w, x -> length(x)))::DOUBLE
+                         / greatest(len(w), 1), 4) AS mean_word_len,
+                   round(((length(text)
+                           - length(replace(text, '#', '')))
+                          + floor((length(text)
+                                   - length(replace(text, '...', ''))) / 3))
+                         / greatest(len(w), 1)::DOUBLE, 4) AS symbol_ratio,
+                   round(len(list_filter(l,
+                       x -> regexp_matches(x, '^\\s*[-*•]')))
+                         / greatest(len(l), 1)::DOUBLE, 4) AS bullet_frac,
+                   round(len(list_filter(l,
+                       x -> regexp_matches(x, '\\.\\.\\.$')))
+                         / greatest(len(l), 1)::DOUBLE, 4) AS ellipsis_frac,
+                   round(len(list_filter(w,
+                       x -> regexp_matches(x, '[A-Za-z]')))
+                         / greatest(len(w), 1)::DOUBLE, 4) AS alpha_frac,
+                   len(list_filter(w, x -> lower(x) IN
+                       ('the','a','and','of','to','in','is'))) AS stop_hits,
+                   round((len(l) - len(list_distinct(l)))
+                         / greatest(len(l), 1)::DOUBLE, 4) AS dup_line_frac
+            FROM t
+        ),
+        r AS (
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+                   alpha_frac, stop_hits, dup_line_frac,
+                   (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+                   (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                       AS r_mean_word_len,
+                   symbol_ratio <= 0.1 AS r_symbol_ratio,
+                   bullet_frac <= 0.9 AS r_bullet,
+                   ellipsis_frac <= 0.3 AS r_ellipsis,
+                   alpha_frac >= 0.8 AS r_alpha,
+                   stop_hits >= 2 AS r_stopwords,
+                   dup_line_frac <= 0.3 AS r_dup_lines
+            FROM m
+        )
+        SELECT {sel} FROM (
+            SELECT r.*,
+                   (r_word_count AND r_mean_word_len AND r_symbol_ratio
+                    AND r_bullet AND r_ellipsis AND r_alpha
+                    AND r_stopwords AND r_dup_lines) AS keep
+            FROM r
+        )
+    """).fetchall())
+    con.close()
+    assert s == d
+    # the battery discriminates on this fixture: both outcomes occur
+    keeps = {x for r in sdf.select("keep").collect() for x in r}
+    assert keeps == {True, False}
+
+
+def test_prepare_funnel_gopher_stage(docs):
+    """Gopher battery as a funnel stage: monotone, actually bites on the
+    fixture (short docs fail the 50-word rule)."""
+    from meeseeker_spark.ext.pipeline import prepare_training_corpus
+
+    bench = docs.where(F.col("doc_id") % 19 == 0)
+    corpus = docs.where(F.col("doc_id") % 19 != 0)
+    weights = {"en": 0.25, "de": 0.1875, "fr": 0.1875, "es": 0.1875,
+               "zh": 0.1875}
+    build = prepare_training_corpus(
+        corpus, bench, weights, decontam_ngram=3,
+        decontam_max_overlap=0.5, max_tokens=256, gopher=True)
+    r = build.report()
+    assert r["quality_filtered"] >= r["gopher_kept"] == r["redacted"]
+    assert r["gopher_kept"] < r["quality_filtered"]
