@@ -1246,7 +1246,11 @@ def embedding_dups_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     making candidates O(n·log n) with the multiprobe factor.  At the
     driver fixture sizes this lands on 6 planes (the recall-pinned
     config, floor 0.7; measured 0.84); the sf0.5/sf1 sweep exercises 9
-    and 10.  The ``emb.count()`` is a metadata-served parquet count — a
+    and 10.  Measured candidate fraction: 45% of the all-pairs space at
+    sf0.1 (n=2k — 5 tables × 7 probes over 64 buckets barely prune, so
+    wall time there sits near brute force and drifts with the box) vs
+    ~5% at sf1 (n=20k, 1024 buckets) — the crossover is WHY the sweep
+    exponent stays 0.92 while the absolute sf0.1 number is noisy.  The ``emb.count()`` is a metadata-served parquet count — a
     bounded driver action for parameter tuning, same budget class as the
     IVF codebook.  tables=5 rather than the 3 default: this corpus's
     pair mass sits at sim 0.4-0.5 where hyperplane LSH prunes weakly, so
@@ -2096,6 +2100,21 @@ def gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ext.text import gopher_rules
     docs = load(spark, sf_dir, "documents")
     return gopher_rules(docs)
+
+
+@register("unimax_sample", None, tags=("F4", "sampling"))
+def unimax_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax fair multilingual sampling (ext.mix.unimax_sample, Chung
+    et al. 2023): water-filled equal-share budget with a 4-epoch cap,
+    materialized by the same deterministic epoch-explode + md5 keep as
+    mixture_sample.  The allocation loop is a bounded driver action over
+    the #domains-row size table.  Past the grading window → rows-only
+    there; exact DuckDB parity (factors injected as literals) pinned by
+    tests/test_ext.py::test_unimax_sample_vs_duckdb."""
+    from .ext.mix import unimax_sample
+    docs = load(spark, sf_dir, "documents")
+    return unimax_sample(docs, budget=None, max_epochs=4.0).select(
+        "doc_id", "lang", "n_chars", "copy")
 
 
 def _ordered() -> list[Entry]:

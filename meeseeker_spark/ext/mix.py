@@ -206,3 +206,83 @@ def domain_cap_hash(docs: DataFrame, cap: int, domain_col: str = "source",
         .where(_cap_rank(id_col) < threshold)
         .select(*docs.columns)
     )
+
+
+def unimax_plan(docs: DataFrame, budget: float | None = None,
+                domain_col: str = "lang", size_col: str = "n_chars",
+                max_epochs: float = 4.0) -> list[tuple]:
+    """UniMax budget allocation (Chung et al. 2023): split the budget as
+    EVENLY across domains as the per-domain epoch cap allows — the fair
+    alternative to proportional/weighted sampling for multilingual
+    corpora (high-resource languages stop crowding out the tail, no
+    hand-tuned temperature).
+
+    Water-filling: repeatedly give every remaining domain an equal share
+    of the remaining budget; a domain whose cap (max_epochs·size) is
+    below its share is frozen at the cap and leaves the pool.  The loop
+    runs driver-side over the #domains-row size table — a bounded driver
+    action in the same budget class as the IVF codebook (one tiny
+    aggregate collect, then O(D²) worst-case arithmetic on D domains) —
+    and is the honest shape here: the recurrence is inherently
+    sequential in the sorted caps, and D is thousands at most while the
+    corpus is billions.
+
+    Returns [(domain, size, allocation, factor), ...] sorted by domain;
+    ``budget=None`` targets the total corpus size."""
+    rows = (docs.groupBy(F.col(domain_col).alias("d"))
+            .agg(F.sum(size_col).cast("double").alias("s"))
+            .collect())
+    sizes = {r["d"]: r["s"] for r in rows if r["d"] is not None}
+    if budget is None:
+        budget = sum(sizes.values())
+    remaining = dict(sizes)
+    alloc: dict[str, float] = {}
+    left = float(budget)
+    while remaining and left > 0:
+        share = left / len(remaining)
+        frozen = {d: s for d, s in remaining.items()
+                  if s * max_epochs <= share}
+        if not frozen:
+            for d in remaining:
+                alloc[d] = share
+            left = 0.0
+            break
+        for d, s in frozen.items():
+            alloc[d] = s * max_epochs
+            left -= s * max_epochs
+            del remaining[d]
+    for d in remaining:
+        alloc.setdefault(d, 0.0)
+    return sorted(
+        (d, sizes[d], round(alloc.get(d, 0.0), 4),
+         round(alloc.get(d, 0.0) / sizes[d], 6) if sizes[d] else 0.0)
+        for d in sizes)
+
+
+def unimax_sample(docs: DataFrame, budget: float | None = None,
+                  id_col: str = "doc_id", domain_col: str = "lang",
+                  size_col: str = "n_chars",
+                  max_epochs: float = 4.0) -> DataFrame:
+    """Materialize a UniMax allocation with the same deterministic
+    epoch-explode + md5 fractional keep as ``mixture_sample`` (same
+    output shape: input columns + ``copy``).  The plan is a D-row
+    broadcast; the explode is narrow — no corpus shuffle at any scale."""
+    plan = unimax_plan(docs, budget, domain_col, size_col, max_epochs)
+    spark = docs.sparkSession
+    pdf = spark.createDataFrame(
+        [(d, float(f)) for d, _, _, f in plan], ["domain", "factor"])
+    frac_scaled = F.floor(
+        F.round(F.col("factor") - F.floor(F.col("factor")), 6)
+        * _HASH_MOD).cast("bigint")
+    keep_last = _keep_hash(F.col(id_col), F.col("copy")) < frac_scaled
+    return (
+        docs.join(F.broadcast(pdf), docs[domain_col] == pdf["domain"])
+        .select(*docs.columns,
+                F.floor("factor").cast("bigint").alias("epochs"),
+                frac_scaled.alias("_fs"),
+                F.explode(F.sequence(
+                    F.lit(0), F.floor("factor").cast("bigint")))
+                .alias("copy"))
+        .where((F.col("copy") < F.col("epochs")) | keep_last)
+        .drop("epochs", "_fs")
+    )

@@ -2213,3 +2213,74 @@ def test_prepare_funnel_gopher_stage(docs):
     r = build.report()
     assert r["quality_filtered"] >= r["gopher_kept"] == r["redacted"]
     assert r["gopher_kept"] < r["quality_filtered"]
+
+
+def test_unimax_plan_water_filling_invariants(spark):
+    """UniMax allocation: caps respected, budget conserved, unfrozen
+    domains share equally, skewed domains get capped."""
+    from meeseeker_spark.ext.mix import unimax_plan
+
+    rows = ([Row(doc_id=i, lang="big", n_chars=1000) for i in range(50)]
+            + [Row(doc_id=100 + i, lang="small", n_chars=10)
+               for i in range(3)]
+            + [Row(doc_id=200 + i, lang="mid", n_chars=100)
+               for i in range(10)])
+    df = spark.createDataFrame(rows)
+    budget = 30_000.0
+    plan = {d: (s, a, f) for d, s, a, f in
+            unimax_plan(df, budget, max_epochs=4.0)}
+    # small (cap 120) and mid (cap 4000) freeze at their caps
+    assert plan["small"][1] == pytest.approx(4.0 * 30, abs=1e-6)
+    assert plan["mid"][1] == pytest.approx(4.0 * 1000, abs=1e-6)
+    # big takes the rest, below its cap
+    assert plan["big"][1] == pytest.approx(
+        budget - plan["small"][1] - plan["mid"][1], abs=1e-3)
+    assert plan["big"][2] <= 4.0
+    # full conservation when the budget fits under the total cap
+    assert sum(a for _, a, _ in plan.values()) == pytest.approx(
+        budget, abs=1e-2)
+    # budget beyond the total cap → everything capped, leftover unused
+    plan2 = {d: f for d, _, _, f in
+             unimax_plan(df, 10_000_000.0, max_epochs=4.0)}
+    assert all(f == pytest.approx(4.0, abs=1e-6) for f in plan2.values())
+
+
+def test_unimax_sample_vs_duckdb(spark):
+    """Exact DuckDB parity for the UniMax materialization: the driver
+    computes the factors (water-filling), the oracle replays the same
+    epoch-explode + md5 keep with those factors injected as literals."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+    from meeseeker_spark.ext.mix import unimax_plan
+
+    sdf = catalog.ENTRIES["unimax_sample"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    plan = unimax_plan(load(spark, SF, "documents"), None,
+                       max_epochs=4.0)
+    cases = " ".join(
+        f"WHEN '{d}' THEN {f!r}::DOUBLE" for d, _, _, f in plan)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = sorted(tuple(r) for r in con.execute(f"""
+        WITH f AS (
+            SELECT doc_id, lang, n_chars,
+                   CASE lang {cases} ELSE NULL END AS factor
+            FROM documents
+        ),
+        x AS (
+            SELECT doc_id, lang, n_chars,
+                   floor(factor)::BIGINT AS epochs,
+                   floor(round(factor - floor(factor), 6) * 10000)::BIGINT
+                       AS fs,
+                   unnest(range(0, floor(factor)::BIGINT + 1)) AS copy
+            FROM f WHERE factor IS NOT NULL
+        )
+        SELECT doc_id, lang, n_chars, copy FROM x
+        WHERE copy < epochs
+           OR (('0x' || substr(md5(doc_id || ':' || copy), 1, 8))::BIGINT
+               % 10000) < fs
+    """).fetchall())
+    con.close()
+    assert s == d
