@@ -2117,6 +2117,19 @@ def unimax_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars", "copy")
 
 
+@register("dedup_weights", None, tags=("F2", "sampling"))
+def dedup_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication (ext.dedup.dedup_weights): every document kept
+    with weight 1/|near-dup cluster| — hard dropping's distributional
+    alternative.  Same pair graph + components as dedup_components plus
+    a skinny size join.  Past the grading window → rows-only there;
+    exact DuckDB parity (recursive-CTE closure + singleton coalesce)
+    pinned by tests/test_ext.py::test_dedup_weights_vs_duckdb."""
+    from .ext.dedup import dedup_weights
+    docs = load(spark, sf_dir, "documents")
+    return dedup_weights(docs, threshold=0.5, max_bucket=10_000)
+
+
 def _ordered() -> list[Entry]:
     """Registry in driver-facing order: every driver-oracled entry first
     (the driver's correctness gate grades only the first 50 registrations,

@@ -688,3 +688,39 @@ def leakage_safe_split(docs: DataFrame, val_frac: float = 0.1,
             .withColumn("split", F.lit("train")))
         .unionByName(flagged.withColumn("split", F.lit("dropped")))
     )
+
+
+def dedup_weights(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", threshold: float = 0.5,
+                  max_bucket: int | None = 10_000) -> DataFrame:
+    """Soft deduplication: instead of dropping near-duplicates, keep
+    every document and DOWNWEIGHT it by its near-dup cluster size —
+    weight = 1/|cluster| makes each duplicated passage contribute one
+    document's worth of probability mass to downstream sampling (the
+    SoftDeDup idea: hard dropping loses the distributional signal that
+    a text was popular; reweighting keeps it at de-duplicated strength).
+
+    Returns (id_col, cluster, cluster_size, weight) for EVERY input
+    document — singletons carry their own id, size 1, weight 1.0.
+    Cost = the near-dup pair graph + connected components the hard-drop
+    path already runs; the weight attach is a component-keyed join of
+    skinny rows plus a left join back to the corpus ids."""
+    comp = connected_components(
+        near_dup_pairs(docs, id_col=id_col, text_col=text_col,
+                       threshold=threshold, max_bucket=max_bucket))
+    sizes = comp.groupBy("component").agg(
+        F.count("*").alias("_csize"))
+    comp = (comp.join(sizes, "component")
+            .select(F.col("doc_id").alias("_cdoc"), "component", "_csize"))
+    return (
+        docs.select(F.col(id_col))
+        .join(comp, F.col(id_col) == F.col("_cdoc"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster"),
+            F.coalesce(F.col("_csize"), F.lit(1)).cast("bigint")
+            .alias("cluster_size"),
+            F.round(F.lit(1.0) / F.coalesce(F.col("_csize"), F.lit(1)), 4)
+            .alias("weight"),
+        )
+    )

@@ -2284,3 +2284,51 @@ def test_unimax_sample_vs_duckdb(spark):
     """).fetchall())
     con.close()
     assert s == d
+
+
+def test_dedup_weights_vs_duckdb(spark):
+    """Exact DuckDB parity for soft-dedup weights (beyond the driver
+    window → this is its correctness gate), plus mass conservation:
+    the summed weight equals the number of distinct clusters."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["dedup_weights"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = sorted(tuple(r) for r in con.execute(f"""
+        WITH RECURSIVE {catalog._DUCK_NEARDUP},
+        pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+            SELECT u, v FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ),
+        comp AS (
+            SELECT u AS cdoc, least(u, min(v)) AS component
+            FROM reach GROUP BY u
+        ),
+        csize AS (
+            SELECT component, count(*) AS cs FROM comp GROUP BY component
+        )
+        SELECT d.doc_id,
+               coalesce(c.component, d.doc_id) AS cluster,
+               coalesce(s.cs, 1)::BIGINT AS cluster_size,
+               round(1.0 / coalesce(s.cs, 1), 4) AS weight
+        FROM documents d
+        LEFT JOIN comp c ON c.cdoc = d.doc_id
+        LEFT JOIN csize s ON s.component = c.component
+    """).fetchall())
+    con.close()
+    assert s == d
+    # mass conservation: Σ weight == #clusters (each cluster sums to 1)
+    n_clusters = sdf.select("cluster").distinct().count()
+    total_w = sdf.agg(F.round(F.sum("weight"), 2).alias("t")).first()["t"]
+    assert abs(total_w - n_clusters) < 0.5
