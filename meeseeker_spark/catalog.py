@@ -2130,6 +2130,19 @@ def dedup_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_weights(docs, threshold=0.5, max_bucket=10_000)
 
 
+@register("ngram_novelty", None, tags=("F4", "quality"))
+def ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty (ext.text.ngram_novelty): fraction of the
+    doc's distinct trigrams with corpus document-frequency 1 — the
+    boilerplate-score complement of span dedup.  tf-idf skeleton: one
+    distinct-gram explode, gram-keyed DF aggregate, join back, per-doc
+    reduce.  Past the grading window → rows-only there; exact DuckDB
+    parity pinned by tests/test_ext.py::test_ngram_novelty_vs_duckdb."""
+    from .ext.text import ngram_novelty
+    docs = load(spark, sf_dir, "documents")
+    return ngram_novelty(docs, n=3)
+
+
 def _ordered() -> list[Entry]:
     """Registry in driver-facing order: every driver-oracled entry first
     (the driver's correctness gate grades only the first 50 registrations,

@@ -381,3 +381,44 @@ def gopher_rules(df: DataFrame, id_col: str = "doc_id",
         *[c.alias(name) for name, c in rules.items()],
         keep.alias("keep"),
     )
+
+
+def ngram_novelty(df: DataFrame, n: int = 3, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document n-gram novelty: the fraction of the doc's DISTINCT
+    word n-grams whose corpus document-frequency is 1 (they appear in no
+    other document).  High novelty = original text; low = boilerplate /
+    template prose shared across the corpus — the cheap scalar
+    complement to span-level dedup (spans REMOVES shared passages, this
+    SCORES how much of a doc is shared).
+
+    Returns (id_col, n_grams, novel_frac); docs too short for any
+    n-gram get NULLs.  Scale shape: one (doc, gram)-distinct explode,
+    a gram-keyed document-frequency aggregate (map-side partials, rows ∝
+    distinct grams), one shuffle join back, one per-doc reduce — the
+    tf-idf skeleton, all JVM built-ins."""
+    toks = df.select(F.col(id_col).alias("_id"),
+                     tokens(F.col(text_col)).alias("_w"))
+    # sequence(1, 0) DESCENDS in Spark rather than yielding empty — the
+    # when-guard keeps short docs out instead of emitting partial grams
+    gram_arr = F.when(
+        F.size("_w") >= n,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.size("_w") - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("_w", i, n)))),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select("_id", F.explode(gram_arr).alias("_g"))
+    dfreq = grams.groupBy("_g").agg(
+        F.count("*").alias("_df"))  # grams are per-doc distinct → df
+    scored = (
+        grams.join(dfreq, "_g")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_grams"),
+             F.round(F.sum((F.col("_df") == 1).cast("int"))
+                     / F.count("*"), 4).alias("novel_frac"))
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(scored, "_id", "left")
+        .select(F.col("_id").alias(id_col), "n_grams", "novel_frac")
+    )

@@ -2332,3 +2332,63 @@ def test_dedup_weights_vs_duckdb(spark):
     n_clusters = sdf.select("cluster").distinct().count()
     total_w = sdf.agg(F.round(F.sum("weight"), 2).alias("t")).first()["t"]
     assert abs(total_w - n_clusters) < 0.5
+
+
+def test_ngram_novelty_vs_duckdb(spark):
+    """Exact DuckDB parity for n-gram novelty (beyond the driver window
+    → this is its correctness gate), plus a planted-boilerplate check."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["ngram_novelty"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = sorted(tuple(r) for r in con.execute("""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS w
+            FROM documents
+        ),
+        g AS (
+            SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(w) - 1, 1)),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                           AS gram
+                FROM t WHERE len(w) >= 3
+            )
+        ),
+        dfreq AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+        scored AS (
+            SELECT g.doc_id, count(*) AS n_grams,
+                   round(sum((df = 1)::INT)::DOUBLE / count(*), 4)
+                       AS novel_frac
+            FROM g JOIN dfreq USING (gram)
+            GROUP BY g.doc_id
+        )
+        SELECT d.doc_id, s.n_grams, s.novel_frac
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+    """).fetchall())
+    con.close()
+    assert s == d
+
+
+def test_ngram_novelty_flags_boilerplate(spark):
+    """A doc sharing all its trigrams with another scores 0 novelty; a
+    unique doc scores 1; sub-trigram docs get NULLs."""
+    from meeseeker_spark.ext.text import ngram_novelty
+
+    rows = [Row(doc_id=1, text="alpha beta gamma delta"),
+            Row(doc_id=2, text="alpha beta gamma delta"),
+            Row(doc_id=3, text="unique words entirely here"),
+            Row(doc_id=4, text="too short")]
+    got = {r["doc_id"]: (r["n_grams"], r["novel_frac"])
+           for r in ngram_novelty(spark.createDataFrame(rows)).collect()}
+    assert got[1] == (2, 0.0) and got[2] == (2, 0.0)
+    assert got[3] == (2, 1.0)
+    assert got[4] == (None, None)
