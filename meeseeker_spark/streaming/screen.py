@@ -147,9 +147,19 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
                  checkpoint_dir: str, threshold: float = 0.5,
                  available_now: bool = True,
                  index_table: str | None = None,
-                 index_buckets: int = 32) -> StreamingQuery:
+                 index_buckets: int = 32,
+                 quality_gate=None) -> StreamingQuery:
     """File stream over ``incoming_dir`` → screened corpus under
     ``out_dir``/corpus + rejection log under ``out_dir``/flagged.
+
+    ``quality_gate`` (opt-in): a ``DataFrame -> DataFrame`` returning
+    the SURVIVING rows of a batch (schema-preserving, deterministic —
+    any of the batch quality screens: gopher_rules keep,
+    quality_logit_scores keep, a stats floor).  It runs BEFORE the
+    dedup screen, so rejected docs never enter the corpus or the band
+    index; they land under ``out_dir``/quality_rejected/batch_id=N with
+    the same per-batch overwrite idempotence as the other sinks (a
+    deterministic gate re-derives the identical reject set on retry).
 
     ``out_dir`` must be a LOCAL filesystem path (the corpus-existence
     probe is os.listdir — same hermetic file-backed-sink scope as the
@@ -206,8 +216,18 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
         with open(marker, "w") as f:
             _json.dump({"index_table": index_table}, f)
 
+    quality_rejected_dir = os.path.join(out_dir, "quality_rejected")
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
+        if quality_gate is not None:
+            kept = quality_gate(batch_df)
+            rejected = batch_df.join(
+                kept.select("doc_id").distinct(), "doc_id", "left_anti")
+            (rejected.write.mode("overwrite")
+             .parquet(os.path.join(quality_rejected_dir,
+                                   f"batch_id={batch_id}")))
+            batch_df = kept
         corpus = bands = None
         # EXCLUDE this batch's own partitions everywhere: a retried
         # batch (crash after write, before checkpoint commit) would

@@ -965,3 +965,73 @@ def test_rebuild_band_index_clears_duplicates(spark, tmp_path_factory):
         assert got == want
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {TBL}")
+
+
+def test_screen_quality_gate(spark, tmp_path_factory):
+    """Opt-in quality gate on the ingest screen: rejected docs land in
+    quality_rejected, never reach the corpus or the band index, and a
+    checkpoint-wipe replay stays idempotent (deterministic gate →
+    identical reject set on retry)."""
+    import shutil
+    import time as _time
+
+    from meeseeker_spark.streaming.screen import start_screen
+
+    d = tmp_path_factory.mktemp("screenqg")
+    incoming, out, ckpt = d / "incoming", d / "out", d / "ckpt"
+    os.makedirs(incoming)
+
+    long_a = " ".join(f"ship{i}" for i in range(30))
+    long_b = " ".join(f"tide{i}" for i in range(30))
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    def doc(i, text):
+        return (i, text, "en", "web", len(text))
+
+    def drop(name, rows):
+        tmp = d / ("w_" + name)
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        os.rename(tmp / part, incoming / f"{name}.parquet")
+
+    def gate(df):
+        # stats-floor gate: ≥10 whitespace words (a gopher_rules-style
+        # screen; any deterministic schema-preserving filter works)
+        from pyspark.sql import functions as SF
+        return df.where(SF.size(SF.split("text", "\\s+")) >= 10)
+
+    drop("b1", [doc(1, long_a), doc(2, "too short to pass")])
+    q = start_screen(spark, str(incoming), str(out), str(ckpt),
+                     quality_gate=gate)
+    q.awaitTermination(120)
+    _time.sleep(1.1)
+    drop("b2", [doc(10, long_b), doc(11, "also tiny"),
+                doc(12, long_a.replace("ship0", "boat0"))])
+    q = start_screen(spark, str(incoming), str(out), str(ckpt),
+                     quality_gate=gate)
+    q.awaitTermination(120)
+
+    corpus = {r["doc_id"] for r in
+              spark.read.parquet(str(out / "corpus")).collect()}
+    rejected = {r["doc_id"] for r in
+                spark.read.parquet(str(out / "quality_rejected")).collect()}
+    flagged = {(r["new_id"], r["corpus_id"]) for r in
+               spark.read.parquet(str(out / "flagged")).collect()}
+    assert corpus == {1, 10}            # 12 = near-dup of 1, screened
+    assert rejected == {2, 11}          # gate rejects, dedup never sees
+    assert flagged == {(12, 1)}
+    # band index only carries gate survivors
+    idx_ids = {r["doc_id"] for r in
+               spark.read.parquet(str(out / "index")).collect()}
+    assert idx_ids == {1, 10}
+
+    # replay after checkpoint wipe: identical end state
+    shutil.rmtree(ckpt)
+    q = start_screen(spark, str(incoming), str(out), str(ckpt),
+                     quality_gate=gate)
+    q.awaitTermination(120)
+    assert {r["doc_id"] for r in
+            spark.read.parquet(str(out / "corpus")).collect()} == {1, 10}
+    assert {r["doc_id"] for r in
+            spark.read.parquet(str(out / "quality_rejected")).collect()} \
+        == {2, 11}
