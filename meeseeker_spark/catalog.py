@@ -2143,6 +2143,36 @@ def ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(docs, n=3)
 
 
+@register("frequent_lines", None, tags=("F2", "F4", "quality"))
+def frequent_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate table (ext.lines.frequent_lines, Wenzek
+    et al. 2020): normalized lines occurring in >= 2 distinct documents.
+    Count shuffle moves only (doc_id, 64-bit hash) pairs with map-side
+    partial aggregation.  The synthetic fixture is single-line, so here
+    this degenerates to whole-doc duplicate detection — the multi-line
+    semantics are pinned by the synthetic-corpus tests next to the
+    parity test.  Past the grading window → rows-only there; exact
+    DuckDB parity pinned by
+    tests/test_ext.py::test_frequent_lines_vs_duckdb."""
+    from .ext.lines import frequent_lines
+    docs = load(spark, sf_dir, "documents")
+    return frequent_lines(docs, min_df=2)
+
+
+@register("line_stripped_docs", None, tags=("F2", "F4", "quality"))
+def line_stripped_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-line removal rewrite (ext.lines.strip_frequent_lines):
+    drop every line shared by >= 2 distinct docs, preserving line order;
+    docs reduced to nothing stay with empty text (doc-level dedup owns
+    whole-doc drops).  One h-keyed count + anti-join (exchange reused) +
+    one doc_id rebuild shuffle.  Past the grading window → rows-only
+    there; exact DuckDB parity (including rebuilt text) pinned by
+    tests/test_ext.py::test_strip_frequent_lines_vs_duckdb."""
+    from .ext.lines import strip_frequent_lines
+    docs = load(spark, sf_dir, "documents")
+    return strip_frequent_lines(docs, min_df=2)
+
+
 def _ordered() -> list[Entry]:
     """Registry in driver-facing order: every driver-oracled entry first
     (the driver's correctness gate grades only the first 50 registrations,

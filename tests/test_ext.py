@@ -2392,3 +2392,169 @@ def test_ngram_novelty_flags_boilerplate(spark):
     assert got[1] == (2, 0.0) and got[2] == (2, 0.0)
     assert got[3] == (2, 1.0)
     assert got[4] == (None, None)
+
+
+# ---------------------------------------------------------------------------
+# Line/paragraph-hash dedup (ext.lines — CCNet boilerplate removal)
+# ---------------------------------------------------------------------------
+
+_LINE_DOCS = [
+    (1, "Subscribe to our newsletter\nreal content one\nfollow us on X",
+     "en", "a", 10),
+    (2, "subscribe  to our NEWSLETTER\nunique stuff two\n\n  \nfollow us on x",
+     "en", "a", 11),
+    (3, "totally original\nnothing shared", "en", "b", 12),
+    (4, "Subscribe to our newsletter", "en", "b", 13),
+    (5, "", "en", "c", 0),
+]
+
+_DUCK_LINES_PRE = r"""
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split(text, chr(10)),
+                              x -> trim(x) <> '') AS ls
+           FROM documents),
+lp AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(ls)+1),
+                                    i -> {'no': i-1, 'line': ls[i]})) AS u
+       FROM t),
+hh AS (SELECT doc_id, u.no AS line_no, u.line AS line,
+              substr(md5(trim(regexp_replace(lower(u.line), '\s+', ' ',
+                                             'g'))), 1, 16) AS h
+       FROM lp)
+"""
+
+
+def _line_docs_df(spark):
+    return spark.createDataFrame(
+        _LINE_DOCS, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def _duck_with_docs(rows=None, parquet=None):
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    if parquet:
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{parquet}/documents.parquet')")
+    else:
+        con.register("documents", pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"]))
+    return con
+
+
+def _frequent_lines_oracle(con):
+    return sorted(tuple(r) for r in con.execute(_DUCK_LINES_PRE + """
+        , pd AS (SELECT h, doc_id, count(*) AS occ, min(line) AS wl
+                 FROM hh GROUP BY h, doc_id)
+        SELECT h, min(wl) AS line, count(*) AS df_docs,
+               sum(occ) AS n_occurrences
+        FROM pd GROUP BY h HAVING count(*) >= 2
+    """).fetchall())
+
+
+def _strip_lines_oracle(con):
+    return sorted(tuple(r) for r in con.execute(_DUCK_LINES_PRE + """
+        , freq AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS dfd
+                                  FROM hh GROUP BY h) WHERE dfd >= 2),
+        kept AS (SELECT * FROM hh WHERE h NOT IN (SELECT h FROM freq)),
+        reb AS (SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY line_no)
+                           AS new_text,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id),
+        nl AS (SELECT doc_id, count(*) AS n_lines FROM hh GROUP BY doc_id)
+        SELECT d.doc_id, d.lang, d.source, d.n_chars,
+               coalesce(reb.new_text, '') AS text,
+               coalesce(nl.n_lines, 0) AS n_lines,
+               coalesce(reb.n_kept, 0) AS n_lines_kept
+        FROM documents d LEFT JOIN reb USING (doc_id)
+                         LEFT JOIN nl USING (doc_id)
+    """).fetchall())
+
+
+def test_frequent_lines_vs_duckdb(spark):
+    """Exact DuckDB parity on a multi-line corpus with planted
+    boilerplate (case/whitespace variants must collapse to one hash)."""
+    from meeseeker_spark.ext.lines import frequent_lines
+
+    s = sorted(tuple(r)
+               for r in frequent_lines(_line_docs_df(spark)).collect())
+    con = _duck_with_docs(rows=_LINE_DOCS)
+    d = _frequent_lines_oracle(con)
+    con.close()
+    assert s == d
+    assert len(s) == 2  # newsletter (3 docs) + follow-us (2 docs)
+
+
+def test_frequent_lines_vs_duckdb_fixture(spark):
+    """Same parity on the real sf0.1 fixture — the only SF whose
+    documents table contains duplicated (single-line) texts; the catalog
+    entry's correctness gate beyond the rows-only driver check."""
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["frequent_lines"].spark(spark, "/root/testdata/sf0.1")
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = _duck_with_docs(parquet="/root/testdata/sf0.1")
+    d = _frequent_lines_oracle(con)
+    con.close()
+    assert s == d
+    assert len(s) >= 1  # fixture really carries duplicate groups at sf0.1
+
+
+def test_strip_frequent_lines_vs_duckdb(spark):
+    """Exact parity including the rebuilt text, line counts, and the
+    kept-empty-doc policy (all-boilerplate docs stay, text='')."""
+    from meeseeker_spark.ext.lines import strip_frequent_lines
+
+    out = strip_frequent_lines(_line_docs_df(spark))
+    assert out.columns == ["doc_id", "lang", "source", "n_chars",
+                           "text", "n_lines", "n_lines_kept"]
+    s = sorted(tuple(r) for r in out.collect())
+    con = _duck_with_docs(rows=_LINE_DOCS)
+    d = _strip_lines_oracle(con)
+    con.close()
+    assert s == d
+
+
+def test_strip_frequent_lines_vs_duckdb_fixture(spark):
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["line_stripped_docs"].spark(
+        spark, "/root/testdata/sf0.1")
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = _duck_with_docs(parquet="/root/testdata/sf0.1")
+    d = _strip_lines_oracle(con)
+    con.close()
+    assert s == d
+
+
+def test_strip_frequent_lines_semantics(spark):
+    """Planted-boilerplate behavior: shared lines vanish everywhere
+    (including normalization variants), unique lines keep their order,
+    blank lines are dropped, fully-boilerplate and empty docs survive
+    with empty text."""
+    from meeseeker_spark.ext.lines import strip_frequent_lines
+
+    got = {r["doc_id"]: (r["text"], r["n_lines"], r["n_lines_kept"])
+           for r in strip_frequent_lines(_line_docs_df(spark)).collect()}
+    assert got[1] == ("real content one", 3, 1)
+    assert got[2] == ("unique stuff two", 3, 1)
+    assert got[3] == ("totally original\nnothing shared", 2, 2)
+    assert got[4] == ("", 1, 0)
+    assert got[5] == ("", 0, 0)
+
+
+def test_frequent_lines_in_doc_repetition_not_boilerplate(spark):
+    """A line repeated 5x inside ONE doc never reaches min_df=2 —
+    df_docs counts distinct documents, not occurrences."""
+    from meeseeker_spark.ext.lines import frequent_lines
+
+    df = spark.createDataFrame(
+        [(1, "\n".join(["same line"] * 5), "en", "a", 1),
+         (2, "other text", "en", "a", 1)],
+        ["doc_id", "text", "lang", "source", "n_chars"])
+    assert frequent_lines(df, min_df=2).count() == 0
+    one = frequent_lines(df, min_df=1).where(
+        F.col("line") == "same line").collect()
+    assert one and one[0]["df_docs"] == 1 and one[0]["n_occurrences"] == 5
