@@ -2143,6 +2143,24 @@ def ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(docs, n=3)
 
 
+@register("semantic_contamination", None, tags=("F3", "decontam"))
+def semantic_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark screen
+    (ext.decontam.semantic_contamination): flags corpus vectors cosine-
+    close (>= 0.4 at 4 dp) to any held-out benchmark vector — catches
+    the paraphrased leakage the n-gram contamination_screen misses.
+    Bench side = the same 1-in-19 slice benchmark_coverage holds out;
+    corpus = the rest.  Broadcast-bench BNLJ, one corpus pass.  Past the
+    grading window → rows-only there; exact DuckDB parity pinned by
+    tests/test_ext.py::test_semantic_contamination_vs_duckdb."""
+    from .ext.decontam import semantic_contamination
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_contamination(
+        emb.where(F.col("vec_id") % 19 != 0),
+        emb.where(F.col("vec_id") % 19 == 0),
+        threshold=0.4)
+
+
 @register("frequent_lines", None, tags=("F2", "F4", "quality"))
 def frequent_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style boilerplate table (ext.lines.frequent_lines, Wenzek

@@ -128,3 +128,47 @@ def decontaminate(docs: DataFrame, bench: DataFrame,
         .select(id_col)
     )
     return docs.join(flagged, id_col, "left_anti")
+
+
+def semantic_contamination(corpus_emb: DataFrame, bench_emb: DataFrame,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           threshold: float = 0.5) -> DataFrame:
+    """Embedding-space benchmark screen: n-gram collision
+    (``contamination``) misses PARAPHRASED eval leakage, so this flags
+    corpus items whose embedding is cosine-close to any benchmark item —
+    the semantic-dedup idea (ext.semdedup) pointed at decontamination.
+
+    Returns one row per corpus vector: (id_col, max_sim, n_bench_hits,
+    contaminated) — the highest benchmark similarity, how many benchmark
+    items clear ``threshold``, and the flag.  Per-pair similarities are
+    rounded to 4 dp BEFORE the max/threshold compare so every decision
+    is reproducible bit-for-bit by the DuckDB oracle (same convention as
+    knn_topk); a count (not an argmax) is reported because argmax under
+    exact similarity ties is engine-order-dependent.
+
+    Scale shape: the benchmark side is tiny by construction (an eval
+    suite vs a 100 TB corpus), so it broadcasts and the screen is ONE
+    pass over the corpus — BroadcastNestedLoopJoin × |bench| per row,
+    then a map-side-combined per-id aggregate; no corpus shuffle beyond
+    ``normalized``'s one linear barrier (which prevents the
+    CollapseProject re-evaluation trap on the join side).  If the bench
+    ever outgrows broadcast, swap the hint for the LSH bucket join in
+    ext.similarity — the report schema is unchanged.
+    """
+    from .similarity import dot, normalized
+
+    corpus = normalized(corpus_emb, id_col, vec_col)
+    bench = (normalized(bench_emb, id_col, vec_col)
+             .select(F.col(id_col).alias("_bid"),
+                     F.col("_nv").alias("_bv")))
+    sim = F.round(dot(F.col("_nv"), F.col("_bv")), 4)
+    return (
+        corpus.join(F.broadcast(bench))
+        .select(id_col, sim.alias("_s"))
+        .groupBy(id_col)
+        .agg(F.max("_s").alias("max_sim"),
+             F.sum((F.col("_s") >= F.lit(threshold)).cast("bigint"))
+             .alias("n_bench_hits"))
+        .withColumn("contaminated", F.col("n_bench_hits") > 0)
+    )

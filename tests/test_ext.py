@@ -2558,3 +2558,58 @@ def test_frequent_lines_in_doc_repetition_not_boilerplate(spark):
     one = frequent_lines(df, min_df=1).where(
         F.col("line") == "same line").collect()
     assert one and one[0]["df_docs"] == 1 and one[0]["n_occurrences"] == 5
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-space) decontamination
+# ---------------------------------------------------------------------------
+
+def test_semantic_contamination_vs_duckdb(spark):
+    """Exact DuckDB parity for the embedding benchmark screen (4-dp
+    rounding before max/threshold makes every decision reproducible)."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["semantic_contamination"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    d = sorted(tuple(r) for r in con.execute("""
+        WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+        e AS (SELECT vec_id,
+                     list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                         AS nv
+              FROM e0),
+        c AS (SELECT * FROM e WHERE vec_id % 19 <> 0),
+        b AS (SELECT vec_id AS bid, nv AS bv FROM e WHERE vec_id % 19 = 0),
+        s AS (SELECT c.vec_id, round(list_dot_product(c.nv, b.bv), 4) AS sim
+              FROM c CROSS JOIN b)
+        SELECT vec_id, max(sim) AS max_sim,
+               sum((sim >= 0.4)::BIGINT) AS n_bench_hits,
+               (sum((sim >= 0.4)::BIGINT) > 0) AS contaminated
+        FROM s GROUP BY vec_id
+    """).fetchall())
+    con.close()
+    assert s == d
+    assert any(r[3] for r in s)      # the fixture really has close pairs
+    assert not all(r[3] for r in s)  # ...and the flag discriminates
+
+
+def test_semantic_contamination_planted(spark):
+    """A corpus vector identical to a bench vector is flagged at
+    max_sim 1.0; an orthogonal one is clean with max_sim 0.0."""
+    from meeseeker_spark.ext.decontam import semantic_contamination
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])],
+        ["vec_id", "embedding"])
+    bench = spark.createDataFrame(
+        [(100, [2.0, 0.0, 0.0]), (101, [0.0, 0.0, 5.0])],
+        ["vec_id", "embedding"])
+    got = {r["vec_id"]: (r["max_sim"], r["n_bench_hits"], r["contaminated"])
+           for r in semantic_contamination(corpus, bench).collect()}
+    assert got[1] == (1.0, 1, True)
+    assert got[2] == (0.0, 0, False)

@@ -319,3 +319,24 @@ def test_dsir_broadcasts_ratio_and_takes_ordered(spark):
     df.collect()
     ep = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in ep
+
+
+def test_semantic_contamination_broadcasts_bench(spark):
+    """The embedding benchmark screen must broadcast the bench side
+    (BNLJ over the corpus scan) and stay Python-free — a shuffle join
+    here would move the whole corpus for a KB-sized eval set."""
+    plan = explain_str(
+        catalog.ENTRIES["semantic_contamination"].spark(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_line_strip_no_python_and_partial_agg(spark):
+    """Boilerplate-line removal: JVM-only, with map-side partial
+    aggregation on the line-hash count (combiners absorb a
+    billion-page boilerplate line before the shuffle)."""
+    plan = explain_str(
+        catalog.ENTRIES["line_stripped_docs"].spark(spark, SF))
+    assert "Python" not in plan
+    assert plan.count("HashAggregate") >= 2
