@@ -2191,6 +2191,23 @@ def line_stripped_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_frequent_lines(docs, min_df=2)
 
 
+@register("cdc_chunk_dups", None, tags=("F5", "F2"))
+def cdc_chunk_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking storage dedup over the binary media
+    column (ext.cdc): gear rolling hash cuts every blob at content-
+    determined boundaries; the report lists chunks shared by >= 2 blobs
+    with the bytes dedup would reclaim.  Chunking is numpy-vectorized
+    inside mapInPandas (the sanctioned Python path — no JVM rolling
+    hash); the dedup shuffle moves only (hash, ints).  Past the grading
+    window → rows-only there; bit-exact parity vs a per-byte pure-Python
+    reference chunker pinned by
+    tests/test_ext.py::test_cdc_chunks_match_python_oracle."""
+    from .ext.cdc import cdc_chunks, chunk_dups
+    from .ext.multimodal import attach_media
+    docs = load(spark, sf_dir, "documents")
+    return chunk_dups(cdc_chunks(attach_media(docs)), min_docs=2)
+
+
 def _ordered() -> list[Entry]:
     """Registry in driver-facing order: every driver-oracled entry first
     (the driver's correctness gate grades only the first 50 registrations,

@@ -2613,3 +2613,133 @@ def test_semantic_contamination_planted(spark):
            for r in semantic_contamination(corpus, bench).collect()}
     assert got[1] == (1.0, 1, True)
     assert got[2] == (0.0, 0, False)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup (ext.cdc)
+# ---------------------------------------------------------------------------
+
+def _py_cdc_oracle(data: bytes, min_size=64, max_size=512, mask=0x3F):
+    """Per-byte reference implementation of the ext.cdc spec: windowed
+    gear hash H_i = sum_{k=0..63} gear[b_{i-k}] << k mod 2^64, cut after
+    i where H_i & mask == 0, min/max bounds, forced cut at max_size."""
+    import hashlib as hl
+
+    from meeseeker_spark.ext.cdc import _GEAR, WINDOW
+
+    n = len(data)
+    if n == 0:
+        return []
+    cand = []
+    for i in range(n):
+        h = 0
+        for k in range(min(i + 1, WINDOW)):
+            h = (h + (_GEAR[data[i - k]] << k)) % (1 << 64)
+        if h & mask == 0:
+            cand.append(i + 1)
+    cuts, s = [], 0
+    while n - s > max_size:
+        nxt = [c for c in cand if s + min_size <= c <= s + max_size]
+        c = nxt[0] if nxt else s + max_size
+        cuts.append(c)
+        s = c
+    cuts.append(n)
+    out, s = [], 0
+    for i, c in enumerate(cuts):
+        out.append((i, s, c - s, hl.md5(data[s:c]).hexdigest()[:16]))
+        s = c
+    return out
+
+
+def _chain_bytes(seed: str, n: int) -> bytes:
+    """Deterministic pseudo-random payload: md5 chain."""
+    import hashlib as hl
+
+    out = b""
+    h = seed.encode()
+    while len(out) < n:
+        h = hl.md5(h).digest()
+        out += h
+    return out[:n]
+
+
+def test_cdc_chunks_match_python_oracle(spark):
+    """Bit-for-bit chunk-table parity between the numpy mapInPandas
+    chunker and the per-byte Python reference, on synthetic blobs of
+    every interesting shape + the real fixture media."""
+    from meeseeker_spark.ext.cdc import cdc_chunks
+    from meeseeker_spark.ext.multimodal import attach_media
+
+    blobs = {
+        1: _chain_bytes("a", 4096),          # multi-chunk
+        2: _chain_bytes("b", 700),           # a couple of chunks
+        3: _chain_bytes("c", 64),            # exactly min_size
+        4: b"x",                             # sub-window blob
+        5: b"\x00" * 2000,                   # uniform content (forced cuts)
+        6: b"",                              # empty -> no rows
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in blobs.items()],
+        "doc_id LONG, b BINARY")
+    got = sorted(
+        tuple(r) for r in cdc_chunks(df, bytes_col="b").collect())
+    want = sorted(
+        (k, *c) for k, v in blobs.items() for c in _py_cdc_oracle(v))
+    assert got == want
+
+    # real fixture media (text payload): same parity end-to-end
+    docs = load(spark, SF, "documents").limit(50)
+    got_fx = sorted(tuple(r)
+                    for r in cdc_chunks(attach_media(docs)).collect())
+    want_fx = sorted(
+        (r["doc_id"], *c)
+        for r in docs.collect()
+        for c in _py_cdc_oracle(r["text"].encode("utf-8")))
+    assert got_fx == want_fx
+
+
+def test_cdc_shift_robustness(spark):
+    """THE property fixed-size chunking fails: prepending bytes to a
+    blob re-aligns after one boundary, so the edited blob still shares
+    most chunk hashes with the original."""
+    from meeseeker_spark.ext.cdc import cdc_chunks, chunk_dups
+
+    base = _chain_bytes("payload", 8192)
+    edited = _chain_bytes("junkprefix", 100) + base
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(edited))],
+        "doc_id LONG, b BINARY")
+    chunks = cdc_chunks(df, bytes_col="b")
+    by_doc = {1: set(), 2: set()}
+    for r in chunks.collect():
+        by_doc[r["doc_id"]].add(r["chunk_hash"])
+    shared = by_doc[1] & by_doc[2]
+    # most of the original's chunks must survive the 100-byte prepend
+    assert len(shared) >= len(by_doc[1]) // 2
+
+    dups = {r["chunk_hash"]: r for r in chunk_dups(chunks).collect()}
+    assert set(dups) == shared
+    some = next(iter(dups.values()))
+    assert some["n_docs"] == 2 and some["dup_bytes"] == some["chunk_bytes"]
+
+
+def test_cdc_dedup_stats_and_fixture_dups(spark):
+    """dedup_stats accounting identity on a corpus with planted exact
+    dups; the sf0.1 fixture's duplicated docs surface as dup chunks
+    through the catalog entry."""
+    from meeseeker_spark import catalog
+    from meeseeker_spark.ext.cdc import cdc_chunks, dedup_stats
+
+    blob = _chain_bytes("z", 3000)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(blob))],
+        "doc_id LONG, b BINARY")
+    st = dedup_stats(cdc_chunks(df, bytes_col="b")).collect()[0]
+    assert st["bytes_total"] == 6000 and st["bytes_unique"] == 3000
+    assert st["dedup_ratio"] == 0.5
+
+    dup = catalog.ENTRIES["cdc_chunk_dups"].spark(
+        spark, "/root/testdata/sf0.1")
+    rows = dup.collect()
+    assert rows, "sf0.1 duplicated docs must yield duplicated chunks"
+    assert all(r["n_docs"] >= 2 and r["dup_bytes"] > 0 for r in rows)
