@@ -2208,6 +2208,26 @@ def cdc_chunk_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_dups(cdc_chunks(attach_media(docs)), min_docs=2)
 
 
+@register("corpus_diff", None, tags=("F4", "ops"))
+def corpus_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff audit (ext.diff.corpus_diff): v1 = docs with
+    doc_id % 5 != 0, v2 = docs with doc_id % 7 != 0 where every
+    doc_id % 11 == 0 text is edited — a deterministic derivation that
+    exercises all four statuses.  Each side reduces to (id, fp) before
+    the full-outer join (text never shuffles).  Past the grading window
+    → rows-only there; exact DuckDB parity pinned by
+    tests/test_ext.py::test_corpus_diff_vs_duckdb."""
+    from .ext.diff import corpus_diff
+    docs = load(spark, sf_dir, "documents")
+    v1 = docs.where(F.col("doc_id") % 5 != 0)
+    v2 = docs.where(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 11 == 0,
+               F.concat(F.col("text"), F.lit(" edited v2")))
+        .otherwise(F.col("text")))
+    return corpus_diff(v1, v2)
+
+
 def _ordered() -> list[Entry]:
     """Registry in driver-facing order: every driver-oracled entry first
     (the driver's correctness gate grades only the first 50 registrations,

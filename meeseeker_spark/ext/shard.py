@@ -53,10 +53,21 @@ def shard_assignments(df: DataFrame, n_shards: int = 64,
 def write_training_shards(df: DataFrame, out_dir: str,
                           n_shards: int = 64, id_col: str = "doc_id",
                           salt: str = "v1", mode: str = "overwrite",
-                          drop_cols: tuple[str, ...] = ()) -> None:
+                          drop_cols: tuple[str, ...] = (),
+                          order_by: str | None = None,
+                          ascending: bool = True) -> None:
     """Materialize the sharded layout: out_dir/shard=N/<one parquet
     file>, rows inside each shard in the deterministic pseudo-random
     order.  See module docstring for the scale rationale.
+
+    ``order_by`` switches the in-shard order from pseudo-random to a
+    CURRICULUM: rows sorted by that column (``ascending`` False for
+    hardest-first), with the pseudo-random key as the tie-break so equal
+    scores still interleave deterministically rather than clumping by
+    input order.  Shard ASSIGNMENT stays hash-uniform either way — the
+    curriculum orders within shards, so trainers reading shards
+    round-robin see the easy→hard progression without any global sort:
+    still one repartition + sortWithinPartitions, never an orderBy.
 
     The internal shard_pos_key never reaches the files (the projection
     above the sort prunes it without disturbing the in-partition order);
@@ -65,9 +76,14 @@ def write_training_shards(df: DataFrame, out_dir: str,
     a = shard_assignments(df, n_shards, id_col, salt)
     keep = [c for c in a.columns
             if c != "shard_pos_key" and c not in drop_cols]
+    order = [F.col("shard")]
+    if order_by is not None:
+        order.append(F.col(order_by).asc() if ascending
+                     else F.col(order_by).desc())
+    order += [F.col("shard_pos_key"), F.col(id_col)]
     (
         a.repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", "shard_pos_key", id_col)
+        .sortWithinPartitions(*order)
         .select(*keep)
         .write.partitionBy("shard").mode(mode).parquet(out_dir)
     )

@@ -2743,3 +2743,88 @@ def test_cdc_dedup_stats_and_fixture_dups(spark):
     rows = dup.collect()
     assert rows, "sf0.1 duplicated docs must yield duplicated chunks"
     assert all(r["n_docs"] >= 2 and r["dup_bytes"] > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff (ext.diff) + curriculum shard ordering (ext.shard)
+# ---------------------------------------------------------------------------
+
+def test_corpus_diff_vs_duckdb(spark):
+    """Exact DuckDB parity for the snapshot diff, and all four statuses
+    must actually occur under the catalog entry's derivation."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["corpus_diff"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = sorted(tuple(r) for r in con.execute("""
+        WITH v1 AS (SELECT doc_id,
+                           md5(trim(regexp_replace(lower(text), '\\s+',
+                                                   ' ', 'g'))) AS old_fp
+                    FROM documents WHERE doc_id % 5 <> 0),
+        v2 AS (SELECT doc_id,
+                      md5(trim(regexp_replace(lower(
+                          CASE WHEN doc_id % 11 = 0
+                               THEN text || ' edited v2' ELSE text END),
+                          '\\s+', ' ', 'g'))) AS new_fp
+               FROM documents WHERE doc_id % 7 <> 0)
+        SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, old_fp, new_fp,
+               CASE WHEN old_fp IS NULL THEN 'added'
+                    WHEN new_fp IS NULL THEN 'removed'
+                    WHEN old_fp = new_fp THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+    """).fetchall())
+    con.close()
+    assert s == d
+    statuses = {r[3] for r in s}
+    assert statuses == {"added", "removed", "changed", "unchanged"}
+
+
+def test_diff_summary_counts(spark):
+    from meeseeker_spark.ext.diff import corpus_diff, diff_summary
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "gone")],
+        ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(1, "Same   TEXT"), (2, "did change"), (4, "brand new")],
+        ["doc_id", "text"])
+    per_doc = {r["doc_id"]: r["status"]
+               for r in corpus_diff(old, new).collect()}
+    # normalization: case/whitespace drift is NOT a change
+    assert per_doc == {1: "unchanged", 2: "changed", 3: "removed",
+                       4: "added"}
+    summary = {r["status"]: r["n_docs"]
+               for r in diff_summary(old, new).collect()}
+    assert summary == {"unchanged": 1, "changed": 1, "removed": 1,
+                       "added": 1}
+
+
+def test_curriculum_shard_order(docs, tmp_path):
+    """order_by turns in-shard order into a curriculum (here: shortest
+    docs first), with the pseudo-random key breaking score ties; shard
+    ASSIGNMENT must be identical to the unordered export."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from meeseeker_spark.ext.shard import (shard_assignments,
+                                           write_training_shards)
+
+    out = str(tmp_path / "curr")
+    write_training_shards(docs, out, n_shards=4, order_by="n_chars")
+
+    expect = {}
+    for r in shard_assignments(docs, n_shards=4).collect():
+        expect.setdefault(r["shard"], []).append(
+            (r["n_chars"], r["shard_pos_key"], r["doc_id"]))
+    for s, rows in expect.items():
+        files = glob.glob(f"{out}/shard={s}/*.parquet")
+        assert len(files) == 1
+        got = pq.read_table(files[0], columns=["doc_id"])["doc_id"]
+        assert list(got.to_pylist()) == [d for _, _, d in sorted(rows)]
