@@ -134,6 +134,10 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--weights", default=None,
                     help='JSON domain weights, e.g. \'{"en":0.5,"de":0.5}\''
                          " (default: uniform over observed domains)")
+    pp.add_argument("--line-df", type=int, default=None,
+                    help="opt-in CCNet boilerplate-line strip after "
+                         "dedup: drop lines shared by >= N surviving "
+                         "docs (ext.lines)")
     pp.add_argument("--span-ngram", type=int, default=None,
                     help="opt-in exact-substring span strip between dedup "
                          "and decontamination (word-gram width, e.g. 50 "
@@ -163,6 +167,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="also write OUT/shards/shard=N/: deterministic "
                          "md5-shuffled training shards of the mixed "
                          "corpus (ext.shard; 0 = skip)")
+    pp.add_argument("--curriculum", default=None,
+                    help="with --shards: order rows INSIDE each shard by "
+                         "this corpus column (append ':desc' for "
+                         "hardest-first), e.g. 'n_chars' or "
+                         "'n_chars:desc' (ext.shard order_by)")
 
     a = p.parse_args(argv)
 
@@ -314,6 +323,7 @@ def main(argv: list[str] | None = None) -> int:
             weights = {l: 1.0 / len(langs) for l in langs}
         build = prepare_training_corpus(
             docs, bench, weights,
+            line_df=a.line_df,
             span_ngram=a.span_ngram,
             decontam_ngram=a.ngram, decontam_max_overlap=a.max_overlap,
             quality_floor=a.quality_floor,
@@ -339,11 +349,21 @@ def main(argv: list[str] | None = None) -> int:
             # mixture epochs make (doc_id, copy) the row identity; the
             # same ×1000 encode as the pack stage keys the shard hash
             written = spark.read.parquet(f"{a.out}/corpus")
+            order_by, ascending = None, True
+            if a.curriculum:
+                order_by, _, direction = a.curriculum.partition(":")
+                if order_by not in written.columns:
+                    p.error(f"--curriculum column {order_by!r} not in "
+                            f"the corpus columns {written.columns}")
+                if direction not in ("", "asc", "desc"):
+                    p.error("--curriculum direction must be asc or desc")
+                ascending = direction != "desc"
             write_training_shards(
                 written.withColumn(
                     "_row_id", SF.col("doc_id") * 1000 + SF.col("copy")),
                 f"{a.out}/shards", n_shards=a.shards, id_col="_row_id",
-                drop_cols=("_row_id",))
+                drop_cols=("_row_id",),
+                order_by=order_by, ascending=ascending)
         print(json.dumps(build.report(), sort_keys=True))
         return 0
 

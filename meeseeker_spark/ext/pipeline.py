@@ -4,6 +4,7 @@ composed in the order a real pretraining data pipeline runs them.
     raw docs
       → exact dedup            (hash-groupBy, controlled survivor)
       → near-dup dedup         (MinHash/LSH cluster survivors)
+      → line strip [opt-in]    (CCNet boilerplate-line removal, ext.lines)
       → span strip [opt-in]    (ExactSubstr passage rewrite, ext.spans)
       → source cap [opt-in]    (zero-shuffle per-source dominance guard)
       → benchmark decontamination (broadcast n-gram screen)
@@ -59,6 +60,7 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
                             text_col: str = "text",
                             domain_col: str = "lang",
                             near_dup_threshold: float = 0.5,
+                            line_df: int | None = None,
                             span_ngram: int | None = None,
                             decontam_ngram: int = 13,
                             decontam_max_overlap: float = 0.0,
@@ -79,6 +81,12 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
     conservative production default for 13-grams — at short n-grams or
     over narrow-vocabulary corpora it can reject nearly everything, so
     pair a small ``decontam_ngram`` with a nonzero tolerance.
+
+    ``line_df`` (opt-in) inserts CCNet boilerplate-line removal after
+    doc-level dedup: lines shared by >= line_df surviving documents are
+    stripped everywhere (ext.lines.strip_frequent_lines); n_chars is
+    refreshed so downstream budgets see post-strip sizes.  Docs reduced
+    to empty text flow on — the quality floor screens them out.
 
     ``span_ngram`` (opt-in) inserts the Lee-et-al. exact-substring
     rewrite between doc-level dedup and decontamination: passages
@@ -111,6 +119,16 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
 
     d2 = cc_dedup(d1, id_col, text_col, near_dup_threshold)
     stages["near_dedup"] = d2
+
+    if line_df is not None:
+        from .lines import strip_frequent_lines
+        d2 = strip_frequent_lines(d2, id_col, text_col,
+                                  min_df=line_df).drop(
+            "n_lines", "n_lines_kept")
+        if "n_chars" in d2.columns:
+            d2 = d2.withColumn("n_chars", F.length(text_col).cast(
+                dict(d2.dtypes)["n_chars"]))
+        stages["line_stripped"] = d2
 
     if span_ngram is not None:
         from .spans import strip_repeated_spans

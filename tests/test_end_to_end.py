@@ -383,3 +383,53 @@ def test_cli_prepare_optin_flags(tmp_path_factory, capsys):
     for stage in ("source_capped", "ppl_kept", "logit_kept"):
         assert stage in report
     assert report["ppl_kept"] <= report["quality_filtered"]
+
+
+def test_cli_prepare_line_df_and_curriculum(tmp_path_factory, capsys):
+    """`prepare --line-df` inserts the boilerplate-line strip (stage in
+    the report; the single-line fixture makes it a no-text-change pass)
+    and `--shards --curriculum n_chars:desc` orders every shard's rows
+    longest-first."""
+    import glob
+    import json
+
+    import pyarrow.parquet as pq
+
+    from meeseeker_spark.__main__ import main
+
+    d = tmp_path_factory.mktemp("prepline")
+    rc = main([
+        "prepare", "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", str(d / "out"), "--ngram", "3", "--max-overlap", "0.5",
+        "--weights",
+        '{"en":0.25,"de":0.1875,"fr":0.1875,"es":0.1875,"zh":0.1875}',
+        "--line-df", "2", "--shards", "4",
+        "--curriculum", "n_chars:desc",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "line_stripped" in report
+    assert report["line_stripped"] == report["near_dedup"]
+    for sdir in glob.glob(str(d / "out" / "shards" / "shard=*")):
+        files = glob.glob(f"{sdir}/*.parquet")
+        assert len(files) == 1
+        chars = pq.read_table(files[0], columns=["n_chars"])[
+            "n_chars"].to_pylist()
+        assert chars == sorted(chars, reverse=True)
+
+
+def test_cli_prepare_curriculum_bad_column(tmp_path_factory, capsys):
+    import pytest as _pytest
+
+    from meeseeker_spark.__main__ import main
+
+    d = tmp_path_factory.mktemp("prepbadcol")
+    with _pytest.raises(SystemExit):
+        main([
+            "prepare", "--docs",
+            "/root/testdata/sf0.001/documents.parquet",
+            "--out", str(d / "out"), "--ngram", "3",
+            "--max-overlap", "0.5",
+            "--weights", '{"en":1.0}',
+            "--shards", "2", "--curriculum", "nope",
+        ])
