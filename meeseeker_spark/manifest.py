@@ -118,14 +118,41 @@ class ManifestStore:
 
     # -- read side ----------------------------------------------------------
 
-    def files(self) -> list[str]:
-        return list(self._read_manifest()["files"])
+    def versions(self) -> list[int]:
+        """Manifest versions still on disk, ascending.  gc() drops old
+        manifest json, so this is also the time-travel horizon."""
+        return sorted(
+            int(f[1:-5]) for f in os.listdir(self._mdir())
+            if f.startswith("v") and f.endswith(".json")
+            and f[1:-5].isdigit())
 
-    def df(self) -> DataFrame:
-        files = self.files()
+    def files(self, version: int | None = None) -> list[str]:
+        if version is not None and version not in self.versions():
+            raise FileNotFoundError(
+                f"manifest store {self.path} has no version {version} "
+                f"(on disk: {self.versions()}; gc() prunes history)")
+        return list(self._read_manifest(version)["files"])
+
+    def df(self, version: int | None = None) -> DataFrame:
+        """The committed table — at ``version`` for time travel (the
+        snapshot-diff/audit read; pair two versions with
+        ext.diff.corpus_diff).  Every version is an immutable file LIST,
+        so old reads cost nothing extra — but gc(keep_versions=K)
+        reclaims files unreferenced by the newest K manifests, which
+        bounds how far back is readable; a pruned version raises
+        instead of silently returning partial data."""
+        files = self.files(version)
         if not files:
             raise FileNotFoundError(
-                f"manifest store {self.path} has no committed data")
+                f"manifest store {self.path} has no committed data"
+                + ("" if version is None else f" at version {version}"))
+        missing = [f for f in files
+                   if not os.path.exists(os.path.join(self.path, f))]
+        if missing:
+            raise FileNotFoundError(
+                f"version {version} references {len(missing)} gc'd "
+                f"file(s) (e.g. {missing[0]}); raise gc keep_versions "
+                f"to retain time-travel history")
         return self.spark.read.parquet(
             *[os.path.join(self.path, f) for f in files])
 

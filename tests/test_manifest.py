@@ -340,3 +340,45 @@ def test_manifest_random_op_sequences(spark, tmp_path_factory):
                 assert os.path.exists(os.path.join(s.path, f)), f
 
     run()
+
+
+def test_time_travel_reads(spark, tmp_path):
+    """df(version=N) reads the immutable snapshot, versions() lists the
+    horizon, and corpus_diff across two store versions reports exactly
+    what an overwrite changed."""
+    from meeseeker_spark.ext.diff import corpus_diff
+
+    s = ManifestStore(spark, str(tmp_path / "m"))
+    s.append(spark.createDataFrame(
+        [(1, "one"), (2, "two")], "doc_id bigint, text string"))      # v1
+    s.append(spark.createDataFrame(
+        [(3, "three")], "doc_id bigint, text string"))                # v2
+    s.overwrite(spark.createDataFrame(
+        [(1, "one"), (3, "three EDITED")],
+        "doc_id bigint, text string"))                                # v3
+    assert s.versions() == [1, 2, 3]
+    assert {r["doc_id"] for r in s.df(version=1).collect()} == {1, 2}
+    assert {r["doc_id"] for r in s.df(version=2).collect()} == {1, 2, 3}
+    assert {r["doc_id"] for r in s.df().collect()} == {1, 3}
+    statuses = {r["doc_id"]: r["status"]
+                for r in corpus_diff(s.df(version=2), s.df()).collect()}
+    assert statuses == {1: "unchanged", 2: "removed", 3: "changed"}
+    with pytest.raises(FileNotFoundError):
+        s.df(version=9)
+
+
+def test_time_travel_horizon_after_gc(spark, tmp_path):
+    """gc prunes manifests outside keep_versions: pruned versions raise
+    loudly instead of silently returning partial data; kept window
+    versions remain fully readable (gc retains their files)."""
+    s = ManifestStore(spark, str(tmp_path / "m"))
+    for i in range(4):
+        s.append(_rows(spark, [i]))                # v1..v4
+    s.overwrite(_rows(spark, [99]))                # v5 drops v1-v4 files
+    s.gc(keep_versions=2)
+    assert s.versions() == [4, 5]
+    with pytest.raises(FileNotFoundError):
+        s.df(version=2)
+    # v4 is inside the kept window: its files survived gc
+    assert sorted(r["id"] for r in s.df(version=4).collect()) == [0, 1, 2, 3]
+    assert [r["id"] for r in s.df().collect()] == [99]
