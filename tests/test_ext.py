@@ -2583,8 +2583,10 @@ def test_semantic_contamination_vs_duckdb(spark):
                      list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
                          AS nv
               FROM e0),
-        c AS (SELECT * FROM e WHERE vec_id % 19 <> 0),
-        b AS (SELECT vec_id AS bid, nv AS bv FROM e WHERE vec_id % 19 = 0),
+        c AS (SELECT * FROM e
+              WHERE NOT (vec_id % 19 = 0 AND vec_id < 1000)),
+        b AS (SELECT vec_id AS bid, nv AS bv FROM e
+              WHERE vec_id % 19 = 0 AND vec_id < 1000),
         s AS (SELECT c.vec_id, round(list_dot_product(c.nv, b.bv), 4) AS sim
               FROM c CROSS JOIN b)
         SELECT vec_id, max(sim) AS max_sim,
