@@ -2230,6 +2230,32 @@ def corpus_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_diff(v1, v2)
 
 
+@register("blocklist_screen", None, tags=("F4", "quality"))
+def blocklist_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist screen (ext.text.blocklist_screen, Raffel et
+    al. 2020): per-doc blocked-token occurrence counts + keep decision
+    at a 2% tolerance.  The list rides the plan as a literal array —
+    one narrow codegen projection, zero shuffles/joins.  Past the
+    grading window → rows-only there; exact DuckDB parity pinned by
+    tests/test_ext.py::test_blocklist_screen_vs_duckdb."""
+    from .ext.text import blocklist_screen
+    docs = load(spark, sf_dir, "documents")
+    return blocklist_screen(docs, ["slow", "dup", "big"], max_frac=0.02)
+
+
+@register("bm25_topk", None, tags=("F4", "F3"))
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (ext.rank.bm25_topk): top-20 docs for a
+    3-term query — the lexical retrieval half of retrieval-based data
+    selection.  One corpus pass (query-term postings only enter the
+    shuffle), broadcast df/stats, TakeOrderedAndProject top-k.  Past
+    the grading window → rows-only there; exact DuckDB parity pinned by
+    tests/test_ext.py::test_bm25_topk_vs_duckdb."""
+    from .ext.rank import bm25_topk
+    docs = load(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["window", "merge", "stream"], k=20)
+
+
 def _ordered() -> list[Entry]:
     """Registry in driver-facing order: every driver-oracled entry first
     (the driver's correctness gate grades only the first 50 registrations,

@@ -422,3 +422,38 @@ def ngram_novelty(df: DataFrame, n: int = 3, id_col: str = "doc_id",
         .join(scored, "_id", "left")
         .select(F.col("_id").alias(id_col), "n_grams", "novel_frac")
     )
+
+
+def blocklist_screen(df: DataFrame, blocklist: list[str],
+                     id_col: str = "doc_id", text_col: str = "text",
+                     max_frac: float = 0.0) -> DataFrame:
+    """C4-style blocklist filter (Raffel et al. 2020 §2.2: drop any page
+    containing a word on a blocklist).  Returns per-doc
+    (id, n_tokens, n_blocked, blocked_frac, keep) — keep is
+    blocked_frac <= max_frac, so the default 0.0 is C4's any-hit-drops
+    policy and a small tolerance turns it into a soft screen.
+
+    Scale shape: the blocklist rides the PLAN as a literal array (real
+    lists are a few hundred words per language), so the screen is one
+    narrow whole-stage-codegen projection over the scan — zero shuffles,
+    zero joins.  A blocklist too large to inline would switch to a
+    broadcast semi-join on exploded tokens (the decontam shape) with the
+    same output contract.  Counting is per-OCCURRENCE (a doc repeating
+    one blocked word 50 times scores 50), matching the DuckDB oracle's
+    list_filter count."""
+    if not blocklist:
+        raise ValueError("blocklist must be non-empty")
+    lit_list = F.array(*[F.lit(w.lower()) for w in blocklist])
+    toks = tokens(F.col(text_col))
+    blocked = F.size(F.filter(toks, lambda t: F.array_contains(
+        lit_list, t)))
+    n = F.size(toks)
+    return df.select(
+        id_col,
+        n.cast("bigint").alias("n_tokens"),
+        blocked.cast("bigint").alias("n_blocked"),
+        F.round(F.when(n > 0, blocked / n).otherwise(F.lit(0.0)), 4)
+        .alias("blocked_frac"),
+        (F.when(n > 0, blocked / n).otherwise(F.lit(0.0))
+         <= F.lit(max_frac)).alias("keep"),
+    )

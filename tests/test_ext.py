@@ -2830,3 +2830,125 @@ def test_curriculum_shard_order(docs, tmp_path):
         assert len(files) == 1
         got = pq.read_table(files[0], columns=["doc_id"])["doc_id"]
         assert list(got.to_pylist()) == [d for _, _, d in sorted(rows)]
+
+
+# ---------------------------------------------------------------------------
+# C4 blocklist screen + BM25 retrieval (ext.text / ext.rank)
+# ---------------------------------------------------------------------------
+
+def test_blocklist_screen_vs_duckdb(spark):
+    """Exact DuckDB parity for the blocklist screen; both keep outcomes
+    must be live on the fixture at the catalog entry's tolerance."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["blocklist_screen"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = sorted(tuple(r) for r in con.execute("""
+        WITH t AS (SELECT doc_id,
+                          list_filter(string_split_regex(lower(text),
+                                      '[^a-z0-9]+'), x -> x <> '') AS w
+                   FROM documents),
+        c AS (SELECT doc_id, len(w)::BIGINT AS n_tokens,
+                     len(list_filter(w, x -> list_contains(
+                         ['slow','dup','big'], x)))::BIGINT AS n_blocked
+              FROM t)
+        SELECT doc_id, n_tokens, n_blocked,
+               round(CASE WHEN n_tokens > 0
+                          THEN n_blocked::DOUBLE / n_tokens
+                          ELSE 0.0 END, 4) AS blocked_frac,
+               (CASE WHEN n_tokens > 0
+                     THEN n_blocked::DOUBLE / n_tokens
+                     ELSE 0.0 END) <= 0.02 AS keep
+        FROM c
+    """).fetchall())
+    con.close()
+    assert s == d
+    keeps = {r[4] for r in s}
+    assert keeps == {True, False}
+
+
+def test_blocklist_screen_semantics(spark):
+    """Any-hit-drops at max_frac=0, per-occurrence counting, and the
+    empty-doc keep policy."""
+    from meeseeker_spark.ext.text import blocklist_screen
+
+    df = spark.createDataFrame(
+        [(1, "clean words only here"),
+         (2, "one bad BAD word bad"),
+         (3, "")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_blocked"], r["keep"])
+           for r in blocklist_screen(df, ["bad"]).collect()}
+    assert got[1] == (0, True)
+    assert got[2] == (3, False)   # case-folded, per-occurrence
+    assert got[3] == (0, True)    # empty doc: nothing blocked
+
+    with pytest.raises(ValueError):
+        blocklist_screen(df, [])
+
+
+def test_bm25_topk_vs_duckdb(spark):
+    """Exact DuckDB parity for BM25 top-k (Lucene idf, k1=1.2, b=0.75,
+    4-dp scores, id-tie-broken ordering)."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["bm25_topk"].spark(spark, SF)
+    s = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = [tuple(r) for r in con.execute("""
+        WITH t AS (SELECT doc_id,
+                          list_filter(string_split_regex(lower(text),
+                                      '[^a-z0-9]+'), x -> x <> '') AS w
+                   FROM documents),
+        stats AS (SELECT count(*) AS nd, avg(len(w))::DOUBLE AS ad FROM t),
+        h0 AS (SELECT doc_id, len(w) AS dl,
+                      unnest(list_filter(w, x -> list_contains(
+                          ['merge','stream','window'], x))) AS tm
+               FROM t),
+        hits AS (SELECT doc_id, tm, count(*) AS tf, max(dl) AS dl
+                 FROM h0 GROUP BY doc_id, tm),
+        dfq AS (SELECT tm, count(*) AS dft FROM hits GROUP BY tm),
+        sc AS (SELECT h.doc_id, count(*) AS n_hits,
+                      round(sum(ln((nd - dft + 0.5) / (dft + 0.5) + 1.0)
+                                * tf * 2.2
+                                / (tf + 1.2 * (0.25 + 0.75 * dl / ad))),
+                            4) AS bm25
+               FROM hits h JOIN dfq USING (tm) CROSS JOIN stats
+               GROUP BY h.doc_id)
+        SELECT doc_id, n_hits, bm25 FROM sc
+        ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    """).fetchall()]
+    con.close()
+    assert s == d
+    assert len(s) == 20
+    scores = [r[2] for r in s]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_ranking_semantics(spark):
+    """More query-term mass ranks higher; length normalization demotes
+    padded docs; non-matching docs never appear."""
+    from meeseeker_spark.ext.rank import bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, "cat cat cat"),
+         (2, "cat dog filler filler filler filler filler filler"),
+         (3, "nothing relevant at all"),
+         (4, "cat dog")],
+        ["doc_id", "text"])
+    rows = bm25_topk(df, ["cat", "dog"], k=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert 3 not in ids
+    # doc 4 matches both terms tightly; doc 2 matches both but padded
+    assert ids.index(4) < ids.index(2)
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id[4]["n_hits"] == 2 and by_id[1]["n_hits"] == 1

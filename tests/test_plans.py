@@ -340,3 +340,26 @@ def test_line_strip_no_python_and_partial_agg(spark):
         catalog.ENTRIES["line_stripped_docs"].spark(spark, SF))
     assert "Python" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_blocklist_screen_narrow_codegen(spark):
+    """The C4 blocklist is a literal in the plan: one narrow projection,
+    no Exchange/Join/Python."""
+    plan = explain_str(catalog.ENTRIES["blocklist_screen"].spark(spark, SF))
+    for bad in ("Exchange", "Join", "Python"):
+        assert bad not in plan, bad
+    # scan → one Project; higher-order filter() keeps the projection out
+    # of whole-stage codegen, but it stays a narrow JVM expression
+    assert "Project" in plan and "Scan parquet" in plan
+
+
+def test_bm25_takeordered_and_broadcasts(spark):
+    """BM25: top-k plans as TakeOrderedAndProject (per-partition heaps,
+    no global sort), term-df and corpus stats come back as broadcasts,
+    and nothing crosses into Python."""
+    plan = explain_str(catalog.ENTRIES["bm25_topk"].spark(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan          # df join
+    assert "BroadcastNestedLoopJoin" in plan    # 1-row stats join
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
