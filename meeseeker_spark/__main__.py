@@ -148,6 +148,11 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--source-cap", type=int, default=None,
                     help="opt-in per-source document cap (zero-shuffle "
                          "approximate hash cap; ext.mix.domain_cap_hash)")
+    pp.add_argument("--blocklist", default=None,
+                    help="opt-in C4 word blocklist: comma-joined words; "
+                         "docs over --blocklist-max-frac blocked-token "
+                         "fraction are dropped (ext.text)")
+    pp.add_argument("--blocklist-max-frac", type=float, default=0.0)
     pp.add_argument("--gopher", action="store_true",
                     help="opt-in Gopher/MassiveText quality-rule screen "
                          "(ext.text.gopher_rules, default thresholds)")
@@ -328,6 +333,9 @@ def main(argv: list[str] | None = None) -> int:
             decontam_ngram=a.ngram, decontam_max_overlap=a.max_overlap,
             quality_floor=a.quality_floor,
             source_cap=a.source_cap,
+            blocklist=([w.strip() for w in a.blocklist.split(",")
+                        if w.strip()] if a.blocklist else None),
+            blocklist_max_frac=a.blocklist_max_frac,
             gopher=a.gopher,
             ppl_keep=(tuple(x.strip() for x in a.ppl_keep.split(","))
                       if a.ppl_keep else None),

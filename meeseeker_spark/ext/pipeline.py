@@ -9,6 +9,7 @@ composed in the order a real pretraining data pipeline runs them.
       → source cap [opt-in]    (zero-shuffle per-source dominance guard)
       → benchmark decontamination (broadcast n-gram screen)
       → quality filter         (composite score ≥ floor)
+      → blocklist [opt-in]     (C4 word blocklist, narrow literal-array)
       → Gopher rules [opt-in]  (MassiveText rule battery, narrow)
       → perplexity keep [opt-in] (CCNet head/middle/tail bucket screen)
       → classifier keep [opt-in] (distilled linear model, narrow scoring)
@@ -65,6 +66,8 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
                             decontam_ngram: int = 13,
                             decontam_max_overlap: float = 0.0,
                             quality_floor: float = 0.25,
+                            blocklist: list[str] | None = None,
+                            blocklist_max_frac: float = 0.0,
                             source_cap: int | None = None,
                             source_col: str = "source",
                             gopher: bool = False,
@@ -105,6 +108,9 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
     the distilled linear classifier's keep decision at the given
     probability cut (ext.classifier.quality_logit_scores) — a second,
     model-based opinion alongside the rules-based floor.
+    ``blocklist`` (opt-in) applies the C4 blocklist screen after the
+    composite floor (ext.text.blocklist_screen; ``blocklist_max_frac``
+    0.0 = C4's any-hit-drops policy).
     ``gopher=True`` (opt-in) applies the Gopher/MassiveText rule
     battery (ext.text.gopher_rules, default thresholds) after the
     composite floor.
@@ -160,6 +166,14 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
         F.col("quality") >= quality_floor).select(id_col)
     d4 = d3.join(q, id_col)
     stages["quality_filtered"] = d4
+
+    if blocklist:
+        from .text import blocklist_screen
+        keep_ids = blocklist_screen(
+            d4, blocklist, id_col, text_col,
+            max_frac=blocklist_max_frac).where("keep").select(id_col)
+        d4 = d4.join(keep_ids, id_col)
+        stages["blocklist_kept"] = d4
 
     if gopher:
         from .text import gopher_rules

@@ -377,11 +377,14 @@ def test_cli_prepare_optin_flags(tmp_path_factory, capsys):
         '{"en":0.25,"de":0.1875,"fr":0.1875,"es":0.1875,"zh":0.1875}',
         "--source-cap", "15", "--ppl-keep", "head,middle",
         "--logit-threshold", "0.05",
+        "--blocklist", "slow,dup", "--blocklist-max-frac", "0.05",
     ])
     assert rc == 0
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    for stage in ("source_capped", "ppl_kept", "logit_kept"):
+    for stage in ("source_capped", "blocklist_kept", "ppl_kept",
+                  "logit_kept"):
         assert stage in report
+    assert report["blocklist_kept"] <= report["quality_filtered"]
     assert report["ppl_kept"] <= report["quality_filtered"]
 
 
