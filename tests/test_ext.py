@@ -2952,3 +2952,86 @@ def test_bm25_ranking_semantics(spark):
     assert ids.index(4) < ids.index(2)
     by_id = {r["doc_id"]: r for r in rows}
     assert by_id[4]["n_hits"] == 2 and by_id[1]["n_hits"] == 1
+
+
+def test_lines_property_oracle_and_idempotence(spark):
+    """Random multi-line corpora vs a pure-Python line-dedup oracle:
+    strip output matches exactly, and a second strip at the same min_df
+    is a no-op (removing boilerplate can only LOWER remaining lines'
+    doc-frequencies, never raise them)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from meeseeker_spark.ext.lines import strip_frequent_lines
+
+    def py_oracle(texts, min_df):
+        import hashlib as hl
+
+        def norm(ln):
+            import re
+            return hl.md5(re.sub(r"\s+", " ", ln.lower()).strip()
+                          .encode()).hexdigest()[:16]
+
+        doc_lines = {d: [ln for ln in t.split("\n") if ln.strip()]
+                     for d, t in texts.items()}
+        dfreq = {}
+        for d, ls in doc_lines.items():
+            for h in {norm(ln) for ln in ls}:
+                dfreq[h] = dfreq.get(h, 0) + 1
+        out = {}
+        for d, ls in doc_lines.items():
+            kept = [ln for ln in ls if dfreq[norm(ln)] < min_df]
+            out[d] = ("\n".join(kept), len(ls), len(kept))
+        return out
+
+    line = st.sampled_from(
+        ["subscribe now", "Subscribe  NOW", "alpha", "beta g", "", "  ",
+         "gamma delta x"])
+    doc = st.lists(line, max_size=6).map("\n".join)
+    corpus = st.lists(doc, min_size=1, max_size=6)
+
+    @settings(max_examples=12, deadline=None, derandomize=True,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(corpus=corpus, min_df=st.sampled_from([2, 3]))
+    def run(corpus, min_df):
+        texts = dict(enumerate(corpus))
+        df = spark.createDataFrame(list(texts.items()),
+                                   ["doc_id", "text"])
+        got = {r["doc_id"]: (r["text"], r["n_lines"], r["n_lines_kept"])
+               for r in strip_frequent_lines(df, min_df=min_df).collect()}
+        assert got == py_oracle(texts, min_df)
+        again = strip_frequent_lines(
+            spark.createDataFrame([(d, t) for d, (t, _, _)
+                                   in got.items()],
+                                  ["doc_id", "text"]),
+            min_df=min_df)
+        assert {r["doc_id"]: r["text"] for r in again.collect()} \
+            == {d: t for d, (t, _, _) in got.items()}
+
+    run()
+
+
+def test_cdc_partition_invariants(spark):
+    """Chunk tables must PARTITION each blob: offsets contiguous from 0,
+    lengths sum to the blob size, every interior chunk within
+    [min, max] bounds — across varied synthetic shapes in one pass."""
+    from meeseeker_spark.ext.cdc import cdc_chunks
+
+    blobs = {i: _chain_bytes(f"s{i}", 37 * i + 64) for i in range(1, 30)}
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in blobs.items()],
+        "doc_id LONG, b BINARY")
+    per_doc: dict[int, list] = {}
+    for r in cdc_chunks(df, bytes_col="b").collect():
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(per_doc) == set(blobs)
+    for d, rows in per_doc.items():
+        rows.sort(key=lambda r: r["chunk_no"])
+        assert [r["chunk_no"] for r in rows] == list(range(len(rows)))
+        pos = 0
+        for r in rows:
+            assert r["offset"] == pos and r["length"] > 0
+            pos += r["length"]
+        assert pos == len(blobs[d])
+        for r in rows[:-1]:
+            assert 64 <= r["length"] <= 512
