@@ -302,3 +302,40 @@ def rebuild_band_index(spark: SparkSession, out_dir: str, index_table: str,
      .bucketBy(index_buckets, "band").sortBy("band")
      .format("parquet").saveAsTable(index_table))
     return spark.table(index_table).count()
+
+
+def screen_report(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Per-batch observability rollup of a screen's output tree:
+    (batch_id, n_admitted, n_flagged, n_quality_rejected), ordered by
+    batch — the first operational question of a continuous-ingest
+    screen ("what did each trigger do?") answered from the idempotent
+    batch_id=N layout alone, no extra bookkeeping written on the hot
+    path.  Batches whose every row was rejected still appear (counts
+    join FULL OUTER and coalesce to 0); quality_rejected is absent
+    entirely when no quality gate ran.  Scale: three metadata-cheap
+    count aggregates over the partition column — column pruning means
+    the text/bytes columns are never read."""
+    def counts(sub: str, alias: str) -> DataFrame | None:
+        p = os.path.join(out_dir, sub)
+        if not os.path.isdir(p) or not any(
+                n.startswith("batch_id=") for n in os.listdir(p)):
+            return None
+        return (spark.read.parquet(p)
+                .groupBy("batch_id").agg(F.count("*").alias(alias)))
+
+    admitted = counts("corpus", "n_admitted")
+    if admitted is None:
+        raise FileNotFoundError(
+            f"{out_dir} has no corpus/batch_id=N output — not a screen "
+            f"output tree (or the screen has not committed a batch yet)")
+    out = admitted
+    for sub, alias in (("flagged", "n_flagged"),
+                       ("quality_rejected", "n_quality_rejected")):
+        c = counts(sub, alias)
+        out = (out.join(c, "batch_id", "full_outer") if c is not None
+               else out.withColumn(alias, F.lit(0)))
+    return out.select(
+        "batch_id",
+        *[F.coalesce(F.col(a), F.lit(0)).cast("long").alias(a)
+          for a in ("n_admitted", "n_flagged", "n_quality_rejected")]
+    ).orderBy("batch_id")

@@ -1035,3 +1035,40 @@ def test_screen_quality_gate(spark, tmp_path_factory):
     assert {r["doc_id"] for r in
             spark.read.parquet(str(out / "quality_rejected")).collect()} \
         == {2, 11}
+
+
+def test_screen_report_rollup(spark, tmp_path_factory):
+    """screen_report: per-batch admitted/flagged/quality counts from the
+    batch_id=N layout — all-rejected batches still appear at 0 admitted,
+    missing quality dir reads as zeros, no tree → loud error."""
+    import pytest as _pytest
+
+    from meeseeker_spark.streaming.screen import screen_report
+
+    d = tmp_path_factory.mktemp("screenrep")
+    out = d / "out"
+
+    def w(sub, batch_id, rows, cols):
+        (spark.createDataFrame(rows, cols).write.mode("overwrite")
+         .parquet(str(out / sub / f"batch_id={batch_id}")))
+
+    doc_cols = ["doc_id", "text"]
+    flag_cols = ["new_id", "corpus_id", "jaccard"]
+    w("corpus", 0, [(1, "a"), (2, "b")], doc_cols)
+    w("corpus", 1, [(3, "c")], doc_cols)
+    w("flagged", 0, [], "new_id bigint, corpus_id bigint, jaccard double")
+    w("flagged", 1, [(4, 1, 0.9), (5, 2, 0.8)], flag_cols)
+    # batch 2: everything rejected → empty corpus partition, 1 flag
+    w("corpus", 2, [], "doc_id bigint, text string")
+    w("flagged", 2, [(6, 3, 1.0)], flag_cols)
+
+    got = [tuple(r) for r in screen_report(spark, str(out)).collect()]
+    assert got == [(0, 2, 0, 0), (1, 1, 2, 0), (2, 0, 1, 0)]
+
+    # quality_rejected dir present → real counts appear
+    w("quality_rejected", 1, [(9, "junk")], doc_cols)
+    got2 = [tuple(r) for r in screen_report(spark, str(out)).collect()]
+    assert got2 == [(0, 2, 0, 0), (1, 1, 2, 1), (2, 0, 1, 0)]
+
+    with _pytest.raises(FileNotFoundError):
+        screen_report(spark, str(d / "nowhere"))
