@@ -2256,6 +2256,24 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, ["window", "merge", "stream"], k=20)
 
 
+@register("bm25_batch_topk", None, tags=("F4", "F3"))
+def bm25_batch_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25 (ext.rank.bm25_batch_topk): top-10 per query for a
+    3-query batch in ONE corpus pass — union-vocab broadcast semi-join,
+    broadcast query fan-out, per-query WindowGroupLimit top-k.  Past
+    the grading window → rows-only there; exact DuckDB parity + single-
+    query==bm25_topk consistency pinned by
+    tests/test_ext.py::test_bm25_batch_vs_duckdb_and_single."""
+    from .ext.rank import bm25_batch_topk
+    docs = load(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(1, ["window", "merge", "stream"]),
+         (2, ["slow", "filter"]),
+         (3, ["customer", "table", "scan"])],
+        ["q_id", "terms"])
+    return bm25_batch_topk(docs, queries, k=10)
+
+
 def _ordered() -> list[Entry]:
     """Registry in driver-facing order: every driver-oracled entry first
     (the driver's correctness gate grades only the first 50 registrations,

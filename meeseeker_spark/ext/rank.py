@@ -89,3 +89,71 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
         .orderBy(F.col("bm25").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def bm25_batch_topk(df: DataFrame, queries: DataFrame, k: int = 10,
+                    k1: float = 1.2, b: float = 0.75,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    q_id_col: str = "q_id",
+                    q_terms_col: str = "terms") -> DataFrame:
+    """Batched BM25: top-k documents for EVERY query in ``queries``
+    (q_id, terms array) — the retrieval-at-scale shape (N queries ×
+    corpus in one job, like ext.similarity's batched knn).
+
+    Returns (q_id_col, id_col, n_hits, bm25, rk) with rk 1..k per
+    query, ordered within each query by (bm25 desc, id asc).
+
+    Scale shape: the UNION of all query terms is a broadcast semi-join
+    against the exploded corpus tokens, so the corpus is tokenized and
+    scanned ONCE regardless of query count; per-(doc, term) tfs then
+    fan out to queries through a second broadcast join (query lists are
+    KBs), and per-query top-k is a rank window the optimizer bounds
+    with WindowGroupLimit — per-partition heaps per query, no global
+    sort.  idf/df/avgdl math matches ``bm25_topk`` exactly."""
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    qt = queries.select(
+        F.col(q_id_col).alias("_q"),
+        F.explode(q_terms_col).alias("_t")).distinct()
+    vocab = qt.select("_t").distinct()
+
+    toked = df.select(F.col(id_col).alias("_id"),
+                      tokens(F.col(text_col)).alias("_w"))
+    stats = toked.agg(
+        F.count("*").alias("_n_docs"),
+        F.avg(F.size("_w")).alias("_avgdl"))
+    hits = (
+        toked.select("_id", F.size("_w").alias("_dl"),
+                     F.explode("_w").alias("_t"))
+        .join(F.broadcast(vocab), "_t")
+        .groupBy("_id", "_t")
+        .agg(F.count("*").alias("_tf"), F.max("_dl").alias("_dl"))
+    )
+    dfreq = hits.groupBy("_t").agg(F.count("*").alias("_df"))
+    scored = (
+        hits.join(F.broadcast(dfreq), "_t")
+        .join(F.broadcast(qt), "_t")            # fan out to queries
+        .join(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log((F.col("_n_docs") - F.col("_df") + 0.5)
+                  / (F.col("_df") + 0.5) + 1.0))
+        .withColumn(
+            "_s",
+            F.col("_idf") * F.col("_tf") * (k1 + 1)
+            / (F.col("_tf")
+               + k1 * (1 - b + b * F.col("_dl") / F.col("_avgdl"))))
+        .groupBy("_q", "_id")
+        .agg(F.count("*").alias("n_hits"),
+             F.round(F.sum("_s"), 4).alias("bm25"))
+    )
+    w = Window.partitionBy("_q").orderBy(F.col("bm25").desc(),
+                                         F.col("_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(F.col("_q").alias(q_id_col), F.col("_id").alias(id_col),
+                "n_hits", "bm25", "rk")
+    )

@@ -3035,3 +3035,65 @@ def test_cdc_partition_invariants(spark):
         assert pos == len(blobs[d])
         for r in rows[:-1]:
             assert 64 <= r["length"] <= 512
+
+
+def test_bm25_batch_vs_duckdb_and_single(spark):
+    """Batched BM25: exact DuckDB parity for the 3-query catalog entry,
+    AND a single-query batch must equal bm25_topk row-for-row (same
+    idf/df/avgdl math, same tie-break)."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+    from meeseeker_spark.ext.rank import bm25_batch_topk, bm25_topk
+    from meeseeker_spark.tables import load as _load
+
+    sdf = catalog.ENTRIES["bm25_batch_topk"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = sorted(tuple(r) for r in con.execute("""
+        WITH q AS (
+            SELECT * FROM (VALUES
+                (1, ['window','merge','stream']),
+                (2, ['slow','filter']),
+                (3, ['customer','table','scan'])) AS v(q_id, terms)),
+        qt AS (SELECT DISTINCT q_id, unnest(terms) AS tm FROM q),
+        vocab AS (SELECT DISTINCT tm FROM qt),
+        t AS (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text),
+                                 '[^a-z0-9]+'), x -> x <> '') AS w
+              FROM documents),
+        stats AS (SELECT count(*) AS nd, avg(len(w))::DOUBLE AS ad FROM t),
+        h0 AS (SELECT doc_id, len(w) AS dl, unnest(w) AS tm FROM t),
+        hits AS (SELECT h0.doc_id, h0.tm, count(*) AS tf, max(dl) AS dl
+                 FROM h0 JOIN vocab USING (tm) GROUP BY h0.doc_id, h0.tm),
+        dfq AS (SELECT tm, count(*) AS dft FROM hits GROUP BY tm),
+        sc AS (SELECT qt.q_id, h.doc_id, count(*) AS n_hits,
+                      round(sum(ln((nd - dft + 0.5) / (dft + 0.5) + 1.0)
+                                * tf * 2.2
+                                / (tf + 1.2 * (0.25 + 0.75 * dl / ad))),
+                            4) AS bm25
+               FROM hits h JOIN dfq USING (tm) JOIN qt USING (tm)
+                    CROSS JOIN stats
+               GROUP BY qt.q_id, h.doc_id),
+        rk AS (SELECT q_id, doc_id, n_hits, bm25,
+                      row_number() OVER (PARTITION BY q_id
+                          ORDER BY bm25 DESC, doc_id ASC) AS rk
+               FROM sc)
+        SELECT q_id, doc_id, n_hits, bm25, rk FROM rk WHERE rk <= 10
+    """).fetchall())
+    con.close()
+    assert s == d
+    assert {r[0] for r in s} == {1, 2, 3}
+
+    docs = _load(spark, SF, "documents")
+    single = [(r["doc_id"], r["n_hits"], r["bm25"])
+              for r in bm25_topk(docs, ["window", "merge", "stream"],
+                                 k=10).collect()]
+    batch1 = spark.createDataFrame([(7, ["window", "merge", "stream"])],
+                                   ["q_id", "terms"])
+    got = [(r["doc_id"], r["n_hits"], r["bm25"])
+           for r in bm25_batch_topk(docs, batch1, k=10)
+           .orderBy("rk").collect()]
+    assert got == single

@@ -363,3 +363,16 @@ def test_bm25_takeordered_and_broadcasts(spark):
     assert "BroadcastNestedLoopJoin" in plan    # 1-row stats join
     assert "SortMergeJoin" not in plan
     assert "Python" not in plan
+
+
+def test_bm25_batch_windowgrouplimit(spark):
+    """Batched BM25: per-query top-k bounded below the sort
+    (WindowGroupLimit), all small sides broadcast, corpus never
+    sort-merge-joined, no Python."""
+    plan = explain_str(catalog.ENTRIES["bm25_batch_topk"].spark(spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the literal query DF scans mention applySchemaToPythonRDD — only
+    # UDF eval stages are the Python hot-path smell
+    assert "EvalPython" not in plan
