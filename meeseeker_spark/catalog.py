@@ -2274,6 +2274,19 @@ def bm25_batch_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_batch_topk(docs, queries, k=10)
 
 
+@register("corpus_datacard", None, tags=("F4", "report"))
+def corpus_datacard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card rollup (ext.text.corpus_datacard): per source × lang —
+    doc/token counts, exact median length, unique-fingerprint count,
+    mean quality.  One scan, one low-cardinality groupBy (KB-sized
+    result at any corpus size).  Past the grading window → rows-only
+    there; exact DuckDB parity pinned by
+    tests/test_ext.py::test_corpus_datacard_vs_duckdb."""
+    from .ext.text import corpus_datacard
+    docs = load(spark, sf_dir, "documents")
+    return corpus_datacard(docs)
+
+
 def _ordered() -> list[Entry]:
     """Registry in driver-facing order: every driver-oracled entry first
     (the driver's correctness gate grades only the first 50 registrations,

@@ -457,3 +457,43 @@ def blocklist_screen(df: DataFrame, blocklist: list[str],
         (F.when(n > 0, blocked / n).otherwise(F.lit(0.0))
          <= F.lit(max_frac)).alias("keep"),
     )
+
+
+def corpus_datacard(df: DataFrame, group_cols: tuple[str, ...] =
+                    ("source", "lang"), id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Data-card rollup — the "what is in this dataset" table every
+    corpus release ships (datasheet/data-statement practice): per
+    group (default source × lang): document count, token totals/mean,
+    EXACT median character length, distinct-fingerprint count (docs
+    surviving exact dedup), and mean composite quality.
+
+    One pass, one low-cardinality groupBy: tokens/fingerprint/quality
+    are narrow projections computed under the aggregate, so the shuffle
+    carries |groups| rows of partial aggregates — at 100 TB this is a
+    scan-bound job with a KB-sized result.  percentile() is Spark's
+    exact median (not approx), reproducible by DuckDB's quantile_cont;
+    doubles round to 4 dp on both sides."""
+    toks = tokens(F.col(text_col))
+    q_num = (2 * F.least(F.size(toks), F.lit(100))
+             * F.greatest(F.size(toks), F.lit(1))
+             + 200 * F.size(F.array_distinct(toks))
+             + 100 * stopword_hits(toks, LANG_STOPWORDS["en"]))
+    quality = (q_num.cast("double")
+               / (500 * F.greatest(F.size(toks), F.lit(1))))
+    base = df.select(
+        *group_cols,
+        F.size(toks).cast("bigint").alias("_nt"),
+        F.length(text_col).cast("bigint").alias("_nc"),
+        fingerprint(F.col(text_col)).alias("_fp"),
+        quality.alias("_q"))
+    return (
+        base.groupBy(*group_cols)
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("_nt").alias("total_tokens"),
+             F.round(F.avg("_nt"), 2).alias("avg_tokens"),
+             F.round(F.percentile("_nc", F.lit(0.5)), 1)
+             .alias("median_chars"),
+             F.count_distinct("_fp").alias("n_unique_docs"),
+             F.round(F.avg("_q"), 4).alias("avg_quality"))
+    )

@@ -3097,3 +3097,44 @@ def test_bm25_batch_vs_duckdb_and_single(spark):
            for r in bm25_batch_topk(docs, batch1, k=10)
            .orderBy("rk").collect()]
     assert got == single
+
+
+def test_corpus_datacard_vs_duckdb(spark):
+    """Exact DuckDB parity for the data-card rollup (exact median via
+    quantile_cont, shared quality formula, fingerprint distinct)."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["corpus_datacard"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = sorted(tuple(r) for r in con.execute(r"""
+        WITH b AS (
+            SELECT source, lang,
+                   list_filter(string_split_regex(lower(text),
+                               '[^a-z0-9]+'), x -> x <> '') AS w,
+                   length(text) AS nc,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ',
+                                           'g'))) AS fp
+            FROM documents),
+        c AS (SELECT source, lang, len(w) AS nt, nc, fp,
+                     (2 * least(len(w), 100) * greatest(len(w), 1)
+                      + 200 * len(list_distinct(w))
+                      + 100 * len(list_filter(w, x -> list_contains(
+                          ['the','a','and','of','to','in','is'], x))))
+                     ::DOUBLE / (500 * greatest(len(w), 1)) AS q
+              FROM b)
+        SELECT source, lang, count(*) AS n_docs,
+               sum(nt) AS total_tokens,
+               round(avg(nt), 2) AS avg_tokens,
+               round(quantile_cont(nc, 0.5), 1) AS median_chars,
+               count(DISTINCT fp) AS n_unique_docs,
+               round(avg(q), 4) AS avg_quality
+        FROM c GROUP BY source, lang
+    """).fetchall())
+    con.close()
+    assert s == d
+    assert len(s) >= 2
