@@ -92,3 +92,95 @@ def pack_sequences(docs: DataFrame, max_tokens: int,
         F.floor((F.col("start_offset") + F.greatest(F.col("n_tokens"), F.lit(1))
                  - 1) / max_tokens).alias("last_bin"),
     )
+
+
+BIN_SCHEMA = ("doc_id LONG, n_tokens LONG, shard INT, bin LONG, "
+              "oversize BOOLEAN")
+
+
+def pack_bins_ffd(docs: DataFrame, max_tokens: int,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  tokens_col: str | None = None,
+                  n_shards: int = 32) -> DataFrame:
+    """No-split packing: assign whole documents to fixed-capacity bins
+    by first-fit-decreasing — the SFT/instruction-tuning layout where a
+    document must never straddle a bin boundary (contrast
+    ``pack_sequences``, which slices the concatenated stream).
+
+    Returns (id, n_tokens, shard, bin, oversize): ``bin`` is globally
+    unique (shard-offset), Σ n_tokens per bin <= max_tokens; a doc
+    LONGER than max_tokens gets its own bin flagged ``oversize=True``
+    (truncation is the caller's policy decision, not the packer's).
+
+    Distribution strategy: docs hash-shard by md5(id) (uniform,
+    deterministic, oracle-replayable), each shard runs exact FFD over
+    its own docs (tokens desc, id asc — fully deterministic), bin ids
+    offset by shard.  FFD is inherently sequential, so the sequential
+    unit is the SHARD, sized corpus/n_shards: the Python stage sees
+    only (id, n_tokens) pairs via applyInPandas — text never crosses.
+    Waste bound: FFD <= 11/9·OPT + 6/9 bins per shard, and sharding
+    adds at most one partially-filled bin's slack per shard — at
+    corpus scale the overhead is n_shards partial bins against millions,
+    noise.  A length-sorted global FFD would pack marginally tighter
+    but needs a global sort + sequential scan: the wrong trade at
+    100 TB.
+
+    Parity: tests/test_ext.py::test_pack_bins_ffd_vs_python pins exact
+    equality against a per-shard pure-Python FFD, plus capacity/
+    determinism/oversize invariants.
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    from .text import md5_int32
+
+    if tokens_col is not None:
+        d = docs.select(F.col(id_col).alias("_id"),
+                        F.col(tokens_col).cast("long").alias("_tok"))
+    else:
+        d = docs.select(F.col(id_col).alias("_id"),
+                        F.size(tokens(F.col(text_col))).cast("long")
+                        .alias("_tok"))
+    d = d.withColumn(
+        "_shard",
+        (md5_int32(F.col("_id").cast("string")) % n_shards).cast("int"))
+
+    cap = int(max_tokens)
+    shards = int(n_shards)
+
+    def ffd(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["_tok", "_id"],
+                              ascending=[False, True])
+        shard = int(pdf["_shard"].iloc[0]) if len(pdf) else 0
+        fills: list[int] = []   # current fill per local bin
+        out_bin, out_over = [], []
+        for tok in pdf["_tok"]:
+            t = int(tok)
+            if t > cap:
+                fills.append(cap)           # own bin, never reused
+                out_bin.append(len(fills) - 1)
+                out_over.append(True)
+                continue
+            for i, f in enumerate(fills):   # first fit
+                if f + t <= cap:
+                    fills[i] = f + t
+                    out_bin.append(i)
+                    break
+            else:
+                fills.append(t)
+                out_bin.append(len(fills) - 1)
+            out_over.append(False)
+        return pd.DataFrame({
+            "doc_id": pdf["_id"].astype("int64"),
+            "n_tokens": pdf["_tok"].astype("int64"),
+            "shard": shard,
+            # globally unique: local bin * n_shards + shard
+            "bin": [b * shards + shard for b in out_bin],
+            "oversize": out_over,
+        })
+
+    return (d.groupBy("_shard").applyInPandas(ffd, BIN_SCHEMA)
+            .withColumnRenamed("doc_id", id_col))

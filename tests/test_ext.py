@@ -3138,3 +3138,74 @@ def test_corpus_datacard_vs_duckdb(spark):
     con.close()
     assert s == d
     assert len(s) >= 2
+
+
+def test_pack_bins_ffd_vs_python(docs):
+    """Exact parity vs a per-shard pure-Python FFD + the invariants:
+    every doc assigned once, no bin over capacity, oversize docs alone
+    in flagged bins, rerun-deterministic."""
+    import hashlib as hl
+    import re
+
+    from meeseeker_spark.ext.pack import pack_bins_ffd
+
+    CAP, SHARDS = 96, 8
+    rows = {r["doc_id"]: len([t for t in re.split(
+        r"[^a-z0-9]+", r["text"].lower()) if t])
+        for r in docs.collect()}
+
+    def shard_of(i):
+        return int(hl.md5(f"{i}".encode()).hexdigest()[:8], 16) % SHARDS
+
+    want = {}
+    for s in range(SHARDS):
+        members = sorted((i for i in rows if shard_of(i) == s),
+                         key=lambda i: (-rows[i], i))
+        fills = []
+        for i in members:
+            t = rows[i]
+            if t > CAP:
+                fills.append(CAP)
+                want[i] = ((len(fills) - 1) * SHARDS + s, True)
+                continue
+            for b, f in enumerate(fills):
+                if f + t <= CAP:
+                    fills[b] = f + t
+                    want[i] = (b * SHARDS + s, False)
+                    break
+            else:
+                fills.append(t)
+                want[i] = ((len(fills) - 1) * SHARDS + s, False)
+
+    out = pack_bins_ffd(docs, CAP, n_shards=SHARDS)
+    got = {r["doc_id"]: (r["bin"], r["oversize"]) for r in out.collect()}
+    assert got == want
+
+    by_bin = {}
+    for r in out.collect():
+        by_bin.setdefault(r["bin"], []).append(r)
+    for b, rs in by_bin.items():
+        if any(r["oversize"] for r in rs):
+            assert len(rs) == 1
+        else:
+            assert sum(r["n_tokens"] for r in rs) <= CAP
+
+    again = {r["doc_id"]: (r["bin"], r["oversize"])
+             for r in pack_bins_ffd(docs, CAP, n_shards=SHARDS).collect()}
+    assert again == got
+
+
+def test_pack_bins_ffd_packs_tighter_than_arrival(spark):
+    """FFD's whole point: sorted-decreasing first-fit beats naive
+    arrival-order next-fit on a crafted workload (one shard so the
+    comparison is exact)."""
+    from meeseeker_spark.ext.pack import pack_bins_ffd
+
+    sizes = [60, 50, 40, 30, 20] * 4   # cap 100: FFD pairs 60+40, 50+30...
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * s)) for i, s in enumerate(sizes)],
+        ["doc_id", "text"])
+    out = pack_bins_ffd(df, 100, n_shards=1).collect()
+    n_bins = len({r["bin"] for r in out})
+    assert n_bins <= 9   # Σ=800 → lower bound 8; arrival next-fit needs 12
+    assert not any(r["oversize"] for r in out)
