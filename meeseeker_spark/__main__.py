@@ -168,6 +168,11 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--dsir-k", type=int, default=None,
                     help="number of documents DSIR keeps")
     pp.add_argument("--max-tokens", type=int, default=2048)
+    pp.add_argument("--pack-mode", choices=("chunk", "ffd"),
+                    default="chunk",
+                    help="packed layout: chunk = concat-and-chunk "
+                         "pretraining stream; ffd = no-split "
+                         "first-fit-decreasing bins (SFT)")
     pp.add_argument("--shards", type=int, default=0,
                     help="also write OUT/shards/shard=N/: deterministic "
                          "md5-shuffled training shards of the mixed "
@@ -343,7 +348,7 @@ def main(argv: list[str] | None = None) -> int:
             dsir_target=(spark.read.parquet(a.dsir_target)
                          if a.dsir_target else None),
             dsir_k=a.dsir_k,
-            max_tokens=a.max_tokens)
+            max_tokens=a.max_tokens, pack_mode=a.pack_mode)
         build.corpus.write.mode("overwrite").parquet(f"{a.out}/corpus")
         build.packed.write.mode("overwrite").parquet(f"{a.out}/packed")
         if a.shards:

@@ -75,7 +75,8 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
                             logit_threshold: float | None = None,
                             dsir_target: DataFrame | None = None,
                             dsir_k: int | None = None,
-                            max_tokens: int = 2048) -> CorpusBuild:
+                            max_tokens: int = 2048,
+                            pack_mode: str = "chunk") -> CorpusBuild:
     """Run the full preparation funnel; see module docstring for the
     stage order and scale rationale.  ``bench`` is the evaluation text
     to decontaminate against; ``weights`` the target domain mixture.
@@ -114,6 +115,11 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
     ``gopher=True`` (opt-in) applies the Gopher/MassiveText rule
     battery (ext.text.gopher_rules, default thresholds) after the
     composite floor.
+    ``pack_mode`` selects the packed layout: ``"chunk"`` (default) is
+    concat-and-chunk pretraining packing (ext.pack.pack_sequences);
+    ``"ffd"`` is no-split first-fit-decreasing bin packing — the SFT
+    layout (ext.pack.pack_bins_ffd; oversize docs flagged, never
+    silently truncated).
     ``dsir_target`` + ``dsir_k`` (opt-in, both required together) apply
     DSIR importance resampling after all screens: keep the ``dsir_k``
     surviving documents whose hashed-n-gram profile best matches the
@@ -219,10 +225,20 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
     # the nanos→micros conversion in tables.py).
     with_key = mixed.withColumn(
         "_pack_id", F.col(id_col) * 1000 + F.col("copy"))
-    packed = pack_sequences(with_key, max_tokens, id_col="_pack_id",
-                            text_col=text_col)
-    packed = packed.select(
-        F.expr("_pack_id div 1000").alias(id_col),
-        F.pmod(F.col("_pack_id"), F.lit(1000)).alias("copy"),
-        "n_tokens", "start_offset", "first_bin", "last_bin")
+    decode = [F.expr("_pack_id div 1000").alias(id_col),
+              F.pmod(F.col("_pack_id"), F.lit(1000)).alias("copy")]
+    if pack_mode == "chunk":
+        packed = pack_sequences(with_key, max_tokens, id_col="_pack_id",
+                                text_col=text_col)
+        packed = packed.select(*decode, "n_tokens", "start_offset",
+                               "first_bin", "last_bin")
+    elif pack_mode == "ffd":
+        # SFT layout: whole documents per bin, never split
+        from .pack import pack_bins_ffd
+        packed = pack_bins_ffd(with_key, max_tokens, id_col="_pack_id",
+                               text_col=text_col)
+        packed = packed.select(*decode, "n_tokens", "shard", "bin",
+                               "oversize")
+    else:
+        raise ValueError(f"pack_mode must be chunk|ffd, got {pack_mode!r}")
     return CorpusBuild(corpus=mixed, packed=packed, stages=stages)

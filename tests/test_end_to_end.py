@@ -436,3 +436,37 @@ def test_cli_prepare_curriculum_bad_column(tmp_path_factory, capsys):
             "--weights", '{"en":1.0}',
             "--shards", "2", "--curriculum", "nope",
         ])
+
+
+def test_cli_prepare_pack_mode_ffd(tmp_path_factory, capsys):
+    """`prepare --pack-mode ffd`: packed parquet carries the no-split
+    bin layout — every non-oversize bin within capacity, every corpus
+    row assigned exactly once."""
+    import json
+
+    from meeseeker_spark.__main__ import main
+    from meeseeker_spark.session import get_spark
+
+    d = tmp_path_factory.mktemp("prepffd")
+    rc = main([
+        "prepare", "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", str(d / "out"), "--ngram", "3", "--max-overlap", "0.5",
+        "--weights",
+        '{"en":0.25,"de":0.1875,"fr":0.1875,"es":0.1875,"zh":0.1875}',
+        "--max-tokens", "64", "--pack-mode", "ffd",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    spark = get_spark()
+    corpus = spark.read.parquet(str(d / "out" / "corpus"))
+    packed = spark.read.parquet(str(d / "out" / "packed"))
+    assert set(packed.columns) == {"doc_id", "copy", "n_tokens", "shard",
+                                   "bin", "oversize"}
+    assert packed.count() == corpus.count() == report["mixed"]
+    fills = {}
+    for r in packed.collect():
+        if not r["oversize"]:
+            fills[r["bin"]] = fills.get(r["bin"], 0) + r["n_tokens"]
+        else:
+            assert r["n_tokens"] > 64
+    assert fills and all(v <= 64 for v in fills.values())
