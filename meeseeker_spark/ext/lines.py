@@ -120,6 +120,8 @@ def strip_frequent_lines(df: DataFrame, id_col: str = "doc_id",
     (exchange reused), one doc_id shuffle for the rebuild, left join to
     re-attach untouched passthrough columns.
     """
+    if min_df < 1:
+        raise ValueError("min_df must be >= 1 (0 would drop every line)")
     ls = doc_lines(df, id_col, text_col, delim)
     freq = (ls.groupBy("h", "_id").count()
             .groupBy("h").agg(F.count("*").alias("df_docs"))

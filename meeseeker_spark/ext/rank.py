@@ -114,9 +114,10 @@ def bm25_batch_topk(df: DataFrame, queries: DataFrame, k: int = 10,
 
     if k <= 0:
         raise ValueError("k must be positive")
-    qt = queries.select(
-        F.col(q_id_col).alias("_q"),
-        F.explode(q_terms_col).alias("_t")).distinct()
+    qt = (queries.select(F.col(q_id_col).alias("_q"),
+                         F.explode(q_terms_col).alias("_raw"))
+          .select("_q", F.lower(F.col("_raw")).alias("_t"))
+          .distinct())
     vocab = qt.select("_t").distinct()
 
     toked = df.select(F.col(id_col).alias("_id"),

@@ -3209,3 +3209,29 @@ def test_pack_bins_ffd_packs_tighter_than_arrival(spark):
     n_bins = len({r["bin"] for r in out})
     assert n_bins <= 9   # Σ=800 → lower bound 8; arrival next-fit needs 12
     assert not any(r["oversize"] for r in out)
+
+
+def test_bm25_batch_case_folds_query(spark):
+    """Query terms are case-folded like the corpus tokenizer — an
+    uppercase query must rank identically to its lowercase twin."""
+    from meeseeker_spark.ext.rank import bm25_batch_topk
+
+    df = spark.createDataFrame(
+        [(1, "cat dog"), (2, "cat cat"), (3, "bird")],
+        ["doc_id", "text"])
+    q = spark.createDataFrame(
+        [(1, ["CAT", "Dog"]), (2, ["cat", "dog"])], ["q_id", "terms"])
+    rows = bm25_batch_topk(df, q, k=5).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(
+            (r["rk"], r["doc_id"], r["n_hits"], r["bm25"]))
+    assert sorted(by_q[1]) == sorted(by_q[2])
+
+
+def test_strip_frequent_lines_rejects_zero_min_df(spark):
+    from meeseeker_spark.ext.lines import strip_frequent_lines
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        strip_frequent_lines(df, min_df=0)
