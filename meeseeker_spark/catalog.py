@@ -2287,6 +2287,23 @@ def corpus_datacard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_datacard(docs)
 
 
+@register("decontaminated_spans", None, tags=("F2", "decontam"))
+def decontaminated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical decontamination
+    (ext.decontam.strip_contaminated_spans): strip only the benchmark-
+    colliding passages (3-grams on the short-doc fixture; production
+    13) instead of dropping documents — same held-out 1-in-19 bench
+    slice as contamination_screen, same span interval-union + rebuild
+    as span_cleaned_docs.  Past the grading window → rows-only there;
+    exact DuckDB parity (incl. rebuilt text) pinned by
+    tests/test_ext.py::test_decontaminated_spans_vs_duckdb."""
+    from .ext.decontam import strip_contaminated_spans
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 19 == 0)
+    corpus = docs.where(F.col("doc_id") % 19 != 0)
+    return strip_contaminated_spans(corpus, bench, n=3)
+
+
 def _ordered() -> list[Entry]:
     """Registry in driver-facing order: every driver-oracled entry first
     (the driver's correctness gate grades only the first 50 registrations,

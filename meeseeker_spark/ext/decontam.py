@@ -172,3 +172,34 @@ def semantic_contamination(corpus_emb: DataFrame, bench_emb: DataFrame,
              .alias("n_bench_hits"))
         .withColumn("contaminated", F.col("n_bench_hits") > 0)
     )
+
+
+def strip_contaminated_spans(docs: DataFrame, bench: DataFrame,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             n: int = 13) -> DataFrame:
+    """Surgical decontamination: instead of dropping whole documents
+    (``decontaminate``), strip ONLY the passages whose n-grams collide
+    with benchmark text — the eval-leakage fix that keeps the rest of
+    an otherwise-good document.
+
+    Word spans covered by any benchmark-colliding n-gram are removed
+    and the text rebuilt (same interval-union + rebuild machinery as
+    ext.spans — single definition via apply_drop_spans, so the two
+    rewrites cannot diverge).  Tokenization is the rebuildable plain
+    space split (ext.spans convention), not ext.text.tokens.
+
+    Returns all input columns plus (clean_text, n_removed_words,
+    n_spans_removed).
+
+    Scale shape: the benchmark gram-hash set is tiny by construction
+    and broadcasts; the corpus side is the skinny (id, pos, 16-hex h)
+    gram stream, so the screen is one map-side join + the per-doc
+    interval union (windows bounded by document length)."""
+    from .spans import _merge_spans, apply_drop_spans, gram_positions
+
+    g = gram_positions(docs, id_col, text_col, n)
+    bg = (gram_positions(bench, id_col, text_col, n)
+          .select("h").distinct())
+    hits = g.join(F.broadcast(bg), "h").select("_id", "pos")
+    return apply_drop_spans(docs, _merge_spans(hits, n), id_col, text_col)

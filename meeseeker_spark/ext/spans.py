@@ -146,8 +146,22 @@ def strip_repeated_spans(df: DataFrame, id_col: str = "doc_id",
         .where(F.col("_rn") > 1)
         .select("_id", "pos")
     )
+    return apply_drop_spans(df, _merge_spans(losers, n), id_col, text_col)
+
+
+def apply_drop_spans(df: DataFrame, spans: DataFrame, id_col: str,
+                     text_col: str) -> DataFrame:
+    """Rebuild text with every word inside a drop span removed.
+
+    ``spans`` is (_id, span_start, span_end, ...) word intervals (both
+    ends inclusive, as produced by ``_merge_spans``).  Shared tail of
+    ``strip_repeated_spans`` and the surgical decontamination strip
+    (ext.decontam.strip_contaminated_spans) — one definition so the two
+    rewrites can never diverge.  Returns all input columns plus
+    (clean_text, n_removed_words, n_spans_removed); rows with no spans
+    pass through with clean_text == text."""
     drop = (
-        _merge_spans(losers, n)
+        spans
         .groupBy("_id")
         .agg(F.sort_array(F.collect_list(
             F.struct(F.col("span_start").alias("s"),

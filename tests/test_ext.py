@@ -3235,3 +3235,85 @@ def test_strip_frequent_lines_rejects_zero_min_df(spark):
     df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         strip_frequent_lines(df, min_df=0)
+
+
+# ---------------------------------------------------------------------------
+# Surgical decontamination (ext.decontam.strip_contaminated_spans)
+# ---------------------------------------------------------------------------
+
+def test_decontaminated_spans_vs_duckdb(spark):
+    """Exact DuckDB parity for the surgical decontamination rewrite
+    (past-window entry → this test is its correctness gate)."""
+    from meeseeker_spark import catalog
+
+    from .oracle_harness import compare, duck_connection
+
+    sf = "/root/testdata/sf0.01"
+    sdf = catalog.ENTRIES["decontaminated_spans"].spark(spark, sf)
+    con = duck_connection(sf)
+    problems = compare(sdf, con, """
+        WITH w AS (SELECT doc_id, text, lang, source, n_chars,
+                          string_split(text,' ') AS words
+                   FROM documents),
+        g AS (SELECT doc_id, i AS pos,
+                     substr(md5(array_to_string(words[i+1:i+3],' ')),1,16)
+                         AS h
+              FROM w, unnest(range(0, len(words)-3+1)) t(i)
+              WHERE len(words) >= 3),
+        bg AS (SELECT DISTINCT h FROM g WHERE doc_id % 19 = 0),
+        hits AS (SELECT doc_id, pos FROM g
+                 WHERE doc_id % 19 <> 0 AND h IN (SELECT h FROM bg)),
+        isl AS (SELECT doc_id, pos,
+                       CASE WHEN pos - lag(pos) OVER (
+                                PARTITION BY doc_id ORDER BY pos) <= 3
+                            THEN 0 ELSE 1 END AS nw
+                FROM hits),
+        sp AS (SELECT doc_id, pos,
+                      sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+               FROM isl),
+        spans AS (SELECT doc_id, min(pos) AS s, max(pos)+2 AS e
+                  FROM sp GROUP BY doc_id, sid),
+        dropped AS (SELECT doc_id, unnest(range(s, e+1)) AS i FROM spans),
+        wp AS (SELECT doc_id, i, words[i+1] AS word
+               FROM w, unnest(range(0, len(words))) t(i)
+               WHERE doc_id % 19 <> 0),
+        kept AS (SELECT wp.doc_id, wp.i, wp.word FROM wp
+                 ANTI JOIN dropped USING (doc_id, i)),
+        rebuilt AS (SELECT doc_id,
+                           array_to_string(array_agg(word ORDER BY i), ' ')
+                               AS ct
+                    FROM kept GROUP BY doc_id),
+        nsp AS (SELECT doc_id, count(*) AS ns, sum(e-s+1) AS nr
+                FROM spans GROUP BY doc_id)
+        SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+               CASE WHEN nsp.doc_id IS NULL THEN d.text
+                    ELSE coalesce(r.ct, '') END AS clean_text,
+               coalesce(nr, 0)::INT AS n_removed_words,
+               coalesce(ns, 0)::INT AS n_spans_removed
+        FROM documents d
+        LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        LEFT JOIN nsp ON d.doc_id = nsp.doc_id
+        WHERE d.doc_id % 19 <> 0
+    """)
+    con.close()
+    assert not problems, problems
+
+
+def test_strip_contaminated_spans_semantics(spark):
+    """A planted benchmark passage is excised from the middle of a
+    corpus doc; untouched docs pass through verbatim."""
+    from meeseeker_spark.ext.decontam import strip_contaminated_spans
+
+    bench = spark.createDataFrame(
+        [(100, "secret eval answer key")], ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "intro words then secret eval answer key then outro words"),
+         (2, "totally unrelated clean document text")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: (r["clean_text"], r["n_removed_words"],
+                         r["n_spans_removed"])
+           for r in strip_contaminated_spans(corpus, bench,
+                                             n=4).collect()}
+    assert got[1] == ("intro words then then outro words", 4, 1)
+    assert got[2] == ("totally unrelated clean document text", 0, 0)
