@@ -2304,6 +2304,20 @@ def decontaminated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_contaminated_spans(corpus, bench, n=3)
 
 
+@register("temperature_sample", None, tags=("F4", "sampling"))
+def temperature_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixture (ext.mix.temperature_sample, mT5 §3.3):
+    p ∝ size^(1/T) at T=3 over lang domains — the no-hand-weights knob
+    between proportional (T=1) and uniform (T→∞).  Same deterministic
+    epoch-explode + md5 keep as mixture_sample; plan entirely in-plan.
+    Past the grading window → rows-only there; exact DuckDB parity
+    pinned by tests/test_ext.py::test_temperature_sample_vs_duckdb."""
+    from .ext.mix import temperature_sample
+    docs = load(spark, sf_dir, "documents")
+    return temperature_sample(docs, temperature=3.0).select(
+        "doc_id", "lang", "n_chars", "copy")
+
+
 def _ordered() -> list[Entry]:
     """Registry in driver-facing order: every driver-oracled entry first
     (the driver's correctness gate grades only the first 50 registrations,

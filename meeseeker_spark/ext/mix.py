@@ -83,32 +83,104 @@ def mixture_plan(docs: DataFrame, weights: dict[str, float],
     )
 
 
-def mixture_sample(docs: DataFrame, weights: dict[str, float],
-                   budget: int | None = None, id_col: str = "doc_id",
-                   domain_col: str = "lang",
-                   size_col: str = "n_chars",
-                   max_epochs: int = 100) -> DataFrame:
-    """Materialize the mixture: each document appears ``epochs`` times
-    plus once more with probability ``frac`` (decided by a deterministic
-    hash of (id, copy), so the output is identical across retries/
-    engines).  Output = input columns + ``copy`` (0-based epoch index).
-
-    The plan side is #domains rows → broadcast join; the explode is
-    narrow.  Expected output size per domain = weight·budget by
-    construction."""
-    plan = mixture_plan(docs, weights, budget, domain_col, size_col,
-                        max_epochs)
+def sample_from_plan(docs: DataFrame, plan: DataFrame,
+                     id_col: str = "doc_id",
+                     domain_col: str = "lang") -> DataFrame:
+    """Materialize any (domain, epochs, frac) plan: each document
+    appears ``epochs`` times plus once more with probability ``frac``
+    (decided by a deterministic hash of (id, copy), so the output is
+    identical across retries/engines).  Output = input columns +
+    ``copy`` (0-based epoch index).  Shared tail of mixture_sample and
+    temperature_sample — the plan side is #domains rows → broadcast
+    join; the explode is narrow."""
     frac_scaled = F.floor(F.col("frac") * _HASH_MOD).cast("bigint")
     keep_last = _keep_hash(F.col(id_col), F.col("copy")) < frac_scaled
     return (
-        docs.join(F.broadcast(plan),
-                  docs[domain_col] == plan["domain"])
+        docs.join(F.broadcast(plan.select("domain", "epochs", "frac")),
+                  docs[domain_col] == F.col("domain"))
         .select(*docs.columns, "epochs", "frac",
                 F.explode(F.sequence(F.lit(0), F.col("epochs")))
                 .alias("copy"))
         .where((F.col("copy") < F.col("epochs")) | keep_last)
         .drop("epochs", "frac")
     )
+
+
+def mixture_sample(docs: DataFrame, weights: dict[str, float],
+                   budget: int | None = None, id_col: str = "doc_id",
+                   domain_col: str = "lang",
+                   size_col: str = "n_chars",
+                   max_epochs: int = 100) -> DataFrame:
+    """Materialize the mixture (see sample_from_plan for the copy/keep
+    semantics).  Expected output size per domain = weight·budget by
+    construction."""
+    plan = mixture_plan(docs, weights, budget, domain_col, size_col,
+                        max_epochs)
+    return sample_from_plan(docs, plan, id_col, domain_col)
+
+
+def temperature_plan(docs: DataFrame, temperature: float,
+                     budget: int | None = None,
+                     domain_col: str = "lang",
+                     size_col: str = "n_chars",
+                     max_epochs: int = 100) -> DataFrame:
+    """Temperature-based mixture plan (mT5/XLM-R sampling, Xue et al.
+    2021 §3.3): target proportion p_i ∝ size_i^(1/T) — T=1 is
+    proportional (every doc once at budget=None), T→∞ approaches
+    uniform-over-domains, the standard knob for boosting low-resource
+    domains without hand-writing weights.
+
+    Returns (domain, domain_size, p, target_size, factor, epochs,
+    frac), all computed IN-PLAN (#domains-row aggregate + one 1-row
+    cross-joined scalar for the normalizer/budget — never a driver
+    action).  ``factor`` is rounded to 6 dp before the epoch/frac split
+    so the DuckDB oracle reproduces the hash keep decisions despite
+    pow()'s last-ulp engine differences; the same ``max_epochs`` clamp
+    as mixture_plan bounds near-empty-domain blowup."""
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    sizes = (
+        docs.groupBy(F.col(domain_col).alias("domain"))
+        .agg(F.sum(size_col).cast("bigint").alias("domain_size"))
+    )
+    pw = F.when(
+        F.col("domain_size") > 0,
+        F.pow(F.col("domain_size").cast("double"),
+              F.lit(1.0 / temperature))).otherwise(F.lit(0.0))
+    sizes = sizes.withColumn("_pw", pw)
+    tot = sizes.agg(F.sum("_pw").alias("_tot"),
+                    F.sum("domain_size").cast("double").alias("_corpus"))
+    sizes = sizes.crossJoin(F.broadcast(tot))
+    budget_col = (F.col("_corpus") if budget is None
+                  else F.lit(float(budget)))
+    p = F.when(F.col("_tot") > 0,
+               F.col("_pw") / F.col("_tot")).otherwise(F.lit(0.0))
+    factor = F.round(
+        F.when(F.col("domain_size") > 0,
+               F.least(p * budget_col / F.col("domain_size"),
+                       F.lit(float(max_epochs))))
+        .otherwise(F.lit(0.0)), 6)
+    return (
+        sizes.select(
+            "domain", "domain_size",
+            F.round(p, 6).alias("p"),
+            F.round(p * budget_col, 1).alias("target_size"),
+            factor.alias("factor"),
+            F.floor(factor).cast("int").alias("epochs"),
+            F.round(factor - F.floor(factor), 6).alias("frac"))
+    )
+
+
+def temperature_sample(docs: DataFrame, temperature: float,
+                       budget: int | None = None,
+                       id_col: str = "doc_id",
+                       domain_col: str = "lang",
+                       size_col: str = "n_chars",
+                       max_epochs: int = 100) -> DataFrame:
+    """Materialize the temperature mixture (see sample_from_plan)."""
+    plan = temperature_plan(docs, temperature, budget, domain_col,
+                            size_col, max_epochs)
+    return sample_from_plan(docs, plan, id_col, domain_col)
 
 
 def _cap_rank(id_col: str) -> F.Column:

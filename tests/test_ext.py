@@ -3317,3 +3317,78 @@ def test_strip_contaminated_spans_semantics(spark):
                                              n=4).collect()}
     assert got[1] == ("intro words then then outro words", 4, 1)
     assert got[2] == ("totally unrelated clean document text", 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# Temperature mixture (ext.mix.temperature_plan / temperature_sample)
+# ---------------------------------------------------------------------------
+
+def test_temperature_sample_vs_duckdb(spark):
+    """Exact DuckDB parity for the T=3 temperature materialization
+    (pow-based plan reproduced with the same 6-dp factor rounding)."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["temperature_sample"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = sorted(tuple(r) for r in con.execute("""
+        WITH sizes AS (
+            SELECT lang AS domain, sum(n_chars)::BIGINT AS domain_size
+            FROM documents GROUP BY lang
+        ),
+        tot AS (SELECT sum(pow(domain_size::DOUBLE, 1.0/3.0)) AS t,
+                       sum(domain_size)::DOUBLE AS corpus
+                FROM sizes),
+        plan AS (
+            SELECT domain,
+                   round(least(
+                       (pow(domain_size::DOUBLE, 1.0/3.0) / t)
+                           * corpus / domain_size,
+                       100.0), 6) AS factor
+            FROM sizes, tot WHERE domain_size > 0
+        ),
+        plan_copies AS (
+            SELECT domain,
+                   unnest(range(0, floor(factor)::BIGINT + 1)) AS copy,
+                   floor(factor)::BIGINT AS epochs,
+                   floor(round(factor - floor(factor), 6) * 10000)::BIGINT
+                       AS frac_scaled
+            FROM plan
+        )
+        SELECT d.doc_id, d.lang, d.n_chars, p.copy FROM documents d
+        JOIN plan_copies p ON d.lang = p.domain
+        WHERE p.copy < p.epochs
+           OR (('0x' || substr(md5(d.doc_id || ':' || p.copy), 1, 8))::BIGINT
+               % 10000) < p.frac_scaled
+    """).fetchall())
+    con.close()
+    assert s == d
+    assert any(r[3] > 0 for r in s)   # T=3 really up-samples someone
+
+
+def test_temperature_plan_semantics(docs):
+    """T=1 + budget=None is the identity mixture (factor 1 everywhere →
+    every doc exactly once); at T>1 factors order INVERSELY to domain
+    size (low-resource boost)."""
+    from meeseeker_spark.ext.mix import temperature_plan, temperature_sample
+
+    p1 = temperature_plan(docs, temperature=1.0).collect()
+    assert all(abs(r["factor"] - 1.0) < 1e-5 for r in p1)
+    out = temperature_sample(docs, temperature=1.0)
+    assert out.count() == docs.count()
+    assert out.where("copy != 0").count() == 0
+
+    p3 = {r["domain"]: (r["domain_size"], r["factor"])
+          for r in temperature_plan(docs, temperature=3.0).collect()}
+    pairs = sorted(p3.values())
+    for (s1, f1), (s2, f2) in zip(pairs, pairs[1:]):
+        if s1 < s2:
+            assert f1 >= f2
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        temperature_plan(docs, temperature=0.0)
