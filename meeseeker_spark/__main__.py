@@ -168,6 +168,10 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--dsir-k", type=int, default=None,
                     help="number of documents DSIR keeps")
     pp.add_argument("--max-tokens", type=int, default=2048)
+    pp.add_argument("--temperature", type=float, default=None,
+                    help="opt-in mT5 temperature sampling: p ∝ "
+                         "size^(1/T) over domains, replacing --weights "
+                         "(ext.mix.temperature_sample)")
     pp.add_argument("--pack-mode", choices=("chunk", "ffd"),
                     default="chunk",
                     help="packed layout: chunk = concat-and-chunk "
@@ -323,7 +327,9 @@ def main(argv: list[str] | None = None) -> int:
             bench = spark.read.parquet(a.bench)
         else:
             bench = docs.limit(0)
-        if a.weights:
+        if a.temperature is not None:
+            weights = {}   # ignored: temperature sampling derives p(domain)
+        elif a.weights:
             weights = json.loads(a.weights)
         else:
             langs = [r["lang"] for r in docs.select("lang").distinct().collect()
@@ -348,7 +354,8 @@ def main(argv: list[str] | None = None) -> int:
             dsir_target=(spark.read.parquet(a.dsir_target)
                          if a.dsir_target else None),
             dsir_k=a.dsir_k,
-            max_tokens=a.max_tokens, pack_mode=a.pack_mode)
+            max_tokens=a.max_tokens, pack_mode=a.pack_mode,
+            temperature=a.temperature)
         build.corpus.write.mode("overwrite").parquet(f"{a.out}/corpus")
         build.packed.write.mode("overwrite").parquet(f"{a.out}/packed")
         if a.shards:

@@ -76,7 +76,8 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
                             dsir_target: DataFrame | None = None,
                             dsir_k: int | None = None,
                             max_tokens: int = 2048,
-                            pack_mode: str = "chunk") -> CorpusBuild:
+                            pack_mode: str = "chunk",
+                            temperature: float | None = None) -> CorpusBuild:
     """Run the full preparation funnel; see module docstring for the
     stage order and scale rationale.  ``bench`` is the evaluation text
     to decontaminate against; ``weights`` the target domain mixture.
@@ -115,6 +116,9 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
     ``gopher=True`` (opt-in) applies the Gopher/MassiveText rule
     battery (ext.text.gopher_rules, default thresholds) after the
     composite floor.
+    ``temperature`` (opt-in) replaces the hand-written ``weights`` with
+    mT5-style temperature sampling (ext.mix.temperature_sample,
+    p ∝ size^(1/T)); ``weights`` is ignored when set.
     ``pack_mode`` selects the packed layout: ``"chunk"`` (default) is
     concat-and-chunk pretraining packing (ext.pack.pack_sequences);
     ``"ffd"`` is no-split first-fit-decreasing bin packing — the SFT
@@ -214,7 +218,12 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
     d5 = d4.withColumn(text_col, redact_pii(F.col(text_col)))
     stages["redacted"] = d5
 
-    mixed = mixture_sample(d5, weights, budget, id_col, domain_col)
+    if temperature is not None:
+        from .mix import temperature_sample
+        mixed = temperature_sample(d5, temperature, budget, id_col,
+                                   domain_col)
+    else:
+        mixed = mixture_sample(d5, weights, budget, id_col, domain_col)
     stages["mixed"] = mixed
 
     # pack on (doc_id, copy): repeats are distinct sequences in the

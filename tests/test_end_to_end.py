@@ -470,3 +470,27 @@ def test_cli_prepare_pack_mode_ffd(tmp_path_factory, capsys):
         else:
             assert r["n_tokens"] > 64
     assert fills and all(v <= 64 for v in fills.values())
+
+
+def test_cli_prepare_temperature(tmp_path_factory, capsys):
+    """`prepare --temperature 3` replaces hand weights with mT5
+    temperature sampling; the corpus materializes with up-sampled
+    copies and no --weights needed."""
+    import json
+
+    from meeseeker_spark.__main__ import main
+    from meeseeker_spark.session import get_spark
+
+    d = tmp_path_factory.mktemp("preptemp")
+    rc = main([
+        "prepare", "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", str(d / "out"), "--ngram", "3", "--max-overlap", "0.5",
+        "--temperature", "3.0",
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["mixed"] > 0
+    spark = get_spark()
+    corpus = spark.read.parquet(str(d / "out" / "corpus"))
+    assert corpus.count() == report["mixed"]
+    assert "copy" in corpus.columns
