@@ -2318,6 +2318,25 @@ def temperature_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars", "copy")
 
 
+@register("media_phash_dups", None, tags=("F5", "F2"))
+def media_phash_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash media near-dup (ext.multimodal.media_phash +
+    ext.dedup.hamming_band_pairs): 60-bit dHash per blob, pigeonhole
+    Hamming-band candidate join (lossless at the shipped ball), exact
+    bit_count verify.  The container has no PIL, so the hash is the
+    honest md5-derived stand-in (only identical blobs collide —
+    documented in media_phash; the banding/join plumbing is real and
+    DuckDB-exact).  Past the grading window → rows-only there; exact
+    parity incl. brute-force recall pinned by
+    tests/test_ext.py::test_media_phash_dups_vs_duckdb."""
+    from .ext.dedup import hamming_band_pairs
+    from .ext.multimodal import attach_media, media_phash
+    docs = load(spark, sf_dir, "documents")
+    ph = media_phash(attach_media(docs), fake=True)
+    return hamming_band_pairs(ph, id_col="doc_id", hash_col="phash",
+                              max_hamming=6)
+
+
 def _ordered() -> list[Entry]:
     """Registry in driver-facing order: every driver-oracled entry first
     (the driver's correctness gate grades only the first 50 registrations,

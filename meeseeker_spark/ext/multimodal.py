@@ -243,3 +243,99 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n)))
         .alias("frame_idx"),
     )
+
+
+PHASH_BITS = 60  # non-negative in a signed 64-bit LONG on every engine
+
+PHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("phash", T.LongType()),
+])
+
+
+def media_phash(df: DataFrame, id_col: str = "doc_id",
+                fake: bool = False) -> DataFrame:
+    """Perceptual (difference) hash per media blob → (doc_id, phash):
+    the near-dup identity for IMAGES — two encodings of the same
+    picture (recompressed, metadata-edited) land within a few bits,
+    where the exact chunk identity (ext.cdc) sees unrelated bytes.
+
+    Real path (PIL importable, ``fake=False``): classic dHash —
+    grayscale, resize to 9×8 with the stable NEAREST kernel (bilinear
+    weights changed across Pillow versions; a version bump must not
+    re-key an existing index), 60 of the 64 row-wise brighter-than-
+    next comparisons, masked to PHASH_BITS so the value is a
+    non-negative LONG on every engine.  A blob PIL cannot parse hashes
+    to NULL (poisoned blobs never kill the scan).  Without PIL,
+    ``fake=False`` raises and ``fake=True`` substitutes the md5-derived
+    60-bit value — deterministic and DuckDB-reproducible
+    (``('0x' || substr(md5(bytes), 1, 15))::BIGINT``), so banding/join/
+    parity plumbing is exercised for real, but carries NO perceptual
+    locality (only identical blobs collide); stated here, tested under
+    a PIL-gated skip.
+
+    Pair with ext.dedup.hamming_band_pairs for the banded near-dup
+    join.  mapInPandas; only (id, blob) crosses into Python, only
+    (id, 1 long) crosses back."""
+    try:
+        import PIL.Image  # noqa: F401
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    if not fake and not have_pil:
+        raise NotImplementedError(
+            "media_phash requires an image library not present in this "
+            "environment; pass fake=True for the deterministic stand-in")
+
+    src = df.select(F.col(id_col).cast("long").alias("_id"),
+                    F.col("media.bytes").alias("_b"))
+    mask = (1 << PHASH_BITS) - 1
+
+    def _fake(batches):
+        import hashlib as hl
+
+        import pandas as pd
+        for pdf in batches:
+            ids, hs = [], []
+            for i, b in zip(pdf["_id"], pdf["_b"]):
+                if b is None:
+                    continue
+                ids.append(int(i))
+                hs.append(int(hl.md5(bytes(b)).hexdigest()[:15], 16))
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "phash": pd.Series(hs, dtype="int64")})
+
+    def _real(batches):
+        import io
+
+        import pandas as pd
+        import PIL.Image
+        for pdf in batches:
+            ids, hs = [], []
+            for i, b in zip(pdf["_id"], pdf["_b"]):
+                if b is None:
+                    continue
+                try:
+                    with PIL.Image.open(io.BytesIO(bytes(b))) as im:
+                        px = list(im.convert("L").resize(
+                            (9, 8), PIL.Image.NEAREST).getdata())
+                except Exception:
+                    ids.append(int(i))
+                    hs.append(None)
+                    continue
+                h = 0
+                bit = 0
+                for r in range(8):
+                    for c in range(8):
+                        if px[r * 9 + c] > px[r * 9 + c + 1]:
+                            h |= 1 << bit
+                        bit += 1
+                ids.append(int(i))
+                hs.append(h & mask)
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "phash": pd.Series(hs, dtype="Int64")})
+
+    return src.mapInPandas(_fake if (fake or not have_pil) else _real,
+                           PHASH_SCHEMA).withColumnRenamed(
+        "doc_id", id_col)

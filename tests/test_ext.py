@@ -3392,3 +3392,102 @@ def test_temperature_plan_semantics(docs):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         temperature_plan(docs, temperature=0.0)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash media near-dup (ext.multimodal.media_phash +
+# ext.dedup.hamming_band_pairs)
+# ---------------------------------------------------------------------------
+
+def test_media_phash_dups_vs_duckdb(spark):
+    """Exact parity for the fake-phash pipeline at sf0.1 (the only SF
+    with duplicated blobs): the banded join must equal DuckDB's
+    brute-force all-pairs Hamming ball — pigeonhole is LOSSLESS, so
+    this is also the recall proof."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sf = "/root/testdata/sf0.1"
+    sdf = catalog.ENTRIES["media_phash_dups"].spark(spark, sf)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    d = sorted(tuple(r) for r in con.execute("""
+        WITH ph AS (SELECT doc_id,
+                           ('0x' || substr(md5(text), 1, 15))::BIGINT
+                               AS h
+                    FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.h, b.h))::INT AS hamming
+        FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.h, b.h)) <= 6
+    """).fetchall())
+    con.close()
+    assert s == d
+    assert s, "sf0.1 duplicated docs must collide"
+    assert all(r[2] == 0 for r in s)  # fake hash: identical blobs only
+
+
+def test_hamming_band_pairs_recall_bruteforce(spark):
+    """Planted hashes at known distances: the banded join returns
+    EXACTLY the <= max_hamming pairs (none lost to banding, none extra)
+    across ball sizes, and NULL hashes never pair."""
+    import itertools
+
+    from meeseeker_spark.ext.dedup import hamming_band_pairs
+
+    hashes = {
+        1: 0,
+        2: 0b111,                      # d(1,2)=3
+        3: (1 << 59) | 0b111,          # d(2,3)=1, d(1,3)=4
+        4: (1 << 58) - 1,              # far from everyone
+        5: None,
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in hashes.items()], "doc_id LONG, phash LONG")
+    for mh in (0, 1, 3, 6):
+        got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+               for r in hamming_band_pairs(df, max_hamming=mh).collect()}
+        want = {}
+        for a, b in itertools.combinations(sorted(hashes), 2):
+            if hashes[a] is None or hashes[b] is None:
+                continue
+            hd = bin(hashes[a] ^ hashes[b]).count("1")
+            if hd <= mh:
+                want[(a, b)] = hd
+        assert got == want, mh
+
+
+def test_media_phash_real_decode_locality(spark):
+    """PIL-gated (skips in this container): real dHash of a recompressed
+    image stays within a small Hamming ball of the original, while an
+    unrelated image lands far away."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    from meeseeker_spark.ext.multimodal import media_phash
+
+    def png(img):
+        buf = io.BytesIO()
+        img.save(buf, "PNG")
+        return bytearray(buf.getvalue())
+
+    base = PIL.new("L", (64, 64))
+    base.putdata([(x * 4 + y) % 256 for y in range(64) for x in range(64)])
+    similar = base.resize((48, 48)).resize((64, 64))
+    other = PIL.new("L", (64, 64))
+    other.putdata([(255 - x * 7 * y) % 256
+                   for y in range(64) for x in range(64)])
+    df = spark.createDataFrame(
+        [(1, png(base)), (2, png(similar)), (3, png(other))],
+        "doc_id LONG, b BINARY").select(
+        "doc_id", F.struct(F.col("b").alias("bytes"),
+                           F.lit("image/png").alias("mime")).alias("media"))
+    got = {r["doc_id"]: r["phash"]
+           for r in media_phash(df, fake=False).collect()}
+    d12 = bin(got[1] ^ got[2]).count("1")
+    d13 = bin(got[1] ^ got[3]).count("1")
+    assert d12 < d13
+    assert d12 <= 10
