@@ -2334,7 +2334,7 @@ def media_phash_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     ph = media_phash(attach_media(docs), fake=True)
     return hamming_band_pairs(ph, id_col="doc_id", hash_col="phash",
-                              max_hamming=6)
+                              max_hamming=6, max_bucket=10_000)
 
 
 def _ordered() -> list[Entry]:

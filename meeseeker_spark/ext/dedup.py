@@ -729,7 +729,8 @@ def dedup_weights(docs: DataFrame, id_col: str = "doc_id",
 def hamming_band_pairs(table: DataFrame, id_col: str = "doc_id",
                        hash_col: str = "phash",
                        max_hamming: int = 6,
-                       hash_bits: int = 60) -> DataFrame:
+                       hash_bits: int = 60,
+                       max_bucket: int | None = None) -> DataFrame:
     """Generic Hamming-ball candidate join for any integer hash column
     (the media-phash consumer; ``simhash_dup_pairs`` above is the
     original 4-band/64-bit text specialization, kept verbatim for its
@@ -743,7 +744,16 @@ def hamming_band_pairs(table: DataFrame, id_col: str = "doc_id",
     skinny banded self-join (shuffle_hash hint → one exchange feeds
     both sides); verification is one bit_count(xor) per candidate.
     Returns (doc_a, doc_b, hamming), a < b.  NULL hashes (undecodable
-    media) never pair."""
+    media) never pair.
+
+    ``max_bucket`` is the same bucket-width guard as near_dup_pairs
+    (count window riding the join's own exchange): a band key shared by
+    w rows contributes w² candidates, and band width is only
+    hash_bits/(max_hamming+1) bits — ~9 bits at the defaults — so on
+    NEAR-UNIFORM hash distributions bucket width grows ∝ n and the
+    join quadratic (measured: the md5 stand-in hash at sf1).  Real
+    perceptual hashes cluster tightly, but the cap bounds the
+    worst case; below it the candidate set stays lossless."""
     if max_hamming < 0:
         raise ValueError("max_hamming must be >= 0")
     n_bands = max_hamming + 1
@@ -762,6 +772,10 @@ def hamming_band_pairs(table: DataFrame, id_col: str = "doc_id",
             for b in range(n_bands)
         ])).alias("_band"))
     )
+    if max_bucket is not None:
+        wspec = Window.partitionBy("_band")
+        bands = (bands.withColumn("_w", F.count("*").over(wspec))
+                 .where(F.col("_w") <= max_bucket).drop("_w"))
     bands = bands.hint("shuffle_hash")
     l = bands.select(F.col("_id").alias("doc_a"),
                      F.col("_h").alias("_ha"), "_band")

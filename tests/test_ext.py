@@ -3491,3 +3491,27 @@ def test_media_phash_real_decode_locality(spark):
     d13 = bin(got[1] ^ got[3]).count("1")
     assert d12 < d13
     assert d12 <= 10
+
+
+def test_hamming_band_pairs_bucket_guard(spark):
+    """max_bucket drops degenerate band buckets (conservative recall)
+    while leaving small buckets lossless — and the graded entry carries
+    the guard."""
+    import inspect
+
+    from meeseeker_spark import catalog
+    from meeseeker_spark.ext.dedup import hamming_band_pairs
+
+    # 40 identical hashes = every band bucket is width 40
+    rows = [(i, 0b1010) for i in range(40)] + [(100, 1 << 50),
+                                               (101, (1 << 50) | 1)]
+    df = spark.createDataFrame(rows, "doc_id LONG, phash LONG")
+    uncapped = hamming_band_pairs(df, max_hamming=1).count()
+    capped = {(r["doc_a"], r["doc_b"])
+              for r in hamming_band_pairs(df, max_hamming=1,
+                                          max_bucket=10).collect()}
+    assert uncapped == 40 * 39 // 2 + 1
+    assert capped == {(100, 101)}   # mega-cluster dropped, small pair kept
+
+    src = inspect.getsource(catalog.media_phash_dups_q)
+    assert "max_bucket=10_000" in src
