@@ -376,3 +376,21 @@ def test_bm25_batch_windowgrouplimit(spark):
     # the literal query DF scans mention applySchemaToPythonRDD — only
     # UDF eval stages are the Python hot-path smell
     assert "EvalPython" not in plan
+
+
+def test_media_phash_dups_plan(spark):
+    """Perceptual-hash near-dup: the only Python stage is the
+    Arrow-batched hasher (one ArrowEvalPython-free mapInPandas), the
+    band self-join is a shuffle join with the bucket-guard window, and
+    nothing cartesian sneaks in."""
+    plan = explain_str(catalog.ENTRIES["media_phash_dups"].spark(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # static explain expands the shared hasher subtree under both join
+    # sides (the exchange-reuse static-plan artifact, ROUND_NOTES r3);
+    # what matters: the Python stage is Arrow-batched MapInPandas below
+    # the band exchange, never a row-at-a-time EvalPython
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ShuffledHashJoin" in plan
+    assert "Window" in plan        # max_bucket guard rides the exchange
