@@ -753,13 +753,23 @@ def hamming_band_pairs(table: DataFrame, id_col: str = "doc_id",
     NEAR-UNIFORM hash distributions bucket width grows ∝ n and the
     join quadratic (measured: the md5 stand-in hash at sf1).  Real
     perceptual hashes cluster tightly, but the cap bounds the
-    worst case; below it the candidate set stays lossless."""
+    worst case; below it the candidate set stays lossless.
+
+    Band widths are distributed floor/remainder style (the first
+    ``hash_bits % n_bands`` bands get one extra bit) so every band
+    covers >= 1 bit.  The earlier ceil-width scheme left trailing bands
+    empty whenever ``b*ceil_w >= hash_bits`` (e.g. hash_bits=10,
+    max_hamming=6), producing a constant band key shared by every row —
+    a silent full cross-join band — and crashed on a negative shift for
+    e.g. hash_bits=60, max_hamming=13."""
     if max_hamming < 0:
         raise ValueError("max_hamming must be >= 0")
     n_bands = max_hamming + 1
     if n_bands > hash_bits:
         raise ValueError("max_hamming + 1 bands need hash_bits >= bands")
-    w = -(-hash_bits // n_bands)          # ceil width; last band narrower
+    base, rem = divmod(hash_bits, n_bands)
+    widths = [base + (1 if b < rem else 0) for b in range(n_bands)]
+    offsets = [sum(widths[:b]) for b in range(n_bands)]
     h = F.col("_h")
     bands = (
         table.where(F.col(hash_col).isNotNull())
@@ -767,8 +777,8 @@ def hamming_band_pairs(table: DataFrame, id_col: str = "doc_id",
                 F.col(hash_col).cast("long").alias("_h"))
         .select("_id", "_h", F.explode(F.array(*[
             F.concat_ws("|", F.lit(str(b)),
-                        F.shiftright(h, b * w).bitwiseAND(
-                            F.lit((1 << min(w, hash_bits - b * w)) - 1)))
+                        F.shiftright(h, offsets[b]).bitwiseAND(
+                            F.lit((1 << widths[b]) - 1)))
             for b in range(n_bands)
         ])).alias("_band"))
     )

@@ -160,7 +160,9 @@ def pack_bins_ffd(docs: DataFrame, max_tokens: int,
         for tok in pdf["_tok"]:
             t = int(tok)
             if t > cap:
-                fills.append(cap)           # own bin, never reused
+                # cap+1 so a later zero-token doc's first-fit scan
+                # (f + 0 <= cap) can never land in an oversize bin
+                fills.append(cap + 1)       # own bin, never reused
                 out_bin.append(len(fills) - 1)
                 out_over.append(True)
                 continue

@@ -157,7 +157,12 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
                 dict(d2.dtypes)["n_chars"]))
         stages["span_stripped"] = d2
 
-    if source_cap is not None and source_col in d2.columns:
+    if source_cap is not None:
+        if source_col not in d2.columns:
+            raise ValueError(
+                f"source_cap={source_cap} set but column {source_col!r} "
+                f"is not in the corpus (have: {d2.columns}) — the cap "
+                "would silently no-op")
         from .mix import domain_cap_hash
         d2 = domain_cap_hash(d2, source_cap, domain_col=source_col,
                              id_col=id_col)

@@ -149,10 +149,13 @@ class ManifestStore:
         missing = [f for f in files
                    if not os.path.exists(os.path.join(self.path, f))]
         if missing:
+            eff = self.current_version() if version is None else version
             raise FileNotFoundError(
-                f"version {version} references {len(missing)} gc'd "
-                f"file(s) (e.g. {missing[0]}); raise gc keep_versions "
-                f"to retain time-travel history")
+                f"version {eff} references {len(missing)} gc'd "
+                f"file(s) (e.g. {missing[0]}); "
+                + ("the CURRENT manifest is broken — files were pruned "
+                   "externally" if version is None else
+                   "raise gc keep_versions to retain time-travel history"))
         return self.spark.read.parquet(
             *[os.path.join(self.path, f) for f in files])
 

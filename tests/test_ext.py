@@ -1901,6 +1901,19 @@ def test_prepare_funnel_optin_screens(docs):
     assert all(row["count"] <= 30 for row in per)
 
 
+def test_prepare_funnel_source_cap_requires_source_col(docs):
+    """Regression (ADVICE r4): --source-cap with no source column used
+    to silently no-op; it must raise instead."""
+    from meeseeker_spark.ext.pipeline import prepare_training_corpus
+
+    bench = docs.where(F.col("doc_id") % 19 == 0).drop("source")
+    corpus = docs.where(F.col("doc_id") % 19 != 0).drop("source")
+    with pytest.raises(ValueError, match="source_cap"):
+        prepare_training_corpus(corpus, bench, {"en": 1.0},
+                                decontam_ngram=3, max_tokens=256,
+                                source_cap=15)
+
+
 def test_dsir_select_vs_duckdb(spark):
     """Exact DuckDB parity for DSIR importance resampling: hashed-gram
     distributions, smoothing floors for absent buckets, deterministic
@@ -3165,7 +3178,7 @@ def test_pack_bins_ffd_vs_python(docs):
         for i in members:
             t = rows[i]
             if t > CAP:
-                fills.append(CAP)
+                fills.append(CAP + 1)   # mirror: oversize bins never reused
                 want[i] = ((len(fills) - 1) * SHARDS + s, True)
                 continue
             for b, f in enumerate(fills):
@@ -3193,6 +3206,23 @@ def test_pack_bins_ffd_vs_python(docs):
     again = {r["doc_id"]: (r["bin"], r["oversize"])
              for r in pack_bins_ffd(docs, CAP, n_shards=SHARDS).collect()}
     assert again == got
+
+
+def test_pack_bins_ffd_zero_token_doc_skips_oversize_bin(spark):
+    """Regression (ADVICE r4): oversize bins were seeded at fill=cap, so
+    a zero-token doc (empty text) satisfied f + 0 <= cap and first-fit
+    placed it INTO the 'never reused' oversize bin.  cap+1 seeding keeps
+    oversize bins genuinely solo."""
+    from meeseeker_spark.ext.pack import pack_bins_ffd
+
+    df = spark.createDataFrame(
+        [(1, " ".join(["w"] * 150)),   # oversize at cap 100
+         (2, "")],                     # zero tokens
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           pack_bins_ffd(df, 100, n_shards=1).collect()}
+    assert out[1]["oversize"] and not out[2]["oversize"]
+    assert out[1]["bin"] != out[2]["bin"]
 
 
 def test_pack_bins_ffd_packs_tighter_than_arrival(spark):
@@ -3458,6 +3488,52 @@ def test_hamming_band_pairs_recall_bruteforce(spark):
             if hd <= mh:
                 want[(a, b)] = hd
         assert got == want, mh
+
+
+def test_hamming_band_pairs_degenerate_band_widths(spark):
+    """Regression: the old ceil-width banding left trailing bands empty
+    (constant key → silent cross-join band) when b*ceil_w >= hash_bits,
+    and crashed on a negative shift for hash_bits=60/max_hamming=13.
+    Floor/remainder widths must keep recall exactly 1.0 with no
+    constant-key band in the plan."""
+    import itertools
+
+    from meeseeker_spark.ext.dedup import hamming_band_pairs
+
+    # hash_bits=10, max_hamming=6: 7 bands over 10 bits (old scheme:
+    # ceil w=2 → bands 5,6 empty masks).  Exhaustive small universe.
+    hashes = {i: v for i, v in enumerate(
+        [0, 1, 0b11, 0b1111, 0b1010101010, 0b1111111111, 512, 513])}
+    df = spark.createDataFrame(
+        list(hashes.items()), "doc_id LONG, phash LONG")
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in hamming_band_pairs(
+               df, max_hamming=6, hash_bits=10).collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(hashes), 2):
+        hd = bin(hashes[a] ^ hashes[b]).count("1")
+        if hd <= 6:
+            want[(a, b)] = hd
+    assert got == want
+
+    # Every band mask covers >= 1 bit: two rows differing in EVERY one
+    # of the 10 bits must share no band bucket at max_hamming=9... but
+    # pigeonhole with 10 bands of width 1 means 10 flipped bits touch
+    # all 10 bands — they correctly do NOT pair below the ball.
+    far = spark.createDataFrame(
+        [(1, 0), (2, 0b1111111111)], "doc_id LONG, phash LONG")
+    assert hamming_band_pairs(
+        far, max_hamming=6, hash_bits=10).count() == 0
+
+    # hash_bits=60, max_hamming=13 used to raise 'negative shift count'
+    # at plan-build time (ADVICE r4).  Now it plans and keeps recall.
+    trio = spark.createDataFrame(
+        [(1, 0), (2, (1 << 13) - 1), (3, (1 << 20) - 1)],
+        "doc_id LONG, phash LONG")
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in hamming_band_pairs(
+               trio, max_hamming=13, hash_bits=60).collect()}
+    assert got == {(1, 2): 13, (2, 3): 7}
 
 
 def test_media_phash_real_decode_locality(spark):
