@@ -39,6 +39,56 @@ DECODED_SCHEMA = T.StructType([
 ])
 
 
+def parse_image_header(blob: bytes) -> tuple[str, int, int] | None:
+    """Dependency-free image header parser: (mime, width, height) for
+    PNG / JPEG / GIF / BMP, None for anything it can't identify.
+
+    Pure struct unpacking over the first bytes — no pixel decode, no
+    image library — so ``decode_media``'s real path runs in ANY
+    environment for the formats that dominate web corpora.  PIL (when
+    importable) remains the fallback for everything else (TIFF, WEBP
+    variants, ...).  Used executor-side inside mapInPandas; must never
+    raise on hostile bytes — any parse trouble returns None.
+    """
+    import struct
+
+    try:
+        if blob[:8] == b"\x89PNG\r\n\x1a\n" and blob[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", blob[16:24])
+            return ("image/png", w, h)
+        if blob[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", blob[6:10])
+            return ("image/gif", w, h)
+        if blob[:2] == b"BM" and len(blob) >= 26:
+            w, h = struct.unpack("<ii", blob[18:26])
+            return ("image/bmp", abs(w), abs(h))  # h<0 = top-down DIB
+        if blob[:2] == b"\xff\xd8":
+            # walk JPEG segments to a start-of-frame marker (C0-CF minus
+            # the non-frame C4/C8/CC); height/width live at +5 in SOFn
+            i, n = 2, len(blob)
+            while i + 9 <= n:
+                if blob[i] != 0xFF:
+                    return None        # desynced — not a valid stream
+                marker = blob[i + 1]
+                if marker == 0xFF:     # fill bytes before a marker
+                    i += 1
+                    continue
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2             # standalone markers, no length
+                    continue
+                seg_len = struct.unpack(">H", blob[i + 2:i + 4])[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (
+                        0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", blob[i + 5:i + 9])
+                    return ("image/jpeg", w, h)
+                if marker == 0xDA:     # start of scan — no SOF seen
+                    return None
+                i += 2 + seg_len
+    except Exception:
+        return None
+    return None
+
+
 def attach_media(df: DataFrame, text_col: str = "text",
                  mime: str = "application/octet-stream") -> DataFrame:
     """Stand-in media ingestion: carries a real binary column derived from
@@ -64,28 +114,16 @@ def decode_media(df: DataFrame, id_col: str = "doc_id",
                  fake: bool = False) -> DataFrame:
     """Arrow-batched decode via mapInPandas.
 
-    When PIL is importable (probed at build time, re-imported inside the
-    UDF on the executors) and ``fake=False``, blobs are decoded for real:
-    PIL reads only the image header for dimensions/format, so the
-    per-item cost is parsing, not pixel decode.  A blob PIL cannot parse
-    keeps its metadata with NULL dimensions — a poisoned blob must never
-    kill a 100 TB scan.  Without PIL, ``fake=False`` raises
-    NotImplementedError (honest stub — this container has no image
-    library) and ``fake=True`` swaps in a deterministic extractor
-    (dimensions derived from the byte content) so schema/batching/
-    partitioning are exercised for real either way.
+    The real path (``fake=False``, the default a user should run) needs
+    NO image library: ``parse_image_header`` struct-unpacks PNG / JPEG /
+    GIF / BMP dimensions directly from the header bytes.  When PIL is
+    additionally importable (probed executor-side), it is the fallback
+    for formats the parser doesn't cover (TIFF, WEBP, ...).  A blob
+    neither can parse keeps its metadata with NULL dimensions — a
+    poisoned blob must never kill a 100 TB scan.  ``fake=True`` remains
+    the deterministic test extractor (dimensions derived from the byte
+    digest) for fixtures whose blobs are not real images at all.
     """
-    try:
-        import PIL.Image  # noqa: F401
-        have_pil = True
-    except ImportError:
-        have_pil = False
-
-    if not fake and not have_pil:
-        raise NotImplementedError(
-            "media decode requires an image library not present in this "
-            "environment; pass fake=True for the deterministic test decoder")
-
     src = df.select(F.col(id_col).alias("doc_id"), "media")
 
     def _decode_fake(batches: Iterator) -> Iterator:
@@ -121,7 +159,10 @@ def decode_media(df: DataFrame, id_col: str = "doc_id",
         import io
 
         import pandas as pd
-        import PIL.Image
+        try:                       # optional fallback for exotic formats
+            import PIL.Image
+        except ImportError:
+            PIL = None
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
@@ -134,14 +175,19 @@ def decode_media(df: DataFrame, id_col: str = "doc_id",
                                 "n_bytes": None, "width": None,
                                 "height": None, "checksum": None})
                     continue
+                blob = bytes(blob)
                 digest = hashlib.md5(blob).hexdigest()
                 mime, width, height = row["media"]["mime"], None, None
-                try:
-                    with PIL.Image.open(io.BytesIO(blob)) as im:
-                        width, height = im.size
-                        mime = PIL.Image.MIME.get(im.format, mime)
-                except Exception:
-                    pass          # undecodable: metadata survives, dims NULL
+                parsed = parse_image_header(blob)
+                if parsed is not None:      # dependency-free fast path
+                    mime, width, height = parsed
+                elif PIL is not None:
+                    try:
+                        with PIL.Image.open(io.BytesIO(blob)) as im:
+                            width, height = im.size
+                            mime = PIL.Image.MIME.get(im.format, mime)
+                    except Exception:
+                        pass  # undecodable: metadata survives, dims NULL
                 out.append({
                     "doc_id": row["doc_id"],
                     "mime": mime,
