@@ -3,12 +3,16 @@
 Images/audio/video are opaque ``binary`` columns + a typed metadata struct;
 heavy per-item work (decode, resize, frame-sample, feature-extract) runs as
 Arrow-batched ``mapInPandas`` — the Spark-side plumbing (schema, batch
-shape, partition sizing) is real and tested.  The codec is import-gated:
-with PIL installed ``decode_media`` decodes real image headers (see its
-docstring); without it (this container) ``fake=False`` raises
-NotImplementedError and ``fake=True`` substitutes a deterministic metadata
-extractor so the pipeline is end-to-end testable either way.  The
-feature-extraction encoder (torch) stays stubbed the same way.
+shape, partition sizing) is real and tested.  ``decode_media``'s real path
+needs NO image library: ``parse_image_header`` struct-unpacks PNG / JPEG /
+GIF / BMP dimensions straight from the header bytes, so ``fake=False``
+works in every environment for the formats that dominate web corpora; PIL,
+when importable, is only a fallback for exotic formats (TIFF, WEBP, ...).
+``fake=True`` substitutes a deterministic metadata extractor for fixtures
+whose blobs are not real images.  Pixel-level stages that genuinely need a
+codec (``media_phash`` perceptual hashing) or a model (``extract_features``)
+remain import-gated: ``fake=False`` without the dependency raises
+NotImplementedError.
 
 At scale: binary payloads ride the same parquet files; metadata-only
 queries never touch the blob column (column pruning), and mapInPandas
@@ -48,20 +52,39 @@ def parse_image_header(blob: bytes) -> tuple[str, int, int] | None:
     environment for the formats that dominate web corpora.  PIL (when
     importable) remains the fallback for everything else (TIFF, WEBP
     variants, ...).  Used executor-side inside mapInPandas; must never
-    raise on hostile bytes — any parse trouble returns None.
+    raise on hostile bytes — any parse trouble returns None, and parsed
+    dimensions are validated to (0, 2^31) so a forged header can never
+    overflow the IntegerType columns and kill a 100 TB scan at Arrow
+    serialization time.
     """
     import struct
+
+    def _valid(mime: str, w: int, h: int):
+        # hostile headers (PNG 0xFFFFFFFF width, BMP INT32_MIN whose abs
+        # is 2^31) must degrade to None, not overflow IntegerType
+        if 0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF:
+            return (mime, w, h)
+        return None
 
     try:
         if blob[:8] == b"\x89PNG\r\n\x1a\n" and blob[12:16] == b"IHDR":
             w, h = struct.unpack(">II", blob[16:24])
-            return ("image/png", w, h)
+            return _valid("image/png", w, h)
         if blob[:6] in (b"GIF87a", b"GIF89a"):
             w, h = struct.unpack("<HH", blob[6:10])
-            return ("image/gif", w, h)
-        if blob[:2] == b"BM" and len(blob) >= 26:
-            w, h = struct.unpack("<ii", blob[18:26])
-            return ("image/bmp", abs(w), abs(h))  # h<0 = top-down DIB
+            return _valid("image/gif", w, h)
+        if blob[:2] == b"BM" and len(blob) >= 22:
+            # dispatch on the DIB header size: >=40 = BITMAPINFOHEADER
+            # family (int32 dims at 18/22), 12 = legacy BITMAPCOREHEADER
+            # (uint16 dims at 18/20); anything else is unknown
+            (dib,) = struct.unpack("<I", blob[14:18])
+            if dib >= 40 and len(blob) >= 26:
+                w, h = struct.unpack("<ii", blob[18:26])
+                return _valid("image/bmp", abs(w), abs(h))  # h<0 = top-down
+            if dib == 12:
+                w, h = struct.unpack("<HH", blob[18:22])
+                return _valid("image/bmp", w, h)
+            return None
         if blob[:2] == b"\xff\xd8":
             # walk JPEG segments to a start-of-frame marker (C0-CF minus
             # the non-frame C4/C8/CC); height/width live at +5 in SOFn
@@ -73,6 +96,8 @@ def parse_image_header(blob: bytes) -> tuple[str, int, int] | None:
                 if marker == 0xFF:     # fill bytes before a marker
                     i += 1
                     continue
+                if marker == 0xD9:     # EOI before any SOF: no frame
+                    return None
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     i += 2             # standalone markers, no length
                     continue
@@ -80,7 +105,7 @@ def parse_image_header(blob: bytes) -> tuple[str, int, int] | None:
                 if 0xC0 <= marker <= 0xCF and marker not in (
                         0xC4, 0xC8, 0xCC):
                     h, w = struct.unpack(">HH", blob[i + 5:i + 9])
-                    return ("image/jpeg", w, h)
+                    return _valid("image/jpeg", w, h)
                 if marker == 0xDA:     # start of scan — no SOF seen
                     return None
                 i += 2 + seg_len

@@ -259,10 +259,138 @@ def test_multimodal_decode_fake(docs):
         assert 0 <= r["width"] < 4096 and 0 <= r["height"] < 4096
 
 
-def test_multimodal_decode_requires_codec(docs):
+# ---- golden header bytes for the dependency-free parser (built by hand;
+# ---- no image library needed to CONSTRUCT a valid header either) --------
+
+def _png_bytes(w, h):
+    import struct
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+            + b"\x00\x00\x00\x00")
+
+
+def _gif_bytes(w, h, ver=b"GIF89a"):
+    import struct
+    return ver + struct.pack("<HH", w, h) + b"\xf7\x00\x00"
+
+
+def _bmp_bytes(w, h, dib=40):
+    import struct
+    hdr = b"BM" + struct.pack("<IHHI", 26 + dib, 0, 0, 14 + dib)
+    if dib >= 40:
+        return hdr + struct.pack("<Iii", dib, w, h) + b"\x00" * 28
+    return hdr + struct.pack("<IHH", 12, w, h) + b"\x00" * 4  # core header
+
+
+def _jpeg_bytes(w, h, sof=0xC0, fill=False):
+    import struct
+    b = b"\xff\xd8"
+    b += (b"\xff\xe0" + struct.pack(">H", 16)
+          + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if fill:
+        b += b"\xff\xff\xff"           # fill bytes before the next marker
+    b += (bytes([0xFF, sof]) + struct.pack(">H", 17) + b"\x08"
+          + struct.pack(">HH", h, w) + b"\x03"
+          + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01")
+    return b
+
+
+def test_parse_image_header_goldens():
+    p = multimodal.parse_image_header
+    assert p(_png_bytes(640, 480)) == ("image/png", 640, 480)
+    assert p(_gif_bytes(320, 200)) == ("image/gif", 320, 200)
+    assert p(_gif_bytes(31, 7, ver=b"GIF87a")) == ("image/gif", 31, 7)
+    assert p(_bmp_bytes(800, 600)) == ("image/bmp", 800, 600)
+    # top-down DIB stores negative height; dims come back positive
+    assert p(_bmp_bytes(800, -600)) == ("image/bmp", 800, 600)
+    # legacy 12-byte BITMAPCOREHEADER: uint16 dims at 18/20
+    assert p(_bmp_bytes(100, 50, dib=12)) == ("image/bmp", 100, 50)
+    assert p(_jpeg_bytes(1024, 768)) == ("image/jpeg", 1024, 768)
+    # baseline vs progressive SOF markers both carry dims the same way
+    assert p(_jpeg_bytes(1024, 768, sof=0xC2)) == ("image/jpeg", 1024, 768)
+    # fill bytes (0xFF padding) before a marker are legal and skipped
+    assert p(_jpeg_bytes(12, 34, fill=True)) == ("image/jpeg", 12, 34)
+
+
+def test_parse_image_header_hostile_bytes():
+    import struct
+    p = multimodal.parse_image_header
+    assert p(b"") is None
+    assert p(b"\x00" * 64) is None
+    assert p(b"not an image at all, just text bytes") is None
+    assert p(_png_bytes(640, 480)[:12]) is None       # truncated IHDR
+    assert p(b"BM" + b"\x00" * 8) is None             # truncated BMP
+    assert p(b"BM" + b"\x00" * 12 + struct.pack("<I", 64)
+             + b"\x00" * 4) is None                   # unknown DIB, short
+    # forged dims must NOT overflow IntegerType: degrade to None
+    assert p(_png_bytes(0xFFFFFFFF, 480)) is None
+    assert p(_png_bytes(640, 0)) is None
+    assert p(_bmp_bytes(-(2 ** 31), 600)) is None     # abs() would be 2^31
+    assert p(_jpeg_bytes(0, 10)) is None
+    # EOI right after SOI: terminal, no frame header to find
+    assert p(b"\xff\xd8\xff\xd9" + b"\x12" * 16) is None
+    # SOS before any SOF
+    assert p(b"\xff\xd8\xff\xda\x00\x04\x01\x00" + b"\x00" * 8) is None
+    # desynced stream (non-FF where a marker must start)
+    assert p(b"\xff\xd8\x00\x00" + b"\x00" * 16) is None
+    # truncated SOF: segment claimed but bytes run out
+    assert p(_jpeg_bytes(100, 100)[:24]) is None
+    # deterministic, idempotent on random-ish bytes: never raises
+    for seed in range(32):
+        blob = bytes((seed * 37 + i * 11) % 256 for i in range(48))
+        assert p(blob) == p(blob)
+
+
+def test_multimodal_decode_real_bytes(spark):
+    """fake=False needs no image library: header dims come back real
+    through the full mapInPandas path, and unparseable / hostile blobs
+    degrade to NULL dims without killing the scan."""
+    blobs = [
+        (1, _png_bytes(640, 480), "image/png", 640, 480),
+        (2, _jpeg_bytes(1024, 768), "image/jpeg", 1024, 768),
+        (3, _gif_bytes(320, 200), "image/gif", 320, 200),
+        (4, _bmp_bytes(800, 600), "image/bmp", 800, 600),
+        (5, b"garbage bytes, no image here", None, None, None),
+        (6, _png_bytes(0xFFFFFFFF, 480), None, None, None),  # hostile dims
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, media=Row(bytes=b, mime="application/octet-stream"))
+         for i, b, *_ in blobs],
+        "doc_id long, media struct<bytes:binary,mime:string>")
+    out = {r["doc_id"]: r for r in
+           multimodal.decode_media(df, fake=False).collect()}
+    assert len(out) == len(blobs)
+    for i, b, mime, w, h in blobs:
+        r = out[i]
+        assert r["n_bytes"] == len(b)
+        assert r["checksum"] is not None
+        if mime is None:            # unparseable: survives with NULL dims
+            assert r["width"] is None and r["height"] is None
+            assert r["mime"] == "application/octet-stream"
+        else:
+            assert (r["mime"], r["width"], r["height"]) == (mime, w, h)
+
+
+def test_multimodal_pixel_stages_require_codec(docs):
+    """Pixel-level stages legitimately still gate on their dependency:
+    media_phash needs an image library, extract_features a model."""
     media = multimodal.attach_media(docs.limit(1))
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_media(media, fake=False)
+    try:
+        import PIL.Image  # noqa: F401
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if not have_pil:
+        with pytest.raises(NotImplementedError):
+            multimodal.media_phash(media, fake=False)
+    try:
+        import torch  # noqa: F401
+        have_torch = True
+    except ImportError:
+        have_torch = False
+    if not have_torch:
+        with pytest.raises(NotImplementedError):
+            multimodal.extract_features(media, fake=False)
 
 
 def test_frame_sample_fanout(docs):
