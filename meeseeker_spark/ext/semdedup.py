@@ -26,15 +26,19 @@ pairing rather than going quadratic — conservative, documents are kept.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from .similarity import (_cell_sims, _seed_centroids, as_double, dot,
+from .similarity import (_seed_centroids, as_double, dot,
                          ivf_train_centroids, l2_norm)
 
 
-# past this many cells the argmax-over-centroid-literals expression
-# outgrows JVM codegen method limits; assignment switches to the
-# broadcast-codebook join (same answer, see _clustered_normalized)
+# ivf_train_centroids (similarity.py) assigns via the in-expression
+# argmax over centroid literals, which outgrows JVM codegen method
+# limits past this many cells — so TRAINED codebooks are bounded by it.
+# Untrained (seeded) assignment here always uses the vectorized Arrow
+# matmul (_top_cells_udf), which has no such bound.
 EXPR_ASSIGN_MAX = 64
 
 
@@ -59,6 +63,46 @@ def auto_clusters(n: int, n_probe: int = 2, target_cell: int = 512,
     return min(hi, max(lo, math.ceil(n_probe * max(n, 1) / target_cell)))
 
 
+def _top_cells_udf(cents: list[list[float]], n_probe: int):
+    """Vectorized top-``n_probe`` cell assignment: one numpy matmul per
+    Arrow batch over the closure-captured codebook.  Exactly the
+    expression path's semantics — cosines rounded to 6 dp, cells ranked
+    by descending (cosine, cell-id) — via a stable ascending argsort
+    read back-to-front (ties, ascending in cell-id under the stable
+    sort, come out descending after the flip).  A null / wrong-length /
+    zero-norm vector returns NULL (the caller's coalesce lands it in
+    cell 0, where its null unit vector yields null sims the threshold
+    drops).  Per row only ``dim`` doubles cross in and ``n_probe`` ints
+    cross out."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(cents, dtype=np.float64)
+    dim = C.shape[1] if C.ndim == 2 else 0
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = np.nan                      # zero centroid → nan sims
+
+    @pandas_udf("array<int>")
+    def _top(vs: pd.Series) -> pd.Series:
+        vecs = np.zeros((len(vs), dim))
+        ok = np.zeros(len(vs), dtype=bool)
+        for j, v in enumerate(vs):
+            if v is not None and len(v) == dim:
+                a = np.asarray(v, dtype=np.float64)
+                if np.isfinite(a).all() and a.any():
+                    vecs[j] = a
+                    ok[j] = True
+        vn = np.linalg.norm(vecs, axis=1)
+        vn[vn == 0] = np.nan
+        sims = np.round((vecs @ C.T) / (vn[:, None] * cn[None, :]), 6)
+        np.nan_to_num(sims, copy=False, nan=-np.inf)
+        order = np.argsort(sims, axis=1, kind="stable")[:, ::-1][:, :n_probe]
+        return pd.Series([
+            order[j].astype("int32").tolist() if ok[j] else None
+            for j in range(len(vs))])
+
+    return _top
+
+
 def _clustered_normalized(emb: DataFrame, n_clusters: int,
                           train_iters: int, id_col: str, vec_col: str,
                           n_probe: int) -> DataFrame:
@@ -72,13 +116,27 @@ def _clustered_normalized(emb: DataFrame, n_clusters: int,
     cell.  Cost is a ×n_probe row stream and ≤ ×n_probe² candidate
     pairs, against single-probe's boundary-pair misses.
 
-    Assignment has two implementations with IDENTICAL semantics
-    (descending (cosine-rounded-6dp, cell-id) order, top n_probe):
-    k ≤ EXPR_ASSIGN_MAX uses the in-expression argmax over centroid
-    literals (no shuffle); larger k streams the n×k scores through a
-    broadcast-codebook join + per-vector rank — the skinny (id, cell,
-    s) window shuffle is what lets k track the corpus past the codegen
-    method-size limit."""
+    Assignment (descending (cosine-rounded-6dp, cell-id) order, top
+    n_probe) runs as ONE vectorized Arrow-batched pandas UDF: all n×k
+    cosines as a numpy matmul per record batch, returning only the
+    top-``n_probe`` cell ids (array<int>) — dim doubles in, n_probe
+    ints out per row, no joins, no extra shuffle.
+
+    Why a Python crossing here, against the repo's JVM-first rule:
+    measured.  The expression/HOF cosine (F.aggregate ∘ zip_with) is
+    interpreted per element at ~26-42 µs per cosine; at sf1
+    (n=20k, k=118) that made assignment 62.6 s of the 68.9 s total
+    (93%), and two JVM-side plan variants — rank-over-broadcast-join
+    (r4, 66.8 s) and per-row HOF over a broadcast codebook column
+    (74.7 s) — measured the same, proving the cost is the interpreted
+    arithmetic, not the plan shape; the k≤64 expression path measured
+    the same µs/cosine at sf0.5 (k=59: 27.9 s vs the matmul's ~3 s).
+    One matmul per Arrow batch does the identical O(n·k·dim) flops
+    vectorized, which is also how SemDeDup itself runs assignment
+    (FAISS).  This is the documented Arrow-batched exception
+    (SCALE.md), not a row-at-a-time UDF; equivalence with the
+    expression-argmax formulation (incl. tie-breaks) is pinned by
+    tests/test_ext.py::test_semantic_assignment_paths_agree."""
     if train_iters > 0:
         if n_clusters > EXPR_ASSIGN_MAX:
             raise ValueError(
@@ -90,39 +148,15 @@ def _clustered_normalized(emb: DataFrame, n_clusters: int,
         cents = _seed_centroids(emb, n_clusters, id_col, vec_col)
     e = emb.select(F.col(id_col).alias("_id"),
                    as_double(F.col(vec_col)).alias("_v"))
-    if n_clusters <= EXPR_ASSIGN_MAX:
-        # coalesce makes _cell provably non-null, so the join's inferred
-        # isnotnull(_cell) constant-folds away instead of pushing the
-        # whole argmax assignment into a Filter BELOW the barrier (a
-        # second full assignment evaluation per row, visible in the
-        # physical plan); a null/empty embedding lands in cell 0 where
-        # its null unit vector yields null sims the threshold drops
-        top = F.slice(
-            F.reverse(F.array_sort(_cell_sims(F.col("_v"), cents))),
-            1, n_probe)
-        cells = F.coalesce(F.transform(top, lambda c: c["i"]),
-                           F.array(F.lit(0)))
-        e = e.select("_id", "_v", F.explode(cells).alias("_cell"))
-    else:
-        from pyspark.sql import Window
-
-        from .similarity import cosine
-
-        spark = emb.sparkSession
-        cents_df = spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
-            schema="_cell int, _cvec array<double>")
-        scored = (
-            e.join(F.broadcast(cents_df))
-            .select("_id", "_cell",
-                    F.round(cosine(F.col("_v"), F.col("_cvec")), 6)
-                    .alias("_s")))
-        w = Window.partitionBy("_id").orderBy(F.desc("_s"),
-                                              F.desc("_cell"))
-        top = (scored.withColumn("_rn", F.row_number().over(w))
-               .where(F.col("_rn") <= n_probe)
-               .select("_id", F.coalesce("_cell", F.lit(0)).alias("_cell")))
-        e = e.join(top, "_id")
+    # coalesce makes _cell provably non-null, so the join's inferred
+    # isnotnull(_cell) constant-folds away instead of pushing the
+    # whole assignment into a Filter BELOW the barrier (a second full
+    # assignment evaluation per row, visible in the physical plan); a
+    # null/empty embedding lands in cell 0 where its null unit vector
+    # yields null sims the threshold drops
+    cells = F.coalesce(_top_cells_udf(cents, n_probe)(F.col("_v")),
+                       F.array(F.lit(0)))
+    e = e.select("_id", "_v", F.explode(cells).alias("_cell"))
     e = e.select("_id", "_cell", "_v", l2_norm(F.col("_v")).alias("_n"))
     e = e.select("_id", "_cell", F.transform(
         "_v", lambda x: x / F.col("_n")).alias("_nv"))
@@ -147,9 +181,15 @@ def semantic_dup_pairs(emb: DataFrame, threshold: float = 0.85,
     e = _clustered_normalized(emb, n_clusters, train_iters, id_col,
                               vec_col, n_probe)
     if max_cluster is not None:
-        keep = (e.groupBy("_cell").agg(F.count("*").alias("_w"))
-                .where(F.col("_w") <= max_cluster).select("_cell"))
-        e = e.join(keep, "_cell")
+        # count-window cap, same idiom as near-dup's max_bucket: the
+        # window partitions on _cell, which is exactly the barrier's
+        # repartition key, so the width count rides the exchange already
+        # in the plan — no extra aggregate+join round trip
+        from pyspark.sql import Window
+
+        wspec = Window.partitionBy("_cell")
+        e = (e.withColumn("_w", F.count("*").over(wspec))
+             .where(F.col("_w") <= max_cluster).drop("_w"))
     # shuffle-hint the self-join: a broadcast side would RECOMPUTE the
     # normalize+assign subtree per side (the measured 1.9-2.2× lesson on
     # the LSH/inverted-index self-joins); SHJ on _cell reuses the

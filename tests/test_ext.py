@@ -1731,19 +1731,29 @@ def test_training_shards_files_carry_no_helper_columns(docs, tmp_path):
     assert set(out.columns) == set(docs.columns) | {"shard"}
 
 
-def test_semantic_assignment_paths_agree(emb, monkeypatch):
-    """The expression-argmax and broadcast-codebook-join assignment
-    paths must produce identical pairs — same (cosine, cell) ranking,
-    same ties — since auto_clusters switches between them by k."""
-    from meeseeker_spark.ext import semdedup
+def test_semantic_assignment_paths_agree(emb):
+    """The vectorized Arrow-matmul assignment (production path) must
+    reproduce the expression-argmax formulation exactly — same rounded
+    cosines, same descending (cosine, cell-id) ranking, same ties —
+    row by row, across several (k, n_probe) shapes."""
+    from meeseeker_spark.ext.semdedup import _top_cells_udf
+    from meeseeker_spark.ext.similarity import (_cell_sims,
+                                                _seed_centroids, as_double)
 
-    a = sorted(map(tuple, semdedup.semantic_dup_pairs(
-        emb, threshold=0.35, n_clusters=32, n_probe=3).collect()))
-    monkeypatch.setattr(semdedup, "EXPR_ASSIGN_MAX", 8)
-    b = sorted(map(tuple, semdedup.semantic_dup_pairs(
-        emb, threshold=0.35, n_clusters=32, n_probe=3).collect()))
-    assert a == b
-    assert a, "corpus should produce pairs at this threshold"
+    e = emb.select(F.col("vec_id").alias("_id"),
+                   as_double(F.col("embedding")).alias("_v"))
+    for k, n_probe in ((8, 1), (32, 3), (59, 2)):
+        cents = _seed_centroids(emb, k, "vec_id", "embedding")
+        expr_cells = F.transform(
+            F.slice(F.reverse(F.array_sort(_cell_sims(F.col("_v"), cents))),
+                    1, n_probe),
+            lambda c: c["i"])
+        udf_cells = _top_cells_udf(cents, n_probe)(F.col("_v"))
+        rows = e.select("_id", expr_cells.alias("a"),
+                        udf_cells.alias("b")).collect()
+        assert rows
+        for r in rows:
+            assert r["a"] == r["b"], (k, n_probe, r)
 
 
 def test_domain_cap_vs_duckdb(spark):

@@ -248,7 +248,12 @@ def test_semantic_pairs_single_exchange_reused(spark):
     df.collect()
     s = df._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in s
-    assert s.count("ReusedExchange") >= 2
+    # one barrier exchange feeds the max_cluster count-window AND both
+    # self-join sides (r6: the cap moved from groupBy+join — which needed
+    # its own reused exchange — to a window riding the barrier, so the
+    # plan has exactly one shared exchange and one reuse of it)
+    assert s.count("ReusedExchange") >= 1
+    assert "<= 10000" in s          # the width cap is in-plan
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
     assert "Filter isnotnull(coalesce(array_max" not in s
