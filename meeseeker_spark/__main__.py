@@ -68,10 +68,10 @@ def main(argv: list[str] | None = None) -> int:
                          "--mode irreversible (default: one 21-witness "
                          "round)")
     ps.add_argument("--store-impl", choices=("dirs", "manifest"),
-                    default="dirs",
-                    help="sink layout: batch_id=N dirs (default) or "
-                         "manifest-committed store (atomic commits, "
-                         "batch-id idempotence, file-level TTL)")
+                    default="manifest",
+                    help="sink layout: manifest-committed store (default; "
+                         "atomic commits, batch-id idempotence, file-level "
+                         "TTL) or legacy batch_id=N dirs")
 
     pm = sub.add_parser("compact",
                         help="fold micro-batch dirs into the OpsStore layout")
@@ -256,6 +256,18 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if a.cmd == "compact":
+        import os as _os
+
+        if _os.path.isdir(_os.path.join(a.ops, "_manifest")):
+            # manifest layout compacts in place (one commit folding the
+            # accumulated per-batch files); --store is a dirs-layout
+            # concept and must not silently produce nothing
+            from .manifest import ManifestStore
+            n = ManifestStore(_spark(), a.ops).compact(
+                sort_cols=("block_num",))
+            print(f"compacted {n} manifest files in place "
+                  f"(--store ignored: manifest stores compact in place)")
+            return 0
         from .streaming import pipeline as P
 
         n = P.compact_stream_store(_spark(), a.ops, a.store)

@@ -6,8 +6,14 @@ meeseeker.rb:99) plus a ``max_keys`` admission gate (:49-53).  The engine's
 equivalents:
 
 - retention delete: drop rows whose ``ingested_at`` fell past the TTL.
-  On Delta/Iceberg this is a metadata DELETE; on plain parquet (this repo's
-  hermetic mode) it's a rewrite of ONLY the ``chain=`` partitions that
+  On Delta/Iceberg this is a metadata DELETE; here the DEFAULT protocol is
+  the manifest-committed store (manifest.ManifestStore, the streaming
+  sink's default layout): ``expire`` detects a ``_manifest`` dir and
+  delegates — only files containing expired rows are rewritten, the swap
+  is one atomic manifest rename, and there is no recovery protocol at all.
+  For plain partitioned parquet WITHOUT a manifest (a pre-existing dump,
+  or a sink run with ``store_impl="dirs"``) the rename-aside fallback
+  below applies: a rewrite of ONLY the ``chain=`` partitions that
   actually contain expired rows — untouched partitions keep their exact
   files (asserted byte-identical in tests).  The swap is crash-safe by
   ordering: live rows are written to a hidden ``.tmp`` dir, the old
@@ -33,6 +39,9 @@ from .schemas import DEFAULT_TTL_S
 
 def _recover(path: str) -> None:
     """Roll a crashed swap forward or back so ``expire`` can re-run.
+    Fallback protocol only: a manifest-committed store never enters any
+    of these states (its commit point is a single rename), so this runs
+    solely for plain no-manifest parquet layouts.
 
     - ``.old_chain=X`` present with ``chain=X`` missing → the crash hit
       between the two renames: restore the original (the expired rows come
@@ -72,13 +81,21 @@ def expire(spark: SparkSession, path: str, ttl_s: int = DEFAULT_TTL_S,
     ttl_s == -1 disables expiry (reference semantics: keys live forever).
     Rows with NULL ``ingested_at`` never expire — NULL means "no recorded
     ingest time", and silently deleting them would be uncounted data loss.
-    One counting job (expired rows per chain) decides which partitions to
-    rewrite; chains with zero expired rows are never read again or touched.
-    Stores without chain= partition dirs (e.g. a raw un-partitioned dump)
-    fall back to a whole-store rewrite with the same crash-safe swap.
+
+    A manifest-committed store (the streaming sink's default layout) is
+    detected by its ``_manifest`` dir and delegated to
+    ``ManifestStore.expire`` — one commit protocol owns retention there.
+    Otherwise: one counting job (expired rows per chain) decides which
+    partitions to rewrite; chains with zero expired rows are never read
+    again or touched.  Stores without chain= partition dirs (e.g. a raw
+    un-partitioned dump) fall back to a whole-store rewrite with the same
+    crash-safe swap.
     """
     if ttl_s == -1:
         return 0
+    if os.path.isdir(os.path.join(path, "_manifest")):
+        from .manifest import ManifestStore
+        return ManifestStore(spark, path).expire(ttl_s, now=now)
     _recover(path)
     now = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     cutoff = now - dt.timedelta(seconds=ttl_s)
@@ -130,9 +147,15 @@ def expire(spark: SparkSession, path: str, ttl_s: int = DEFAULT_TTL_S,
 def live_key_count(spark: SparkSession, path: str,
                    ttl_s: int = DEFAULT_TTL_S,
                    now: dt.datetime | None = None) -> int:
-    """The ``max_keys`` admission-control probe (count of unexpired keys)."""
+    """The ``max_keys`` admission-control probe (count of unexpired keys).
+    Layout-detecting like ``expire``: manifest stores are read through
+    their committed manifest, plain parquet directly."""
     now = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
-    df = spark.read.parquet(path)
+    if os.path.isdir(os.path.join(path, "_manifest")):
+        from .manifest import ManifestStore
+        df = ManifestStore(spark, path).df()
+    else:
+        df = spark.read.parquet(path)
     if ttl_s != -1:
         cutoff = now - dt.timedelta(seconds=ttl_s)
         df = df.where((F.col("ingested_at") >= F.lit(cutoff))

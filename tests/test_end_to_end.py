@@ -171,7 +171,8 @@ def test_cli_engine_sync_and_compact(spark, tmp_path_factory, capsys):
 
     assert main(["sync", "--chain", "hive_engine",
                  "--blocks", str(d / "engine_blocks"),
-                 "--out", str(d / "out")]) == 0
+                 "--out", str(d / "out"),
+                 "--store-impl", "dirs"]) == 0   # dirs→OpsStore compact path
     out = capsys.readouterr().out
     assert f"synced through block {fx.engine_blocks[-1]['blockNumber']}" in out
 

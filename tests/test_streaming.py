@@ -48,11 +48,14 @@ def test_stream_matches_batch(spark, fx, tmp_path_factory):
     got = P.ops_view(spark, str(d / "ops"))
     assert sorted(r["key"] for r in got.collect()) == sorted(
         o["key"] for o in fx.ops_expected)
-    # multiple micro-batches actually happened
-    assert len(glob.glob(str(d / "ops" / "batch_id=*"))) > 1
+    # default sink is manifest-committed; multiple micro-batches happened
+    # (one manifest commit per batch, no batch_id= dirs anywhere)
+    from meeseeker_spark.manifest import ManifestStore
+    assert not glob.glob(str(d / "ops" / "batch_id=*"))
+    v = ManifestStore(spark, str(d / "ops")).current_version()
+    assert v and v > 1
     # channel fan-out landed
-    ch = spark.read.option("basePath", str(d / "channels")).parquet(
-        str(d / "channels") + "/batch_id=*")
+    ch = P.channel_events_view(spark, str(d / "channels"))
     assert ch.count() > 0
     # HWM matches the last fixture block
     assert P.last_block_num(spark, str(d / "ops")) == fx.blocks[-1]["block_num"]
@@ -85,9 +88,10 @@ def test_checkpoint_resume_no_duplicates(spark, fx, tmp_path_factory):
                      if o["trx_id"] != "0" * 40]
     assert n2 == len(expected_real)
     assert n2 > n1
-    # resume processed only the new files — no key appears twice
-    raw = spark.read.option("basePath", str(d / "ops")).parquet(
-        str(d / "ops") + "/batch_id=*")
+    # resume processed only the new files — no key appears twice in the
+    # committed store (the replayed-batch short-circuit held)
+    from meeseeker_spark.manifest import ManifestStore
+    raw = ManifestStore(spark, str(d / "ops")).df()
     assert raw.count() == raw.dropDuplicates(["key"]).count()
 
 
@@ -444,12 +448,14 @@ def test_engine_stream_ingest(spark, fx, tmp_path_factory):
     want_rows = sorted(tuple(o[c] for c in cols)
                        for o in fx.engine_ops_expected)
     assert got_rows == want_rows
-    # multiple micro-batches actually happened
-    assert len(glob.glob(str(d / "ops" / "batch_id=*"))) > 1
+    # default sink is manifest-committed; multiple micro-batches happened
+    from meeseeker_spark.manifest import ManifestStore
+    assert not glob.glob(str(d / "ops" / "batch_id=*"))
+    v = ManifestStore(spark, str(d / "ops")).current_version()
+    assert v and v > 1
 
     from pyspark.sql import functions as F
-    ch = spark.read.option("basePath", str(d / "channels")).parquet(
-        str(d / "channels") + "/batch_id=*")
+    ch = P.channel_events_view(spark, str(d / "channels"))
     names = {r["channel"] for r in ch.select("channel").distinct().collect()}
     # wire-compat: {chain}:{contract} / {chain}:{contract}:{action}, no
     # literal segment between chain and contract (follower_job.rb:81-82)
@@ -510,7 +516,8 @@ def test_compact_stream_store(spark, fx, tmp_path_factory):
         P.streaming_ops(
             P.read_block_stream(spark, str(d / "blocks"),
                                 max_files_per_trigger=1), None),
-        str(d / "ops"), str(d / "channels"), str(d / "ckpt"))
+        str(d / "ops"), str(d / "channels"), str(d / "ckpt"),
+        store_impl="dirs")   # this test exercises the dirs-layout fallback
     q.awaitTermination(120)
 
     want = sorted(o["key"] for o in fx.ops_expected
@@ -534,7 +541,8 @@ def test_compact_stream_store(spark, fx, tmp_path_factory):
     q2 = P.start_ingest(
         P.streaming_ops(
             P.read_block_stream(spark, str(d / "blocks")), None),
-        str(d / "ops"), str(d / "channels"), str(d / "ckpt2"))
+        str(d / "ops"), str(d / "channels"), str(d / "ckpt2"),
+        store_impl="dirs")
     q2.awaitTermination(120)
     combined = P.ops_view(spark, str(d / "ops"), store)
     assert sorted(r["key"] for r in combined.select("key").collect()) == want
@@ -559,7 +567,8 @@ def test_compact_channel_store(spark, fx, tmp_path_factory):
         P.streaming_ops(
             P.read_block_stream(spark, str(d / "blocks"),
                                 max_files_per_trigger=1), None),
-        str(d / "ops"), str(d / "channels"), str(d / "ckpt"))
+        str(d / "ops"), str(d / "channels"), str(d / "ckpt"),
+        store_impl="dirs")   # this test exercises the dirs-layout fallback
     q.awaitTermination(120)
 
     raw = spark.read.option("basePath", str(d / "channels")).parquet(
@@ -588,7 +597,8 @@ def test_compact_channel_store(spark, fx, tmp_path_factory):
     q2 = P.start_ingest(
         P.streaming_ops(
             P.read_block_stream(spark, str(d / "blocks")), None),
-        str(d / "ops"), str(d / "channels"), str(d / "ckpt2"))
+        str(d / "ops"), str(d / "channels"), str(d / "ckpt2"),
+        store_impl="dirs")
     q2.awaitTermination(120)
     view = P.channel_events_view(spark, str(d / "channels"), store)
     assert view.count() == want_total * 2  # append-only: both copies visible
