@@ -172,12 +172,15 @@ def scan_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "scan_block_range",
-    "SELECT event_id, event_type, value FROM events WHERE event_id BETWEEN 100 AND 199",
+    None,
     tags=("C1",),
 )
 def scan_block_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCAN 'hive:<block>:*' analog — range predicate, min/max row-group
-    pruning on the sort column at scale."""
+    pruning on the sort column at scale.  Rotated out of the driver
+    window in round 6 (its oracle duplicated scan_by_type's pushdown-scan
+    coverage); exact DuckDB parity pinned by
+    tests/test_ext.py::test_scan_block_range_vs_duckdb."""
     return (
         load(spark, sf_dir, "events")
         .where(F.col("event_id").between(100, 199))
@@ -249,15 +252,15 @@ def trx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "transaction_num",
-    """
-    SELECT o_orderkey,
-           row_number() OVER (PARTITION BY o_orderdate ORDER BY o_orderkey) - 1 AS transaction_num
-    FROM orders
-    """,
+    None,
     tags=("B6",),
 )
 def transaction_num(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transaction ordinal within its block (block ≅ order date here)."""
+    """Transaction ordinal within its block (block ≅ order date here).
+    Rotated out of the driver window in round 6 (its oracle duplicated
+    trx_index's row_number-window coverage shape-for-shape); exact
+    DuckDB parity pinned by
+    tests/test_ext.py::test_transaction_num_vs_duckdb."""
     w = Window.partitionBy("o_orderdate").orderBy("o_orderkey")
     return (
         load(spark, sf_dir, "orders")
@@ -1999,13 +2002,31 @@ def training_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "shard", "shard_pos_key")
 
 
-@register("domain_cap", None, tags=("F4", "sampling"))
+@register(
+    "domain_cap",
+    """
+    WITH r AS (
+        SELECT doc_id, source, lang, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substr(md5('cap:' ||
+                             CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                            doc_id) AS rk
+        FROM documents
+    )
+    SELECT doc_id, source, lang, n_chars FROM r WHERE rk <= 30
+    """,
+    tags=("F4", "sampling"),
+)
 def domain_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap (ext.mix.domain_cap): at most 30 docs per
     source, survivors = the 30 smallest salted-md5 ranks — the standard
     single-crawl-source dominance guard.  Exact even with the over-cap
-    pre-filter (prefix-of-hash-order argument in the docstring).  Past
-    the grading window → rows-only there; exact DuckDB parity pinned by
+    pre-filter (prefix-of-hash-order argument in the docstring).
+    Rotated INTO the driver window in round 6 (VERDICT r5 item 6): the
+    oracle is the NAIVE full window over the salted rank, so a driver
+    hash-match also proves the pre-filter loses no survivor; the same
+    SQL plus the per-domain-size assertions stays in
     tests/test_ext.py::test_domain_cap_vs_duckdb."""
     from .ext.mix import domain_cap
     docs = load(spark, sf_dir, "documents")
@@ -2163,20 +2184,44 @@ def semantic_contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(~is_bench), emb.where(is_bench), threshold=0.4)
 
 
-@register("frequent_lines", None, tags=("F2", "F4", "quality"))
+@register(
+    "frequent_lines",
+    r"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split(text, chr(10)),
+                                  x -> trim(x) <> '') AS ls
+               FROM documents),
+    lp AS (SELECT doc_id, unnest(ls) AS line FROM t),
+    hh AS (SELECT doc_id, line,
+                  substr(md5(trim(regexp_replace(lower(line), '\s+', ' ',
+                                                 'g'))), 1, 16) AS h
+           FROM lp),
+    pd AS (SELECT h, doc_id, count(*) AS occ, min(line) AS wl
+           FROM hh GROUP BY h, doc_id)
+    SELECT h, min(wl) AS line, count(*) AS df_docs,
+           CAST(sum(occ) AS BIGINT) AS n_occurrences
+    FROM pd GROUP BY h HAVING count(*) >= 1
+    """,
+    tags=("F2", "F4", "quality"),
+)
 def frequent_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style boilerplate table (ext.lines.frequent_lines, Wenzek
-    et al. 2020): normalized lines occurring in >= 2 distinct documents.
-    Count shuffle moves only (doc_id, 64-bit hash) pairs with map-side
-    partial aggregation.  The synthetic fixture is single-line, so here
-    this degenerates to whole-doc duplicate detection — the multi-line
-    semantics are pinned by the synthetic-corpus tests next to the
-    parity test.  Past the grading window → rows-only there; exact
-    DuckDB parity pinned by
-    tests/test_ext.py::test_frequent_lines_vs_duckdb."""
+    """CCNet-style line-frequency table (ext.lines.frequent_lines,
+    Wenzek et al. 2020): normalized-line hash, witness line, distinct-doc
+    frequency, and occurrence count.  Count shuffle moves only (doc_id,
+    64-bit hash) pairs with map-side partial aggregation.
+
+    Rotated INTO the driver window in round 6 (VERDICT r5 item 6) with
+    ``min_df=1`` — the full table — because the synthetic fixture is
+    single-line and carries no cross-doc duplicate texts at the grading
+    SF (sf0.01), so the min_df=2 boilerplate filter would grade an empty
+    result; min_df=1 grades every hash/witness/count value through the
+    identical two-level aggregation.  The boilerplate configuration
+    (min_df=2) keeps its exact parity on the duplicate-bearing sf0.1
+    fixture and on a planted multi-line corpus in
+    tests/test_ext.py::test_frequent_lines_vs_duckdb*."""
     from .ext.lines import frequent_lines
     docs = load(spark, sf_dir, "documents")
-    return frequent_lines(docs, min_df=2)
+    return frequent_lines(docs, min_df=1)
 
 
 @register("line_stripped_docs", None, tags=("F2", "F4", "quality"))
@@ -2355,7 +2400,18 @@ def _ordered() -> list[Entry]:
     Later in round 4 ``dedup_fingerprint`` went rows-only the same way
     (one-normalization variant of ``dedup_exact``; parity in pytest),
     freeing its slot for ``repeated_spans`` — the exact-substring span
-    dedup family (ext/spans.py)."""
+    dedup family (ext/spans.py).
+
+    Round-6 window swap (VERDICT r5 item 6): ``transaction_num`` (a
+    row_number window duplicating ``trx_index`` shape-for-shape) and
+    ``scan_block_range`` (a pushdown scan duplicating ``scan_by_type``)
+    went rows-only with exact-parity pytests
+    (tests/test_ext.py::test_transaction_num_vs_duckdb /
+    test_scan_block_range_vs_duckdb), freeing two slots for
+    ``domain_cap`` (exact per-source cap — a driver hash-match also
+    proves the over-cap pre-filter lossless) and ``frequent_lines``
+    (CCNet line-frequency table at min_df=1; see its docstring for why
+    the boilerplate min_df=2 config grades empty at sf0.01)."""
     oracled = [e for e in ENTRIES.values() if e.sql is not None]
     rows_only = [e for e in ENTRIES.values() if e.sql is None]
     return oracled + rows_only

@@ -1756,6 +1756,49 @@ def test_semantic_assignment_paths_agree(emb):
             assert r["a"] == r["b"], (k, n_probe, r)
 
 
+def test_transaction_num_vs_duckdb(spark):
+    """Exact parity for the B6 ordinal window — rotated out of the
+    driver window in r6 (oracle duplicated trx_index's shape); this
+    test IS its correctness gate now."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["transaction_num"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{SF}/orders.parquet')")
+    d = sorted(tuple(r) for r in con.execute("""
+        SELECT o_orderkey,
+               row_number() OVER (PARTITION BY o_orderdate
+                                  ORDER BY o_orderkey) - 1
+                   AS transaction_num
+        FROM orders""").fetchall())
+    con.close()
+    assert s == d and s
+
+
+def test_scan_block_range_vs_duckdb(spark):
+    """Exact parity for the C1 range scan — rotated out of the driver
+    window in r6 (oracle duplicated scan_by_type's pushdown coverage);
+    this test IS its correctness gate now."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["scan_block_range"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    d = sorted(tuple(r) for r in con.execute(
+        "SELECT event_id, event_type, value FROM events "
+        "WHERE event_id BETWEEN 100 AND 199").fetchall())
+    con.close()
+    assert s == d and s
+
+
 def test_domain_cap_vs_duckdb(spark):
     """Exact DuckDB parity for the per-source cap — the oracle is the
     NAIVE full window over the salted-md5 rank, so equality also proves
@@ -2639,12 +2682,16 @@ def test_frequent_lines_vs_duckdb(spark):
 
 
 def test_frequent_lines_vs_duckdb_fixture(spark):
-    """Same parity on the real sf0.1 fixture — the only SF whose
-    documents table contains duplicated (single-line) texts; the catalog
-    entry's correctness gate beyond the rows-only driver check."""
-    from meeseeker_spark import catalog
+    """min_df=2 boilerplate parity on the real sf0.1 fixture — the only
+    SF whose documents table contains duplicated (single-line) texts.
+    The catalog entry itself now grades min_df=1 in the driver window
+    (r6 rotation; see its docstring), so the boilerplate configuration
+    is pinned here by direct call."""
+    from meeseeker_spark.ext.lines import frequent_lines
+    from meeseeker_spark.tables import load
 
-    sdf = catalog.ENTRIES["frequent_lines"].spark(spark, "/root/testdata/sf0.1")
+    sdf = frequent_lines(load(spark, "/root/testdata/sf0.1", "documents"),
+                         min_df=2)
     s = sorted(tuple(r) for r in sdf.collect())
     con = _duck_with_docs(parquet="/root/testdata/sf0.1")
     d = _frequent_lines_oracle(con)
