@@ -11,13 +11,14 @@ k-means cells instead of hash buckets.
 
 Built from the IVF pieces in ext.similarity: the codebook is the one
 legitimately driver-side structure (n_clusters × dim floats, identical
-to IVF serving), assignment is a JVM-side argmax over the broadcast
-codebook on RAW vectors (the CollapseProject lesson — normalizing
-before assignment inlines the division into every centroid expression),
-and normalized vectors materialize through a shuffle barrier that is
-ALSO the cluster-join exchange: one repartition(_cell) both stops the
-norm re-running per pair and pre-shuffles both self-join sides, so
-Catalyst reuses a single exchange.
+to IVF serving), assignment is a vectorized Arrow-batched numpy matmul
+over the closure-captured codebook on RAW vectors (_top_cells_udf —
+cosine is scale-invariant, so normalizing first would only add work;
+see its docstring for why this is the measured exception to the
+JVM-first rule), and normalized vectors materialize through a shuffle
+barrier that is ALSO the cluster-join exchange: one repartition(_cell)
+both stops the norm re-running per pair and pre-shuffles both
+self-join sides, so Catalyst reuses a single exchange.
 
 ``max_cluster`` mirrors near-dup's ``max_bucket``: a degenerate cell
 (one centroid capturing a constant-embedding flood) is dropped from

@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Pre-snapshot gate (VERDICT r5 item 8): run before ANY end-of-round or
+milestone commit.  Round 5 ended red because its final commit shipped a
+behavior change without re-running the suite; this tool makes the check
+one command and one exit code.
+
+Runs, in order, failing fast:
+
+1. the full pytest suite in two halves (the same split the judge uses —
+   one long pytest run in this container can exceed a single command
+   timeout, so the gate mirrors the split instead of hoping);
+2. the driver-shaped oracle-parity sweep at sf0.01 (the correctness
+   gate's local replica);
+3. a bench.py smoke at sf0.001 (must print one JSON line — catches a
+   broken headline entry without paying the sf0.1 wall time).
+
+Usage: python tools/preflight.py [--fast]
+  --fast skips the parity sweep and bench smoke (suite only).
+Exit code 0 = safe to commit a snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+# split roughly evenly by wall time (streaming/e2e files dominate)
+HALF_A = ["tests/test_streaming.py", "tests/test_end_to_end.py",
+          "tests/test_manifest.py", "tests/test_query_store.py",
+          "tests/test_oracle_parity.py"]
+
+
+def run(cmd: list[str], env: dict | None = None) -> int:
+    print(f"\n=== {' '.join(cmd)}", flush=True)
+    t0 = time.time()
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    rc = subprocess.call(cmd, cwd=REPO, env=e)
+    print(f"=== rc={rc} ({time.time() - t0:.0f}s)", flush=True)
+    return rc
+
+
+def main() -> int:
+    fast = "--fast" in sys.argv[1:]
+    py = sys.executable
+
+    half_b = ["--ignore=" + p for p in HALF_A]
+    if run([py, "-m", "pytest", "-q", *HALF_A]):
+        print("PREFLIGHT FAIL: suite half A red")
+        return 1
+    if run([py, "-m", "pytest", "-q", "tests/", *half_b]):
+        print("PREFLIGHT FAIL: suite half B red")
+        return 1
+
+    if not fast:
+        if run([py, "-m", "pytest", "-q", "tests/test_oracle_parity.py"],
+               env={"SPARK_GRAFT_PARITY_SF": "/root/testdata/sf0.01"}):
+            print("PREFLIGHT FAIL: oracle parity sweep red")
+            return 1
+        out = subprocess.run(
+            [py, "bench.py"], cwd=REPO, capture_output=True, text=True,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+                 "SPARK_GRAFT_BENCH_REPS": "1"})
+        line = (out.stdout.strip().splitlines() or [""])[-1]
+        try:
+            rec = json.loads(line)
+            assert "value" in rec and "queries" in rec
+        except Exception:
+            print("PREFLIGHT FAIL: bench.py did not print a JSON line")
+            print(out.stdout[-2000:], out.stderr[-2000:])
+            return 1
+        print(f"bench smoke: {rec['value']}s at sf0.001")
+
+    print("\nPREFLIGHT PASS — safe to snapshot")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
