@@ -9,9 +9,11 @@ GIF / BMP dimensions straight from the header bytes, so ``fake=False``
 works in every environment for the formats that dominate web corpora; PIL,
 when importable, is only a fallback for exotic formats (TIFF, WEBP, ...).
 ``fake=True`` substitutes a deterministic metadata extractor for fixtures
-whose blobs are not real images.  Pixel-level stages that genuinely need a
-codec (``media_phash`` perceptual hashing) or a model (``extract_features``)
-remain import-gated: ``fake=False`` without the dependency raises
+whose blobs are not real images.  ``media_phash``'s real path is
+dependency-free for uncompressed BMP (``bmp_gray`` + the pinned
+``dhash_gray`` kernel); compressed formats hash via PIL when importable
+and to NULL otherwise.  Only ``extract_features`` (a model, not a codec)
+remains import-gated: ``fake=False`` without torch raises
 NotImplementedError.
 
 At scale: binary payloads ride the same parquet files; metadata-only
@@ -112,6 +114,79 @@ def parse_image_header(blob: bytes) -> tuple[str, int, int] | None:
     except Exception:
         return None
     return None
+
+
+PHASH_BITS = 60  # non-negative in a signed 64-bit LONG on every engine
+
+
+def bmp_gray(blob: bytes):
+    """Dependency-free BMP pixel decode → 2-D uint8 grayscale (ITU-R
+    601-2 luma, PIL's "L" formula), or None for anything unsupported.
+
+    Covers uncompressed 24/32-bit BITMAPINFOHEADER bitmaps, bottom-up
+    (positive height) and top-down (negative), with the 4-byte row
+    padding handled — the one mainstream raster format whose pixels are
+    readable with struct + numpy alone, which makes ``media_phash``'s
+    real dHash runnable in ANY environment for BMP blobs.  Same hostile-
+    bytes contract as parse_image_header: never raises, anything
+    malformed/truncated/oversized returns None."""
+    import struct
+
+    import numpy as np
+
+    try:
+        if blob[:2] != b"BM" or len(blob) < 54:
+            return None
+        (off,) = struct.unpack("<I", blob[10:14])
+        (dib,) = struct.unpack("<I", blob[14:18])
+        if dib < 40:
+            return None
+        w, h = struct.unpack("<ii", blob[18:26])
+        _planes, bpp = struct.unpack("<HH", blob[26:30])
+        (comp,) = struct.unpack("<I", blob[30:34])
+        if comp != 0 or bpp not in (24, 32):
+            return None
+        top_down = h < 0
+        h = abs(h)
+        if not (0 < w <= 1 << 15 and 0 < h <= 1 << 15):
+            return None
+        nb = bpp // 8
+        stride = (w * nb + 3) // 4 * 4
+        if len(blob) < off + stride * h:
+            return None
+        data = np.frombuffer(blob, dtype=np.uint8, count=stride * h,
+                             offset=off)
+        rows = data.reshape(h, stride)[:, :w * nb].reshape(h, w, nb)
+        if not top_down:
+            rows = rows[::-1]               # bottom-up storage
+        b = rows[..., 0].astype(np.uint32)  # BGR(A) channel order
+        g = rows[..., 1].astype(np.uint32)
+        r = rows[..., 2].astype(np.uint32)
+        return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+    except Exception:
+        return None
+
+
+def dhash_gray(gray, bits: int = PHASH_BITS) -> int:
+    """dHash of a 2-D grayscale array: center-sample nearest resize to
+    9×8 (src index = ⌊(i+0.5)·dim/out⌋ — a PINNED kernel, deliberately
+    independent of any image library so the hash of a BMP is identical
+    in every environment), then the row-wise brighter-than-next bits
+    masked to ``bits``."""
+    import numpy as np
+
+    h, w = gray.shape
+    ys = ((np.arange(8) + 0.5) * h / 8).astype(int).clip(0, h - 1)
+    xs = ((np.arange(9) + 0.5) * w / 9).astype(int).clip(0, w - 1)
+    small = gray[np.ix_(ys, xs)].astype(int)
+    out = 0
+    bit = 0
+    for r in range(8):
+        for c in range(8):
+            if small[r, c] > small[r, c + 1]:
+                out |= 1 << bit
+            bit += 1
+    return out & ((1 << bits) - 1)
 
 
 def attach_media(df: DataFrame, text_col: str = "text",
@@ -316,8 +391,6 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
-PHASH_BITS = 60  # non-negative in a signed 64-bit LONG on every engine
-
 PHASH_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("phash", T.LongType()),
@@ -331,34 +404,33 @@ def media_phash(df: DataFrame, id_col: str = "doc_id",
     picture (recompressed, metadata-edited) land within a few bits,
     where the exact chunk identity (ext.cdc) sees unrelated bytes.
 
-    Real path (PIL importable, ``fake=False``): classic dHash —
-    grayscale, resize to 9×8 with the stable NEAREST kernel (bilinear
-    weights changed across Pillow versions; a version bump must not
-    re-key an existing index), 60 of the 64 row-wise brighter-than-
-    next comparisons, masked to PHASH_BITS so the value is a
-    non-negative LONG on every engine.  A blob PIL cannot parse hashes
-    to NULL (poisoned blobs never kill the scan).  Without PIL,
-    ``fake=False`` raises and ``fake=True`` substitutes the md5-derived
-    60-bit value — deterministic and DuckDB-reproducible
-    (``('0x' || substr(md5(bytes), 1, 15))::BIGINT``), so banding/join/
-    parity plumbing is exercised for real, but carries NO perceptual
-    locality (only identical blobs collide); stated here, tested under
-    a PIL-gated skip.
+    Real path (``fake=False``) dispatches per blob:
+
+    - **BMP** → the dependency-free ``bmp_gray`` + ``dhash_gray``
+      pipeline, ALWAYS — even when PIL is importable — so a BMP's hash
+      identity is byte-stable across environments (the pinned
+      center-sample nearest kernel; PIL's NEAREST disagrees, and a
+      mixed cluster must not produce two hashes for one image).
+      Runnable in THIS container, locality-tested on real pixels in
+      tests/test_ext.py::test_media_phash_native_bmp_locality.
+    - **other formats** → PIL when importable: grayscale, resize to
+      9×8 with the stable NEAREST kernel (bilinear weights changed
+      across Pillow versions; a version bump must not re-key an
+      existing index), 60 row-wise brighter-than-next comparisons.
+      Without PIL a non-BMP blob hashes to NULL — coverage is honest:
+      uncompressed BMP everywhere, compressed formats need a codec.
+    - anything undecodable → NULL (poisoned blobs never kill the scan).
+
+    ``fake=True`` substitutes the md5-derived 60-bit value —
+    deterministic and DuckDB-reproducible (``('0x' || substr(md5(
+    bytes), 1, 15))::BIGINT``), so banding/join/parity plumbing is
+    exercised for real, but carries NO perceptual locality (only
+    identical blobs collide) — the right stand-in for fixtures whose
+    blobs are not images at all.
 
     Pair with ext.dedup.hamming_band_pairs for the banded near-dup
     join.  mapInPandas; only (id, blob) crosses into Python, only
     (id, 1 long) crosses back."""
-    try:
-        import PIL.Image  # noqa: F401
-        have_pil = True
-    except ImportError:
-        have_pil = False
-
-    if not fake and not have_pil:
-        raise NotImplementedError(
-            "media_phash requires an image library not present in this "
-            "environment; pass fake=True for the deterministic stand-in")
-
     src = df.select(F.col(id_col).cast("long").alias("_id"),
                     F.col("media.bytes").alias("_b"))
     mask = (1 << PHASH_BITS) - 1
@@ -381,18 +453,30 @@ def media_phash(df: DataFrame, id_col: str = "doc_id",
         import io
 
         import pandas as pd
-        import PIL.Image
+        try:                            # optional: non-BMP formats only
+            import PIL.Image
+        except ImportError:
+            PIL = None
         for pdf in batches:
             ids, hs = [], []
             for i, b in zip(pdf["_id"], pdf["_b"]):
                 if b is None:
                     continue
+                blob = bytes(b)
+                ids.append(int(i))
+                gray = bmp_gray(blob)
+                if gray is not None and gray.shape[0] >= 1 \
+                        and gray.shape[1] >= 1:
+                    hs.append(dhash_gray(gray))
+                    continue
+                if PIL is None:
+                    hs.append(None)
+                    continue
                 try:
-                    with PIL.Image.open(io.BytesIO(bytes(b))) as im:
+                    with PIL.Image.open(io.BytesIO(blob)) as im:
                         px = list(im.convert("L").resize(
                             (9, 8), PIL.Image.NEAREST).getdata())
                 except Exception:
-                    ids.append(int(i))
                     hs.append(None)
                     continue
                 h = 0
@@ -402,11 +486,10 @@ def media_phash(df: DataFrame, id_col: str = "doc_id",
                         if px[r * 9 + c] > px[r * 9 + c + 1]:
                             h |= 1 << bit
                         bit += 1
-                ids.append(int(i))
                 hs.append(h & mask)
             yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
                                 "phash": pd.Series(hs, dtype="Int64")})
 
-    return src.mapInPandas(_fake if (fake or not have_pil) else _real,
+    return src.mapInPandas(_fake if fake else _real,
                            PHASH_SCHEMA).withColumnRenamed(
         "doc_id", id_col)

@@ -372,17 +372,11 @@ def test_multimodal_decode_real_bytes(spark):
 
 
 def test_multimodal_pixel_stages_require_codec(docs):
-    """Pixel-level stages legitimately still gate on their dependency:
-    media_phash needs an image library, extract_features a model."""
-    media = multimodal.attach_media(docs.limit(1))
-    try:
-        import PIL.Image  # noqa: F401
-        have_pil = True
-    except ImportError:
-        have_pil = False
-    if not have_pil:
-        with pytest.raises(NotImplementedError):
-            multimodal.media_phash(media, fake=False)
+    """extract_features (a model, not a codec) still gates on its
+    dependency; media_phash's real path no longer raises — non-image
+    blobs degrade to NULL phash (and BMPs hash for real, see the native
+    locality tests)."""
+    media = multimodal.attach_media(docs.limit(3))
     try:
         import torch  # noqa: F401
         have_torch = True
@@ -391,6 +385,92 @@ def test_multimodal_pixel_stages_require_codec(docs):
     if not have_torch:
         with pytest.raises(NotImplementedError):
             multimodal.extract_features(media, fake=False)
+    try:
+        import PIL.Image  # noqa: F401
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if not have_pil:
+        # text blobs are not BMPs and there is no codec: NULL, not a crash
+        rows = multimodal.media_phash(media, fake=False).collect()
+        assert len(rows) == 3
+        assert all(r["phash"] is None for r in rows)
+
+
+def _rgb_bmp_bytes(arr, top_down=False):
+    """Build a real 24-bit BMP from an HxWx3 uint8 RGB array — no image
+    library needed to CONSTRUCT one either."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype="uint8")
+    h, w, _ = arr.shape
+    pad = (4 - (w * 3) % 4) % 4
+    body = b""
+    for y in (range(h) if top_down else range(h - 1, -1, -1)):
+        body += arr[y][:, ::-1].tobytes() + b"\x00" * pad
+    dib = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h,
+                      1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+            + dib + body)
+
+
+def test_bmp_gray_exact_pixels():
+    """bmp_gray returns the exact ITU-R 601-2 luma of the encoded
+    pixels, for bottom-up and top-down storage, with row padding."""
+    import numpy as np
+
+    from meeseeker_spark.ext.multimodal import bmp_gray
+
+    rgb = np.array([[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                    [[0, 0, 0], [255, 255, 255], [10, 20, 30]]],
+                   dtype="uint8")     # 2x3: width 3 -> 1 pad byte per row
+    want = np.array([[76, 149, 29], [0, 255, 18]], dtype="uint8")
+    for td in (False, True):
+        g = bmp_gray(_rgb_bmp_bytes(rgb, top_down=td))
+        assert g is not None and g.shape == (2, 3)
+        assert (g == want).all(), (td, g)
+    # hostile / unsupported inputs: None, never a raise
+    assert bmp_gray(b"") is None
+    assert bmp_gray(b"BM" + b"\x01" * 60) is None
+    assert bmp_gray(_rgb_bmp_bytes(rgb)[:40]) is None   # truncated
+
+
+def test_media_phash_native_bmp_locality(spark):
+    """Real dHash locality WITHOUT any image library: a lightly-noised
+    re-encode of a BMP stays within a small Hamming ball of the
+    original, an unrelated image lands far away, a non-image blob
+    hashes to NULL — all through the full mapInPandas path."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    rng = np.random.default_rng(7)
+    base = (np.mgrid[0:48, 0:64][1] * 4 % 256).astype("uint8")
+    img = np.stack([base, base // 2, 255 - base], axis=-1)
+    noisy = (img.astype(int)
+             + rng.integers(-12, 13, img.shape)).clip(0, 255).astype("uint8")
+    other = rng.integers(0, 256, img.shape).astype("uint8")
+    blobs = [(1, _rgb_bmp_bytes(img)),
+             (2, _rgb_bmp_bytes(noisy)),
+             (3, _rgb_bmp_bytes(other)),
+             (4, _rgb_bmp_bytes(img, top_down=True)),  # same image, td
+             (5, b"not an image at all")]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, media=Row(bytes=b, mime="image/bmp"))
+         for i, b in blobs],
+        "doc_id long, media struct<bytes:binary,mime:string>")
+    got = {r["doc_id"]: r["phash"] for r in
+           multimodal.media_phash(df, fake=False).collect()}
+    assert len(got) == 5 and got[5] is None
+    assert all(got[i] is not None for i in (1, 2, 3, 4))
+
+    def dist(a, b):
+        return bin(a ^ b).count("1")
+
+    assert got[1] == got[4]            # orientation-independent identity
+    assert dist(got[1], got[2]) <= 8   # near-dup: small Hamming ball
+    assert dist(got[1], got[3]) >= 15  # unrelated: far away
 
 
 def test_frame_sample_fanout(docs):
