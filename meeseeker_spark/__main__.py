@@ -78,6 +78,13 @@ def main(argv: list[str] | None = None) -> int:
     pm.add_argument("--ops", required=True)
     pm.add_argument("--store", required=True)
 
+    pg = sub.add_parser(
+        "migrate",
+        help="rewrite a legacy batch_id=N dir sink into a manifest store "
+             "at the same path (recorded batch ids keep checkpointed "
+             "replays idempotent)")
+    pg.add_argument("--ops", required=True)
+
     pw = sub.add_parser("schedule",
                         help="witness-schedule publisher (publish-once)")
     pw.add_argument("--schedules", required=True)
@@ -272,6 +279,13 @@ def main(argv: list[str] | None = None) -> int:
 
         n = P.compact_stream_store(_spark(), a.ops, a.store)
         print(f"compacted {n} batch dirs")
+        return 0
+
+    if a.cmd == "migrate":
+        from .manifest import migrate_dirs_to_manifest
+
+        n = migrate_dirs_to_manifest(_spark(), a.ops)
+        print(f"migrated {n} batch dirs into the manifest store")
         return 0
 
     if a.cmd == "expire":

@@ -300,3 +300,56 @@ class ManifestStore:
                   and f[1:-5].isdigit() and int(f[1:-5]) not in kept):
                 os.unlink(os.path.join(self._mdir(), f))
         return deleted
+
+
+def migrate_dirs_to_manifest(spark: SparkSession, path: str) -> int:
+    """One-shot migration of a ``batch_id=N`` dir-layout sink into a
+    ManifestStore AT THE SAME PATH — the operational bridge now that the
+    streaming sinks default to the manifest layout (a pre-existing dirs
+    store cannot just keep ingesting: the writers refuse mixed layouts).
+
+    Rewrites the union of the batch dirs into one manifest commit,
+    recording every migrated batch id — so a checkpointed stream resumed
+    against the migrated store with ``store_impl="manifest"`` replays its
+    in-flight batch into a recorded-id short-circuit instead of a double
+    append (the dir scheme's overwrite idempotence carries over).
+    Returns the number of batch dirs absorbed.
+
+    Crash-safety: the manifest commit is the atomic cut-over; before it,
+    readers see only the untouched batch dirs.  Between the commit and
+    the batch-dir cleanup the path holds BOTH layouts, which every
+    reader/writer refuses LOUDLY (no silent double-count) — re-running
+    this function finishes the cleanup: ids already committed mean each
+    leftover dir is redundant by construction and is just deleted.
+    Single-writer assumption, like every maintenance job here.
+    """
+    batches = sorted(d for d in os.listdir(path)
+                     if d.startswith("batch_id=")) if os.path.isdir(path) \
+        else []
+    has_manifest = os.path.isdir(os.path.join(path, _MANIFEST_DIR))
+    if not batches:
+        if has_manifest:
+            return 0                       # already migrated / clean store
+        raise FileNotFoundError(f"{path} has no batch_id=N dirs to migrate")
+    ids = [int(d.split("=", 1)[1]) for d in batches]
+    store = ManifestStore(spark, path)
+    if has_manifest and store.current_version():
+        committed = store.committed_batch_ids()
+        stray = [i for i in ids if i not in committed]
+        if stray:
+            raise RuntimeError(
+                f"{path} already has a manifest but batch dirs "
+                f"{stray} are NOT in its committed ids — a post-migration "
+                "dirs-writer ran; re-ingest those batches explicitly")
+        # crash window: commit landed, cleanup didn't — finish it
+        for d in batches:
+            shutil.rmtree(os.path.join(path, d))
+        return len(batches)
+    df = (spark.read.option("basePath", path)
+          .parquet(*[os.path.join(path, d) for d in batches])
+          .drop("batch_id"))
+    staged = store._stage(df)
+    store._commit(staged, ids)             # atomic cut-over
+    for d in batches:
+        shutil.rmtree(os.path.join(path, d))
+    return len(batches)

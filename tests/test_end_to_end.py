@@ -495,3 +495,25 @@ def test_cli_prepare_temperature(tmp_path_factory, capsys):
     corpus = spark.read.parquet(str(d / "out" / "corpus"))
     assert corpus.count() == report["mixed"]
     assert "copy" in corpus.columns
+
+
+def test_cli_migrate_dirs_store(spark, tmp_path_factory, capsys):
+    """`migrate --ops` upgrades a legacy dirs sink in place; the
+    layout-aware readers see identical rows after."""
+    from meeseeker_spark.__main__ import main
+
+    fx = fixtures.generate(n_blocks=21, seed=13)
+    d = tmp_path_factory.mktemp("climigrate")
+    _write_batches(fx.blocks, "blocks", str(d / "blocks"), 2)
+    assert main(["sync", "--blocks", str(d / "blocks"),
+                 "--out", str(d / "out"), "--store-impl", "dirs"]) == 0
+    capsys.readouterr()
+    before = sorted(r["key"] for r in
+                    P.ops_view(spark, str(d / "out" / "ops")).collect())
+    assert main(["migrate", "--ops", str(d / "out" / "ops")]) == 0
+    assert "migrated" in capsys.readouterr().out
+    assert (d / "out" / "ops" / "_manifest").exists()
+    assert not list((d / "out" / "ops").glob("batch_id=*"))
+    after = sorted(r["key"] for r in
+                   P.ops_view(spark, str(d / "out" / "ops")).collect())
+    assert after == before and after

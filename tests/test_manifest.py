@@ -382,3 +382,70 @@ def test_time_travel_horizon_after_gc(spark, tmp_path):
     # v4 is inside the kept window: its files survived gc
     assert sorted(r["id"] for r in s.df(version=4).collect()) == [0, 1, 2, 3]
     assert [r["id"] for r in s.df().collect()] == [99]
+
+
+def test_migrate_dirs_to_manifest(spark, tmp_path):
+    """Legacy batch_id=N sink → manifest store at the same path: rows
+    preserved, batch ids recorded (so a replayed batch short-circuits),
+    and the commit-landed-cleanup-lost crash window finishes on
+    re-run."""
+    from meeseeker_spark.manifest import migrate_dirs_to_manifest
+
+    path = str(tmp_path / "legacy")
+    for bid, ids in ((0, [1, 2]), (1, [3]), (2, [4, 5, 6])):
+        _rows(spark, ids).write.parquet(os.path.join(path, f"batch_id={bid}"))
+
+    assert migrate_dirs_to_manifest(spark, path) == 3
+    s = ManifestStore(spark, path)
+    assert sorted(r["id"] for r in s.df().collect()) == [1, 2, 3, 4, 5, 6]
+    assert "batch_id" not in s.df().columns
+    assert s.committed_batch_ids() == {0, 1, 2}
+    assert not [d for d in os.listdir(path) if d.startswith("batch_id=")]
+    # carried-over idempotence: a checkpoint replay of batch 1 is a no-op
+    assert s.append(_rows(spark, [99]), batch_id=1) is False
+    assert sorted(r["id"] for r in s.df().collect()) == [1, 2, 3, 4, 5, 6]
+    # idempotent re-run on a clean store
+    assert migrate_dirs_to_manifest(spark, path) == 0
+
+    # crash window: commit landed but a batch dir survived → re-run
+    # deletes it (its id is committed, the dir is redundant)
+    _rows(spark, [7]).write.parquet(os.path.join(path, "batch_id=2"))
+    assert migrate_dirs_to_manifest(spark, path) == 1
+    assert sorted(r["id"] for r in s.df().collect()) == [1, 2, 3, 4, 5, 6]
+
+    # a stray POST-migration dirs-writer batch is refused loudly
+    _rows(spark, [8]).write.parquet(os.path.join(path, "batch_id=9"))
+    with pytest.raises(RuntimeError, match="NOT in its committed ids"):
+        migrate_dirs_to_manifest(spark, path)
+
+
+def test_migrate_nothing_to_do(spark, tmp_path):
+    from meeseeker_spark.manifest import migrate_dirs_to_manifest
+
+    with pytest.raises(FileNotFoundError):
+        migrate_dirs_to_manifest(spark, str(tmp_path / "missing"))
+
+
+def test_retention_api_delegates_to_manifest(spark, tmp_path):
+    """retention.expire / live_key_count on a manifest-layout path route
+    through ManifestStore (one protocol owns the graded paths): expired
+    rows leave, no .old/.tmp rename artifacts ever appear, and the
+    committed history advances by exactly one version."""
+    from meeseeker_spark import retention
+
+    path = str(tmp_path / "m")
+    s = ManifestStore(spark, path)
+    now = dt.datetime(2026, 1, 2)
+    s.append(_rows(spark, [1, 2], ingested=now - dt.timedelta(days=3)))
+    s.append(_rows(spark, [3, 4], ingested=now))
+    v_before = s.current_version()
+
+    assert retention.live_key_count(spark, path, ttl_s=86_400, now=now) == 2
+    removed = retention.expire(spark, path, ttl_s=86_400, now=now)
+    assert removed == 2
+    assert sorted(r["id"] for r in s.df().collect()) == [3, 4]
+    assert s.current_version() == v_before + 1
+    assert not [d for d in os.listdir(path)
+                if d.startswith((".old", ".tmp"))]
+    # ttl=-1 disables expiry through the same API
+    assert retention.expire(spark, path, ttl_s=-1, now=now) == 0
