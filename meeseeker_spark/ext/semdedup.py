@@ -27,20 +27,10 @@ pairing rather than going quadratic — conservative, documents are kept.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from .similarity import (_seed_centroids, as_double, dot,
+from .similarity import (_seed_centroids, _top_cells_udf, as_double, dot,
                          ivf_train_centroids, l2_norm)
-
-
-# ivf_train_centroids (similarity.py) assigns via the in-expression
-# argmax over centroid literals, which outgrows JVM codegen method
-# limits past this many cells — so TRAINED codebooks are bounded by it.
-# Untrained (seeded) assignment here always uses the vectorized Arrow
-# matmul (_top_cells_udf), which has no such bound.
-EXPR_ASSIGN_MAX = 64
 
 
 def auto_clusters(n: int, n_probe: int = 2, target_cell: int = 512,
@@ -62,46 +52,6 @@ def auto_clusters(n: int, n_probe: int = 2, target_cell: int = 512,
     import math
 
     return min(hi, max(lo, math.ceil(n_probe * max(n, 1) / target_cell)))
-
-
-def _top_cells_udf(cents: list[list[float]], n_probe: int):
-    """Vectorized top-``n_probe`` cell assignment: one numpy matmul per
-    Arrow batch over the closure-captured codebook.  Exactly the
-    expression path's semantics — cosines rounded to 6 dp, cells ranked
-    by descending (cosine, cell-id) — via a stable ascending argsort
-    read back-to-front (ties, ascending in cell-id under the stable
-    sort, come out descending after the flip).  A null / wrong-length /
-    zero-norm vector returns NULL (the caller's coalesce lands it in
-    cell 0, where its null unit vector yields null sims the threshold
-    drops).  Per row only ``dim`` doubles cross in and ``n_probe`` ints
-    cross out."""
-    from pyspark.sql.functions import pandas_udf
-
-    C = np.asarray(cents, dtype=np.float64)
-    dim = C.shape[1] if C.ndim == 2 else 0
-    cn = np.linalg.norm(C, axis=1)
-    cn[cn == 0] = np.nan                      # zero centroid → nan sims
-
-    @pandas_udf("array<int>")
-    def _top(vs: pd.Series) -> pd.Series:
-        vecs = np.zeros((len(vs), dim))
-        ok = np.zeros(len(vs), dtype=bool)
-        for j, v in enumerate(vs):
-            if v is not None and len(v) == dim:
-                a = np.asarray(v, dtype=np.float64)
-                if np.isfinite(a).all() and a.any():
-                    vecs[j] = a
-                    ok[j] = True
-        vn = np.linalg.norm(vecs, axis=1)
-        vn[vn == 0] = np.nan
-        sims = np.round((vecs @ C.T) / (vn[:, None] * cn[None, :]), 6)
-        np.nan_to_num(sims, copy=False, nan=-np.inf)
-        order = np.argsort(sims, axis=1, kind="stable")[:, ::-1][:, :n_probe]
-        return pd.Series([
-            order[j].astype("int32").tolist() if ok[j] else None
-            for j in range(len(vs))])
-
-    return _top
 
 
 def _clustered_normalized(emb: DataFrame, n_clusters: int,
@@ -139,10 +89,8 @@ def _clustered_normalized(emb: DataFrame, n_clusters: int,
     expression-argmax formulation (incl. tie-breaks) is pinned by
     tests/test_ext.py::test_semantic_assignment_paths_agree."""
     if train_iters > 0:
-        if n_clusters > EXPR_ASSIGN_MAX:
-            raise ValueError(
-                "ivf_train_centroids assigns via the expression path; "
-                f"train_iters > 0 needs n_clusters <= {EXPR_ASSIGN_MAX}")
+        # r6: training assigns via the same vectorized matmul, so the
+        # old expression-path codegen bound (k <= 64) no longer applies
         cents = ivf_train_centroids(emb, n_clusters, train_iters,
                                     id_col, vec_col)
     else:

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -117,6 +119,52 @@ def _cell_sims(v: Column, cents: list[list[float]]) -> Column:
     ])
 
 
+def _top_cells_udf(cents: list[list[float]], n_probe: int):
+    """Vectorized top-``n_probe`` cell assignment: one numpy matmul per
+    Arrow batch over the closure-captured codebook.  Exactly the
+    ``_cell_sims`` expression path's semantics — cosines rounded to
+    6 dp, cells ranked by descending (cosine, cell-id) — via a stable
+    ascending argsort read back-to-front (ties, ascending in cell-id
+    under the stable sort, come out descending after the flip).  A
+    null / wrong-length / zero-norm vector returns NULL (callers
+    coalesce or let the null cell drop out downstream).  Per row only
+    ``dim`` doubles cross in and ``n_probe`` ints cross out.
+
+    This is the measured exception to the JVM-first rule (see
+    SCALING.md's semantic_dup_pairs r6 note): the interpreted
+    higher-order-function cosine costs ~26-42 µs each, so n×k
+    assignment dominates every consumer at scale; the matmul does the
+    identical flops vectorized.  Used by semdedup cell assignment and
+    the IVF quantizer (serving + training)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(cents, dtype=np.float64)
+    dim = C.shape[1] if C.ndim == 2 else 0
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = np.nan                      # zero centroid → nan sims
+
+    @pandas_udf("array<int>")
+    def _top(vs: pd.Series) -> pd.Series:
+        vecs = np.zeros((len(vs), dim))
+        ok = np.zeros(len(vs), dtype=bool)
+        for j, v in enumerate(vs):
+            if v is not None and len(v) == dim:
+                a = np.asarray(v, dtype=np.float64)
+                if np.isfinite(a).all() and a.any():
+                    vecs[j] = a
+                    ok[j] = True
+        vn = np.linalg.norm(vecs, axis=1)
+        vn[vn == 0] = np.nan
+        sims = np.round((vecs @ C.T) / (vn[:, None] * cn[None, :]), 6)
+        np.nan_to_num(sims, copy=False, nan=-np.inf)
+        order = np.argsort(sims, axis=1, kind="stable")[:, ::-1][:, :n_probe]
+        return pd.Series([
+            order[j].astype("int32").tolist() if ok[j] else None
+            for j in range(len(vs))])
+
+    return _top
+
+
 def _seed_centroids(emb: DataFrame, n_centroids: int, id_col: str,
                     vec_col: str) -> list[list[float]]:
     """Deterministic id-ordered seed sample (no RNG: retries and the
@@ -145,9 +193,11 @@ def ivf_train_centroids(emb: DataFrame, n_centroids: int = 16,
     base = emb.select(as_double(F.col(vec_col)).alias("_v"))
     for _ in range(n_iters):
         # norm inlines into the single transform lambda (one expression —
-        # the 16-way CollapseProject blowup below doesn't apply here)
+        # the 16-way CollapseProject blowup below doesn't apply here);
+        # assignment via the vectorized matmul, so k is unbounded by
+        # codegen method limits (r6 — was the expression argmax)
         unit = base.select(
-            F.array_max(_cell_sims(F.col("_v"), cents))["i"].alias("_cell"),
+            _top_cells_udf(cents, 1)(F.col("_v")).getItem(0).alias("_cell"),
             F.transform("_v", lambda x: x / l2_norm(F.col("_v"))).alias("_u"),
         )
         rows = (
@@ -177,8 +227,10 @@ def ivf_topk(emb: DataFrame, query_ids: list[int] | None = None,
     scored pair space is ~n_probe/n_centroids of brute force. The
     codebook is driver/broadcast-side BY DESIGN — n_centroids × dim
     floats (here 16×64), the one structure in an IVF index that is
-    always tiny regardless of corpus size; cell assignment and scoring
-    stay fully distributed and JVM-side.
+    always tiny regardless of corpus size; cell assignment is the
+    vectorized Arrow matmul (_top_cells_udf — the measured exception to
+    JVM-first), probed pair scoring stays JVM-side and
+    oracle-reproducible.
 
     ``train_iters=0`` uses the deterministic id-ordered seed sample;
     ``train_iters>0`` refines it with that many distributed spherical
@@ -193,26 +245,22 @@ def ivf_topk(emb: DataFrame, query_ids: list[int] | None = None,
     else:
         cents = _seed_centroids(emb, n_centroids, id_col, vec_col)
 
-    def cell_sims(v: Column) -> Column:
-        return _cell_sims(v, cents)
-
-    # assignment runs on RAW vectors (cosine is scale-invariant): feeding
-    # pre-normalized vectors here looks free but CollapseProject inlines
-    # the per-element division into all 16 centroid expressions — a
-    # measured 5× regression. The probed scoring stage is small, so its
-    # per-pair cosine is the cheaper trade.
+    # assignment runs on RAW vectors (cosine is scale-invariant) through
+    # the vectorized Arrow matmul (_top_cells_udf) — the n×k interpreted
+    # HOF cosine this replaces was ~the whole entry's wall time at sf1
+    # (measured on the semdedup twin; same arithmetic, same fix)
     base = emb.select(F.col(id_col).alias("_id"),
                       as_double(F.col(vec_col)).alias("_v"))
     assigned = base.select(
-        "_id", "_v", F.array_max(cell_sims(F.col("_v")))["i"].alias("_cell"))
-    q = assigned
+        "_id", "_v",
+        _top_cells_udf(cents, 1)(F.col("_v")).getItem(0).alias("_cell"))
+    q = base
     if query_ids is not None:
         q = q.where(F.col("_id").isin(query_ids))
-    probes = F.slice(F.reverse(F.array_sort(cell_sims(F.col("_v")))),
-                     1, n_probe)
     q = q.select(
         F.col("_id").alias("q_id"), F.col("_v").alias("qv"),
-        F.explode(F.transform(probes, lambda s: s["i"])).alias("_cell"),
+        F.explode(_top_cells_udf(cents, n_probe)(F.col("_v")))
+        .alias("_cell"),
     )
     c = assigned.select(F.col("_id").alias("c_id"), F.col("_v").alias("cv"),
                         "_cell")
