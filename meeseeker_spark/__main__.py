@@ -80,10 +80,14 @@ def main(argv: list[str] | None = None) -> int:
 
     pg = sub.add_parser(
         "migrate",
-        help="rewrite a legacy batch_id=N dir sink into a manifest store "
-             "at the same path (recorded batch ids keep checkpointed "
+        help="rewrite a legacy batch_id=N dir sink into manifest stores "
+             "in place — the ops store, its <ops>_meta HWM sibling, and "
+             "the channels store (recorded batch ids keep checkpointed "
              "replays idempotent)")
     pg.add_argument("--ops", required=True)
+    pg.add_argument("--channels",
+                    help="channels store of the same sink (default: the "
+                         "'channels' sibling of --ops when present)")
 
     pw = sub.add_parser("schedule",
                         help="witness-schedule publisher (publish-once)")
@@ -265,7 +269,8 @@ def main(argv: list[str] | None = None) -> int:
     if a.cmd == "compact":
         import os as _os
 
-        if _os.path.isdir(_os.path.join(a.ops, "_manifest")):
+        from .manifest import is_manifest_store
+        if is_manifest_store(a.ops):
             # manifest layout compacts in place (one commit folding the
             # accumulated per-batch files); --store is a dirs-layout
             # concept and must not silently produce nothing
@@ -282,28 +287,34 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if a.cmd == "migrate":
-        from .manifest import migrate_dirs_to_manifest
+        import os as _os
 
-        n = migrate_dirs_to_manifest(_spark(), a.ops)
-        print(f"migrated {n} batch dirs into the manifest store")
+        from .manifest import migrate_sink_to_manifest
+
+        channels = a.channels
+        if channels is None:
+            sib = _os.path.join(_os.path.dirname(a.ops.rstrip("/")),
+                                "channels")
+            channels = sib if _os.path.isdir(sib) else None
+        counts = migrate_sink_to_manifest(_spark(), a.ops, channels)
+        print("migrated " + ", ".join(
+            f"{k}={v}" for k, v in counts.items()) + " batch dirs")
         return 0
 
     if a.cmd == "expire":
-        import os as _os
-
+        from .manifest import ManifestStore, is_manifest_store
+        from .retention import expire as _expire
         from .schemas import DEFAULT_TTL_S
 
         ttl = DEFAULT_TTL_S if a.ttl is None else a.ttl
-        if _os.path.isdir(_os.path.join(a.store, "_manifest")):
-            from .manifest import ManifestStore
-            ms = ManifestStore(_spark(), a.store)
-            n = ms.expire(ttl_s=ttl)
-            if a.gc:
-                ms.compact(sort_cols=("block_num",))
-                ms.gc()
-        else:
-            from .retention import expire as _expire
-            n = _expire(_spark(), a.store, ttl_s=ttl)
+        spark = _spark()
+        # retention.expire dispatches on layout itself; only the
+        # manifest-specific --gc extras need the probe here
+        n = _expire(spark, a.store, ttl_s=ttl)
+        if a.gc and is_manifest_store(a.store):
+            ms = ManifestStore(spark, a.store)
+            ms.compact(sort_cols=("block_num",))
+            ms.gc()
         print(f"expired {n} rows")
         return 0
 

@@ -406,12 +406,16 @@ def media_phash(df: DataFrame, id_col: str = "doc_id",
 
     Real path (``fake=False``) dispatches per blob:
 
-    - **BMP** → the dependency-free ``bmp_gray`` + ``dhash_gray``
-      pipeline, ALWAYS — even when PIL is importable — so a BMP's hash
-      identity is byte-stable across environments (the pinned
-      center-sample nearest kernel; PIL's NEAREST disagrees, and a
-      mixed cluster must not produce two hashes for one image).
-      Runnable in THIS container, locality-tested on real pixels in
+    - **uncompressed 24/32-bit BITMAPINFOHEADER BMP** (the subset
+      ``bmp_gray`` decodes) → the dependency-free ``bmp_gray`` +
+      ``dhash_gray`` pipeline, ALWAYS — even when PIL is importable —
+      so such a BMP's hash identity is byte-stable across environments
+      (the pinned center-sample nearest kernel; PIL's NEAREST
+      disagrees, and a mixed cluster must not produce two hashes for
+      one image).  Palette / RLE / 16-bit / core-header BMPs are NOT
+      native-decodable and fall through with the other formats below —
+      i.e. PIL kernel with PIL, NULL without.  Runnable in THIS
+      container, locality-tested on real pixels in
       tests/test_ext.py::test_media_phash_native_bmp_locality.
     - **other formats** → PIL when importable: grayscale, resize to
       9×8 with the stable NEAREST kernel (bilinear weights changed

@@ -121,11 +121,18 @@ def _cell_sims(v: Column, cents: list[list[float]]) -> Column:
 
 def _top_cells_udf(cents: list[list[float]], n_probe: int):
     """Vectorized top-``n_probe`` cell assignment: one numpy matmul per
-    Arrow batch over the closure-captured codebook.  Exactly the
-    ``_cell_sims`` expression path's semantics — cosines rounded to
-    6 dp, cells ranked by descending (cosine, cell-id) — via a stable
-    ascending argsort read back-to-front (ties, ascending in cell-id
-    under the stable sort, come out descending after the flip).  A
+    Arrow batch over the closure-captured codebook.  The ``_cell_sims``
+    expression path's semantics — cosines rounded to 6 dp HALF_UP
+    (matching ``F.round``, not numpy's half-to-even), cells ranked by
+    descending (cosine, cell-id) — via a stable ascending argsort read
+    back-to-front (ties, ascending in cell-id under the stable sort,
+    come out descending after the flip).  One caveat keeps this "up to
+    1 ulp" rather than bit-exact: the BLAS matmul may sum the dot
+    product in a different order than the HOF's left-to-right
+    aggregate, so a cosine within 1 ulp of a 6-dp boundary can round
+    across it — measure-zero on continuous embeddings; row-by-row
+    equality with the expression path is pinned on the fixture by
+    test_semantic_assignment_paths_agree.  A
     null / wrong-length / zero-norm vector returns NULL (callers
     coalesce or let the null cell drop out downstream).  Per row only
     ``dim`` doubles cross in and ``n_probe`` ints cross out.
@@ -155,7 +162,11 @@ def _top_cells_udf(cents: list[list[float]], n_probe: int):
                     ok[j] = True
         vn = np.linalg.norm(vecs, axis=1)
         vn[vn == 0] = np.nan
-        sims = np.round((vecs @ C.T) / (vn[:, None] * cn[None, :]), 6)
+        raw = (vecs @ C.T) / (vn[:, None] * cn[None, :])
+        # F.round is decimal HALF_UP (away from zero); np.round is
+        # half-to-even — match Spark's mode so a cosine landing exactly
+        # on a 6-dp boundary ranks identically on both paths
+        sims = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
         np.nan_to_num(sims, copy=False, nan=-np.inf)
         order = np.argsort(sims, axis=1, kind="stable")[:, ::-1][:, :n_probe]
         return pd.Series([
@@ -248,19 +259,22 @@ def ivf_topk(emb: DataFrame, query_ids: list[int] | None = None,
     # assignment runs on RAW vectors (cosine is scale-invariant) through
     # the vectorized Arrow matmul (_top_cells_udf) — the n×k interpreted
     # HOF cosine this replaces was ~the whole entry's wall time at sf1
-    # (measured on the semdedup twin; same arithmetic, same fix)
+    # (measured on the semdedup twin; same arithmetic, same fix).  ONE
+    # shared UDF serves both sides: the corpus cell is element 0 of the
+    # same top-n_probe array the query side explodes (argmax by
+    # construction); with query_ids given the query side's crossing is
+    # a handful of rows, so the corpus pays the matmul once
     base = emb.select(F.col(id_col).alias("_id"),
                       as_double(F.col(vec_col)).alias("_v"))
+    top = _top_cells_udf(cents, n_probe)
     assigned = base.select(
-        "_id", "_v",
-        _top_cells_udf(cents, 1)(F.col("_v")).getItem(0).alias("_cell"))
+        "_id", "_v", top(F.col("_v")).getItem(0).alias("_cell"))
     q = base
     if query_ids is not None:
         q = q.where(F.col("_id").isin(query_ids))
     q = q.select(
         F.col("_id").alias("q_id"), F.col("_v").alias("qv"),
-        F.explode(_top_cells_udf(cents, n_probe)(F.col("_v")))
-        .alias("_cell"),
+        F.explode(top(F.col("_v"))).alias("_cell"),
     )
     c = assigned.select(F.col("_id").alias("c_id"), F.col("_v").alias("cv"),
                         "_cell")

@@ -55,6 +55,12 @@ _MANIFEST_DIR = "_manifest"
 _DATA_DIR = "data"
 
 
+def is_manifest_store(path: str) -> bool:
+    """THE layout probe — every reader/writer that dispatches on
+    dirs-vs-manifest uses this, so the marker dir name has one home."""
+    return os.path.isdir(os.path.join(path, _MANIFEST_DIR))
+
+
 class ManifestStore:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -319,14 +325,18 @@ def migrate_dirs_to_manifest(spark: SparkSession, path: str) -> int:
     readers see only the untouched batch dirs.  Between the commit and
     the batch-dir cleanup the path holds BOTH layouts, which every
     reader/writer refuses LOUDLY (no silent double-count) — re-running
-    this function finishes the cleanup: ids already committed mean each
-    leftover dir is redundant by construction and is just deleted.
+    this function finishes the cleanup, but only after verifying BY
+    CONTENT that every leftover dir's rows are already in the committed
+    table (``exceptAll`` per leftover union): a batch id alone proves
+    nothing, because a dirs-writer resumed on a FRESH checkpoint restarts
+    ids at 0 and could collide with committed ids while carrying new
+    rows.  Rows not covered → refuse loudly, never delete.
     Single-writer assumption, like every maintenance job here.
     """
     batches = sorted(d for d in os.listdir(path)
                      if d.startswith("batch_id=")) if os.path.isdir(path) \
         else []
-    has_manifest = os.path.isdir(os.path.join(path, _MANIFEST_DIR))
+    has_manifest = is_manifest_store(path)
     if not batches:
         if has_manifest:
             return 0                       # already migrated / clean store
@@ -334,14 +344,28 @@ def migrate_dirs_to_manifest(spark: SparkSession, path: str) -> int:
     ids = [int(d.split("=", 1)[1]) for d in batches]
     store = ManifestStore(spark, path)
     if has_manifest and store.current_version():
-        committed = store.committed_batch_ids()
-        stray = [i for i in ids if i not in committed]
+        committed_ids = store.committed_batch_ids()
+        stray = [i for i in ids if i not in committed_ids]
         if stray:
             raise RuntimeError(
                 f"{path} already has a manifest but batch dirs "
                 f"{stray} are NOT in its committed ids — a post-migration "
                 "dirs-writer ran; re-ingest those batches explicitly")
-        # crash window: commit landed, cleanup didn't — finish it
+        # crash window: commit landed, cleanup didn't.  Verify by
+        # CONTENT before deleting — colliding ids from a fresh-
+        # checkpoint dirs-writer must not be mistaken for the crash
+        # leftover (that would be silent data loss)
+        committed = store.df()
+        leftover = (spark.read.option("basePath", path)
+                    .parquet(*[os.path.join(path, d) for d in batches])
+                    .drop("batch_id").select(*committed.columns))
+        uncovered = leftover.exceptAll(committed).count()
+        if uncovered:
+            raise RuntimeError(
+                f"{path}: leftover batch dirs {ids} reuse committed batch "
+                f"ids but carry {uncovered} row(s) NOT in the committed "
+                "table — a dirs-writer on a fresh checkpoint collided; "
+                "re-ingest those batches explicitly (refusing to delete)")
         for d in batches:
             shutil.rmtree(os.path.join(path, d))
         return len(batches)
@@ -353,3 +377,24 @@ def migrate_dirs_to_manifest(spark: SparkSession, path: str) -> int:
     for d in batches:
         shutil.rmtree(os.path.join(path, d))
     return len(batches)
+
+
+def migrate_sink_to_manifest(spark: SparkSession, ops_path: str,
+                             channels_path: str | None = None) -> dict:
+    """Migrate a WHOLE legacy dir-layout sink — the ops store, its
+    ``<ops>_meta`` HWM sibling, and (when given) the channels store —
+    because a sink is three dirs-layout stores, and a stream resumed
+    with the manifest default aborts on the FIRST un-migrated one
+    (the mixed-layout refusal in the batch writer).  Returns
+    {store: dirs_absorbed}; stores that are already manifest (or
+    absent) count 0."""
+    out = {"ops": migrate_dirs_to_manifest(spark, ops_path)}
+    for label, p in (("meta", ops_path + "_meta"), ("channels",
+                                                    channels_path)):
+        if p and os.path.isdir(p) and (
+                is_manifest_store(p)
+                or any(d.startswith("batch_id=") for d in os.listdir(p))):
+            out[label] = migrate_dirs_to_manifest(spark, p)
+        else:
+            out[label] = 0
+    return out

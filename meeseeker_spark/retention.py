@@ -93,8 +93,8 @@ def expire(spark: SparkSession, path: str, ttl_s: int = DEFAULT_TTL_S,
     """
     if ttl_s == -1:
         return 0
-    if os.path.isdir(os.path.join(path, "_manifest")):
-        from .manifest import ManifestStore
+    from .manifest import ManifestStore, is_manifest_store
+    if is_manifest_store(path):
         return ManifestStore(spark, path).expire(ttl_s, now=now)
     _recover(path)
     now = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
@@ -151,8 +151,8 @@ def live_key_count(spark: SparkSession, path: str,
     Layout-detecting like ``expire``: manifest stores are read through
     their committed manifest, plain parquet directly."""
     now = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
-    if os.path.isdir(os.path.join(path, "_manifest")):
-        from .manifest import ManifestStore
+    from .manifest import ManifestStore, is_manifest_store
+    if is_manifest_store(path):
         df = ManifestStore(spark, path).df()
     else:
         df = spark.read.parquet(path)

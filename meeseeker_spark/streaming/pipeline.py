@@ -30,6 +30,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..channels import block_channels, engine_channels, op_channels
 from ..flatten import flatten_blocks, flatten_engine_blocks, flatten_virtual_ops
+from ..manifest import is_manifest_store as _is_manifest
 from ..schemas import BLOCKS, ENGINE_BLOCKS, VIRTUAL_OPS, WITNESS_SCHEDULES
 
 VOP_LATENESS = "18 seconds"   # Σ(retry × BLOCK_INTERVAL), see SURVEY §4.5
@@ -213,7 +214,7 @@ def _batch_writer(store_impl: str):
             from ..manifest import ManifestStore
             ManifestStore(df.sparkSession, path).append(df, batch_id=batch_id)
         else:
-            if os.path.isdir(os.path.join(path, "_manifest")):
+            if _is_manifest(path):
                 raise RuntimeError(
                     f"{path} is a manifest store; refusing to write "
                     "batch_id=N dirs into it (readers would never see "
@@ -234,7 +235,7 @@ def _batched_view(spark: SparkSession, batch_path: str,
     read through the manifest instead; a path carrying BOTH layouts (or a
     manifest plus a separate compacted store) is refused loudly rather
     than silently hiding one side's rows."""
-    if os.path.isdir(os.path.join(batch_path, "_manifest")):
+    if _is_manifest(batch_path):
         if _has_batch_dirs(batch_path):
             raise RuntimeError(
                 f"{batch_path} holds BOTH a _manifest and batch_id=N dirs "
@@ -458,7 +459,7 @@ def last_block_num(spark: SparkSession, ops_path: str) -> int | None:
     meta_path = ops_path + "_meta"
     if not os.path.exists(meta_path):
         return None
-    if os.path.isdir(os.path.join(meta_path, "_manifest")):
+    if _is_manifest(meta_path):
         from ..manifest import ManifestStore
         try:
             meta = ManifestStore(spark, meta_path).df()

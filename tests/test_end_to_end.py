@@ -498,13 +498,17 @@ def test_cli_prepare_temperature(tmp_path_factory, capsys):
 
 
 def test_cli_migrate_dirs_store(spark, tmp_path_factory, capsys):
-    """`migrate --ops` upgrades a legacy dirs sink in place; the
-    layout-aware readers see identical rows after."""
+    """`migrate --ops` upgrades the WHOLE legacy dirs sink in place —
+    ops + the <ops>_meta HWM sibling + the channels store — and the
+    acceptance bar is a RESUMED checkpointed sync on the manifest
+    default: late blocks must ingest with no mixed-layout refusal and
+    no doubles."""
     from meeseeker_spark.__main__ import main
 
     fx = fixtures.generate(n_blocks=21, seed=13)
     d = tmp_path_factory.mktemp("climigrate")
-    _write_batches(fx.blocks, "blocks", str(d / "blocks"), 2)
+    half = len(fx.blocks) // 2
+    _write_batches(fx.blocks[:half], "blocks", str(d / "blocks"), 2)
     assert main(["sync", "--blocks", str(d / "blocks"),
                  "--out", str(d / "out"), "--store-impl", "dirs"]) == 0
     capsys.readouterr()
@@ -512,8 +516,24 @@ def test_cli_migrate_dirs_store(spark, tmp_path_factory, capsys):
                     P.ops_view(spark, str(d / "out" / "ops")).collect())
     assert main(["migrate", "--ops", str(d / "out" / "ops")]) == 0
     assert "migrated" in capsys.readouterr().out
-    assert (d / "out" / "ops" / "_manifest").exists()
-    assert not list((d / "out" / "ops").glob("batch_id=*"))
+    for sub in ("ops", "ops_meta", "channels"):
+        assert (d / "out" / sub / "_manifest").exists(), sub
+        assert not list((d / "out" / sub).glob("batch_id=*")), sub
     after = sorted(r["key"] for r in
                    P.ops_view(spark, str(d / "out" / "ops")).collect())
     assert after == before and after
+
+    # the real acceptance: resume the SAME checkpoint post-migration
+    # with the manifest default — late blocks land, nothing doubled
+    _write_batches(fx.blocks[half:], "blocks", str(d / "blocks2"), 1)
+    for f in (d / "blocks2").glob("*.parquet"):
+        os.rename(f, d / "blocks" / ("late-" + f.name))
+    assert main(["sync", "--blocks", str(d / "blocks"),
+                 "--out", str(d / "out")]) == 0
+    resumed = P.ops_view(spark, str(d / "out" / "ops"))
+    keys = [r["key"] for r in resumed.collect()]
+    expected_real = [o for o in fx.ops_expected if o["trx_id"] != "0" * 40]
+    assert sorted(keys) == sorted(o["key"] for o in expected_real)
+    assert len(keys) == len(set(keys))
+    assert P.last_block_num(spark, str(d / "out" / "ops")) \
+        == fx.blocks[-1]["block_num"]

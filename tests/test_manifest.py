@@ -408,12 +408,24 @@ def test_migrate_dirs_to_manifest(spark, tmp_path):
     assert migrate_dirs_to_manifest(spark, path) == 0
 
     # crash window: commit landed but a batch dir survived → re-run
-    # deletes it (its id is committed, the dir is redundant)
-    _rows(spark, [7]).write.parquet(os.path.join(path, "batch_id=2"))
+    # verifies the dir's rows are already committed, then deletes it
+    _rows(spark, [4, 5, 6]).write.parquet(os.path.join(path, "batch_id=2"))
     assert migrate_dirs_to_manifest(spark, path) == 1
     assert sorted(r["id"] for r in s.df().collect()) == [1, 2, 3, 4, 5, 6]
 
-    # a stray POST-migration dirs-writer batch is refused loudly
+    # a COLLIDING batch id carrying NEW rows (a dirs-writer resumed on
+    # a fresh checkpoint restarts ids at 0) must be refused, not
+    # silently deleted — the id alone proves nothing
+    _rows(spark, [7]).write.parquet(os.path.join(path, "batch_id=2"))
+    with pytest.raises(RuntimeError, match="NOT in the committed table"):
+        migrate_dirs_to_manifest(spark, path)
+    # the data is still there for explicit re-ingest
+    assert os.path.isdir(os.path.join(path, "batch_id=2"))
+    import shutil as _sh
+    _sh.rmtree(os.path.join(path, "batch_id=2"))
+
+    # a stray POST-migration dirs-writer batch (id beyond the committed
+    # set) is refused loudly too
     _rows(spark, [8]).write.parquet(os.path.join(path, "batch_id=9"))
     with pytest.raises(RuntimeError, match="NOT in its committed ids"):
         migrate_dirs_to_manifest(spark, path)
