@@ -77,6 +77,16 @@ class OpsStore:
         )
 
     def df(self) -> DataFrame:
+        """Layout-aware read (r6): a manifest-committed store (the
+        streaming sink's default layout) reads through its manifest, a
+        chain=-partitioned dump directly — so the whole C1-C6 query
+        surface (scan/get/find/has_block) works against either without
+        a compaction step in between.  On the manifest layout ``chain``
+        is a data column, not a partition dir; key-glob predicates still
+        push down as column filters with min/max row-group pruning."""
+        from .manifest import ManifestStore, is_manifest_store
+        if is_manifest_store(self.path):
+            return ManifestStore(self.spark, self.path).df()
         return self.spark.read.parquet(self.path)
 
     # -- C1: key-pattern scan ----------------------------------------------
@@ -130,8 +140,22 @@ class OpsStore:
     # -- C4: reset (bulk delete by chain prefix) ------------------------------
 
     def reset(self, chain: str = "all") -> None:
-        """Partition drop — the scale-correct bulk delete (no rewrite).
-        `all` truncates the store."""
+        """Bulk delete by chain prefix.  Dir layout: partition drop —
+        the scale-correct delete (no rewrite); `all` truncates the
+        store.  Manifest layout: one atomic overwrite commit of the
+        surviving rows (`all` commits the empty table, which — unlike
+        the dir truncate — keeps the schema readable); recorded batch
+        ids are cleared, matching the reference's reset-then-fresh-sync
+        semantics (a retained checkpoint would otherwise short-circuit
+        the re-ingest of the very keys just deleted)."""
+        from .manifest import ManifestStore, is_manifest_store
+        if is_manifest_store(self.path):
+            ms = ManifestStore(self.spark, self.path)
+            keep = ms.df().limit(0) if chain == "all" \
+                else ms.df().where(F.col("chain") != chain)
+            ms.overwrite(keep)
+            ms.gc()
+            return
         if chain == "all":
             if os.path.exists(self.path):
                 shutil.rmtree(self.path)

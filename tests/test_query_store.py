@@ -363,3 +363,47 @@ def test_cli_find_block_non_numeric_errors_cleanly(tmp_path, capsys):
     with _pytest.raises(SystemExit):
         main(["find", "block", "notanumber", "--store", str(tmp_path)])
     assert "needs a number" in capsys.readouterr().err
+
+
+def test_ops_store_over_manifest_layout(spark, tmp_path_factory):
+    """The C1-C6 query surface works DIRECTLY against a manifest-layout
+    ops store (the streaming sink's default since r6) — scan globs push
+    down as column filters, get/find/has_block answer, and reset is an
+    atomic overwrite commit that keeps the schema readable."""
+    from meeseeker_spark.manifest import ManifestStore
+    from meeseeker_spark.schemas import BLOCKS, VIRTUAL_OPS
+
+    fx = fixtures.generate(n_blocks=21, seed=23)
+    out = tmp_path_factory.mktemp("manifeststorefx")
+    fixtures.write_parquet(fx, str(out))
+    ops = flatten_ops_with_virtual(
+        spark.read.schema(BLOCKS).parquet(str(out / "blocks.parquet")),
+        spark.read.schema(VIRTUAL_OPS).parquet(
+            str(out / "virtual_ops.parquet")))
+    path = str(tmp_path_factory.mktemp("manifest_ops") / "ops")
+    ms = ManifestStore(spark, path)
+    ms.append(ops.withColumn("ingested_at", F.current_timestamp()),
+              batch_id=0)
+
+    st = OpsStore(spark, path)
+    assert st.df().count() == ops.count()
+    votes = st.scan("hive:*:vote")
+    assert votes.count() > 0
+    assert {r["op_type"] for r in
+            votes.select("op_type").distinct().collect()} == {"vote"}
+    r = st.df().first()
+    assert len(st.get(r["key"]).collect()) == 1
+    assert st.has_block(r["block_num"]) and not st.has_block(10**9)
+    assert st.find_trx(r["trx_id"]).count() >= 1
+    # glob predicates reach the parquet scan even without chain= dirs
+    plan = (st.scan("hive:*:vote")._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "PushedFilters" in plan
+
+    # reset: atomic manifest overwrite, schema survives, ids cleared
+    st.reset("hive")
+    assert st.df().where("chain = 'hive'").count() == 0
+    assert ms.committed_batch_ids() == set()
+    st.reset("all")
+    assert st.df().count() == 0          # still readable: schema kept
+    assert "key" in st.df().columns
