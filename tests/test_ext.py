@@ -431,6 +431,16 @@ def test_bmp_gray_exact_pixels():
         g = bmp_gray(_rgb_bmp_bytes(rgb, top_down=td))
         assert g is not None and g.shape == (2, 3)
         assert (g == want).all(), (td, g)
+    # every row-padding case (w*3 mod 4 = 0..3) round-trips exactly
+    import numpy as _np
+    rng = _np.random.default_rng(5)
+    for w in (4, 5, 6, 7):
+        a = rng.integers(0, 256, (3, w, 3)).astype("uint8")
+        want_l = ((a[..., 0].astype("uint32") * 299
+                   + a[..., 1].astype("uint32") * 587
+                   + a[..., 2].astype("uint32") * 114) // 1000)
+        g = bmp_gray(_rgb_bmp_bytes(a))
+        assert g is not None and (g == want_l.astype("uint8")).all(), w
     # hostile / unsupported inputs: None, never a raise
     assert bmp_gray(b"") is None
     assert bmp_gray(b"BM" + b"\x01" * 60) is None
@@ -1834,6 +1844,35 @@ def test_semantic_assignment_paths_agree(emb):
         assert rows
         for r in rows:
             assert r["a"] == r["b"], (k, n_probe, r)
+
+
+def test_semantic_assignment_agrees_on_random_data(spark):
+    """Same pin beyond the fixture: seeded random vectors (including
+    planted exact ties — duplicate centroids force the (cosine,
+    cell-id) tie-break) across several shapes.  Duplicated centroids
+    give IDENTICAL rounded cosines, so only a correct larger-cell-wins
+    tie-break passes."""
+    import numpy as np
+
+    from meeseeker_spark.ext.similarity import _cell_sims, _top_cells_udf
+
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        n, dim, k, n_probe = 40, 8, 11, 3
+        vecs = rng.standard_normal((n, dim))
+        cents = rng.standard_normal((k, dim)).tolist()
+        cents[7] = list(cents[2])          # exact tie: cells 2 and 7
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+            "_id long, _v array<double>")
+        expr_cells = F.transform(
+            F.slice(F.reverse(F.array_sort(_cell_sims(F.col("_v"), cents))),
+                    1, n_probe),
+            lambda c: c["i"])
+        udf_cells = _top_cells_udf(cents, n_probe)(F.col("_v"))
+        for r in df.select(expr_cells.alias("a"),
+                           udf_cells.alias("b")).collect():
+            assert r["a"] == r["b"], (seed, r)
 
 
 def test_transaction_num_vs_duckdb(spark):
