@@ -42,11 +42,28 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def unit(vec: Column, norm: Column) -> Column:
+    """vec / norm elementwise, with the per-row scalar evaluated ONCE.
+
+    The obvious ``transform(vec, x -> x / norm)`` is a trap:
+    CollapseProject substitutes the norm column's defining expression
+    into the lambda body, so the l2_norm AGGREGATE re-evaluates per
+    ELEMENT — 64× the work per row, measured 5.2 s vs 0.5 s for the
+    sf1 embeddings normalize (r6).  ``array_repeat`` materializes the
+    scalar once per row and ``zip_with`` divides elementwise; identical
+    arithmetic, same doubles."""
+    return F.zip_with(vec, F.array_repeat(norm, F.size(vec)),
+                      lambda x, n: x / n)
+
+
 def normalized(emb: DataFrame, id_col: str = "vec_id",
                vec_col: str = "embedding",
                keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """(id_col, *keep_cols, _nv): unit-normalized double vectors, norm
-    computed once per row — MATERIALIZED through a shuffle barrier.
+    computed once per row (``unit`` — see its docstring for the
+    CollapseProject per-element trap this sidesteps, measured 10× on
+    this very function at sf1 in r6) — MATERIALIZED through a shuffle
+    barrier.
 
     The barrier is the point: CollapseProject + codegen fuse bare
     projections into their consumers, so feeding a lazily-computed
@@ -59,8 +76,8 @@ def normalized(emb: DataFrame, id_col: str = "vec_id",
     e = emb.select(F.col(id_col), *keep,
                    as_double(F.col(vec_col)).alias("_v"))
     e = e.select(id_col, *keep, "_v", l2_norm(F.col("_v")).alias("_n"))
-    e = e.select(id_col, *keep, F.transform(
-        F.col("_v"), lambda x: x / F.col("_n")).alias("_nv"))
+    e = e.select(id_col, *keep,
+                 unit(F.col("_v"), F.col("_n")).alias("_nv"))
     # explicit partition count: a bare repartition(col) lets AQE coalesce
     # the (tiny-by-bytes) exchange to ONE partition, serializing the O(n²)
     # join that follows — measured 9× worse. Pinning N keeps the barrier
@@ -203,16 +220,16 @@ def ivf_train_centroids(emb: DataFrame, n_centroids: int = 16,
     cents = _seed_centroids(emb, n_centroids, id_col, vec_col)
     base = emb.select(as_double(F.col(vec_col)).alias("_v"))
     for _ in range(n_iters):
-        # norm inlines into the single transform lambda (one expression —
-        # the 16-way CollapseProject blowup below doesn't apply here);
-        # assignment via the vectorized matmul, so k is unbounded by
-        # codegen method limits (r6 — was the expression argmax)
-        unit = base.select(
+        # unit() evaluates the norm once per row (the per-element
+        # CollapseProject trap, see unit's docstring); assignment via
+        # the vectorized matmul, so k is unbounded by codegen method
+        # limits (r6 — was the expression argmax)
+        normed = base.select(
             _top_cells_udf(cents, 1)(F.col("_v")).getItem(0).alias("_cell"),
-            F.transform("_v", lambda x: x / l2_norm(F.col("_v"))).alias("_u"),
+            unit(F.col("_v"), l2_norm(F.col("_v"))).alias("_u"),
         )
         rows = (
-            unit.select("_cell", F.posexplode("_u").alias("_i", "_x"))
+            normed.select("_cell", F.posexplode("_u").alias("_i", "_x"))
             .groupBy("_cell", "_i").agg(F.avg("_x").alias("_m"))
             .collect()
         )
