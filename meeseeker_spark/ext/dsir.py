@@ -33,15 +33,21 @@ from .text import md5_int32, tokens
 DEFAULT_BUCKETS = 10_000
 
 
-def _grams(text_col: Column) -> Column:
-    """Unigrams + bigrams as one string array (the DSIR feature set)."""
-    w = tokens(text_col)
+def _grams(tok: Column) -> Column:
+    """Unigrams + bigrams as one string array (the DSIR feature set).
+
+    Takes a BOUND token-array column, not raw text: the token expression
+    appears five times in this tree (the array itself, two slices, two
+    sizes), and higher-order functions are interpreted with no common-
+    subexpression elimination — passing ``tokens(text)`` inline ran the
+    regex tokenizer 5× per row (the same bound-column rule as
+    ext.spans.word_grams / text._with_tokens)."""
     bigrams = F.zip_with(
-        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
-        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        F.slice(tok, 1, F.greatest(F.size(tok) - 1, F.lit(0))),
+        F.slice(tok, 2, F.greatest(F.size(tok) - 1, F.lit(0))),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    return F.concat(w, bigrams)
+    return F.concat(tok, bigrams)
 
 
 def hashed_gram_counts(docs: DataFrame, id_col: str = "doc_id",
@@ -51,7 +57,8 @@ def hashed_gram_counts(docs: DataFrame, id_col: str = "doc_id",
     The md5 bucket hash is the repo-wide oracle-reproducible idiom."""
     g = docs.select(
         F.col(id_col).alias("_id"),
-        F.explode(_grams(F.col(text_col))).alias("_g"))
+        tokens(F.col(text_col)).alias("_w"))
+    g = g.select("_id", F.explode(_grams(F.col("_w"))).alias("_g"))
     return (
         g.select("_id", F.pmod(md5_int32(F.col("_g")),
                                F.lit(n_buckets)).alias("bucket"))
