@@ -121,21 +121,18 @@ def json_field_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "channel_rollup",
-    """
-    SELECT event_type,
-           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_ts,
-           count(*) AS n_events,
-           round(sum(value), 2) AS total_value
-    FROM events
-    GROUP BY ROLLUP(event_type, day_ts)
-    """,
+    None,
     tags=("C5", "free-relational"),
 )
 def channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical channel/day subtotals + grand total via ROLLUP — one of
     the relational surfaces the reference lacks entirely (SURVEY §2 intro)
     that Spark gives for free; one Expand + one hash-agg, still map-side
-    partial, so the shuffle stays proportional to group count not input."""
+    partial, so the shuffle stays proportional to group count not input.
+
+    Rotated out of the driver window in r7 (its oracle largely duplicated
+    channel_volume's agg coverage); exact DuckDB parity pinned by
+    tests/test_ext.py::test_channel_rollup_vs_duckdb."""
     ev = load(spark, sf_dir, "events")
     return (
         ev.rollup(
@@ -394,15 +391,17 @@ def d1_trx_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "d2_missing_refs",
-    """
-    SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    """,
+    None,
     tags=("D1", "D2"),
 )
 def d2_missing_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-difference as an anti-join (the reference prints `expected -
-    actual` diffs; distributed form is left_anti, no driver-side sets)."""
+    actual` diffs; distributed form is left_anti, no driver-side sets).
+
+    Rotated out of the driver window in r7 (its NOT-EXISTS oracle
+    duplicated d1/d3's reconciliation coverage and grades 0 rows at every
+    shipped SF); exact DuckDB parity pinned by
+    tests/test_ext.py::test_d2_missing_refs_vs_duckdb."""
     cust = load(spark, sf_dir, "customer")
     orders = load(spark, sf_dir, "orders")
     return (
@@ -2013,6 +2012,7 @@ def training_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                              CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
                             doc_id) AS rk
         FROM documents
+        WHERE source IS NOT NULL
     )
     SELECT doc_id, source, lang, n_chars FROM r WHERE rk <= 30
     """,
@@ -2027,7 +2027,10 @@ def domain_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the NAIVE full window over the salted rank, so a driver
     hash-match also proves the pre-filter loses no survivor; the same
     SQL plus the per-domain-size assertions stays in
-    tests/test_ext.py::test_domain_cap_vs_duckdb."""
+    tests/test_ext.py::test_domain_cap_vs_duckdb.  The oracle filters
+    ``source IS NOT NULL`` (ADVICE r6): ext.mix.domain_cap drops
+    NULL-domain rows by inner-join semantics, while DuckDB's window
+    would otherwise group NULLs into their own capped partition."""
     from .ext.mix import domain_cap
     docs = load(spark, sf_dir, "documents")
     return domain_cap(docs, cap=30, domain_col="source").select(
@@ -2084,14 +2087,75 @@ def quality_logit_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_logit_scores(docs)
 
 
-@register("dsir_select", None, tags=("F4", "sampling"))
+@register(
+    "dsir_select",
+    """
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, lang,
+               unnest(list_concat(w,
+                   list_transform(range(1, greatest(len(w), 1)),
+                                  i -> w[i] || ' ' || w[i+1]))) AS gram
+        FROM t
+    ),
+    cnt AS (
+        SELECT doc_id, lang,
+               (('0x' || substr(md5(gram), 1, 8))::BIGINT % 10000)
+                   AS bucket,
+               count(*) AS c
+        FROM g GROUP BY doc_id, lang, bucket
+    ),
+    pc AS (SELECT bucket, sum(c) AS cb FROM cnt
+           WHERE lang = 'en' GROUP BY bucket),
+    pt AS (SELECT sum(cb)::DOUBLE AS n FROM pc),
+    qc AS (SELECT bucket, sum(c) AS cb FROM cnt GROUP BY bucket),
+    qt AS (SELECT sum(cb)::DOUBLE AS n FROM qc),
+    p AS (SELECT bucket, ln(cb + 1.0) - ln(n + 10000.0) AS lp
+          FROM pc, pt),
+    q AS (SELECT bucket, ln(cb + 1.0) - ln(n + 10000.0) AS lq
+          FROM qc, qt),
+    ratio AS (
+        SELECT coalesce(p.bucket, q.bucket) AS bucket,
+               coalesce(p.lp, -ln((SELECT n FROM pt) + 10000.0))
+               - coalesce(q.lq, -ln((SELECT n FROM qt) + 10000.0))
+                   AS lam
+        FROM p FULL JOIN q ON p.bucket = q.bucket
+    ),
+    scored AS (
+        SELECT c.doc_id, sum(c.c) AS n_grams,
+               round(sum(c.c * r.lam), 4) AS logw
+        FROM cnt c JOIN ratio r USING (bucket)
+        GROUP BY c.doc_id
+    ),
+    sel AS (
+        SELECT doc_id, logw,
+               round(-ln(-ln(
+                   ((('0x' || substr(md5('dsir:' ||
+                       CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) + 0.5)
+                   / 4294967296.0)), 4) AS gumbel
+        FROM scored WHERE logw IS NOT NULL
+    )
+    SELECT doc_id, logw, gumbel,
+           round(logw / 1.0 + gumbel, 4) AS score
+    FROM sel
+    ORDER BY score DESC, doc_id LIMIT 100
+    """,
+    tags=("F4", "sampling"),
+)
 def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (ext.dsir, Xie et al. 2023): top-100
     raw documents by hashed-n-gram importance weight toward the corpus's
     English slice, deterministic Gumbel top-k.  Both bucket
     distributions are B≈10k-row broadcasts; selection plans as
-    TakeOrderedAndProject.  Past the grading window → rows-only there;
-    exact DuckDB parity pinned by
+    TakeOrderedAndProject.  Rotated INTO the driver window in r7
+    (VERDICT r6 item 1 — the driver hash is the hardest signal; this and
+    bm25_topk are the algorithmically richest rows-only entries); its
+    oracle is the same SQL exact-parity-pinned since r5 by
     tests/test_ext.py::test_dsir_select_vs_duckdb."""
     from .ext.dsir import dsir_select
     docs = load(spark, sf_dir, "documents")
@@ -2288,13 +2352,40 @@ def blocklist_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocklist_screen(docs, ["slow", "dup", "big"], max_frac=0.02)
 
 
-@register("bm25_topk", None, tags=("F4", "F3"))
+@register(
+    "bm25_topk",
+    """
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(text),
+                                  '[^a-z0-9]+'), x -> x <> '') AS w
+               FROM documents),
+    stats AS (SELECT count(*) AS nd, avg(len(w))::DOUBLE AS ad FROM t),
+    h0 AS (SELECT doc_id, len(w) AS dl,
+                  unnest(list_filter(w, x -> list_contains(
+                      ['merge','stream','window'], x))) AS tm
+           FROM t),
+    hits AS (SELECT doc_id, tm, count(*) AS tf, max(dl) AS dl
+             FROM h0 GROUP BY doc_id, tm),
+    dfq AS (SELECT tm, count(*) AS dft FROM hits GROUP BY tm),
+    sc AS (SELECT h.doc_id, count(*) AS n_hits,
+                  round(sum(ln((nd - dft + 0.5) / (dft + 0.5) + 1.0)
+                            * tf * 2.2
+                            / (tf + 1.2 * (0.25 + 0.75 * dl / ad))),
+                        4) AS bm25
+           FROM hits h JOIN dfq USING (tm) CROSS JOIN stats
+           GROUP BY h.doc_id)
+    SELECT doc_id, n_hits, bm25 FROM sc
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    """,
+    tags=("F4", "F3"),
+)
 def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval (ext.rank.bm25_topk): top-20 docs for a
     3-term query — the lexical retrieval half of retrieval-based data
     selection.  One corpus pass (query-term postings only enter the
-    shuffle), broadcast df/stats, TakeOrderedAndProject top-k.  Past
-    the grading window → rows-only there; exact DuckDB parity pinned by
+    shuffle), broadcast df/stats, TakeOrderedAndProject top-k.  Rotated
+    INTO the driver window in r7 (VERDICT r6 item 1); its oracle is the
+    same SQL exact-parity-pinned since r5 by
     tests/test_ext.py::test_bm25_topk_vs_duckdb."""
     from .ext.rank import bm25_topk
     docs = load(spark, sf_dir, "documents")
@@ -2411,7 +2502,17 @@ def _ordered() -> list[Entry]:
     ``domain_cap`` (exact per-source cap — a driver hash-match also
     proves the over-cap pre-filter lossless) and ``frequent_lines``
     (CCNet line-frequency table at min_df=1; see its docstring for why
-    the boilerplate min_df=2 config grades empty at sf0.01)."""
+    the boilerplate min_df=2 config grades empty at sf0.01).
+
+    Round-7 window swap (VERDICT r6 item 1): ``channel_rollup`` (agg
+    coverage largely duplicating ``channel_volume``) and
+    ``d2_missing_refs`` (0-row NOT-EXISTS duplicating d1/d3's
+    reconciliation coverage) went rows-only with exact-parity pytests
+    (tests/test_ext.py::test_channel_rollup_vs_duckdb /
+    test_d2_missing_refs_vs_duckdb), freeing two slots for
+    ``dsir_select`` and ``bm25_topk`` — the two algorithmically richest
+    rows-only entries, both DuckDB-exact in pytest since r5; their
+    oracles moved verbatim from those tests into the registry."""
     oracled = [e for e in ENTRIES.values() if e.sql is not None]
     rows_only = [e for e in ENTRIES.values() if e.sql is None]
     return oracled + rows_only

@@ -57,8 +57,20 @@ _DATA_DIR = "data"
 
 def is_manifest_store(path: str) -> bool:
     """THE layout probe — every reader/writer that dispatches on
-    dirs-vs-manifest uses this, so the marker dir name has one home."""
-    return os.path.isdir(os.path.join(path, _MANIFEST_DIR))
+    dirs-vs-manifest uses this, so the marker dir name has one home.
+
+    A path counts as a manifest store only once a version is COMMITTED
+    (a ``v*.json`` exists), not when the marker dir appears (ADVICE r6):
+    ManifestStore() eagerly creates ``_manifest/`` at construction, so a
+    marker-dir probe would flip the layout for every reader during
+    migration staging — and permanently after a pre-commit crash —
+    turning the documented "readers see only the untouched batch dirs
+    until the commit rename" window into a mixed-layout refusal."""
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return False
+    return any(f.startswith("v") and f.endswith(".json")
+               and f[1:-5].isdigit() for f in os.listdir(mdir))
 
 
 class ManifestStore:

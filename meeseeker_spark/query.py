@@ -147,12 +147,22 @@ class OpsStore:
         the dir truncate — keeps the schema readable); recorded batch
         ids are cleared, matching the reference's reset-then-fresh-sync
         semantics (a retained checkpoint would otherwise short-circuit
-        the re-ingest of the very keys just deleted)."""
+        the re-ingest of the very keys just deleted).
+
+        The keep filter is NULL-safe (ADVICE r6): ``chain != 'x'``
+        alone would silently drop NULL-chain rows that the dir layout's
+        partition drop never touched.  A store with no committed data
+        resets as a no-op, matching the dirs rmtree path."""
         from .manifest import ManifestStore, is_manifest_store
         if is_manifest_store(self.path):
             ms = ManifestStore(self.spark, self.path)
-            keep = ms.df().limit(0) if chain == "all" \
-                else ms.df().where(F.col("chain") != chain)
+            try:
+                cur = ms.df()
+            except FileNotFoundError:
+                return                     # nothing committed → no-op
+            keep = cur.limit(0) if chain == "all" \
+                else cur.where((F.col("chain") != chain)
+                               | F.col("chain").isNull())
             ms.overwrite(keep)
             ms.gc()
             return

@@ -1918,6 +1918,75 @@ def test_scan_block_range_vs_duckdb(spark):
     assert s == d and s
 
 
+def test_channel_rollup_vs_duckdb(spark):
+    """Exact parity for the C5 ROLLUP subtotals — rotated out of the
+    driver window in r7 (agg coverage largely duplicated
+    channel_volume's); this test IS its correctness gate now."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    nkey = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    sdf = catalog.ENTRIES["channel_rollup"].spark(spark, SF)
+    s = sorted(((r["event_type"], r["day_ts"], r["n_events"],
+                 r["total_value"]) for r in sdf.collect()), key=nkey)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    d = sorted((tuple(r) for r in con.execute("""
+        SELECT event_type,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_ts,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY ROLLUP(event_type, day_ts)
+    """).fetchall()), key=nkey)
+    con.close()
+    assert s == d and s
+    # grand-total row present exactly once
+    assert sum(1 for t in s if t[0] is None and t[1] is None) == 1
+
+
+def test_d2_missing_refs_vs_duckdb(spark):
+    """Exact parity for the D2 anti-join — rotated out of the driver
+    window in r7 (its NOT-EXISTS oracle duplicated d1/d3's
+    reconciliation coverage and grades 0 rows at every shipped SF);
+    this test IS its correctness gate now, including a non-degenerate
+    variant that plants customers with no orders."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["d2_missing_refs"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    d = sorted(tuple(r) for r in con.execute("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """).fetchall())
+    con.close()
+    assert s == d
+
+    # the shipped SFs reference every customer; force a non-empty case
+    cust = load(spark, SF, "customer")
+    full_orders = load(spark, SF, "orders")
+    orders = full_orders.where(F.col("o_custkey") % 7 != 0)
+    got = {
+        r["c_custkey"]
+        for r in cust.join(orders, cust.c_custkey == orders.o_custkey,
+                           "left_anti").select("c_custkey").collect()}
+    want = {
+        r["c_custkey"] for r in cust.join(
+            full_orders, cust.c_custkey == full_orders.o_custkey,
+            "left_semi").select("c_custkey").collect()
+        if r["c_custkey"] % 7 == 0}
+    # every custkey divisible by 7 that HAD orders now surfaces missing
+    assert want <= got and got
+
+
 def test_domain_cap_vs_duckdb(spark):
     """Exact DuckDB parity for the per-source cap — the oracle is the
     NAIVE full window over the salted-md5 rank, so equality also proves
@@ -1941,6 +2010,7 @@ def test_domain_cap_vs_duckdb(spark):
                                  CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
                                 doc_id) AS rk
             FROM documents
+            WHERE source IS NOT NULL
         )
         SELECT doc_id, source, lang, n_chars FROM r WHERE rk <= 30
     """).fetchall())

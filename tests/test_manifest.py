@@ -264,8 +264,14 @@ def test_mixed_layout_refused(spark, tmp_path):
     with pytest.raises(RuntimeError, match="manifest store"):
         _batch_writer("dirs")(_rows(spark, [2]), str(m), 1)
 
-    # reader guard: a hand-mixed dir is refused loudly
+    # reader guard: a hand-mixed dir is refused loudly — but only once a
+    # manifest version is COMMITTED.  A bare _manifest marker (e.g. a
+    # migration crashed before its commit rename, ADVICE r6) leaves the
+    # dirs layout readable instead of bricking the store until re-run.
     os.makedirs(p / "_manifest")
+    assert [r["id"] for r in _batched_view(spark, str(p), None).collect()] \
+        == [1]
+    ManifestStore(spark, str(p)).append(_rows(spark, [9]))
     with pytest.raises(RuntimeError, match="BOTH"):
         _batched_view(spark, str(p), None)
     os.makedirs(tmp_path / "store2x")

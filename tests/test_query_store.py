@@ -400,10 +400,36 @@ def test_ops_store_over_manifest_layout(spark, tmp_path_factory):
             .executedPlan().toString())
     assert "PushedFilters" in plan
 
+    # reset keeps NULL-chain rows (ADVICE r6: `chain != x` alone would
+    # silently drop them; the dir layout's partition drop never did)
+    n_before = st.df().count()
+    ms.append(st.df().limit(3).withColumn("chain", F.lit(None).cast("string")))
+    st.reset("steem")                    # no steem rows exist
+    assert st.df().count() == n_before + 3
+    assert st.df().where(F.col("chain").isNull()).count() == 3
+
     # reset: atomic manifest overwrite, schema survives, ids cleared
     st.reset("hive")
     assert st.df().where("chain = 'hive'").count() == 0
+    assert st.df().where(F.col("chain").isNull()).count() == 3
     assert ms.committed_batch_ids() == set()
     st.reset("all")
     assert st.df().count() == 0          # still readable: schema kept
     assert "key" in st.df().columns
+    st.reset("all")                      # empty store: no-op, not an error
+    st.reset("hive")
+
+
+def test_reset_on_never_committed_manifest_store(spark, tmp_path_factory):
+    """reset() against a constructed-but-never-committed ManifestStore
+    path must no-op like the dirs rmtree path (ADVICE r6: ms.df() used
+    to raise FileNotFoundError here).  With the committed-version probe
+    the path doesn't even count as a manifest store yet — either way,
+    no error."""
+    from meeseeker_spark.manifest import ManifestStore, is_manifest_store
+
+    path = str(tmp_path_factory.mktemp("fresh_ms") / "ops")
+    ManifestStore(spark, path)           # eager _manifest/ + data/ skeleton
+    assert not is_manifest_store(path)   # uncommitted ⇒ not yet manifest
+    OpsStore(spark, path).reset("all")
+    OpsStore(spark, path).reset("hive")
