@@ -10,9 +10,10 @@ works in every environment for the formats that dominate web corpora; PIL,
 when importable, is only a fallback for exotic formats (TIFF, WEBP, ...).
 ``fake=True`` substitutes a deterministic metadata extractor for fixtures
 whose blobs are not real images.  ``media_phash``'s real path is
-dependency-free for uncompressed BMP (``bmp_gray`` + the pinned
-``dhash_gray`` kernel); compressed formats hash via PIL when importable
-and to NULL otherwise.  Only ``extract_features`` (a model, not a codec)
+dependency-free for uncompressed BMP (``bmp_gray``) AND non-interlaced
+8-bit PNG (``png_gray``: stdlib zlib + filter reconstruction), both
+feeding the pinned ``dhash_gray`` kernel; the DCT formats (JPEG, GIF)
+hash via PIL when importable and to NULL otherwise.  Only ``extract_features`` (a model, not a codec)
 remains import-gated: ``fake=False`` without torch raises
 NotImplementedError.
 
@@ -163,6 +164,111 @@ def bmp_gray(blob: bytes):
         g = rows[..., 1].astype(np.uint32)
         r = rows[..., 2].astype(np.uint32)
         return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+    except Exception:
+        return None
+
+
+def png_gray(blob: bytes):
+    """Dependency-free PNG pixel decode → 2-D uint8 grayscale (same
+    ITU-R 601-2 luma as ``bmp_gray``, so one image encoded as BMP and
+    PNG dHashes to the SAME value), or None for anything unsupported.
+
+    Covers non-interlaced 8-bit-per-channel PNGs of every color type —
+    grayscale (0), RGB (2), palette (3), gray+alpha (4), RGBA (6);
+    alpha is ignored, matching PIL's convert("L").  The stdlib does all
+    the heavy lifting: zlib inflates the concatenated IDAT stream, then
+    the five scanline filters (None/Sub/Up/Average/Paeth) are
+    reconstructed row by row — Sub and Up vectorized with numpy, the
+    left+up-coupled Average/Paeth in the unavoidable per-byte loop.
+    16-bit and interlaced (Adam7) files fall through to PIL/NULL.
+    Hostile-bytes contract as bmp_gray: never raises; malformed,
+    truncated, oversized, or palette-index-out-of-range input → None."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    try:
+        if blob[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        i, n = 8, len(blob)
+        w = h = ct = None
+        plte = None
+        idat = []
+        while i + 8 <= n:
+            (ln,) = struct.unpack(">I", blob[i:i + 4])
+            typ = blob[i + 4:i + 8]
+            data = blob[i + 8:i + 8 + ln]
+            if len(data) < ln:
+                return None                       # truncated chunk
+            if typ == b"IHDR":
+                w, h, bitd, ct, comp, filt, inter = struct.unpack(
+                    ">IIBBBBB", data[:13])
+                if (comp != 0 or filt != 0 or inter != 0 or bitd != 8
+                        or ct not in (0, 2, 3, 4, 6)
+                        or not (0 < w <= 1 << 15 and 0 < h <= 1 << 15)):
+                    return None
+            elif typ == b"PLTE":
+                if ln % 3:
+                    return None
+                plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"IEND":
+                break
+            i += 12 + ln
+        if w is None or not idat:
+            return None
+        raw = zlib.decompress(b"".join(idat))
+        ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
+        stride = w * ch
+        if len(raw) < h * (stride + 1):
+            return None
+        sl = np.frombuffer(raw, dtype=np.uint8,
+                           count=h * (stride + 1)).reshape(h, stride + 1)
+        out = np.zeros((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for r in range(h):
+            f = sl[r, 0]
+            cur = sl[r, 1:]
+            if f == 0:                            # None
+                rec = cur.copy()
+            elif f == 2:                          # Up
+                rec = cur + prev                  # uint8 wraps mod 256
+            elif f == 1:                          # Sub = per-channel cumsum
+                rec = (np.cumsum(cur.reshape(w, ch), axis=0,
+                                 dtype=np.uint32) & 0xFF) \
+                    .astype(np.uint8).reshape(stride)
+            elif f in (3, 4):                     # Average / Paeth
+                rec = np.zeros(stride, dtype=np.uint8)
+                for x in range(stride):
+                    a = int(rec[x - ch]) if x >= ch else 0
+                    b = int(prev[x])
+                    if f == 3:
+                        pred = (a + b) >> 1
+                    else:
+                        c = int(prev[x - ch]) if x >= ch else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) \
+                            else (b if pb <= pc else c)
+                    rec[x] = (int(cur[x]) + pred) & 0xFF
+            else:
+                return None                       # invalid filter type
+            out[r] = rec
+            prev = rec
+        px = out.reshape(h, w, ch)
+        if ct in (0, 4):                          # gray / gray+alpha
+            return px[..., 0].copy()
+        if ct == 3:                               # palette lookup
+            idx = px[..., 0]
+            if plte is None or int(idx.max()) >= len(plte):
+                return None
+            rgb = plte[idx].astype(np.uint32)
+        else:                                     # RGB / RGBA
+            rgb = px[..., :3].astype(np.uint32)
+        return ((rgb[..., 0] * 299 + rgb[..., 1] * 587
+                 + rgb[..., 2] * 114) // 1000).astype(np.uint8)
     except Exception:
         return None
 
@@ -407,22 +513,27 @@ def media_phash(df: DataFrame, id_col: str = "doc_id",
     Real path (``fake=False``) dispatches per blob:
 
     - **uncompressed 24/32-bit BITMAPINFOHEADER BMP** (the subset
-      ``bmp_gray`` decodes) → the dependency-free ``bmp_gray`` +
+      ``bmp_gray`` decodes) and **non-interlaced 8-bit PNG of any
+      color type** (``png_gray``: stdlib zlib inflate + scanline
+      filter reconstruction) → the dependency-free gray decode +
       ``dhash_gray`` pipeline, ALWAYS — even when PIL is importable —
-      so such a BMP's hash identity is byte-stable across environments
+      so these blobs' hash identity is byte-stable across environments
       (the pinned center-sample nearest kernel; PIL's NEAREST
       disagrees, and a mixed cluster must not produce two hashes for
-      one image).  Palette / RLE / 16-bit / core-header BMPs are NOT
-      native-decodable and fall through with the other formats below —
-      i.e. PIL kernel with PIL, NULL without.  Runnable in THIS
-      container, locality-tested on real pixels in
-      tests/test_ext.py::test_media_phash_native_bmp_locality.
-    - **other formats** → PIL when importable: grayscale, resize to
-      9×8 with the stable NEAREST kernel (bilinear weights changed
-      across Pillow versions; a version bump must not re-key an
-      existing index), 60 row-wise brighter-than-next comparisons.
-      Without PIL a non-BMP blob hashes to NULL — coverage is honest:
-      uncompressed BMP everywhere, compressed formats need a codec.
+      one image).  The two decoders share one luma formula, so the
+      same picture saved as BMP and PNG collides at Hamming 0.
+      Palette / RLE / 16-bit BMPs and interlaced / 16-bit PNGs are
+      NOT native-decodable and fall through with the other formats
+      below.  Runnable in THIS container, locality-tested on real
+      pixels in tests/test_ext.py::test_media_phash_native_bmp_locality
+      and ::test_media_phash_native_png_locality.
+    - **other formats** (JPEG, GIF, ...) → PIL when importable:
+      grayscale, resize to 9×8 with the stable NEAREST kernel
+      (bilinear weights changed across Pillow versions; a version bump
+      must not re-key an existing index), 60 row-wise
+      brighter-than-next comparisons.  Without PIL such a blob hashes
+      to NULL — coverage is honest: BMP and PNG everywhere, the
+      DCT-compressed formats need a codec.
     - anything undecodable → NULL (poisoned blobs never kill the scan).
 
     ``fake=True`` substitutes the md5-derived 60-bit value —
@@ -469,6 +580,8 @@ def media_phash(df: DataFrame, id_col: str = "doc_id",
                 blob = bytes(b)
                 ids.append(int(i))
                 gray = bmp_gray(blob)
+                if gray is None:
+                    gray = png_gray(blob)
                 if gray is not None and gray.shape[0] >= 1 \
                         and gray.shape[1] >= 1:
                     hs.append(dhash_gray(gray))

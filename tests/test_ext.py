@@ -483,6 +483,158 @@ def test_media_phash_native_bmp_locality(spark):
     assert dist(got[1], got[3]) >= 15  # unrelated: far away
 
 
+def _png_full_bytes(arr, ct=2, filt=0, palette=None):
+    """Build a REAL decodable PNG (zlib IDAT, chosen scanline filter on
+    every row) from a uint8 array — stdlib only, so the decoder's test
+    vectors need no image library either.  ``arr`` is HxW for color
+    types 0/3, HxWxC otherwise."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    h, w, ch = arr.shape
+    rows = arr.reshape(h, w * ch).astype(np.int32)
+    body = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for r in range(h):
+        cur = rows[r]
+        left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]]) \
+            if w * ch > ch else np.zeros(w * ch, np.int32)
+        if filt == 0:
+            ft = cur % 256
+        elif filt == 1:
+            ft = (cur - left) % 256
+        elif filt == 2:
+            ft = (cur - prev) % 256
+        elif filt == 3:
+            ft = (cur - ((left + prev) >> 1)) % 256
+        else:                                      # Paeth
+            ft = np.zeros(w * ch, np.int32)
+            for x in range(w * ch):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) \
+                    else (b if pb <= pc else c)
+                ft[x] = (int(cur[x]) - pred) % 256
+        body += bytes([filt]) + ft.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    out = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)))
+    if palette is not None:
+        out += chunk(b"PLTE",
+                     np.asarray(palette, np.uint8).reshape(-1).tobytes())
+    return out + chunk(b"IDAT", zlib.compress(bytes(body))) \
+        + chunk(b"IEND", b"")
+
+
+def test_png_gray_exact_pixels():
+    """png_gray reconstructs the exact ITU-R 601-2 luma for every color
+    type and every scanline filter, and degrades to None (never raises)
+    on hostile input — the PNG twin of test_bmp_gray_exact_pixels."""
+    import numpy as np
+
+    from meeseeker_spark.ext.multimodal import png_gray
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, (5, 7, 3)).astype("uint8")
+    want = ((rgb[..., 0].astype("uint32") * 299
+             + rgb[..., 1].astype("uint32") * 587
+             + rgb[..., 2].astype("uint32") * 114) // 1000).astype("uint8")
+    for filt in range(5):                          # every filter type
+        g = png_gray(_png_full_bytes(rgb, ct=2, filt=filt))
+        assert g is not None and (g == want).all(), filt
+    gray = rng.integers(0, 256, (4, 6)).astype("uint8")
+    assert (png_gray(_png_full_bytes(gray, ct=0, filt=1)) == gray).all()
+    la = np.stack([gray, np.full_like(gray, 128)], axis=-1)
+    assert (png_gray(_png_full_bytes(la, ct=4, filt=2)) == gray).all()
+    rgba = np.concatenate([rgb, np.full((5, 7, 1), 9, "uint8")], axis=-1)
+    assert (png_gray(_png_full_bytes(rgba, ct=6, filt=4)) == want).all()
+    pal = rng.integers(0, 256, (4, 3)).astype("uint8")
+    idx = rng.integers(0, 4, (3, 5)).astype("uint8")
+    want_p = ((pal[idx][..., 0].astype("uint32") * 299
+               + pal[idx][..., 1].astype("uint32") * 587
+               + pal[idx][..., 2].astype("uint32") * 114) // 1000)
+    g = png_gray(_png_full_bytes(idx, ct=3, filt=0, palette=pal))
+    assert g is not None and (g == want_p.astype("uint8")).all()
+
+    # hostile / unsupported: None, never a raise
+    good = _png_full_bytes(rgb)
+    assert png_gray(b"") is None
+    assert png_gray(good[:40]) is None             # truncated IDAT
+    assert png_gray(good[:24] + b"\x10" + good[25:]) is None  # 16-bit depth
+    bad_interlace = bytearray(good)
+    bad_interlace[8 + 8 + 12] = 1                  # IHDR interlace flag
+    assert png_gray(bytes(bad_interlace)) is None
+    oob = _png_full_bytes(np.full((2, 2), 9, "uint8"), ct=3, filt=0,
+                          palette=pal[:2])         # palette index OOB
+    assert png_gray(oob) is None
+    import zlib as _z
+    bad_filter = _png_full_bytes(rgb)
+    # corrupt the filter byte of row 0 to 7 (invalid) and re-pack IDAT
+    raw = bytearray(b"\x07" + rgb.reshape(5, 21).astype("uint8").tobytes())
+    import struct as _s
+    payload = _z.compress(bytes(raw))
+    idat = (_s.pack(">I", len(payload)) + b"IDAT" + payload
+            + _s.pack(">I", _z.crc32(b"IDAT" + payload)))
+    hdr = good[:8 + 25]                            # signature + IHDR chunk
+    iend = good[-12:]
+    assert png_gray(hdr + idat + iend) is None
+    for seed in range(16):                         # deterministic, no raise
+        blob = bytes((seed * 53 + i * 7) % 256 for i in range(96))
+        assert png_gray(blob) == png_gray(blob)
+
+
+def test_media_phash_native_png_locality(spark):
+    """Real dHash locality for PNG WITHOUT any image library, through
+    the full mapInPandas path — plus the cross-format identity: the
+    SAME pixels saved as PNG and as BMP produce the SAME phash (shared
+    luma + pinned resize kernel), so a mixed-format corpus dedups as
+    one image."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    rng = np.random.default_rng(13)
+    base = (np.mgrid[0:48, 0:64][1] * 4 % 256).astype("uint8")
+    img = np.stack([base, base // 2, 255 - base], axis=-1)
+    noisy = (img.astype(int)
+             + rng.integers(-12, 13, img.shape)).clip(0, 255).astype("uint8")
+    other = rng.integers(0, 256, img.shape).astype("uint8")
+    blobs = [(1, _png_full_bytes(img, filt=0)),
+             (2, _png_full_bytes(noisy, filt=4)),   # Paeth re-encode
+             (3, _png_full_bytes(other, filt=1)),
+             (4, _png_full_bytes(img, filt=3)),     # same image, refiltered
+             (5, _rgb_bmp_bytes(img)),              # same image, BMP
+             (6, b"not an image at all")]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, media=Row(bytes=b, mime="image/png"))
+         for i, b in blobs],
+        "doc_id long, media struct<bytes:binary,mime:string>")
+    got = {r["doc_id"]: r["phash"] for r in
+           multimodal.media_phash(df, fake=False).collect()}
+    assert len(got) == 6 and got[6] is None
+    assert all(got[i] is not None for i in (1, 2, 3, 4, 5))
+
+    def dist(a, b):
+        return bin(a ^ b).count("1")
+
+    assert got[1] == got[4]            # filter choice never changes the hash
+    assert got[1] == got[5]            # PNG == BMP for identical pixels
+    assert dist(got[1], got[2]) <= 8   # near-dup: small Hamming ball
+    assert dist(got[1], got[3]) >= 15  # unrelated: far away
+
+
 def test_frame_sample_fanout(docs):
     media = multimodal.attach_media(docs.limit(5))
     frames = multimodal.frame_sample(media, every_n=1)
