@@ -1309,36 +1309,19 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "top_bigrams",
-    """
-    WITH t AS (
-        SELECT lang,
-               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                           x -> x <> '') AS w
-        FROM documents
-    ),
-    bg AS (
-        SELECT lang,
-               unnest(list_transform(range(1, greatest(len(w), 1)),
-                      i -> w[i] || ' ' || w[i+1])) AS bigram
-        FROM t WHERE len(w) >= 2
-    ),
-    c AS (
-        SELECT lang, bigram, count(*) AS n FROM bg GROUP BY lang, bigram
-    )
-    SELECT lang, bigram, n, rk FROM (
-        SELECT lang, bigram, n,
-               row_number() OVER (PARTITION BY lang
-                                  ORDER BY n DESC, bigram) AS rk
-        FROM c
-    ) WHERE rk <= 5
-    """,
+    None,
     tags=("F4",),
 )
 def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language top-5 bigrams: explode word bigrams → two-phase count
     (partial agg map-side) → per-lang rank with WindowGroupLimit pushing
     the top-k below the sort. The n-gram frequency table every corpus
-    analysis starts from."""
+    analysis starts from.
+
+    Rotated out of the driver window in r7 (its explode → count →
+    windowed-top-k oracle shape-duplicates ``tfidf_top_terms``); exact
+    DuckDB parity pinned by
+    tests/test_ext.py::test_top_bigrams_vs_duckdb."""
     from .ext.text import tokens
     docs = load(spark, sf_dir, "documents")
     w = docs.select("lang", tokens(F.col("text")).alias("_w")) \
@@ -2175,13 +2158,74 @@ def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(docs, val_frac=0.2, threshold=0.3)
 
 
-@register("gopher_rules", None, tags=("F4", "quality"))
+@register(
+    "gopher_rules",
+    """
+    WITH t AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS w,
+               string_split(text, chr(10)) AS l
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(w) AS n_words,
+               round(list_sum(list_transform(w, x -> length(x)))::DOUBLE
+                     / greatest(len(w), 1), 4) AS mean_word_len,
+               round(((length(text)
+                       - length(replace(text, '#', '')))
+                      + floor((length(text)
+                               - length(replace(text, '...', ''))) / 3))
+                     / greatest(len(w), 1)::DOUBLE, 4) AS symbol_ratio,
+               round(len(list_filter(l,
+                   x -> regexp_matches(x, '^\\s*[-*•]')))
+                     / greatest(len(l), 1)::DOUBLE, 4) AS bullet_frac,
+               round(len(list_filter(l,
+                   x -> regexp_matches(x, '\\.\\.\\.$')))
+                     / greatest(len(l), 1)::DOUBLE, 4) AS ellipsis_frac,
+               round(len(list_filter(w,
+                   x -> regexp_matches(x, '[A-Za-z]')))
+                     / greatest(len(w), 1)::DOUBLE, 4) AS alpha_frac,
+               len(list_filter(w, x -> lower(x) IN
+                   ('the','a','and','of','to','in','is'))) AS stop_hits,
+               round((len(l) - len(list_distinct(l)))
+                     / greatest(len(l), 1)::DOUBLE, 4) AS dup_line_frac
+        FROM t
+    ),
+    r AS (
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+               alpha_frac, stop_hits, dup_line_frac,
+               (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+               (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                   AS r_mean_word_len,
+               symbol_ratio <= 0.1 AS r_symbol_ratio,
+               bullet_frac <= 0.9 AS r_bullet,
+               ellipsis_frac <= 0.3 AS r_ellipsis,
+               alpha_frac >= 0.8 AS r_alpha,
+               stop_hits >= 2 AS r_stopwords,
+               dup_line_frac <= 0.3 AS r_dup_lines
+        FROM m
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+           stop_hits, dup_line_frac, r_word_count, r_mean_word_len,
+           r_symbol_ratio, r_bullet, r_ellipsis, r_alpha, r_stopwords,
+           r_dup_lines,
+           (r_word_count AND r_mean_word_len AND r_symbol_ratio
+            AND r_bullet AND r_ellipsis AND r_alpha
+            AND r_stopwords AND r_dup_lines) AS keep
+    FROM r
+    """,
+    tags=("F4", "quality"),
+)
 def gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText quality-rule battery (ext.text.gopher_rules,
     Rae et al. 2021 App. A): per-document rule booleans + measured stats
     + composite keep, all narrow JVM expressions (no shuffle, no
-    Python).  Past the grading window → rows-only there; exact DuckDB
-    parity pinned by tests/test_ext.py::test_gopher_rules_vs_duckdb."""
+    Python).  Rotated INTO the driver window in r7 (third slot of the
+    VERDICT r6 item-1 swap); its oracle is the same SQL
+    exact-parity-pinned since r4 by
+    tests/test_ext.py::test_gopher_rules_vs_duckdb."""
     from .ext.text import gopher_rules
     docs = load(spark, sf_dir, "documents")
     return gopher_rules(docs)
@@ -2504,15 +2548,18 @@ def _ordered() -> list[Entry]:
     (CCNet line-frequency table at min_df=1; see its docstring for why
     the boilerplate min_df=2 config grades empty at sf0.01).
 
-    Round-7 window swap (VERDICT r6 item 1): ``channel_rollup`` (agg
-    coverage largely duplicating ``channel_volume``) and
-    ``d2_missing_refs`` (0-row NOT-EXISTS duplicating d1/d3's
-    reconciliation coverage) went rows-only with exact-parity pytests
+    Round-7 window swap (VERDICT r6 item 1, three slots):
+    ``channel_rollup`` (agg coverage largely duplicating
+    ``channel_volume``), ``d2_missing_refs`` (0-row NOT-EXISTS
+    duplicating d1/d3's reconciliation coverage) and ``top_bigrams``
+    (explode → count → windowed-top-k shape-duplicating
+    ``tfidf_top_terms``) went rows-only with exact-parity pytests
     (tests/test_ext.py::test_channel_rollup_vs_duckdb /
-    test_d2_missing_refs_vs_duckdb), freeing two slots for
-    ``dsir_select`` and ``bm25_topk`` — the two algorithmically richest
-    rows-only entries, both DuckDB-exact in pytest since r5; their
-    oracles moved verbatim from those tests into the registry."""
+    test_d2_missing_refs_vs_duckdb / test_top_bigrams_vs_duckdb),
+    freeing slots for ``dsir_select``, ``bm25_topk`` and
+    ``gopher_rules`` — the algorithmically richest rows-only entries,
+    all DuckDB-exact in pytest since r4/r5; their oracles moved
+    verbatim from those tests into the registry."""
     oracled = [e for e in ENTRIES.values() if e.sql is not None]
     rows_only = [e for e in ENTRIES.values() if e.sql is None]
     return oracled + rows_only

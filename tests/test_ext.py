@@ -2139,6 +2139,46 @@ def test_d2_missing_refs_vs_duckdb(spark):
     assert want <= got and got
 
 
+def test_top_bigrams_vs_duckdb(spark):
+    """Exact parity for the per-language top-5 bigram table — rotated
+    out of the driver window in r7 (oracle shape-duplicated
+    tfidf_top_terms); this test IS its correctness gate now."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["top_bigrams"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = sorted(tuple(r) for r in con.execute("""
+        WITH t AS (
+            SELECT lang,
+                   list_filter(string_split_regex(lower(text),
+                               '[^a-z0-9]+'), x -> x <> '') AS w
+            FROM documents
+        ),
+        bg AS (
+            SELECT lang,
+                   unnest(list_transform(range(1, greatest(len(w), 1)),
+                          i -> w[i] || ' ' || w[i+1])) AS bigram
+            FROM t WHERE len(w) >= 2
+        ),
+        c AS (
+            SELECT lang, bigram, count(*) AS n FROM bg GROUP BY lang, bigram
+        )
+        SELECT lang, bigram, n, rk FROM (
+            SELECT lang, bigram, n,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n DESC, bigram) AS rk
+            FROM c
+        ) WHERE rk <= 5
+    """).fetchall())
+    con.close()
+    assert s == d and len(s) == 25     # 5 langs × top-5
+
+
 def test_domain_cap_vs_duckdb(spark):
     """Exact DuckDB parity for the per-source cap — the oracle is the
     NAIVE full window over the salted-md5 rank, so equality also proves
