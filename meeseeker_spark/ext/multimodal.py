@@ -10,10 +10,11 @@ works in every environment for the formats that dominate web corpora; PIL,
 when importable, is only a fallback for exotic formats (TIFF, WEBP, ...).
 ``fake=True`` substitutes a deterministic metadata extractor for fixtures
 whose blobs are not real images.  ``media_phash``'s real path is
-dependency-free for uncompressed BMP (``bmp_gray``) AND non-interlaced
-8-bit PNG (``png_gray``: stdlib zlib + filter reconstruction), both
-feeding the pinned ``dhash_gray`` kernel; the DCT formats (JPEG, GIF)
-hash via PIL when importable and to NULL otherwise.  Only ``extract_features`` (a model, not a codec)
+dependency-free for uncompressed BMP (``bmp_gray``), non-interlaced
+8-bit PNG (``png_gray``: stdlib zlib + filter reconstruction) and GIF
+(``gif_gray``: pure-python LZW + palette), all feeding the pinned
+``dhash_gray`` kernel; JPEG (the one remaining DCT format) hashes via
+PIL when importable and to NULL otherwise.  Only ``extract_features`` (a model, not a codec)
 remains import-gated: ``fake=False`` without torch raises
 NotImplementedError.
 
@@ -273,6 +274,141 @@ def png_gray(blob: bytes):
         return None
 
 
+def _gif_lzw_decode(data: bytes, min_code: int, max_pixels: int):
+    """GIF-variant LZW decode (LSB-first bit packing, variable code size
+    2+1..12 bits, clear/EOI codes) → bytearray of palette indices, or
+    None on a corrupt stream.  Bounded by ``max_pixels`` so a forged
+    stream cannot balloon memory."""
+    if not (2 <= min_code <= 11):
+        return None
+    clear = 1 << min_code
+    eoi = clear + 1
+    code_size = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                code_size = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                if code >= len(table) or code >= clear:
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            if prev is not None and len(table) == (1 << code_size) \
+                    and code_size < 12:
+                code_size += 1
+            out += entry
+            prev = entry
+            if len(out) >= max_pixels:
+                return out
+    return out
+
+
+def gif_gray(blob: bytes):
+    """Dependency-free GIF pixel decode (first frame) → 2-D uint8
+    grayscale via the shared ITU-R 601-2 luma — the third member of the
+    native-decode family (``bmp_gray`` / ``png_gray``), so one image
+    saved as GIF, PNG or BMP dHashes identically.
+
+    Covers GIF87a/GIF89a with global or local color table, interlaced
+    or not; the LZW inflate is ``_gif_lzw_decode``.  Extensions
+    (graphic control, comments, application) are skipped;  animation
+    frames beyond the first are ignored — the first frame is the
+    perceptual identity.  Hostile-bytes contract as the siblings:
+    malformed / truncated / oversized input returns None, never
+    raises."""
+    import struct
+
+    import numpy as np
+
+    try:
+        if blob[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        _sw, _sh, flags, _bg, _ar = struct.unpack("<HHBBB", blob[6:13])
+        i = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 7)
+            if len(blob) < i + n * 3:
+                return None
+            gct = np.frombuffer(blob, np.uint8, n * 3, i).reshape(-1, 3)
+            i += n * 3
+        while i < len(blob):
+            b0 = blob[i]
+            if b0 == 0x3B:                        # trailer, no image seen
+                return None
+            if b0 == 0x21:                        # extension block
+                i += 2
+                while i < len(blob) and blob[i] != 0:
+                    i += 1 + blob[i]
+                i += 1
+                continue
+            if b0 != 0x2C:
+                return None
+            if len(blob) < i + 10:
+                return None
+            _l, _t, w, h, iflags = struct.unpack("<HHHHB",
+                                                 blob[i + 1:i + 10])
+            i += 10
+            if not (0 < w <= 1 << 15 and 0 < h <= 1 << 15):
+                return None
+            pal = gct
+            if iflags & 0x80:                     # local color table
+                n = 2 << (iflags & 7)
+                if len(blob) < i + n * 3:
+                    return None
+                pal = np.frombuffer(blob, np.uint8, n * 3,
+                                    i).reshape(-1, 3)
+                i += n * 3
+            if pal is None:
+                return None
+            min_code = blob[i]
+            i += 1
+            data = bytearray()
+            while i < len(blob) and blob[i] != 0:
+                ln = blob[i]
+                data += blob[i + 1:i + 1 + ln]
+                i += 1 + ln
+            idx = _gif_lzw_decode(bytes(data), min_code, w * h)
+            if idx is None or len(idx) < w * h:
+                return None
+            a = np.frombuffer(bytes(idx[:w * h]), np.uint8).reshape(h, w)
+            if iflags & 0x40:                     # 4-pass deinterlace
+                order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                         + [*range(2, h, 4)] + [*range(1, h, 2)])
+                out = np.empty_like(a)
+                out[order] = a
+                a = out
+            if int(a.max()) >= len(pal):
+                return None
+            rgb = pal[a].astype(np.uint32)
+            return ((rgb[..., 0] * 299 + rgb[..., 1] * 587
+                     + rgb[..., 2] * 114) // 1000).astype(np.uint8)
+        return None
+    except Exception:
+        return None
+
+
 def dhash_gray(gray, bits: int = PHASH_BITS) -> int:
     """dHash of a 2-D grayscale array: center-sample nearest resize to
     9×8 (src index = ⌊(i+0.5)·dim/out⌋ — a PINNED kernel, deliberately
@@ -513,26 +649,28 @@ def media_phash(df: DataFrame, id_col: str = "doc_id",
     Real path (``fake=False``) dispatches per blob:
 
     - **uncompressed 24/32-bit BITMAPINFOHEADER BMP** (the subset
-      ``bmp_gray`` decodes) and **non-interlaced 8-bit PNG of any
-      color type** (``png_gray``: stdlib zlib inflate + scanline
-      filter reconstruction) → the dependency-free gray decode +
+      ``bmp_gray`` decodes), **non-interlaced 8-bit PNG of any color
+      type** (``png_gray``: stdlib zlib inflate + scanline filter
+      reconstruction) and **GIF87a/89a, first frame** (``gif_gray``:
+      pure-python LZW + palette) → the dependency-free gray decode +
       ``dhash_gray`` pipeline, ALWAYS — even when PIL is importable —
       so these blobs' hash identity is byte-stable across environments
       (the pinned center-sample nearest kernel; PIL's NEAREST
       disagrees, and a mixed cluster must not produce two hashes for
-      one image).  The two decoders share one luma formula, so the
-      same picture saved as BMP and PNG collides at Hamming 0.
+      one image).  The three decoders share one luma formula, so the
+      same picture saved as BMP, PNG or GIF collides at Hamming 0.
       Palette / RLE / 16-bit BMPs and interlaced / 16-bit PNGs are
       NOT native-decodable and fall through with the other formats
       below.  Runnable in THIS container, locality-tested on real
-      pixels in tests/test_ext.py::test_media_phash_native_bmp_locality
-      and ::test_media_phash_native_png_locality.
-    - **other formats** (JPEG, GIF, ...) → PIL when importable:
+      pixels in tests/test_ext.py::test_media_phash_native_bmp_locality,
+      ::test_media_phash_native_png_locality and
+      ::test_media_phash_native_gif_locality.
+    - **other formats** (JPEG, TIFF, WEBP, ...) → PIL when importable:
       grayscale, resize to 9×8 with the stable NEAREST kernel
       (bilinear weights changed across Pillow versions; a version bump
       must not re-key an existing index), 60 row-wise
       brighter-than-next comparisons.  Without PIL such a blob hashes
-      to NULL — coverage is honest: BMP and PNG everywhere, the
+      to NULL — coverage is honest: BMP, PNG and GIF everywhere, the
       DCT-compressed formats need a codec.
     - anything undecodable → NULL (poisoned blobs never kill the scan).
 
@@ -582,6 +720,8 @@ def media_phash(df: DataFrame, id_col: str = "doc_id",
                 gray = bmp_gray(blob)
                 if gray is None:
                     gray = png_gray(blob)
+                if gray is None:
+                    gray = gif_gray(blob)
                 if gray is not None and gray.shape[0] >= 1 \
                         and gray.shape[1] >= 1:
                     hs.append(dhash_gray(gray))

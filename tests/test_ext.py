@@ -596,6 +596,204 @@ def test_png_gray_exact_pixels():
         assert png_gray(blob) == png_gray(blob)
 
 
+def _gif_lzw_encode(indices, min_code):
+    """Spec-faithful GIF LZW encoder (LSB-first packing, variable code
+    width tracked in DECODER lockstep: the decoder's table add lags the
+    encoder's by one code, so width grows before emission k only once
+    the decoder has performed add k-2)."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    st = {"acc": 0, "n": 0, "s": min_code + 1, "dec": clear + 2}
+
+    def emit(code):
+        st["acc"] |= code << st["n"]
+        st["n"] += st["s"]
+        while st["n"] >= 8:
+            out.append(st["acc"] & 0xFF)
+            st["acc"] >>= 8
+            st["n"] -= 8
+
+    def grow():
+        st["dec"] += 1
+        if st["dec"] == (1 << st["s"]) and st["s"] < 12:
+            st["s"] += 1
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    w = b""
+    m = 0
+    for k in indices:
+        wk = w + bytes([int(k)])
+        if wk in table:
+            w = wk
+            continue
+        m += 1
+        if m >= 3:
+            grow()
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        assert next_code < 4090, "test image too complex for this encoder"
+        w = bytes([int(k)])
+    if w:
+        m += 1
+        if m >= 3:
+            grow()
+        emit(table[w])
+    grow()                                 # add from the final data code
+    emit(eoi)
+    if st["n"]:
+        out.append(st["acc"] & 0xFF)
+    return bytes(out)
+
+
+def _gif_full_bytes(idx, palette, min_code=None, interlace=False,
+                    local_ct=False, ver=b"GIF89a"):
+    """Build a real decodable GIF from an HxW index array + palette —
+    stdlib-only, sub-block-chunked LZW payload."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(idx, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+    h, w = idx.shape
+    bits = max(1, (len(pal) - 1).bit_length())
+    n_pal = 1 << bits
+    pad = np.zeros((n_pal - len(pal), 3), np.uint8)
+    pal_bytes = np.concatenate([pal, pad]).tobytes()
+    if min_code is None:
+        min_code = max(2, bits)
+    rows = idx
+    if interlace:                          # store rows in 4-pass order
+        order = ([*range(0, h, 8)] + [*range(4, h, 8)]
+                 + [*range(2, h, 4)] + [*range(1, h, 2)])
+        rows = idx[order]
+    payload = _gif_lzw_encode(rows.reshape(-1), min_code)
+    sub = b"".join(bytes([len(payload[i:i + 255])]) + payload[i:i + 255]
+                   for i in range(0, len(payload), 255)) + b"\x00"
+    gflags = (0x80 | (bits - 1)) if not local_ct else 0
+    iflags = (0x40 if interlace else 0) | ((0x80 | (bits - 1))
+                                           if local_ct else 0)
+    out = (ver + struct.pack("<HHBBB", w, h, gflags, 0, 0)
+           + (pal_bytes if not local_ct else b"")
+           # a graphic-control extension, to exercise the skip path
+           + b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+           + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+           + (pal_bytes if local_ct else b"")
+           + bytes([min_code]) + sub + b"\x3b")
+    return out
+
+
+def test_gif_gray_exact_pixels():
+    """gif_gray reconstructs the exact palette luma through real LZW,
+    for global/local color tables and interlaced storage, and degrades
+    to None on hostile input — the GIF member of the native-decode
+    family's exactness suite."""
+    import numpy as np
+
+    from meeseeker_spark.ext.multimodal import gif_gray
+
+    rng = np.random.default_rng(17)
+    pal = rng.integers(0, 256, (16, 3)).astype("uint8")
+    idx = rng.integers(0, 16, (13, 9)).astype("uint8")
+    want = ((pal[idx][..., 0].astype("uint32") * 299
+             + pal[idx][..., 1].astype("uint32") * 587
+             + pal[idx][..., 2].astype("uint32") * 114) // 1000) \
+        .astype("uint8")
+    for kw in ({}, {"interlace": True}, {"local_ct": True},
+               {"ver": b"GIF87a"}, {"min_code": 7}):
+        g = gif_gray(_gif_full_bytes(idx, pal, **kw))
+        assert g is not None and (g == want).all(), kw
+    # a low-color image with long runs exercises code-width growth
+    grad = (np.add.outer(np.arange(40), np.arange(50)) // 12 % 4) \
+        .astype("uint8")
+    pal4 = np.array([[0, 0, 0], [85, 85, 85], [170, 170, 170],
+                     [255, 255, 255]], "uint8")
+    g = gif_gray(_gif_full_bytes(grad, pal4))
+    assert g is not None and (g == pal4[grad][..., 0]).all()
+
+    # independent bit-level check: a hand-packed UNCOMPRESSED stream
+    # (explicit codes, min_code=2) — validates LSB-first packing and
+    # the width-growth point without trusting the test encoder
+    import struct
+    pal2 = np.array([[0, 0, 0], [255, 255, 255],
+                     [100, 100, 100], [200, 200, 200]], "uint8")
+    # codes: clear(4) d:1 d:0 d:3 d:2 eoi(5); widths 3,3,3,3,4,4 bits
+    acc = 0; n = 0; data = bytearray()
+    for code, width in ((4, 3), (1, 3), (0, 3), (3, 3), (2, 4), (5, 4)):
+        acc |= code << n
+        n += width
+        while n >= 8:
+            data.append(acc & 0xFF); acc >>= 8; n -= 8
+    if n:
+        data.append(acc & 0xFF)
+    blob = (b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0x81, 0, 0)
+            + pal2.tobytes()
+            + b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+            + b"\x02" + bytes([len(data)]) + bytes(data) + b"\x00\x3b")
+    g = gif_gray(blob)
+    assert g is not None and g.shape == (2, 2)
+    assert (g == pal2[np.array([[1, 0], [3, 2]])][..., 0]).all()
+
+    # hostile / unsupported: None, never a raise
+    good = _gif_full_bytes(idx, pal)
+    assert gif_gray(b"") is None
+    assert gif_gray(b"GIF89a" + b"\x00" * 4) is None        # truncated
+    assert gif_gray(good[:30]) is None                      # mid-palette
+    assert gif_gray(good[:6] + good[6:].replace(b"\x2c", b"\x3b", 1)) \
+        is None                                             # no image
+    trunc = good[:-(len(good) // 3)]                        # LZW cut short
+    assert gif_gray(trunc) is None
+    for seed in range(16):
+        blob = bytes((seed * 31 + i * 13) % 256 for i in range(80))
+        assert gif_gray(blob) == gif_gray(blob)
+
+
+def test_media_phash_native_gif_locality(spark):
+    """Real dHash locality for GIF without any image library, and the
+    three-way cross-format identity: the same pixels as GIF, PNG and
+    BMP produce the SAME phash through the full mapInPandas path."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    rng = np.random.default_rng(19)
+    base = (np.mgrid[0:48, 0:64][1] * 4 % 256).astype("uint8")
+    img = np.stack([base, base // 2, 255 - base], axis=-1)
+    # GIF needs a palette: quantize to the 64 distinct base values
+    vals = np.unique(base)
+    pal = np.stack([vals, vals // 2, 255 - vals], axis=-1).astype("uint8")
+    lut = np.zeros(256, np.uint8)
+    lut[vals] = np.arange(len(vals))
+    idx = lut[base]
+    quant = pal[idx]                       # the exact pixels the GIF holds
+    blobs = [(1, _gif_full_bytes(idx, pal)),
+             (2, _gif_full_bytes(idx, pal, interlace=True)),
+             (3, _png_full_bytes(quant)),
+             (4, _rgb_bmp_bytes(quant)),
+             (5, _gif_full_bytes(
+                 rng.integers(0, len(pal), idx.shape).astype("uint8"),
+                 pal)),
+             (6, b"not an image at all")]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, media=Row(bytes=b, mime="image/gif"))
+         for i, b in blobs],
+        "doc_id long, media struct<bytes:binary,mime:string>")
+    got = {r["doc_id"]: r["phash"] for r in
+           multimodal.media_phash(df, fake=False).collect()}
+    assert len(got) == 6 and got[6] is None
+    assert all(got[i] is not None for i in range(1, 6))
+
+    def dist(a, b):
+        return bin(a ^ b).count("1")
+
+    assert got[1] == got[2]            # interlacing never changes the hash
+    assert got[1] == got[3] == got[4]  # GIF == PNG == BMP, same pixels
+    assert dist(got[1], got[5]) >= 15  # unrelated image: far away
+
+
 def test_media_phash_native_png_locality(spark):
     """Real dHash locality for PNG WITHOUT any image library, through
     the full mapInPandas path — plus the cross-format identity: the
