@@ -409,6 +409,294 @@ def gif_gray(blob: bytes):
         return None
 
 
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over an entropy-coded JPEG segment with
+    0xFF00 byte-unstuffing; a non-stuffing marker (RSTn/EOI/...) ends
+    the current run of bits and is reported to the caller."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.i = pos
+        self.acc = 0
+        self.n = 0
+        self.marker = None
+
+    def _fill(self) -> bool:
+        while self.n <= 24:
+            if self.i >= len(self.d):
+                return self.n > 0
+            b = self.d[self.i]
+            if b == 0xFF:
+                if self.i + 1 >= len(self.d):
+                    return self.n > 0
+                nxt = self.d[self.i + 1]
+                if nxt == 0x00:
+                    self.i += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    self.marker = nxt            # restart: caller resyncs
+                    return self.n > 0
+                else:
+                    self.marker = nxt            # EOI / next segment
+                    return self.n > 0
+                self.acc = (self.acc << 8) | b
+                self.n += 8
+                continue
+            self.i += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+        return True
+
+    def bits(self, k: int) -> int | None:
+        if k == 0:
+            return 0
+        while self.n < k:
+            before = self.n
+            self._fill()
+            if self.n == before:
+                return None                      # starved mid-symbol
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        return v
+
+    def restart(self) -> bool:
+        """Discard byte-alignment pad bits and consume the RSTn marker.
+        The filler may or may not have bumped into the marker yet — if
+        not, it sits exactly at self.i (all preceding scan bytes were
+        loaded into the accumulator)."""
+        self.acc = 0
+        self.n = 0
+        if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
+            self.i += 2
+            self.marker = None
+            return True
+        if (self.marker is None and self.i + 1 < len(self.d)
+                and self.d[self.i] == 0xFF
+                and 0xD0 <= self.d[self.i + 1] <= 0xD7):
+            self.i += 2
+            return True
+        return False
+
+
+def _huff_decode(rd: _JpegBitReader, table: dict) -> int | None:
+    code = 0
+    for length in range(1, 17):
+        b = rd.bits(1)
+        if b is None:
+            return None
+        code = (code << 1) | b
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    return None
+
+
+def _receive_extend(rd: _JpegBitReader, s: int) -> int | None:
+    if s == 0:
+        return 0
+    v = rd.bits(s)
+    if v is None:
+        return None
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def jpeg_gray(blob: bytes):
+    """Dependency-free baseline-JPEG pixel decode → 2-D uint8 LUMA —
+    the fourth (and final dominant-web-format) member of the native
+    decode family behind ``media_phash``.
+
+    Covers baseline and extended sequential Huffman JPEG (SOF0/SOF1),
+    8-bit, any sampling factors (4:4:4 / 4:2:2 / 4:2:0 / grayscale),
+    with restart markers.  The perceptual hash needs only luminance,
+    and JPEG stores Y as its own component — so chroma blocks are
+    entropy-decoded (the bitstream can't be skipped) but never
+    dequantized or inverse-transformed, and no color conversion
+    happens at all.  The IDCT is the exact float transform via the
+    8×8 DCT-II basis matrix (numpy matmul, all blocks of a component
+    at once).  Progressive (SOF2) and arithmetic-coded files are NOT
+    native-decodable and return None (PIL fallback where importable).
+    Hostile-bytes contract as the siblings: never raises; malformed,
+    truncated or oversized input → None."""
+    import struct
+
+    import numpy as np
+
+    try:
+        if blob[:2] != b"\xff\xd8":
+            return None
+        qt: dict[int, np.ndarray] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        frame = None
+        ri = 0
+        i, n = 2, len(blob)
+        while i + 4 <= n:
+            if blob[i] != 0xFF:
+                return None
+            marker = blob[i + 1]
+            if marker == 0xFF:
+                i += 1
+                continue
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+                i += 2
+                continue
+            (seg,) = struct.unpack(">H", blob[i + 2:i + 4])
+            data = blob[i + 4:i + 2 + seg]
+            if len(data) != seg - 2:
+                return None
+            if marker == 0xDB:                   # DQT
+                j = 0
+                while j < len(data):
+                    pq, tq = data[j] >> 4, data[j] & 0xF
+                    j += 1
+                    cnt = 64 * (2 if pq else 1)
+                    raw = data[j:j + cnt]
+                    if len(raw) < cnt:
+                        return None
+                    vals = (np.frombuffer(raw, ">u2") if pq
+                            else np.frombuffer(raw, np.uint8))
+                    tbl = np.zeros(64)
+                    tbl[_ZIGZAG] = vals.astype(float)
+                    qt[tq] = tbl.reshape(8, 8)
+                    j += cnt
+            elif marker == 0xC4:                 # DHT
+                j = 0
+                while j + 17 <= len(data):
+                    tc, th = data[j] >> 4, data[j] & 0xF
+                    counts = data[j + 1:j + 17]
+                    j += 17
+                    table = {}
+                    code = 0
+                    for length in range(1, 17):
+                        for _ in range(counts[length - 1]):
+                            if j >= len(data):
+                                return None
+                            table[(length, code)] = data[j]
+                            code += 1
+                            j += 1
+                        code <<= 1
+                    huff[(tc, th)] = table
+            elif marker in (0xC0, 0xC1):         # SOF0/1 baseline-ish
+                prec, h, w, nc = struct.unpack(">BHHB", data[:6])
+                if prec != 8 or not (0 < w <= 1 << 15
+                                     and 0 < h <= 1 << 15):
+                    return None
+                comps = []
+                for c in range(nc):
+                    cid, hv, tq = data[6 + 3 * c:9 + 3 * c]
+                    comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                                  "tq": tq})
+                frame = (w, h, comps)
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                            0xCB, 0xCD, 0xCE, 0xCF):
+                return None                      # progressive/arith/...
+            elif marker == 0xDD:                 # DRI
+                (ri,) = struct.unpack(">H", data[:2])
+            elif marker == 0xDA:                 # SOS → decode the scan
+                if frame is None:
+                    return None
+                w, h, comps = frame
+                ns = data[0]
+                sel = {}
+                for c in range(ns):
+                    cs, t = data[1 + 2 * c], data[2 + 2 * c]
+                    sel[cs] = (t >> 4, t & 0xF)
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                if not all(1 <= c["h"] <= 4 and 1 <= c["v"] <= 4
+                           for c in comps):
+                    return None
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                y_comp = comps[0]
+                if y_comp["tq"] not in qt or y_comp["id"] not in sel:
+                    return None
+                for c in comps:
+                    if c["id"] not in sel:
+                        return None
+                    dc_t, ac_t = sel[c["id"]]
+                    if (0, dc_t) not in huff or (1, ac_t) not in huff:
+                        return None
+                yw, yv = y_comp["h"], y_comp["v"]
+                yb = np.zeros((mcuy * yv, mcux * yw, 64))
+                rd = _JpegBitReader(blob, i + 2 + seg)
+                pred = {c["id"]: 0 for c in comps}
+                mcu_count = 0
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        if ri and mcu_count and mcu_count % ri == 0:
+                            if not rd.restart():
+                                return None
+                            pred = {c["id"]: 0 for c in comps}
+                        mcu_count += 1
+                        for c in comps:
+                            dc_t, ac_t = sel[c["id"]]
+                            dct, act = huff[(0, dc_t)], huff[(1, ac_t)]
+                            for by in range(c["v"]):
+                                for bx in range(c["h"]):
+                                    s = _huff_decode(rd, dct)
+                                    if s is None or s > 15:
+                                        return None
+                                    diff = _receive_extend(rd, s)
+                                    if diff is None:
+                                        return None
+                                    pred[c["id"]] += diff
+                                    is_y = c is y_comp
+                                    if is_y:
+                                        blk = yb[my * yv + by,
+                                                 mx * yw + bx]
+                                        blk[0] = pred[c["id"]]
+                                    k = 1
+                                    while k < 64:
+                                        rs = _huff_decode(rd, act)
+                                        if rs is None:
+                                            return None
+                                        r, s = rs >> 4, rs & 0xF
+                                        if s == 0:
+                                            if r == 15:
+                                                k += 16
+                                                continue
+                                            break        # EOB
+                                        k += r
+                                        if k > 63:
+                                            return None
+                                        v = _receive_extend(rd, s)
+                                        if v is None:
+                                            return None
+                                        if is_y:
+                                            blk[k] = v
+                                        k += 1
+                # dequant + exact IDCT for ALL Y blocks at once
+                q = qt[y_comp["tq"]]
+                co = np.zeros(yb.shape[:2] + (8, 8))
+                co.reshape(yb.shape[0], yb.shape[1], 64)[
+                    ..., _ZIGZAG] = yb
+                co *= q
+                k_ = np.arange(8)
+                basis = np.cos((2 * k_[:, None] + 1) * k_[None, :]
+                               * np.pi / 16) / 2
+                basis[:, 0] /= np.sqrt(2)
+                px = np.einsum("ik,yxkl,jl->yxij", basis, co, basis,
+                               optimize=True)
+                px = np.clip(np.round(px + 128), 0, 255).astype(np.uint8)
+                full = px.transpose(0, 2, 1, 3).reshape(
+                    yb.shape[0] * 8, yb.shape[1] * 8)
+                # Y plane is stored at (h*yv/vmax, w*yh/hmax) resolution
+                ph = -(-h * yv // vmax)
+                pw = -(-w * yw // hmax)
+                return full[:ph, :pw]
+            i += 2 + seg
+        return None
+    except Exception:
+        return None
+
+
 def dhash_gray(gray, bits: int = PHASH_BITS) -> int:
     """dHash of a 2-D grayscale array: center-sample nearest resize to
     9×8 (src index = ⌊(i+0.5)·dim/out⌋ — a PINNED kernel, deliberately
