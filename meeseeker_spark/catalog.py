@@ -92,22 +92,18 @@ def channel_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "json_field_stats",
-    """
-    SELECT event_type,
-           count(*) AS n,
-           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 3)
-               AS avg_k
-    FROM events GROUP BY event_type
-    """,
+    None,
     tags=("B-scalar", "§1-json"),
 )
 def json_field_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schemaless-at-rest value extraction (the reference's op `value` is
     opaque JSON, SURVEY §1.1): get_json_object pulls a typed field out of
     the fat JSON column on demand — the scan only reads props for this
-    query; nothing is pre-parsed at ingest."""
+    query; nothing is pre-parsed at ingest.  Rotated out of the driver
+    window in r8 (a min/max/avg groupBy whose agg coverage channel_volume
+    already carries; the json_extract surface is the only novelty and the
+    parity pytest keeps it exact); DuckDB parity pinned by
+    tests/test_ext.py::test_json_field_stats_vs_duckdb."""
     ev = load(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
     return (
@@ -208,11 +204,14 @@ def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "find_trx",
-    "SELECT event_id, event_type, value FROM events WHERE user_id = 7",
+    None,
     tags=("C3",),
 )
 def find_trx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`meeseeker find trx <id>` analog — secondary-key equality scan."""
+    """`meeseeker find trx <id>` analog — secondary-key equality scan.
+    Rotated out of the driver window in r8 (its oracle duplicated the
+    equality-pushdown coverage of point_lookup + scan_by_type); exact
+    DuckDB parity pinned by tests/test_ext.py::test_find_trx_vs_duckdb."""
     return (
         load(spark, sf_dir, "events")
         .where(F.col("user_id") == 7)
@@ -794,15 +793,15 @@ def notify_get_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "trx_id_split",
-    """
-    SELECT p_partkey, string_split(p_type, ' ')[1] AS type_head,
-           p_type LIKE '%-%' AS has_dash
-    FROM part
-    """,
+    None,
     tags=("B9",),
 )
 def trx_id_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sidechain '<id>-<n>' split shape (B9): first-segment extraction."""
+    """Sidechain '<id>-<n>' split shape (B9): first-segment extraction.
+    Rotated out of the driver window in r8 (the B9 split semantics are
+    already driver-graded end-to-end inside engine_scan's virtual-id
+    rewrite; this narrow projection duplicated that); exact DuckDB parity
+    pinned by tests/test_ext.py::test_trx_id_split_vs_duckdb."""
     return load(spark, sf_dir, "part").select(
         "p_partkey",
         F.split(F.col("p_type"), " ")[0].alias("type_head"),
@@ -2033,13 +2032,65 @@ def domain_cap_hash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "lang", "n_chars")
 
 
-@register("perplexity_buckets", None, tags=("F4", "quality"))
+@register(
+    "perplexity_buckets",
+    """
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, u.w1 AS w1, u.bg AS bg
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(w), 1)),
+                       i -> {'w1': w[i], 'bg': w[i] || ' ' || w[i+1]}))
+                       AS u
+            FROM words
+        )
+    ),
+    uni AS (
+        SELECT w1, count(*) AS u
+        FROM (SELECT unnest(w) AS w1 FROM words) GROUP BY w1
+    ),
+    bcounts AS (SELECT bg, count(*) AS b FROM bi GROUP BY bg),
+    vocab AS (SELECT count(*)::DOUBLE AS v FROM uni),
+    per_doc AS (
+        SELECT doc_id, w1, bg, count(*) AS c
+        FROM bi GROUP BY doc_id, w1, bg
+    ),
+    scored AS (
+        SELECT p.doc_id, sum(c) AS n_bigrams,
+               round(-sum(c * (ln(b + 0.5) - ln(u + 0.5 * v))) / sum(c), 4)
+                   AS xent
+        FROM per_doc p
+        JOIN bcounts USING (bg) JOIN uni USING (w1), vocab
+        GROUP BY p.doc_id
+    ),
+    ths AS (
+        SELECT round(quantile_cont(xent, 1.0/3), 4) AS t0,
+               round(quantile_cont(xent, 2.0/3), 4) AS t1
+        FROM scored WHERE xent IS NOT NULL
+    )
+    SELECT d.doc_id, s.n_bigrams, s.xent,
+           CASE WHEN s.xent IS NULL THEN 'na'
+                ELSE list_value('head', 'middle', 'tail')[
+                    1 + (s.xent > t.t0)::INT + (s.xent > t.t1)::INT]
+           END AS ppl_bucket
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id, ths t
+    """,
+    tags=("F4", "quality"),
+)
 def perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail perplexity bucketing
     (ext.lm.perplexity_buckets): corpus bigram-LM cross-entropy split at
-    its in-plan exact tertiles.  Past the grading window → rows-only
-    there; exact DuckDB parity (incl. the quantile interpolation) pinned
-    by tests/test_ext.py::test_perplexity_buckets_vs_duckdb."""
+    its in-plan exact tertiles.  Rotated INTO the driver window in r8
+    (VERDICT r7 item 1); the oracle is the same SQL exact-parity-pinned
+    since r4 by tests/test_ext.py::test_perplexity_buckets_vs_duckdb —
+    the driver hash additionally pins the quantile interpolation and the
+    4-dp rounding on its own machinery."""
     from .ext.lm import perplexity_buckets
     docs = load(spark, sf_dir, "documents")
     return perplexity_buckets(docs)
@@ -2436,14 +2487,49 @@ def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, ["window", "merge", "stream"], k=20)
 
 
-@register("bm25_batch_topk", None, tags=("F4", "F3"))
+@register(
+    "bm25_batch_topk",
+    """
+    WITH q AS (
+        SELECT * FROM (VALUES
+            (1, ['window','merge','stream']),
+            (2, ['slow','filter']),
+            (3, ['customer','table','scan'])) AS v(q_id, terms)),
+    qt AS (SELECT DISTINCT q_id, unnest(terms) AS tm FROM q),
+    vocab AS (SELECT DISTINCT tm FROM qt),
+    t AS (SELECT doc_id,
+                 list_filter(string_split_regex(lower(text),
+                             '[^a-z0-9]+'), x -> x <> '') AS w
+          FROM documents),
+    stats AS (SELECT count(*) AS nd, avg(len(w))::DOUBLE AS ad FROM t),
+    h0 AS (SELECT doc_id, len(w) AS dl, unnest(w) AS tm FROM t),
+    hits AS (SELECT h0.doc_id, h0.tm, count(*) AS tf, max(dl) AS dl
+             FROM h0 JOIN vocab USING (tm) GROUP BY h0.doc_id, h0.tm),
+    dfq AS (SELECT tm, count(*) AS dft FROM hits GROUP BY tm),
+    sc AS (SELECT qt.q_id, h.doc_id, count(*) AS n_hits,
+                  round(sum(ln((nd - dft + 0.5) / (dft + 0.5) + 1.0)
+                            * tf * 2.2
+                            / (tf + 1.2 * (0.25 + 0.75 * dl / ad))),
+                        4) AS bm25
+           FROM hits h JOIN dfq USING (tm) JOIN qt USING (tm)
+                CROSS JOIN stats
+           GROUP BY qt.q_id, h.doc_id),
+    rk AS (SELECT q_id, doc_id, n_hits, bm25,
+                  row_number() OVER (PARTITION BY q_id
+                      ORDER BY bm25 DESC, doc_id ASC) AS rk
+           FROM sc)
+    SELECT q_id, doc_id, n_hits, bm25, rk FROM rk WHERE rk <= 10
+    """,
+    tags=("F4", "F3"),
+)
 def bm25_batch_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched BM25 (ext.rank.bm25_batch_topk): top-10 per query for a
     3-query batch in ONE corpus pass — union-vocab broadcast semi-join,
-    broadcast query fan-out, per-query WindowGroupLimit top-k.  Past
-    the grading window → rows-only there; exact DuckDB parity + single-
-    query==bm25_topk consistency pinned by
-    tests/test_ext.py::test_bm25_batch_vs_duckdb_and_single."""
+    broadcast query fan-out, per-query WindowGroupLimit top-k.  Rotated
+    INTO the driver window in r8 (VERDICT r7 item 1); the oracle is the
+    same SQL exact-parity-pinned since r5 by
+    tests/test_ext.py::test_bm25_batch_vs_duckdb_and_single (which also
+    pins single-query batch == bm25_topk row-for-row)."""
     from .ext.rank import bm25_batch_topk
     docs = load(spark, sf_dir, "documents")
     queries = spark.createDataFrame(
@@ -2484,14 +2570,50 @@ def decontaminated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_contaminated_spans(corpus, bench, n=3)
 
 
-@register("temperature_sample", None, tags=("F4", "sampling"))
+@register(
+    "temperature_sample",
+    """
+    WITH sizes AS (
+        SELECT lang AS domain, sum(n_chars)::BIGINT AS domain_size
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(pow(domain_size::DOUBLE, 1.0/3.0)) AS t,
+                   sum(domain_size)::DOUBLE AS corpus
+            FROM sizes),
+    plan AS (
+        SELECT domain,
+               round(least(
+                   (pow(domain_size::DOUBLE, 1.0/3.0) / t)
+                       * corpus / domain_size,
+                   100.0), 6) AS factor
+        FROM sizes, tot WHERE domain_size > 0
+    ),
+    plan_copies AS (
+        SELECT domain,
+               unnest(range(0, floor(factor)::BIGINT + 1)) AS copy,
+               floor(factor)::BIGINT AS epochs,
+               floor(round(factor - floor(factor), 6) * 10000)::BIGINT
+                   AS frac_scaled
+        FROM plan
+    )
+    SELECT d.doc_id, d.lang, d.n_chars, p.copy FROM documents d
+    JOIN plan_copies p ON d.lang = p.domain
+    WHERE p.copy < p.epochs
+       OR (('0x' || substr(md5(d.doc_id || ':' || p.copy), 1, 8))::BIGINT
+           % 10000) < p.frac_scaled
+    """,
+    tags=("F4", "sampling"),
+)
 def temperature_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature mixture (ext.mix.temperature_sample, mT5 §3.3):
     p ∝ size^(1/T) at T=3 over lang domains — the no-hand-weights knob
     between proportional (T=1) and uniform (T→∞).  Same deterministic
     epoch-explode + md5 keep as mixture_sample; plan entirely in-plan.
-    Past the grading window → rows-only there; exact DuckDB parity
-    pinned by tests/test_ext.py::test_temperature_sample_vs_duckdb."""
+    Rotated INTO the driver window in r8 (VERDICT r7 item 1); the oracle
+    is the same SQL exact-parity-pinned since r4 by
+    tests/test_ext.py::test_temperature_sample_vs_duckdb — the driver
+    hash additionally pins the 6-dp pow/factor rounding on its own
+    machinery."""
     from .ext.mix import temperature_sample
     docs = load(spark, sf_dir, "documents")
     return temperature_sample(docs, temperature=3.0).select(
@@ -2559,7 +2681,21 @@ def _ordered() -> list[Entry]:
     freeing slots for ``dsir_select``, ``bm25_topk`` and
     ``gopher_rules`` — the algorithmically richest rows-only entries,
     all DuckDB-exact in pytest since r4/r5; their oracles moved
-    verbatim from those tests into the registry."""
+    verbatim from those tests into the registry.
+
+    Round-8 window swap (VERDICT r7 item 1, three slots): ``find_trx``
+    (equality-pushdown scan duplicating point_lookup + scan_by_type),
+    ``json_field_stats`` (min/max/avg groupBy whose agg coverage
+    channel_volume carries; json_extract is its only novelty) and
+    ``trx_id_split`` (B9 split semantics already driver-graded inside
+    engine_scan's virtual-id rewrite) went rows-only with exact-parity
+    pytests (tests/test_ext.py::test_find_trx_vs_duckdb /
+    test_json_field_stats_vs_duckdb / test_trx_id_split_vs_duckdb),
+    freeing slots for ``temperature_sample`` (6-dp pow rounding),
+    ``perplexity_buckets`` (quantile interpolation) and
+    ``bm25_batch_topk`` (per-query WindowGroupLimit) — the remaining
+    algorithmically rich rows-only entries, DuckDB-exact in pytest
+    since r4/r5; oracles moved verbatim from those tests."""
     oracled = [e for e in ENTRIES.values() if e.sql is not None]
     rows_only = [e for e in ENTRIES.values() if e.sql is None]
     return oracled + rows_only

@@ -2587,6 +2587,77 @@ def test_top_bigrams_vs_duckdb(spark):
     assert s == d and len(s) == 25     # 5 langs × top-5
 
 
+def test_find_trx_vs_duckdb(spark):
+    """Exact parity for the C3 secondary-key equality scan — rotated
+    out of the driver window in r8 (its oracle duplicated the
+    equality-pushdown coverage of point_lookup + scan_by_type); this
+    test IS its correctness gate now."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["find_trx"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    d = sorted(tuple(r) for r in con.execute(
+        "SELECT event_id, event_type, value FROM events WHERE user_id = 7"
+    ).fetchall())
+    con.close()
+    assert s == d and s
+
+
+def test_json_field_stats_vs_duckdb(spark):
+    """Exact parity for the schemaless JSON-field aggregate — rotated
+    out of the driver window in r8 (agg shape duplicated
+    channel_volume's; the get_json_object extraction is the novelty
+    this test keeps exact); this test IS its correctness gate now."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["json_field_stats"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    d = sorted(tuple(r) for r in con.execute("""
+        SELECT event_type,
+               count(*) AS n,
+               min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+               round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 3)
+                   AS avg_k
+        FROM events GROUP BY event_type
+    """).fetchall())
+    con.close()
+    assert s == d and len(s) == 5
+
+
+def test_trx_id_split_vs_duckdb(spark):
+    """Exact parity for the B9 '<id>-<n>' split projection — rotated
+    out of the driver window in r8 (the split semantics stay
+    driver-graded end-to-end inside engine_scan's virtual-id rewrite);
+    this test IS its correctness gate now."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["trx_id_split"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW part AS SELECT * FROM "
+                f"read_parquet('{SF}/part.parquet')")
+    d = sorted(tuple(r) for r in con.execute("""
+        SELECT p_partkey, string_split(p_type, ' ')[1] AS type_head,
+               p_type LIKE '%-%' AS has_dash
+        FROM part
+    """).fetchall())
+    con.close()
+    assert s == d and s
+
+
 def test_domain_cap_vs_duckdb(spark):
     """Exact DuckDB parity for the per-source cap — the oracle is the
     NAIVE full window over the salted-md5 rank, so equality also proves
