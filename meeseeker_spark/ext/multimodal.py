@@ -11,11 +11,13 @@ when importable, is only a fallback for exotic formats (TIFF, WEBP, ...).
 ``fake=True`` substitutes a deterministic metadata extractor for fixtures
 whose blobs are not real images.  ``media_phash``'s real path is
 dependency-free for uncompressed BMP (``bmp_gray``), non-interlaced
-8-bit PNG (``png_gray``: stdlib zlib + filter reconstruction) and GIF
-(``gif_gray``: pure-python LZW + palette), all feeding the pinned
-``dhash_gray`` kernel; JPEG (the one remaining DCT format) hashes via
-PIL when importable and to NULL otherwise.  Only ``extract_features`` (a model, not a codec)
-remains import-gated: ``fake=False`` without torch raises
+8-bit PNG (``png_gray``: stdlib zlib + filter reconstruction), GIF
+(``gif_gray``: pure-python LZW + palette) and baseline/extended-
+sequential JPEG (``jpeg_gray``: Huffman entropy decode + exact float
+IDCT of the Y plane), all feeding the pinned ``dhash_gray`` kernel;
+progressive/arithmetic JPEG and the exotic formats hash via PIL when
+importable and to NULL otherwise.  Only ``extract_features`` (a model,
+not a codec) remains import-gated: ``fake=False`` without torch raises
 NotImplementedError.
 
 At scale: binary payloads ride the same parquet files; metadata-only
@@ -220,13 +222,21 @@ def png_gray(blob: bytes):
             i += 12 + ln
         if w is None or not idat:
             return None
-        raw = zlib.decompress(b"".join(idat))
         ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
         stride = w * ch
-        if len(raw) < h * (stride + 1):
+        need = h * (stride + 1)
+        # Bounded inflate: max_length caps the output at exactly the
+        # scanline bytes the declared geometry needs, so a zip-bomb IDAT
+        # (tiny compressed, huge inflated) cannot out-allocate the header
+        # it came with — the same ceiling _gif_lzw_decode enforces via
+        # max_pixels.  Trailing compressed data past `need` stays
+        # unconsumed (harmless; the old unbounded path ignored the extra
+        # inflated bytes the same way).
+        raw = zlib.decompressobj().decompress(b"".join(idat), need)
+        if len(raw) < need:
             return None
         sl = np.frombuffer(raw, dtype=np.uint8,
-                           count=h * (stride + 1)).reshape(h, stride + 1)
+                           count=need).reshape(h, stride + 1)
         out = np.zeros((h, stride), dtype=np.uint8)
         prev = np.zeros(stride, dtype=np.uint8)
         for r in range(h):
@@ -939,27 +949,34 @@ def media_phash(df: DataFrame, id_col: str = "doc_id",
     - **uncompressed 24/32-bit BITMAPINFOHEADER BMP** (the subset
       ``bmp_gray`` decodes), **non-interlaced 8-bit PNG of any color
       type** (``png_gray``: stdlib zlib inflate + scanline filter
-      reconstruction) and **GIF87a/89a, first frame** (``gif_gray``:
-      pure-python LZW + palette) → the dependency-free gray decode +
+      reconstruction), **GIF87a/89a, first frame** (``gif_gray``:
+      pure-python LZW + palette) and **baseline/extended-sequential
+      Huffman JPEG** (``jpeg_gray``: entropy decode + exact float IDCT
+      of the Y plane, any sampling) → the dependency-free gray decode +
       ``dhash_gray`` pipeline, ALWAYS — even when PIL is importable —
       so these blobs' hash identity is byte-stable across environments
       (the pinned center-sample nearest kernel; PIL's NEAREST
       disagrees, and a mixed cluster must not produce two hashes for
-      one image).  The three decoders share one luma formula, so the
-      same picture saved as BMP, PNG or GIF collides at Hamming 0.
-      Palette / RLE / 16-bit BMPs and interlaced / 16-bit PNGs are
-      NOT native-decodable and fall through with the other formats
-      below.  Runnable in THIS container, locality-tested on real
-      pixels in tests/test_ext.py::test_media_phash_native_bmp_locality,
-      ::test_media_phash_native_png_locality and
-      ::test_media_phash_native_gif_locality.
-    - **other formats** (JPEG, TIFF, WEBP, ...) → PIL when importable:
-      grayscale, resize to 9×8 with the stable NEAREST kernel
-      (bilinear weights changed across Pillow versions; a version bump
-      must not re-key an existing index), 60 row-wise
+      one image).  The lossless three share one integer luma formula,
+      so the same picture saved as BMP, PNG or GIF collides at
+      Hamming 0; JPEG stores its own Y' plane (float BT.601 at encode
+      time), so a JPEG of the same picture lands a few bits away —
+      locality, not identity, is the contract for a lossy codec.
+      Palette / RLE / 16-bit BMPs, interlaced / 16-bit PNGs and
+      progressive (SOF2) / arithmetic JPEGs are NOT native-decodable
+      and fall through with the other formats below.  Runnable in THIS
+      container, locality-tested on real pixels in
+      tests/test_ext.py::test_media_phash_native_bmp_locality,
+      ::test_media_phash_native_png_locality,
+      ::test_media_phash_native_gif_locality and
+      ::test_media_phash_native_jpeg_locality.
+    - **other formats** (progressive JPEG, TIFF, WEBP, ...) → PIL when
+      importable: grayscale, resize to 9×8 with the stable NEAREST
+      kernel (bilinear weights changed across Pillow versions; a
+      version bump must not re-key an existing index), 60 row-wise
       brighter-than-next comparisons.  Without PIL such a blob hashes
-      to NULL — coverage is honest: BMP, PNG and GIF everywhere, the
-      DCT-compressed formats need a codec.
+      to NULL — coverage is honest: BMP, PNG, GIF and sequential JPEG
+      everywhere; the leftovers need a codec.
     - anything undecodable → NULL (poisoned blobs never kill the scan).
 
     ``fake=True`` substitutes the md5-derived 60-bit value —
@@ -1010,6 +1027,8 @@ def media_phash(df: DataFrame, id_col: str = "doc_id",
                     gray = png_gray(blob)
                 if gray is None:
                     gray = gif_gray(blob)
+                if gray is None:
+                    gray = jpeg_gray(blob)
                 if gray is not None and gray.shape[0] >= 1 \
                         and gray.shape[1] >= 1:
                     hs.append(dhash_gray(gray))

@@ -1043,6 +1043,175 @@ def test_media_phash_native_png_locality(spark):
     assert dist(got[1], got[3]) >= 15  # unrelated: far away
 
 
+def test_png_gray_bounded_inflate():
+    """A zip-bomb IDAT (tiny compressed, huge inflated tail) must not
+    out-allocate the declared geometry: the bounded inflate stops at
+    exactly the scanline bytes the header promises, and the pixels
+    still decode byte-exactly (the unbounded path ignored the extra
+    inflated bytes the same way — behavior identical, memory bounded)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from meeseeker_spark.ext.multimodal import png_gray
+
+    rng = np.random.default_rng(23)
+    rgb = rng.integers(0, 256, (2, 2, 3)).astype("uint8")
+    want = ((rgb[..., 0].astype("uint32") * 299
+             + rgb[..., 1].astype("uint32") * 587
+             + rgb[..., 2].astype("uint32") * 114) // 1000).astype("uint8")
+    body = b"".join(b"\x00" + rgb[r].tobytes() for r in range(2))
+    bomb = body + b"\x00" * (64 << 20)   # 64 MiB of trailing zeros
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    blob = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bomb))
+            + chunk(b"IEND", b""))
+    assert len(blob) < 200_000           # the bomb really is tiny on disk
+    g = png_gray(blob)
+    assert g is not None and (g == want).all()
+
+
+def _jpeg_expected_y(img, quality=90):
+    """Independent reference for the lossy roundtrip: Y plane → forward
+    DCT → quantize (the encoder's math) → dequantize → IDCT (the
+    decoder's documented math), per 8×8 block with edge padding.  What
+    this pins about jpeg_gray is the entire entropy layer — Huffman
+    table construction, bit unpacking, byte unstuffing, restart resync,
+    DC prediction — which must reproduce every quantized coefficient
+    EXACTLY for the float tail to agree bit-for-bit."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 3:
+        y = (0.299 * img[..., 0].astype(float)
+             + 0.587 * img[..., 1].astype(float)
+             + 0.114 * img[..., 2].astype(float))
+    else:
+        y = img.astype(float)
+    h, w = y.shape
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    ql = np.clip((np.array(_JPEG_QL) * scale + 50) // 100, 1, 255)
+    q = np.zeros((8, 8))
+    q.reshape(64)[:] = ql
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    p = np.pad(y, ((0, ph - h), (0, pw - w)), "edge")
+    basis = np.cos((2 * np.arange(8)[:, None] + 1) * np.arange(8)[None, :]
+                   * np.pi / 16) / 2
+    basis[:, 0] /= np.sqrt(2)
+    out = np.zeros((ph, pw))
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            blk = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128
+            co = np.round((basis.T @ blk @ basis) / q) * q
+            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = basis @ co @ basis.T
+    return np.clip(np.round(out + 128), 0, 255).astype(np.uint8)[:h, :w]
+
+
+def test_jpeg_gray_exact_roundtrip():
+    """jpeg_gray reproduces the encoder's quantized Y plane EXACTLY
+    (entropy decode is lossless; only quantization is lossy) across
+    grayscale/RGB, 4:4:4/4:2:0, restart intervals and qualities — the
+    JPEG member of the native-decode family's exactness suite."""
+    import numpy as np
+
+    from meeseeker_spark.ext.multimodal import jpeg_gray
+
+    rng = np.random.default_rng(29)
+    gray = rng.integers(0, 256, (21, 26)).astype("uint8")
+    for quality in (90, 75, 40):
+        g = jpeg_gray(_jpeg_full_bytes(gray, quality=quality))
+        assert g is not None and g.shape == (21, 26)
+        assert (g == _jpeg_expected_y(gray, quality)).all(), quality
+    g = jpeg_gray(_jpeg_full_bytes(gray, quality=90, restart=2))
+    assert (g == _jpeg_expected_y(gray, 90)).all()
+
+    rgb = rng.integers(0, 256, (24, 33, 3)).astype("uint8")
+    want = _jpeg_expected_y(rgb, 85)
+    for kw in ({}, {"subsample": True}, {"restart": 2},
+               {"subsample": True, "restart": 3}):
+        g = jpeg_gray(_jpeg_full_bytes(rgb, quality=85, **kw))
+        assert g is not None and g.shape == (24, 33), kw
+        # chroma layout / restart markers never leak into the Y plane
+        assert (g == want).all(), kw
+    # decode is close to the original too (quantization noise only)
+    assert np.abs(g.astype(int)
+                  - (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+                     + 0.114 * rgb[..., 2])).max() < 35
+
+
+def test_jpeg_gray_hostile_bytes():
+    """Hostile-bytes contract for the JPEG decoder: malformed,
+    truncated, progressive or arithmetic input returns None
+    deterministically, never raises."""
+    from meeseeker_spark.ext.multimodal import jpeg_gray
+
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (17, 19)).astype("uint8")
+    good = _jpeg_full_bytes(img, quality=90)
+    assert jpeg_gray(good) is not None
+    assert jpeg_gray(b"") is None
+    assert jpeg_gray(b"\xff\xd8") is None
+    assert jpeg_gray(good[:40]) is None            # truncated mid-tables
+    assert jpeg_gray(good[:-20]) is None           # truncated mid-scan
+    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert jpeg_gray(progressive) is None          # SOF2: PIL-only
+    arithmetic = good.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    assert jpeg_gray(arithmetic) is None
+    for seed in range(16):                         # deterministic, no raise
+        blob = b"\xff\xd8" + bytes((seed * 31 + i * 11) % 256
+                                   for i in range(128))
+        assert jpeg_gray(blob) == jpeg_gray(blob)
+
+
+def test_media_phash_native_jpeg_locality(spark):
+    """Real dHash locality for JPEG without any image library through
+    the full mapInPandas path: re-encodes of the same picture (other
+    quality, 4:2:0, restart markers) stay in a small Hamming ball of
+    the lossless BMP hash, unrelated images land far away, progressive
+    JPEG hashes to NULL (honest: PIL-only, and this container has no
+    PIL)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    rng = np.random.default_rng(37)
+    base = (np.mgrid[0:48, 0:64][1] * 4 % 256).astype("uint8")
+    img = np.stack([base, base // 2, 255 - base], axis=-1)
+    other = rng.integers(0, 256, img.shape).astype("uint8")
+    jq90 = _jpeg_full_bytes(img, quality=90)
+    blobs = [(1, jq90),
+             (2, _jpeg_full_bytes(img, quality=60, subsample=True)),
+             (3, _jpeg_full_bytes(img, quality=90, restart=4)),
+             (4, _rgb_bmp_bytes(img)),             # lossless anchor
+             (5, _jpeg_full_bytes(other, quality=90)),
+             (6, jq90.replace(b"\xff\xc0", b"\xff\xc2", 1)),  # progressive
+             (7, b"not an image at all")]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, media=Row(bytes=b, mime="image/jpeg"))
+         for i, b in blobs],
+        "doc_id long, media struct<bytes:binary,mime:string>")
+    got = {r["doc_id"]: r["phash"] for r in
+           multimodal.media_phash(df, fake=False).collect()}
+    assert len(got) == 7
+    assert got[6] is None and got[7] is None
+    assert all(got[i] is not None for i in range(1, 6))
+
+    def dist(a, b):
+        return bin(a ^ b).count("1")
+
+    assert got[1] == got[3]            # restart markers never change the hash
+    assert dist(got[1], got[4]) <= 6   # JPEG ≈ lossless BMP of same pixels
+    assert dist(got[1], got[2]) <= 8   # heavy re-encode stays near
+    assert dist(got[1], got[5]) >= 15  # unrelated: far away
+
+
 def test_frame_sample_fanout(docs):
     media = multimodal.attach_media(docs.limit(5))
     frames = multimodal.frame_sample(media, every_n=1)
@@ -2953,6 +3122,48 @@ def test_prepare_funnel_source_cap_requires_source_col(docs):
         prepare_training_corpus(corpus, bench, {"en": 1.0},
                                 decontam_ngram=3, max_tokens=256,
                                 source_cap=15)
+
+
+def test_bucket_log_probs_pins_weights_smoothing(spark, docs):
+    """The standalone inspection surface bucket_log_probs must stay in
+    lockstep with dsir_log_weights' folded smoothing: reconstructing
+    per-doc weights from two bucket_log_probs outputs (coalescing
+    absent buckets to the documented ln(1/(n+B)) floor) reproduces
+    dsir_log_weights to within one 4-dp rounding quantum — so the two
+    paths cannot silently drift apart."""
+    import math
+
+    from meeseeker_spark.ext.dsir import (DEFAULT_BUCKETS,
+                                          bucket_log_probs,
+                                          dsir_log_weights,
+                                          hashed_gram_counts)
+
+    target = docs.where("lang = 'en'")
+    B = float(DEFAULT_BUCKETS)
+    p_rows = bucket_log_probs(target).collect()
+    q_rows = bucket_log_probs(docs).collect()
+    pn = p_rows[0]["_tot"]
+    qn = q_rows[0]["_tot"]
+    p = {r["bucket"]: r["logp"] for r in p_rows}
+    q = {r["bucket"]: r["logp"] for r in q_rows}
+    floor_p = math.log(1.0) - math.log(pn + B)
+    floor_q = math.log(1.0) - math.log(qn + B)
+
+    want: dict[int, float] = {}
+    grams: dict[int, int] = {}
+    for r in hashed_gram_counts(docs).collect():
+        lam = (p.get(r["bucket"], floor_p) - q.get(r["bucket"], floor_q))
+        want[r["_id"]] = want.get(r["_id"], 0.0) + r["c"] * lam
+        grams[r["_id"]] = grams.get(r["_id"], 0) + r["c"]
+
+    got = {r["doc_id"]: (r["n_grams"], r["logw"])
+           for r in dsir_log_weights(docs, target).collect()}
+    assert set(got) == set(want) and got
+    for _id, (n_grams, logw) in got.items():
+        assert n_grams == grams[_id]
+        assert abs(logw - want[_id]) <= 1e-4 + 1e-9, _id
+    # non-degenerate: the en-only target really reweights someone
+    assert any(abs(w) > 0.01 for _, w in got.values())
 
 
 def test_dsir_select_vs_duckdb(spark):
