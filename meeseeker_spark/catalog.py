@@ -2639,6 +2639,30 @@ def media_phash_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                               max_hamming=6, max_bucket=10_000)
 
 
+@register("media_phash_dups_real", None, tags=("F5", "F2"))
+def media_phash_dups_real_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash media near-dup with the REAL pixel decoders
+    in-plan (VERDICT r7 item 2): every doc gets a genuine BMP/PNG/GIF
+    blob (ext.imagegen.doc_blob — deterministic planted structure:
+    one cross-format Hamming-0 pair, one ≤6-bit near-dup and one
+    unrelated image per 4-doc group), ``media_phash(fake=False)``
+    runs bmp_gray/png_gray/gif_gray + the pinned dHash inside the
+    Arrow crossing, then the same pigeonhole Hamming-band join as the
+    fake twin.  Pixel decode is not SQL-expressible, so this entry is
+    rows-only for the driver; its correctness gate is
+    tests/test_ext.py::test_media_phash_dups_real_vs_ground_truth —
+    exact parity at sf0.01 against brute-force pairs of dHashes
+    computed directly from the known pixel arrays (encode→decode must
+    be the identity for the plan to match).  Pair mass is linear in
+    corpus size by construction (groups are disjoint id ranges)."""
+    from .ext.dedup import hamming_band_pairs
+    from .ext.multimodal import attach_media_images, media_phash
+    docs = load(spark, sf_dir, "documents")
+    ph = media_phash(attach_media_images(docs), fake=False)
+    return hamming_band_pairs(ph, id_col="doc_id", hash_col="phash",
+                              max_hamming=6, max_bucket=10_000)
+
+
 def _ordered() -> list[Entry]:
     """Registry in driver-facing order: every driver-oracled entry first
     (the driver's correctness gate grades only the first 50 registrations,

@@ -397,23 +397,17 @@ def test_multimodal_pixel_stages_require_codec(docs):
         assert all(r["phash"] is None for r in rows)
 
 
-def _rgb_bmp_bytes(arr, top_down=False):
-    """Build a real 24-bit BMP from an HxWx3 uint8 RGB array — no image
-    library needed to CONSTRUCT one either."""
-    import struct
-
-    import numpy as np
-
-    arr = np.asarray(arr, dtype="uint8")
-    h, w, _ = arr.shape
-    pad = (4 - (w * 3) % 4) % 4
-    body = b""
-    for y in (range(h) if top_down else range(h - 1, -1, -1)):
-        body += arr[y][:, ::-1].tobytes() + b"\x00" * pad
-    dib = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h,
-                      1, 24, 0, len(body), 2835, 2835, 0, 0)
-    return (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
-            + dib + body)
+# The spec-level encoders moved to meeseeker_spark.ext.imagegen in r8
+# (they now also power attach_media_images' in-plan blob synthesis);
+# the historical local names stay bound so every existing test vector
+# keeps reading the same.  The hand-packed bit-level streams further
+# down remain fully independent of the shared encoders.
+from meeseeker_spark.ext.imagegen import (  # noqa: E402
+    bmp_bytes as _rgb_bmp_bytes,
+    gif_bytes as _gif_full_bytes,
+    gif_lzw_encode as _gif_lzw_encode,
+    png_bytes as _png_full_bytes,
+)
 
 
 def test_bmp_gray_exact_pixels():
@@ -483,62 +477,6 @@ def test_media_phash_native_bmp_locality(spark):
     assert dist(got[1], got[3]) >= 15  # unrelated: far away
 
 
-def _png_full_bytes(arr, ct=2, filt=0, palette=None):
-    """Build a REAL decodable PNG (zlib IDAT, chosen scanline filter on
-    every row) from a uint8 array — stdlib only, so the decoder's test
-    vectors need no image library either.  ``arr`` is HxW for color
-    types 0/3, HxWxC otherwise."""
-    import struct
-    import zlib
-
-    import numpy as np
-
-    arr = np.asarray(arr, dtype=np.uint8)
-    if arr.ndim == 2:
-        arr = arr[..., None]
-    h, w, ch = arr.shape
-    rows = arr.reshape(h, w * ch).astype(np.int32)
-    body = bytearray()
-    prev = np.zeros(w * ch, dtype=np.int32)
-    for r in range(h):
-        cur = rows[r]
-        left = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]]) \
-            if w * ch > ch else np.zeros(w * ch, np.int32)
-        if filt == 0:
-            ft = cur % 256
-        elif filt == 1:
-            ft = (cur - left) % 256
-        elif filt == 2:
-            ft = (cur - prev) % 256
-        elif filt == 3:
-            ft = (cur - ((left + prev) >> 1)) % 256
-        else:                                      # Paeth
-            ft = np.zeros(w * ch, np.int32)
-            for x in range(w * ch):
-                a = int(cur[x - ch]) if x >= ch else 0
-                b = int(prev[x])
-                c = int(prev[x - ch]) if x >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) \
-                    else (b if pb <= pc else c)
-                ft[x] = (int(cur[x]) - pred) % 256
-        body += bytes([filt]) + ft.astype(np.uint8).tobytes()
-        prev = cur
-
-    def chunk(typ, data):
-        return (struct.pack(">I", len(data)) + typ + data
-                + struct.pack(">I", zlib.crc32(typ + data)))
-
-    out = (b"\x89PNG\r\n\x1a\n"
-           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)))
-    if palette is not None:
-        out += chunk(b"PLTE",
-                     np.asarray(palette, np.uint8).reshape(-1).tobytes())
-    return out + chunk(b"IDAT", zlib.compress(bytes(body))) \
-        + chunk(b"IEND", b"")
-
-
 def test_png_gray_exact_pixels():
     """png_gray reconstructs the exact ITU-R 601-2 luma for every color
     type and every scanline filter, and degrades to None (never raises)
@@ -594,97 +532,6 @@ def test_png_gray_exact_pixels():
     for seed in range(16):                         # deterministic, no raise
         blob = bytes((seed * 53 + i * 7) % 256 for i in range(96))
         assert png_gray(blob) == png_gray(blob)
-
-
-def _gif_lzw_encode(indices, min_code):
-    """Spec-faithful GIF LZW encoder (LSB-first packing, variable code
-    width tracked in DECODER lockstep: the decoder's table add lags the
-    encoder's by one code, so width grows before emission k only once
-    the decoder has performed add k-2)."""
-    clear = 1 << min_code
-    eoi = clear + 1
-    out = bytearray()
-    st = {"acc": 0, "n": 0, "s": min_code + 1, "dec": clear + 2}
-
-    def emit(code):
-        st["acc"] |= code << st["n"]
-        st["n"] += st["s"]
-        while st["n"] >= 8:
-            out.append(st["acc"] & 0xFF)
-            st["acc"] >>= 8
-            st["n"] -= 8
-
-    def grow():
-        st["dec"] += 1
-        if st["dec"] == (1 << st["s"]) and st["s"] < 12:
-            st["s"] += 1
-
-    table = {bytes([i]): i for i in range(clear)}
-    next_code = eoi + 1
-    emit(clear)
-    w = b""
-    m = 0
-    for k in indices:
-        wk = w + bytes([int(k)])
-        if wk in table:
-            w = wk
-            continue
-        m += 1
-        if m >= 3:
-            grow()
-        emit(table[w])
-        table[wk] = next_code
-        next_code += 1
-        assert next_code < 4090, "test image too complex for this encoder"
-        w = bytes([int(k)])
-    if w:
-        m += 1
-        if m >= 3:
-            grow()
-        emit(table[w])
-    grow()                                 # add from the final data code
-    emit(eoi)
-    if st["n"]:
-        out.append(st["acc"] & 0xFF)
-    return bytes(out)
-
-
-def _gif_full_bytes(idx, palette, min_code=None, interlace=False,
-                    local_ct=False, ver=b"GIF89a"):
-    """Build a real decodable GIF from an HxW index array + palette —
-    stdlib-only, sub-block-chunked LZW payload."""
-    import struct
-
-    import numpy as np
-
-    idx = np.asarray(idx, dtype=np.uint8)
-    pal = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
-    h, w = idx.shape
-    bits = max(1, (len(pal) - 1).bit_length())
-    n_pal = 1 << bits
-    pad = np.zeros((n_pal - len(pal), 3), np.uint8)
-    pal_bytes = np.concatenate([pal, pad]).tobytes()
-    if min_code is None:
-        min_code = max(2, bits)
-    rows = idx
-    if interlace:                          # store rows in 4-pass order
-        order = ([*range(0, h, 8)] + [*range(4, h, 8)]
-                 + [*range(2, h, 4)] + [*range(1, h, 2)])
-        rows = idx[order]
-    payload = _gif_lzw_encode(rows.reshape(-1), min_code)
-    sub = b"".join(bytes([len(payload[i:i + 255])]) + payload[i:i + 255]
-                   for i in range(0, len(payload), 255)) + b"\x00"
-    gflags = (0x80 | (bits - 1)) if not local_ct else 0
-    iflags = (0x40 if interlace else 0) | ((0x80 | (bits - 1))
-                                           if local_ct else 0)
-    out = (ver + struct.pack("<HHBBB", w, h, gflags, 0, 0)
-           + (pal_bytes if not local_ct else b"")
-           # a graphic-control extension, to exercise the skip path
-           + b"\x21\xf9\x04\x00\x00\x00\x00\x00"
-           + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
-           + (pal_bytes if local_ct else b"")
-           + bytes([min_code]) + sub + b"\x3b")
-    return out
 
 
 def test_gif_gray_exact_pixels():
@@ -4716,7 +4563,38 @@ def test_media_phash_dups_vs_duckdb(spark):
     assert all(r[2] == 0 for r in s)  # fake hash: identical blobs only
 
 
-def test_hamming_band_pairs_recall_bruteforce(spark):
+def test_media_phash_dups_real_vs_ground_truth(spark):
+    """Correctness gate for media_phash_dups_real (the REAL decoders
+    in-plan, VERDICT r7 item 2): at sf0.01 the full plan — genuine
+    BMP/PNG/GIF blob synthesis → native pixel decode → dHash → banded
+    Hamming join — must equal brute-force pairs of dHashes computed
+    DIRECTLY from the known pixel arrays.  Equality holds only if
+    encode→decode is the identity for every blob, i.e. the real
+    decoders actually ran and were exact inside the Arrow crossing;
+    the planted structure guarantees both Hamming-0 identities and
+    1..6-bit near-dups are present, so both collision regimes are
+    exercised."""
+    from meeseeker_spark import catalog
+    from meeseeker_spark.ext.imagegen import doc_image
+    from meeseeker_spark.ext.multimodal import dhash_gray
+    from meeseeker_spark.tables import load as _load
+
+    sf = "/root/testdata/sf0.01"
+    sdf = catalog.ENTRIES["media_phash_dups_real"].spark(spark, sf)
+    got = sorted(tuple(r) for r in sdf.collect())
+
+    ids = [r["doc_id"] for r in
+           _load(spark, sf, "documents").select("doc_id").collect()]
+    hs = {i: dhash_gray(doc_image(i)) for i in ids}
+    sids = sorted(ids)
+    want = sorted(
+        (a, b, bin(hs[a] ^ hs[b]).count("1"))
+        for ai, a in enumerate(sids) for b in sids[ai + 1:]
+        if bin(hs[a] ^ hs[b]).count("1") <= 6)
+    assert got == want and got
+    dists = {d for _, _, d in got}
+    assert 0 in dists                     # cross-format identity pairs
+    assert any(0 < d <= 6 for d in dists)  # noisy near-dup pairs
     """Planted hashes at known distances: the banded join returns
     EXACTLY the <= max_hamming pairs (none lost to banding, none extra)
     across ball sizes, and NULL hashes never pair."""
