@@ -67,16 +67,32 @@ def main() -> None:
               "embeddings"):
         load_table(spark, SF_DIR, t).count()
 
+    # One discarded warmup pass (codegen/JIT first-touch: ~2x the warm
+    # total — reporting it as "variance" would be noise), then N warm
+    # passes over the headline list.  Per-query numbers are best-of-N
+    # warm passes; the per-PASS totals land in extras as within-session
+    # variance evidence — r6 pinned cross-session box drift at ±10-20%
+    # yet r7 moved +25% on an untouched tree, costing a judge rerun to
+    # adjudicate; with the warm pass totals in the file every future
+    # headline move self-adjudicates (VERDICT r7 item 3).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
-    results: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = catalog.ENTRIES[name].spark
-        best = float("inf")
-        for _ in range(reps):  # best-of-N: report steady state, not GC luck
+
+    def _run_pass() -> dict[str, float]:
+        times: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = catalog.ENTRIES[name].spark
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        results[name] = round(best, 3)
+            times[name] = time.perf_counter() - t0
+        return times
+
+    warmup_total = round(sum(_run_pass().values()), 3)
+    pass_times = [_run_pass() for _ in range(reps)]
+    results = {name: round(min(p[name] for p in pass_times), 3)
+               for name in HEADLINE}
+    pass_totals = [round(sum(p.values()), 3) for p in pass_times]
+    spread_pct = round(
+        (max(pass_totals) - min(pass_totals)) / min(pass_totals) * 100, 1)
 
     # ingest throughput: flatten 210 fixture blocks → keyed store
     from meeseeker_spark import fixtures
@@ -153,6 +169,9 @@ def main() -> None:
         "queries": results,
         "sf": sf,
         "extras": {
+            "headline_pass_totals": pass_totals,
+            "within_session_spread_pct": spread_pct,
+            "warmup_pass_total_s": warmup_total,
             "ingest_blocks_per_s": blocks_per_s,
             "engine_ingest_blocks_per_s": engine_blocks_per_s,
             "ingest_wall_s": round(ingest_s, 3),
