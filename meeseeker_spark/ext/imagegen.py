@@ -113,7 +113,11 @@ def gif_lzw_encode(indices, min_code: int) -> bytes:
     """Spec-faithful GIF LZW encoder (LSB-first packing, variable code
     width tracked in DECODER lockstep: the decoder's table add lags the
     encoder's by one code, so width grows before emission k only once
-    the decoder has performed add k-2)."""
+    the decoder has performed add k-2).  When the dictionary fills (the
+    decoder's table reaching the 12-bit ceiling), a CLEAR code is
+    emitted and both sides restart from the root table — so arbitrarily
+    high-entropy index streams encode correctly (r8; the pre-reset
+    encoder refused streams needing >~4090 entries)."""
     clear = 1 << min_code
     eoi = clear + 1
     out = bytearray()
@@ -148,10 +152,24 @@ def gif_lzw_encode(indices, min_code: int) -> bytes:
         emit(table[w])
         table[wk] = next_code
         next_code += 1
-        if next_code >= 4090:
-            raise ValueError("image too complex for this LZW encoder "
-                             "(no clear-code reset implemented)")
         w = bytes([int(k)])
+        if next_code >= 4094:
+            # table full: flush the pending prefix, emit CLEAR, restart
+            # encoder and (lockstep) decoder state from the root table.
+            # The decoder resets width to min_code+1 with prev=None; its
+            # first post-clear append happens after the SECOND data code,
+            # which the fresh m-counter reproduces exactly.
+            m += 1
+            if m >= 3:
+                grow()
+            emit(table[w])
+            emit(clear)
+            st["s"] = min_code + 1
+            st["dec"] = clear + 2
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            w = b""
+            m = 0
     if w:
         m += 1
         if m >= 3:
@@ -239,16 +257,12 @@ def doc_blob(doc_id: int) -> tuple[bytes, str]:
     format ``doc_id % 3`` (BMP / PNG / GIF) — consecutive ids, and in
     particular the identical-pixel members 0 and 1 of every group, land
     in different formats, so the planted Hamming-0 pairs are
-    cross-format by construction.  The noisy member 2 never encodes as
-    GIF: per-pixel noise defeats LZW (the encoder has no clear-code
-    reset and a 4608-symbol high-entropy stream overflows the 12-bit
-    table), so it alternates BMP/PNG instead — blocky members 0/1/3
-    compress fine."""
+    cross-format by construction.  High-entropy pixels (the noisy
+    member 2, unrelated member 3) encode fine as GIF too: the LZW
+    encoder emits mid-stream CLEAR resets when its table fills."""
     doc_id = int(doc_id)
     gray = doc_image(doc_id)
     fmt = doc_id % 3
-    if doc_id % 4 == 2 and fmt == 2:
-        fmt = doc_id % 2
     if fmt == 0:
         return bmp_bytes(np.stack([gray] * 3, axis=-1)), "image/bmp"
     if fmt == 1:

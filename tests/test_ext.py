@@ -534,6 +534,31 @@ def test_png_gray_exact_pixels():
         assert png_gray(blob) == png_gray(blob)
 
 
+def test_gif_lzw_clear_reset_roundtrip():
+    """High-entropy index streams force the encoder's mid-stream CLEAR
+    resets (table full at the 12-bit ceiling) — and thereby exercise
+    the DECODER's clear-handling on a saturated table, which the
+    initial clear alone never reaches.  Roundtrip must stay exact,
+    interlaced included."""
+    import numpy as np
+
+    from meeseeker_spark.ext.imagegen import _GRAY256, gif_lzw_encode
+    from meeseeker_spark.ext.multimodal import _gif_lzw_decode, gif_gray
+
+    rng = np.random.default_rng(41)
+    for shape in [(64, 72), (100, 100), (17, 300)]:
+        idx = rng.integers(0, 256, shape).astype("uint8")
+        g = gif_gray(_gif_full_bytes(idx, _GRAY256))
+        assert g is not None and (g == idx).all(), shape
+    idx = rng.integers(0, 256, (64, 72)).astype("uint8")
+    g = gif_gray(_gif_full_bytes(idx, _GRAY256, interlace=True))
+    assert g is not None and (g == idx).all()
+    # raw stream level: 20k random symbols → multiple resets, bit-exact
+    syms = rng.integers(0, 256, 20_000)
+    out = _gif_lzw_decode(gif_lzw_encode(syms, 8), 8, 20_000)
+    assert out is not None and list(out[:20_000]) == list(syms)
+
+
 def test_gif_gray_exact_pixels():
     """gif_gray reconstructs the exact palette luma through real LZW,
     for global/local color tables and interlaced storage, and degrades

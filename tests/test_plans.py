@@ -399,3 +399,24 @@ def test_media_phash_dups_plan(spark):
     assert "BatchEvalPython" not in plan
     assert "ShuffledHashJoin" in plan
     assert "Window" in plan        # max_bucket guard rides the exchange
+
+
+def test_media_phash_dups_real_plan(spark):
+    """The real-decoder twin keeps the same scale shape: blob synthesis
+    and pixel decode chain as narrow Arrow-batched MapInPandas stages
+    (no shuffle between them — a 100 TB corpus must not exchange binary
+    blobs), the banded self-join stays a shuffle join on the skinny
+    (id, hash) side, and nothing cartesian or row-at-a-time appears."""
+    plan = explain_str(
+        catalog.ENTRIES["media_phash_dups_real"].spark(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ShuffledHashJoin" in plan
+    assert "Window" in plan
+    # both Python stages (blob synthesis, phash) are present and chain
+    # without an intervening exchange: the only shuffles in the whole
+    # plan belong to the band join + bucket-guard window, exactly as in
+    # the fake twin — decoding added zero shuffles
+    assert plan.count("MapInPandas") >= 2
