@@ -1255,7 +1255,19 @@ def embedding_dups_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded driver action for parameter tuning, same budget class as the
     IVF codebook.  tables=5 rather than the 3 default: this corpus's
     pair mass sits at sim 0.4-0.5 where hyperplane LSH prunes weakly, so
-    more OR-tables is the better time/recall point."""
+    more OR-tables is the better time/recall point.
+
+    Operating caveat, measured at sf4 (SCALING.md r8): on iid-random
+    vectors the sim-0.4 threshold sits INSIDE the N(0, 1/dim) random-
+    pair background, so the TRUE pair mass is quadratic in n (tail rate
+    × C(n,2) — brute-forced 386,806 exact pairs at sf2) and recall vs
+    the exact baseline decays as auto_planes holds the candidate budget
+    near-linear (0.84 @ sf0.1 → 0.24 @ sf2).  The candidate design
+    itself reproduces its n·log n model at every measured doubling
+    (slope 1.19 vs predicted 1.12 at sf2→sf4).  Production rule: pick
+    threshold ≥ z/√dim for z ≈ 4-5 so the background tail is empty —
+    then output is linear in the real dup structure and the pinned
+    recall floor is meaningful at every scale."""
     from .ext.dedup import embedding_dup_pairs_lsh
     from .ext.similarity import auto_planes
     emb = load(spark, sf_dir, "embeddings")
