@@ -714,20 +714,18 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "value_percentiles",
-    """
-    SELECT event_type,
-           round(quantile_cont(value, 0.5), 4) AS p50,
-           round(quantile_cont(value, 0.95), 4) AS p95,
-           round(quantile_cont(value, 0.99), 4) AS p99
-    FROM events GROUP BY event_type
-    """,
+    None,
     tags=("F6",),
 )
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per channel (continuous interpolation — Spark
     `percentile` and DuckDB `quantile_cont` share the definition). At
     100 TB swap to `percentile_approx` (t-digest, mergeable map-side);
-    this exact twin is what anchors that sketch's error bound."""
+    this exact twin is what anchors that sketch's error bound.  Rotated
+    out of the driver window in r8 second wave (the exact-percentile
+    interpolation is now driver-graded inside perplexity_buckets'
+    tertile thresholds); exact DuckDB parity pinned by
+    tests/test_ext.py::test_value_percentiles_vs_duckdb."""
     ev = load(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
@@ -1287,17 +1285,7 @@ def knn_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stratified_sample",
-    """
-    WITH h AS (
-        SELECT doc_id, lang, n_chars,
-               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                    AS BIGINT) % 100 AS bucket
-        FROM documents
-    )
-    SELECT doc_id, lang, n_chars FROM h
-    WHERE (lang = 'en' AND bucket < 10)
-       OR (lang <> 'en' AND bucket < 50)
-    """,
+    None,
     tags=("F4", "sampling"),
 )
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1306,7 +1294,11 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     The keep decision is a hash of the ID, not rand() — retried tasks,
     resumed jobs, and the DuckDB oracle all pick the SAME rows, which
     per-partition RNG sampling cannot promise. Pure narrow filter: no
-    shuffle at any scale."""
+    shuffle at any scale.  Rotated out of the driver window in r8
+    second wave (its md5-bucket keep mechanics are now driver-graded
+    three ways: domain_cap, temperature_sample and dsir_select); exact
+    DuckDB parity pinned by
+    tests/test_ext.py::test_stratified_sample_vs_duckdb."""
     from .ext.text import md5_int32
     docs = load(spark, sf_dir, "documents")
     bucket = F.pmod(md5_int32(F.col("doc_id").cast("string")), F.lit(100))
@@ -2552,29 +2544,105 @@ def bm25_batch_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_batch_topk(docs, queries, k=10)
 
 
-@register("corpus_datacard", None, tags=("F4", "report"))
+@register(
+    "corpus_datacard",
+    r"""
+    WITH b AS (
+        SELECT source, lang,
+               list_filter(string_split_regex(lower(text),
+                           '[^a-z0-9]+'), x -> x <> '') AS w,
+               length(text) AS nc,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ',
+                                       'g'))) AS fp
+        FROM documents),
+    c AS (SELECT source, lang, len(w) AS nt, nc, fp,
+                 (2 * least(len(w), 100) * greatest(len(w), 1)
+                  + 200 * len(list_distinct(w))
+                  + 100 * len(list_filter(w, x -> list_contains(
+                      ['the','a','and','of','to','in','is'], x))))
+                 ::DOUBLE / (500 * greatest(len(w), 1)) AS q
+          FROM b)
+    SELECT source, lang, count(*) AS n_docs,
+           sum(nt) AS total_tokens,
+           round(avg(nt), 2) AS avg_tokens,
+           round(quantile_cont(nc, 0.5), 1) AS median_chars,
+           count(DISTINCT fp) AS n_unique_docs,
+           round(avg(q), 4) AS avg_quality
+    FROM c GROUP BY source, lang
+    """,
+    tags=("F4", "report"),
+)
 def corpus_datacard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-card rollup (ext.text.corpus_datacard): per source × lang —
     doc/token counts, exact median length, unique-fingerprint count,
     mean quality.  One scan, one low-cardinality groupBy (KB-sized
-    result at any corpus size).  Past the grading window → rows-only
-    there; exact DuckDB parity pinned by
-    tests/test_ext.py::test_corpus_datacard_vs_duckdb."""
+    result at any corpus size).  Rotated INTO the driver window in r8
+    second wave; the oracle is the same SQL exact-parity-pinned since
+    r5 by tests/test_ext.py::test_corpus_datacard_vs_duckdb."""
     from .ext.text import corpus_datacard
     docs = load(spark, sf_dir, "documents")
     return corpus_datacard(docs)
 
 
-@register("decontaminated_spans", None, tags=("F2", "decontam"))
+@register(
+    "decontaminated_spans",
+    """
+    WITH w AS (SELECT doc_id, text, lang, source, n_chars,
+                      string_split(text,' ') AS words
+               FROM documents),
+    g AS (SELECT doc_id, i AS pos,
+                 substr(md5(array_to_string(words[i+1:i+3],' ')),1,16)
+                     AS h
+          FROM w, unnest(range(0, len(words)-3+1)) t(i)
+          WHERE len(words) >= 3),
+    bg AS (SELECT DISTINCT h FROM g WHERE doc_id % 19 = 0),
+    hits AS (SELECT doc_id, pos FROM g
+             WHERE doc_id % 19 <> 0 AND h IN (SELECT h FROM bg)),
+    isl AS (SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (
+                            PARTITION BY doc_id ORDER BY pos) <= 3
+                        THEN 0 ELSE 1 END AS nw
+            FROM hits),
+    sp AS (SELECT doc_id, pos,
+                  sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS sid
+           FROM isl),
+    spans AS (SELECT doc_id, min(pos) AS s, max(pos)+2 AS e
+              FROM sp GROUP BY doc_id, sid),
+    dropped AS (SELECT doc_id, unnest(range(s, e+1)) AS i FROM spans),
+    wp AS (SELECT doc_id, i, words[i+1] AS word
+           FROM w, unnest(range(0, len(words))) t(i)
+           WHERE doc_id % 19 <> 0),
+    kept AS (SELECT wp.doc_id, wp.i, wp.word FROM wp
+             ANTI JOIN dropped USING (doc_id, i)),
+    rebuilt AS (SELECT doc_id,
+                       array_to_string(array_agg(word ORDER BY i), ' ')
+                           AS ct
+                FROM kept GROUP BY doc_id),
+    nsp AS (SELECT doc_id, count(*) AS ns, sum(e-s+1) AS nr
+            FROM spans GROUP BY doc_id)
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+           CASE WHEN nsp.doc_id IS NULL THEN d.text
+                ELSE coalesce(r.ct, '') END AS clean_text,
+           coalesce(nr, 0)::INT AS n_removed_words,
+           coalesce(ns, 0)::INT AS n_spans_removed
+    FROM documents d
+    LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    LEFT JOIN nsp ON d.doc_id = nsp.doc_id
+    WHERE d.doc_id % 19 <> 0
+    """,
+    tags=("F2", "decontam"),
+)
 def decontaminated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Surgical decontamination
     (ext.decontam.strip_contaminated_spans): strip only the benchmark-
     colliding passages (3-grams on the short-doc fixture; production
     13) instead of dropping documents — same held-out 1-in-19 bench
     slice as contamination_screen, same span interval-union + rebuild
-    as span_cleaned_docs.  Past the grading window → rows-only there;
-    exact DuckDB parity (incl. rebuilt text) pinned by
-    tests/test_ext.py::test_decontaminated_spans_vs_duckdb."""
+    as span_cleaned_docs.  Rotated INTO the driver window in r8 second
+    wave; the oracle is the same SQL exact-parity-pinned since r5 by
+    tests/test_ext.py::test_decontaminated_spans_vs_duckdb — the
+    driver hash additionally pins the REBUILT TEXT byte-for-byte."""
     from .ext.decontam import strip_contaminated_spans
     docs = load(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 19 == 0)
@@ -2731,7 +2799,19 @@ def _ordered() -> list[Entry]:
     ``perplexity_buckets`` (quantile interpolation) and
     ``bm25_batch_topk`` (per-query WindowGroupLimit) — the remaining
     algorithmically rich rows-only entries, DuckDB-exact in pytest
-    since r4/r5; oracles moved verbatim from those tests."""
+    since r4/r5; oracles moved verbatim from those tests.
+
+    Round-8 second wave (pre-empting the obvious r9 ask, two more
+    slots): ``stratified_sample`` (its md5-bucket keep mechanics are
+    now driver-graded three ways via domain_cap / temperature_sample /
+    dsir_select) and ``value_percentiles`` (exact-percentile
+    interpolation now driver-graded inside perplexity_buckets'
+    tertiles) went rows-only with exact-parity pytests
+    (tests/test_ext.py::test_stratified_sample_vs_duckdb /
+    test_value_percentiles_vs_duckdb), freeing slots for
+    ``decontaminated_spans`` (the driver hash pins the rebuilt text
+    byte-for-byte) and ``corpus_datacard`` (exact median + fingerprint
+    distinct + the shared quality formula in one hash)."""
     oracled = [e for e in ENTRIES.values() if e.sql is not None]
     rows_only = [e for e in ENTRIES.values() if e.sql is None]
     return oracled + rows_only

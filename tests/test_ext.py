@@ -2699,6 +2699,61 @@ def test_trx_id_split_vs_duckdb(spark):
     assert s == d and s
 
 
+def test_stratified_sample_vs_duckdb(spark):
+    """Exact parity for the deterministic stratified sampler — rotated
+    out of the driver window in r8 second wave (its md5-bucket keep
+    mechanics are driver-graded three ways via domain_cap /
+    temperature_sample / dsir_select); this test IS its correctness
+    gate now."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["stratified_sample"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = sorted(tuple(r) for r in con.execute("""
+        WITH h AS (
+            SELECT doc_id, lang, n_chars,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 100 AS bucket
+            FROM documents
+        )
+        SELECT doc_id, lang, n_chars FROM h
+        WHERE (lang = 'en' AND bucket < 10)
+           OR (lang <> 'en' AND bucket < 50)
+    """).fetchall())
+    con.close()
+    assert s == d and s
+
+
+def test_value_percentiles_vs_duckdb(spark):
+    """Exact parity for the per-channel exact percentiles — rotated out
+    of the driver window in r8 second wave (the interpolation is
+    driver-graded inside perplexity_buckets' tertiles); this test IS
+    its correctness gate now."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["value_percentiles"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    d = sorted(tuple(r) for r in con.execute("""
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.95), 4) AS p95,
+               round(quantile_cont(value, 0.99), 4) AS p99
+        FROM events GROUP BY event_type
+    """).fetchall())
+    con.close()
+    assert s == d and len(s) == 5
+
+
 def test_domain_cap_vs_duckdb(spark):
     """Exact DuckDB parity for the per-source cap — the oracle is the
     NAIVE full window over the salted-md5 rank, so equality also proves
