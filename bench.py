@@ -75,7 +75,7 @@ def main() -> None:
     # yet r7 moved +25% on an untouched tree, costing a judge rerun to
     # adjudicate; with the warm pass totals in the file every future
     # headline move self-adjudicates (VERDICT r7 item 3).
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
 
     def _run_pass() -> dict[str, float]:
         times: dict[str, float] = {}

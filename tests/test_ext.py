@@ -2823,7 +2823,10 @@ def test_domain_cap_hash_vs_duckdb(spark):
 
 def test_perplexity_buckets_vs_duckdb(spark):
     """Exact DuckDB parity for the CCNet bucketing, including the
-    tertile interpolation (quantile_cont ≡ Spark percentile)."""
+    tertile interpolation (quantile_cont ≡ Spark percentile).  Since
+    the r8 rotation the entry is driver-oracled: the test executes the
+    REGISTRY's own SQL string, so the pytest pins exactly what the
+    driver grades (no second copy to drift)."""
     import duckdb
 
     from meeseeker_spark import catalog
@@ -2833,53 +2836,8 @@ def test_perplexity_buckets_vs_duckdb(spark):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{SF}/documents.parquet')")
-    d = sorted(tuple(r) for r in con.execute("""
-        WITH words AS (
-            SELECT doc_id,
-                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                               x -> x <> '') AS w
-            FROM documents
-        ),
-        bi AS (
-            SELECT doc_id, u.w1 AS w1, u.bg AS bg
-            FROM (
-                SELECT doc_id,
-                       unnest(list_transform(range(1, greatest(len(w), 1)),
-                           i -> {'w1': w[i], 'bg': w[i] || ' ' || w[i+1]}))
-                           AS u
-                FROM words
-            )
-        ),
-        uni AS (
-            SELECT w1, count(*) AS u
-            FROM (SELECT unnest(w) AS w1 FROM words) GROUP BY w1
-        ),
-        bcounts AS (SELECT bg, count(*) AS b FROM bi GROUP BY bg),
-        vocab AS (SELECT count(*)::DOUBLE AS v FROM uni),
-        per_doc AS (
-            SELECT doc_id, w1, bg, count(*) AS c
-            FROM bi GROUP BY doc_id, w1, bg
-        ),
-        scored AS (
-            SELECT p.doc_id, sum(c) AS n_bigrams,
-                   round(-sum(c * (ln(b + 0.5) - ln(u + 0.5 * v))) / sum(c), 4)
-                       AS xent
-            FROM per_doc p
-            JOIN bcounts USING (bg) JOIN uni USING (w1), vocab
-            GROUP BY p.doc_id
-        ),
-        ths AS (
-            SELECT round(quantile_cont(xent, 1.0/3), 4) AS t0,
-                   round(quantile_cont(xent, 2.0/3), 4) AS t1
-            FROM scored WHERE xent IS NOT NULL
-        )
-        SELECT d.doc_id, s.n_bigrams, s.xent,
-               CASE WHEN s.xent IS NULL THEN 'na'
-                    ELSE list_value('head', 'middle', 'tail')[
-                        1 + (s.xent > t.t0)::INT + (s.xent > t.t1)::INT]
-               END AS ppl_bucket
-        FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id, ths t
-    """).fetchall())
+    d = sorted(tuple(r) for r in con.execute(
+        catalog.ENTRIES["perplexity_buckets"].sql).fetchall())
     con.close()
     assert s == d
 
@@ -3096,8 +3054,8 @@ def test_bucket_log_probs_pins_weights_smoothing(spark, docs):
 def test_dsir_select_vs_duckdb(spark):
     """Exact DuckDB parity for DSIR importance resampling: hashed-gram
     distributions, smoothing floors for absent buckets, deterministic
-    Gumbel top-k (beyond the driver window → this is its correctness
-    gate)."""
+    Gumbel top-k — executing the REGISTRY's own SQL string
+    (driver-oracled since r7)."""
     import duckdb
 
     from meeseeker_spark import catalog
@@ -3107,62 +3065,9 @@ def test_dsir_select_vs_duckdb(spark):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{SF}/documents.parquet')")
-    d = sorted(tuple(r) for r in con.execute("""
-        WITH t AS (
-            SELECT doc_id, lang,
-                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                               x -> x <> '') AS w
-            FROM documents
-        ),
-        g AS (
-            SELECT doc_id, lang,
-                   unnest(list_concat(w,
-                       list_transform(range(1, greatest(len(w), 1)),
-                                      i -> w[i] || ' ' || w[i+1]))) AS gram
-            FROM t
-        ),
-        cnt AS (
-            SELECT doc_id, lang,
-                   (('0x' || substr(md5(gram), 1, 8))::BIGINT % 10000)
-                       AS bucket,
-                   count(*) AS c
-            FROM g GROUP BY doc_id, lang, bucket
-        ),
-        pc AS (SELECT bucket, sum(c) AS cb FROM cnt
-               WHERE lang = 'en' GROUP BY bucket),
-        pt AS (SELECT sum(cb)::DOUBLE AS n FROM pc),
-        qc AS (SELECT bucket, sum(c) AS cb FROM cnt GROUP BY bucket),
-        qt AS (SELECT sum(cb)::DOUBLE AS n FROM qc),
-        p AS (SELECT bucket, ln(cb + 1.0) - ln(n + 10000.0) AS lp
-              FROM pc, pt),
-        q AS (SELECT bucket, ln(cb + 1.0) - ln(n + 10000.0) AS lq
-              FROM qc, qt),
-        ratio AS (
-            SELECT coalesce(p.bucket, q.bucket) AS bucket,
-                   coalesce(p.lp, -ln((SELECT n FROM pt) + 10000.0))
-                   - coalesce(q.lq, -ln((SELECT n FROM qt) + 10000.0))
-                       AS lam
-            FROM p FULL JOIN q ON p.bucket = q.bucket
-        ),
-        scored AS (
-            SELECT c.doc_id, sum(c.c) AS n_grams,
-                   round(sum(c.c * r.lam), 4) AS logw
-            FROM cnt c JOIN ratio r USING (bucket)
-            GROUP BY c.doc_id
-        ),
-        sel AS (
-            SELECT doc_id, logw,
-                   round(-ln(-ln(
-                       ((('0x' || substr(md5('dsir:' ||
-                           CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) + 0.5)
-                       / 4294967296.0)), 4) AS gumbel
-            FROM scored WHERE logw IS NOT NULL
-        )
-        SELECT doc_id, logw, gumbel,
-               round(logw / 1.0 + gumbel, 4) AS score
-        FROM sel
-        ORDER BY score DESC, doc_id LIMIT 100
-    """).fetchall())
+    d = sorted(tuple(r) for r in con.execute(
+        # driver-oracled since r7: the REGISTRY's own SQL string
+        catalog.ENTRIES["dsir_select"].sql).fetchall())
     con.close()
     assert s == d
 
@@ -3315,8 +3220,9 @@ def test_leakage_safe_split_vs_duckdb(spark):
 
 
 def test_gopher_rules_vs_duckdb(spark):
-    """Exact DuckDB parity for the Gopher rule battery (beyond the
-    driver window → this is its correctness gate)."""
+    """Exact DuckDB parity for the Gopher rule battery, executing the
+    REGISTRY's own SQL string (driver-oracled since r7 — the pytest
+    pins exactly what the driver grades)."""
     import duckdb
 
     from meeseeker_spark import catalog
@@ -3327,62 +3233,12 @@ def test_gopher_rules_vs_duckdb(spark):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{SF}/documents.parquet')")
-    sel = ", ".join(sorted(cols))
-    d = sorted(tuple(r) for r in con.execute(f"""
-        WITH t AS (
-            SELECT doc_id, text,
-                   list_filter(string_split_regex(text, '\\s+'),
-                               x -> x <> '') AS w,
-                   string_split(text, chr(10)) AS l
-            FROM documents
-        ),
-        m AS (
-            SELECT doc_id,
-                   len(w) AS n_words,
-                   round(list_sum(list_transform(w, x -> length(x)))::DOUBLE
-                         / greatest(len(w), 1), 4) AS mean_word_len,
-                   round(((length(text)
-                           - length(replace(text, '#', '')))
-                          + floor((length(text)
-                                   - length(replace(text, '...', ''))) / 3))
-                         / greatest(len(w), 1)::DOUBLE, 4) AS symbol_ratio,
-                   round(len(list_filter(l,
-                       x -> regexp_matches(x, '^\\s*[-*•]')))
-                         / greatest(len(l), 1)::DOUBLE, 4) AS bullet_frac,
-                   round(len(list_filter(l,
-                       x -> regexp_matches(x, '\\.\\.\\.$')))
-                         / greatest(len(l), 1)::DOUBLE, 4) AS ellipsis_frac,
-                   round(len(list_filter(w,
-                       x -> regexp_matches(x, '[A-Za-z]')))
-                         / greatest(len(w), 1)::DOUBLE, 4) AS alpha_frac,
-                   len(list_filter(w, x -> lower(x) IN
-                       ('the','a','and','of','to','in','is'))) AS stop_hits,
-                   round((len(l) - len(list_distinct(l)))
-                         / greatest(len(l), 1)::DOUBLE, 4) AS dup_line_frac
-            FROM t
-        ),
-        r AS (
-            SELECT doc_id, n_words, mean_word_len, symbol_ratio,
-                   alpha_frac, stop_hits, dup_line_frac,
-                   (n_words >= 50 AND n_words <= 100000) AS r_word_count,
-                   (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
-                       AS r_mean_word_len,
-                   symbol_ratio <= 0.1 AS r_symbol_ratio,
-                   bullet_frac <= 0.9 AS r_bullet,
-                   ellipsis_frac <= 0.3 AS r_ellipsis,
-                   alpha_frac >= 0.8 AS r_alpha,
-                   stop_hits >= 2 AS r_stopwords,
-                   dup_line_frac <= 0.3 AS r_dup_lines
-            FROM m
-        )
-        SELECT {sel} FROM (
-            SELECT r.*,
-                   (r_word_count AND r_mean_word_len AND r_symbol_ratio
-                    AND r_bullet AND r_ellipsis AND r_alpha
-                    AND r_stopwords AND r_dup_lines) AS keep
-            FROM r
-        )
-    """).fetchall())
+    # driver-oracled since r7: execute the REGISTRY's own SQL string
+    # and reorder its columns by name, as the driver's hash does
+    res = con.execute(catalog.ENTRIES["gopher_rules"].sql)
+    dcols = [c[0] for c in res.description]
+    idx = [dcols.index(c) for c in sorted(cols)]
+    d = sorted(tuple(r[i] for i in idx) for r in res.fetchall())
     con.close()
     assert s == d
     # the battery discriminates on this fixture: both outcomes occur
@@ -4100,29 +3956,9 @@ def test_bm25_topk_vs_duckdb(spark):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{SF}/documents.parquet')")
-    d = [tuple(r) for r in con.execute("""
-        WITH t AS (SELECT doc_id,
-                          list_filter(string_split_regex(lower(text),
-                                      '[^a-z0-9]+'), x -> x <> '') AS w
-                   FROM documents),
-        stats AS (SELECT count(*) AS nd, avg(len(w))::DOUBLE AS ad FROM t),
-        h0 AS (SELECT doc_id, len(w) AS dl,
-                      unnest(list_filter(w, x -> list_contains(
-                          ['merge','stream','window'], x))) AS tm
-               FROM t),
-        hits AS (SELECT doc_id, tm, count(*) AS tf, max(dl) AS dl
-                 FROM h0 GROUP BY doc_id, tm),
-        dfq AS (SELECT tm, count(*) AS dft FROM hits GROUP BY tm),
-        sc AS (SELECT h.doc_id, count(*) AS n_hits,
-                      round(sum(ln((nd - dft + 0.5) / (dft + 0.5) + 1.0)
-                                * tf * 2.2
-                                / (tf + 1.2 * (0.25 + 0.75 * dl / ad))),
-                            4) AS bm25
-               FROM hits h JOIN dfq USING (tm) CROSS JOIN stats
-               GROUP BY h.doc_id)
-        SELECT doc_id, n_hits, bm25 FROM sc
-        ORDER BY bm25 DESC, doc_id ASC LIMIT 20
-    """).fetchall()]
+    d = [tuple(r) for r in con.execute(
+        # driver-oracled since r7: the REGISTRY's own SQL string
+        catalog.ENTRIES["bm25_topk"].sql).fetchall()]
     con.close()
     assert s == d
     assert len(s) == 20
@@ -4248,37 +4084,9 @@ def test_bm25_batch_vs_duckdb_and_single(spark):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{SF}/documents.parquet')")
-    d = sorted(tuple(r) for r in con.execute("""
-        WITH q AS (
-            SELECT * FROM (VALUES
-                (1, ['window','merge','stream']),
-                (2, ['slow','filter']),
-                (3, ['customer','table','scan'])) AS v(q_id, terms)),
-        qt AS (SELECT DISTINCT q_id, unnest(terms) AS tm FROM q),
-        vocab AS (SELECT DISTINCT tm FROM qt),
-        t AS (SELECT doc_id,
-                     list_filter(string_split_regex(lower(text),
-                                 '[^a-z0-9]+'), x -> x <> '') AS w
-              FROM documents),
-        stats AS (SELECT count(*) AS nd, avg(len(w))::DOUBLE AS ad FROM t),
-        h0 AS (SELECT doc_id, len(w) AS dl, unnest(w) AS tm FROM t),
-        hits AS (SELECT h0.doc_id, h0.tm, count(*) AS tf, max(dl) AS dl
-                 FROM h0 JOIN vocab USING (tm) GROUP BY h0.doc_id, h0.tm),
-        dfq AS (SELECT tm, count(*) AS dft FROM hits GROUP BY tm),
-        sc AS (SELECT qt.q_id, h.doc_id, count(*) AS n_hits,
-                      round(sum(ln((nd - dft + 0.5) / (dft + 0.5) + 1.0)
-                                * tf * 2.2
-                                / (tf + 1.2 * (0.25 + 0.75 * dl / ad))),
-                            4) AS bm25
-               FROM hits h JOIN dfq USING (tm) JOIN qt USING (tm)
-                    CROSS JOIN stats
-               GROUP BY qt.q_id, h.doc_id),
-        rk AS (SELECT q_id, doc_id, n_hits, bm25,
-                      row_number() OVER (PARTITION BY q_id
-                          ORDER BY bm25 DESC, doc_id ASC) AS rk
-               FROM sc)
-        SELECT q_id, doc_id, n_hits, bm25, rk FROM rk WHERE rk <= 10
-    """).fetchall())
+    # driver-oracled since r8: execute the REGISTRY's own SQL string
+    d = sorted(tuple(r) for r in con.execute(
+        catalog.ENTRIES["bm25_batch_topk"].sql).fetchall())
     con.close()
     assert s == d
     assert {r[0] for r in s} == {1, 2, 3}
@@ -4307,30 +4115,9 @@ def test_corpus_datacard_vs_duckdb(spark):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{SF}/documents.parquet')")
-    d = sorted(tuple(r) for r in con.execute(r"""
-        WITH b AS (
-            SELECT source, lang,
-                   list_filter(string_split_regex(lower(text),
-                               '[^a-z0-9]+'), x -> x <> '') AS w,
-                   length(text) AS nc,
-                   md5(trim(regexp_replace(lower(text), '\s+', ' ',
-                                           'g'))) AS fp
-            FROM documents),
-        c AS (SELECT source, lang, len(w) AS nt, nc, fp,
-                     (2 * least(len(w), 100) * greatest(len(w), 1)
-                      + 200 * len(list_distinct(w))
-                      + 100 * len(list_filter(w, x -> list_contains(
-                          ['the','a','and','of','to','in','is'], x))))
-                     ::DOUBLE / (500 * greatest(len(w), 1)) AS q
-              FROM b)
-        SELECT source, lang, count(*) AS n_docs,
-               sum(nt) AS total_tokens,
-               round(avg(nt), 2) AS avg_tokens,
-               round(quantile_cont(nc, 0.5), 1) AS median_chars,
-               count(DISTINCT fp) AS n_unique_docs,
-               round(avg(q), 4) AS avg_quality
-        FROM c GROUP BY source, lang
-    """).fetchall())
+    # driver-oracled since r8: execute the REGISTRY's own SQL string
+    d = sorted(tuple(r) for r in con.execute(
+        catalog.ENTRIES["corpus_datacard"].sql).fetchall())
     con.close()
     assert s == d
     assert len(s) >= 2
@@ -4464,51 +4251,9 @@ def test_decontaminated_spans_vs_duckdb(spark):
     sf = "/root/testdata/sf0.01"
     sdf = catalog.ENTRIES["decontaminated_spans"].spark(spark, sf)
     con = duck_connection(sf)
-    problems = compare(sdf, con, """
-        WITH w AS (SELECT doc_id, text, lang, source, n_chars,
-                          string_split(text,' ') AS words
-                   FROM documents),
-        g AS (SELECT doc_id, i AS pos,
-                     substr(md5(array_to_string(words[i+1:i+3],' ')),1,16)
-                         AS h
-              FROM w, unnest(range(0, len(words)-3+1)) t(i)
-              WHERE len(words) >= 3),
-        bg AS (SELECT DISTINCT h FROM g WHERE doc_id % 19 = 0),
-        hits AS (SELECT doc_id, pos FROM g
-                 WHERE doc_id % 19 <> 0 AND h IN (SELECT h FROM bg)),
-        isl AS (SELECT doc_id, pos,
-                       CASE WHEN pos - lag(pos) OVER (
-                                PARTITION BY doc_id ORDER BY pos) <= 3
-                            THEN 0 ELSE 1 END AS nw
-                FROM hits),
-        sp AS (SELECT doc_id, pos,
-                      sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
-                                    ROWS UNBOUNDED PRECEDING) AS sid
-               FROM isl),
-        spans AS (SELECT doc_id, min(pos) AS s, max(pos)+2 AS e
-                  FROM sp GROUP BY doc_id, sid),
-        dropped AS (SELECT doc_id, unnest(range(s, e+1)) AS i FROM spans),
-        wp AS (SELECT doc_id, i, words[i+1] AS word
-               FROM w, unnest(range(0, len(words))) t(i)
-               WHERE doc_id % 19 <> 0),
-        kept AS (SELECT wp.doc_id, wp.i, wp.word FROM wp
-                 ANTI JOIN dropped USING (doc_id, i)),
-        rebuilt AS (SELECT doc_id,
-                           array_to_string(array_agg(word ORDER BY i), ' ')
-                               AS ct
-                    FROM kept GROUP BY doc_id),
-        nsp AS (SELECT doc_id, count(*) AS ns, sum(e-s+1) AS nr
-                FROM spans GROUP BY doc_id)
-        SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
-               CASE WHEN nsp.doc_id IS NULL THEN d.text
-                    ELSE coalesce(r.ct, '') END AS clean_text,
-               coalesce(nr, 0)::INT AS n_removed_words,
-               coalesce(ns, 0)::INT AS n_spans_removed
-        FROM documents d
-        LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
-        LEFT JOIN nsp ON d.doc_id = nsp.doc_id
-        WHERE d.doc_id % 19 <> 0
-    """)
+    # driver-oracled since r8: compare against the REGISTRY's own SQL
+    # string, so the pytest pins exactly what the driver grades
+    problems = compare(sdf, con, catalog.ENTRIES["decontaminated_spans"].sql)
     con.close()
     assert not problems, problems
 
@@ -4548,36 +4293,9 @@ def test_temperature_sample_vs_duckdb(spark):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{SF}/documents.parquet')")
-    d = sorted(tuple(r) for r in con.execute("""
-        WITH sizes AS (
-            SELECT lang AS domain, sum(n_chars)::BIGINT AS domain_size
-            FROM documents GROUP BY lang
-        ),
-        tot AS (SELECT sum(pow(domain_size::DOUBLE, 1.0/3.0)) AS t,
-                       sum(domain_size)::DOUBLE AS corpus
-                FROM sizes),
-        plan AS (
-            SELECT domain,
-                   round(least(
-                       (pow(domain_size::DOUBLE, 1.0/3.0) / t)
-                           * corpus / domain_size,
-                       100.0), 6) AS factor
-            FROM sizes, tot WHERE domain_size > 0
-        ),
-        plan_copies AS (
-            SELECT domain,
-                   unnest(range(0, floor(factor)::BIGINT + 1)) AS copy,
-                   floor(factor)::BIGINT AS epochs,
-                   floor(round(factor - floor(factor), 6) * 10000)::BIGINT
-                       AS frac_scaled
-            FROM plan
-        )
-        SELECT d.doc_id, d.lang, d.n_chars, p.copy FROM documents d
-        JOIN plan_copies p ON d.lang = p.domain
-        WHERE p.copy < p.epochs
-           OR (('0x' || substr(md5(d.doc_id || ':' || p.copy), 1, 8))::BIGINT
-               % 10000) < p.frac_scaled
-    """).fetchall())
+    # driver-oracled since r8: execute the REGISTRY's own SQL string
+    d = sorted(tuple(r) for r in con.execute(
+        catalog.ENTRIES["temperature_sample"].sql).fetchall())
     con.close()
     assert s == d
     assert any(r[3] > 0 for r in s)   # T=3 really up-samples someone
@@ -4675,6 +4393,9 @@ def test_media_phash_dups_real_vs_ground_truth(spark):
     dists = {d for _, _, d in got}
     assert 0 in dists                     # cross-format identity pairs
     assert any(0 < d <= 6 for d in dists)  # noisy near-dup pairs
+
+
+def test_hamming_band_pairs_recall_bruteforce(spark):
     """Planted hashes at known distances: the banded join returns
     EXACTLY the <= max_hamming pairs (none lost to banding, none extra)
     across ball sizes, and NULL hashes never pair."""
