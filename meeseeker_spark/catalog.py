@@ -2722,11 +2722,13 @@ def media_phash_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("media_phash_dups_real", None, tags=("F5", "F2"))
 def media_phash_dups_real_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash media near-dup with the REAL pixel decoders
-    in-plan (VERDICT r7 item 2): every doc gets a genuine BMP/PNG/GIF
-    blob (ext.imagegen.doc_blob — deterministic planted structure:
-    one cross-format Hamming-0 pair, one ≤6-bit near-dup and one
-    unrelated image per 4-doc group), ``media_phash(fake=False)``
-    runs bmp_gray/png_gray/gif_gray + the pinned dHash inside the
+    in-plan (VERDICT r7 item 2): every doc gets a genuine
+    BMP/PNG/GIF/baseline-JPEG blob (ext.imagegen.doc_blob —
+    deterministic planted structure: one cross-format Hamming-0 pair,
+    one ≤6-bit near-dup and one unrelated image per 4-doc group; the
+    JPEG lane carries only blocky members, where the q90 roundtrip is
+    pixel-exact), ``media_phash(fake=False)`` runs
+    bmp_gray/png_gray/gif_gray/jpeg_gray + the pinned dHash inside the
     Arrow crossing, then the same pigeonhole Hamming-band join as the
     fake twin.  Pixel decode is not SQL-expressible, so this entry is
     rows-only for the driver; its correctness gate is

@@ -1,13 +1,15 @@
 """Deterministic image-byte synthesis (F5 fixtures).
 
-Spec-level encoders for the three losslessly-native-decodable formats
-(``bmp_bytes`` / ``png_bytes`` / ``gif_bytes`` — stdlib + numpy only, no
-image library to CONSTRUCT one either) plus ``doc_image``/``doc_blob``,
-the per-document synthesizer behind ``multimodal.attach_media_images``:
-given only a doc_id it derives real pixels with planted near-duplicate
-structure, so the REAL pixel decoders (``bmp_gray``/``png_gray``/
-``gif_gray``) execute inside the graded plan on genuine image bytes —
-not only in unit tests (VERDICT r7 item 2).
+Spec-level encoders for all four natively-decodable formats
+(``bmp_bytes`` / ``png_bytes`` / ``gif_bytes`` / ``jpeg_bytes`` —
+stdlib + numpy only, no image library to CONSTRUCT one either) plus
+``doc_image``/``doc_blob``, the per-document synthesizer behind
+``multimodal.attach_media_images``: given only a doc_id it derives real
+pixels with planted near-duplicate structure, so the REAL pixel
+decoders (``bmp_gray``/``png_gray``/``gif_gray``/``jpeg_gray``) execute
+inside the graded plan on genuine image bytes — not only in unit tests
+(VERDICT r7 item 2).  The JPEG lane carries only the blocky members,
+where the q90 DC-only roundtrip is pixel-exact (see ``doc_blob``).
 
 The encoders moved here from tests/test_ext.py (r8) so fixtures and
 tests share one source of truth; the tests keep their independent
@@ -40,6 +42,7 @@ import numpy as np
 
 __all__ = [
     "bmp_bytes", "png_bytes", "gif_bytes", "gif_lzw_encode",
+    "jpeg_bytes", "JPEG_QL", "JPEG_QC",
     "doc_image", "doc_blob", "DOC_IMAGE_SHAPE",
 ]
 
@@ -215,6 +218,211 @@ def gif_bytes(idx, palette, min_code=None, interlace: bool = False,
             + bytes([min_code]) + sub + b"\x3b")
 
 
+JPEG_QL = [  # Annex K.1 luminance quant, natural order
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99]
+JPEG_QC = [  # Annex K.2 chrominance
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99]
+
+
+def jpeg_bytes(img, quality=90, subsample=False, restart=0):
+    """Build a real baseline JPEG (SOF0, Huffman) from a uint8 image —
+    grayscale (HxW) or RGB (HxWx3), 4:4:4 or 4:2:0, optional restart
+    interval.  Huffman tables are built from the image's own symbol
+    set (uniform code length — spec-legal and transcription-proof),
+    so the decoder's DHT path is exercised without trusting a copied
+    Annex-K symbol list."""
+    from .multimodal import _ZIGZAG
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    ql = np.clip((np.array(JPEG_QL) * scale + 50) // 100, 1, 255)
+    qc = np.clip((np.array(JPEG_QC) * scale + 50) // 100, 1, 255)
+    if img.ndim == 2:
+        planes = [(img.astype(float), 1, 1, 0)]
+        qts = [ql]
+    else:
+        r, g, b = (img[..., k].astype(float) for k in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+        if subsample:                      # 4:2:0
+            he, we = h + h % 2, w + w % 2
+            def pad2(p):
+                return np.pad(p, ((0, he - h), (0, we - w)), "edge")
+            cb = pad2(cb).reshape(he // 2, 2, we // 2, 2).mean((1, 3))
+            cr = pad2(cr).reshape(he // 2, 2, we // 2, 2).mean((1, 3))
+            planes = [(y, 2, 2, 0), (cb, 1, 1, 1), (cr, 1, 1, 1)]
+        else:
+            planes = [(y, 1, 1, 0), (cb, 1, 1, 1), (cr, 1, 1, 1)]
+        qts = [ql, qc]
+    hmax = max(p[1] for p in planes)
+    vmax = max(p[2] for p in planes)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    basis = np.cos((2 * np.arange(8)[:, None] + 1) * np.arange(8)[None, :]
+                   * np.pi / 16) / 2
+    basis[:, 0] /= np.sqrt(2)
+
+    # quantized blocks per component, in MCU emission order
+    comp_blocks = []
+    for p, hs, vs, qid in planes:
+        ph, pw = mcuy * vs * 8, mcux * hs * 8
+        p = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                   "edge")
+        q = np.zeros((8, 8))
+        q.reshape(64)[:] = qts[qid]
+        blocks = {}
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                blk = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128
+                f = basis.T @ blk @ basis
+                blocks[(by, bx)] = np.round(f / q).astype(int) \
+                    .reshape(64)[_ZIGZAG]
+        comp_blocks.append(blocks)
+
+    def category(v):
+        return int(abs(v)).bit_length()
+
+    # pass 1: emission order + symbol collection (restart-aware DC diffs)
+    preds = [0] * len(planes)
+    dc_syms = [set() for _ in range(2)]
+    ac_syms = [set() for _ in range(2)]
+    mcu_events = []
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_events and len(mcu_events) % restart == 0:
+                preds = [0] * len(planes)
+            ev = []
+            for ci, (p, hs, vs, qid) in enumerate(planes):
+                tid = 0 if ci == 0 else 1
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = comp_blocks[ci][(my * vs + by, mx * hs + bx)]
+                        diff = int(zz[0]) - preds[ci]
+                        preds[ci] = int(zz[0])
+                        s = category(diff)
+                        dc_syms[tid].add(s)
+                        acs = []
+                        run = 0
+                        last = max((k for k in range(1, 64) if zz[k]),
+                                   default=0)
+                        for k in range(1, last + 1):
+                            v = int(zz[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                acs.append((0xF0, 0, 0))
+                                ac_syms[tid].add(0xF0)
+                                run -= 16
+                            sz = category(v)
+                            acs.append(((run << 4) | sz, v, sz))
+                            ac_syms[tid].add((run << 4) | sz)
+                            run = 0
+                        if last < 63:
+                            acs.append((0x00, 0, 0))
+                            ac_syms[tid].add(0x00)
+                        ev.append((tid, s, diff, acs))
+            mcu_events.append(ev)
+
+    def build_table(symbols):
+        syms = sorted(symbols)
+        L = max(2, (len(syms) + 1 - 1).bit_length())
+        while (1 << L) - 1 < len(syms):
+            L += 1
+        counts = [0] * 16
+        counts[L - 1] = len(syms)
+        return {s: (L, i) for i, s in enumerate(syms)}, counts, syms
+
+    dc_t, ac_t = [], []
+    dht = b""
+    for tid in range(2):
+        if not dc_syms[tid]:
+            dc_t.append(None); ac_t.append(None)
+            continue
+        enc, counts, syms = build_table(dc_syms[tid])
+        dc_t.append(enc)
+        dht += bytes([0x00 | tid]) + bytes(counts) + bytes(syms)
+        enc, counts, syms = build_table(ac_syms[tid])
+        ac_t.append(enc)
+        dht += bytes([0x10 | tid]) + bytes(counts) + bytes(syms)
+
+    out = bytearray()
+    st = {"acc": 0, "n": 0}
+
+    def put(bits, nbits):
+        if nbits == 0:
+            return
+        st["acc"] = (st["acc"] << nbits) | (bits & ((1 << nbits) - 1))
+        st["n"] += nbits
+        while st["n"] >= 8:
+            st["n"] -= 8
+            byte = (st["acc"] >> st["n"]) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+
+    def flush():
+        if st["n"]:
+            pad = 8 - st["n"]
+            put((1 << pad) - 1, pad)
+
+    rst = 0
+    for mi, ev in enumerate(mcu_events):
+        if restart and mi and mi % restart == 0:
+            flush()
+            out.append(0xFF)
+            out.append(0xD0 + (rst % 8))
+            rst += 1
+        for (tid, s, diff, acs) in ev:
+            L, code = dc_t[tid][s]
+            put(code, L)
+            amp = diff if diff >= 0 else diff + (1 << s) - 1
+            put(amp, s)
+            for sym, v, sz in acs:
+                L, code = ac_t[tid][sym]
+                put(code, L)
+                if sz:
+                    amp = v if v >= 0 else v + (1 << sz) - 1
+                    put(amp, sz)
+    flush()
+    scan = bytes(out)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2) + payload
+
+    zz_q = [bytes([0x00]) + bytes(int(qts[0][_ZIGZAG[k]])
+                                  for k in range(64))]
+    if len(qts) > 1:
+        zz_q.append(bytes([0x01]) + bytes(int(qts[1][_ZIGZAG[k]])
+                                          for k in range(64)))
+    sof_comps = b"".join(
+        bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+        for ci, (p, hs, vs, qid) in enumerate(planes))
+    sos_comps = b"".join(
+        bytes([ci + 1, (0 << 4) | 0 if ci == 0 else 0x11])
+        for ci in range(len(planes)))
+    blob = (b"\xff\xd8"
+            + b"".join(seg(0xDB, q) for q in zz_q)
+            + seg(0xC0, struct.pack(">BHHB", 8, h, w, len(planes))
+                  + sof_comps)
+            + seg(0xC4, dht))
+    if restart:
+        blob += seg(0xDD, struct.pack(">H", restart))
+    blob += (seg(0xDA, bytes([len(planes)]) + sos_comps
+                 + bytes([0, 63, 0]))
+             + scan + b"\xff\xd9")
+    return blob
+
 # ---------------------------------------------------------------------------
 # per-document deterministic synthesis
 # ---------------------------------------------------------------------------
@@ -254,17 +462,34 @@ def doc_image(doc_id: int) -> np.ndarray:
 
 def doc_blob(doc_id: int) -> tuple[bytes, str]:
     """(bytes, mime) for a doc_id: ``doc_image`` pixels encoded in the
-    format ``doc_id % 3`` (BMP / PNG / GIF) — consecutive ids, and in
-    particular the identical-pixel members 0 and 1 of every group, land
-    in different formats, so the planted Hamming-0 pairs are
-    cross-format by construction.  High-entropy pixels (the noisy
-    member 2, unrelated member 3) encode fine as GIF too: the LZW
-    encoder emits mid-stream CLEAR resets when its table fills."""
+    format ``(group + member) % 4`` (BMP / PNG / GIF / baseline JPEG) —
+    the identical-pixel members 0 and 1 of every group always land in
+    different formats, so the planted Hamming-0 pairs are cross-format
+    by construction, and the group rotation walks every member kind
+    through every lane over the corpus.
+
+    All four lanes are PIXEL-EXACT roundtrips on the images they carry,
+    so the in-plan ground-truth parity covers every decoder including
+    ``jpeg_gray``: the blocky members (0/1/3 — constant 8x8 cells
+    aligned to the DCT grid) have DC-only spectra, and at quality 90
+    the DC reconstruction error is |round(8Δ/q)·q/8 − Δ| ≤ q/16 = 3/16
+    < 1/2, which the final round() erases — verified exhaustively in
+    tests.  The NOISY member 2 is the one lossy-under-JPEG case, so it
+    alone avoids the JPEG lane (remapped over the three lossless
+    formats; high-entropy GIF is fine — the LZW encoder emits
+    mid-stream CLEAR resets when its table fills)."""
     doc_id = int(doc_id)
     gray = doc_image(doc_id)
-    fmt = doc_id % 3
+    group, member = divmod(doc_id, 4)
+    # rotate formats across groups so every lane carries every member
+    # kind over the corpus; members 0 and 1 still always differ
+    fmt = (group + member) % 4
+    if member == 2 and fmt == 3:
+        fmt = group % 3
     if fmt == 0:
         return bmp_bytes(np.stack([gray] * 3, axis=-1)), "image/bmp"
     if fmt == 1:
         return png_bytes(gray, ct=0, filt=1), "image/png"
+    if fmt == 3:
+        return jpeg_bytes(gray, quality=90), "image/jpeg"
     return gif_bytes(gray, _GRAY256), "image/gif"

@@ -750,7 +750,8 @@ MEDIA_IMAGE_SCHEMA = T.StructType([
 
 def attach_media_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Media ingestion with GENUINE image bytes: every doc gets a real
-    BMP / PNG / GIF blob synthesized deterministically from its id
+    BMP / PNG / GIF / baseline-JPEG blob synthesized deterministically
+    from its id
     (ext.imagegen.doc_blob — planted cross-format Hamming-0 pairs,
     near-dups and unrelated images; see that module's docstring), so
     the real pixel decoders execute in-plan on the graded machinery

@@ -624,214 +624,14 @@ def test_gif_gray_exact_pixels():
         assert gif_gray(blob) == gif_gray(blob)
 
 
-_JPEG_QL = [  # Annex K.1 luminance quant, natural order
-    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
-    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
-    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
-    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99]
-_JPEG_QC = [  # Annex K.2 chrominance
-    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
-    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
-    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
-    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99]
-
-
-def _jpeg_full_bytes(img, quality=90, subsample=False, restart=0):
-    """Build a real baseline JPEG (SOF0, Huffman) from a uint8 image —
-    grayscale (HxW) or RGB (HxWx3), 4:4:4 or 4:2:0, optional restart
-    interval.  Huffman tables are built from the image's own symbol
-    set (uniform code length — spec-legal and transcription-proof),
-    so the decoder's DHT path is exercised without trusting a copied
-    Annex-K symbol list."""
-    import struct
-
-    import numpy as np
-
-    from meeseeker_spark.ext.multimodal import _ZIGZAG
-
-    img = np.asarray(img, dtype=np.uint8)
-    h, w = img.shape[:2]
-    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
-    ql = np.clip((np.array(_JPEG_QL) * scale + 50) // 100, 1, 255)
-    qc = np.clip((np.array(_JPEG_QC) * scale + 50) // 100, 1, 255)
-    if img.ndim == 2:
-        planes = [(img.astype(float), 1, 1, 0)]
-        qts = [ql]
-    else:
-        r, g, b = (img[..., k].astype(float) for k in range(3))
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
-        if subsample:                      # 4:2:0
-            he, we = h + h % 2, w + w % 2
-            def pad2(p):
-                return np.pad(p, ((0, he - h), (0, we - w)), "edge")
-            cb = pad2(cb).reshape(he // 2, 2, we // 2, 2).mean((1, 3))
-            cr = pad2(cr).reshape(he // 2, 2, we // 2, 2).mean((1, 3))
-            planes = [(y, 2, 2, 0), (cb, 1, 1, 1), (cr, 1, 1, 1)]
-        else:
-            planes = [(y, 1, 1, 0), (cb, 1, 1, 1), (cr, 1, 1, 1)]
-        qts = [ql, qc]
-    hmax = max(p[1] for p in planes)
-    vmax = max(p[2] for p in planes)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-
-    basis = np.cos((2 * np.arange(8)[:, None] + 1) * np.arange(8)[None, :]
-                   * np.pi / 16) / 2
-    basis[:, 0] /= np.sqrt(2)
-
-    # quantized blocks per component, in MCU emission order
-    comp_blocks = []
-    for p, hs, vs, qid in planes:
-        ph, pw = mcuy * vs * 8, mcux * hs * 8
-        p = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
-                   "edge")
-        q = np.zeros((8, 8))
-        q.reshape(64)[:] = qts[qid]
-        blocks = {}
-        for by in range(ph // 8):
-            for bx in range(pw // 8):
-                blk = p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] - 128
-                f = basis.T @ blk @ basis
-                blocks[(by, bx)] = np.round(f / q).astype(int) \
-                    .reshape(64)[_ZIGZAG]
-        comp_blocks.append(blocks)
-
-    def category(v):
-        return int(abs(v)).bit_length()
-
-    # pass 1: emission order + symbol collection (restart-aware DC diffs)
-    preds = [0] * len(planes)
-    dc_syms = [set() for _ in range(2)]
-    ac_syms = [set() for _ in range(2)]
-    mcu_events = []
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart and mcu_events and len(mcu_events) % restart == 0:
-                preds = [0] * len(planes)
-            ev = []
-            for ci, (p, hs, vs, qid) in enumerate(planes):
-                tid = 0 if ci == 0 else 1
-                for by in range(vs):
-                    for bx in range(hs):
-                        zz = comp_blocks[ci][(my * vs + by, mx * hs + bx)]
-                        diff = int(zz[0]) - preds[ci]
-                        preds[ci] = int(zz[0])
-                        s = category(diff)
-                        dc_syms[tid].add(s)
-                        acs = []
-                        run = 0
-                        last = max((k for k in range(1, 64) if zz[k]),
-                                   default=0)
-                        for k in range(1, last + 1):
-                            v = int(zz[k])
-                            if v == 0:
-                                run += 1
-                                continue
-                            while run > 15:
-                                acs.append((0xF0, 0, 0))
-                                ac_syms[tid].add(0xF0)
-                                run -= 16
-                            sz = category(v)
-                            acs.append(((run << 4) | sz, v, sz))
-                            ac_syms[tid].add((run << 4) | sz)
-                            run = 0
-                        if last < 63:
-                            acs.append((0x00, 0, 0))
-                            ac_syms[tid].add(0x00)
-                        ev.append((tid, s, diff, acs))
-            mcu_events.append(ev)
-
-    def build_table(symbols):
-        syms = sorted(symbols)
-        L = max(2, (len(syms) + 1 - 1).bit_length())
-        while (1 << L) - 1 < len(syms):
-            L += 1
-        counts = [0] * 16
-        counts[L - 1] = len(syms)
-        return {s: (L, i) for i, s in enumerate(syms)}, counts, syms
-
-    dc_t, ac_t = [], []
-    dht = b""
-    for tid in range(2):
-        if not dc_syms[tid]:
-            dc_t.append(None); ac_t.append(None)
-            continue
-        enc, counts, syms = build_table(dc_syms[tid])
-        dc_t.append(enc)
-        dht += bytes([0x00 | tid]) + bytes(counts) + bytes(syms)
-        enc, counts, syms = build_table(ac_syms[tid])
-        ac_t.append(enc)
-        dht += bytes([0x10 | tid]) + bytes(counts) + bytes(syms)
-
-    out = bytearray()
-    st = {"acc": 0, "n": 0}
-
-    def put(bits, nbits):
-        if nbits == 0:
-            return
-        st["acc"] = (st["acc"] << nbits) | (bits & ((1 << nbits) - 1))
-        st["n"] += nbits
-        while st["n"] >= 8:
-            st["n"] -= 8
-            byte = (st["acc"] >> st["n"]) & 0xFF
-            out.append(byte)
-            if byte == 0xFF:
-                out.append(0x00)
-
-    def flush():
-        if st["n"]:
-            pad = 8 - st["n"]
-            put((1 << pad) - 1, pad)
-
-    rst = 0
-    for mi, ev in enumerate(mcu_events):
-        if restart and mi and mi % restart == 0:
-            flush()
-            out.append(0xFF)
-            out.append(0xD0 + (rst % 8))
-            rst += 1
-        for (tid, s, diff, acs) in ev:
-            L, code = dc_t[tid][s]
-            put(code, L)
-            amp = diff if diff >= 0 else diff + (1 << s) - 1
-            put(amp, s)
-            for sym, v, sz in acs:
-                L, code = ac_t[tid][sym]
-                put(code, L)
-                if sz:
-                    amp = v if v >= 0 else v + (1 << sz) - 1
-                    put(amp, sz)
-    flush()
-    scan = bytes(out)
-
-    def seg(marker, payload):
-        return bytes([0xFF, marker]) + struct.pack(
-            ">H", len(payload) + 2) + payload
-
-    zz_q = [bytes([0x00]) + bytes(int(qts[0][_ZIGZAG[k]])
-                                  for k in range(64))]
-    if len(qts) > 1:
-        zz_q.append(bytes([0x01]) + bytes(int(qts[1][_ZIGZAG[k]])
-                                          for k in range(64)))
-    sof_comps = b"".join(
-        bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
-        for ci, (p, hs, vs, qid) in enumerate(planes))
-    sos_comps = b"".join(
-        bytes([ci + 1, (0 << 4) | 0 if ci == 0 else 0x11])
-        for ci in range(len(planes)))
-    blob = (b"\xff\xd8"
-            + b"".join(seg(0xDB, q) for q in zz_q)
-            + seg(0xC0, struct.pack(">BHHB", 8, h, w, len(planes))
-                  + sof_comps)
-            + seg(0xC4, dht))
-    if restart:
-        blob += seg(0xDD, struct.pack(">H", restart))
-    blob += (seg(0xDA, bytes([len(planes)]) + sos_comps
-                 + bytes([0, 63, 0]))
-             + scan + b"\xff\xd9")
-    return blob
+# The spec-level JPEG encoder moved to meeseeker_spark.ext.imagegen in
+# r8 (it now also powers doc_blob's fourth format lane); the historical
+# local names stay bound so every existing test vector keeps reading
+# the same.
+from meeseeker_spark.ext.imagegen import (  # noqa: E402
+    JPEG_QL as _JPEG_QL,
+    jpeg_bytes as _jpeg_full_bytes,
+)
 
 
 def test_media_phash_native_gif_locality(spark):
@@ -4364,9 +4164,9 @@ def test_media_phash_dups_vs_duckdb(spark):
 def test_media_phash_dups_real_vs_ground_truth(spark):
     """Correctness gate for media_phash_dups_real (the REAL decoders
     in-plan, VERDICT r7 item 2): at sf0.01 the full plan — genuine
-    BMP/PNG/GIF blob synthesis → native pixel decode → dHash → banded
-    Hamming join — must equal brute-force pairs of dHashes computed
-    DIRECTLY from the known pixel arrays.  Equality holds only if
+    BMP/PNG/GIF/baseline-JPEG blob synthesis → native pixel decode →
+    dHash → banded Hamming join — must equal brute-force pairs of
+    dHashes computed DIRECTLY from the known pixel arrays.  Equality holds only if
     encode→decode is the identity for every blob, i.e. the real
     decoders actually ran and were exact inside the Arrow crossing;
     the planted structure guarantees both Hamming-0 identities and
@@ -4393,6 +4193,39 @@ def test_media_phash_dups_real_vs_ground_truth(spark):
     dists = {d for _, _, d in got}
     assert 0 in dists                     # cross-format identity pairs
     assert any(0 < d <= 6 for d in dists)  # noisy near-dup pairs
+
+
+def test_doc_blob_four_lane_exact_roundtrip():
+    """Every doc_blob lane — BMP, PNG, GIF and the baseline-JPEG lane
+    for blocky members — is a PIXEL-EXACT roundtrip through the native
+    decoders (JPEG exactness is the q90 DC-only argument in doc_blob's
+    docstring: reconstruction error ≤ q/16 < 1/2 rounds away), and the
+    planted-structure invariants hold: all four mimes occur, the noisy
+    member never takes the lossy lane, and the identical-pixel members
+    0/1 always land in different formats."""
+    from collections import Counter
+
+    from meeseeker_spark.ext.imagegen import doc_blob, doc_image
+    from meeseeker_spark.ext.multimodal import (bmp_gray, gif_gray,
+                                                jpeg_gray, png_gray)
+
+    fmts = Counter()
+    for i in range(240):
+        blob, mime = doc_blob(i)
+        g = bmp_gray(blob)
+        if g is None:
+            g = png_gray(blob)
+        if g is None:
+            g = gif_gray(blob)
+        if g is None:
+            g = jpeg_gray(blob)
+        assert g is not None and (g == doc_image(i)).all(), (i, mime)
+        fmts[mime] += 1
+    assert set(fmts) == {"image/bmp", "image/png", "image/gif",
+                         "image/jpeg"}
+    assert all(doc_blob(i)[1] != "image/jpeg" for i in range(2, 400, 4))
+    assert all(doc_blob(4 * g)[1] != doc_blob(4 * g + 1)[1]
+               for g in range(100))
 
 
 def test_hamming_band_pairs_recall_bruteforce(spark):
