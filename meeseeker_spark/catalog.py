@@ -2745,6 +2745,74 @@ def media_phash_dups_real_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                               max_hamming=6, max_bucket=10_000)
 
 
+from .ext.pii import ATTACH_PII_SQL, EMAIL_RE, IPV4_RE, PHONE_RE  # noqa: E402
+
+_PII_DOC_SQL = f"""
+    SELECT source, doc_id,
+           len(regexp_extract_all({ATTACH_PII_SQL}, '{EMAIL_RE}')) AS e,
+           len(regexp_extract_all({ATTACH_PII_SQL}, '{IPV4_RE}')) AS i,
+           len(regexp_extract_all({ATTACH_PII_SQL}, '{PHONE_RE}')) AS p,
+           {ATTACH_PII_SQL} AS text_pii
+    FROM documents
+"""
+
+
+@register(
+    "pii_scan",
+    f"""
+    WITH pii AS ({_PII_DOC_SQL})
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN e + i + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_with_pii,
+           CAST(sum(e) AS BIGINT) AS n_emails,
+           CAST(sum(i) AS BIGINT) AS n_ips,
+           CAST(sum(p) AS BIGINT) AS n_phones
+    FROM pii
+    GROUP BY source
+    """,
+    tags=("F4", "pii"),
+)
+def pii_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII census (ext.pii.pii_scan — the Dolma §2.3 scrub
+    trio: email / IPv4 / phone detectors).  Fixture text is digit-free,
+    so ``attach_pii`` splices deterministic PII in-plan from doc_id with
+    a byte-identical SQL fragment (same honesty device as the media
+    fixtures).  Scale: regexp projections inside whole-stage codegen,
+    one low-cardinality hash-agg with map-side combine — scan-bound at
+    100 TB.  Registered past the 50-slot driver window (r9 rotation
+    candidate); exact parity swept by tests/test_oracle_parity.py."""
+    from .ext.pii import pii_scan
+    return pii_scan(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "pii_redacted_docs",
+    f"""
+    WITH pii AS ({_PII_DOC_SQL})
+    SELECT doc_id,
+           CAST(e + i + p AS BIGINT) AS n_hits,
+           md5(regexp_replace(regexp_replace(regexp_replace(text_pii,
+                   '{EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{IPV4_RE}', '<IP>', 'g'),
+                   '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM pii
+    WHERE e + i + p > 0
+    """,
+    tags=("F4", "pii"),
+)
+def pii_redacted_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking rewrite (ext.pii.redact_pii): every detector hit →
+    typed token, fixed email→ip→phone order; output is (doc_id, n_hits,
+    md5(redacted)) so the oracle hash pins every replacement byte
+    without shipping text.  Pure narrow map + filter — zero shuffles,
+    embarrassingly parallel at 100 TB.  Registered past the 50-slot
+    driver window (r9 rotation candidate); exact parity swept by
+    tests/test_oracle_parity.py."""
+    from .ext.pii import pii_redacted_docs
+    return pii_redacted_docs(load(spark, sf_dir, "documents"))
+
+
 def _ordered() -> list[Entry]:
     """Registry in driver-facing order: every driver-oracled entry first
     (the driver's correctness gate grades only the first 50 registrations,

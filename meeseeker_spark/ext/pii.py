@@ -1,0 +1,166 @@
+"""PII detection and redaction over document text (beyond-reference
+LLM-pipeline stage; SURVEY §2 F4 family).
+
+The standard web-corpus scrub step — Dolma (Soldaini et al. 2024,
+arXiv:2402.00159, §2.3 "PII masking") and CCNet-descended pipelines mask
+exactly this trio before training: email addresses, IPv4 addresses and
+phone-shaped numbers.  This module provides
+
+- ``EMAIL_RE`` / ``IPV4_RE`` / ``PHONE_RE`` — the detectors;
+- ``pii_counts``  — per-row hit counts for each class;
+- ``redact_pii``  — the masking rewrite (``<EMAIL>``/``<IP>``/``<PHONE>``);
+- ``attach_pii``  — deterministic in-plan PII splice for the synthetic
+  driver corpus (see "fixture honesty" below);
+- ``pii_scan`` / ``pii_redacted_docs`` — the catalog query bodies.
+
+Dialect portability (the exactness contract): every pattern uses only the
+regex subset where java.util.regex (Spark) and RE2 (DuckDB) agree
+byte-for-byte — character classes, bounded repetition, plain groups.  No
+backslash escapes (sidesteps SQL-literal escaping differences), no
+lookaround (RE2 has none), no alternation whose leftmost-first vs
+leftmost-longest semantics could diverge.  Detection is *syntactic*, as
+in Dolma: ``999.999.999.999`` IS flagged as an IP — a scrub stage
+over-masks rather than leaks.
+
+Redaction order is fixed (email → ip → phone) and the classes are
+mutually non-overlapping by construction (emails require ``@``, IPs
+require three dots between digit runs, phones require the 3-3-4 hyphen
+shape), so counting before redaction equals counting during it.
+
+Fixture honesty: the synthetic ``documents`` fixture is digit-free
+word-soup — a scan over raw fixture text proves nothing.  As with the
+media path (ext/imagegen.py), ``attach_pii`` splices deterministic PII
+into the text INSIDE the plan, from ``doc_id`` alone, with an exactly
+equivalent SQL fragment (``ATTACH_PII_SQL``) so the DuckDB oracle
+reproduces every planted byte: per 7-doc cycle one email+IP doc, two
+IP-only docs, two phone-only docs, two clean docs.  Cycle length 7 is
+coprime with the fixture's 20-source assignment (doc_id % 20), so every
+source aggregates a MIX of classes — a per-source sum over one
+degenerate class would be a weaker hash gate.
+
+Scale shape (the 100 TB story): detection and redaction are
+``regexp_extract_all`` / ``regexp_replace`` projections — JVM-side,
+inside whole-stage codegen, zero Python crossings, zero shuffles until
+the final per-source aggregate (low-cardinality keys, map-side partial
+aggregation absorbs everything).  The redacted-docs variant is a pure
+narrow map: at 100 TB it is scan-bound, embarrassingly parallel, and
+never moves the text column through an exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Email detector (Dolma masks with a near-identical pattern).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+
+#: IPv4 detector — syntactic (each octet 1-3 digits; 999.0.0.1 flags).
+IPV4_RE = "[0-9]{1,3}([.][0-9]{1,3}){3}"
+
+#: Phone detector — the NNN-NNN-NNNN shape the fixture splices.
+PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+#: Redaction tokens, in the fixed application order.
+REDACTIONS = ((EMAIL_RE, "<EMAIL>"), (IPV4_RE, "<IP>"), (PHONE_RE, "<PHONE>"))
+
+
+def pii_counts(col: Column) -> tuple[Column, Column, Column]:
+    """Per-row (emails, ips, phones) hit counts as INT columns."""
+    return tuple(
+        F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+        for pat, _ in REDACTIONS
+    )
+
+
+def redact_pii(col: Column) -> Column:
+    """Mask every detector hit with its typed token, email → ip → phone.
+
+    DuckDB twin: three nested ``regexp_replace(..., 'g')`` in the same
+    order (DuckDB replace is first-match-only without the 'g' flag;
+    Spark's is always global).
+    """
+    out = col
+    for pat, token in REDACTIONS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def attach_pii(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Append deterministic PII to ``text`` in-plan → column ``text_pii``.
+
+    Must stay byte-identical to ``ATTACH_PII_SQL``; parity is enforced by
+    the driver hash on pii_scan/pii_redacted_docs and by
+    tests/test_ext.py::test_attach_pii_matches_sql_fragment.
+    """
+    i = F.col(id_col)
+    s = i.cast("string")
+    ip = F.concat(
+        F.lit("10."), F.pmod(i, F.lit(200)).cast("string"),
+        F.lit("."), F.pmod(i * 7, F.lit(200)).cast("string"),
+        F.lit("."), F.pmod(i, F.lit(250)).cast("string"))
+    phone = F.concat(
+        F.lpad(F.pmod(i * 7, F.lit(1000)).cast("string"), 3, "0"),
+        F.lit("-555-"),
+        F.lpad(F.pmod(i, F.lit(10000)).cast("string"), 4, "0"))
+    m = F.pmod(i, F.lit(7))
+    suffix = (
+        F.when(m == 0,
+               F.concat(F.lit(" contact user"), s,
+                        F.lit("@example.com from "), ip, F.lit(" today")))
+        .when(m <= 2,
+              F.concat(F.lit(" server "), ip, F.lit(" responded")))
+        .when(m <= 4,
+              F.concat(F.lit(" call "), phone, F.lit(" today")))
+        .otherwise(F.lit(""))
+    )
+    return df.withColumn("text_pii", F.concat(F.col(text_col), suffix))
+
+
+#: DuckDB twin of :func:`attach_pii` (an expression over ``doc_id``/``text``).
+ATTACH_PII_SQL = """
+    text || CASE
+      WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com from 10.'
+                  || CAST(doc_id % 200 AS VARCHAR) || '.'
+                  || CAST(doc_id * 7 % 200 AS VARCHAR) || '.'
+                  || CAST(doc_id % 250 AS VARCHAR) || ' today'
+      WHEN doc_id % 7 <= 2 THEN ' server 10.'
+                  || CAST(doc_id % 200 AS VARCHAR) || '.'
+                  || CAST(doc_id * 7 % 200 AS VARCHAR) || '.'
+                  || CAST(doc_id % 250 AS VARCHAR) || ' responded'
+      WHEN doc_id % 7 <= 4 THEN ' call '
+                  || lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0')
+                  || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' today'
+      ELSE ''
+    END
+"""
+
+
+def pii_scan(docs: DataFrame) -> DataFrame:
+    """Per-source PII census: doc counts, docs carrying any PII, and
+    per-class hit totals.  One narrow projection + one tiny hash-agg."""
+    e, i, p = pii_counts(F.col("text_pii"))
+    per_doc = attach_pii(docs).select(
+        "source", e.alias("e"), i.alias("i"), p.alias("p"))
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(((F.col("e") + F.col("i") + F.col("p")) > 0).cast("int"))
+         .cast("bigint").alias("docs_with_pii"),
+        F.sum("e").cast("bigint").alias("n_emails"),
+        F.sum("i").cast("bigint").alias("n_ips"),
+        F.sum("p").cast("bigint").alias("n_phones"),
+    )
+
+
+def pii_redacted_docs(docs: DataFrame) -> DataFrame:
+    """Docs that carried PII, with hit count and the md5 of the masked
+    text (the hash pins every replacement byte without shipping text)."""
+    e, i, p = pii_counts(F.col("text_pii"))
+    t = attach_pii(docs).select(
+        "doc_id",
+        (e + i + p).cast("bigint").alias("n_hits"),
+        F.md5(redact_pii(F.col("text_pii"))).alias("redacted_md5"),
+    )
+    return t.where(F.col("n_hits") > 0)

@@ -1,0 +1,130 @@
+"""PII detection/redaction tests (ext/pii.py) — planted exactness, the
+cross-engine regex contract, and corpus-level masking completeness.
+
+The catalog entries' DuckDB-exact parity is swept by
+tests/test_oracle_parity.py (pii_scan / pii_redacted_docs); these tests
+pin the semantics the hash alone can't explain: which substrings hit,
+what the masked text looks like, and that Spark's java.util.regex and
+DuckDB's RE2 agree on the hostile inputs where dialects could diverge.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import Row, functions as F
+
+from meeseeker_spark.ext.pii import (
+    EMAIL_RE,
+    IPV4_RE,
+    PHONE_RE,
+    attach_pii,
+    pii_counts,
+    redact_pii,
+)
+
+SF = "/root/testdata/sf0.001"
+
+PLANTED = [
+    # (text, emails, ips, phones, redacted)
+    ("mail a.b-c%d@sub.example.co.uk now", 1, 0, 0, "mail <EMAIL> now"),
+    ("hosts 10.0.0.1 and 192.168.255.254", 0, 2, 0, "hosts <IP> and <IP>"),
+    ("call 415-555-0142 or 415-555-0143.", 0, 0, 2, "call <PHONE> or <PHONE>."),
+    ("none here: a@b (no tld dot), 1.2.3 (three octets), 12-345-6789", 0, 0, 0,
+     "none here: a@b (no tld dot), 1.2.3 (three octets), 12-345-6789"),
+    # syntactic over-match contract: invalid octets still flag (Dolma-style
+    # scrub over-masks rather than leaks)
+    ("bogus 999.999.999.999 ip", 0, 1, 0, "bogus <IP> ip"),
+    # leftmost-first on a 5-octet run: the match is the first 4 octets
+    ("run 1.2.3.4.5 end", 0, 1, 0, "run <IP>.5 end"),
+    # mixed classes in one doc, order email -> ip -> phone
+    ("u@example.com at 8.8.8.8 call 212-555-0100", 1, 1, 1,
+     "<EMAIL> at <IP> call <PHONE>"),
+]
+
+
+def test_pii_counts_and_redaction_planted(spark):
+    df = spark.createDataFrame(
+        [Row(i=i, text=t) for i, (t, *_) in enumerate(PLANTED)])
+    e, ip, p = pii_counts(F.col("text"))
+    out = {
+        r["i"]: r
+        for r in df.select(
+            "i", e.alias("e"), ip.alias("ip"), p.alias("p"),
+            redact_pii(F.col("text")).alias("red")).collect()
+    }
+    for i, (_, ne, ni, np_, red) in enumerate(PLANTED):
+        r = out[i]
+        assert (r["e"], r["ip"], r["p"]) == (ne, ni, np_), PLANTED[i]
+        assert r["red"] == red, PLANTED[i]
+
+
+def test_cross_engine_regex_agreement(spark):
+    """Spark (java.util.regex) and DuckDB (RE2) must agree on counts AND
+    masked bytes for every planted case — the dialect-portability
+    contract the module docstring claims."""
+    con = duckdb.connect()
+    for text, *_ in PLANTED:
+        (de, di, dp, dred), = con.execute(
+            f"""SELECT len(regexp_extract_all(?, '{EMAIL_RE}')),
+                       len(regexp_extract_all(?, '{IPV4_RE}')),
+                       len(regexp_extract_all(?, '{PHONE_RE}')),
+                       regexp_replace(regexp_replace(regexp_replace(?,
+                           '{EMAIL_RE}', '<EMAIL>', 'g'),
+                           '{IPV4_RE}', '<IP>', 'g'),
+                           '{PHONE_RE}', '<PHONE>', 'g')""",
+            [text, text, text, text]).fetchall()
+        df = spark.createDataFrame([Row(text=text)])
+        e, ip, p = pii_counts(F.col("text"))
+        r = df.select(e.alias("e"), ip.alias("i"), p.alias("p"),
+                      redact_pii(F.col("text")).alias("red")).collect()[0]
+        assert (r["e"], r["i"], r["p"], r["red"]) == (de, di, dp, dred), text
+    con.close()
+
+
+def test_attach_pii_cycle_and_masking_completeness(spark):
+    """attach_pii plants the documented 7-cycle (email+IP / IP / phone /
+    clean) and redact_pii removes EVERY hit: re-scanning the masked
+    corpus finds zero PII of any class."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    t = attach_pii(docs)
+    e, ip, p = pii_counts(F.col("text_pii"))
+    per = t.select("doc_id", e.alias("e"), ip.alias("i"), p.alias("p"))
+    rows = {r["doc_id"]: r for r in per.collect()}
+    assert rows
+    for doc_id, r in rows.items():
+        m = doc_id % 7
+        if m == 0:
+            expected = (1, 1, 0)
+        elif m <= 2:
+            expected = (0, 1, 0)
+        elif m <= 4:
+            expected = (0, 0, 1)
+        else:
+            expected = (0, 0, 0)
+        assert (r["e"], r["i"], r["p"]) == expected, (doc_id, tuple(r))
+
+    re_, ri, rp = pii_counts(redact_pii(F.col("text_pii")))
+    residue = t.select(
+        (F.sum(re_) + F.sum(ri) + F.sum(rp)).alias("left")).collect()[0]
+    assert residue["left"] == 0
+
+
+def test_redacted_docs_excludes_clean(spark):
+    from meeseeker_spark import catalog
+
+    out = catalog.ENTRIES["pii_redacted_docs"].spark(spark, SF)
+    ids = [r["doc_id"] for r in out.select("doc_id").collect()]
+    assert ids and all(i % 7 <= 4 for i in ids)
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    expected = sum(1 for i in range(n_docs) if i % 7 <= 4)
+    assert len(ids) == expected
+
+
+def test_pii_plan_is_narrow(spark):
+    """pii_redacted_docs must stay a scan + codegen projection/filter:
+    no exchange anywhere (the 100 TB claim in the module docstring)."""
+    from meeseeker_spark import catalog
+
+    plan = catalog.ENTRIES["pii_redacted_docs"].spark(
+        spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
