@@ -2813,6 +2813,40 @@ def pii_redacted_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_redacted_docs(load(spark, sf_dir, "documents"))
 
 
+from .ext.urls import ATTACH_URLS_SQL, HOST_RE, URL_RE  # noqa: E402
+
+
+@register(
+    "url_host_counts",
+    f"""
+    WITH u AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all({ATTACH_URLS_SQL}, '{URL_RE}')) AS url
+      FROM documents
+    )
+    SELECT lower(regexp_extract(url, '{HOST_RE}', 1)) AS host,
+           count(*) AS n_urls,
+           count(DISTINCT doc_id) AS n_docs
+    FROM u
+    GROUP BY host
+    """,
+    tags=("F4", "urls"),
+)
+def url_host_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host URL citation stats (ext.urls.url_host_counts — the
+    domain-analysis prerequisite of C4/RefinedWeb-style domain filtering
+    and of domain_cap's budgets).  Fixture text has no URLs, so
+    ``attach_urls`` splices deterministic ones in-plan from doc_id with a
+    byte-identical SQL fragment (23×3 host grid + a shared mirror host on
+    every 5th doc, so hosts mix sources and some docs are multi-URL).
+    Scale: codegen regexp extract + explode, then one skinny
+    (host, doc_id) hash-agg with map-side combine — the text column never
+    enters a shuffle.  Registered past the 50-slot driver window (r9
+    rotation candidate); exact parity swept by tests/test_oracle_parity.py."""
+    from .ext.urls import url_host_counts
+    return url_host_counts(load(spark, sf_dir, "documents"))
+
+
 def _ordered() -> list[Entry]:
     """Registry in driver-facing order: every driver-oracled entry first
     (the driver's correctness gate grades only the first 50 registrations,

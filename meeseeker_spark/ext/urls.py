@@ -1,0 +1,93 @@
+"""URL extraction and host-level stats over document text
+(beyond-reference LLM-pipeline stage; SURVEY §2 F4 family).
+
+Web-corpus pipelines (C4, CCNet, RefinedWeb §3.1) filter and cap by the
+*domain* a page or citation points at; the prerequisite is pulling URLs
+out of free text and normalizing them to a host.  This module provides
+
+- ``URL_RE`` / ``HOST_RE`` — the extractor and the host capture;
+- ``attach_urls`` — deterministic in-plan URL splice for the synthetic
+  driver corpus (fixture text contains no URLs — same honesty device as
+  ext/pii.attach_pii, with a byte-identical SQL twin);
+- ``url_host_counts`` — the catalog query body: per normalized host,
+  total URL mentions and distinct citing documents.
+
+Dialect portability: same contract as ext/pii — only the regex subset
+where java.util.regex (Spark) and RE2 (DuckDB) agree (character classes,
+bounded repetition, one plain capture group; no backslashes, no
+lookaround).  Extraction is *syntactic*: no IDN/percent-decoding — a
+scrub-stage extractor over free text, not an RFC 3986 parser.
+
+Scale shape (the 100 TB story): extraction is a regexp projection inside
+whole-stage codegen; the explode multiplies rows only by URLs-per-doc
+(small constant); the aggregate groups on the host — web-domain
+distributions are Zipfian, but count+count_distinct over a skinny
+(host, doc_id) projection is absorbed by map-side partial aggregation
+before the one small exchange.  The text column never enters a shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: URL extractor — scheme, dotted host with a TLD, optional path chars.
+URL_RE = "https?://[A-Za-z0-9.-]+[.][A-Za-z]{2,}[A-Za-z0-9./_-]*"
+
+#: Host capture (group 1) applied to an extracted URL.
+HOST_RE = "https?://([A-Za-z0-9.-]+[.][A-Za-z]{2,})"
+
+
+def attach_urls(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Append deterministic URLs to ``text`` in-plan → column ``text_urls``.
+
+    Every doc cites one host from a 23×3 grid (coprime with the
+    fixture's 20-source assignment) and every 5th doc additionally cites
+    a shared mirror host — so host counts mix sources and some docs are
+    multi-URL.  Must stay byte-identical to ``ATTACH_URLS_SQL``.
+    """
+    i = F.col(id_col)
+    tld = (F.when(F.pmod(i, F.lit(3)) == 0, F.lit("com"))
+           .when(F.pmod(i, F.lit(3)) == 1, F.lit("org"))
+           .otherwise(F.lit("net")))
+    primary = F.concat(
+        F.lit(" see https://h"), F.pmod(i, F.lit(23)).cast("string"),
+        F.lit(".example."), tld, F.lit("/p/"), i.cast("string"))
+    mirror = F.when(
+        F.pmod(i, F.lit(5)) == 0,
+        F.concat(F.lit(" and http://mirror.example.com/d/"),
+                 i.cast("string"))).otherwise(F.lit(""))
+    return df.withColumn(
+        "text_urls", F.concat(F.col(text_col), primary, mirror))
+
+
+#: DuckDB twin of :func:`attach_urls` (expression over ``doc_id``/``text``).
+ATTACH_URLS_SQL = """
+    text || ' see https://h' || CAST(doc_id % 23 AS VARCHAR)
+         || '.example.' || CASE doc_id % 3
+              WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END
+         || '/p/' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' and http://mirror.example.com/d/'
+                      || CAST(doc_id AS VARCHAR)
+                 ELSE '' END
+"""
+
+
+def url_host_counts(docs: DataFrame) -> DataFrame:
+    """Per-host citation stats: total URL mentions and distinct citing
+    docs.  Skinny (host, doc_id) shuffle; text never leaves the map side."""
+    urls = attach_urls(docs).select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("text_urls", F.lit(URL_RE), F.lit(0))
+        ).alias("url"),
+    )
+    return (
+        urls.select(
+            "doc_id",
+            F.lower(F.regexp_extract("url", HOST_RE, 1)).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_urls"),
+             F.count_distinct("doc_id").alias("n_docs"))
+    )
