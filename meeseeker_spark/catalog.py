@@ -2847,6 +2847,43 @@ def url_host_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_host_counts(load(spark, sf_dir, "documents"))
 
 
+@register(
+    "heavy_hitters",
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    )
+    SELECT token, count(*) AS n
+    FROM toks
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 25
+    """,
+    tags=("F6", "F4"),
+)
+def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-25 tokens via per-partition Misra-Gries summaries +
+    exact candidate verification (ext.heavy — Agarwal et al., PODS'12
+    mergeable summaries).  Unlike tfidf_top_terms/top_bigrams, the
+    vocabulary never enters a shuffle: phase 1 keeps <= budget counters
+    per partition (vectorized value_counts per Arrow batch, dict merge
+    across batches — the documented-crossing list in SCALE.md gains this
+    entry), phase 2 broadcasts the candidate union and counts it
+    exactly, and the MG undercount bound B certifies the result (kth
+    count > B) or the operator falls back to the full aggregate —
+    correctness is unconditional either way, which is what makes this
+    oracle-able despite the sketch.  Deterministic LIMIT: ORDER BY
+    n DESC, token on both sides.  Registered past the 50-slot driver
+    window (r9 rotation candidate); exact parity swept by
+    tests/test_oracle_parity.py; superset/certificate/fallback semantics
+    pinned in tests/test_heavy.py."""
+    from .ext.heavy import heavy_hitters
+    return heavy_hitters(load(spark, sf_dir, "documents"),
+                         k=25, budget=4096)
+
+
 def _ordered() -> list[Entry]:
     """Registry in driver-facing order: every driver-oracled entry first
     (the driver's correctness gate grades only the first 50 registrations,

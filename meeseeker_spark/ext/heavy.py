@@ -1,0 +1,117 @@
+"""Exact heavy hitters via per-partition Misra-Gries summaries
+(beyond-reference LLM-pipeline / F6-sketch stage).
+
+``tfidf_top_terms`` / ``top_bigrams`` compute top-k by shuffling one row
+per distinct term per map partition — fine while the vocabulary fits a
+shuffle, which unigram word-soup does.  At 100 TB of raw n-grams the
+vocabulary itself is the problem (trillions of distinct shingles), and
+the classic answer is a *mergeable summary* (Misra & Gries 1982;
+Agarwal et al., "Mergeable Summaries", PODS 2012):
+
+- **Phase 1 (map, sublinear state)**: each partition keeps at most
+  ``budget`` counters.  Per Arrow batch, counts come from a vectorized
+  ``value_counts``; the running summary merges batch counts and, when it
+  exceeds the budget, subtracts the (budget+1)-th largest counter from
+  every counter and drops the non-positive ones (the MG decrement, batch
+  form).  The subtracted total ``err`` is the partition's undercount
+  bound: any token NOT in the summary has true partition count <= err.
+- **Phase 2 (exact verify)**: the union of partition candidates (at most
+  ``budget x partitions`` rows — broadcastable; tree-merge the summaries
+  first if even that is large) is semi-joined back and counted exactly.
+- **Certificate**: B = sum of partition errs bounds every non-candidate's
+  global count.  If the k-th exact candidate count > B, the exact top-k
+  is PROVABLY the global top-k.  Otherwise ``heavy_hitters`` falls back
+  to the full groupBy — correctness is unconditional, MG is the fast
+  path.  (Near-uniform distributions are the adversarial case: nothing
+  clears the bound, and no sketch can fix that — the fallback is honest.)
+
+Why an Arrow crossing is justified here (SCALE.md conventions): the
+DataFrame-native alternative, ``groupBy(spark_partition_id(), token)``,
+shuffles the full per-partition vocabulary — exactly the cost MG exists
+to avoid.  Sublinear per-partition state needs per-partition iteration;
+``mapInPandas`` holds the dict across batches with vectorized counting
+inside each batch (no per-token Python loop).
+
+The two driver-side scalars (B and the k-th candidate count) are
+bounded-by-construction collects, same class as the IVF codebook.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import tokens
+
+#: Phase-1 summary schema: candidate rows carry (token, lb); one
+#: sentinel row per partition (token NULL) carries the undercount bound.
+SUMMARY_SCHEMA = "token string, lb long, err long"
+
+
+def token_stream(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One lowercased word token per row (the token_totals tokenizer)."""
+    return docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+
+
+def mg_summaries(token_df: DataFrame, budget: int = 4096) -> DataFrame:
+    """Per-partition Misra-Gries summaries of the ``token`` column."""
+
+    def summarize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        counts: dict[str, int] = {}
+        err = 0
+        for pdf in batches:
+            for tok, c in pdf["token"].value_counts().items():
+                counts[tok] = counts.get(tok, 0) + int(c)
+            if len(counts) > budget:
+                # batch-form MG decrement: subtract the (budget+1)-th
+                # largest counter from everything, drop the dead.
+                s = heapq.nlargest(budget + 1, counts.values())[-1]
+                err += s
+                counts = {t: c - s for t, c in counts.items() if c > s}
+        out = pd.DataFrame(
+            {"token": list(counts), "lb": list(counts.values())})
+        out["err"] = 0
+        yield pd.concat(
+            [out, pd.DataFrame({"token": [None], "lb": [0], "err": [err]})],
+            ignore_index=True)
+
+    return token_df.mapInPandas(summarize, schema=SUMMARY_SCHEMA)
+
+
+def exact_candidate_counts(token_df: DataFrame,
+                           summaries: DataFrame) -> DataFrame:
+    """Phase 2: exact global counts for the candidate union only — the
+    shuffle carries candidate tokens alone, never the full vocabulary."""
+    cands = (summaries.where(F.col("token").isNotNull())
+             .select("token").distinct())
+    return (token_df.join(F.broadcast(cands), "token")
+            .groupBy("token").agg(F.count("*").alias("n")))
+
+
+def heavy_hitters(docs: DataFrame, k: int = 25, budget: int = 4096,
+                  text_col: str = "text") -> DataFrame:
+    """Exact top-k tokens, MG-accelerated with a proof-or-fallback gate.
+
+    Returns (token, n) — ALWAYS the exact global top-k (n desc, token
+    asc tie-break): either certified via the MG bound or recomputed by
+    the full aggregate when the certificate fails.
+    """
+    toks = token_stream(docs, text_col)
+    summaries = mg_summaries(toks, budget=budget)
+    exact = exact_candidate_counts(toks, summaries)
+    topk = exact.orderBy(F.desc("n"), "token").limit(k)
+
+    bound = summaries.agg(F.sum("err").alias("b")).collect()[0]["b"] or 0
+    if bound == 0:
+        # no decrement ever fired: the candidate set IS the vocabulary
+        return topk
+    rows = topk.collect()  # <= k rows: driver-bounded by construction
+    if len(rows) >= k and min(r["n"] for r in rows) > bound:
+        return topk
+    # certificate failed (near-uniform tail) — unconditional exact path
+    return (toks.groupBy("token").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "token").limit(k))
