@@ -76,7 +76,15 @@ ATTACH_URLS_SQL = """
 
 def url_host_counts(docs: DataFrame) -> DataFrame:
     """Per-host citation stats: total URL mentions and distinct citing
-    docs.  Skinny (host, doc_id) shuffle; text never leaves the map side."""
+    docs.  Skinny (host, doc_id) shuffle; text never leaves the map side.
+
+    Plan note (SCALE.md shows 2 exchanges — deliberate): the single
+    distinct-agg plans as partial-agg on (host, doc_id) then on host,
+    both map-side combined.  The 1-exchange alternative,
+    size(collect_set(doc_id)), was REJECTED here: web-domain counts are
+    Zipfian, so a head host would buffer millions of doc_ids in one
+    aggregation buffer — the r1 collect_set trick (d3_ref_join) is only
+    right when per-key sets are bounded-small."""
     urls = attach_urls(docs).select(
         "doc_id",
         F.explode(
