@@ -34,6 +34,12 @@ inside each batch (no per-token Python loop).
 
 The two driver-side scalars (B and the k-th candidate count) are
 bounded-by-construction collects, same class as the IVF codebook.
+
+Measured scope (SCALING.md r8): on a single JVM the plain codegen
+aggregate WINS (4M-distinct vocab: 2.4 s vs 6.1 s) — MG pays an Arrow
+crossing and a second verify pass.  This operator is the bounded-memory
+path for vocabularies whose per-partition distinct state cannot fit an
+executor (100 TB n-gram scale), not the local fast path.
 """
 
 from __future__ import annotations
