@@ -552,18 +552,16 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "top_events_per_user",
-    """
-    SELECT user_id, event_id, value, rk FROM (
-        SELECT user_id, event_id, value,
-               row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rk
-        FROM events
-    ) WHERE rk <= 3
-    """,
+    None,
     tags=("topk",),
 )
 def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per group via ranked window; rank filter is pushed below the
-    final sort at scale (WindowGroupLimit in Spark ≥3.5 explain)."""
+    final sort at scale (WindowGroupLimit in Spark ≥3.5 explain).
+    Rotated out of the driver window in r8 third wave (the ranked-window
+    WindowGroupLimit shape is driver-graded per-query inside
+    bm25_batch_topk); exact parity pinned by
+    tests/test_ext.py::test_top_events_per_user_vs_duckdb."""
     w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
     return (
         load(spark, sf_dir, "events")
@@ -574,15 +572,17 @@ def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "distinct_cardinality",
-    """
-    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
-    FROM events GROUP BY event_type
-    """,
+    None,
     tags=("F6",),
 )
 def distinct_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-channel cardinalities (oracle-checkable twin of the
-    approx_count_distinct variant registered without an oracle)."""
+    approx_count_distinct variant registered without an oracle).
+    Rotated out of the driver window in r8 third wave (the exact
+    count_distinct agg is driver-graded inside channel_volume's n_users
+    and corpus_datacard's n_unique_docs; F6's window evidence is now
+    heavy_hitters); exact parity pinned by
+    tests/test_ext.py::test_distinct_cardinality_vs_duckdb."""
     return (
         load(spark, sf_dir, "events")
         .groupBy("event_type")
@@ -1505,31 +1505,15 @@ def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "quality_scores",
-    """
-    WITH t AS (
-        SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                           x -> x <> '') AS tok
-        FROM documents
-    ),
-    s AS (
-        SELECT doc_id,
-               round((2 * least(len(tok), 100) * greatest(len(tok), 1)
-                      + 200 * len(list_distinct(tok))
-                      + 100 * len(list_filter(tok, x -> list_contains(
-                            ['the','a','and','of','to','in','is'], x))))::DOUBLE
-                     / (500 * greatest(len(tok), 1)), 4) AS quality
-        FROM t
-    )
-    SELECT doc_id, quality,
-           CASE WHEN quality >= 0.5 THEN 'high'
-                WHEN quality >= 0.25 THEN 'medium'
-                ELSE 'low' END AS quality_bucket
-    FROM s
-    """,
+    None,
     tags=("F4",),
 )
 def quality_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc heuristic quality score + bucket.  Rotated out of the
+    driver window in r8 third wave (the identical quality formula is
+    driver-graded inside corpus_datacard's avg_quality, 4-dp-rounded the
+    same way; only the bucket CASE is novel here); exact parity pinned
+    by tests/test_ext.py::test_quality_scores_vs_duckdb."""
     from .ext.text import quality_scores
     return quality_scores(load(spark, sf_dir, "documents"))
 
@@ -1572,17 +1556,15 @@ def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "token_totals",
-    """
-    SELECT lang, source, count(*) AS n_docs,
-           CAST(sum(len(list_filter(
-               string_split_regex(lower(text), '[^a-z0-9]+'),
-               x -> x <> ''))) AS BIGINT) AS total_tokens,
-           round(avg(length(text)), 2) AS avg_chars
-    FROM documents GROUP BY lang, source
-    """,
+    None,
     tags=("F4",),
 )
 def token_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) token totals.  Rotated out of the driver
+    window in r8 third wave (the same tokenizer's summed totals are
+    driver-graded inside corpus_datacard's total_tokens over the same
+    group keys, and per-doc counts inside bpe_token_counts); exact
+    parity pinned by tests/test_ext.py::test_token_totals_vs_duckdb."""
     from .ext.text import token_totals
     return token_totals(load(spark, sf_dir, "documents"), ["lang", "source"])
 
@@ -2952,7 +2934,23 @@ def _ordered() -> list[Entry]:
     test_value_percentiles_vs_duckdb), freeing slots for
     ``decontaminated_spans`` (the driver hash pins the rebuilt text
     byte-for-byte) and ``corpus_datacard`` (exact median + fingerprint
-    distinct + the shared quality formula in one hash)."""
+    distinct + the shared quality formula in one hash).
+
+    Round-8 third wave (new operators go under the driver hash the
+    round they land): ``top_events_per_user`` (ranked-window
+    WindowGroupLimit driver-graded per-query inside bm25_batch_topk),
+    ``distinct_cardinality`` (count_distinct driver-graded inside
+    channel_volume + corpus_datacard), ``quality_scores`` (identical
+    formula driver-graded inside corpus_datacard's avg_quality) and
+    ``token_totals`` (same tokenizer's totals driver-graded inside
+    corpus_datacard) went rows-only with exact-parity pytests
+    (tests/test_ext.py::test_top_events_per_user_vs_duckdb /
+    test_distinct_cardinality_vs_duckdb / test_quality_scores_vs_duckdb
+    / test_token_totals_vs_duckdb), freeing slots for ``pii_scan`` /
+    ``pii_redacted_docs`` (ext/pii — the hash pins planted-PII regex
+    counting and every masked byte), ``url_host_counts`` (ext/urls)
+    and ``heavy_hitters`` (ext/heavy — the MG certificate path runs on
+    driver machinery)."""
     oracled = [e for e in ENTRIES.values() if e.sql is not None]
     rows_only = [e for e in ENTRIES.values() if e.sql is None]
     return oracled + rows_only

@@ -2554,6 +2554,121 @@ def test_value_percentiles_vs_duckdb(spark):
     assert s == d and len(s) == 5
 
 
+def test_top_events_per_user_vs_duckdb(spark):
+    """Exact parity for the ranked-window top-k — rotated out of the
+    driver window in r8 third wave (the WindowGroupLimit shape is
+    driver-graded per-query inside bm25_batch_topk); this test IS its
+    correctness gate now."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["top_events_per_user"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    d = sorted(tuple(r) for r in con.execute("""
+        SELECT user_id, event_id, value, rk FROM (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC, event_id) AS rk
+            FROM events
+        ) WHERE rk <= 3
+    """).fetchall())
+    con.close()
+    assert s == d and s
+
+
+def test_distinct_cardinality_vs_duckdb(spark):
+    """Exact parity for per-channel exact cardinalities — rotated out of
+    the driver window in r8 third wave (count_distinct aggs are
+    driver-graded inside channel_volume and corpus_datacard; F6's window
+    evidence is heavy_hitters now); this test IS its correctness gate."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["distinct_cardinality"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    d = sorted(tuple(r) for r in con.execute("""
+        SELECT event_type, count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events
+        FROM events GROUP BY event_type
+    """).fetchall())
+    con.close()
+    assert s == d and len(s) == 5
+
+
+def test_quality_scores_vs_duckdb(spark):
+    """Exact parity for the heuristic quality score + bucket — rotated
+    out of the driver window in r8 third wave (the identical formula is
+    driver-graded 4-dp-rounded inside corpus_datacard's avg_quality;
+    the bucket CASE is pinned here); this test IS its correctness gate."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["quality_scores"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = sorted(tuple(r) for r in con.execute("""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS tok
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   round((2 * least(len(tok), 100) * greatest(len(tok), 1)
+                          + 200 * len(list_distinct(tok))
+                          + 100 * len(list_filter(tok, x -> list_contains(
+                                ['the','a','and','of','to','in','is'], x))))::DOUBLE
+                         / (500 * greatest(len(tok), 1)), 4) AS quality
+            FROM t
+        )
+        SELECT doc_id, quality,
+               CASE WHEN quality >= 0.5 THEN 'high'
+                    WHEN quality >= 0.25 THEN 'medium'
+                    ELSE 'low' END AS quality_bucket
+        FROM s
+    """).fetchall())
+    con.close()
+    assert s == d and s
+
+
+def test_token_totals_vs_duckdb(spark):
+    """Exact parity for per-(lang, source) token totals — rotated out of
+    the driver window in r8 third wave (the same tokenizer's totals are
+    driver-graded inside corpus_datacard over the same group keys); this
+    test IS its correctness gate now."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["token_totals"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = sorted(tuple(r) for r in con.execute("""
+        SELECT lang, source, count(*) AS n_docs,
+               CAST(sum(len(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> x <> ''))) AS BIGINT) AS total_tokens,
+               round(avg(length(text)), 2) AS avg_chars
+        FROM documents GROUP BY lang, source
+    """).fetchall())
+    con.close()
+    assert s == d and s
+
+
 def test_domain_cap_vs_duckdb(spark):
     """Exact DuckDB parity for the per-source cap — the oracle is the
     NAIVE full window over the salted-md5 rank, so equality also proves
