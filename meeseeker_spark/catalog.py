@@ -2762,8 +2762,8 @@ def pii_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     a byte-identical SQL fragment (same honesty device as the media
     fixtures).  Scale: regexp projections inside whole-stage codegen,
     one low-cardinality hash-agg with map-side combine — scan-bound at
-    100 TB.  Registered past the 50-slot driver window (r9 rotation
-    candidate); exact parity swept by tests/test_oracle_parity.py."""
+    100 TB.  Driver-graded since the r8 third-wave rotation; exact
+    parity swept by tests/test_oracle_parity.py."""
     from .ext.pii import pii_scan
     return pii_scan(load(spark, sf_dir, "documents"))
 
@@ -2788,8 +2788,8 @@ def pii_redacted_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     typed token, fixed email→ip→phone order; output is (doc_id, n_hits,
     md5(redacted)) so the oracle hash pins every replacement byte
     without shipping text.  Pure narrow map + filter — zero shuffles,
-    embarrassingly parallel at 100 TB.  Registered past the 50-slot
-    driver window (r9 rotation candidate); exact parity swept by
+    embarrassingly parallel at 100 TB.  Driver-graded since the r8
+    third-wave rotation; exact parity swept by
     tests/test_oracle_parity.py."""
     from .ext.pii import pii_redacted_docs
     return pii_redacted_docs(load(spark, sf_dir, "documents"))
@@ -2823,8 +2823,8 @@ def url_host_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     every 5th doc, so hosts mix sources and some docs are multi-URL).
     Scale: codegen regexp extract + explode, then one skinny
     (host, doc_id) hash-agg with map-side combine — the text column never
-    enters a shuffle.  Registered past the 50-slot driver window (r9
-    rotation candidate); exact parity swept by tests/test_oracle_parity.py."""
+    enters a shuffle.  Driver-graded since the r8 third-wave
+    rotation; exact parity swept by tests/test_oracle_parity.py."""
     from .ext.urls import url_host_counts
     return url_host_counts(load(spark, sf_dir, "documents"))
 
@@ -2857,8 +2857,8 @@ def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     count > B) or the operator falls back to the full aggregate —
     correctness is unconditional either way, which is what makes this
     oracle-able despite the sketch.  Deterministic LIMIT: ORDER BY
-    n DESC, token on both sides.  Registered past the 50-slot driver
-    window (r9 rotation candidate); exact parity swept by
+    n DESC, token on both sides.  Driver-graded since the r8
+    third-wave rotation; exact parity swept by
     tests/test_oracle_parity.py; superset/certificate/fallback semantics
     pinned in tests/test_heavy.py."""
     from .ext.heavy import heavy_hitters
