@@ -120,6 +120,35 @@ def test_redacted_docs_excludes_clean(spark):
     assert len(ids) == expected
 
 
+def test_pii_redaction_streams(spark, tmp_path_factory):
+    """The masking rewrite is stateless, so the identical plan serves
+    Structured Streaming in append mode (the continuous-ingest scrub
+    stage) and matches the batch entry row-for-row."""
+    import os
+
+    from meeseeker_spark import catalog
+    from meeseeker_spark.ext.pii import pii_redacted_docs
+
+    d = tmp_path_factory.mktemp("piistream")
+    batch = sorted(
+        tuple(r)
+        for r in catalog.ENTRIES["pii_redacted_docs"].spark(spark, SF).collect())
+
+    schema = spark.read.parquet(f"{SF}/documents.parquet").schema
+    srcdir = d / "documents"
+    os.makedirs(srcdir, exist_ok=True)
+    os.symlink(f"{SF}/documents.parquet", srcdir / "documents.parquet")
+
+    got = []
+    q = (pii_redacted_docs(spark.readStream.schema(schema).parquet(str(srcdir)))
+         .writeStream.outputMode("append")
+         .foreachBatch(lambda bdf, _id: got.extend(bdf.collect()))
+         .option("checkpointLocation", str(d / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert sorted(tuple(r) for r in got) == batch and batch
+
+
 def test_pii_plan_is_narrow(spark):
     """pii_redacted_docs must stay a scan + codegen projection/filter:
     no exchange anywhere (the 100 TB claim in the module docstring)."""
