@@ -2729,13 +2729,31 @@ def media_phash_dups_real_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .ext.pii import ATTACH_PII_SQL, EMAIL_RE, IPV4_RE, PHONE_RE  # noqa: E402
 
+# Single-expansion, STAGED mirror of ext.pii.pii_counts/redact_pii: each
+# class is counted on the text with earlier classes already masked, so
+# counts equal the replacements each redaction stage performs.
 _PII_DOC_SQL = f"""
+    WITH t0 AS (
+      SELECT source, doc_id, {ATTACH_PII_SQL} AS text_pii
+      FROM documents
+    ),
+    t1 AS (
+      SELECT source, doc_id, text_pii,
+             regexp_replace(text_pii, '{EMAIL_RE}', '<EMAIL>', 'g')
+                 AS after_email
+      FROM t0
+    ),
+    t2 AS (
+      SELECT source, doc_id, text_pii, after_email,
+             regexp_replace(after_email, '{IPV4_RE}', '<IP>', 'g') AS after_ip
+      FROM t1
+    )
     SELECT source, doc_id,
-           len(regexp_extract_all({ATTACH_PII_SQL}, '{EMAIL_RE}')) AS e,
-           len(regexp_extract_all({ATTACH_PII_SQL}, '{IPV4_RE}')) AS i,
-           len(regexp_extract_all({ATTACH_PII_SQL}, '{PHONE_RE}')) AS p,
-           {ATTACH_PII_SQL} AS text_pii
-    FROM documents
+           len(regexp_extract_all(text_pii, '{EMAIL_RE}')) AS e,
+           len(regexp_extract_all(after_email, '{IPV4_RE}')) AS i,
+           len(regexp_extract_all(after_ip, '{PHONE_RE}')) AS p,
+           regexp_replace(after_ip, '{PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM t2
 """
 
 
@@ -2774,10 +2792,7 @@ def pii_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pii AS ({_PII_DOC_SQL})
     SELECT doc_id,
            CAST(e + i + p AS BIGINT) AS n_hits,
-           md5(regexp_replace(regexp_replace(regexp_replace(text_pii,
-                   '{EMAIL_RE}', '<EMAIL>', 'g'),
-                   '{IPV4_RE}', '<IP>', 'g'),
-                   '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+           md5(redacted) AS redacted_md5
     FROM pii
     WHERE e + i + p > 0
     """,

@@ -9,12 +9,16 @@ the classic answer is a *mergeable summary* (Misra & Gries 1982;
 Agarwal et al., "Mergeable Summaries", PODS 2012):
 
 - **Phase 1 (map, sublinear state)**: each partition keeps at most
-  ``budget`` counters.  Per Arrow batch, counts come from a vectorized
-  ``value_counts``; the running summary merges batch counts and, when it
-  exceeds the budget, subtracts the (budget+1)-th largest counter from
-  every counter and drops the non-positive ones (the MG decrement, batch
-  form).  The subtracted total ``err`` is the partition's undercount
-  bound: any token NOT in the summary has true partition count <= err.
+  ``budget`` counters between batches.  Per Arrow batch, counts come
+  from a vectorized ``value_counts``; the running summary merges batch
+  counts and, when it exceeds the budget, subtracts the (budget+1)-th
+  largest counter from every counter and drops the non-positive ones
+  (the MG decrement, batch form).  The subtracted total ``err`` is the
+  partition's undercount bound: any token NOT in the summary has true
+  partition count <= err.  Peak transient state is ``budget`` +
+  distinct-per-batch (the merge happens before the prune), i.e. bounded
+  by budget + ``spark.sql.execution.arrow.maxRecordsPerBatch`` — tune
+  the batch size down when the budget itself is near memory limits.
 - **Phase 2 (exact verify)**: the union of partition candidates (at most
   ``budget x partitions`` rows — broadcastable; tree-merge the summaries
   first if even that is large) is semi-joined back and counted exactly.
@@ -107,7 +111,16 @@ def heavy_hitters(docs: DataFrame, k: int = 25, budget: int = 4096,
     the full aggregate when the certificate fails.
     """
     toks = token_stream(docs, text_col)
-    summaries = mg_summaries(toks, budget=budget)
+    # One MG pass total: the summary (<= budget x partitions rows) is
+    # persisted, so the bound, the candidate join, and the caller's
+    # consumption all read the SAME materialization — the certificate is
+    # never paired with candidates from an independent recompute.  Job
+    # accounting: scan 1 = MG (cached here), scan 2 = exact verify when
+    # topk executes (certified path pays it twice: once for the kth
+    # check, once at consumption — persist/checkpoint `toks` upstream to
+    # collapse those at 100 TB), +1 full scan on fallback.  The small
+    # cache is left pinned because the returned plan still reads it.
+    summaries = mg_summaries(toks, budget=budget).persist()
     exact = exact_candidate_counts(toks, summaries)
     topk = exact.orderBy(F.desc("n"), "token").limit(k)
 
@@ -119,5 +132,6 @@ def heavy_hitters(docs: DataFrame, k: int = 25, budget: int = 4096,
     if len(rows) >= k and min(r["n"] for r in rows) > bound:
         return topk
     # certificate failed (near-uniform tail) — unconditional exact path
+    summaries.unpersist()
     return (toks.groupBy("token").agg(F.count("*").alias("n"))
             .orderBy(F.desc("n"), "token").limit(k))

@@ -22,10 +22,12 @@ leftmost-longest semantics could diverge.  Detection is *syntactic*, as
 in Dolma: ``999.999.999.999`` IS flagged as an IP — a scrub stage
 over-masks rather than leaks.
 
-Redaction order is fixed (email → ip → phone) and the classes are
-mutually non-overlapping by construction (emails require ``@``, IPs
-require three dots between digit runs, phones require the 3-3-4 hyphen
-shape), so counting before redaction equals counting during it.
+Redaction order is fixed (email → ip → phone) and counting is STAGED to
+match it: emails are counted on the raw text, IPs on the email-masked
+text, phones on the ip-masked text — so each count is exactly the number
+of replacements its redaction stage performs, even on organic text where
+an IP- or phone-shaped substring sits inside an email's local/domain
+part (``1.2.3.4@example.com`` counts e=1, i=0, and redacts once).
 
 Fixture honesty: the synthetic ``documents`` fixture is digit-free
 word-soup — a scan over raw fixture text proves nothing.  As with the
@@ -65,11 +67,16 @@ REDACTIONS = ((EMAIL_RE, "<EMAIL>"), (IPV4_RE, "<IP>"), (PHONE_RE, "<PHONE>"))
 
 
 def pii_counts(col: Column) -> tuple[Column, Column, Column]:
-    """Per-row (emails, ips, phones) hit counts as INT columns."""
-    return tuple(
-        F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
-        for pat, _ in REDACTIONS
-    )
+    """Per-row (emails, ips, phones) STAGED hit counts as INT columns:
+    each class is counted on the text with the earlier classes already
+    masked, so every count equals the replacements its redaction stage
+    makes (no phantom hits from shapes nested inside an email)."""
+    out = []
+    staged = col
+    for pat, token in REDACTIONS:
+        out.append(F.size(F.regexp_extract_all(staged, F.lit(pat), F.lit(0))))
+        staged = F.regexp_replace(staged, pat, token)
+    return tuple(out)
 
 
 def redact_pii(col: Column) -> Column:

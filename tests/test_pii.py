@@ -39,6 +39,10 @@ PLANTED = [
     # mixed classes in one doc, order email -> ip -> phone
     ("u@example.com at 8.8.8.8 call 212-555-0100", 1, 1, 1,
      "<EMAIL> at <IP> call <PHONE>"),
+    # STAGED counting: an IP-shaped local part is consumed by the email
+    # mask and must NOT also count as an IP (counts == replacements)
+    ("reach 1.2.3.4@example.com now", 1, 0, 0, "reach <EMAIL> now"),
+    ("dial 555-123-4567@mail.example.org x", 1, 0, 0, "dial <EMAIL> x"),
 ]
 
 
@@ -65,14 +69,23 @@ def test_cross_engine_regex_agreement(spark):
     con = duckdb.connect()
     for text, *_ in PLANTED:
         (de, di, dp, dred), = con.execute(
-            f"""SELECT len(regexp_extract_all(?, '{EMAIL_RE}')),
-                       len(regexp_extract_all(?, '{IPV4_RE}')),
-                       len(regexp_extract_all(?, '{PHONE_RE}')),
-                       regexp_replace(regexp_replace(regexp_replace(?,
-                           '{EMAIL_RE}', '<EMAIL>', 'g'),
-                           '{IPV4_RE}', '<IP>', 'g'),
-                           '{PHONE_RE}', '<PHONE>', 'g')""",
-            [text, text, text, text]).fetchall()
+            f"""WITH t AS (
+                  SELECT ? AS raw,
+                         regexp_replace(?, '{EMAIL_RE}', '<EMAIL>', 'g')
+                             AS after_email
+                ),
+                t2 AS (
+                  SELECT raw, after_email,
+                         regexp_replace(after_email, '{IPV4_RE}', '<IP>', 'g')
+                             AS after_ip
+                  FROM t
+                )
+                SELECT len(regexp_extract_all(raw, '{EMAIL_RE}')),
+                       len(regexp_extract_all(after_email, '{IPV4_RE}')),
+                       len(regexp_extract_all(after_ip, '{PHONE_RE}')),
+                       regexp_replace(after_ip, '{PHONE_RE}', '<PHONE>', 'g')
+                FROM t2""",
+            [text, text]).fetchall()
         df = spark.createDataFrame([Row(text=text)])
         e, ip, p = pii_counts(F.col("text"))
         r = df.select(e.alias("e"), ip.alias("i"), p.alias("p"),
@@ -145,7 +158,12 @@ def test_pii_redaction_streams(spark, tmp_path_factory):
          .foreachBatch(lambda bdf, _id: got.extend(bdf.collect()))
          .option("checkpointLocation", str(d / "ckpt"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    try:
+        # awaitTermination returns False on timeout without raising — a
+        # partially-filled `got` must fail loudly, not as a row-diff
+        assert q.awaitTermination(120), "streaming query did not finish"
+    finally:
+        q.stop()
     assert sorted(tuple(r) for r in got) == batch and batch
 
 
