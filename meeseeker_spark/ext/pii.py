@@ -98,7 +98,7 @@ def attach_pii(df: DataFrame, id_col: str = "doc_id",
 
     Must stay byte-identical to ``ATTACH_PII_SQL``; parity is enforced by
     the driver hash on pii_scan/pii_redacted_docs and by
-    tests/test_ext.py::test_attach_pii_matches_sql_fragment.
+    tests/test_pii.py::test_attach_pii_matches_sql_fragment.
     """
     i = F.col(id_col)
     s = i.cast("string")

@@ -122,6 +122,39 @@ def test_attach_pii_cycle_and_masking_completeness(spark):
     assert residue["left"] == 0
 
 
+def test_attach_pii_matches_sql_fragment(spark):
+    """attach_pii and ATTACH_PII_SQL must produce byte-identical spliced
+    text for every doc — the exactness root the staged counts and the
+    redacted-md5 hash both stand on."""
+    from meeseeker_spark.ext.pii import ATTACH_PII_SQL
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    s = {r["doc_id"]: r["text_pii"]
+         for r in attach_pii(docs).select("doc_id", "text_pii").collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = dict(con.execute(
+        f"SELECT doc_id, {ATTACH_PII_SQL} FROM documents").fetchall())
+    con.close()
+    assert s == d and len(s) == 500
+
+
+def test_attach_urls_matches_sql_fragment(spark):
+    from meeseeker_spark.ext.urls import ATTACH_URLS_SQL, attach_urls
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    s = {r["doc_id"]: r["text_urls"]
+         for r in attach_urls(docs).select("doc_id", "text_urls").collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = dict(con.execute(
+        f"SELECT doc_id, {ATTACH_URLS_SQL} FROM documents").fetchall())
+    con.close()
+    assert s == d and len(s) == 500
+
+
 def test_redacted_docs_excludes_clean(spark):
     from meeseeker_spark import catalog
 
