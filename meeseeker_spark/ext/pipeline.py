@@ -35,7 +35,8 @@ from .decontam import decontaminate
 from .dedup import cc_dedup, exact_dedup
 from .mix import mixture_sample
 from .pack import pack_sequences
-from .text import quality_scores, redact_pii
+from .pii import redact_pii_tags
+from .text import quality_scores
 
 
 @dataclass
@@ -220,7 +221,7 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
         d4 = d4.join(keep_ids, id_col)
         stages["dsir_selected"] = d4
 
-    d5 = d4.withColumn(text_col, redact_pii(F.col(text_col)))
+    d5 = d4.withColumn(text_col, redact_pii_tags(F.col(text_col)))
     stages["redacted"] = d5
 
     if temperature is not None:

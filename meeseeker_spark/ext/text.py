@@ -248,43 +248,9 @@ def lang_id_ngram(docs: DataFrame, profiles: DataFrame,
     )
 
 
-# PII patterns deliberately RE2-compatible (no lookarounds) so the same
-# regexes run under Spark's Java regex AND DuckDB/RE2 — identical output
-# for oracle-style checks. Order matters: emails before bare domains,
-# long digit runs (cards) before phones.
-PII_PATTERNS: list[tuple[str, str]] = [
-    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
-    ("card", r"\b(?:\d[ -]?){13,16}\b"),
-    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
-    ("phone", r"(?:\+?\b\d{1,2}[ .-]?)?(?:\(\d{3}\)|\b\d{3})[ .-]?\d{3}"
-              r"[ .-]?\d{4}\b"),
-    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
-]
-
-
-def redact_pii(col: Column) -> Column:
-    """Replace common PII shapes (emails, card/SSN/phone numbers, IPv4)
-    with ``[TYPE]`` tags — the standard pre-training scrub pass.  Chained
-    JVM-side regexp_replace: narrow projection, codegen-compatible, no
-    shuffle and no Python at any scale."""
-    out = col
-    for name, pat in PII_PATTERNS:
-        out = F.regexp_replace(out, pat, f"[{name.upper()}]")
-    return out
-
-
-def pii_counts(df: DataFrame, id_col: str = "doc_id",
-               text_col: str = "text") -> DataFrame:
-    """Per-document PII hit counts by type + total — the screening report
-    that decides redact-vs-drop.  regexp_count per pattern, all narrow."""
-    cols = [F.col(id_col)]
-    total = F.lit(0)
-    for name, pat in PII_PATTERNS:
-        c = F.regexp_count(F.col(text_col), F.lit(pat))
-        cols.append(c.alias(f"n_{name}"))
-        total = total + c
-    cols.append(total.alias("n_pii"))
-    return df.select(*cols)
+# The PII battery lives in ext/pii.py since r8 (redact_pii_tags /
+# pii_report for the production screen; the driver-oracled scrub trio
+# alongside them) — moved so one module owns every PII pattern.
 
 
 def token_totals(df: DataFrame, group_cols: list[str],

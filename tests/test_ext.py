@@ -1364,9 +1364,11 @@ def test_pii_redaction_and_counts(spark):
         Row(doc_id=4, text="server at 192.168.1.100 port 8080"),
         Row(doc_id=5, text="nothing sensitive here at all"),
     ]
+    from meeseeker_spark.ext.pii import pii_report, redact_pii_tags
+
     df = spark.createDataFrame(rows)
     red = {r["doc_id"]: r["t"] for r in df.select(
-        "doc_id", text.redact_pii(F.col("text")).alias("t")).collect()}
+        "doc_id", redact_pii_tags(F.col("text")).alias("t")).collect()}
     assert red[1] == "mail me at [EMAIL] today"
     assert "[CARD]" in red[2] and "4111" not in red[2]
     assert "[SSN]" in red[3] and "[PHONE]" in red[3]
@@ -1374,7 +1376,7 @@ def test_pii_redaction_and_counts(spark):
     assert red[4] == "server at [IPV4] port 8080"
     assert red[5] == rows[4]["text"]
 
-    counts = {r["doc_id"]: r for r in text.pii_counts(df).collect()}
+    counts = {r["doc_id"]: r for r in pii_report(df).collect()}
     assert counts[1]["n_email"] == 1 and counts[1]["n_pii"] == 1
     assert counts[3]["n_ssn"] == 1 and counts[3]["n_phone"] == 1
     assert counts[5]["n_pii"] == 0
