@@ -860,35 +860,7 @@ def engine_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "engine_channel_rollup",
-    """
-    WITH eng AS (
-        SELECT 'hive_engine' AS chain,
-               o_orderkey % 4096 AS block_num,
-               CASE WHEN o_orderkey % 5 = 0 THEN repeat('0', 40)
-                    ELSE md5(CAST(o_orderkey AS VARCHAR)) END AS trx_id,
-               CASE o_orderkey % 3 WHEN 0 THEN 'tokens'
-                    WHEN 1 THEN 'market' ELSE 'sscstore' END AS contract,
-               CASE o_custkey % 2 WHEN 0 THEN 'transfer'
-                    ELSE 'issue' END AS action
-        FROM orders
-    ),
-    ch AS (
-        SELECT chain || ':' || contract AS channel, block_num FROM eng
-        UNION ALL
-        SELECT chain || ':' || contract || ':' || action, block_num FROM eng
-        UNION ALL
-        SELECT chain || CASE WHEN trx_id = repeat('0', 40)
-                        THEN ':virtual_transaction'
-                        ELSE ':transaction' END,
-               block_num
-        FROM eng
-        UNION ALL
-        SELECT DISTINCT chain || ':block', block_num FROM eng
-    )
-    SELECT channel, count(*) AS n_events,
-           count(DISTINCT block_num) AS n_blocks
-    FROM ch GROUP BY channel
-    """,
+    None,
     tags=("S8", "S5"),
 )
 def engine_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -896,11 +868,15 @@ def engine_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (channels.engine_channels — the complete follower_job.rb:20-83 set:
     ``{chain}:{contract}``, ``{chain}:{contract}:{action}``,
     ``{chain}:[virtual_]transaction``, ``{chain}:block``) over
-    engine-shaped rows modeled deterministically from orders.  The oracle
-    spells each wire name out longhand, so any drift in channel naming
-    (the round-2 wire-compat bug class) hash-fails here instead of only
-    in a unit test.  Narrow projections + one grouped count — the rollup
-    shuffles (channel, partial-count) pairs only."""
+    engine-shaped rows modeled deterministically from orders.  Rotated
+    out of the driver window in r8 fourth wave (the channel fan-out is
+    driver-graded inside custom_json_channels/op_key_channel and the
+    per-channel count agg inside channel_volume), freeing the slot for
+    leakage_safe_split; the longhand wire-name oracle — the round-2
+    wire-compat drift guard — moved verbatim into
+    tests/test_ext.py::test_engine_channel_rollup_vs_duckdb, which IS
+    its correctness gate now.  Narrow projections + one grouped count —
+    the rollup shuffles (channel, partial-count) pairs only."""
     from .channels import engine_channels
     o = load(spark, sf_dir, "orders")
     eng = o.select(
@@ -2182,14 +2158,68 @@ def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(docs, docs.where(F.col("lang") == "en"), k=100)
 
 
-@register("leakage_safe_split", None, tags=("F2", "F4", "sampling"))
+@register(
+    "leakage_safe_split",
+    f"""
+    WITH {_DUCK_BANDS},
+    lab AS (
+        SELECT doc_id,
+               (('0x' || substr(md5('split:' ||
+                   CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000)
+                   < 2000 AS is_val
+        FROM documents
+    ),
+    nb AS (
+        SELECT b.doc_id AS new_id, band_key
+        FROM bands b JOIN lab USING (doc_id) WHERE NOT is_val
+    ),
+    cb0 AS (
+        SELECT b.doc_id AS corpus_id, band_key
+        FROM bands b JOIN lab USING (doc_id) WHERE is_val
+    ),
+    ckept AS (
+        SELECT band_key FROM cb0 GROUP BY band_key
+        HAVING count(*) <= 10000
+    ),
+    cb AS (
+        SELECT cb0.corpus_id, cb0.band_key
+        FROM cb0 JOIN ckept USING (band_key)
+    ),
+    cand AS (
+        SELECT DISTINCT new_id, corpus_id FROM nb JOIN cb USING (band_key)
+    ),
+    scored AS (
+        SELECT c.new_id,
+               round(len(list_intersect(sn.shingles, sc.shingles))::DOUBLE
+                     / len(list_distinct(sn.shingles || sc.shingles)), 4)
+                   AS jaccard
+        FROM cand c
+        JOIN sh sn ON sn.doc_id = c.new_id
+        JOIN sh sc ON sc.doc_id = c.corpus_id
+    ),
+    flagged AS (
+        SELECT DISTINCT new_id AS doc_id FROM scored WHERE jaccard >= 0.3
+    )
+    SELECT doc_id, 'val' AS split FROM lab WHERE is_val
+    UNION ALL
+    SELECT l.doc_id, 'train' FROM lab l
+    LEFT JOIN flagged f USING (doc_id)
+    WHERE NOT l.is_val AND f.doc_id IS NULL
+    UNION ALL
+    SELECT doc_id, 'dropped' FROM flagged
+    """,
+    tags=("F2", "F4", "sampling"),
+)
 def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-protected train/val split (ext.dedup.leakage_safe_split):
     20% hash-slice val, train docs near-duplicate (jaccard ≥ 0.3) to any
     val doc dropped — the held-out hygiene step.  Inherits the
     incremental screen's banded-join scale shape and max_bucket guard.
-    Past the grading window → rows-only there; exact DuckDB parity
-    pinned by tests/test_ext.py::test_leakage_safe_split_vs_duckdb."""
+    Rotated INTO the driver window in r8 fourth wave (the oracle moved
+    verbatim from tests/test_ext.py::test_leakage_safe_split_vs_duckdb,
+    which keeps pinning the registry string + the exactly-one-split
+    invariant) — r7's double-screen fix now sits under the driver hash
+    on its own machinery."""
     from .ext.dedup import leakage_safe_split
     docs = load(spark, sf_dir, "documents")
     return leakage_safe_split(docs, val_frac=0.2, threshold=0.3)
@@ -2965,7 +2995,16 @@ def _ordered() -> list[Entry]:
     ``pii_redacted_docs`` (ext/pii — the hash pins planted-PII regex
     counting and every masked byte), ``url_host_counts`` (ext/urls)
     and ``heavy_hitters`` (ext/heavy — the MG certificate path runs on
-    driver machinery)."""
+    driver machinery).
+
+    Round-8 fourth wave (one slot): ``engine_channel_rollup`` (channel
+    fan-out driver-graded inside custom_json_channels/op_key_channel,
+    the count agg inside channel_volume; its longhand wire-name oracle —
+    the round-2 wire-compat drift guard — moved verbatim into
+    tests/test_ext.py::test_engine_channel_rollup_vs_duckdb) went
+    rows-only, freeing the slot for ``leakage_safe_split`` — r7's
+    double-screen fix and the algorithmically richest never-windowed
+    entry, now graded on the driver's own machinery."""
     oracled = [e for e in ENTRIES.values() if e.sql is not None]
     rows_only = [e for e in ENTRIES.values() if e.sql is None]
     return oracled + rows_only

@@ -3067,9 +3067,10 @@ def test_prepare_funnel_dsir_stage(docs):
 
 
 def test_leakage_safe_split_vs_duckdb(spark):
-    """Exact DuckDB parity for the leakage-protected split (beyond the
-    driver window → this is its correctness gate), plus the invariant
-    that every doc lands in exactly one of val/train/dropped."""
+    """Exact DuckDB parity for the leakage-protected split, executing
+    the REGISTRY's own SQL string (driver-oracled since the r8 fourth
+    wave — the pytest pins exactly what the driver grades), plus the
+    invariant that every doc lands in exactly one of val/train/dropped."""
     import duckdb
 
     from meeseeker_spark import catalog
@@ -3079,54 +3080,8 @@ def test_leakage_safe_split_vs_duckdb(spark):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{SF}/documents.parquet')")
-    d = sorted(tuple(r) for r in con.execute(f"""
-        WITH {catalog._DUCK_BANDS},
-        lab AS (
-            SELECT doc_id,
-                   (('0x' || substr(md5('split:' ||
-                       CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000)
-                       < 2000 AS is_val
-            FROM documents
-        ),
-        nb AS (
-            SELECT b.doc_id AS new_id, band_key
-            FROM bands b JOIN lab USING (doc_id) WHERE NOT is_val
-        ),
-        cb0 AS (
-            SELECT b.doc_id AS corpus_id, band_key
-            FROM bands b JOIN lab USING (doc_id) WHERE is_val
-        ),
-        ckept AS (
-            SELECT band_key FROM cb0 GROUP BY band_key
-            HAVING count(*) <= 10000
-        ),
-        cb AS (
-            SELECT cb0.corpus_id, cb0.band_key
-            FROM cb0 JOIN ckept USING (band_key)
-        ),
-        cand AS (
-            SELECT DISTINCT new_id, corpus_id FROM nb JOIN cb USING (band_key)
-        ),
-        scored AS (
-            SELECT c.new_id,
-                   round(len(list_intersect(sn.shingles, sc.shingles))::DOUBLE
-                         / len(list_distinct(sn.shingles || sc.shingles)), 4)
-                       AS jaccard
-            FROM cand c
-            JOIN sh sn ON sn.doc_id = c.new_id
-            JOIN sh sc ON sc.doc_id = c.corpus_id
-        ),
-        flagged AS (
-            SELECT DISTINCT new_id AS doc_id FROM scored WHERE jaccard >= 0.3
-        )
-        SELECT doc_id, 'val' AS split FROM lab WHERE is_val
-        UNION ALL
-        SELECT l.doc_id, 'train' FROM lab l
-        LEFT JOIN flagged f USING (doc_id)
-        WHERE NOT l.is_val AND f.doc_id IS NULL
-        UNION ALL
-        SELECT doc_id, 'dropped' FROM flagged
-    """).fetchall())
+    d = sorted(tuple(r) for r in con.execute(
+        catalog.ENTRIES["leakage_safe_split"].sql).fetchall())
     con.close()
     assert s == d
     # partition property: every doc exactly once, all three labels live
@@ -3134,6 +3089,56 @@ def test_leakage_safe_split_vs_duckdb(spark):
     assert len(s) == n_docs
     labels = {x[1] for x in s}
     assert labels == {"val", "train", "dropped"}
+
+
+def test_engine_channel_rollup_vs_duckdb(spark):
+    """Exact parity for the engine pub/sub channel rollup — rotated out
+    of the driver window in r8 fourth wave (fan-out driver-graded inside
+    custom_json_channels/op_key_channel, the count agg inside
+    channel_volume); the longhand wire-name oracle (the round-2
+    wire-compat drift guard) lives here verbatim and this test IS its
+    correctness gate now."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["engine_channel_rollup"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{SF}/orders.parquet')")
+    d = sorted(tuple(r) for r in con.execute("""
+        WITH eng AS (
+            SELECT 'hive_engine' AS chain,
+                   o_orderkey % 4096 AS block_num,
+                   CASE WHEN o_orderkey % 5 = 0 THEN repeat('0', 40)
+                        ELSE md5(CAST(o_orderkey AS VARCHAR)) END AS trx_id,
+                   CASE o_orderkey % 3 WHEN 0 THEN 'tokens'
+                        WHEN 1 THEN 'market' ELSE 'sscstore' END AS contract,
+                   CASE o_custkey % 2 WHEN 0 THEN 'transfer'
+                        ELSE 'issue' END AS action
+            FROM orders
+        ),
+        ch AS (
+            SELECT chain || ':' || contract AS channel, block_num FROM eng
+            UNION ALL
+            SELECT chain || ':' || contract || ':' || action, block_num
+            FROM eng
+            UNION ALL
+            SELECT chain || CASE WHEN trx_id = repeat('0', 40)
+                            THEN ':virtual_transaction'
+                            ELSE ':transaction' END,
+                   block_num
+            FROM eng
+            UNION ALL
+            SELECT DISTINCT chain || ':block', block_num FROM eng
+        )
+        SELECT channel, count(*) AS n_events,
+               count(DISTINCT block_num) AS n_blocks
+        FROM ch GROUP BY channel
+    """).fetchall())
+    con.close()
+    assert s == d and s
 
 
 def test_gopher_rules_vs_duckdb(spark):
