@@ -122,6 +122,52 @@ def test_attach_pii_cycle_and_masking_completeness(spark):
     assert residue["left"] == 0
 
 
+def test_cross_engine_regex_fuzz(spark):
+    """Seeded 300-case fuzz over hostile fragment compositions (@-runs,
+    partial IPs, stray schemes, digit soup): Spark and DuckDB must agree
+    on staged counts, masked bytes AND extracted URLs for every case —
+    the arbitrary-text half of the dialect-portability contract the
+    planted cases can't cover (precedent: the r1 keys.py fnmatch fuzz)."""
+    import random
+
+    from meeseeker_spark.ext.urls import URL_RE
+
+    rng = random.Random(20260815)
+    frags = ["@", ".", "-", " ", "..", "@@", "http://", "https://", "://",
+             "example", "com", "org", "a", "Z", "9", "123", "4567", "55",
+             "555-", "(", ")", "10.0", "0.1", "%", "+", "_", "/p/", "www.",
+             "ex-a.b", "1.2.3.4", "user@", ".co.uk", "#", "!", "\t", "\n"]
+    cases = ["".join(rng.choice(frags) for _ in range(rng.randint(1, 14)))
+             for _ in range(300)]
+
+    df = spark.createDataFrame(
+        [Row(i=i, text=t) for i, t in enumerate(cases)])
+    e, ip, p = pii_counts(F.col("text"))
+    srows = {r["i"]: r for r in df.select(
+        "i", e.alias("e"), ip.alias("i2"), p.alias("p"),
+        redact_pii(F.col("text")).alias("red"),
+        F.regexp_extract_all("text", F.lit(URL_RE), F.lit(0))
+        .alias("urls")).collect()}
+
+    con = duckdb.connect()
+    for i, t in enumerate(cases):
+        (de, di, dp, dred, durls), = con.execute(
+            f"""WITH t AS (SELECT ? AS raw,
+                  regexp_replace(?, '{EMAIL_RE}', '<EMAIL>', 'g') AS ae),
+                t2 AS (SELECT raw, ae,
+                  regexp_replace(ae, '{IPV4_RE}', '<IP>', 'g') AS ai FROM t)
+                SELECT len(regexp_extract_all(raw, '{EMAIL_RE}')),
+                       len(regexp_extract_all(ae, '{IPV4_RE}')),
+                       len(regexp_extract_all(ai, '{PHONE_RE}')),
+                       regexp_replace(ai, '{PHONE_RE}', '<PHONE>', 'g'),
+                       regexp_extract_all(raw, '{URL_RE}')
+                FROM t2""", [t, t]).fetchall()
+        r = srows[i]
+        assert (r["e"], r["i2"], r["p"], r["red"], r["urls"]) == \
+            (de, di, dp, dred, durls), repr(t)
+    con.close()
+
+
 def test_attach_pii_matches_sql_fragment(spark):
     """attach_pii and ATTACH_PII_SQL must produce byte-identical spliced
     text for every doc — the exactness root the staged counts and the
