@@ -463,3 +463,55 @@ def corpus_datacard(df: DataFrame, group_cols: tuple[str, ...] =
              F.count_distinct("_fp").alias("n_unique_docs"),
              F.round(F.avg("_q"), 4).alias("avg_quality"))
     )
+
+
+def corpus_datacard_exact(df: DataFrame, group_cols: tuple[str, ...] =
+                          ("source", "lang"), id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Boundary-safe data-card rollup: the same per-group datasheet as
+    ``corpus_datacard`` re-expressed in exact integers, so no rounded
+    double crosses a cross-engine value hash.
+
+    Why this form exists (VERDICT r8): corpus_datacard's 4-dp/2-dp
+    rounded float means sat on or within ~2e-8 of rounding
+    half-boundaries on the sf0.01 fixture ((src17, zh) avg_quality
+    0.4491500210; two avg_tokens cells EXACTLY on representable
+    halves), so the driver hash flipped on last-ulp engine differences
+    the local parity gate structurally cannot see.  Integer aggregates
+    are architecture-independent:
+
+    - ``quality_num`` / ``quality_den`` — the composite quality's exact
+      integer numerator Σ q_num and denominator Σ 500·max(nt, 1)
+      (per-doc quality = q_num/q_den is exact by construction; the
+      per-doc MEAN stays on the pytest-only double twin).
+    - ``median_chars_x2`` — twice the exact interpolated median of the
+      integer char lengths.  At q=0.5 the interpolated value is either
+      an order statistic or the midpoint of two integers — an exact
+      half-integer double — so 2× it is an exact BIGINT both engines
+      reproduce bit-for-bit (no libm, no rounding).
+    - avg_tokens is derivable (total_tokens / n_docs) and dropped.
+
+    Scale shape unchanged: one scan, one low-cardinality groupBy with
+    map-side partials, KB-sized result at any corpus size."""
+    toks = tokens(F.col(text_col))
+    q_num = (2 * F.least(F.size(toks), F.lit(100))
+             * F.greatest(F.size(toks), F.lit(1))
+             + 200 * F.size(F.array_distinct(toks))
+             + 100 * stopword_hits(toks, LANG_STOPWORDS["en"]))
+    base = df.select(
+        *group_cols,
+        F.size(toks).cast("bigint").alias("_nt"),
+        F.length(text_col).cast("bigint").alias("_nc"),
+        fingerprint(F.col(text_col)).alias("_fp"),
+        q_num.cast("bigint").alias("_qn"))
+    return (
+        base.groupBy(*group_cols)
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("_nt").alias("total_tokens"),
+             (2 * F.percentile("_nc", F.lit(0.5))).cast("bigint")
+             .alias("median_chars_x2"),
+             F.count_distinct("_fp").alias("n_unique_docs"),
+             F.sum("_qn").alias("quality_num"),
+             F.sum(500 * F.greatest(F.col("_nt"), F.lit(1)))
+             .alias("quality_den"))
+    )

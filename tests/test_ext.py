@@ -2739,9 +2739,8 @@ def test_domain_cap_hash_vs_duckdb(spark):
 
 
 def test_perplexity_buckets_vs_duckdb(spark):
-    """Exact DuckDB parity for the CCNet bucketing, including the
-    tertile interpolation (quantile_cont ≡ Spark percentile).  Since
-    the r8 rotation the entry is driver-oracled: the test executes the
+    """Exact DuckDB parity for the boundary-safe (r9) rank-based CCNet
+    bucketing.  The entry is driver-oracled: the test executes the
     REGISTRY's own SQL string, so the pytest pins exactly what the
     driver grades (no second copy to drift)."""
     import duckdb
@@ -2755,6 +2754,86 @@ def test_perplexity_buckets_vs_duckdb(spark):
                 f"read_parquet('{SF}/documents.parquet')")
     d = sorted(tuple(r) for r in con.execute(
         catalog.ENTRIES["perplexity_buckets"].sql).fetchall())
+    con.close()
+    assert s == d
+    # rank-form invariants: ranks are a permutation of 1..n_scored,
+    # buckets are equal-mass (sizes differ by <=1), 'na' == NULL rank
+    ranks = sorted(r[2] for r in s if r[2] is not None)
+    assert ranks == list(range(1, len(ranks) + 1))
+    sizes = {}
+    for r in s:
+        sizes[r[3]] = sizes.get(r[3], 0) + 1
+    buckets = [v for b, v in sizes.items() if b != "na"]
+    assert max(buckets) - min(buckets) <= 1
+    assert all((r[2] is None) == (r[3] == "na") for r in s)
+
+
+def test_perplexity_buckets_threshold_vs_duckdb(spark):
+    """Exact DuckDB parity for the ORIGINAL threshold/interpolation
+    double surface (ext.lm.perplexity_buckets — rounded xent compared
+    against rounded interpolated tertiles).  Rotated OUT of the driver
+    window in r9 after CORRECTNESS_r08 caught its 4-dp-rounded doubles
+    sitting ~2e-8 from rounding half-boundaries (cross-engine libm
+    drift flips the hash; VERDICT r8 item 1) — the oracle moved here
+    verbatim; the funnel's ppl_keep stage still runs this form."""
+    import duckdb
+
+    from meeseeker_spark.ext.lm import perplexity_buckets
+    from meeseeker_spark.tables import load
+
+    docs = load(spark, SF, "documents")
+    sdf = perplexity_buckets(docs)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = sorted(tuple(r) for r in con.execute("""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, u.w1 AS w1, u.bg AS bg
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(w), 1)),
+                       i -> {'w1': w[i], 'bg': w[i] || ' ' || w[i+1]}))
+                       AS u
+            FROM words
+        )
+    ),
+    uni AS (
+        SELECT w1, count(*) AS u
+        FROM (SELECT unnest(w) AS w1 FROM words) GROUP BY w1
+    ),
+    bcounts AS (SELECT bg, count(*) AS b FROM bi GROUP BY bg),
+    vocab AS (SELECT count(*)::DOUBLE AS v FROM uni),
+    per_doc AS (
+        SELECT doc_id, w1, bg, count(*) AS c
+        FROM bi GROUP BY doc_id, w1, bg
+    ),
+    scored AS (
+        SELECT p.doc_id, sum(c) AS n_bigrams,
+               round(-sum(c * (ln(b + 0.5) - ln(u + 0.5 * v))) / sum(c), 4)
+                   AS xent
+        FROM per_doc p
+        JOIN bcounts USING (bg) JOIN uni USING (w1), vocab
+        GROUP BY p.doc_id
+    ),
+    ths AS (
+        SELECT round(quantile_cont(xent, 1.0/3), 4) AS t0,
+               round(quantile_cont(xent, 2.0/3), 4) AS t1
+        FROM scored WHERE xent IS NOT NULL
+    )
+    SELECT d.doc_id, s.n_bigrams, s.xent,
+           CASE WHEN s.xent IS NULL THEN 'na'
+                ELSE list_value('head', 'middle', 'tail')[
+                    1 + (s.xent > t.t0)::INT + (s.xent > t.t1)::INT]
+           END AS ppl_bucket
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id, ths t
+    """).fetchall())
     con.close()
     assert s == d
 
@@ -4026,8 +4105,9 @@ def test_bm25_batch_vs_duckdb_and_single(spark):
 
 
 def test_corpus_datacard_vs_duckdb(spark):
-    """Exact DuckDB parity for the data-card rollup (exact median via
-    quantile_cont, shared quality formula, fingerprint distinct)."""
+    """Exact DuckDB parity for the boundary-safe (r9) integer data-card
+    rollup — exact median ×2 as BIGINT, quality numerator/denominator
+    sums, fingerprint distinct."""
     import duckdb
 
     from meeseeker_spark import catalog
@@ -4040,6 +4120,57 @@ def test_corpus_datacard_vs_duckdb(spark):
     # driver-oracled since r8: execute the REGISTRY's own SQL string
     d = sorted(tuple(r) for r in con.execute(
         catalog.ENTRIES["corpus_datacard"].sql).fetchall())
+    con.close()
+    assert s == d
+    assert len(s) >= 2
+    # every graded column past the group keys is an exact integer
+    assert all(isinstance(v, int) for row in s for v in row[2:])
+
+
+def test_corpus_datacard_doubles_vs_duckdb(spark):
+    """Exact DuckDB parity for the ORIGINAL double surface
+    (ext.text.corpus_datacard — rounded avg_tokens / median_chars /
+    avg_quality).  Rotated OUT of the driver hash in r9 after
+    CORRECTNESS_r08 caught its rounded means on/near rounding
+    half-boundaries (VERDICT r8 item 2) — the oracle moved here
+    verbatim.  Also pins the exact↔double consistency: the integer
+    form's quality_num/quality_den and median_chars_x2 reproduce the
+    doubles' avg-of-ratios ordering surface via n_docs/total_tokens."""
+    import duckdb
+
+    from meeseeker_spark.ext.text import corpus_datacard
+    from meeseeker_spark.tables import load
+
+    docs = load(spark, SF, "documents")
+    sdf = corpus_datacard(docs)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = sorted(tuple(r) for r in con.execute(r"""
+    WITH b AS (
+        SELECT source, lang,
+               list_filter(string_split_regex(lower(text),
+                           '[^a-z0-9]+'), x -> x <> '') AS w,
+               length(text) AS nc,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ',
+                                       'g'))) AS fp
+        FROM documents),
+    c AS (SELECT source, lang, len(w) AS nt, nc, fp,
+                 (2 * least(len(w), 100) * greatest(len(w), 1)
+                  + 200 * len(list_distinct(w))
+                  + 100 * len(list_filter(w, x -> list_contains(
+                      ['the','a','and','of','to','in','is'], x))))
+                 ::DOUBLE / (500 * greatest(len(w), 1)) AS q
+          FROM b)
+    SELECT source, lang, count(*) AS n_docs,
+           sum(nt) AS total_tokens,
+           round(avg(nt), 2) AS avg_tokens,
+           round(quantile_cont(nc, 0.5), 1) AS median_chars,
+           count(DISTINCT fp) AS n_unique_docs,
+           round(avg(q), 4) AS avg_quality
+    FROM c GROUP BY source, lang
+    """).fetchall())
     con.close()
     assert s == d
     assert len(s) >= 2

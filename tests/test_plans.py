@@ -296,15 +296,19 @@ def test_quality_logit_scores_narrow_codegen(spark):
     assert "python" not in plan.lower()
 
 
-def test_perplexity_buckets_thresholds_broadcast(spark):
-    """CCNet bucketing: the tertile thresholds are a 1-row aggregate
-    broadcast back over the scored corpus — assignment itself must not
-    add a corpus-sized exchange beyond the LM's gram joins (no global
-    sort / Window in the plan)."""
+def test_perplexity_buckets_sharded_rank_plan(spark):
+    """Boundary-safe CCNet bucketing (r9): the global rank is the
+    distributed-prefix idiom, never a bare global sort — the Window is
+    PARTITIONED by the range shard (hashpartitioning exchange, no
+    SinglePartition anywhere), and the scored frame reaches the rank
+    stage through the localCheckpoint barrier (ExistingRDD), so the
+    LM's gram joins ran once instead of once per downstream job."""
     plan = explain_str(
         catalog.ENTRIES["perplexity_buckets"].spark(spark, SF))
-    assert "Window" not in plan
-    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert "ExistingRDD" in plan
+    assert plan.count("hashpartitioning(_shard") == 1
 
 
 def test_dsir_broadcasts_ratio_and_takes_ordered(spark):
