@@ -9,9 +9,13 @@ Runs, in order, failing fast:
 1. the full pytest suite in two halves (the same split the judge uses —
    one long pytest run in this container can exceed a single command
    timeout, so the gate mirrors the split instead of hoping);
-2. the driver-shaped oracle-parity sweep at sf0.01 (the correctness
+2. the rounding-boundary audit at sf0.01 (tools/boundary_audit.py, new
+   in r9 — catches the CORRECTNESS_r08 failure class the parity sweep
+   structurally cannot: graded values whose cross-engine stability
+   depends on the driver's engine builds, not on local agreement);
+3. the driver-shaped oracle-parity sweep at sf0.01 (the correctness
    gate's local replica);
-3. a bench.py smoke at sf0.001 (must print one JSON line — catches a
+4. a bench.py smoke at sf0.001 (must print one JSON line — catches a
    broken headline entry without paying the sf0.1 wall time).
 
 Usage: python tools/preflight.py [--fast]
@@ -60,6 +64,12 @@ def main() -> int:
         return 1
 
     if not fast:
+        if run([py, "tools/boundary_audit.py"]):
+            print("PREFLIGHT FAIL: rounding-boundary audit red (a graded "
+                  "double is inside the cross-engine fragile band, or a "
+                  "graded oracle interpolates percentiles — the r8 driver "
+                  "failure class)")
+            return 1
         if run([py, "-m", "pytest", "-q", "tests/test_oracle_parity.py"],
                env={"SPARK_GRAFT_PARITY_SF": "/root/testdata/sf0.01"}):
             print("PREFLIGHT FAIL: oracle parity sweep red")
