@@ -91,8 +91,11 @@ def main() -> None:
     results = {name: round(min(p[name] for p in pass_times), 3)
                for name in HEADLINE}
     pass_totals = [round(sum(p.values()), 3) for p in pass_times]
-    spread_pct = round(
+    # guard the degenerate cases (empty headline / zero-time pass) so a
+    # broken run still emits its JSON line instead of dying on the stat
+    spread_pct = (round(
         (max(pass_totals) - min(pass_totals)) / min(pass_totals) * 100, 1)
+        if pass_totals and min(pass_totals) > 0 else None)
 
     # ingest throughput: flatten 210 fixture blocks → keyed store
     from meeseeker_spark import fixtures

@@ -112,19 +112,35 @@ def heavy_hitters(docs: DataFrame, k: int = 25, budget: int = 4096,
     """
     toks = token_stream(docs, text_col)
     # One MG pass total: the summary (<= budget x partitions rows) is
-    # persisted, so the bound, the candidate join, and the caller's
-    # consumption all read the SAME materialization — the certificate is
-    # never paired with candidates from an independent recompute.  Job
-    # accounting: scan 1 = MG (cached here), scan 2 = exact verify when
-    # topk executes (certified path pays it twice: once for the kth
-    # check, once at consumption — persist/checkpoint `toks` upstream to
-    # collapse those at 100 TB), +1 full scan on fallback.  The small
-    # cache is left pinned because the returned plan still reads it.
+    # persisted only while the bound AND the candidate set are read from
+    # the SAME materialization — the certificate is never paired with
+    # candidates from an independent recompute — then unpersisted before
+    # any plan is returned, so repeated calls in a long-lived session
+    # pin nothing (ADVICE r8).  The candidates come back to the plan as
+    # a driver-held literal frame: its size is the MG state itself
+    # (<= budget x partitions tokens — the bounded-memory premise of the
+    # sketch; if that ever outgrows the driver, the budget is the knob).
+    # Job accounting: scan 1 = MG, scan 2 = exact verify when topk
+    # executes (certified path pays it twice: once for the kth check,
+    # once at consumption — persist/checkpoint `toks` upstream to
+    # collapse those at 100 TB), +1 full scan on fallback.
     summaries = mg_summaries(toks, budget=budget).persist()
-    exact = exact_candidate_counts(toks, summaries)
+    try:
+        bound = summaries.agg(F.sum("err").alias("b")).collect()[0]["b"] or 0
+        cand_tokens = sorted(
+            r["token"] for r in
+            summaries.where(F.col("token").isNotNull())
+            .select("token").distinct().collect())
+    finally:
+        summaries.unpersist()
+
+    spark = docs.sparkSession
+    cands = spark.createDataFrame(
+        [(t,) for t in cand_tokens], "token string")
+    exact = (toks.join(F.broadcast(cands), "token")
+             .groupBy("token").agg(F.count("*").alias("n")))
     topk = exact.orderBy(F.desc("n"), "token").limit(k)
 
-    bound = summaries.agg(F.sum("err").alias("b")).collect()[0]["b"] or 0
     if bound == 0:
         # no decrement ever fired: the candidate set IS the vocabulary
         return topk
@@ -132,6 +148,5 @@ def heavy_hitters(docs: DataFrame, k: int = 25, budget: int = 4096,
     if len(rows) >= k and min(r["n"] for r in rows) > bound:
         return topk
     # certificate failed (near-uniform tail) — unconditional exact path
-    summaries.unpersist()
     return (toks.groupBy("token").agg(F.count("*").alias("n"))
             .orderBy(F.desc("n"), "token").limit(k))

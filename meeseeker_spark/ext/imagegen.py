@@ -21,7 +21,9 @@ global RNG):
 
 - docs are grouped in fours: ``group, member = divmod(doc_id, 4)``;
 - members 0 and 1 carry IDENTICAL pixels encoded in DIFFERENT formats
-  (``format = doc_id % 3`` differs between consecutive ids), so every
+  (``format = (group + member) % 4`` over the four lanes, with the
+  noisy member 2 remapped off the lossy JPEG lane — see ``doc_blob``;
+  consecutive members always land in different formats), so every
   group plants one cross-format Hamming-0 pair — the identity the
   shared luma + pinned dHash kernel must preserve;
 - member 2 is the base image plus small deterministic noise (±6): a

@@ -101,3 +101,26 @@ def test_phase2_counts_are_exact(spark):
     truth = {r["token"]: r["count"]
              for r in toks.groupBy("token").count().collect()}
     assert exact and all(truth[t] == n for t, n in exact.items())
+
+
+def test_no_pinned_cache_after_return(spark):
+    """ADVICE r8: heavy_hitters must unpersist its MG summary on EVERY
+    path (certified, bound==0, fallback) — repeated calls in a
+    long-lived session must not accumulate pinned RDDs.  The returned
+    plan reads a driver-held literal candidate frame instead."""
+    spark.catalog.clearCache()
+    sc = spark.sparkContext
+
+    def n_persisted():
+        return sc._jsc.getPersistentRDDs().size()
+
+    base = n_persisted()
+    # certified path (zipfian head) and fallback path (uniform)
+    docs_hot = _docs(spark, _zipf_texts())
+    out = heavy_hitters(docs_hot, k=5, budget=16)
+    out.collect()
+    uniform = _docs(spark, [f"u{i}" for i in range(300)])
+    heavy_hitters(uniform, k=5, budget=8).collect()
+    # bound == 0 path (budget covers the vocabulary)
+    heavy_hitters(docs_hot, k=5, budget=100000).collect()
+    assert n_persisted() == base
