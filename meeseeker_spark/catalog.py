@@ -1162,47 +1162,23 @@ def jaccard_ngram_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "incremental_near_dups",
-    f"""
-    WITH {_DUCK_BANDS},
-    nb AS (
-        SELECT doc_id AS new_id, band_key FROM bands WHERE doc_id % 7 = 0
-    ),
-    cb0 AS (
-        SELECT doc_id AS corpus_id, band_key FROM bands WHERE doc_id % 7 <> 0
-    ),
-    ckept AS (
-        -- max_bucket=10000 measured on CORPUS bucket width, as in
-        -- ext.dedup.incremental_near_dups
-        SELECT band_key FROM cb0 GROUP BY band_key HAVING count(*) <= 10000
-    ),
-    cb AS (
-        SELECT cb0.corpus_id, cb0.band_key FROM cb0 JOIN ckept USING (band_key)
-    ),
-    inc_cand AS (
-        SELECT DISTINCT new_id, corpus_id FROM nb JOIN cb USING (band_key)
-    ),
-    inc_scored AS (
-        SELECT c.new_id, c.corpus_id,
-               round(len(list_intersect(sn.shingles, sc.shingles))::DOUBLE /
-                     len(list_distinct(sn.shingles || sc.shingles)), 4)
-                   AS jaccard
-        FROM inc_cand c
-        JOIN sh sn ON sn.doc_id = c.new_id
-        JOIN sh sc ON sc.doc_id = c.corpus_id
-    )
-    SELECT new_id, corpus_id, jaccard FROM inc_scored WHERE jaccard >= 0.3
-    """,
+    None,
     tags=("F2", "streaming"),
 )
 def incremental_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-vs-corpus near-dup screen — the continuous-ingest flagship
-    (ext.dedup.incremental_near_dups), now driver-graded (VERDICT r3
-    item 5): a deterministic 1-in-7 doc_id slice plays the incoming
-    batch, the rest is the historical corpus.  Banded skinny shuffle
-    join, corpus never broadcast or re-shingled beyond candidates,
-    ``max_bucket=10_000`` corpus-width guard mirrored in the oracle.
-    The driver-graded threshold (0.3) is looser than the self-join
-    entry's so cross-slice pair mass survives the split."""
+    (ext.dedup.incremental_near_dups): a deterministic 1-in-7 doc_id
+    slice plays the incoming batch, the rest is the historical corpus.
+    Banded skinny shuffle join, corpus never broadcast or re-shingled
+    beyond candidates, ``max_bucket=10_000`` corpus-width guard.
+    Driver-graded r4-r8; rotated out in r9 fifth wave:
+    leakage_safe_split drives the SAME incremental screen (banded
+    batch-vs-corpus join, bucket guard, Jaccard verify) against its
+    held-out slice under the driver hash, and the pair/jaccard output
+    surface is driver-graded by near_dup_pairs + jaccard_ngram_pairs;
+    only the slice parameters differ here.  Exact parity pinned by
+    tests/test_ext.py::test_incremental_near_dups_vs_duckdb (executes
+    the registry-era SQL verbatim, threshold 0.3 mirrored)."""
     from .ext.dedup import incremental_near_dups
     docs = load(spark, sf_dir, "documents")
     new = docs.where(F.col("doc_id") % 7 == 0)
@@ -1321,28 +1297,7 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "repetition_scores",
-    """
-    WITH t AS (
-        SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                           x -> x <> '') AS w
-        FROM documents
-    ),
-    bg AS (
-        SELECT doc_id,
-               unnest(list_transform(range(1, greatest(len(w), 1)),
-                      i -> w[i] || ' ' || w[i+1])) AS bigram
-        FROM t WHERE len(w) >= 2
-    ),
-    c AS (
-        SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY doc_id, bigram
-    )
-    SELECT doc_id,
-           CAST(sum(n) AS BIGINT) AS n_bigrams,
-           max(n) AS top_bigram_n,
-           round(max(n)::DOUBLE / sum(n), 4) AS top_bigram_frac
-    FROM c GROUP BY doc_id
-    """,
+    None,
     tags=("F4", "quality"),
 )
 def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1350,7 +1305,14 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single most frequent one (high → looping/boilerplate text, the
     classic pretraining-quality reject). Two hash aggregations sharing
     the doc_id key — partial agg keeps the shuffle at distinct-bigram
-    cardinality, never token count."""
+    cardinality, never token count.  Rotated out of the driver window
+    in r9 fifth wave: the bigram extraction + per-doc grouped counts
+    (incl. n_bigrams totals) are driver-graded inside
+    perplexity_buckets' scoring path, gopher_rules grades the duplicate
+    -line repetition family, and the frac is one IEEE division of the
+    graded integers.  Exact parity pinned by
+    tests/test_ext.py::test_repetition_scores_vs_duckdb (executes the
+    registry-era SQL verbatim)."""
     from .ext.text import tokens
     docs = load(spark, sf_dir, "documents")
     w = docs.select("doc_id", tokens(F.col("text")).alias("_w")) \
@@ -1458,25 +1420,18 @@ def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_stats",
-    """
-    WITH t AS (
-        SELECT doc_id, text, length(text) AS n_chars,
-               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                           x -> x <> '') AS tok
-        FROM documents
-    )
-    SELECT doc_id, n_chars,
-           len(tok) AS n_tokens,
-           len(list_distinct(tok)) AS n_uniq_tokens,
-           round(n_chars::DOUBLE / greatest(len(tok), 1), 2) AS chars_per_token,
-           round(len(list_filter(tok, x -> list_contains(
-                 ['the','a','and','of','to','in','is'], x)))::DOUBLE
-                 / greatest(len(tok), 1), 4) AS stopword_ratio
-    FROM t
-    """,
+    None,
     tags=("F4",),
 )
 def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc length/diversity stats.  Rotated out of the driver window
+    in r9 fifth wave: every surface it graded is driver-graded inside a
+    staying entry — token counting + the distinct-token and stopword
+    counts inside corpus_datacard's quality_num/quality_den, n_chars
+    byte-exact inside decontaminated_spans' output, and the two ratio
+    columns are single IEEE divisions of those graded integers.  Exact
+    parity pinned by tests/test_ext.py::test_text_stats_vs_duckdb
+    (executes the registry-era SQL verbatim)."""
     from .ext.text import text_stats
     return text_stats(load(spark, sf_dir, "documents"))
 
@@ -1550,20 +1505,20 @@ def token_totals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "bpe_token_counts",
-    """
-    SELECT doc_id,
-           len(regexp_extract_all(lower(text),
-               '[a-z]+|[0-9]{1,3}|[^a-z0-9\\s]+')) AS n_bpe_tokens,
-           len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                           x -> x <> '')) AS n_word_tokens
-    FROM documents
-    """,
+    None,
     tags=("F4",),
 )
 def bpe_token_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-tokenizer-shaped counting: BPE-ish pretoken count (letter runs /
     short digit groups / punctuation runs) next to whitespace-word count —
-    the usual budget metric for training-data token accounting."""
+    the usual budget metric for training-data token accounting.  Rotated
+    out of the driver window in r9 fifth wave: its novel surface —
+    regexp_extract_all counting against a cross-engine-identical
+    pattern — is driver-graded inside url_host_counts, and the
+    whitespace-word totals inside corpus_datacard's total_tokens.
+    Exact parity pinned by
+    tests/test_ext.py::test_bpe_token_counts_vs_duckdb (executes the
+    registry-era SQL verbatim)."""
     from .ext.text import bpe_token_count, token_count
     docs = load(spark, sf_dir, "documents")
     return docs.select(
@@ -1748,44 +1703,20 @@ def contamination_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "benchmark_coverage",
-    f"""
-    WITH {_DUCK_SHINGLES},
-    bg AS (
-        SELECT doc_id AS bench_id, unnest(shingles) AS g FROM sh
-        WHERE doc_id % 19 = 0
-    ),
-    pg AS (
-        SELECT doc_id AS cid, unnest(shingles) AS g FROM sh
-        WHERE doc_id % 19 <> 0
-    ),
-    gs AS (SELECT g, count(*) AS df FROM pg GROUP BY g),
-    cov AS (
-        SELECT bench_id, count(*)::BIGINT AS n_grams,
-               count(df)::BIGINT AS n_covered
-        FROM bg LEFT JOIN gs USING (g) GROUP BY bench_id
-    ),
-    pgk AS (
-        SELECT pg.cid, pg.g FROM pg
-        JOIN (SELECT g FROM gs WHERE df <= 10000) k USING (g)
-    ),
-    touch AS (
-        SELECT bench_id, count(DISTINCT cid) AS n_corpus_docs
-        FROM bg JOIN pgk USING (g) GROUP BY bench_id
-    )
-    SELECT bench_id, n_grams, n_covered,
-           round(n_covered::DOUBLE / n_grams, 4) AS coverage_frac,
-           coalesce(n_corpus_docs, 0)::BIGINT AS n_corpus_docs
-    FROM cov LEFT JOIN touch USING (bench_id)
-    """,
+    None,
     tags=("F2", "F4", "decontam"),
 )
 def benchmark_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-integrity report: per BENCHMARK document, how much of it
     leaks into the training corpus (ext.decontam.benchmark_coverage) —
-    driver-graded since round 4 (VERDICT r3 item 5).  Same 1-in-19
-    bench slice as contamination_screen; corpus reduced to its
-    distinct-gram set before the coverage join, ``max_df=10_000``
-    posting guard on the distinct-doc count mirrored in the oracle."""
+    driver-graded r4-r8 (VERDICT r3 item 5).  Rotated out of the driver
+    window in r9 fifth wave: the bench-gram collision machinery (same
+    1-in-19 slice, same 3-gram shingles) is driver-graded inside the
+    new training_funnel's decontamination stage; only the per-bench-doc
+    report orientation (coverage frac + distinct-toucher count under
+    the ``max_df=10_000`` posting guard) is novel here.  Exact parity
+    pinned by tests/test_ext.py::test_benchmark_coverage_vs_duckdb
+    (executes the registry-era SQL verbatim)."""
     from .ext.decontam import benchmark_coverage
     docs = load(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 19 == 0)
@@ -1808,6 +1739,116 @@ def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                "zh": 0.1875}
     # budget=None → full corpus size as an in-plan scalar aggregate
     return mixture_sample(docs, weights).select(
+        "doc_id", "lang", "n_chars", "copy")
+
+
+@register(
+    "training_funnel",
+    """
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3 THEN
+                   list_distinct(list_transform(range(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+               ELSE [array_to_string(w, ' ')] END AS shingles
+        FROM words
+    ),
+    bgrams AS (
+        SELECT DISTINCT unnest(shingles) AS g FROM sh WHERE doc_id % 19 = 0
+    ),
+    corpus AS (SELECT * FROM documents WHERE doc_id % 19 <> 0),
+    dd AS (
+        SELECT * FROM (
+            SELECT c.*, row_number() OVER (PARTITION BY text
+                                           ORDER BY doc_id) AS rn
+            FROM corpus c
+        ) WHERE rn = 1
+    ),
+    hitcnt AS (
+        SELECT s.doc_id, count(*) AS n_hits
+        FROM (SELECT dd.doc_id, unnest(sh.shingles) AS g
+              FROM dd JOIN sh USING (doc_id)) s
+        JOIN bgrams USING (g) GROUP BY s.doc_id
+    ),
+    flagged AS (
+        SELECT dd.doc_id
+        FROM dd JOIN sh USING (doc_id)
+        LEFT JOIN hitcnt USING (doc_id)
+        WHERE round(coalesce(n_hits, 0)::DOUBLE / len(sh.shingles), 4) > 0.1
+    ),
+    clean AS (SELECT dd.* FROM dd ANTI JOIN flagged USING (doc_id)),
+    sizes AS (
+        SELECT lang AS domain, sum(n_chars)::BIGINT AS domain_size
+        FROM clean GROUP BY lang
+    ),
+    total AS (SELECT sum(n_chars)::DOUBLE AS budget FROM clean),
+    plan AS (
+        SELECT domain,
+               CASE domain WHEN 'en' THEN 0.25::DOUBLE
+                    ELSE 0.1875::DOUBLE END * budget / domain_size
+                   AS factor
+        FROM sizes, total
+    ),
+    plan_copies AS (
+        SELECT domain,
+               unnest(range(0, floor(factor)::BIGINT + 1)) AS copy,
+               floor(factor)::BIGINT AS epochs,
+               floor(round(factor - floor(factor), 6) * 10000)::BIGINT
+                   AS frac_scaled
+        FROM plan
+    )
+    SELECT d.doc_id, d.lang, d.n_chars, p.copy FROM clean d
+    JOIN plan_copies p ON d.lang = p.domain
+    WHERE p.copy < p.epochs
+       OR (('0x' || substr(md5(d.doc_id || ':' || p.copy), 1, 8))::BIGINT
+           % 10000) < p.frac_scaled
+    """,
+    tags=("F1", "F2", "F4", "pipeline"),
+)
+def training_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end funnel composition, driver-graded (VERDICT r8 item 6):
+    exact dedup → benchmark decontamination → mixture sampling, the
+    fixed 3-stage core of ext.pipeline.prepare_training_corpus, as ONE
+    entry whose oracle is the equivalent DuckDB CTE chain.  Each stage
+    is already graded in isolation (dedup_exact, decontaminated_spans /
+    the rotated-out benchmark_coverage's gram machinery,
+    mixture_sample's pytest); what only THIS entry grades is stage
+    INTERACTION — the dedup survivor set feeds the screen, and the
+    mixture budget/domain sizes are computed over the POST-screen
+    corpus, so a survivor-selection or screen bug shifts every
+    downstream sampling factor and flips the hash.
+
+    Composition details mirrored in the oracle: bench = the 1-in-19
+    doc_id slice (same as contamination_screen), dedup survivor =
+    min doc_id per exact text, screen = 3-gram overlap fraction above
+    0.1 disqualifies (max_overlap tolerance chosen so BOTH outcomes are
+    populated on the fixture — 422 of 473 dedup survivors pass; the
+    any-hit 0.0 default keeps only 52 on this shared-vocabulary
+    fixture, grading a thinner hash), mixture = en 0.25 / others
+    0.1875 against the post-screen corpus size as the in-plan budget.  Scale shape: three
+    shuffles (dedup window, gram join, mixture's size agg) plus the
+    narrow copy explode — each stage's plan is the same one its
+    standalone entry ships.  Boundary class: ieee-exact (md5 keeps,
+    integer sizes; the factor arithmetic is fixed-order IEEE on exact
+    inputs, 6-dp rounded before the keep threshold as in
+    temperature_sample)."""
+    from .ext.decontam import decontaminate
+    from .ext.dedup import exact_dedup
+    from .ext.mix import mixture_sample
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 19 == 0)
+    corpus = docs.where(F.col("doc_id") % 19 != 0)
+    deduped = exact_dedup(corpus, ["text"], "doc_id")
+    clean = decontaminate(deduped, bench, n=3, max_overlap=0.1)
+    weights = {"en": 0.25, "de": 0.1875, "fr": 0.1875, "es": 0.1875,
+               "zh": 0.1875}
+    return mixture_sample(clean, weights).select(
         "doc_id", "lang", "n_chars", "copy")
 
 
@@ -1866,13 +1907,58 @@ def repeated_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_spans(docs, n=8, max_df=10_000)
 
 
-@register("span_cleaned_docs", None, tags=("F2", "F4", "spans"))
+@register(
+    "span_cleaned_docs",
+    f"""
+    WITH {_DUCK_WORDGRAMS},
+    c AS (SELECT h FROM g GROUP BY h HAVING count(*) BETWEEN 2 AND 10000),
+    hits AS (SELECT g.*, row_number() OVER (
+                 PARTITION BY g.h ORDER BY doc_id, pos) AS rn
+             FROM g JOIN c USING (h)),
+    losers AS (SELECT doc_id, pos FROM hits WHERE rn > 1),
+    isl AS (SELECT doc_id, pos,
+            CASE WHEN pos - lag(pos) OVER (
+                     PARTITION BY doc_id ORDER BY pos) <= 8
+                 THEN 0 ELSE 1 END AS nw
+            FROM losers),
+    sp AS (SELECT doc_id, pos,
+           sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS sid
+           FROM isl),
+    spans AS (SELECT doc_id, min(pos) AS s, max(pos)+7 AS e
+              FROM sp GROUP BY doc_id, sid),
+    dropped AS (SELECT doc_id, unnest(range(s, e+1)) AS i FROM spans),
+    wp AS (SELECT doc_id, i, words[i+1] AS word
+           FROM w, unnest(range(0, len(words))) t(i)),
+    kept AS (SELECT wp.doc_id, wp.i, wp.word FROM wp
+             ANTI JOIN dropped USING (doc_id, i)),
+    rebuilt AS (SELECT doc_id,
+                       array_to_string(array_agg(word ORDER BY i), ' ')
+                           AS ct
+                FROM kept GROUP BY doc_id),
+    nsp AS (SELECT doc_id, count(*) AS ns, sum(e-s+1) AS nr
+            FROM spans GROUP BY doc_id)
+    SELECT d.doc_id,
+           CASE WHEN nsp.doc_id IS NULL THEN d.text
+                ELSE coalesce(r.ct, '') END AS clean_text,
+           coalesce(nr, 0)::INT AS n_removed_words,
+           coalesce(ns, 0)::INT AS n_spans_removed
+    FROM documents d
+    LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    LEFT JOIN nsp ON d.doc_id = nsp.doc_id
+    """,
+    tags=("F2", "F4", "spans"),
+)
 def span_cleaned_docs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus rewrite keeping only the globally first occurrence of each
-    duplicated 8-gram (ext.spans.strip_repeated_spans).  Registered past
-    the driver's grading window → rows-only there; exact DuckDB parity
-    (including the rebuilt text) is pinned by
-    tests/test_ext.py::test_span_cleaned_docs_vs_duckdb."""
+    duplicated 8-gram (ext.spans.strip_repeated_spans).  Rotated INTO
+    the driver window in r9 fifth wave (VERDICT r8 item 5; oracle moved
+    verbatim from the pytest, which now executes the registry SQL) —
+    the driver hash pins the REBUILT text byte-for-byte, the
+    first-occurrence-keeps policy, and the shared
+    ``spans.apply_drop_spans`` rewrite from the second consumer's side
+    (decontaminated_spans grades the other).  Boundary class: pure
+    strings/integers, no rounds."""
     from .ext.spans import strip_repeated_spans
     docs = load(spark, sf_dir, "documents")
     return strip_repeated_spans(docs, n=8, max_df=10_000).select(
@@ -2320,27 +2406,92 @@ def unimax_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars", "copy")
 
 
-@register("dedup_weights", None, tags=("F2", "sampling"))
+@register(
+    "dedup_weights",
+    f"""
+    WITH RECURSIVE {_DUCK_NEARDUP},
+    pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+        SELECT u AS cdoc, least(u, min(v)) AS component
+        FROM reach GROUP BY u
+    ),
+    csize AS (
+        SELECT component, count(*) AS cs FROM comp GROUP BY component
+    )
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS cluster,
+           coalesce(s.cs, 1)::BIGINT AS cluster_size,
+           round(1.0 / coalesce(s.cs, 1), 4) AS weight
+    FROM documents d
+    LEFT JOIN comp c ON c.cdoc = d.doc_id
+    LEFT JOIN csize s ON s.component = c.component
+    """,
+    tags=("F2", "sampling"),
+)
 def dedup_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soft deduplication (ext.dedup.dedup_weights): every document kept
     with weight 1/|near-dup cluster| — hard dropping's distributional
     alternative.  Same pair graph + components as dedup_components plus
-    a skinny size join.  Past the grading window → rows-only there;
-    exact DuckDB parity (recursive-CTE closure + singleton coalesce)
-    pinned by tests/test_ext.py::test_dedup_weights_vs_duckdb."""
+    a skinny size join.  Rotated INTO the driver window in r9 fifth
+    wave (VERDICT r8 item 5; oracle moved verbatim from the pytest,
+    which now executes the registry SQL and keeps the mass-conservation
+    invariant).  Boundary class: ieee-exact — the weight is 1/integer,
+    a single correctly-rounded IEEE division."""
     from .ext.dedup import dedup_weights
     docs = load(spark, sf_dir, "documents")
     return dedup_weights(docs, threshold=0.5, max_bucket=10_000)
 
 
-@register("ngram_novelty", None, tags=("F4", "quality"))
+@register(
+    "ngram_novelty",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(w) - 1, 1)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                       AS gram
+            FROM t WHERE len(w) >= 3
+        )
+    ),
+    dfreq AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+    scored AS (
+        SELECT g.doc_id, count(*) AS n_grams,
+               round(sum((df = 1)::INT)::DOUBLE / count(*), 4)
+                   AS novel_frac
+        FROM g JOIN dfreq USING (gram)
+        GROUP BY g.doc_id
+    )
+    SELECT d.doc_id, s.n_grams, s.novel_frac
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+    tags=("F4", "quality"),
+)
 def ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc n-gram novelty (ext.text.ngram_novelty): fraction of the
     doc's distinct trigrams with corpus document-frequency 1 — the
     boilerplate-score complement of span dedup.  tf-idf skeleton: one
     distinct-gram explode, gram-keyed DF aggregate, join back, per-doc
-    reduce.  Past the grading window → rows-only there; exact DuckDB
-    parity pinned by tests/test_ext.py::test_ngram_novelty_vs_duckdb."""
+    reduce.  Rotated INTO the driver window in r9 fifth wave (VERDICT
+    r8 item 5; oracle moved verbatim from the pytest, which now
+    executes the registry SQL).  Boundary class: ieee-exact — the
+    novelty fraction is a ratio of integer counts."""
     from .ext.text import ngram_novelty
     docs = load(spark, sf_dir, "documents")
     return ngram_novelty(docs, n=3)
@@ -2457,14 +2608,38 @@ def corpus_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_diff(v1, v2)
 
 
-@register("blocklist_screen", None, tags=("F4", "quality"))
+@register(
+    "blocklist_screen",
+    """
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(text),
+                                  '[^a-z0-9]+'), x -> x <> '') AS w
+               FROM documents),
+    c AS (SELECT doc_id, len(w)::BIGINT AS n_tokens,
+                 len(list_filter(w, x -> list_contains(
+                     ['slow','dup','big'], x)))::BIGINT AS n_blocked
+          FROM t)
+    SELECT doc_id, n_tokens, n_blocked,
+           round(CASE WHEN n_tokens > 0
+                      THEN n_blocked::DOUBLE / n_tokens
+                      ELSE 0.0 END, 4) AS blocked_frac,
+           (CASE WHEN n_tokens > 0
+                 THEN n_blocked::DOUBLE / n_tokens
+                 ELSE 0.0 END) <= 0.02 AS keep
+    FROM c
+    """,
+    tags=("F4", "quality"),
+)
 def blocklist_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style blocklist screen (ext.text.blocklist_screen, Raffel et
     al. 2020): per-doc blocked-token occurrence counts + keep decision
     at a 2% tolerance.  The list rides the plan as a literal array —
-    one narrow codegen projection, zero shuffles/joins.  Past the
-    grading window → rows-only there; exact DuckDB parity pinned by
-    tests/test_ext.py::test_blocklist_screen_vs_duckdb."""
+    one narrow codegen projection, zero shuffles/joins.  Rotated INTO
+    the driver window in r9 fifth wave (VERDICT r8 item 5; oracle moved
+    verbatim from the pytest, which now executes the registry SQL and
+    keeps the both-outcomes-live assertion).  Boundary class:
+    ieee-exact — blocked_frac and the keep threshold are ratios of
+    integer counts."""
     from .ext.text import blocklist_screen
     docs = load(spark, sf_dir, "documents")
     return blocklist_screen(docs, ["slow", "dup", "big"], max_frac=0.02)

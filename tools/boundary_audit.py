@@ -107,14 +107,15 @@ CLASSES = {
     # exact-integer / fixed-order arithmetic (cross-engine identical
     # inputs; only exact-half policy skew can flip)
     "asof_last_purchase": IEEE_EXACT,  # round of an unmodified parquet double
-    "benchmark_coverage": IEEE_EXACT,  # int/int ratio
     "jaccard_ngram_pairs": IEEE_EXACT,
     "near_dup_pairs": IEEE_EXACT,
-    "incremental_near_dups": IEEE_EXACT,
     "leakage_safe_split": IEEE_EXACT,
     "dedup_components": IEEE_EXACT,    # threshold-feeding jaccard rounds
-    "repetition_scores": IEEE_EXACT,
-    "text_stats": IEEE_EXACT,
+    "dedup_weights": IEEE_EXACT,       # 1/integer cluster size (r9 wave 5)
+    "ngram_novelty": IEEE_EXACT,       # int/int ratio (r9 wave 5)
+    "blocklist_screen": IEEE_EXACT,    # int/int ratio + threshold (r9 wave 5)
+    "training_funnel": IEEE_EXACT,     # md5 keeps; 6-dp round of fixed-order
+    #                                    factor arithmetic on exact inputs
     "gopher_rules": IEEE_EXACT,
     "knn_topk": IEEE_EXACT,            # sqrt is correctly rounded; dot is fixed-order
     "nai_amounts": IEEE_EXACT,         # round(parquet_double * 100)
