@@ -2396,10 +2396,15 @@ def unimax_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniMax fair multilingual sampling (ext.mix.unimax_sample, Chung
     et al. 2023): water-filled equal-share budget with a 4-epoch cap,
     materialized by the same deterministic epoch-explode + md5 keep as
-    mixture_sample.  The allocation loop is a bounded driver action over
-    the #domains-row size table.  Past the grading window → rows-only
-    there; exact DuckDB parity (factors injected as literals) pinned by
-    tests/test_ext.py::test_unimax_sample_vs_duckdb."""
+    mixture_sample.  The allocation is a deterministic sorted closed
+    form over the #domains-row size table (one collect + O(D log D);
+    r9 redesign — see unimax_plan).  Past the grading window →
+    rows-only there; exact DuckDB parity pinned by
+    tests/test_ext.py::test_unimax_sample_vs_duckdb, whose oracle since
+    r9 solves the water-filling INDEPENDENTLY in SQL (window-function
+    prefix sums) rather than replaying Spark-computed factors — closing
+    the recorded r8 ceiling and making this entry rotatable into the
+    driver window in a future wave."""
     from .ext.mix import unimax_sample
     docs = load(spark, sf_dir, "documents")
     return unimax_sample(docs, budget=None, max_epochs=4.0).select(

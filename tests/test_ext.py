@@ -3251,28 +3251,55 @@ def test_unimax_plan_water_filling_invariants(spark):
 
 
 def test_unimax_sample_vs_duckdb(spark):
-    """Exact DuckDB parity for the UniMax materialization: the driver
-    computes the factors (water-filling), the oracle replays the same
-    epoch-explode + md5 keep with those factors injected as literals."""
+    """Exact DuckDB parity for the UniMax materialization against a
+    fully INDEPENDENT oracle: since r9 the water-filling itself is
+    solved in SQL (window-function prefix sums over caps sorted by
+    (cap, domain), water level θ from the first non-frozen rank) —
+    closing the recorded r8 gap where the oracle could only replay
+    Spark-computed factors as literals.  ieee-exact by construction:
+    integer sizes, exact ×4 caps, one agreed summation order, a single
+    division for θ."""
     import duckdb
 
     from meeseeker_spark import catalog
-    from meeseeker_spark.ext.mix import unimax_plan
 
     sdf = catalog.ENTRIES["unimax_sample"].spark(spark, SF)
     s = sorted(tuple(r) for r in sdf.collect())
-    plan = unimax_plan(load(spark, SF, "documents"), None,
-                       max_epochs=4.0)
-    cases = " ".join(
-        f"WHEN '{d}' THEN {f!r}::DOUBLE" for d, _, _, f in plan)
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{SF}/documents.parquet')")
-    d = sorted(tuple(r) for r in con.execute(f"""
-        WITH f AS (
-            SELECT doc_id, lang, n_chars,
-                   CASE lang {cases} ELSE NULL END AS factor
-            FROM documents
+    d = sorted(tuple(r) for r in con.execute("""
+        WITH sizes AS (
+            SELECT lang AS domain, CAST(sum(n_chars) AS DOUBLE) AS s
+            FROM documents WHERE lang IS NOT NULL GROUP BY lang
+        ),
+        b AS (SELECT sum(s) AS budget, count(*) AS n FROM sizes),
+        caps AS (
+            SELECT domain, s, s * 4.0 AS cap,
+                   row_number() OVER (ORDER BY s * 4.0, domain) AS k,
+                   coalesce(sum(s * 4.0) OVER (
+                       ORDER BY s * 4.0, domain
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0.0) AS prefix
+            FROM sizes
+        ),
+        sh AS (
+            SELECT c.*, (b.budget - c.prefix) / (b.n - c.k + 1) AS share
+            FROM caps c, b
+        ),
+        ks AS (SELECT coalesce(min(k), 2147483647) AS ks
+               FROM sh WHERE cap > share),
+        plan AS (
+            SELECT domain,
+                   round(CASE WHEN k < (SELECT ks FROM ks) THEN cap
+                              ELSE (SELECT share FROM sh
+                                    WHERE k = (SELECT ks FROM ks)) END
+                         / s, 6) AS factor
+            FROM sh WHERE s > 0
+        ),
+        f AS (
+            SELECT d.doc_id, d.lang, d.n_chars, p.factor
+            FROM documents d JOIN plan p ON d.lang = p.domain
         ),
         x AS (
             SELECT doc_id, lang, n_chars,
@@ -3280,7 +3307,7 @@ def test_unimax_sample_vs_duckdb(spark):
                    floor(round(factor - floor(factor), 6) * 10000)::BIGINT
                        AS fs,
                    unnest(range(0, floor(factor)::BIGINT + 1)) AS copy
-            FROM f WHERE factor IS NOT NULL
+            FROM f
         )
         SELECT doc_id, lang, n_chars, copy FROM x
         WHERE copy < epochs
