@@ -1844,8 +1844,20 @@ def training_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 19 == 0)
     corpus = docs.where(F.col("doc_id") % 19 != 0)
-    deduped = exact_dedup(corpus, ["text"], "doc_id")
-    clean = decontaminate(deduped, bench, n=3, max_overlap=0.1)
+    # Stage barriers (r7 ColumnPruning double-subtree lesson, measured
+    # here too): deduped feeds the contamination grams AND the
+    # anti-join; clean feeds the mixture's sizes agg, budget agg AND
+    # the output join.  Without barriers Catalyst specializes a copy of
+    # the whole upstream per consumer — 12 parquet scans / 12 dedup
+    # windows, zero ReusedExchange, 15.5 s at sf0.1; with them each
+    # stage runs once (2.1 s).  Both checkpoints carry only the columns
+    # the next stages need.
+    deduped = (exact_dedup(corpus, ["text"], "doc_id")
+               .select("doc_id", "lang", "n_chars", "text")
+               .localCheckpoint())
+    clean = (decontaminate(deduped, bench, n=3, max_overlap=0.1)
+             .select("doc_id", "lang", "n_chars")
+             .localCheckpoint())
     weights = {"en": 0.25, "de": 0.1875, "fr": 0.1875, "es": 0.1875,
                "zh": 0.1875}
     return mixture_sample(clean, weights).select(

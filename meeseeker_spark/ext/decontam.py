@@ -32,32 +32,41 @@ def contamination(docs: DataFrame, bench: DataFrame,
 
     Returns (doc_id, n_grams, n_hits, overlap_frac, contaminated): the
     document's distinct n-gram count, how many of those also occur
-    anywhere in ``bench``, the fraction, and the ≥1-hit flag.  Documents
-    with zero hits are kept (left join) — the output is a full screening
-    report, not just the contaminated subset.
+    anywhere in ``bench``, the fraction, and the ≥1-hit flag.  Every
+    document appears (a doc's shingle list is never empty — sub-n docs
+    carry their whole text as one shingle), so the output is a full
+    screening report, not just the contaminated subset.
+
+    Plan shape (r9 rewrite, measured 16×): ONE corpus shingle explode
+    feeding ONE aggregate that counts n_grams and n_hits together off a
+    broadcast left join.  The previous two-subtree form (a size()
+    projection joined to a hits aggregate) evaluated the shingle
+    pipeline twice — and worse, any downstream WHERE on overlap_frac
+    inferred isnotnull(n_grams) and pushed the ENTIRE shingle
+    expression into a per-row Filter below the join (the SemDeDup
+    isnotnull trap, ROUND_NOTES r4): flagged-set queries went 1.1 s →
+    17 s at sf0.1.  With the single aggregate nothing can push below
+    the groupBy, and the shingles are built once per row.
     """
-    corpus = shingle_df(docs, id_col, text_col, n)
     bench_grams = (
         shingle_df(bench, id_col, text_col, n)
         .select(F.explode("_sh").alias("_g")).distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    hits = (
-        corpus.select("_id", F.explode("_sh").alias("_g"))
-        .join(F.broadcast(bench_grams), "_g")
-        .groupBy("_id").agg(F.count("*").alias("n_hits"))
+    report = (
+        shingle_df(docs, id_col, text_col, n)
+        .select("_id", F.explode("_sh").alias("_g"))
+        .join(F.broadcast(bench_grams), "_g", "left")
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_grams"),
+             F.count("_hit").alias("n_hits"))
     )
-    return (
-        corpus.select("_id", F.size("_sh").cast("bigint").alias("n_grams"))
-        .join(hits, "_id", "left")
-        .select(
-            F.col("_id").alias(id_col),
-            "n_grams",
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
-            .alias("n_hits"),
-            F.round(F.coalesce(F.col("n_hits"), F.lit(0))
-                    / F.col("n_grams"), 4).alias("overlap_frac"),
-            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
-        )
+    return report.select(
+        F.col("_id").alias(id_col),
+        "n_grams",
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("n_grams"), 4).alias("overlap_frac"),
+        (F.col("n_hits") > 0).alias("contaminated"),
     )
 
 

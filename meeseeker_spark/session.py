@@ -30,6 +30,17 @@ def get_spark(app_name: str = "meeseeker-spark", cpus: int | str | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate rebuilds the generator's child
+        # expression inside a pre-Generate filter, and predicate
+        # pushdown then substitutes it through every projection — for
+        # the shingle/gram exploders this plants an O(len²)-per-row
+        # tokenize-at-every-element_at filter under the scan (measured
+        # 16× on the decontamination bench side, r9).  The rule only
+        # adds redundant early-prune filters; none of our generators
+        # ever see empty/null arrays, so excluding it is semantics-free.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

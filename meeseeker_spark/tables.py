@@ -37,10 +37,26 @@ _NANO_TS_COLS = {
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    # The driver owns the session; pin the two confs our results depend on
-    # (both are runtime-settable session confs). UTC keeps timestamp
+    # The driver owns the session; pin the confs our results depend on
+    # (all runtime-settable session confs). UTC keeps timestamp
     # formatting aligned with the DuckDB oracle's naive timestamps.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # performance pin (r9, see session.get_spark): keep the
+    # InferFiltersFromGenerate rule excluded in driver-owned sessions
+    # too — it plants an O(len²) re-tokenizing filter under every
+    # shingle/gram explode.  Merge-safe: preserves any rules the
+    # session already excludes.
+    _infer = ("org.apache.spark.sql.catalyst.optimizer."
+              "InferFiltersFromGenerate")
+    try:
+        cur = spark.conf.get("spark.sql.optimizer.excludedRules")
+    except Exception:
+        cur = None
+    if not cur:
+        spark.conf.set("spark.sql.optimizer.excludedRules", _infer)
+    elif _infer not in cur:
+        spark.conf.set("spark.sql.optimizer.excludedRules",
+                       cur + "," + _infer)
     nano_cols = _NANO_TS_COLS.get(name, ())
     if nano_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
