@@ -183,6 +183,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="opt-in mT5 temperature sampling: p ∝ "
                          "size^(1/T) over domains, replacing --weights "
                          "(ext.mix.temperature_sample)")
+    pp.add_argument("--doremi-eta", type=float, default=None,
+                    help="opt-in DoReMi-style reweighting: one "
+                         "multiplicative-weights step on bigram-LM "
+                         "excess loss learns the domain weights from "
+                         "the post-screen corpus, replacing --weights/"
+                         "--temperature (ext.mix.doremi_sample)")
     pp.add_argument("--pack-mode", choices=("chunk", "ffd"),
                     default="chunk",
                     help="packed layout: chunk = concat-and-chunk "
@@ -364,8 +370,8 @@ def main(argv: list[str] | None = None) -> int:
             bench = spark.read.parquet(a.bench)
         else:
             bench = docs.limit(0)
-        if a.temperature is not None:
-            weights = {}   # ignored: temperature sampling derives p(domain)
+        if a.temperature is not None or a.doremi_eta is not None:
+            weights = {}   # ignored: these modes derive p(domain)
         elif a.weights:
             weights = json.loads(a.weights)
         else:
@@ -392,7 +398,7 @@ def main(argv: list[str] | None = None) -> int:
                          if a.dsir_target else None),
             dsir_k=a.dsir_k,
             max_tokens=a.max_tokens, pack_mode=a.pack_mode,
-            temperature=a.temperature)
+            temperature=a.temperature, doremi_eta=a.doremi_eta)
         build.corpus.write.mode("overwrite").parquet(f"{a.out}/corpus")
         build.packed.write.mode("overwrite").parquet(f"{a.out}/packed")
         if a.shards:

@@ -2163,6 +2163,24 @@ def perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_rank_buckets(docs)
 
 
+@register("doremi_weights", None, tags=("F4", "sampling", "mixture"))
+def doremi_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (ext.mix.doremi_weights, Xie et
+    al. 2023 adapted): one multiplicative-weights step
+    w'_d ∝ ref_d · exp(η·excess_d) where excess is the domain's
+    bigram-LM cross-entropy above the corpus mean — hard domains
+    up-weight, boilerplate bleeds weight.  One per-domain aggregate
+    after LM scoring; the corpus mean and the exp/normalize run as
+    windows over the D-row frame (no driver action, no second corpus
+    pass).  Rows-only (exp is machine-dependent libm — kept off the
+    driver hash per the r9 boundary rule); exact DuckDB parity pinned
+    by tests/test_ext.py::test_doremi_weights_vs_duckdb; funnel/CLI
+    ``--doremi-eta``."""
+    from .ext.mix import doremi_weights
+    docs = load(spark, sf_dir, "documents")
+    return doremi_weights(docs, eta=1.0)
+
+
 @register("hard_negatives", None, tags=("F3",))
 def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining (ext.similarity.hard_negatives):

@@ -359,3 +359,85 @@ def unimax_sample(docs: DataFrame, budget: float | None = None,
         .where((F.col("copy") < F.col("epochs")) | keep_last)
         .drop("epochs", "_fs")
     )
+
+
+def doremi_weights(docs: DataFrame, ref_weights: dict[str, float] | None
+                   = None, eta: float = 1.0, domain_col: str = "lang",
+                   id_col: str = "doc_id", text_col: str = "text",
+                   size_col: str = "n_chars") -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, adapted to a
+    hermetic proxy): one multiplicative-weights step
+    w'_d ∝ ref_d · exp(η · excess_d), normalized over domains, where
+    excess_d = max(0, avg_xent_d − corpus_avg_xent) under the corpus
+    bigram LM (ext.lm.bigram_lm_scores stands in for DoReMi's
+    proxy-vs-reference loss gap: domains whose text the corpus-wide
+    model finds HARD get up-weighted, easy/boilerplate domains bleed
+    weight).  ``ref_weights=None`` starts from DoReMi's uniform α.
+
+    Returns one row per domain: (domain, domain_size, n_scored,
+    avg_xent, excess, ref_w, weight) — weights sum to 1, 6 dp.
+
+    Scale shape: scoring is the LM's gram-keyed shuffle joins; this
+    operator adds ONE per-domain aggregate over (xent, size) pairs.
+    Everything after that aggregate — the corpus-wide mean, the
+    exp/normalize step — runs as window functions over the D-row frame
+    (D = #domains), so there is no driver action and no second corpus
+    pass: the corpus average is derived from the SAME aggregate
+    (Σ sum_d / Σ n_d), never a separate subtree (the r7/r9
+    duplicated-subtree lessons applied at design time)."""
+    from pyspark.sql import Window
+
+    from .lm import bigram_lm_scores
+
+    if eta < 0:
+        raise ValueError("eta must be non-negative")
+    scores = bigram_lm_scores(docs, id_col, text_col, round_dp=None)
+    per_doc = (docs.select(F.col(id_col).alias("_id"),
+                           F.col(domain_col).alias("domain"),
+                           F.col(size_col).cast("bigint").alias("_sz"))
+               .join(scores.select(F.col(id_col).alias("_id"), "xent"),
+                     "_id"))
+    agg = (per_doc.groupBy("domain")
+           .agg(F.sum("_sz").alias("domain_size"),
+                F.count("xent").alias("n_scored"),
+                F.sum("xent").alias("_sx")))
+    w_all = Window.partitionBy()
+    corpus_avg = (F.sum("_sx").over(w_all)
+                  / F.sum("n_scored").over(w_all))
+    avg_xent = F.col("_sx") / F.col("n_scored")
+    excess = F.greatest(avg_xent - corpus_avg, F.lit(0.0))
+    if ref_weights is None:
+        ref_w = F.lit(1.0) / F.count("*").over(w_all)
+    else:
+        m = F.create_map(*[F.lit(x) for kv in ref_weights.items()
+                           for x in kv])
+        ref_w = F.coalesce(m[F.col("domain")], F.lit(0.0))
+    raw = ref_w * F.exp(F.lit(float(eta)) * excess)
+    weight = raw / F.sum(raw).over(w_all)
+    return (agg.select(
+        "domain", "domain_size", "n_scored",
+        F.round(avg_xent, 4).alias("avg_xent"),
+        F.round(excess, 4).alias("excess"),
+        F.round(ref_w, 6).alias("ref_w"),
+        F.round(weight, 6).alias("weight"))
+        .orderBy("domain"))
+
+
+def doremi_sample(docs: DataFrame, ref_weights: dict[str, float] | None
+                  = None, eta: float = 1.0, budget: int | None = None,
+                  domain_col: str = "lang", id_col: str = "doc_id",
+                  text_col: str = "text", size_col: str = "n_chars",
+                  max_epochs: int = 100) -> DataFrame:
+    """Materialize a DoReMi-reweighted mixture: the D-row weight table
+    from ``doremi_weights`` is a bounded driver collect (same budget
+    class as unimax_plan's size table), then the standard
+    mixture_plan → sample_from_plan tail runs with the learned weights
+    — deterministic epoch-explode + md5 keep, identical across
+    retries."""
+    rows = doremi_weights(docs, ref_weights, eta, domain_col, id_col,
+                          text_col, size_col).collect()
+    weights = {r["domain"]: float(r["weight"]) for r in rows}
+    return sample_from_plan(
+        docs, mixture_plan(docs, weights, budget, domain_col, size_col,
+                           max_epochs),
+        id_col, domain_col)

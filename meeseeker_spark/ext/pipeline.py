@@ -78,7 +78,8 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
                             dsir_k: int | None = None,
                             max_tokens: int = 2048,
                             pack_mode: str = "chunk",
-                            temperature: float | None = None) -> CorpusBuild:
+                            temperature: float | None = None,
+                            doremi_eta: float | None = None) -> CorpusBuild:
     """Run the full preparation funnel; see module docstring for the
     stage order and scale rationale.  ``bench`` is the evaluation text
     to decontaminate against; ``weights`` the target domain mixture.
@@ -120,6 +121,11 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
     ``temperature`` (opt-in) replaces the hand-written ``weights`` with
     mT5-style temperature sampling (ext.mix.temperature_sample,
     p ∝ size^(1/T)); ``weights`` is ignored when set.
+    ``doremi_eta`` (opt-in, takes precedence over both) learns the
+    weights from the post-screen corpus itself via one DoReMi-style
+    multiplicative-weights step on bigram-LM excess loss
+    (ext.mix.doremi_sample) — hard domains up-weight, boilerplate
+    bleeds weight.
     ``pack_mode`` selects the packed layout: ``"chunk"`` (default) is
     concat-and-chunk pretraining packing (ext.pack.pack_sequences);
     ``"ffd"`` is no-split first-fit-decreasing bin packing — the SFT
@@ -224,7 +230,11 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
     d5 = d4.withColumn(text_col, redact_pii_tags(F.col(text_col)))
     stages["redacted"] = d5
 
-    if temperature is not None:
+    if doremi_eta is not None:
+        from .mix import doremi_sample
+        mixed = doremi_sample(d5, None, doremi_eta, budget, domain_col,
+                              id_col, text_col)
+    elif temperature is not None:
         from .mix import temperature_sample
         mixed = temperature_sample(d5, temperature, budget, id_col,
                                    domain_col)

@@ -4773,3 +4773,143 @@ def test_training_funnel_vs_duckdb_and_stage_interaction(spark):
         tuple(r) for r in mixture_sample(corpus, weights)
         .select("doc_id", "lang", "n_chars", "copy").collect())
     assert unscreened != s
+
+
+def test_doremi_weights_vs_duckdb(spark):
+    """Exact DuckDB parity for the DoReMi-style reweighting (rows-only
+    entry — exp is machine-dependent libm, so pytest is its gate per
+    the r9 boundary rule).  The oracle recomputes the bigram-LM xent,
+    the per-domain aggregate, the corpus mean, and the
+    multiplicative-weights step end to end."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["doremi_weights"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = sorted(tuple(r) for r in con.execute("""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, u.w1 AS w1, u.bg AS bg
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(w), 1)),
+                       i -> {'w1': w[i], 'bg': w[i] || ' ' || w[i+1]}))
+                       AS u
+            FROM words
+        )
+    ),
+    uni AS (
+        SELECT w1, count(*) AS u
+        FROM (SELECT unnest(w) AS w1 FROM words) GROUP BY w1
+    ),
+    bcounts AS (SELECT bg, count(*) AS b FROM bi GROUP BY bg),
+    vocab AS (SELECT count(*)::DOUBLE AS v FROM uni),
+    per_doc AS (
+        SELECT doc_id, w1, bg, count(*) AS c
+        FROM bi GROUP BY doc_id, w1, bg
+    ),
+    scored AS (
+        SELECT p.doc_id,
+               -sum(c * (ln(b + 0.5) - ln(u + 0.5 * v))) / sum(c) AS xent
+        FROM per_doc p
+        JOIN bcounts USING (bg) JOIN uni USING (w1), vocab
+        GROUP BY p.doc_id
+    ),
+    agg AS (
+        SELECT d.lang AS domain,
+               CAST(sum(d.n_chars) AS BIGINT) AS domain_size,
+               count(s.xent) AS n_scored,
+               sum(s.xent) AS sx
+        FROM documents d JOIN scored s USING (doc_id)
+        GROUP BY d.lang
+    ),
+    step AS (
+        SELECT domain, domain_size, n_scored,
+               sx / n_scored AS avg_xent,
+               greatest(sx / n_scored
+                        - sum(sx) OVER () / sum(n_scored) OVER (),
+                        0.0) AS excess,
+               1.0 / count(*) OVER () AS ref_w
+        FROM agg
+    ),
+    raw AS (
+        SELECT *, ref_w * exp(1.0 * excess) AS r FROM step
+    )
+    SELECT domain, domain_size, n_scored,
+           round(avg_xent, 4) AS avg_xent,
+           round(excess, 4) AS excess,
+           round(ref_w, 6) AS ref_w,
+           round(r / sum(r) OVER (), 6) AS weight
+    FROM raw ORDER BY domain
+    """).fetchall())
+    con.close()
+    assert s == d
+    # weights are a distribution (6 dp each)
+    total = sum(r[6] for r in s)
+    assert abs(total - 1.0) < 1e-4
+    # at least one domain carries positive excess on this fixture and
+    # is up-weighted past uniform
+    assert any(r[4] > 0 and r[6] > r[5] for r in s)
+
+
+def test_doremi_invariants_and_sample(spark):
+    """eta=0 returns the reference weights exactly; higher-xent domains
+    never rank below lower-xent ones; doremi_sample is deterministic
+    and tilts mass toward the hard domain."""
+    from meeseeker_spark.ext.mix import doremi_sample, doremi_weights
+
+    rows = ([Row(doc_id=i, lang="easy",
+                 text="the the the the the the the the", n_chars=80)
+             for i in range(40)]
+            + [Row(doc_id=100 + i, lang="hard",
+                   text=f"zq{i} vx{i*7%13} wk{i*5%11} jt{i*3%7} "
+                        f"qp{i%5} zz{i%3} mn{i%2} aa bb cc",
+                   n_chars=80)
+               for i in range(40)])
+    df = spark.createDataFrame(rows)
+
+    w0 = {r["domain"]: r["weight"]
+          for r in doremi_weights(df, eta=0.0).collect()}
+    assert w0 == {"easy": 0.5, "hard": 0.5}
+
+    w1 = {r["domain"]: (r["avg_xent"], r["weight"])
+          for r in doremi_weights(df, eta=2.0).collect()}
+    assert w1["hard"][0] > w1["easy"][0]
+    assert w1["hard"][1] > w1["easy"][1]
+
+    ref = {"easy": 0.3, "hard": 0.7}
+    wr = {r["domain"]: r["ref_w"]
+          for r in doremi_weights(df, ref_weights=ref, eta=0.0).collect()}
+    assert wr == {"easy": 0.3, "hard": 0.7}
+
+    out1 = sorted(tuple(r) for r in doremi_sample(df, eta=2.0)
+                  .select("doc_id", "lang", "copy").collect())
+    out2 = sorted(tuple(r) for r in doremi_sample(df, eta=2.0)
+                  .select("doc_id", "lang", "copy").collect())
+    assert out1 == out2 and out1
+    mass = {}
+    for _, lang, _ in out1:
+        mass[lang] = mass.get(lang, 0) + 1
+    assert mass.get("hard", 0) > mass.get("easy", 0)
+
+
+def test_funnel_doremi_mode(docs):
+    """The funnel's doremi_eta mode runs end to end and takes
+    precedence over weights/temperature."""
+    from meeseeker_spark.ext.pipeline import prepare_training_corpus
+
+    build = prepare_training_corpus(
+        docs, docs.limit(0), weights={}, decontam_ngram=3,
+        quality_floor=0.0, doremi_eta=1.0)
+    out = build.corpus.select("doc_id", "lang", "copy").collect()
+    assert out
+    assert build.stages["mixed"] is build.corpus
