@@ -384,7 +384,10 @@ def doremi_weights(docs: DataFrame, ref_weights: dict[str, float] | None
     (D = #domains), so there is no driver action and no second corpus
     pass: the corpus average is derived from the SAME aggregate
     (Σ sum_d / Σ n_d), never a separate subtree (the r7/r9
-    duplicated-subtree lessons applied at design time)."""
+    duplicated-subtree lessons applied at design time).  The unbounded
+    windows DO emit Spark's single-partition warning — deliberately
+    accepted: they run on the post-aggregate D-row frame, bounded by
+    the domain vocabulary (thousands at most), never on corpus rows."""
     from pyspark.sql import Window
 
     from .lm import bigram_lm_scores
