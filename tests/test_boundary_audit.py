@@ -33,6 +33,13 @@ def test_swap_rounds_single_arg():
         "SELECT audit_round1(greatest(x, y) * 100) AS cents FROM t"
 
 
+def test_swap_rounds_nested():
+    sql = "SELECT round(round(x, 2) + round(y), 4) AS a FROM t"
+    assert ba.swap_rounds(sql) == \
+        ("SELECT audit_round(audit_round(x, 2) + audit_round1(y), 4) "
+         "AS a FROM t")
+
+
 def test_swap_rounds_preserves_everything_else():
     sql = "SELECT surround(x), ROUND(y, 4) FROM t WHERE notround(z)"
     out = ba.swap_rounds(sql)

@@ -208,15 +208,15 @@ def register_audit_round(con, holder: dict):
     con.create_function("audit_round1", _round1, [DOUBLE], DOUBLE)
 
 
-_SINGLE_ARG_ROUND = None  # set per-sql below
-
-
 def swap_rounds(sql: str) -> str:
-    """Replace every round( call with the audit UDF.  Single-arg
-    round(x) maps to audit_round1 — detected by scanning the argument
-    list for a top-level comma."""
+    """Replace every round( call with the audit UDF, recursing into the
+    argument text so nested round(round(x, 2), 4) forms are rewritten
+    at every level.  Single-arg round(x) maps to audit_round1 —
+    detected by scanning the argument list for a top-level comma."""
     out, i = [], 0
     for m in re.finditer(r"\bround\s*\(", sql, flags=re.I):
+        if m.start() < i:
+            continue  # inside an outer round's args — handled recursively
         out.append(sql[i:m.start()])
         # find matching close paren, note top-level comma
         depth, j, has_comma = 0, m.end(), False
@@ -232,7 +232,7 @@ def swap_rounds(sql: str) -> str:
                 has_comma = True
             j += 1
         out.append(("audit_round(" if has_comma else "audit_round1(")
-                   + sql[m.end():j] + ")")
+                   + swap_rounds(sql[m.end():j]) + ")")
         i = j + 1
     out.append(sql[i:])
     return "".join(out)
