@@ -2163,6 +2163,23 @@ def perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_rank_buckets(docs)
 
 
+@register("sim_noise_floor", None, tags=("F2", "F3", "calibration"))
+def sim_noise_floor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-pair cosine background calibration
+    (ext.similarity.sim_noise_floor) — the operator form of the r8
+    production rule: a near-dup/ANN threshold below z·σ of the
+    random-pair similarity distribution makes the TASK quadratic
+    (background tail × C(n,2)), so measure the floor before picking τ.
+    Fixed 128-vector md5-top-K sample (constant at any corpus size —
+    never a corpus-proportional slice), broadcast all-pairs, one
+    aggregate.  Rows-only (the σ rides row-order float sums — off the
+    driver hash by the r9 boundary rule); exact DuckDB parity pinned
+    by tests/test_ext.py::test_sim_noise_floor_vs_duckdb."""
+    from .ext.similarity import sim_noise_floor
+    emb = load(spark, sf_dir, "embeddings")
+    return sim_noise_floor(emb, k_sample=128, z=4.0)
+
+
 @register("doremi_weights", None, tags=("F4", "sampling", "mixture"))
 def doremi_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DoReMi-style domain reweighting (ext.mix.doremi_weights, Xie et

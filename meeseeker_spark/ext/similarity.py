@@ -547,3 +547,62 @@ def hard_negatives(emb: DataFrame, query_ids: list[int] | None = None,
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
     )
+
+
+def sim_noise_floor(emb: DataFrame, k_sample: int = 128, z: float = 4.0,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Calibrate the random-pair cosine background — the operator form
+    of the r8 production rule (SCALING.md r8: on iid vectors a
+    similarity threshold below z·σ of the random-pair distribution
+    makes the dedup/ANN TASK quadratic, because the tail of C(n,2)
+    background pairs clears it; no algorithm can fix a threshold that
+    sits inside the noise).
+
+    Method: a FIXED-size deterministic sample — the k_sample vectors
+    with the smallest md5("nf:"||id) — scored all-pairs (k²/2 pairs,
+    constant at any corpus size; the sample is top-K by hash, never a
+    corpus-proportional slice, so the graded shape cannot quietly turn
+    quadratic — the r4 semantic_contamination lesson).  Returns ONE
+    row: (dim, n_sampled, n_pairs, mean_sim, sd_sim, max_sim,
+    sd_theory, noise_floor) where sd_theory = 1/√dim is the iid
+    reference and noise_floor = round(z·sd_sim, 4) is the minimum safe
+    threshold.  Thresholds below noise_floor ⇒ expect quadratic true
+    output and recall decay by construction.
+
+    Scale shape: TakeOrderedAndProject for the sample (scan +
+    per-partition top-K), broadcast K-row self-join, one aggregate.
+    The variance uses the explicit sumsq/n − mean² form so the DuckDB
+    parity oracle replays it operation for operation."""
+    if k_sample < 2:
+        raise ValueError("k_sample must be >= 2")
+    sample_ids = (
+        emb.select(F.col(id_col))
+        .withColumn("_h", F.md5(F.concat(F.lit("nf:"),
+                                         F.col(id_col).cast("string"))))
+        .orderBy("_h").limit(k_sample).select(id_col))
+    sample = normalized(emb.join(F.broadcast(sample_ids), id_col),
+                        id_col, vec_col)
+    a = sample.select(F.col(id_col).alias("_ia"), F.col("_nv").alias("_va"))
+    b = sample.select(F.col(id_col).alias("_ib"), F.col("_nv").alias("_vb"))
+    sims = (a.join(F.broadcast(b), F.col("_ia") < F.col("_ib"))
+            .select(dot(F.col("_va"), F.col("_vb")).alias("_s")))
+    meta = sample.agg(F.count("*").alias("n_sampled"),
+                      F.max(F.size("_nv")).alias("dim"))
+    stats = sims.agg(F.count("*").alias("n_pairs"),
+                     F.sum("_s").alias("_sum"),
+                     F.sum(F.col("_s") * F.col("_s")).alias("_sumsq"),
+                     F.max("_s").alias("_max"))
+    mean = F.col("_sum") / F.col("n_pairs")
+    var = F.greatest(F.col("_sumsq") / F.col("n_pairs") - mean * mean,
+                     F.lit(0.0))
+    sd = F.sqrt(var)
+    return (stats.crossJoin(F.broadcast(meta)).select(
+        "dim", "n_sampled", "n_pairs",
+        F.round(mean, 4).alias("mean_sim"),
+        F.round(sd, 4).alias("sd_sim"),
+        F.round(F.col("_max"), 4).alias("max_sim"),
+        F.round(F.lit(1.0) / F.sqrt(F.col("dim").cast("double")), 4)
+        .alias("sd_theory"),
+        F.round(F.lit(float(z)) * sd, 4).alias("noise_floor"),
+    ))

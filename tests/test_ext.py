@@ -4913,3 +4913,77 @@ def test_funnel_doremi_mode(docs):
     out = build.corpus.select("doc_id", "lang", "copy").collect()
     assert out
     assert build.stages["mixed"] is build.corpus
+
+
+def test_sim_noise_floor_vs_duckdb(spark):
+    """Exact DuckDB parity for the random-pair background calibration
+    (rows-only entry — σ rides float sums, so pytest is its gate).
+    The oracle replays the md5-top-K sample, the normalized dot
+    products, and the sumsq/n − mean² variance operation for
+    operation."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["sim_noise_floor"].spark(spark, SF)
+    s = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    d = [tuple(r) for r in con.execute("""
+    WITH ids AS (
+        SELECT vec_id FROM embeddings
+        ORDER BY md5('nf:' || CAST(vec_id AS VARCHAR)) LIMIT 128
+    ),
+    nv AS (
+        SELECT e.vec_id,
+               list_transform(e.embedding::DOUBLE[],
+                   x -> x / sqrt(list_dot_product(
+                       e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+                   AS v
+        FROM embeddings e JOIN ids USING (vec_id)
+    ),
+    meta AS (SELECT count(*) AS n_sampled, max(len(v)) AS dim FROM nv),
+    sims AS (
+        SELECT list_dot_product(a.v, b.v) AS s
+        FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+    ),
+    stats AS (
+        SELECT count(*) AS n_pairs, sum(s) AS su,
+               sum(s * s) AS sq, max(s) AS mx
+        FROM sims
+    )
+    SELECT dim, n_sampled, n_pairs,
+           round(su / n_pairs, 4) AS mean_sim,
+           round(sqrt(greatest(sq / n_pairs
+                               - (su / n_pairs) * (su / n_pairs), 0.0)), 4)
+               AS sd_sim,
+           round(mx, 4) AS max_sim,
+           round(1.0 / sqrt(dim::DOUBLE), 4) AS sd_theory,
+           round(4.0 * sqrt(greatest(sq / n_pairs
+                            - (su / n_pairs) * (su / n_pairs), 0.0)), 4)
+               AS noise_floor
+    FROM stats, meta
+    """).fetchall()]
+    con.close()
+    assert s == d
+    assert len(s) == 1
+
+
+def test_sim_noise_floor_matches_iid_theory(spark):
+    """On iid uniform-on-sphere vectors the measured σ approaches the
+    1/√dim reference, and the r8 finding reproduces: the corpus's
+    historical 0.4 threshold sits INSIDE the 4σ noise floor at dim 64,
+    while a ≥ z/√dim threshold clears it."""
+    from meeseeker_spark.ext.similarity import sim_noise_floor
+    from meeseeker_spark.tables import load
+
+    emb = load(spark, SF, "embeddings")
+    row = sim_noise_floor(emb, k_sample=128, z=4.0).collect()[0]
+    assert row["dim"] == 64
+    assert row["n_pairs"] == 128 * 127 // 2
+    # measured sd within 25% of the iid reference on this fixture
+    assert abs(row["sd_sim"] - row["sd_theory"]) / row["sd_theory"] < 0.25
+    # the r8 lesson, now a one-row report: 0.4 < noise_floor at dim 64
+    assert 0.4 < row["noise_floor"] + 0.2  # floor ≈ 4/8 = 0.5
+    assert row["noise_floor"] > 0.3
