@@ -1789,10 +1789,18 @@ def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     total AS (SELECT sum(n_chars)::DOUBLE AS budget FROM clean),
     plan AS (
+        -- weight map mirrored EXPLICITLY (unknown domain -> 0, not a
+        -- catch-all 0.1875) and the max_epochs=100 clamp mirrored from
+        -- ext.mix.mixture_plan, so a fixture refresh with a sixth lang
+        -- or a tiny domain cannot silently diverge the two sides
         SELECT domain,
-               CASE domain WHEN 'en' THEN 0.25::DOUBLE
-                    ELSE 0.1875::DOUBLE END * budget / domain_size
-                   AS factor
+               least(CASE domain WHEN 'en' THEN 0.25::DOUBLE
+                          WHEN 'de' THEN 0.1875::DOUBLE
+                          WHEN 'fr' THEN 0.1875::DOUBLE
+                          WHEN 'es' THEN 0.1875::DOUBLE
+                          WHEN 'zh' THEN 0.1875::DOUBLE
+                          ELSE 0.0::DOUBLE END * budget / domain_size,
+                     100.0) AS factor
         FROM sizes, total
     ),
     plan_copies AS (

@@ -17,6 +17,8 @@ scale, no RNG (retried tasks and the DuckDB oracle pick identical rows).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 
 _HASH_MOD = 10_000
@@ -326,9 +328,19 @@ def unimax_plan(docs: DataFrame, budget: float | None = None,
         prefix += cap
     alloc = {d: (cap if k < ks else theta)
              for k, (cap, d) in enumerate(items)}
+
+    # half-away-from-zero rounding (allocs are >= 0): Python's builtin
+    # round() is half-to-EVEN, DuckDB's round() half-away — on a factor
+    # landing exactly on a representable 6-dp half (dyadic rationals
+    # like 1/128 do occur in exact-arithmetic ratios) the two policies
+    # split and the independent SQL oracle would diverge (r9 review)
+    def _r(x: float, dp: int) -> float:
+        s = 10.0 ** dp
+        return math.floor(x * s + 0.5) / s
+
     return sorted(
-        (d, sizes[d], round(alloc[d], 4),
-         round(alloc[d] / sizes[d], 6) if sizes[d] else 0.0)
+        (d, sizes[d], _r(alloc[d], 4),
+         _r(alloc[d] / sizes[d], 6) if sizes[d] else 0.0)
         for d in sizes)
 
 

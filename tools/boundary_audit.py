@@ -161,9 +161,29 @@ ORDER_GAP_CHECKS = {
                 JOIN bcounts USING (bg) JOIN uni USING (w1), vocab
                 GROUP BY p.doc_id)
             SELECT xent - lag(xent) OVER (ORDER BY xent) AS gap
-            FROM scored QUALIFY gap IS NOT NULL AND gap > 0
+            FROM scored QUALIFY gap IS NOT NULL
         """,
+        # NB the filter keeps ZERO gaps: an exact tie is the single
+        # most dangerous case for rank replay (bit-equal here, 1-ulp
+        # split in the other engine's sum order → the doc_id tiebreak
+        # and the value order can disagree).  gap == 0 must FAIL the
+        # bar — a fixture with duplicate-xent docs cannot be graded by
+        # rank without a tie-collapsing redesign.
     },
+}
+
+# No-round entries whose DOUBLE output columns are verified raw
+# parquet passthroughs (bit-identical cross-engine by construction).
+# A no-round entry with a double column NOT listed here fails the
+# audit: computed-but-unrounded doubles (a bare ln()/float-sum
+# projection) are exactly the machine-dependent surface the driver
+# hash bans, and they must not slip through as "passthrough".
+PASSTHROUGH_OK = {
+    "flatten_ops": {"l_quantity"},
+    "header_enrich": {"l_quantity"},
+    "notified_blocks_semi": {"o_totalprice"},
+    "point_lookup": {"value"},
+    "scan_by_type": {"value"},
 }
 
 
@@ -212,17 +232,30 @@ def swap_rounds(sql: str) -> str:
     """Replace every round( call with the audit UDF, recursing into the
     argument text so nested round(round(x, 2), 4) forms are rewritten
     at every level.  Single-arg round(x) maps to audit_round1 —
-    detected by scanning the argument list for a top-level comma."""
+    detected by scanning the argument list for a top-level comma.  The
+    scanner is string-literal aware: parens/commas inside SQL
+    '...'-quoted literals (with '' escapes) do not affect depth or arg
+    counting, so an oracle like round(len(regexp_extract_all(t,
+    '[(),]')), 4) rewrites correctly."""
     out, i = [], 0
     for m in re.finditer(r"\bround\s*\(", sql, flags=re.I):
         if m.start() < i:
             continue  # inside an outer round's args — handled recursively
         out.append(sql[i:m.start()])
-        # find matching close paren, note top-level comma
-        depth, j, has_comma = 0, m.end(), False
+        # find matching close paren, note top-level comma; skip quoted
+        # literals ('' is the SQL escape for a quote inside a literal)
+        depth, j, has_comma, in_str = 0, m.end(), False, False
         while j < len(sql):
             c = sql[j]
-            if c == "(":
+            if in_str:
+                if c == "'":
+                    if j + 1 < len(sql) and sql[j + 1] == "'":
+                        j += 1  # escaped quote, stay in the literal
+                    else:
+                        in_str = False
+            elif c == "'":
+                in_str = True
+            elif c == "(":
                 depth += 1
             elif c == ")":
                 if depth == 0:
@@ -266,9 +299,19 @@ def audit(sf_dir: str) -> tuple[int, dict]:
         dcols = double_cols(con, e.sql)
         cls = CLASSES.get(name)
         if not has_round:
-            # doubles with no round = passthrough (raw parquet values,
-            # bit-identical cross-engine) — record and move on
+            # doubles with no round must be REGISTERED passthroughs
+            # (raw parquet values, bit-identical cross-engine) — a
+            # computed-but-unrounded double (bare ln()/float-sum
+            # projection) is machine-dependent and must not reach the
+            # driver hash unaudited
             if dcols:
+                unregistered = [c for c in dcols
+                                if c not in PASSTHROUGH_OK.get(name, set())]
+                if unregistered:
+                    failures.append(
+                        f"{name}: double column(s) {unregistered} have no "
+                        f"round() and are not registered raw passthroughs "
+                        f"in PASSTHROUGH_OK — classify or redesign")
                 report[name] = {"class": "passthrough", "double_cols": dcols}
             continue
         if cls is None:
