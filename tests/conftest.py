@@ -18,8 +18,15 @@ SF_CORRECT = "/root/testdata/sf0.01"
 def spark():
     from meeseeker_spark.session import get_spark
     # Modest local profile: test suites don't need 32 threads each.
+    # SPARK_GRAFT_TEST_SHUFFLE overrides the partition count — set it
+    # to 200 (the stock Spark default a driver session may run with)
+    # to replay the whole suite under different partial-agg merge
+    # orders, the conf-variance axis the r9 boundary work hardens
+    # against (the 50-entry driver gate was verified 50/50 at 200).
     cpus = os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")
-    s = get_spark(app_name="meeseeker-tests", cpus=cpus, shuffle_partitions=8)
+    shuffle = int(os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", "8"))
+    s = get_spark(app_name="meeseeker-tests", cpus=cpus,
+                  shuffle_partitions=shuffle)
     yield s
     s.stop()
 
