@@ -2103,8 +2103,34 @@ def domain_cap_hash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "lang", "n_chars")
 
 
+@register("perplexity_buckets", None, tags=("F4", "quality"))
+def perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing
+    (ext.lm.perplexity_rank_buckets): equal-mass buckets by exact
+    integer rank over (raw xent, doc_id).  Rotated OUT of the driver
+    window in r10 (VERDICT r9 item 1) after failing the driver value
+    hash in BOTH r8 (rounded double 2.2e-8 from a 4-dp half-boundary)
+    and r9 (the rank redesign: ppl_rank is an integer whose VALUE
+    encodes the global ordering of libm-ln float sums — ordering-
+    derived integers are machine-dependent, and the 1.07e-6 min-gap
+    audit only certifies the LOCAL engine builds).  The rank oracle
+    moved verbatim to tests/test_ext.py::test_perplexity_buckets_vs_
+    duckdb (its correct scope: one machine, one build); the older
+    threshold/interpolation surface stays pinned by
+    ::test_perplexity_buckets_threshold_vs_duckdb; and the pipeline's
+    machinery stays driver-graded through the integer-only
+    ``perplexity_ngram_counts`` entry below, whose r10 verdict bisects
+    the r9 failure (counts green ⇒ ordering was the culprit).
+    tools/boundary_audit.py's ordering ban now fails any graded
+    rank/top-k over a non-round-wrapped libm or float-aggregate key,
+    so this class is preflight-red before it can be driver-red."""
+    from .ext.lm import perplexity_rank_buckets
+    docs = load(spark, sf_dir, "documents")
+    return perplexity_rank_buckets(docs)
+
+
 @register(
-    "perplexity_buckets",
+    "perplexity_ngram_counts",
     """
     WITH words AS (
         SELECT doc_id,
@@ -2113,62 +2139,44 @@ def domain_cap_hash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     bi AS (
-        SELECT doc_id, u.w1 AS w1, u.bg AS bg
-        FROM (
-            SELECT doc_id,
-                   unnest(list_transform(range(1, greatest(len(w), 1)),
-                       i -> {'w1': w[i], 'bg': w[i] || ' ' || w[i+1]}))
-                       AS u
-            FROM words
-        )
-    ),
-    uni AS (
-        SELECT w1, count(*) AS u
-        FROM (SELECT unnest(w) AS w1 FROM words) GROUP BY w1
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(w), 1)),
+                                     i -> w[i] || ' ' || w[i+1])) AS bg
+        FROM words
     ),
     bcounts AS (SELECT bg, count(*) AS b FROM bi GROUP BY bg),
-    vocab AS (SELECT count(*)::DOUBLE AS v FROM uni),
+    docbg AS (SELECT doc_id, bg, count(*) AS c FROM bi
+              GROUP BY doc_id, bg),
     per_doc AS (
-        SELECT doc_id, w1, bg, count(*) AS c
-        FROM bi GROUP BY doc_id, w1, bg
-    ),
-    scored AS (
-        SELECT p.doc_id, sum(c) AS n_bigrams,
-               -sum(c * (ln(b + 0.5) - ln(u + 0.5 * v))) / sum(c) AS xent
-        FROM per_doc p
-        JOIN bcounts USING (bg) JOIN uni USING (w1), vocab
-        GROUP BY p.doc_id
-    ),
-    ranked AS (
-        SELECT doc_id, n_bigrams,
-               row_number() OVER (ORDER BY xent, doc_id) AS ppl_rank,
-               count(*) OVER () AS n
-        FROM scored
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_bigrams,
+               count(*) AS n_distinct_bigrams,
+               CAST(max(b) AS BIGINT) AS max_bigram_df
+        FROM docbg JOIN bcounts USING (bg)
+        GROUP BY doc_id
     )
-    SELECT d.doc_id, r.n_bigrams, r.ppl_rank,
-           CASE WHEN r.ppl_rank IS NULL THEN 'na'
-                ELSE list_value('head', 'middle', 'tail')[
-                    1 + ((r.ppl_rank - 1) * 3) // r.n]
-           END AS ppl_bucket
-    FROM documents d LEFT JOIN ranked r ON d.doc_id = r.doc_id
+    SELECT w.doc_id,
+           CAST(coalesce(len(w.w), 0) AS BIGINT) AS n_words,
+           coalesce(p.n_bigrams, 0) AS n_bigrams,
+           coalesce(p.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+           coalesce(p.max_bigram_df, 0) AS max_bigram_df
+    FROM words w LEFT JOIN per_doc p USING (doc_id)
     """,
     tags=("F4", "quality"),
 )
-def perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet head/middle/tail perplexity bucketing, boundary-safe form
-    (ext.lm.perplexity_rank_buckets): equal-mass buckets by exact
-    integer rank over (raw xent, doc_id) — no double crosses the driver
-    hash.  Redesigned in r9 after CORRECTNESS_r08 caught the old
-    rounded-double-vs-rounded-tertile surface sitting 2.2e-8 from a
-    4-dp rounding half-boundary (doc 227; VERDICT r8 item 1): ranks are
-    integers both engines replay exactly, and the fixture's minimum
-    adjacent-xent gap (1.07e-6, audited by tools/preflight.py) is seven
-    orders above libm drift.  The old threshold/interpolation double
-    surface stays exact-parity-pinned by
-    tests/test_ext.py::test_perplexity_buckets_threshold_vs_duckdb."""
-    from .ext.lm import perplexity_rank_buckets
+def perplexity_ngram_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-only LM-pipeline surface (ext.lm.perplexity_ngram_counts):
+    per-doc token count, bigram occurrences, distinct bigrams, and max
+    corpus bigram DF — exactly the tokenize → explode → gram groupBy →
+    corpus-join → per-doc reduce pipeline that bigram_lm_scores runs,
+    with the libm arithmetic removed so every graded value is a count.
+    Rotated INTO the driver window in r10 (VERDICT r9 item 3) in
+    perplexity_buckets' slot; its driver verdict bisects the r9 failure
+    (green ⇒ cross-engine tokenization/joins agree and the r9 red was
+    rank ordering; red ⇒ tokenization differs cross-build)."""
+    from .ext.lm import perplexity_ngram_counts
     docs = load(spark, sf_dir, "documents")
-    return perplexity_rank_buckets(docs)
+    return perplexity_ngram_counts(docs)
 
 
 @register("sim_noise_floor", None, tags=("F2", "F3", "calibration"))
@@ -2446,20 +2454,75 @@ def gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(docs)
 
 
-@register("unimax_sample", None, tags=("F4", "sampling"))
+@register(
+    "unimax_sample",
+    """
+    WITH sizes AS (
+        SELECT lang AS domain, CAST(sum(n_chars) AS DOUBLE) AS s
+        FROM documents WHERE lang IS NOT NULL GROUP BY lang
+    ),
+    b AS (SELECT sum(s) AS budget, count(*) AS n FROM sizes),
+    caps AS (
+        SELECT domain, s, s * 4.0 AS cap,
+               row_number() OVER (ORDER BY s * 4.0, domain) AS k,
+               coalesce(sum(s * 4.0) OVER (
+                   ORDER BY s * 4.0, domain
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0.0) AS prefix
+        FROM sizes
+    ),
+    sh AS (
+        SELECT c.*, (b.budget - c.prefix) / (b.n - c.k + 1) AS share
+        FROM caps c, b
+    ),
+    ks AS (SELECT coalesce(min(k), 2147483647) AS ks
+           FROM sh WHERE cap > share),
+    plan AS (
+        SELECT domain,
+               round(CASE WHEN k < (SELECT ks FROM ks) THEN cap
+                          ELSE (SELECT share FROM sh
+                                WHERE k = (SELECT ks FROM ks)) END
+                     / s, 6) AS factor
+        FROM sh WHERE s > 0
+    ),
+    f AS (
+        SELECT d.doc_id, d.lang, d.n_chars, p.factor
+        FROM documents d JOIN plan p ON d.lang = p.domain
+    ),
+    x AS (
+        SELECT doc_id, lang, n_chars,
+               floor(factor)::BIGINT AS epochs,
+               floor(round(factor - floor(factor), 6) * 10000)::BIGINT
+                   AS fs,
+               unnest(range(0, floor(factor)::BIGINT + 1)) AS copy
+        FROM f
+    )
+    SELECT doc_id, lang, n_chars, copy FROM x
+    WHERE copy < epochs
+       OR (('0x' || substr(md5(doc_id || ':' || copy), 1, 8))::BIGINT
+           % 10000) < fs
+    """,
+    tags=("F4", "sampling"),
+)
 def unimax_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniMax fair multilingual sampling (ext.mix.unimax_sample, Chung
     et al. 2023): water-filled equal-share budget with a 4-epoch cap,
     materialized by the same deterministic epoch-explode + md5 keep as
     mixture_sample.  The allocation is a deterministic sorted closed
     form over the #domains-row size table (one collect + O(D log D);
-    r9 redesign — see unimax_plan).  Past the grading window →
-    rows-only there; exact DuckDB parity pinned by
-    tests/test_ext.py::test_unimax_sample_vs_duckdb, whose oracle since
-    r9 solves the water-filling INDEPENDENTLY in SQL (window-function
-    prefix sums) rather than replaying Spark-computed factors — closing
-    the recorded r8 ceiling and making this entry rotatable into the
-    driver window in a future wave."""
+    r9 redesign — see unimax_plan).  Rotated INTO the driver window in
+    r10 (VERDICT r9 item 1, filling perplexity_buckets' freed slot):
+    the oracle solves the water-filling INDEPENDENTLY in SQL —
+    window-function prefix sums over caps sorted by (cap, domain),
+    water level θ from the first non-frozen rank — with boundary-safe
+    arithmetic throughout: integer domain sizes, exact ×4 caps, ONE
+    agreed summation order (the window ORDER BY pins it in both
+    engines), a single correctly-rounded division for θ, and only
+    integers/strings in the graded projection (the 6-dp factor rounds
+    feed md5 keep decisions, audited ieee-exact by
+    tools/boundary_audit.py).  The same SQL stays pinned by
+    tests/test_ext.py::test_unimax_sample_vs_duckdb (registry string,
+    no second copy) alongside the water-filling invariant tests."""
     from .ext.mix import unimax_sample
     docs = load(spark, sf_dir, "documents")
     return unimax_sample(docs, budget=None, max_epochs=4.0).select(
@@ -2705,41 +2768,21 @@ def blocklist_screen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocklist_screen(docs, ["slow", "dup", "big"], max_frac=0.02)
 
 
-@register(
-    "bm25_topk",
-    """
-    WITH t AS (SELECT doc_id,
-                      list_filter(string_split_regex(lower(text),
-                                  '[^a-z0-9]+'), x -> x <> '') AS w
-               FROM documents),
-    stats AS (SELECT count(*) AS nd, avg(len(w))::DOUBLE AS ad FROM t),
-    h0 AS (SELECT doc_id, len(w) AS dl,
-                  unnest(list_filter(w, x -> list_contains(
-                      ['merge','stream','window'], x))) AS tm
-           FROM t),
-    hits AS (SELECT doc_id, tm, count(*) AS tf, max(dl) AS dl
-             FROM h0 GROUP BY doc_id, tm),
-    dfq AS (SELECT tm, count(*) AS dft FROM hits GROUP BY tm),
-    sc AS (SELECT h.doc_id, count(*) AS n_hits,
-                  round(sum(ln((nd - dft + 0.5) / (dft + 0.5) + 1.0)
-                            * tf * 2.2
-                            / (tf + 1.2 * (0.25 + 0.75 * dl / ad))),
-                        4) AS bm25
-           FROM hits h JOIN dfq USING (tm) CROSS JOIN stats
-           GROUP BY h.doc_id)
-    SELECT doc_id, n_hits, bm25 FROM sc
-    ORDER BY bm25 DESC, doc_id ASC LIMIT 20
-    """,
-    tags=("F4", "F3"),
-)
+@register("bm25_topk", None, tags=("F4", "F3"))
 def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval (ext.rank.bm25_topk): top-20 docs for a
     3-term query — the lexical retrieval half of retrieval-based data
     selection.  One corpus pass (query-term postings only enter the
     shuffle), broadcast df/stats, TakeOrderedAndProject top-k.  Rotated
-    INTO the driver window in r7 (VERDICT r6 item 1); its oracle is the
-    same SQL exact-parity-pinned since r5 by
-    tests/test_ext.py::test_bm25_topk_vs_duckdb."""
+    INTO the driver window in r7 (VERDICT r6 item 1) and OUT in r10
+    (sixth wave, the r8 stop criterion): its entire novel surface —
+    the BM25 formula, the rounded-score ordering, the posting shapes —
+    is driver-graded per-query inside the staying ``bm25_batch_topk``,
+    and tests/test_ext.py::test_bm25_batch_vs_duckdb_and_single pins
+    single-query batch == bm25_topk row-for-row.  Its oracle moved
+    verbatim to tests/test_ext.py::test_bm25_topk_vs_duckdb (the house
+    rotation device), freeing the slot for the integer-only
+    ``perplexity_ngram_counts`` bisect entry."""
     from .ext.rank import bm25_topk
     docs = load(spark, sf_dir, "documents")
     return bm25_topk(docs, ["window", "merge", "stream"], k=20)

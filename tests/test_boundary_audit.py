@@ -133,6 +133,89 @@ def test_no_graded_oracle_interpolates():
     assert offenders == []
 
 
+def test_ordering_ban_catches_rank_over_raw_libm():
+    """The r10 rule (VERDICT r9 item 2): the exact oracle shape that
+    hash-failed CORRECTNESS_r09 — row_number over a raw libm-ln float
+    sum — must red the audit.  The SQL fragment mirrors the rotated
+    perplexity_buckets oracle's ranked CTE."""
+    sql = """
+    WITH scored AS (
+        SELECT doc_id,
+               -sum(c * (ln(b + 0.5) - ln(u + 0.5 * v))) / sum(c) AS xent
+        FROM per_doc GROUP BY doc_id)
+    SELECT doc_id,
+           row_number() OVER (ORDER BY xent, doc_id) AS ppl_rank
+    FROM scored
+    """
+    v = ba.ordering_violations(sql)
+    assert v and "xent" in v[0]
+
+
+def test_ordering_ban_allows_rounded_keys_and_integer_keys():
+    """Rounded keys are covered by the distance bars (tfidf/bm25/knn/
+    dsir all rank over round(...)-wrapped scores with integer
+    tie-breaks); pure integer/hash keys never flip."""
+    rounded = """
+    WITH sc AS (SELECT doc_id, round(sum(ln(x + 1.0)), 4) AS bm25
+                FROM t GROUP BY doc_id)
+    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+    FROM sc
+    """
+    assert ba.ordering_violations(rounded) == []
+    hashed = """
+    SELECT doc_id, row_number() OVER (
+        PARTITION BY source
+        ORDER BY ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)),
+                  1, 8))::BIGINT, doc_id) AS rk
+    FROM documents
+    """
+    assert ba.ordering_violations(hashed) == []
+
+
+def test_ordering_ban_catches_raw_libm_topk_limit():
+    """ORDER BY … LIMIT over an unrounded libm key is the same
+    machine-dependent selection surface as a ranking window."""
+    sql = """
+    SELECT doc_id, ln(w + 1.0) AS lw FROM t
+    ORDER BY lw DESC, doc_id LIMIT 100
+    """
+    v = ba.ordering_violations(sql)
+    assert v and "LIMIT" in v[0]
+    # rounded version passes (dsir_select's shape)
+    ok = """
+    SELECT doc_id, round(ln(w + 1.0), 4) AS lw FROM t
+    ORDER BY lw DESC, doc_id LIMIT 100
+    """
+    assert ba.ordering_violations(ok) == []
+
+
+def test_no_graded_oracle_has_ordering_violations():
+    """Registry-wide: no driver-graded oracle ranks or top-k-selects
+    over a machine-dependent unrounded key (the CORRECTNESS_r09
+    failure class, banned structurally in r10)."""
+    from meeseeker_spark import catalog
+
+    offenders = {n: ba.ordering_violations(e.sql)
+                 for n, e in catalog.ENTRIES.items() if e.sql is not None}
+    assert {n: v for n, v in offenders.items() if v} == {}
+
+
+def test_double_column_coverage_closes_mixed_entries():
+    """ADVICE r9 low: an oracle that rounds ONE column but projects a
+    bare computed double beside it must fail check 5 (the r9 version
+    only audited no-round entries)."""
+    sql = ("SELECT doc_id, round(x, 4) AS a, ln(y + 1.0) AS b "
+           "FROM t")
+    assert ba._round_produced(sql, "a")
+    assert not ba._round_produced(sql, "b")
+    # alias chains resolve: a CTE round projected bare downstream
+    chained = """
+    WITH s AS (SELECT doc_id, round(x, 4) AS a FROM t)
+    SELECT doc_id, s.a AS score FROM s
+    """
+    assert ba._round_produced(chained, "score")
+
+
 def test_every_round_bearing_oracle_is_classified():
     """Coverage guarantee: a future rotation cannot slip an unaudited
     rounded double into the grading window."""
@@ -160,12 +243,11 @@ def test_full_audit_runs_at_sf0001():
     measured = [n for n, r in rep["entries"].items()
                 if "min_scaled_distance" in r]
     assert set(ba.CLASSES) <= set(measured)
-    # the r9 order-gap check ran
-    assert "perplexity_buckets::order_gap" in rep["entries"]
-    # fixture-independent failures (ban / unclassified / swap miss) = none;
-    # only machine-dep distance findings may appear at a non-graded SF
+    # fixture-independent failures (ban / unclassified / swap miss /
+    # ordering) = none; only machine-dep distance findings may appear
+    # at a non-graded SF
     structural = [f for f in rep["failures"]
-                  if "boundary distance" not in f and "gap" not in f]
+                  if "boundary distance" not in f]
     assert structural == []
 
 

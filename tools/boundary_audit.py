@@ -46,7 +46,23 @@ Checks, in decreasing strength:
    quantile_cont / quantile_disc / percentile_* FAILS.  Rank and
    integer forms replay across engine builds; interpolated percentiles
    are the one surface correlated with the r8 driver failures.
-2. **machine-dep distance bar** — entries whose round() inputs can
+2. **Ordering ban** — any graded oracle that ranks (row_number / rank /
+   dense_rank / ntile) or top-k-selects (ORDER BY … LIMIT) over a key
+   that derives from libm (ln/log/exp/pow) or a float aggregate
+   WITHOUT passing the key through round() FAILS.  An integer computed
+   BY ORDERING machine-dependent doubles is itself machine-dependent:
+   CORRECTNESS_r09 red-flagged `ppl_rank` (row_number over raw
+   libm-`ln` xent sums) even though no double crossed the hash and the
+   local min-adjacent-gap audit (1.07e-6 vs ~1e-13 "drift") passed —
+   gap bars calibrated on local engine builds do not transfer to the
+   driver's builds, so the rule is categorical, not a distance bar.
+   (This check REPLACED r9's per-entry order-gap measurement, whose
+   hand-copied oracle SQL and empirically-falsified 1e-9 bar were both
+   flagged in ADVICE r9.)  Keys that pass through round() are allowed:
+   rounding collapses the key to discrete audited values (check 3's
+   distance bar), and every shipped ranked entry (tfidf/bm25/knn/dsir)
+   adds a deterministic integer tie-break below the rounded key.
+3. **machine-dep distance bar** — entries whose round() inputs can
    differ across machines (non-correctly-rounded libm: ln/pow/exp —
    sqrt IS correctly rounded; row-order-dependent float aggregation)
    must keep every rounded value's scaled distance > 1e-4.  Calibration:
@@ -54,17 +70,18 @@ Checks, in decreasing strength:
    units (1e-9 scaled at 4 dp), and bm25's min of 1.4e-4 survived the
    r8 driver — the bar sits 10^5 above the physics and just under the
    tightest empirical survivor.
-3. **ieee-exact record** — entries whose round() inputs are
+4. **ieee-exact record** — entries whose round() inputs are
    bit-identical on any IEEE 754 machine (integer ratios, fixed-order
    sums/products of unmodified parquet doubles, sqrt) are certified by
    LOCAL parity alone; the audit records their min distance and WARNS
    on exact-half hits (flip would require a round-half-even engine
    build — empirically excluded by gopher_rules' green exact halves)
    without failing.
-4. **Order-gap checks** — surfaces graded as integer ranks over raw
-   doubles (the r9 perplexity redesign): ranks replay exactly iff no
-   two distinct sort keys sit within cross-engine drift of each other,
-   so the minimum adjacent gap must clear 1e-9 (drift is ~1e-13).
+5. **double-column coverage** — EVERY double output column of every
+   graded oracle (not just the no-round entries, the r9 coverage hole)
+   must either be produced by an audited round() site (resolved
+   through one level of CTE/projection aliases) or be a registered raw
+   passthrough in PASSTHROUGH_OK; otherwise the entry fails.
 
 Every oracled entry whose SQL contains round() MUST appear in CLASSES —
 an unregistered entry fails the audit, so a future rotation cannot slip
@@ -96,7 +113,6 @@ IEEE_EXACT = "ieee-exact"
 
 CLASSES = {
     # libm ln / pow, or row-order float sums
-    "bm25_topk": MACHINE_DEP,          # ln in the idf term
     "bm25_batch_topk": MACHINE_DEP,    # ln in the idf term
     "tfidf_top_terms": MACHINE_DEP,    # ln(n/df)
     "dsir_select": MACHINE_DEP,        # ln ratios + Gumbel -ln(-ln(u))
@@ -116,6 +132,9 @@ CLASSES = {
     "blocklist_screen": IEEE_EXACT,    # int/int ratio + threshold (r9 wave 5)
     "training_funnel": IEEE_EXACT,     # md5 keeps; 6-dp round of fixed-order
     #                                    factor arithmetic on exact inputs
+    "unimax_sample": IEEE_EXACT,       # integer sizes, exact ×4 caps, one
+    #                                    window-pinned summation order, a
+    #                                    single division for θ (r10 wave 6)
     "gopher_rules": IEEE_EXACT,
     "knn_topk": IEEE_EXACT,            # sqrt is correctly rounded; dot is fixed-order
     "nai_amounts": IEEE_EXACT,         # round(parquet_double * 100)
@@ -128,49 +147,197 @@ _INTERPOLATION = re.compile(
     r"\b(quantile_cont|quantile_disc|percentile_cont|percentile_disc"
     r"|quantile|percentile|approx_quantile|median)\s*\(", re.I)
 
-# Ordering surfaces graded as integer ranks over raw (unrounded)
-# doubles: min adjacent gap in the sort key must exceed the bar or two
-# engines may disagree on the order.  SQL must return one column `gap`.
-ORDER_GAP_CHECKS = {
-    "perplexity_buckets": {
-        "bar": 1e-9,
-        "sql": """
-            WITH words AS (
-                SELECT doc_id,
-                       list_filter(string_split_regex(lower(text),
-                                   '[^a-z0-9]+'), x -> x <> '') AS w
-                FROM documents),
-            bi AS (
-                SELECT doc_id, u.w1 AS w1, u.bg AS bg
-                FROM (SELECT doc_id,
-                             unnest(list_transform(range(1, greatest(len(w), 1)),
-                                 i -> {'w1': w[i], 'bg': w[i] || ' ' || w[i+1]}))
-                                 AS u
-                      FROM words)),
-            uni AS (SELECT w1, count(*) AS u
-                    FROM (SELECT unnest(w) AS w1 FROM words) GROUP BY w1),
-            bcounts AS (SELECT bg, count(*) AS b FROM bi GROUP BY bg),
-            vocab AS (SELECT count(*)::DOUBLE AS v FROM uni),
-            per_doc AS (SELECT doc_id, w1, bg, count(*) AS c
-                        FROM bi GROUP BY doc_id, w1, bg),
-            scored AS (
-                SELECT p.doc_id,
-                       -sum(c * (ln(b + 0.5) - ln(u + 0.5 * v))) / sum(c)
-                           AS xent
-                FROM per_doc p
-                JOIN bcounts USING (bg) JOIN uni USING (w1), vocab
-                GROUP BY p.doc_id)
-            SELECT xent - lag(xent) OVER (ORDER BY xent) AS gap
-            FROM scored QUALIFY gap IS NOT NULL
-        """,
-        # NB the filter keeps ZERO gaps: an exact tie is the single
-        # most dangerous case for rank replay (bit-equal here, 1-ulp
-        # split in the other engine's sum order → the doc_id tiebreak
-        # and the value order can disagree).  gap == 0 must FAIL the
-        # bar — a fixture with duplicate-xent docs cannot be graded by
-        # rank without a tie-collapsing redesign.
-    },
-}
+# --- check 2: the ordering ban (r10, closes the r9 hole) --------------
+# Ranking window functions whose output (an integer!) encodes the order
+# of machine-dependent doubles.
+_RANKING = re.compile(r"\b(row_number|dense_rank|rank|ntile)\s*\(", re.I)
+# Functions DuckDB/Spark evaluate through libm — NOT correctly rounded,
+# so last-ulp results differ across builds.  sqrt is correctly rounded
+# by IEEE 754 and deliberately absent.
+_LIBM = re.compile(r"\b(ln|log|log2|log10|log1p|exp|exp2|pow|power)\s*\(",
+                   re.I)
+# Aggregates that are float-valued regardless of input type.
+_FLOAT_AGG = re.compile(
+    r"\b(avg|mean|stddev\w*|var_pop|var_samp|variance|covar\w*|corr)\s*\(",
+    re.I)
+
+
+def _skip_literal_back(sql: str, i: int) -> int:
+    """i points at a closing quote while scanning BACKWARD; return the
+    index just before the literal's opening quote ('' escapes stay
+    inside the literal)."""
+    j = i - 1
+    while j >= 0:
+        if sql[j] == "'":
+            if j > 0 and sql[j - 1] == "'":
+                j -= 2
+                continue
+            return j - 1
+        j -= 1
+    return -1
+
+
+def _expr_before(sql: str, pos: int) -> str:
+    """The SQL expression text ending at ``pos`` — scan backward to the
+    enclosing top-level comma, open paren, or SELECT keyword.  Used to
+    recover the defining expression of an ``<expr> AS alias`` item."""
+    depth, i, start = 0, pos - 1, 0
+    while i >= 0:
+        c = sql[i]
+        if c == "'":
+            i = _skip_literal_back(sql, i)
+            continue
+        if c == ")":
+            depth += 1
+        elif c == "(":
+            if depth == 0:
+                start = i + 1
+                break
+            depth -= 1
+        elif c == "," and depth == 0:
+            start = i + 1
+            break
+        i -= 1
+    expr = sql[start:pos]
+    expr = re.sub(r"^\s*select\s+(distinct\s+)?", "", expr, flags=re.I)
+    return expr.strip()
+
+
+def _alias_defs(sql: str, ident: str) -> list[str]:
+    """Every defining expression for ``<expr> AS ident`` in the SQL."""
+    return [_expr_before(sql, m.start())
+            for m in re.finditer(rf"\bAS\s+{re.escape(ident)}\b", sql, re.I)]
+
+
+def _match_paren(sql: str, open_pos: int) -> int:
+    """Index of the ')' matching the '(' at open_pos (string-literal
+    aware, forward scan)."""
+    depth, j, in_str = 0, open_pos + 1, False
+    while j < len(sql):
+        c = sql[j]
+        if in_str:
+            if c == "'":
+                if j + 1 < len(sql) and sql[j + 1] == "'":
+                    j += 1
+                else:
+                    in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                return j
+            depth -= 1
+        j += 1
+    return len(sql)
+
+
+def _split_top_commas(s: str) -> list[str]:
+    parts, depth, cur, in_str = [], 0, [], False
+    for c in s:
+        if in_str:
+            cur.append(c)
+            if c == "'":
+                in_str = False
+            continue
+        if c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        cur.append(c)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _machine_dep_key(sql: str, expr: str, depth: int = 0) -> bool:
+    """True when an ordering key derives from libm or a float aggregate
+    WITHOUT passing through round().  Bare identifiers resolve through
+    ``AS`` aliases (CTE columns), bounded depth."""
+    e = expr.strip()
+    if re.match(r"^\s*(audit_)?round\s*\(", e, re.I):
+        return False  # rounded key: covered by the distance bars
+    if _LIBM.search(e) or _FLOAT_AGG.search(e):
+        return True
+    # float-valued sums: sum(...) combined with division / double casts
+    # / float literals in the same expression
+    if (re.search(r"\bsum\s*\(", e, re.I)
+            and re.search(r"::DOUBLE|/|\d\.\d", e)):
+        return True
+    m = re.match(r"^(?:\w+\.)?(\w+)$", e)
+    if m and depth < 5:
+        return any(_machine_dep_key(sql, d, depth + 1)
+                   for d in _alias_defs(sql, m.group(1)))
+    return False
+
+
+def _strip_order_suffix(key: str) -> str:
+    prev = None
+    while prev != key:
+        prev = key
+        key = re.sub(r"\s+(asc|desc|nulls\s+(first|last))\s*$", "",
+                     key.strip(), flags=re.I)
+    return key
+
+
+def ordering_violations(sql: str) -> list[str]:
+    """Check 2: every ranking-window ORDER BY key and every global
+    ORDER BY … LIMIT key must be machine-independent or round-wrapped."""
+    bad: list[str] = []
+    # ranking window functions
+    for m in _RANKING.finditer(sql):
+        args_close = _match_paren(sql, sql.index("(", m.end() - 1))
+        m2 = re.match(r"\s*over\s*\(", sql[args_close + 1:], re.I)
+        if not m2:
+            continue
+        over_open = args_close + 1 + m2.end() - 1
+        over = sql[over_open + 1:_match_paren(sql, over_open)]
+        om = re.search(r"\border\s+by\b(.*)$", over, re.I | re.S)
+        if not om:
+            continue
+        for key in _split_top_commas(om.group(1)):
+            key = _strip_order_suffix(key)
+            if _machine_dep_key(sql, key):
+                bad.append(f"{m.group(1)}() over machine-dependent key "
+                           f"{key!r}")
+    # global top-k selection: ORDER BY … LIMIT (window-internal ORDER
+    # BYs are masked out first so the non-greedy span cannot start
+    # inside an OVER clause)
+    masked = sql
+    for m in re.finditer(r"\bover\s*\(", masked, re.I):
+        close = _match_paren(masked, m.end() - 1)
+        masked = masked[:m.end()] + " " * (close - m.end()) + masked[close:]
+    for m in re.finditer(r"\border\s+by\s+(.*?)\s+limit\s+\d", masked,
+                         re.I | re.S):
+        for key in _split_top_commas(m.group(1)):
+            key = _strip_order_suffix(key)
+            if _machine_dep_key(sql, key):
+                bad.append(f"ORDER BY … LIMIT over machine-dependent key "
+                           f"{key!r}")
+    return bad
+
+
+def _round_produced(sql: str, col: str, depth: int = 0) -> bool:
+    """True when every plausible definition of output column ``col``
+    passes through round() (resolved through aliases, bounded depth)."""
+    defs = _alias_defs(sql, col)
+    if not defs:
+        return False
+    for e in defs:
+        if re.search(r"\bround\s*\(", e, re.I):
+            continue
+        m = re.match(r"^(?:\w+\.)?(\w+)$", e.strip())
+        if m and m.group(1) != col and depth < 5 \
+                and _round_produced(sql, m.group(1), depth + 1):
+            continue
+        return False
+    return True
 
 # No-round entries whose DOUBLE output columns are verified raw
 # parquet passthroughs (bit-identical cross-engine by construction).
@@ -295,23 +462,29 @@ def audit(sf_dir: str) -> tuple[int, dict]:
                 f"({_INTERPOLATION.search(e.sql).group(1)}) — the surface "
                 f"unique to the r8 driver failures; grade ranks or exact "
                 f"integers instead")
+        for v in ordering_violations(e.sql):
+            failures.append(
+                f"{name}: {v} — an integer that encodes the ordering of "
+                f"libm/float-aggregate doubles is machine-dependent "
+                f"(CORRECTNESS_r09's failure class); round the key (with "
+                f"an integer tie-break) or grade a non-ordered surface")
         has_round = bool(re.search(r"\bround\s*\(", e.sql, flags=re.I))
         dcols = double_cols(con, e.sql)
         cls = CLASSES.get(name)
+        # check 5: EVERY double output column — round-produced,
+        # registered passthrough, or fail (runs regardless of has_round;
+        # the r9 version skipped round-bearing entries, so a bare
+        # ln()/float-sum column beside a rounded one went unaudited)
+        uncovered = [c for c in dcols
+                     if c not in PASSTHROUGH_OK.get(name, set())
+                     and not _round_produced(e.sql, c)]
+        if uncovered:
+            failures.append(
+                f"{name}: double column(s) {uncovered} are neither "
+                f"produced by a round() site nor registered raw "
+                f"passthroughs in PASSTHROUGH_OK — classify or redesign")
         if not has_round:
-            # doubles with no round must be REGISTERED passthroughs
-            # (raw parquet values, bit-identical cross-engine) — a
-            # computed-but-unrounded double (bare ln()/float-sum
-            # projection) is machine-dependent and must not reach the
-            # driver hash unaudited
             if dcols:
-                unregistered = [c for c in dcols
-                                if c not in PASSTHROUGH_OK.get(name, set())]
-                if unregistered:
-                    failures.append(
-                        f"{name}: double column(s) {unregistered} have no "
-                        f"round() and are not registered raw passthroughs "
-                        f"in PASSTHROUGH_OK — classify or redesign")
                 report[name] = {"class": "passthrough", "double_cols": dcols}
             continue
         if cls is None:
@@ -348,18 +521,6 @@ def audit(sf_dir: str) -> tuple[int, dict]:
                 f"(e.g. {min_x!r} at dp {min_dp}) — safe while both engine "
                 f"builds round half away from zero (empirically true "
                 f"through r8); flag for review if a build changes")
-
-    for name, spec in ORDER_GAP_CHECKS.items():
-        gaps = [r[0] for r in con.execute(spec["sql"]).fetchall()]
-        min_gap = min(gaps) if gaps else float("inf")
-        report[f"{name}::order_gap"] = {
-            "class": "order-gap", "bar": spec["bar"], "min_gap": min_gap,
-            "n_gaps": len(gaps),
-        }
-        if min_gap <= spec["bar"]:
-            failures.append(f"{name}: min adjacent sort-key gap {min_gap:.3e}"
-                            f" <= bar {spec['bar']:.0e} — integer ranks may "
-                            f"not replay across engines")
 
     con.close()
     return (1 if failures else 0), {"failures": failures,
