@@ -1756,7 +1756,8 @@ def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN len(w) >= 3 THEN
                    list_distinct(list_transform(range(1, len(w) - 1),
                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-               ELSE [array_to_string(w, ' ')] END AS shingles
+               ELSE list_filter([array_to_string(w, ' ')],
+                                x -> x <> '') END AS shingles
         FROM words
     ),
     bgrams AS (
@@ -1780,7 +1781,9 @@ def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT dd.doc_id
         FROM dd JOIN sh USING (doc_id)
         LEFT JOIN hitcnt USING (doc_id)
-        WHERE round(coalesce(n_hits, 0)::DOUBLE / len(sh.shingles), 4) > 0.1
+        WHERE round(CASE WHEN len(sh.shingles) > 0
+                         THEN coalesce(n_hits, 0)::DOUBLE / len(sh.shingles)
+                    END, 4) > 0.1
     ),
     clean AS (SELECT dd.* FROM dd ANTI JOIN flagged USING (doc_id)),
     sizes AS (

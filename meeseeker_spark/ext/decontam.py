@@ -33,9 +33,13 @@ def contamination(docs: DataFrame, bench: DataFrame,
     Returns (doc_id, n_grams, n_hits, overlap_frac, contaminated): the
     document's distinct n-gram count, how many of those also occur
     anywhere in ``bench``, the fraction, and the ≥1-hit flag.  Every
-    document appears (a doc's shingle list is never empty — sub-n docs
-    carry their whole text as one shingle), so the output is a full
-    screening report, not just the contaminated subset.
+    document appears — sub-n docs carry their whole text as one
+    shingle, and docs whose text is NULL (so their shingle array is
+    NULL) survive via explode_outer with n_grams = 0, n_hits = 0, NULL
+    overlap_frac and contaminated = false (ADVICE r9: a plain explode
+    silently dropped them from the "full screening report", and
+    training_funnel/decontaminate inherited the hole — a NULL-text doc
+    could neither be screened nor counted).
 
     Plan shape (r9 rewrite, measured 16×): ONE corpus shingle explode
     feeding ONE aggregate that counts n_grams and n_hits together off a
@@ -48,24 +52,33 @@ def contamination(docs: DataFrame, bench: DataFrame,
     17 s at sf0.1.  With the single aggregate nothing can push below
     the groupBy, and the shingles are built once per row.
     """
+    # A NULL/empty-token doc's shingle list is [""] (concat_ws coerces a
+    # NULL token array to one empty string) — strip it on BOTH sides so
+    # such docs report zero grams instead of one phantom gram that can
+    # even collide with a benchmark side's own phantom.
+    nonempty = lambda c: F.filter(c, lambda x: x != F.lit(""))  # noqa: E731
     bench_grams = (
         shingle_df(bench, id_col, text_col, n)
-        .select(F.explode("_sh").alias("_g")).distinct()
+        .select(F.explode(nonempty(F.col("_sh"))).alias("_g")).distinct()
         .withColumn("_hit", F.lit(1))
     )
     report = (
         shingle_df(docs, id_col, text_col, n)
-        .select("_id", F.explode("_sh").alias("_g"))
+        .select("_id", F.explode_outer(nonempty(F.col("_sh"))).alias("_g"))
         .join(F.broadcast(bench_grams), "_g", "left")
         .groupBy("_id")
-        .agg(F.count("*").alias("n_grams"),
+        # count(_g), not count(*): the explode_outer placeholder row of
+        # a NULL/empty-shingle doc must tally zero grams, not one
+        .agg(F.count("_g").alias("n_grams"),
              F.count("_hit").alias("n_hits"))
     )
     return report.select(
         F.col("_id").alias(id_col),
         "n_grams",
         "n_hits",
-        F.round(F.col("n_hits") / F.col("n_grams"), 4).alias("overlap_frac"),
+        F.round(F.when(F.col("n_grams") > 0,
+                       F.col("n_hits") / F.col("n_grams")), 4)
+        .alias("overlap_frac"),
         (F.col("n_hits") > 0).alias("contaminated"),
     )
 

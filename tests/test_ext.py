@@ -1169,7 +1169,8 @@ def test_contamination_vs_duckdb(spark):
                    CASE WHEN len(w) >= 3 THEN
                        list_distinct(list_transform(range(1, len(w) - 1),
                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-                   ELSE [array_to_string(w, ' ')] END AS shingles
+                   ELSE list_filter([array_to_string(w, ' ')],
+                                    x -> x <> '') END AS shingles
             FROM words
         ),
         bgrams AS (
@@ -1186,14 +1187,41 @@ def test_contamination_vs_duckdb(spark):
             SELECT corpus.doc_id,
                    len(shingles)::BIGINT AS n_grams,
                    coalesce(n_hits, 0)::BIGINT AS n_hits,
-                   round(coalesce(n_hits, 0)::DOUBLE / len(shingles), 4)
-                       AS overlap_frac,
+                   round(CASE WHEN len(shingles) > 0
+                              THEN coalesce(n_hits, 0)::DOUBLE
+                                   / len(shingles)
+                         END, 4) AS overlap_frac,
                    coalesce(n_hits, 0) > 0 AS contaminated
             FROM corpus LEFT JOIN hits ON corpus.doc_id = hits.doc_id
         )
     """).fetchall())
     con.close()
     assert s == d
+
+
+def test_contamination_null_text_full_report(spark):
+    """ADVICE r9 low: a NULL-text doc must still appear in the 'full
+    screening report' — n_grams=0, n_hits=0, NULL overlap_frac,
+    contaminated=false — instead of vanishing through the explode; and
+    decontaminate must keep (not drop, not crash on) such docs."""
+    from pyspark.sql import Row
+
+    from meeseeker_spark.ext.decontam import contamination, decontaminate
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma shared tail here"),
+         Row(doc_id=2, text=None),
+         Row(doc_id=3, text="totally different words entirely now")])
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text="alpha beta gamma shared tail here")])
+    rep = {r["doc_id"]: r for r in contamination(docs, bench, n=3).collect()}
+    assert set(rep) == {1, 2, 3}
+    assert rep[2]["n_grams"] == 0 and rep[2]["n_hits"] == 0
+    assert rep[2]["overlap_frac"] is None
+    assert rep[2]["contaminated"] is False
+    assert rep[1]["contaminated"] is True
+    kept = {r["doc_id"] for r in decontaminate(docs, bench, n=3).collect()}
+    assert kept == {2, 3}
 
 
 def test_decontaminate_drops_flagged(docs):
