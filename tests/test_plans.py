@@ -311,6 +311,24 @@ def test_perplexity_buckets_sharded_rank_plan(spark):
     assert plan.count("hashpartitioning(_shard") == 1
 
 
+def test_perplexity_ngram_counts_plan(spark):
+    """The integer-only LM surface (r10 bisect entry): pure JVM codegen
+    (no Python), no single-partition stage, map-side partial counts
+    before every exchange, and the per-doc result reaches the doc
+    universe through a broadcast left join (the counts side is one row
+    per doc with bigrams — never a corpus-side SMJ); the scan reads
+    only (doc_id, text)."""
+    plan = explain_str(
+        catalog.ENTRIES["perplexity_ngram_counts"].spark(spark, SF))
+    assert "python" not in plan.lower()
+    assert "SinglePartition" not in plan
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "source" not in read_schema and "lang" not in read_schema
+
+
 def test_dsir_broadcasts_ratio_and_takes_ordered(spark):
     """DSIR: the ≤B-row log-ratio table broadcasts onto the corpus's
     (doc, bucket) pairs, and the top-k is TakeOrderedAndProject — never
