@@ -1781,9 +1781,7 @@ def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT dd.doc_id
         FROM dd JOIN sh USING (doc_id)
         LEFT JOIN hitcnt USING (doc_id)
-        WHERE round(CASE WHEN len(sh.shingles) > 0
-                         THEN coalesce(n_hits, 0)::DOUBLE / len(sh.shingles)
-                    END, 4) > 0.1
+        WHERE 10 * coalesce(n_hits, 0) > len(sh.shingles)
     ),
     clean AS (SELECT dd.* FROM dd ANTI JOIN flagged USING (doc_id)),
     sizes AS (
@@ -1837,11 +1835,15 @@ def training_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composition details mirrored in the oracle: bench = the 1-in-19
     doc_id slice (same as contamination_screen), dedup survivor =
-    min doc_id per exact text, screen = 3-gram overlap fraction above
-    0.1 disqualifies (max_overlap tolerance chosen so BOTH outcomes are
-    populated on the fixture — 422 of 473 dedup survivors pass; the
-    any-hit 0.0 default keeps only 52 on this shared-vocabulary
-    fixture, grading a thinner hash), mixture = en 0.25 / others
+    min doc_id per exact text, screen = 3-gram overlap above 0.1
+    disqualifies — compared EXACTLY as 10·n_hits > n_grams (r10: both
+    engines decide on integers; Spark's double n_hits > 0.1·n_grams is
+    provably equivalent for any n_grams < 2^49, and the report's 4-dp
+    rounding never enters the drop decision) (max_overlap tolerance
+    chosen so BOTH outcomes are populated on the fixture — 422 of 473
+    dedup survivors pass; the any-hit 0.0 default keeps only 52 on
+    this shared-vocabulary fixture, grading a thinner hash),
+    mixture = en 0.25 / others
     0.1875 against the post-screen corpus size as the in-plan budget.  Scale shape: three
     shuffles (dedup window, gram join, mixture's size agg) plus the
     narrow copy explode — each stage's plan is the same one its

@@ -101,20 +101,29 @@ def benchmark_coverage(docs: DataFrame, bench: DataFrame,
     doc count needs the gram→doc posting join — the same shape (and the
     same stop-gram hazard) as jaccard_ngram_pairs, so ``max_df`` drops
     grams whose posting list exceeds it before the join (n_corpus_docs
-    becomes a lower bound; coverage_frac is unaffected)."""
+    becomes a lower bound; coverage_frac is unaffected).
+
+    Same phantom-gram guard as ``contamination`` (r10 self-review): a
+    NULL/empty-text doc's shingle list is [""], so without the filter a
+    contentless benchmark doc would collide with every contentless
+    corpus doc and report coverage 1.0.  Such bench docs stay in the
+    report (explode_outer) with n_grams = 0 and NULL coverage_frac."""
+    nonempty = lambda c: F.filter(c, lambda x: x != F.lit(""))  # noqa: E731
     bgrams = (
         shingle_df(bench, id_col, text_col, n)
-        .select(F.col("_id").alias("bench_id"), F.explode("_sh").alias("_g"))
+        .select(F.col("_id").alias("bench_id"),
+                F.explode_outer(nonempty(F.col("_sh"))).alias("_g"))
     )
     postings = (
         shingle_df(docs, id_col, text_col, n)
-        .select(F.col("_id").alias("_cid"), F.explode("_sh").alias("_g"))
+        .select(F.col("_id").alias("_cid"),
+                F.explode(nonempty(F.col("_sh"))).alias("_g"))
     )
     gram_set = postings.groupBy("_g").agg(F.count("*").alias("_df"))
     cov = (
         bgrams.join(gram_set, "_g", "left")
         .groupBy("bench_id")
-        .agg(F.count("*").cast("bigint").alias("n_grams"),
+        .agg(F.count("_g").cast("bigint").alias("n_grams"),
              F.count("_df").cast("bigint").alias("n_covered"))
     )
     if max_df is not None:
@@ -129,7 +138,8 @@ def benchmark_coverage(docs: DataFrame, bench: DataFrame,
         cov.join(touch, "bench_id", "left")
         .select(
             "bench_id", "n_grams", "n_covered",
-            F.round(F.col("n_covered") / F.col("n_grams"), 4)
+            F.round(F.when(F.col("n_grams") > 0,
+                           F.col("n_covered") / F.col("n_grams")), 4)
             .alias("coverage_frac"),
             F.coalesce(F.col("n_corpus_docs"), F.lit(0)).cast("bigint")
             .alias("n_corpus_docs"),
@@ -143,10 +153,17 @@ def decontaminate(docs: DataFrame, bench: DataFrame,
     """Drop documents whose benchmark overlap exceeds ``max_overlap``
     (0.0 = any shared n-gram disqualifies — the conservative default).
     Anti-join on the flagged id set; docs pass through otherwise
-    untouched."""
+    untouched.
+
+    The drop decision compares ``n_hits > n_grams·max_overlap`` on the
+    exact integers — NOT the report's 4-dp-rounded ``overlap_frac``
+    (r10 self-review): at production scale a doc with 25k distinct
+    13-grams and one benchmark collision has overlap 4e-5, which
+    rounds to 0.0000 and would survive a 0.0 threshold that promises
+    "any shared n-gram disqualifies"."""
     flagged = (
         contamination(docs, bench, id_col, text_col, n)
-        .where(F.col("overlap_frac") > max_overlap)
+        .where(F.col("n_hits") > F.col("n_grams") * F.lit(float(max_overlap)))
         .select(id_col)
     )
     return docs.join(flagged, id_col, "left_anti")

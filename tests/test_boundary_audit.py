@@ -189,6 +189,44 @@ def test_ordering_ban_catches_raw_libm_topk_limit():
     assert ba.ordering_violations(ok) == []
 
 
+def test_ordering_ban_resolves_wrapped_identifiers():
+    """r10 self-review: '-xent', 'abs(xent)', 'xent + 0.0' and
+    'CAST(xent AS DOUBLE)' must not smuggle a raw libm key past the
+    ban — every column-looking identifier in the key resolves."""
+    base = """
+    WITH scored AS (
+        SELECT doc_id, -sum(c * ln(b + 0.5)) / sum(c) AS xent
+        FROM per_doc GROUP BY doc_id)
+    SELECT doc_id, row_number() OVER (ORDER BY {key}, doc_id) AS rk
+    FROM scored
+    """
+    for key in ["-xent", "abs(xent)", "xent + 0.0",
+                "CAST(xent AS DOUBLE)", "xent DESC NULLS LAST"]:
+        assert ba.ordering_violations(base.format(key=key)), key
+    # integer identifiers through the same wrappers stay legal
+    ok = """
+    WITH scored AS (
+        SELECT doc_id, count(*) AS n FROM per_doc GROUP BY doc_id)
+    SELECT doc_id, row_number() OVER (ORDER BY -n, doc_id) AS rk
+    FROM scored
+    """
+    assert ba.ordering_violations(ok) == []
+
+
+def test_round_produced_requires_top_level_round():
+    """r10 self-review: round() must BE the column's value, not merely
+    appear inside it — 'round(a,4) + ln(b)' is machine-dependent."""
+    sql = "SELECT round(a, 4) + ln(b) AS score FROM t"
+    assert not ba._round_produced(sql, "score")
+    sql2 = "SELECT ln(round(x, 4)) AS y FROM t"
+    assert not ba._round_produced(sql2, "y")
+    # transparent shells stay legal: coalesce fallback / cast of a round
+    sql3 = "SELECT coalesce(round(x, 4), 0.0) AS w FROM t"
+    assert ba._round_produced(sql3, "w")
+    sql4 = "SELECT CAST(round(x, 4) AS DOUBLE) AS v FROM t"
+    assert ba._round_produced(sql4, "v")
+
+
 def test_no_graded_oracle_has_ordering_violations():
     """Registry-wide: no driver-graded oracle ranks or top-k-selects
     over a machine-dependent unrounded key (the CORRECTNESS_r09

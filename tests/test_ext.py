@@ -1224,6 +1224,51 @@ def test_contamination_null_text_full_report(spark):
     assert kept == {2, 3}
 
 
+def test_decontaminate_zero_tolerance_not_defeated_by_rounding(spark):
+    """r10 self-review: the drop decision must compare exact integers —
+    a large doc with ONE benchmark collision (overlap ~4e-5 here)
+    rounds to 0.0 at 4 dp and previously survived the 'any shared
+    n-gram disqualifies' default."""
+    from pyspark.sql import Row
+
+    from meeseeker_spark.ext.decontam import contamination, decontaminate
+
+    big = " ".join(f"w{i}" for i in range(25000)) + " leak gram here"
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=big),
+         Row(doc_id=2, text="clean words only nothing shared")])
+    bench = spark.createDataFrame([Row(doc_id=100, text="leak gram here")])
+    rep = {r["doc_id"]: r for r in contamination(docs, bench, n=3).collect()}
+    assert rep[1]["n_hits"] >= 1
+    assert rep[1]["overlap_frac"] == 0.0  # the 4-dp report rounds away...
+    kept = {r["doc_id"] for r in decontaminate(docs, bench, n=3).collect()}
+    assert kept == {2}  # ...but the exact decision still drops it
+
+
+def test_benchmark_coverage_empty_bench_doc_no_phantom(spark):
+    """r10 self-review: a contentless benchmark doc must not collide
+    with contentless corpus docs through the phantom '' shingle (it
+    used to report coverage 1.0); it stays in the report with zero
+    grams and NULL coverage."""
+    from pyspark.sql import Row
+
+    from meeseeker_spark.ext.decontam import benchmark_coverage
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=""),
+         Row(doc_id=2, text="real corpus words appear here")])
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text=None),
+         Row(doc_id=101, text="real corpus words appear here")])
+    rep = {r["bench_id"]: r
+           for r in benchmark_coverage(docs, bench, n=3).collect()}
+    assert set(rep) == {100, 101}
+    assert rep[100]["n_grams"] == 0 and rep[100]["n_covered"] == 0
+    assert rep[100]["coverage_frac"] is None
+    assert rep[100]["n_corpus_docs"] == 0
+    assert rep[101]["n_covered"] >= 1
+
+
 def test_decontaminate_drops_flagged(docs):
     from meeseeker_spark.ext.decontam import contamination, decontaminate
 

@@ -111,10 +111,21 @@ def test_no_pinned_cache_after_return(spark):
     spark.catalog.clearCache()
     sc = spark.sparkContext
 
-    def n_persisted():
-        return sc._jsc.getPersistentRDDs().size()
+    def pinned_ids():
+        # RDD *ids*, not a count: earlier tests' localCheckpoint residue
+        # can be released by the ContextCleaner mid-test (a Python GC at
+        # an unlucky moment), so a before/after COUNT comparison flakes —
+        # r10 preflight caught exactly that (base 5 → end 0).  A leak by
+        # heavy_hitters would be a NEW id, invariant to concurrent
+        # cleanup of old ids.
+        m = sc._jsc.getPersistentRDDs()
+        it = m.keySet().iterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
 
-    base = n_persisted()
+    base = pinned_ids()
     # certified path (zipfian head) and fallback path (uniform)
     docs_hot = _docs(spark, _zipf_texts())
     out = heavy_hitters(docs_hot, k=5, budget=16)
@@ -123,4 +134,4 @@ def test_no_pinned_cache_after_return(spark):
     heavy_hitters(uniform, k=5, budget=8).collect()
     # bound == 0 path (budget covers the vocabulary)
     heavy_hitters(docs_hot, k=5, budget=100000).collect()
-    assert n_persisted() == base
+    assert pinned_ids() - base == set()

@@ -256,10 +256,43 @@ def _split_top_commas(s: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
+# SQL keywords/types that look like identifiers inside an ORDER BY key
+# expression but never name a column
+_NON_COLUMN_WORDS = frozenset("""
+    as asc desc nulls first last cast try_cast case when then else end
+    and or not in is null true false between like distinct select from
+    where group by order limit over partition rows range unbounded
+    preceding following current row interval
+    bigint integer int smallint tinyint hugeint double float real
+    decimal numeric varchar char text string boolean bool date
+    timestamp time blob bytea
+""".split())
+
+
+def _key_idents(expr: str) -> list[str]:
+    """Column-looking identifiers inside an ORDER BY key expression:
+    word tokens that are not function calls (followed by '('), not SQL
+    keywords/type names, and not string-literal content."""
+    no_str = re.sub(r"'(?:[^']|'')*'", " ", expr)
+    out = []
+    for m in re.finditer(r"\b([A-Za-z_]\w*)\b", no_str):
+        rest = no_str[m.end():]
+        if re.match(r"\s*\(", rest):
+            continue  # function call
+        w = m.group(1).lower()
+        if w in _NON_COLUMN_WORDS:
+            continue
+        out.append(m.group(1))
+    return out
+
+
 def _machine_dep_key(sql: str, expr: str, depth: int = 0) -> bool:
     """True when an ordering key derives from libm or a float aggregate
-    WITHOUT passing through round().  Bare identifiers resolve through
-    ``AS`` aliases (CTE columns), bounded depth."""
+    WITHOUT passing through round().  EVERY column-looking identifier in
+    the key expression resolves through ``AS`` aliases (CTE columns),
+    bounded depth — a bare-identifier-only resolution would let
+    ``-xent`` / ``abs(xent)`` / ``xent + 0.0`` smuggle a raw libm key
+    past the ban (r10 self-review finding)."""
     e = expr.strip()
     if re.match(r"^\s*(audit_)?round\s*\(", e, re.I):
         return False  # rounded key: covered by the distance bars
@@ -270,10 +303,14 @@ def _machine_dep_key(sql: str, expr: str, depth: int = 0) -> bool:
     if (re.search(r"\bsum\s*\(", e, re.I)
             and re.search(r"::DOUBLE|/|\d\.\d", e)):
         return True
-    m = re.match(r"^(?:\w+\.)?(\w+)$", e)
-    if m and depth < 5:
-        return any(_machine_dep_key(sql, d, depth + 1)
-                   for d in _alias_defs(sql, m.group(1)))
+    if depth >= 5:
+        return False
+    for ident in _key_idents(e):
+        for d in _alias_defs(sql, ident):
+            if d.strip().lower() == e.strip().lower():
+                continue  # self-referential (e.g. `x AS x`)
+            if _machine_dep_key(sql, d, depth + 1):
+                return True
     return False
 
 
@@ -323,14 +360,41 @@ def ordering_violations(sql: str) -> list[str]:
     return bad
 
 
+def _is_round_wrapped(expr: str) -> bool:
+    """The expression IS one round(...) call (possibly inside
+    coalesce/CAST shells) — not merely containing round somewhere:
+    ``round(a,4) + ln(b)`` must NOT count as round-produced (r10
+    self-review finding), or an unaudited raw-libm term rides a rounded
+    sibling past check 5."""
+    e = expr.strip()
+    # peel transparent shells whose value IS their (first) argument
+    while True:
+        m = re.match(r"^(coalesce|cast|try_cast)\s*\(", e, re.I)
+        if not m:
+            break
+        open_pos = m.end() - 1
+        close = _match_paren(e, open_pos)
+        if close != len(e.rstrip()) - 1:
+            return False
+        inner = e[m.end():close]
+        # first top-level argument (coalesce fallbacks / CAST "AS t"
+        # don't un-round a rounded value)
+        first = _split_top_commas(inner)[0]
+        e = re.sub(r"\s+AS\s+\w+\s*$", "", first, flags=re.I).strip()
+    m = re.match(r"^(audit_)?round\s*\(", e, re.I)
+    if not m:
+        return False
+    return _match_paren(e, e.index("(", m.start())) == len(e.rstrip()) - 1
+
+
 def _round_produced(sql: str, col: str, depth: int = 0) -> bool:
-    """True when every plausible definition of output column ``col``
-    passes through round() (resolved through aliases, bounded depth)."""
+    """True when every plausible definition of output column ``col`` IS
+    a round() call (resolved through aliases, bounded depth)."""
     defs = _alias_defs(sql, col)
     if not defs:
         return False
     for e in defs:
-        if re.search(r"\bround\s*\(", e, re.I):
+        if _is_round_wrapped(e):
             continue
         m = re.match(r"^(?:\w+\.)?(\w+)$", e.strip())
         if m and m.group(1) != col and depth < 5 \
