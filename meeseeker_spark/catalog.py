@@ -3207,6 +3207,81 @@ def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                          k=25, budget=4096)
 
 
+@register("bloom_screen", None, tags=("F6", "F2"))
+def bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership prescreen of a probe batch against the
+    corpus content-fingerprint set (ext.sketch — the sparse-bitmap
+    sketch family).  Probes: every doc_id%5==0 doc's fingerprint (true
+    members) plus a planted 'novel:<doc_id>' key per doc_id%5==1 doc
+    (true non-members — a 'novel:' prefix can never equal a 32-hex
+    md5).  Output (probe_key, is_member, maybe_seen): is_member is the
+    exact ground truth via a left join on the distinct corpus keys, so
+    the sketch's one-sided guarantee is checkable from the output alone
+    — is_member ⇒ maybe_seen, always; ¬maybe_seen ⇒ ¬is_member.
+
+    Scale: the bitmap is ≤ m/32 = 256 rows NO MATTER the corpus size
+    (the whole point — probing it is a broadcast hash join + bool_and,
+    vs shuffle-joining every batch against the full corpus key set);
+    the build is one narrow explode + one map-side-combined bit_or.  At
+    m=8192/k=5 and the sf0.01 corpus (500 keys), FPR ≈ (1−e^{−kn/m})^5
+    ≈ 1.3e-3.  All integer/boolean output and md5-only hashing —
+    boundary-safe rotation fodder under the r9/r10 hash rule; exact
+    bit-for-bit DuckDB parity (flags AND bitmap words) in
+    tests/test_ext.py::test_bloom_screen_vs_duckdb."""
+    from .ext.sketch import bloom_bitmap, bloom_membership
+    from .ext.text import fingerprint
+
+    docs = load(spark, sf_dir, "documents")
+    corpus_keys = docs.select(
+        fingerprint(F.col("text")).alias("key")).distinct()
+    member = docs.where(F.col("doc_id") % 5 == 0).select(
+        fingerprint(F.col("text")).alias("probe_key"))
+    novel = docs.where(F.col("doc_id") % 5 == 1).select(
+        F.concat(F.lit("novel:"), F.col("doc_id").cast("string"))
+        .alias("probe_key"))
+    probes = (
+        member.unionByName(novel).distinct()
+        .join(corpus_keys.select(F.col("key").alias("probe_key"),
+                                 F.lit(True).alias("_m")),
+              "probe_key", "left")
+        .withColumn("is_member", F.coalesce(F.col("_m"), F.lit(False)))
+        .drop("_m"))
+    bitmap = bloom_bitmap(corpus_keys, "key", m_bits=8192, k=5)
+    return bloom_membership(probes, bitmap, "probe_key", m_bits=8192, k=5)
+
+
+@register("cms_counts", None, tags=("F6", "F4"))
+def cms_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates vs exact counts for the
+    top-25 tokens (ext.sketch, Cormode & Muthukrishnan 2005): (token,
+    n_exact, n_est) with n_est = min over depth=4 md5-hashed cells of
+    width 2048.  n_est ≥ n_exact unconditionally (collisions only add)
+    and the gap is the honest measured overcount at this (d, w).
+
+    Scale: the sketch is ≤ d×w = 8192 cell rows built by ONE
+    map-side-combined groupBy — at 100 TB the full token stream reduces
+    to a broadcastable cell table in a single pass, and merging shards'
+    sketches is cell-wise addition (exact identity pinned in
+    tests/test_ext.py::test_cms_merge_is_concat).  All-integer output —
+    boundary-safe rotation fodder; exact DuckDB parity in
+    tests/test_ext.py::test_cms_counts_vs_duckdb."""
+    from .ext.sketch import cms_counts
+    return cms_counts(load(spark, sf_dir, "documents"),
+                      k=25, depth=4, width=2048)
+
+
+@register("kn_quality_scores", None, tags=("F4", "quality"))
+def kn_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy under an interpolated Kneser-Ney bigram
+    model of the corpus (ext.lm.kn_bigram_scores — the smoothing the
+    CCNet/KenLM quality-filter recipe actually uses, beside
+    lm_quality_scores' add-k form).  ln is libm ⇒ machine-dependent:
+    rows-only under the r9 hash rule; exact local DuckDB parity in
+    tests/test_ext.py::test_kn_quality_scores_vs_duckdb."""
+    from .ext.lm import kn_bigram_scores
+    return kn_bigram_scores(load(spark, sf_dir, "documents"))
+
+
 def _ordered() -> list[Entry]:
     """Registry in driver-facing order: every driver-oracled entry first
     (the driver's correctness gate grades only the first 50 registrations,

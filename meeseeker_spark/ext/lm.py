@@ -287,3 +287,62 @@ def perplexity_rank_buckets(docs: DataFrame, n_buckets: int = 3,
             .alias("ppl_bucket"),
         )
     )
+
+
+def kn_bigram_scores(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", discount: float = 0.75,
+                     round_dp: int | None = 4) -> DataFrame:
+    """Per-document cross-entropy under an interpolated Kneser-Ney
+    bigram model of the corpus (Kneser & Ney 1995; Chen & Goodman 1999
+    eq. 4.24) — the smoothing KenLM/CCNet-class quality filters actually
+    use, beside ``bigram_lm_scores``' simpler add-k form:
+
+        P(w2|w1) = max(c(w1 w2) − D, 0)/c(w1·)
+                 + D·N1+(w1 ·)/c(w1·) · N1+(· w2)/N1+(· ·)
+
+    where c(w1·) is the context's bigram-token count, N1+(w1 ·) the
+    distinct continuations of w1, N1+(· w2) the distinct contexts of w2
+    (the "novel-continuation" unigram that makes KN KN), and N1+(· ·)
+    the distinct-bigram-type total.  Scoring the corpus by its own
+    model keeps every scored bigram in-vocabulary, so no OOV floor is
+    needed and P ∈ (0, 1] exactly (the two terms telescope to 1 when
+    summed over w2).
+
+    Returns (doc_id, n_bigrams, kn_xent); docs shorter than two tokens
+    keep NULL scores through the left join, mirroring
+    ``bigram_lm_scores``.  Scale shape is the same as that entry: every
+    model table is a distinct-gram aggregate with map-side partials
+    (shuffles ∝ vocabulary, never corpus size), scoring is gram-keyed
+    shuffle joins plus one crossJoin'd scalar (the distinct-type total),
+    and the per-doc reduce rides the _id shuffle.  ln is libm ⇒
+    machine-dependent: rows-only in the catalog (the r9 hash rule),
+    exact local DuckDB parity in tests/test_ext.py.
+    """
+    bi = doc_bigrams(docs, id_col, text_col).withColumn(
+        "w2", F.expr("substring(bg, char_length(w1) + 2)"))
+
+    c12 = bi.groupBy("w1", "w2").agg(F.count("*").alias("_c12"))
+    ctx = c12.groupBy("w1").agg(F.sum("_c12").alias("_c1"),
+                                F.count("*").alias("_n1fw"))
+    nbw = c12.groupBy("w2").agg(F.count("*").alias("_n1bw"))
+    types = c12.agg(F.count("*").cast("double").alias("_t"))
+
+    per_doc_bg = bi.groupBy("_id", "w1", "w2").agg(F.count("*").alias("_c"))
+    d = F.lit(discount)
+    p = (F.greatest(F.col("_c12") - d, F.lit(0.0)) / F.col("_c1")
+         + (d * F.col("_n1fw") / F.col("_c1"))
+         * (F.col("_n1bw") / F.col("_t")))
+    xent = -F.sum(F.col("_c") * F.log(p)) / F.sum("_c")
+    if round_dp is not None:
+        xent = F.round(xent, round_dp)
+    scored = (
+        per_doc_bg.join(c12, ["w1", "w2"]).join(ctx, "w1").join(nbw, "w2")
+        .crossJoin(F.broadcast(types))
+        .groupBy("_id")
+        .agg(F.sum("_c").alias("n_bigrams"), xent.alias("kn_xent"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(scored, "_id", "left")
+        .select(F.col("_id").alias(id_col), "n_bigrams", "kn_xent")
+    )

@@ -1,0 +1,205 @@
+"""Mergeable membership/frequency sketches as sparse DataFrames
+(beyond-reference LLM-pipeline / F6-sketch stage, beside the HLL entry
+``approx_cardinality`` and the Misra-Gries path in ext/heavy.py).
+
+Two sketches, one representation idea: keep the sketch itself AS a
+(tiny) DataFrame instead of a driver-side byte blob, so building it is
+one bounded groupBy, merging two sketches is a union + re-aggregate,
+and probing it is a broadcast join — no Arrow crossing, no py4j blob
+shuttling, no driver state beyond the plan.
+
+- **Bloom membership** (`bloom_bitmap` / `bloom_membership`): the
+  bitmap is ``(word_idx, word)`` rows — 32 sketch bits per BIGINT word
+  (32, not 64: DuckDB raises on ``1::BIGINT << 63``, and staying below
+  the sign bit keeps every engine's shift/bit_or on identical positive
+  values), at most ``m_bits / 32`` rows TOTAL regardless of corpus
+  size.  Build: explode each key into its k slot indices, one
+  map-side-combined ``bit_or`` groupBy.  Probe: explode the k slots,
+  broadcast-join the bitmap, ``bool_and`` per key.  At 100 TB the
+  alternative — shuffle-joining every incoming batch against the full
+  corpus key set — moves the corpus; the bitmap moves ≤ m/32 rows once
+  and every probe after that is a broadcast hash lookup.  Guarantees:
+  NO false negatives by construction (every true member's bits were
+  OR-ed in); false-positive rate ≈ (1 − e^{−kn/m})^k — size m at the
+  expected key cardinality (the classic m ≈ 1.44·k·n / ln 2 sizing),
+  it is a parameter here, not a hidden constant.
+- **Count-Min frequency** (`cms_table` / `cms_estimates`): the sketch
+  is ``(depth, pos, n)`` cell rows — at most ``depth × width`` — built
+  by one groupBy over the exploded (depth, slot) stream with map-side
+  partial counts.  Estimate = min over the key's ``depth`` cells
+  (Cormode & Muthukrishnan 2005): never an undercount (collisions only
+  add), overcount ≤ εN with probability 1−δ at width=⌈e/ε⌉,
+  depth=⌈ln 1/δ⌉.  Merging two sketches is cell-wise addition — the
+  union + sum groupBy below — which is EXACTLY the sketch of the
+  concatenated streams (pinned by test, deterministic identity, not a
+  property).
+
+Both sketches hash through ``text.md5_int32`` — the house
+oracle-reproducible hash — so every bit of the bitmap and every cell
+of the CMS is replayable in DuckDB SQL: the exactness gates in
+tests/test_ext.py compare the SKETCH CONTENTS bit-for-bit, not just
+recall statistics.  Every output is an integer/boolean (no doubles,
+no ordering over floats), so both catalog entries are boundary-safe
+rotation fodder for a future driver window under the r9/r10 hash rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import fingerprint, md5_int32
+
+#: Bits packed per bitmap word.  32 keeps ``1 << bit`` strictly below
+#: the BIGINT sign bit (DuckDB refuses the 63-bit shift outright).
+WORD_BITS = 32
+
+
+def _slot(key: Column, seed: int, modulus: int) -> Column:
+    """Deterministic slot index in [0, modulus) for (seed, key) — the
+    DuckDB twin is ``('0x'||substr(md5(seed||':'||key),1,8))::BIGINT %
+    modulus``."""
+    return md5_int32(F.concat(F.lit(f"{seed}:"), key)) % F.lit(modulus)
+
+
+def _slot_stream(df: DataFrame, key_col: str, m_bits: int,
+                 k: int) -> DataFrame:
+    """One row per (input row, seed): the key column plus its slot."""
+    slots = F.array(*[_slot(F.col(key_col), i, m_bits) for i in range(k)])
+    return df.select(key_col, F.explode(slots).alias("slot"))
+
+
+def bloom_bitmap(df: DataFrame, key_col: str = "key",
+                 m_bits: int = 8192, k: int = 5) -> DataFrame:
+    """Bloom bitmap of the key column as (word_idx, word) rows.
+
+    ≤ ``m_bits / 32`` rows total — broadcastable at ANY corpus size;
+    the build is one narrow explode plus one map-side-combined bit_or
+    aggregate (shuffle bytes bounded by m_bits/32 rows per map
+    partition, never by the corpus).
+    """
+    return (
+        _slot_stream(df, key_col, m_bits, k)
+        .select(F.expr(f"slot DIV {WORD_BITS}").alias("word_idx"),
+                F.expr(f"shiftleft(1L, CAST(slot % {WORD_BITS} AS INT))")
+                .alias("_mask"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("_mask").alias("word"))
+    )
+
+
+def bloom_membership(probe: DataFrame, bitmap: DataFrame,
+                     key_col: str = "key", m_bits: int = 8192,
+                     k: int = 5) -> DataFrame:
+    """Probe rows + a ``maybe_seen`` flag (true ⇒ possibly in the
+    corpus; false ⇒ PROVABLY not — a Bloom filter has no false
+    negatives).
+
+    Groups by every probe column, so probe rows must be distinct (the
+    screen contract: one row per candidate key).  ``m_bits``/``k``
+    must match the bitmap's build parameters — slot positions are part
+    of the sketch identity.
+    """
+    slots = F.array(*[_slot(F.col(key_col), i, m_bits) for i in range(k)])
+    probed = (
+        probe.withColumn("_slot", F.explode(slots))
+        .withColumn("word_idx", F.expr(f"_slot DIV {WORD_BITS}"))
+        .withColumn("_mask",
+                    F.expr(f"shiftleft(1L, CAST(_slot % {WORD_BITS} AS INT))"))
+        .join(F.broadcast(bitmap), "word_idx", "left")
+        .withColumn("_hit", F.coalesce(
+            F.col("word").bitwiseAND(F.col("_mask")) != 0, F.lit(False)))
+    )
+    return (probed.groupBy(*probe.columns)
+            .agg(F.bool_and("_hit").alias("maybe_seen")))
+
+
+def bloom_merge(*bitmaps: DataFrame) -> DataFrame:
+    """OR-merge bitmaps built with IDENTICAL (m_bits, k) — the merged
+    bitmap is exactly the bitmap of the concatenated key streams
+    (pinned by test_bloom_merge_is_union)."""
+    merged = bitmaps[0]
+    for b in bitmaps[1:]:
+        merged = merged.unionByName(b)
+    return merged.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
+
+
+def bloom_screen_docs(corpus: DataFrame, probe: DataFrame,
+                      text_col: str = "text", m_bits: int = 8192,
+                      k: int = 5) -> DataFrame:
+    """Membership screen of probe docs' content fingerprints against a
+    corpus bloom — the continuous-ingest "have we seen this exact text
+    before" prescreen.  Returns (probe_key, maybe_seen); join exact
+    verification downstream only for the maybe_seen=true survivors
+    (the bitmap already proves the false side)."""
+    corpus_keys = corpus.select(
+        fingerprint(F.col(text_col)).alias("key")).distinct()
+    probe_keys = probe.select(
+        fingerprint(F.col(text_col)).alias("key")).distinct()
+    bitmap = bloom_bitmap(corpus_keys, "key", m_bits, k)
+    return (bloom_membership(probe_keys, bitmap, "key", m_bits, k)
+            .withColumnRenamed("key", "probe_key"))
+
+
+def cms_table(token_df: DataFrame, token_col: str = "token",
+              depth: int = 4, width: int = 2048) -> DataFrame:
+    """Count-Min sketch of the token stream as (depth, pos, n) cell
+    rows — ≤ depth × width rows total, built by ONE map-side-combined
+    groupBy over the exploded (depth, slot) stream.  Mergeable: summing
+    two sketches cell-wise (`cms_merge`) equals sketching the
+    concatenated streams."""
+    cells = F.array(*[
+        F.struct(F.lit(i).alias("depth"),
+                 _slot(F.col(token_col), i, width).alias("pos"))
+        for i in range(depth)])
+    return (
+        token_df.select(F.explode(cells).alias("_c"))
+        .select("_c.depth", "_c.pos")
+        .groupBy("depth", "pos")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum of sketches built with IDENTICAL (depth, width)."""
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("depth", "pos").agg(F.sum("n").alias("n"))
+
+
+def cms_estimates(probe: DataFrame, cms: DataFrame,
+                  token_col: str = "token", depth: int = 4,
+                  width: int = 2048) -> DataFrame:
+    """Point-query the sketch: (token, n_est) with n_est = min over the
+    token's depth cells.  NEVER an undercount; overcount bounded by the
+    sketch's ε·N.  The cell table broadcasts (≤ depth × width rows);
+    the probe side stays narrow (token + k exploded cells)."""
+    cells = F.array(*[
+        F.struct(F.lit(i).alias("depth"),
+                 _slot(F.col(token_col), i, width).alias("pos"))
+        for i in range(depth)])
+    return (
+        probe.select(token_col, F.explode(cells).alias("_c"))
+        .select(token_col, "_c.depth", "_c.pos")
+        .join(F.broadcast(cms), ["depth", "pos"], "left")
+        .groupBy(token_col)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("n_est"))
+    )
+
+
+def cms_counts(docs: DataFrame, k: int = 25, depth: int = 4,
+               width: int = 2048, text_col: str = "text") -> DataFrame:
+    """Exact-vs-sketch comparison for the top-k tokens: (token,
+    n_exact, n_est), ordered by (n_exact desc, token).  All-integer
+    output; n_est ≥ n_exact always (CMS never undercounts) — the gap
+    IS the measured collision overcount at (depth, width)."""
+    from .heavy import token_stream
+
+    toks = token_stream(docs, text_col)
+    exact = toks.groupBy("token").agg(F.count("*").alias("n_exact"))
+    top = exact.orderBy(F.desc("n_exact"), "token").limit(k)
+    cms = cms_table(toks, "token", depth, width)
+    est = cms_estimates(top.select("token"), cms, "token", depth, width)
+    return (top.join(est, "token")
+            .select("token", "n_exact", "n_est")
+            .orderBy(F.desc("n_exact"), "token"))

@@ -5149,3 +5149,272 @@ def test_sim_noise_floor_matches_iid_theory(spark):
     # the r8 lesson, now a one-row report: 0.4 < noise_floor at dim 64
     assert 0.4 < row["noise_floor"] + 0.2  # floor ≈ 4/8 = 0.5
     assert row["noise_floor"] > 0.3
+
+
+# --- r10 sketch family: Bloom membership / Count-Min / Kneser-Ney -----
+
+
+def test_bloom_screen_vs_duckdb(spark):
+    """Exact DuckDB parity for the Bloom membership prescreen — the
+    sketch CONTENTS replay bit-for-bit through the house md5_int32 hash
+    (32 bits per BIGINT word; DuckDB refuses the 63-bit shift, which is
+    why the word is 32-bit), so the oracle checks every flag AND every
+    bitmap word, not just recall statistics."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+    from meeseeker_spark.ext.sketch import bloom_bitmap
+    from meeseeker_spark.ext.text import fingerprint
+    from meeseeker_spark.tables import load
+
+    sdf = catalog.ENTRIES["bloom_screen"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    docs = load(spark, SF, "documents")
+    keys = docs.select(fingerprint(F.col("text")).alias("key")).distinct()
+    bm = sorted(tuple(r) for r in
+                bloom_bitmap(keys, "key", m_bits=8192, k=5).collect())
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    corpus_cte = r"""
+    corpus_keys AS (
+      SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+             AS key
+      FROM documents
+    ), seeds AS (SELECT unnest(range(5)) AS i),
+    words AS (
+      SELECT slot // 32 AS word_idx,
+             bit_or(1::BIGINT << (slot % 32)::INT) AS word
+      FROM (SELECT ('0x' || substr(md5(s.i::VARCHAR || ':' || k.key), 1, 8))
+                   ::BIGINT % 8192 AS slot
+            FROM corpus_keys k CROSS JOIN seeds s)
+      GROUP BY 1
+    )"""
+    d = sorted(tuple(r) for r in con.execute(f"""
+    WITH {corpus_cte}, probes AS (
+      SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             AS probe_key
+      FROM documents WHERE doc_id % 5 = 0
+      UNION
+      SELECT DISTINCT 'novel:' || doc_id::VARCHAR
+      FROM documents WHERE doc_id % 5 = 1
+    ), flagged AS (
+      SELECT p.probe_key,
+             EXISTS (SELECT 1 FROM corpus_keys c WHERE c.key = p.probe_key)
+             AS is_member
+      FROM probes p
+    ), probe_slots AS (
+      SELECT f.probe_key, f.is_member,
+             ('0x' || substr(md5(s.i::VARCHAR || ':' || f.probe_key), 1, 8))
+             ::BIGINT % 8192 AS slot
+      FROM flagged f CROSS JOIN seeds s
+    )
+    SELECT ps.probe_key, ps.is_member,
+           bool_and(coalesce(
+               (w.word & (1::BIGINT << (ps.slot % 32)::INT)) <> 0, false))
+           AS maybe_seen
+    FROM probe_slots ps LEFT JOIN words w ON w.word_idx = ps.slot // 32
+    GROUP BY 1, 2
+    """).fetchall())
+    dbm = sorted(tuple(r) for r in con.execute(f"""
+    WITH {corpus_cte} SELECT word_idx, word FROM words
+    """).fetchall())
+    con.close()
+    assert s == d
+    assert bm == dbm  # the sketch itself, word for word
+    assert len(bm) <= 8192 // 32  # bounded regardless of corpus size
+
+
+def test_bloom_one_sided_guarantee(spark):
+    """A Bloom filter has NO false negatives: is_member ⇒ maybe_seen on
+    every probe row; false positives stay under a generous bound (the
+    analytic FPR at m=8192/k=5 and ≤1000 corpus keys is ~1e-3)."""
+    from meeseeker_spark import catalog
+
+    rows = catalog.ENTRIES["bloom_screen"].spark(spark, SF).collect()
+    members = [r for r in rows if r["is_member"]]
+    novel = [r for r in rows if not r["is_member"]]
+    assert members and novel  # both probe classes present
+    assert all(r["maybe_seen"] for r in members)  # zero false negatives
+    fp = sum(1 for r in novel if r["maybe_seen"])
+    assert fp / len(novel) <= 0.05
+
+
+def test_bloom_merge_is_union(spark):
+    """OR-merging two halves' bitmaps equals the bitmap of the union —
+    a deterministic identity (the mergeability contract), not a
+    statistical property."""
+    from meeseeker_spark.ext.sketch import bloom_bitmap, bloom_merge
+    from meeseeker_spark.ext.text import fingerprint
+    from meeseeker_spark.tables import load
+
+    docs = load(spark, SF, "documents")
+    ka = (docs.where(F.col("doc_id") % 2 == 0)
+          .select(fingerprint(F.col("text")).alias("key")).distinct())
+    kb = (docs.where(F.col("doc_id") % 2 == 1)
+          .select(fingerprint(F.col("text")).alias("key")).distinct())
+    merged = sorted(tuple(r) for r in bloom_merge(
+        bloom_bitmap(ka, "key"), bloom_bitmap(kb, "key")).collect())
+    whole = sorted(tuple(r) for r in bloom_bitmap(
+        ka.unionByName(kb).distinct(), "key").collect())
+    assert merged == whole
+
+
+def test_cms_counts_vs_duckdb(spark):
+    """Exact DuckDB parity for the Count-Min estimates (md5 cells replay
+    bit-for-bit; all-integer output)."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["cms_counts"].spark(spark, SF)
+    s = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = [tuple(r) for r in con.execute(r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ), exact AS (
+      SELECT token, count(*) AS n_exact FROM toks GROUP BY token
+    ), top AS (
+      SELECT token, n_exact FROM exact ORDER BY n_exact DESC, token LIMIT 25
+    ), depths AS (SELECT unnest(range(4)) AS depth),
+    cells AS (
+      SELECT depth,
+             ('0x' || substr(md5(d.depth::VARCHAR || ':' || t.token), 1, 8))
+             ::BIGINT % 2048 AS pos,
+             count(*) AS n
+      FROM toks t CROSS JOIN depths d
+      GROUP BY 1, 2
+    ), est AS (
+      SELECT t.token, min(coalesce(c.n, 0)) AS n_est
+      FROM (SELECT top.token, d.depth,
+                   ('0x' || substr(md5(d.depth::VARCHAR || ':' || top.token),
+                    1, 8))::BIGINT % 2048 AS pos
+            FROM top CROSS JOIN depths d) t
+      LEFT JOIN cells c ON c.depth = t.depth AND c.pos = t.pos
+      GROUP BY 1
+    )
+    SELECT top.token, top.n_exact, est.n_est
+    FROM top JOIN est ON est.token = top.token
+    ORDER BY top.n_exact DESC, top.token
+    """).fetchall()]
+    con.close()
+    assert s == d
+    assert all(r[2] >= r[1] for r in s)  # CMS never undercounts
+
+
+def test_cms_narrow_width_still_never_undercounts(spark):
+    """Force collisions with width=4 on a synthetic skewed stream: every
+    estimate still ≥ its exact count (the one-sided CMS guarantee), and
+    at least one token strictly overcounts (the collisions are real —
+    the wide-width entry showing overcount 0 is headroom, not a no-op
+    sketch)."""
+    from pyspark.sql import Row
+
+    from meeseeker_spark.ext.sketch import cms_estimates, cms_table
+
+    toks = spark.createDataFrame(
+        [Row(token=f"t{i % 13}") for i in range(400)]
+        + [Row(token="rare")])
+    cms = cms_table(toks, depth=2, width=4)
+    exact = {r["token"]: r["n"] for r in
+             toks.groupBy("token").agg(F.count("*").alias("n")).collect()}
+    probe = toks.select("token").distinct()
+    est = {r["token"]: r["n_est"] for r in
+           cms_estimates(probe, cms, depth=2, width=4).collect()}
+    assert set(est) == set(exact)
+    assert all(est[t] >= exact[t] for t in exact)
+    assert any(est[t] > exact[t] for t in exact)
+
+
+def test_cms_merge_is_concat(spark):
+    """Cell-wise summing two halves' sketches equals sketching the whole
+    stream — the exact mergeability identity."""
+    from meeseeker_spark.ext.heavy import token_stream
+    from meeseeker_spark.ext.sketch import cms_merge, cms_table
+    from meeseeker_spark.tables import load
+
+    docs = load(spark, SF, "documents")
+    ta = token_stream(docs.where(F.col("doc_id") % 2 == 0))
+    tb = token_stream(docs.where(F.col("doc_id") % 2 == 1))
+    merged = sorted(tuple(r) for r in
+                    cms_merge(cms_table(ta), cms_table(tb)).collect())
+    whole = sorted(tuple(r) for r in
+                   cms_table(token_stream(docs)).collect())
+    assert merged == whole
+
+
+def test_kn_quality_scores_vs_duckdb(spark):
+    """Exact DuckDB parity (4 dp) for the interpolated Kneser-Ney
+    cross-entropy — local-machine scope per the r9 hash rule (ln is
+    libm), which is why the entry is rows-only in the catalog."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["kn_quality_scores"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = sorted(tuple(r) for r in con.execute(r"""
+    WITH toks AS (
+      SELECT doc_id AS _id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), bi AS (
+      SELECT _id, w[i] AS w1, w[i + 1] AS w2
+      FROM toks, UNNEST(range(1, greatest(len(w), 1))) AS t(i)
+    ), c12 AS (
+      SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2
+    ), ctx AS (
+      SELECT w1, sum(c12) AS c1, count(*) AS n1fw FROM c12 GROUP BY 1
+    ), nbw AS (
+      SELECT w2, count(*) AS n1bw FROM c12 GROUP BY 1
+    ), types AS (
+      SELECT count(*)::DOUBLE AS t FROM c12
+    ), per_doc AS (
+      SELECT _id, w1, w2, count(*) AS c FROM bi GROUP BY 1, 2, 3
+    ), scored AS (
+      SELECT p._id,
+             CAST(sum(p.c) AS BIGINT) AS n_bigrams,
+             round(-sum(p.c * ln(
+                 greatest(c12.c12 - 0.75, 0.0) / ctx.c1
+                 + (0.75 * ctx.n1fw / ctx.c1) * (nbw.n1bw / types.t)
+             )) / sum(p.c), 4) AS kn_xent
+      FROM per_doc p
+      JOIN c12 USING (w1, w2) JOIN ctx USING (w1) JOIN nbw USING (w2)
+      CROSS JOIN types
+      GROUP BY 1
+    )
+    SELECT d.doc_id, s.n_bigrams, s.kn_xent
+    FROM documents d LEFT JOIN scored s ON s._id = d.doc_id
+    """).fetchall())
+    con.close()
+    assert s == d
+
+
+def test_kn_scores_contract(spark):
+    """KN is a proper distribution scored in-vocabulary: P ∈ (0, 1] so
+    xent ≥ 0; docs under two tokens keep NULL scores; n_bigrams is
+    token_count − 1 for scored docs."""
+    from pyspark.sql import Row
+
+    from meeseeker_spark.ext.lm import kn_bigram_scores
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="the cat sat on the mat"),
+        Row(doc_id=2, text="the cat ran"),
+        Row(doc_id=3, text="single"),
+        Row(doc_id=4, text=""),
+    ])
+    rows = {r["doc_id"]: r for r in kn_bigram_scores(df).collect()}
+    assert rows[3]["kn_xent"] is None and rows[4]["kn_xent"] is None
+    assert rows[1]["n_bigrams"] == 5 and rows[2]["n_bigrams"] == 2
+    assert rows[1]["kn_xent"] >= 0 and rows[2]["kn_xent"] >= 0

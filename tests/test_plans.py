@@ -444,3 +444,20 @@ def test_media_phash_dups_real_plan(spark):
     # plan belong to the band join + bucket-guard window, exactly as in
     # the fake twin — decoding added zero shuffles
     assert plan.count("MapInPandas") >= 2
+
+
+def test_bloom_probe_broadcasts_bitmap(spark):
+    """The Bloom membership probe must broadcast the ≤ m/32-row bitmap
+    (never shuffle the probe against corpus keys) and stay Python-free —
+    the 100 TB premise of the sparse-bitmap sketch."""
+    plan = explain_str(catalog.ENTRIES["bloom_screen"].spark(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_cms_estimates_broadcast_cells(spark):
+    """CMS point queries broadcast the ≤ d×w cell table; the estimate
+    plan carries no Python stage."""
+    plan = explain_str(catalog.ENTRIES["cms_counts"].spark(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
