@@ -3282,6 +3282,20 @@ def kn_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kn_bigram_scores(load(spark, sf_dir, "documents"))
 
 
+@register("pmi_collocations", None, tags=("F4",))
+def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram collocations by PMI (ext.lm.pmi_collocations,
+    Church & Hanks 1990) at min_count=5 — the corpus-analysis
+    complement of top_bigrams (raw frequency) and ngram_novelty
+    (rarity): pairs that co-occur far above chance.  ln is libm ⇒
+    rows-only; deterministic top-k via (rounded pmi desc, w1, w2);
+    exact local DuckDB parity in
+    tests/test_ext.py::test_pmi_collocations_vs_duckdb."""
+    from .ext.lm import pmi_collocations
+    return pmi_collocations(load(spark, sf_dir, "documents"),
+                            k=50, min_count=5)
+
+
 def _ordered() -> list[Entry]:
     """Registry in driver-facing order: every driver-oracled entry first
     (the driver's correctness gate grades only the first 50 registrations,

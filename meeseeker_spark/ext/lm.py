@@ -346,3 +346,44 @@ def kn_bigram_scores(docs: DataFrame, id_col: str = "doc_id",
         .join(scored, "_id", "left")
         .select(F.col("_id").alias(id_col), "n_bigrams", "kn_xent")
     )
+
+
+def pmi_collocations(docs: DataFrame, k: int = 50, min_count: int = 5,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     round_dp: int = 4) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information
+    (Church & Hanks 1990): PMI = ln(p(w1 w2) / (p(w1)·p(w2))) with
+    p(w1 w2) = c12/B over bigram tokens and p(w) = c(w)/N over unigram
+    tokens.  ``min_count`` floors c12 (the classic low-frequency-PMI
+    noise guard — a hapax pair maxes the statistic by construction).
+
+    Returns (w1, w2, n, pmi) ordered by (pmi desc, w1, w2) — the
+    tie-break makes the top-k set engine-independent even though pmi is
+    libm-ln (rows-only in the catalog per the r9 hash rule; ordering
+    over a ROUNDED score with string tie-breaks is the audit-legal
+    top-k shape).  Scale: both count tables are distinct-gram
+    aggregates with map-side partials; N and B attach as one-row
+    crossJoin scalars; the top-k plans as TakeOrderedAndProject.
+    """
+    bi = doc_bigrams(docs, id_col, text_col).withColumn(
+        "w2", F.expr("substring(bg, char_length(w1) + 2)"))
+    c12 = (bi.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+           .where(F.col("n") >= min_count))
+    uni = (docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+           .groupBy("w").agg(F.count("*").alias("_cu")))
+    totals = bi.agg(F.count("*").cast("double").alias("_b")).crossJoin(
+        uni.agg(F.sum("_cu").cast("double").alias("_n")))
+    pmi = F.round(
+        F.log((F.col("n") / F.col("_b"))
+              / ((F.col("_c1") / F.col("_n")) * (F.col("_c2") / F.col("_n")))),
+        round_dp)
+    return (
+        c12.join(uni.select(F.col("w").alias("w1"),
+                            F.col("_cu").alias("_c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"),
+                         F.col("_cu").alias("_c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select("w1", "w2", "n", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(k)
+    )

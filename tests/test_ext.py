@@ -5418,3 +5418,100 @@ def test_kn_scores_contract(spark):
     assert rows[3]["kn_xent"] is None and rows[4]["kn_xent"] is None
     assert rows[1]["n_bigrams"] == 5 and rows[2]["n_bigrams"] == 2
     assert rows[1]["kn_xent"] >= 0 and rows[2]["kn_xent"] >= 0
+
+
+def test_pmi_collocations_vs_duckdb(spark):
+    """Exact DuckDB parity (4 dp) for the PMI collocation top-k —
+    local-machine scope (ln is libm), which is why the entry is
+    rows-only in the catalog."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["pmi_collocations"].spark(spark, SF)
+    s = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = [tuple(r) for r in con.execute(r"""
+    WITH toks AS (
+      SELECT doc_id AS _id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), bi AS (
+      SELECT _id, w[i] AS w1, w[i + 1] AS w2
+      FROM toks, UNNEST(range(1, greatest(len(w), 1))) AS t(i)
+    ), c12 AS (
+      SELECT w1, w2, count(*) AS n FROM bi GROUP BY 1, 2
+      HAVING count(*) >= 5
+    ), uni AS (
+      SELECT unnest(w) AS wd FROM toks
+    ), cu AS (
+      SELECT wd, count(*) AS cu FROM uni GROUP BY 1
+    ), totals AS (
+      SELECT (SELECT count(*)::DOUBLE FROM bi) AS b,
+             (SELECT count(*)::DOUBLE FROM uni) AS n_tok
+    )
+    SELECT c12.w1, c12.w2, c12.n,
+           round(ln((c12.n / t.b)
+                    / ((u1.cu / t.n_tok) * (u2.cu / t.n_tok))), 4) AS pmi
+    FROM c12
+    JOIN cu u1 ON u1.wd = c12.w1
+    JOIN cu u2 ON u2.wd = c12.w2
+    CROSS JOIN totals t
+    ORDER BY pmi DESC, c12.w1, c12.w2
+    LIMIT 50
+    """).fetchall()]
+    con.close()
+    assert s == d
+
+
+def test_pmi_finds_planted_collocation(spark):
+    """A pair that ALWAYS co-occurs while its members stay otherwise
+    rare must out-PMI a frequent-but-independent pair; sub-min_count
+    pairs never appear."""
+    from pyspark.sql import Row
+
+    from meeseeker_spark.ext.lm import pmi_collocations
+
+    filler = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"zig zag {filler}") for i in range(6)]
+        + [Row(doc_id=100 + i, text=f"the of {filler}") for i in range(6)]
+        + [Row(doc_id=200 + i, text=f"the {filler} of") for i in range(12)]
+        + [Row(doc_id=300, text="once only")])
+    rows = pmi_collocations(df, k=10, min_count=5).collect()
+    by_pair = {(r["w1"], r["w2"]): r["pmi"] for r in rows}
+    assert ("zig", "zag") in by_pair
+    assert ("once", "only") not in by_pair  # below min_count
+    the_of = by_pair.get(("the", "of"))
+    assert the_of is None or by_pair[("zig", "zag")] > the_of
+
+
+def test_bloom_screen_docs_no_false_negatives(spark):
+    """The batch-vs-corpus convenience wrapper: every probe doc whose
+    exact fingerprint IS in the corpus must come back maybe_seen=true;
+    fresh texts overwhelmingly come back false (bitmap prunes them
+    without any corpus join)."""
+    from pyspark.sql import Row
+
+    from meeseeker_spark.ext.sketch import bloom_screen_docs
+    from meeseeker_spark.ext.text import fingerprint
+    from meeseeker_spark.tables import load
+
+    corpus = load(spark, SF, "documents")
+    seen = corpus.where(F.col("doc_id") % 7 == 0).select("text")
+    fresh = spark.createDataFrame(
+        [Row(text=f"entirely fresh probe text number {i}")
+         for i in range(50)])
+    probe = seen.unionByName(fresh)
+    out = bloom_screen_docs(corpus, probe)
+    flags = {r["probe_key"]: r["maybe_seen"] for r in out.collect()}
+    seen_keys = {r[0] for r in
+                 seen.select(fingerprint(F.col("text"))).collect()}
+    fresh_keys = {r[0] for r in
+                  fresh.select(fingerprint(F.col("text"))).collect()}
+    assert all(flags[k] for k in seen_keys)  # no false negatives
+    fp = sum(1 for k in fresh_keys if flags[k])
+    assert fp / len(fresh_keys) <= 0.1
