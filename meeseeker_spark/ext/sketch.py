@@ -203,3 +203,47 @@ def cms_counts(docs: DataFrame, k: int = 25, depth: int = 4,
     return (top.join(est, "token")
             .select("token", "n_exact", "n_est")
             .orderBy(F.desc("n_exact"), "token"))
+
+
+#: Cap on the maybe-seen fingerprint list pushed into the index scan as
+#: an In filter (mirror of streaming.screen.PRUNE_IDS_CAP): below it the
+#: index read is row-group-pruned by the pushed filter; past it the
+#: prescreen degrades to a plain join — correctness identical.
+EXACT_PRUNE_CAP = 100_000
+
+
+def exact_prescreen(batch: DataFrame, fp_index: DataFrame,
+                    bloom: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", m_bits: int = 8192,
+                    k: int = 5) -> tuple[DataFrame, DataFrame]:
+    """Split a batch into (fresh, seen) by EXACT content fingerprint
+    against a corpus fingerprint index, Bloom-accelerated.
+
+    ``fp_index`` holds (fp, doc_id) for every admitted corpus doc;
+    ``bloom`` is its bitmap (built with the same m_bits/k).  The
+    broadcast bitmap proves most fresh docs fresh WITHOUT touching the
+    index (no false negatives ⇒ a false bloom flag is a proof of
+    absence); only the maybe_seen fingerprints are exact-verified, with
+    the (per-trigger-bounded) fp list pushed into the index scan as an
+    In filter — at 100 TB the index is corpus-sized and this is the
+    difference between a row-group-pruned point read and a full-history
+    shuffle join every batch.
+
+    Returns ``fresh`` (batch rows whose fingerprint is NOT in the
+    corpus — bloom false positives are removed by the exact verify, so
+    the split is EXACT, not approximate) and ``seen`` as
+    (doc_id, corpus_id, fp) with corpus_id = the min-id corpus doc
+    carrying the same fingerprint (the house survivor convention).
+    """
+    fps = batch.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    flags = bloom_membership(fps, bloom, "fp", m_bits, k)
+    maybe = flags.where(F.col("maybe_seen")).select(id_col, "fp")
+    fp_list = [r["fp"] for r in maybe.select("fp").distinct()
+               .limit(EXACT_PRUNE_CAP + 1).collect()]
+    index_v = (fp_index.where(F.col("fp").isin(fp_list))
+               if len(fp_list) <= EXACT_PRUNE_CAP else fp_index)
+    matches = (index_v.groupBy("fp")
+               .agg(F.min("doc_id").alias("corpus_id")))
+    seen = maybe.join(matches, "fp").select(id_col, "corpus_id", "fp")
+    fresh = batch.join(seen.select(id_col), id_col, "left_anti")
+    return fresh, seen

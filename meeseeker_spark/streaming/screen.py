@@ -43,9 +43,13 @@ from pyspark.sql.streaming import StreamingQuery
 from ..ext.dedup import (banded_projection, connected_components,
                          exact_dedup, incremental_candidates,
                          near_dup_pairs, verify_jaccard)
+from ..ext.sketch import bloom_bitmap, exact_prescreen
+from ..ext.text import fingerprint
 
 DOCS_SCHEMA = ("doc_id bigint, text string, lang string, source string, "
                "n_chars bigint")
+FP_SCHEMA = "fp string, doc_id bigint"
+BLOOM_SCHEMA = "word_idx bigint, word bigint"
 
 # Above this many candidate corpus ids the screen stops collecting them
 # for predicate pushdown and falls back to the plain join (which prunes
@@ -148,7 +152,8 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
                  available_now: bool = True,
                  index_table: str | None = None,
                  index_buckets: int = 32,
-                 quality_gate=None) -> StreamingQuery:
+                 quality_gate=None,
+                 exact_index: bool = False) -> StreamingQuery:
     """File stream over ``incoming_dir`` → screened corpus under
     ``out_dir``/corpus + rejection log under ``out_dir``/flagged.
 
@@ -178,10 +183,31 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
     ``rebuild_band_index`` rewrites the table from the (overwrite-
     idempotent) corpus store.  A layout marker under ``out_dir`` refuses
     runs that toggle ``index_table`` against existing state.  The
-    corpus/flagged dirs keep their overwrite idempotence either way."""
+    corpus/flagged dirs keep their overwrite idempotence either way.
+
+    ``exact_index`` (opt-in): Bloom-accelerated EXACT-duplicate
+    prescreen (ext.sketch.exact_prescreen).  Each admitted batch also
+    appends its content-fingerprint rows under ``out_dir``/fpx and its
+    bloom bitmap words under ``out_dir``/bloom (both batch_id-overwrite
+    idempotent; the bitmap merges by bit_or on read — OR is
+    retry-proof).  Incoming docs whose fingerprint the merged bitmap
+    rejects are PROVABLY fresh and skip the fingerprint-index join
+    entirely; maybe-hits exact-verify against an In-pruned fpx read and
+    land straight in the flagged log at jaccard 1.0 — they never enter
+    the shingle→minhash→band machinery, which is the saving: on
+    recrawl-heavy streams most rejections ARE exact dups, and this path
+    costs a broadcast of ≤ m/32 rows instead of signatures.  The
+    admitted set is unchanged (an exact dup is a jaccard-1.0 near-dup;
+    the banded screen would reject it too — pinned by the equivalence
+    test); the flagged log may differ on such docs (one exact row at
+    jaccard 1.0 instead of that doc's near-dup pair rows).  The layout
+    marker records the flag: toggling it against existing state would
+    screen against an empty/stale fingerprint index, so it refuses."""
     corpus_dir = os.path.join(out_dir, "corpus")
     flagged_dir = os.path.join(out_dir, "flagged")
     index_dir = os.path.join(out_dir, "index")
+    fpx_dir = os.path.join(out_dir, "fpx")
+    bloom_dir = os.path.join(out_dir, "bloom")
 
     def _has_data(d: str) -> bool:
         return os.path.isdir(d) and any(
@@ -196,13 +222,21 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     if os.path.exists(marker):
         with open(marker) as f:
-            recorded = _json.load(f).get("index_table")
+            rec = _json.load(f)
+        recorded = rec.get("index_table")
         if recorded != index_table:
             raise RuntimeError(
                 f"screen at {out_dir} was built with index_table="
                 f"{recorded!r}; restarting with {index_table!r} would "
                 "screen against an incomplete band index. Rebuild the "
                 "index in the new layout first.")
+        if bool(rec.get("exact_index", False)) != bool(exact_index):
+            raise RuntimeError(
+                f"screen at {out_dir} was built with exact_index="
+                f"{rec.get('exact_index', False)!r}; restarting with "
+                f"{exact_index!r} would screen against an "
+                "empty/stale fingerprint index. Keep the flag stable "
+                "for the life of the store.")
     else:
         if index_table is not None and spark.catalog.tableExists(index_table):
             raise RuntimeError(
@@ -214,7 +248,8 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
                 f"{index_dir} already holds a dir-layout band index; "
                 "refusing to start a table layout beside it.")
         with open(marker, "w") as f:
-            _json.dump({"index_table": index_table}, f)
+            _json.dump({"index_table": index_table,
+                        "exact_index": bool(exact_index)}, f)
 
     quality_rejected_dir = os.path.join(out_dir, "quality_rejected")
 
@@ -252,8 +287,27 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
                     .where(F.col("batch_id") != batch_id)
                     .drop("batch_id")
                 )
+        exact_flagged = None
+        if exact_index and corpus is not None and _has_data(fpx_dir):
+            fpx = (s.read.schema(FP_SCHEMA)
+                   .parquet(fpx_dir)
+                   .where(F.col("batch_id") != batch_id)
+                   .drop("batch_id"))
+            # merge-on-read: per-batch bitmap words OR together (bit_or
+            # is idempotent, so a retried batch's stale words are
+            # harmless even before their overwrite lands)
+            bloom = (s.read.schema(BLOOM_SCHEMA)
+                     .parquet(bloom_dir)
+                     .where(F.col("batch_id") != batch_id)
+                     .groupBy("word_idx").agg(F.bit_or("word").alias("word")))
+            batch_df, seen = exact_prescreen(batch_df, fpx, bloom)
+            exact_flagged = seen.select(
+                F.col("doc_id").alias("new_id"), "corpus_id",
+                F.lit(1.0).alias("jaccard"))
         admitted, flagged = screen_batch(batch_df, corpus, threshold,
                                          corpus_bands=bands)
+        if exact_flagged is not None:
+            flagged = flagged.unionByName(exact_flagged)
         # sorted by doc_id within the partition → tight row-group min/max
         # stats, so the next batches' candidate-id In filter actually
         # skips row groups instead of just rows
@@ -275,6 +329,20 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
         else:
             (proj.write.mode("overwrite")
              .parquet(os.path.join(index_dir, f"batch_id={batch_id}")))
+        if exact_index:
+            # fingerprint + bloom projections of the rows just written —
+            # text-pure, so index == recompute and a retry overwrites
+            # byte-identically
+            written = (s.read.schema(DOCS_SCHEMA)
+                       .parquet(os.path.join(corpus_dir,
+                                             f"batch_id={batch_id}")))
+            fps = written.select(
+                fingerprint(F.col("text")).alias("fp"), "doc_id")
+            (fps.write.mode("overwrite")
+             .parquet(os.path.join(fpx_dir, f"batch_id={batch_id}")))
+            (bloom_bitmap(fps.select("fp").distinct(), "fp")
+             .write.mode("overwrite")
+             .parquet(os.path.join(bloom_dir, f"batch_id={batch_id}")))
 
     stream = (spark.readStream.schema(DOCS_SCHEMA)
               .option("maxFilesPerTrigger", 1).parquet(incoming_dir))

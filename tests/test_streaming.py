@@ -1082,3 +1082,112 @@ def test_screen_report_rollup(spark, tmp_path_factory):
 
     with _pytest.raises(FileNotFoundError):
         screen_report(spark, str(d / "nowhere"))
+
+
+def test_screen_exact_index_prescreen(spark, tmp_path_factory):
+    """Bloom-accelerated exact-dup prescreen (r10, exact_index=True):
+    the admitted set is IDENTICAL to the plain screen (an exact dup is a
+    jaccard-1.0 near-dup either way), the exact re-post is flagged at
+    jaccard 1.0 against its corpus doc without entering the band
+    machinery, and a wiped-checkpoint replay reproduces the store
+    byte-for-byte (fpx/bloom are text-pure projections).  Toggling the
+    flag against existing state refuses via the layout marker."""
+    import shutil
+    import time as _time
+
+    from meeseeker_spark.streaming.screen import start_screen
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat watches from the warm stone wall near the garden gate")
+    near = base.replace("warm", "cold")
+    fresh = ("fresh unrelated content regarding mountain weather "
+             "patterns across the northern ranges this coming winter")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    def doc(i, text):
+        return (i, text, "en", "web", len(text))
+
+    def drop(d, incoming, name, rows):
+        tmp = d / ("w_" + name)
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        os.rename(tmp / part, incoming / f"{name}.parquet")
+
+    def run(exact):
+        d = tmp_path_factory.mktemp(f"screen_ex_{int(exact)}")
+        incoming, out, ckpt = d / "incoming", d / "out", d / "ckpt"
+        os.makedirs(incoming)
+        drop(d, incoming, "b1", [
+            doc(1, base),
+            doc(3, "completely different words about ships and harbors")])
+        q = start_screen(spark, str(incoming), str(out), str(ckpt),
+                         exact_index=exact)
+        q.awaitTermination(120)
+        _time.sleep(1.1)
+        drop(d, incoming, "b2", [doc(10, base),        # exact re-post
+                                 doc(11, near),        # near-dup
+                                 doc(12, fresh)])
+        q = start_screen(spark, str(incoming), str(out), str(ckpt),
+                         exact_index=exact)
+        q.awaitTermination(120)
+        corpus = {r["doc_id"] for r in
+                  spark.read.parquet(str(out / "corpus")).collect()}
+        flagged = {(r["new_id"], r["corpus_id"], r["jaccard"]) for r in
+                   spark.read.parquet(str(out / "flagged")).collect()}
+        return d, out, ckpt, incoming, corpus, flagged
+
+    d0, _, _, _, corpus_plain, flagged_plain = run(False)
+    d1, out, ckpt, incoming, corpus_ex, flagged_ex = run(True)
+
+    assert corpus_ex == corpus_plain == {1, 3, 12}  # admitted set identical
+    # the exact re-post came through the prescreen at jaccard exactly 1.0
+    assert (10, 1, 1.0) in flagged_ex
+    assert {(n, c) for n, c, _ in flagged_ex} == \
+        {(n, c) for n, c, _ in flagged_plain} == {(10, 1), (11, 1)}
+    # the fingerprint/bloom index materialized per admitted batch
+    fpx = spark.read.parquet(str(out / "fpx"))
+    assert {r["doc_id"] for r in fpx.collect()} == {1, 3, 12}
+    assert spark.read.parquet(str(out / "bloom")).count() > 0
+
+    # wiped-checkpoint replay: every batch reprocesses against a store
+    # already holding its own output — the batch_id exclusions on
+    # corpus/index/fpx/bloom must reproduce the exact same state
+    shutil.rmtree(ckpt)
+    q = start_screen(spark, str(incoming), str(out), str(ckpt),
+                     exact_index=True)
+    q.awaitTermination(120)
+    corpus2 = {r["doc_id"] for r in
+               spark.read.parquet(str(out / "corpus")).collect()}
+    flagged2 = {(r["new_id"], r["corpus_id"], r["jaccard"]) for r in
+                spark.read.parquet(str(out / "flagged")).collect()}
+    assert corpus2 == corpus_ex and flagged2 == flagged_ex
+
+    # marker guard: toggling exact_index against existing state refuses
+    with pytest.raises(RuntimeError, match="exact_index"):
+        start_screen(spark, str(incoming), str(out), str(ckpt),
+                     exact_index=False)
+
+
+def test_exact_prescreen_split_is_exact(spark):
+    """Batch API: (fresh, seen) equals the plain fingerprint-join split
+    — bloom false positives are removed by the verify, so the split is
+    EXACT; seen maps to the min-id corpus doc."""
+    from pyspark.sql import Row, functions as F
+
+    from meeseeker_spark.ext.sketch import (bloom_bitmap, exact_prescreen)
+    from meeseeker_spark.ext.text import fingerprint
+
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=f"corpus document number {i} about topic "
+                            f"{i % 7}") for i in range(60)]
+        + [Row(doc_id=1000, text="corpus document number 3 about topic 3")])
+    fpx = corpus.select(fingerprint(F.col("text")).alias("fp"), "doc_id")
+    bloom = bloom_bitmap(fpx.select("fp").distinct(), "fp")
+    batch = spark.createDataFrame(
+        [Row(doc_id=2000, text="corpus document number 3 about topic 3"),
+         Row(doc_id=2001, text="corpus document number 9 about topic 2"),
+         Row(doc_id=2002, text="a brand new incoming document")])
+    f, seen = exact_prescreen(batch, fpx, bloom)
+    assert {r["doc_id"] for r in f.collect()} == {2002}
+    seen_rows = {(r["doc_id"], r["corpus_id"]) for r in seen.collect()}
+    assert seen_rows == {(2000, 3), (2001, 9)}  # min-id survivor (3, not 1000)
