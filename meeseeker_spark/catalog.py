@@ -3296,6 +3296,25 @@ def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                             k=50, min_count=5)
 
 
+@register("token_drift", None, tags=("F4", "ops"))
+def token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 token-distribution drift contributors between a batch
+    slice (doc_id%9==0) and the rest-of-corpus baseline
+    (ext.drift.drift_report): smoothed KL(batch ‖ baseline) terms over
+    the union vocabulary — the per-micro-batch data-quality gate a
+    continuous-ingest pipeline runs beside the dedup screen (a recrawl
+    that switched language or started emitting boilerplate drifts here
+    before it shows in spot checks).  Two vocabulary-sized aggregates +
+    one full-outer token join; totals attach as a 1-row broadcast.
+    ln is libm ⇒ rows-only; exact local DuckDB parity in
+    tests/test_ext.py::test_token_drift_vs_duckdb."""
+    from .ext.drift import drift_report
+
+    docs = load(spark, sf_dir, "documents")
+    return drift_report(docs.where(F.col("doc_id") % 9 == 0),
+                        docs.where(F.col("doc_id") % 9 != 0), k=20)
+
+
 def _ordered() -> list[Entry]:
     """Registry in driver-facing order: every driver-oracled entry first
     (the driver's correctness gate grades only the first 50 registrations,

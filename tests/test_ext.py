@@ -5515,3 +5515,92 @@ def test_bloom_screen_docs_no_false_negatives(spark):
     assert all(flags[k] for k in seen_keys)  # no false negatives
     fp = sum(1 for k in fresh_keys if flags[k])
     assert fp / len(fresh_keys) <= 0.1
+
+
+def test_token_drift_vs_duckdb(spark):
+    """Exact DuckDB parity (4 dp) for the drift report AND the one-row
+    summary — local-machine scope (ln is libm), which is why the entry
+    is rows-only in the catalog."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+    from meeseeker_spark.ext.drift import drift_summary
+    from meeseeker_spark.tables import load
+
+    sdf = catalog.ENTRIES["token_drift"].spark(spark, SF)
+    s = [tuple(r) for r in sdf.collect()]
+    docs = load(spark, SF, "documents")
+    summ = [tuple(r) for r in drift_summary(
+        docs.where(F.col("doc_id") % 9 == 0),
+        docs.where(F.col("doc_id") % 9 != 0)).collect()]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    oracle = r"""
+    WITH btoks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS token
+      FROM documents WHERE doc_id % 9 = 0
+    ), qtoks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS token
+      FROM documents WHERE doc_id % 9 <> 0
+    ), bc AS (SELECT token, count(*) AS n_batch FROM btoks GROUP BY 1),
+    qc AS (SELECT token, count(*) AS n_base FROM qtoks GROUP BY 1),
+    mrg AS (
+      SELECT coalesce(bc.token, qc.token) AS token,
+             coalesce(bc.n_batch, 0) AS n_batch,
+             coalesce(qc.n_base, 0) AS n_base
+      FROM bc FULL OUTER JOIN qc ON bc.token = qc.token
+    ), totals AS (
+      SELECT sum(n_batch)::DOUBLE AS nb, sum(n_base)::DOUBLE AS nq,
+             count(*)::DOUBLE AS v
+      FROM mrg
+    ), contrib AS (
+      SELECT m.token, m.n_batch, m.n_base,
+             ((m.n_batch + 0.5) / (t.nb + 0.5 * t.v))
+             * ln(((m.n_batch + 0.5) / (t.nb + 0.5 * t.v))
+                  / ((m.n_base + 0.5) / (t.nq + 0.5 * t.v))) AS c
+      FROM mrg m CROSS JOIN totals t
+    )
+    """
+    d = [tuple(r) for r in con.execute(oracle + """
+    SELECT token, n_batch, n_base, round(c, 4) AS kl_contrib
+    FROM contrib ORDER BY abs(round(c, 4)) DESC, token LIMIT 20
+    """).fetchall()]
+    ds = [tuple(r) for r in con.execute(oracle + """
+    SELECT round(sum(c), 4) AS kl_divergence,
+           CAST(sum(n_batch) AS BIGINT) AS n_batch_tokens,
+           CAST(sum(n_base) AS BIGINT) AS n_base_tokens,
+           count(*) AS union_vocab
+    FROM contrib
+    """).fetchall()]
+    con.close()
+    assert s == d
+    assert summ == ds
+
+
+def test_drift_flags_planted_shift(spark):
+    """A batch flooded with a token the baseline has never seen must
+    rank that token as the top positive contributor; an undrifted batch
+    (a slice of the baseline itself) scores a lower KL total."""
+    from pyspark.sql import Row
+
+    from meeseeker_spark.ext.drift import drift_report, drift_summary
+
+    base_rows = [Row(doc_id=i,
+                     text=f"steady corpus text about topic {i % 5} with "
+                          f"common shared words") for i in range(40)]
+    base = spark.createDataFrame(base_rows)
+    drifted = spark.createDataFrame(
+        [Row(doc_id=100 + i, text="spamword " * 10) for i in range(5)])
+    steady = spark.createDataFrame(base_rows[:5])
+
+    top = drift_report(drifted, base, k=5).collect()
+    assert top[0]["token"] == "spamword" and top[0]["kl_contrib"] > 0
+    assert top[0]["n_base"] == 0  # genuinely novel to the baseline
+
+    kl_drift = drift_summary(drifted, base).collect()[0]["kl_divergence"]
+    kl_steady = drift_summary(steady, base).collect()[0]["kl_divergence"]
+    assert kl_drift > kl_steady
