@@ -153,7 +153,8 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
                  index_table: str | None = None,
                  index_buckets: int = 32,
                  quality_gate=None,
-                 exact_index: bool = False) -> StreamingQuery:
+                 exact_index: bool = False,
+                 drift_baseline: DataFrame | None = None) -> StreamingQuery:
     """File stream over ``incoming_dir`` → screened corpus under
     ``out_dir``/corpus + rejection log under ``out_dir``/flagged.
 
@@ -202,7 +203,16 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
     test); the flagged log may differ on such docs (one exact row at
     jaccard 1.0 instead of that doc's near-dup pair rows).  The layout
     marker records the flag: toggling it against existing state would
-    screen against an empty/stale fingerprint index, so it refuses."""
+    screen against an empty/stale fingerprint index, so it refuses.
+
+    ``drift_baseline`` (opt-in): a STATIC (token, n) count table (or a
+    docs DataFrame; see ext.drift) — each raw batch's one-row smoothed
+    KL summary lands under ``out_dir``/drift/batch_id=N before any
+    screening, so a drifting source is visible even when its docs are
+    all rejected downstream.  Static by design: an accumulated-corpus
+    baseline would cost a corpus-sized aggregate per trigger; refresh
+    the table offline at whatever cadence the alerting needs.  Writes
+    are deterministic ⇒ the usual overwrite idempotence."""
     corpus_dir = os.path.join(out_dir, "corpus")
     flagged_dir = os.path.join(out_dir, "flagged")
     index_dir = os.path.join(out_dir, "index")
@@ -253,8 +263,22 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
 
     quality_rejected_dir = os.path.join(out_dir, "quality_rejected")
 
+    # resolve a docs-shaped baseline to its count table ONCE, not per
+    # trigger (drift_summary accepts either; the counts are the reusable
+    # form)
+    if drift_baseline is not None and \
+            set(drift_baseline.columns) != {"token", "n"}:
+        from ..ext.drift import token_counts
+        drift_baseline = token_counts(drift_baseline)
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
+        if drift_baseline is not None:
+            from ..ext.drift import drift_summary
+            (drift_summary(batch_df, drift_baseline)
+             .write.mode("overwrite")
+             .parquet(os.path.join(out_dir, "drift",
+                                   f"batch_id={batch_id}")))
         if quality_gate is not None:
             kept = quality_gate(batch_df)
             rejected = batch_df.join(

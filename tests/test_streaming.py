@@ -1191,3 +1191,43 @@ def test_exact_prescreen_split_is_exact(spark):
     assert {r["doc_id"] for r in f.collect()} == {2002}
     seen_rows = {(r["doc_id"], r["corpus_id"]) for r in seen.collect()}
     assert seen_rows == {(2000, 3), (2001, 9)}  # min-id survivor (3, not 1000)
+
+
+def test_screen_drift_monitor(spark, tmp_path_factory):
+    """start_screen(drift_baseline=...): every raw batch writes its
+    one-row KL summary under drift/batch_id=N BEFORE screening — the
+    drifting batch scores higher than the in-distribution one even
+    though screening later rejects its docs."""
+    import time as _time
+
+    from pyspark.sql import Row
+
+    from meeseeker_spark.streaming.screen import start_screen
+
+    d = tmp_path_factory.mktemp("screen_drift")
+    incoming, out, ckpt = d / "incoming", d / "out", d / "ckpt"
+    os.makedirs(incoming)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    def drop(name, rows):
+        tmp = d / ("w_" + name)
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        os.rename(tmp / part, incoming / f"{name}.parquet")
+
+    baseline = spark.createDataFrame(
+        [Row(doc_id=i, text=f"steady corpus text about topic {i % 5} "
+                            f"with common shared words") for i in range(40)])
+
+    drop("b1", [(1, "steady corpus text about topic 1 with common shared "
+                    "words", "en", "web", 60)])
+    _time.sleep(1.1)
+    drop("b2", [(10, "spamword " * 12, "en", "web", 108)])
+    q = start_screen(spark, str(incoming), str(out), str(ckpt),
+                     drift_baseline=baseline)
+    q.awaitTermination(120)
+
+    drift = {r["batch_id"]: r["kl_divergence"] for r in
+             spark.read.parquet(str(out / "drift")).collect()}
+    assert set(drift) == {0, 1}
+    assert drift[1] > drift[0]  # the spam batch drifts harder
