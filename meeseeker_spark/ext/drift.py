@@ -32,12 +32,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .text import tokens
-
 
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(token, n) unigram counts — the baseline/batch input tables."""
-    return (docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    """(token, n) unigram counts — the baseline/batch input tables.
+    Token stream shared with ext.heavy so "the token stream" has one
+    definition across the drift and heavy-hitter surfaces."""
+    from .heavy import token_stream
+
+    return (token_stream(docs, text_col)
             .groupBy("token").agg(F.count("*").alias("n")))
 
 

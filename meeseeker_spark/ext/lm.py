@@ -42,6 +42,16 @@ def doc_bigrams(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def doc_bigram_pairs(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """``doc_bigrams`` plus the split-out second word: (_id, w1, bg,
+    w2).  One definition of the ``bg`` → w2 arithmetic (1-based offset
+    past "w1 ") shared by the KN and PMI surfaces, so a future change
+    to the bg format cannot silently diverge them."""
+    return doc_bigrams(docs, id_col, text_col).withColumn(
+        "w2", F.expr("substring(bg, char_length(w1) + 2)"))
+
+
 def bigram_lm_scores(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", k: float = 0.5,
                      round_dp: int | None = 4) -> DataFrame:
@@ -318,8 +328,7 @@ def kn_bigram_scores(docs: DataFrame, id_col: str = "doc_id",
     machine-dependent: rows-only in the catalog (the r9 hash rule),
     exact local DuckDB parity in tests/test_ext.py.
     """
-    bi = doc_bigrams(docs, id_col, text_col).withColumn(
-        "w2", F.expr("substring(bg, char_length(w1) + 2)"))
+    bi = doc_bigram_pairs(docs, id_col, text_col)
 
     c12 = bi.groupBy("w1", "w2").agg(F.count("*").alias("_c12"))
     ctx = c12.groupBy("w1").agg(F.sum("_c12").alias("_c1"),
@@ -365,8 +374,7 @@ def pmi_collocations(docs: DataFrame, k: int = 50, min_count: int = 5,
     aggregates with map-side partials; N and B attach as one-row
     crossJoin scalars; the top-k plans as TakeOrderedAndProject.
     """
-    bi = doc_bigrams(docs, id_col, text_col).withColumn(
-        "w2", F.expr("substring(bg, char_length(w1) + 2)"))
+    bi = doc_bigram_pairs(docs, id_col, text_col)
     c12 = (bi.groupBy("w1", "w2").agg(F.count("*").alias("n"))
            .where(F.col("n") >= min_count))
     uni = (docs.select(F.explode(tokens(F.col(text_col))).alias("w"))

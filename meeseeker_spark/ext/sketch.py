@@ -95,19 +95,24 @@ def bloom_membership(probe: DataFrame, bitmap: DataFrame,
     negatives).
 
     Groups by every probe column, so probe rows must be distinct (the
-    screen contract: one row per candidate key).  ``m_bits``/``k``
-    must match the bitmap's build parameters — slot positions are part
-    of the sketch identity.
+    screen contract: one row per candidate key).  Probe columns may use
+    any names except the leading-underscore internals — the bitmap's
+    word_idx/word are renamed before the join, so a probe carrying its
+    own ``word`` column is fine.  ``m_bits``/``k`` must match the
+    bitmap's build parameters — slot positions are part of the sketch
+    identity.
     """
     slots = F.array(*[_slot(F.col(key_col), i, m_bits) for i in range(k)])
+    bm = bitmap.select(F.col("word_idx").alias("_widx"),
+                       F.col("word").alias("_word"))
     probed = (
         probe.withColumn("_slot", F.explode(slots))
-        .withColumn("word_idx", F.expr(f"_slot DIV {WORD_BITS}"))
+        .withColumn("_widx", F.expr(f"_slot DIV {WORD_BITS}"))
         .withColumn("_mask",
                     F.expr(f"shiftleft(1L, CAST(_slot % {WORD_BITS} AS INT))"))
-        .join(F.broadcast(bitmap), "word_idx", "left")
+        .join(F.broadcast(bm), "_widx", "left")
         .withColumn("_hit", F.coalesce(
-            F.col("word").bitwiseAND(F.col("_mask")) != 0, F.lit(False)))
+            F.col("_word").bitwiseAND(F.col("_mask")) != 0, F.lit(False)))
     )
     return (probed.groupBy(*probe.columns)
             .agg(F.bool_and("_hit").alias("maybe_seen")))
@@ -236,14 +241,21 @@ def exact_prescreen(batch: DataFrame, fp_index: DataFrame,
     carrying the same fingerprint (the house survivor convention).
     """
     fps = batch.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    # localCheckpoints (the screen_batch convention at streaming/screen.py):
+    # `maybe` feeds the fp_list collect AND the verify join; `seen` feeds
+    # the flagged log, the fresh anti-join, and everything downstream of
+    # fresh — without the barriers the bloom probe and the In-pruned
+    # index read re-execute per consumer on the streaming hot path.
     flags = bloom_membership(fps, bloom, "fp", m_bits, k)
-    maybe = flags.where(F.col("maybe_seen")).select(id_col, "fp")
+    maybe = (flags.where(F.col("maybe_seen")).select(id_col, "fp")
+             .localCheckpoint())
     fp_list = [r["fp"] for r in maybe.select("fp").distinct()
                .limit(EXACT_PRUNE_CAP + 1).collect()]
     index_v = (fp_index.where(F.col("fp").isin(fp_list))
                if len(fp_list) <= EXACT_PRUNE_CAP else fp_index)
     matches = (index_v.groupBy("fp")
                .agg(F.min("doc_id").alias("corpus_id")))
-    seen = maybe.join(matches, "fp").select(id_col, "corpus_id", "fp")
+    seen = (maybe.join(matches, "fp").select(id_col, "corpus_id", "fp")
+            .localCheckpoint())
     fresh = batch.join(seen.select(id_col), id_col, "left_anti")
     return fresh, seen

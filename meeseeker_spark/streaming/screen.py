@@ -198,12 +198,18 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
     the shingle→minhash→band machinery, which is the saving: on
     recrawl-heavy streams most rejections ARE exact dups, and this path
     costs a broadcast of ≤ m/32 rows instead of signatures.  The
-    admitted set is unchanged (an exact dup is a jaccard-1.0 near-dup;
-    the banded screen would reject it too — pinned by the equivalence
-    test); the flagged log may differ on such docs (one exact row at
-    jaccard 1.0 instead of that doc's near-dup pair rows).  The layout
-    marker records the flag: toggling it against existing state would
-    screen against an empty/stale fingerprint index, so it refuses.
+    admitted set is unchanged whenever the banded screen itself would
+    catch the exact dup — always, EXCEPT when every band of the re-post
+    lands in an over-``max_bucket`` corpus bucket the candidate join
+    drops (the banded path's documented degenerate-bucket recall loss):
+    there the prescreen is strictly STRONGER — it still rejects the
+    re-post the cap made the banded screen admit, so any divergence is
+    in the prescreen's favor, never a lost rejection.  The normal-
+    regime equivalence is pinned by test; the flagged log may differ on
+    exact dups (one exact row at jaccard 1.0 instead of that doc's
+    near-dup pair rows).  The layout marker records the flag: toggling
+    it against existing state would screen against an empty/stale
+    fingerprint index, so it refuses.
 
     ``drift_baseline`` (opt-in): a STATIC (token, n) count table (or a
     docs DataFrame; see ext.drift) — each raw batch's one-row smoothed
@@ -264,12 +270,16 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
     quality_rejected_dir = os.path.join(out_dir, "quality_rejected")
 
     # resolve a docs-shaped baseline to its count table ONCE, not per
-    # trigger (drift_summary accepts either; the counts are the reusable
-    # form)
-    if drift_baseline is not None and \
-            set(drift_baseline.columns) != {"token", "n"}:
-        from ..ext.drift import token_counts
-        drift_baseline = token_counts(drift_baseline)
+    # trigger, and persist it — token_counts returns a lazy plan, so
+    # without the persist every trigger would re-run the full baseline
+    # scan+tokenize+aggregate (exactly the per-trigger cost the static
+    # design exists to avoid).  The cache lives for the stream's
+    # lifetime; it is vocabulary-sized.
+    if drift_baseline is not None:
+        if set(drift_baseline.columns) != {"token", "n"}:
+            from ..ext.drift import token_counts
+            drift_baseline = token_counts(drift_baseline)
+        drift_baseline = drift_baseline.persist()
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
@@ -312,7 +322,13 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
                     .drop("batch_id")
                 )
         exact_flagged = None
-        if exact_index and corpus is not None and _has_data(fpx_dir):
+        # BOTH index dirs must exist: a crash between the fpx write and
+        # the bloom write would otherwise leave every retry failing on
+        # the missing bloom read forever — skipping the prescreen for
+        # one batch self-heals (the banded screen still runs; this
+        # batch's own writes recreate both dirs)
+        if exact_index and corpus is not None and _has_data(fpx_dir) \
+                and _has_data(bloom_dir):
             fpx = (s.read.schema(FP_SCHEMA)
                    .parquet(fpx_dir)
                    .where(F.col("batch_id") != batch_id)

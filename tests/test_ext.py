@@ -5604,3 +5604,20 @@ def test_drift_flags_planted_shift(spark):
     kl_drift = drift_summary(drifted, base).collect()[0]["kl_divergence"]
     kl_steady = drift_summary(steady, base).collect()[0]["kl_divergence"]
     assert kl_drift > kl_steady
+
+
+def test_bloom_membership_probe_with_word_column(spark):
+    """Regression (r10 review): a probe DataFrame that already carries a
+    ``word`` column must not collide with the bitmap's internals."""
+    from pyspark.sql import Row
+
+    from meeseeker_spark.ext.sketch import bloom_bitmap, bloom_membership
+
+    keys = spark.createDataFrame([Row(word=f"w{i}") for i in range(20)])
+    bitmap = bloom_bitmap(keys, "word")
+    probe = spark.createDataFrame(
+        [Row(word="w3", n=1), Row(word="unseen-key", n=2)])
+    rows = {r["word"]: r["maybe_seen"]
+            for r in bloom_membership(probe, bitmap, "word").collect()}
+    assert rows["w3"] is True
+    assert set(rows) == {"w3", "unseen-key"}

@@ -1231,3 +1231,48 @@ def test_screen_drift_monitor(spark, tmp_path_factory):
              spark.read.parquet(str(out / "drift")).collect()}
     assert set(drift) == {0, 1}
     assert drift[1] > drift[0]  # the spam batch drifts harder
+
+
+def test_screen_exact_index_self_heals_missing_bloom(spark, tmp_path_factory):
+    """Regression (r10 review): a crash window between the fpx write and
+    the bloom write leaves fpx populated but bloom absent — the next run
+    must skip the prescreen for that trigger (banded screen still
+    catches the re-post) and recreate both dirs, not crash-loop on the
+    missing bloom read."""
+    import shutil
+    import time as _time
+
+    from meeseeker_spark.streaming.screen import start_screen
+
+    d = tmp_path_factory.mktemp("screen_heal")
+    incoming, out, ckpt = d / "incoming", d / "out", d / "ckpt"
+    os.makedirs(incoming)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat watches from the warm stone wall near the garden gate")
+
+    def drop(name, rows):
+        tmp = d / ("w_" + name)
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        os.rename(tmp / part, incoming / f"{name}.parquet")
+
+    drop("b1", [(1, base, "en", "web", len(base))])
+    q = start_screen(spark, str(incoming), str(out), str(ckpt),
+                     exact_index=True)
+    q.awaitTermination(120)
+    shutil.rmtree(out / "bloom")  # the simulated crash window
+
+    _time.sleep(1.1)
+    drop("b2", [(10, base, "en", "web", len(base))])  # exact re-post
+    q = start_screen(spark, str(incoming), str(out), str(ckpt),
+                     exact_index=True)
+    q.awaitTermination(120)
+
+    corpus = {r["doc_id"] for r in
+              spark.read.parquet(str(out / "corpus")).collect()}
+    flagged = {(r["new_id"], r["corpus_id"]) for r in
+               spark.read.parquet(str(out / "flagged")).collect()}
+    assert corpus == {1}          # re-post still rejected (banded path)
+    assert flagged == {(10, 1)}
+    assert os.path.isdir(out / "bloom")  # dirs recreated by batch 1
