@@ -3315,6 +3315,22 @@ def token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                         docs.where(F.col("doc_id") % 9 != 0), k=20)
 
 
+@register("containment_pairs", None, tags=("F2",))
+def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram containment pairs (ext.dedup.containment_pairs,
+    Broder 1997's asymmetric Jaccard C(A,B)=|A∩B|/|A|) at threshold
+    0.8 on either direction — catches the quote/embedding case
+    symmetric Jaccard misses (a short doc pasted into a long one has
+    C≈1 but J≈|A|/|B|).  Same inverted-index posting join, shuffle
+    hint and max_df=100 stop-shingle guard as jaccard_ngram_pairs.
+    Integer counts + 4-dp divisions; rows-only (window full) with
+    exact DuckDB parity in
+    tests/test_ext.py::test_containment_pairs_vs_duckdb."""
+    from .ext.dedup import containment_pairs
+    return containment_pairs(load(spark, sf_dir, "documents"),
+                             threshold=0.8, max_df=100)
+
+
 def _ordered() -> list[Entry]:
     """Registry in driver-facing order: every driver-oracled entry first
     (the driver's correctness gate grades only the first 50 registrations,

@@ -810,3 +810,58 @@ def hamming_band_pairs(table: DataFrame, id_col: str = "doc_id",
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      threshold: float = 0.8,
+                      max_df: int | None = None) -> DataFrame:
+    """EXACT n-gram CONTAINMENT pairs — the asymmetric Jaccard
+    (Broder 1997's "containment": C(A,B) = |A∩B| / |A|).
+
+    Symmetric Jaccard misses the quote/embedding case: a short doc
+    pasted inside a much longer one has |A∩B| ≈ |A| but
+    |A∪B| ≈ |B| ≫ |A|, so J ≈ |A|/|B| → 0 while C(A→B) ≈ 1.  This is
+    the set-level analog of the ExactSubstr span family (ext/spans
+    finds the literal repeated bytes; this finds wholesale gram-set
+    inclusion regardless of ordering/interleaving).
+
+    Returns (doc_a, doc_b, containment_a_in_b, containment_b_in_a,
+    jaccard) for pairs where EITHER direction's containment ≥
+    ``threshold`` — both directions reported so the consumer can tell
+    "A is quoted by B" from "the two are mutual near-copies".  Same
+    inverted-index shape, shuffle-hint and ``max_df`` stop-shingle
+    guard as ``jaccard_ngram_pairs`` (with max_df set, counts are
+    lower bounds).  All arithmetic is integer counts + one division
+    rounded 4 dp — DuckDB-exact in tests/test_ext.py.
+    """
+    base = shingle_df(df, id_col, text_col, n)
+    sizes = base.select("_id", F.size("_sh").alias("_n"))
+    inv = base.select("_id", F.explode("_sh").alias("_g")).hint("shuffle_hash")
+    if max_df is not None:
+        keep = (inv.groupBy("_g").agg(F.count("*").alias("_df"))
+                .where(F.col("_df") <= max_df).select("_g"))
+        inv = inv.join(keep, "_g")
+    common = (
+        inv.alias("a").join(inv.alias("b"), "_g")
+        .where(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .agg(F.count("*").alias("_common"))
+    )
+    sa = sizes.select(F.col("_id").alias("doc_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("doc_b"), F.col("_n").alias("_nb"))
+    c_ab = F.round(F.col("_common") / F.col("_na"), 4)
+    c_ba = F.round(F.col("_common") / F.col("_nb"), 4)
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            c_ab.alias("containment_a_in_b"),
+            c_ba.alias("containment_b_in_a"),
+            F.round(F.col("_common")
+                    / (F.col("_na") + F.col("_nb") - F.col("_common")),
+                    4).alias("jaccard"),
+        )
+        .where((F.col("containment_a_in_b") >= threshold)
+               | (F.col("containment_b_in_a") >= threshold))
+    )

@@ -5621,3 +5621,69 @@ def test_bloom_membership_probe_with_word_column(spark):
             for r in bloom_membership(probe, bitmap, "word").collect()}
     assert rows["w3"] is True
     assert set(rows) == {"w3", "unseen-key"}
+
+
+def test_containment_pairs_vs_duckdb(spark):
+    """Exact DuckDB parity for the asymmetric-Jaccard containment pairs
+    (shingle CTE reused from the registry so the two cannot drift)."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["containment_pairs"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = sorted(tuple(r) for r in con.execute(f"""
+    WITH {catalog._DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    inv0 AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    keep AS (
+        SELECT g FROM (SELECT g, count(*) AS df FROM inv0 GROUP BY g)
+        WHERE df <= 100
+    ),
+    inv AS (SELECT i.doc_id, i.g FROM inv0 i JOIN keep USING (g)),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, containment_a_in_b, containment_b_in_a, jaccard
+    FROM (
+        SELECT doc_a, doc_b,
+               round(c::DOUBLE / sa.n, 4) AS containment_a_in_b,
+               round(c::DOUBLE / sb.n, 4) AS containment_b_in_a,
+               round(c::DOUBLE / (sa.n + sb.n - c), 4) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+    ) WHERE containment_a_in_b >= 0.8 OR containment_b_in_a >= 0.8
+    """).fetchall())
+    con.close()
+    assert s == d
+    assert s  # the fixture's planted near-dups qualify — non-vacuous
+
+
+def test_containment_catches_embedded_doc(spark):
+    """The quote/embedding case: a short doc wholly pasted inside a
+    much longer one must clear the containment threshold while its
+    symmetric Jaccard stays far below it."""
+    from pyspark.sql import Row
+
+    from meeseeker_spark.ext.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i} filler{i} extra{i}" for i in range(40))
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=short),
+        Row(doc_id=2, text=f"{filler} {short} {filler}"),
+        Row(doc_id=3, text="unrelated text about entirely other topics "
+                           "with many different words to say"),
+    ])
+    rows = {(r["doc_a"], r["doc_b"]): r
+            for r in containment_pairs(df, threshold=0.8).collect()}
+    assert set(rows) == {(1, 2)}
+    r = rows[(1, 2)]
+    assert r["containment_a_in_b"] >= 0.8  # the short doc is contained
+    assert r["jaccard"] < 0.2              # symmetric Jaccard misses it
