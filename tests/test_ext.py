@@ -5687,3 +5687,70 @@ def test_containment_catches_embedded_doc(spark):
     r = rows[(1, 2)]
     assert r["containment_a_in_b"] >= 0.8  # the short doc is contained
     assert r["jaccard"] < 0.2              # symmetric Jaccard misses it
+
+
+def test_bloom_cms_properties(spark):
+    """Hypothesis: over random key/token multisets, (1) the bloom NEVER
+    false-negatives a true member — probed against a bitmap built from
+    any superset; (2) every CMS estimate ≥ its exact count; (3) both
+    merge identities hold exactly on a random split.  Pure-Python slot
+    replay doubles as an independent oracle for the bitmap words."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Row
+
+    from meeseeker_spark.ext.sketch import (bloom_bitmap, bloom_membership,
+                                            cms_estimates, cms_merge,
+                                            cms_table)
+
+    key = st.text(alphabet="abcxyz0189", min_size=0, max_size=8)
+
+    @settings(max_examples=5, deadline=None, derandomize=True,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(keys=st.lists(key, min_size=1, max_size=30),
+           extra=st.lists(key, min_size=0, max_size=10))
+    def run(keys, extra):
+        m, k = 256, 3
+        members = spark.createDataFrame(
+            [Row(key=x) for x in set(keys)])
+        bitmap = bloom_bitmap(members, "key", m_bits=m, k=k)
+        probe = spark.createDataFrame(
+            [Row(key=x) for x in set(keys) | set(extra)])
+        flags = {r["key"]: r["maybe_seen"] for r in
+                 bloom_membership(probe, bitmap, "key", m_bits=m,
+                                  k=k).collect()}
+        assert all(flags[x] for x in set(keys))  # no false negatives
+
+        # independent pure-python bitmap replay
+        import hashlib
+
+        words: dict = {}
+        for x in set(keys):
+            for i in range(k):
+                h = int(hashlib.md5(f"{i}:{x}".encode()).hexdigest()[:8],
+                        16) % m
+                words[h // 32] = words.get(h // 32, 0) | (1 << (h % 32))
+        got = {r["word_idx"]: r["word"] for r in bitmap.collect()}
+        assert got == words
+
+        toks = spark.createDataFrame([Row(token=x) for x in keys])
+        cms = cms_table(toks, depth=2, width=8)
+        exact: dict = {}
+        for x in keys:
+            exact[x] = exact.get(x, 0) + 1
+        est = {r["token"]: r["n_est"] for r in
+               cms_estimates(toks.select("token").distinct(), cms,
+                             depth=2, width=8).collect()}
+        assert all(est[t] >= c for t, c in exact.items())
+
+        half = len(keys) // 2
+        if half and len(keys) > half:
+            a = spark.createDataFrame([Row(token=x) for x in keys[:half]])
+            b = spark.createDataFrame([Row(token=x) for x in keys[half:]])
+            merged = sorted(tuple(r) for r in cms_merge(
+                cms_table(a, depth=2, width=8),
+                cms_table(b, depth=2, width=8)).collect())
+            whole = sorted(tuple(r) for r in cms.collect())
+            assert merged == whole
+
+    run()
