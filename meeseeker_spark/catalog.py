@@ -3331,6 +3331,24 @@ def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                              threshold=0.8, max_df=100)
 
 
+@register("margin_pairs", None, tags=("F3",))
+def margin_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based neighbor mining (ext.similarity.margin_knn_pairs,
+    Artetxe & Schwenk 2019 ratio criterion — the LASER/CCMatrix bitext
+    miner): each even-vec query's best odd-vec match by
+    cos / mean-of-k-neighborhood, which normalizes out hubness where a
+    raw cosine threshold misfires.  Query slice capped at vec_id < 100
+    (eval-suite semantics) and candidates shortlisted to each query's
+    raw-cos top-16 before the margin/neighborhood stages — the
+    CCMatrix mine-then-margin shape that keeps the plan linear in the
+    pool (the exact global form measured exponent 1.40; SCALING.md).
+    Rows-only (4-dp rounded doubles, local scope); exact DuckDB parity
+    in tests/test_ext.py::test_margin_pairs_vs_duckdb."""
+    from .ext.similarity import margin_knn_pairs
+    return margin_knn_pairs(load(spark, sf_dir, "embeddings"),
+                            k_neighbors=4, query_cap=100, shortlist=16)
+
+
 def _ordered() -> list[Entry]:
     """Registry in driver-facing order: every driver-oracled entry first
     (the driver's correctness gate grades only the first 50 registrations,

@@ -606,3 +606,97 @@ def sim_noise_floor(emb: DataFrame, k_sample: int = 128, z: float = 4.0,
         .alias("sd_theory"),
         F.round(F.lit(float(z)) * sd, 4).alias("noise_floor"),
     ))
+
+
+def margin_knn_pairs(emb: DataFrame, k_neighbors: int = 4,
+                     query_cap: int | None = None,
+                     shortlist: int | None = None,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Margin-based nearest-neighbor mining (Artetxe & Schwenk 2019,
+    the LASER/CCMatrix bitext-mining criterion, ratio form):
+
+        margin(x, y) = cos(x, y) /
+                       ( (avg_k cos(x, NN_k(x)) + avg_k cos(y, NN_k(y))) / 2 )
+
+    Raw cosine retrieval is scale-biased — hub vectors score high
+    against EVERYTHING, so global thresholds misfire.  Dividing by the
+    mean similarity of each side's own k-neighborhood normalizes out
+    hubness: a pair only scores high when the two vectors are closer to
+    each other than to their *typical* neighbors.  Sides here are the
+    even/odd ``id_col`` halves (the two "languages"); each even-side
+    query gets its top-1 odd-side match by margin.
+
+    Returns (q_id, c_id, cos, margin_score) — one row per query, ties
+    broken by c_id; ``query_cap`` bounds the query slice (eval-suite
+    semantics: fixed work, not ∝ corpus).  Neighborhoods are computed
+    against the FULL opposite side both ways.
+
+    Scale: with ``shortlist=None`` the candidate-neighborhood stage is
+    an honest half×half quadratic (every odd vec needs its k-NN among
+    the evens — MEASURED exponent 1.40, 35.5 s at sf1; see SCALING.md)
+    — the exact form is the small-scale oracle.  ``shortlist=M`` is
+    the CCMatrix shape (mine-then-margin): margin is computed only for
+    each query's top-M raw-cosine candidates, and neighborhood means
+    only for that candidate set — both remaining stages are
+    bounded-set × pool, so cost is linear in the pool.  The documented
+    approximation: a candidate outside the raw-cos top-M cannot win,
+    which is precisely the shortlist assumption every production
+    miner makes (at 100 TB the shortlist itself comes from the LSH/
+    IVF paths in this module instead of the exact scan)."""
+    from pyspark.sql import Window
+
+    normed = normalized(emb, id_col, vec_col)
+    left = normed.where(F.col(id_col) % 2 == 0).select(
+        F.col(id_col).alias("q_id"), F.col("_nv").alias("qv"))
+    right = normed.where(F.col(id_col) % 2 == 1).select(
+        F.col(id_col).alias("c_id"), F.col("_nv").alias("cv"))
+    lq = left if query_cap is None else left.where(F.col("q_id") < query_cap)
+
+    # query-slice × pool scored pairs (the pairs being mined)
+    scored = (F.broadcast(lq).crossJoin(right)
+              .select("q_id", "c_id",
+                      dot(F.col("qv"), F.col("cv")).alias("_s")))
+    wq = Window.partitionBy("q_id").orderBy(F.desc("_s"), "c_id")
+    if shortlist is not None:
+        # mine-then-margin: only the raw-cos top-M per query can win,
+        # so margin (and the candidate neighborhoods below) are needed
+        # for that bounded candidate set alone.  ONE window ranks the
+        # slice×pool scan; the localCheckpoint bounds it (≤ queries×M
+        # rows) so the scan runs once, not once per downstream consumer
+        # (avg_q, the candidate semi-join, the margin join).
+        m = max(shortlist, k_neighbors)
+        ranked = (scored.withColumn("_rk", F.row_number().over(wq))
+                  .where(F.col("_rk") <= m).localCheckpoint())
+        avg_q = (ranked.where(F.col("_rk") <= k_neighbors)
+                 .groupBy("q_id").agg(F.avg("_s").alias("_aq")))
+        scored = ranked.where(F.col("_rk") <= shortlist).drop("_rk")
+        cands = right.join(scored.select("c_id").distinct(), "c_id")
+    else:
+        avg_q = (scored.withColumn("_rk", F.row_number().over(wq))
+                 .where(F.col("_rk") <= k_neighbors)
+                 .groupBy("q_id").agg(F.avg("_s").alias("_aq")))
+        cands = right
+
+    # the candidate side's neighborhoods use the FULL left half (its own
+    # retrieval pool), not just the query slice
+    all_pairs = (F.broadcast(left).crossJoin(cands)
+                 .select("q_id", "c_id",
+                         dot(F.col("qv"), F.col("cv")).alias("_s")))
+    wc = Window.partitionBy("c_id").orderBy(F.desc("_s"), "q_id")
+    avg_c = (all_pairs.withColumn("_rk", F.row_number().over(wc))
+             .where(F.col("_rk") <= k_neighbors)
+             .groupBy("c_id").agg(F.avg("_s").alias("_ac")))
+
+    margined = (
+        scored.join(avg_q, "q_id").join(avg_c, "c_id")
+        .select("q_id", "c_id",
+                F.round(F.col("_s"), 4).alias("cos"),
+                F.round(F.col("_s")
+                        / ((F.col("_aq") + F.col("_ac")) / 2), 4)
+                .alias("margin_score"))
+    )
+    wbest = Window.partitionBy("q_id").orderBy(
+        F.desc("margin_score"), "c_id")
+    return (margined.withColumn("_rk", F.row_number().over(wbest))
+            .where(F.col("_rk") == 1).drop("_rk"))

@@ -5754,3 +5754,107 @@ def test_bloom_cms_properties(spark):
             assert merged == whole
 
     run()
+
+
+def test_margin_pairs_vs_duckdb(spark):
+    """Exact DuckDB parity (4 dp) for the margin-criterion miner —
+    windows, neighborhood means and the final top-1 replay in SQL."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["margin_pairs"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    d = sorted(tuple(r) for r in con.execute("""
+    WITH e0 AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), e AS (
+        SELECT vec_id,
+               list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+                   AS nv
+        FROM e0
+    ),
+    lft AS (SELECT vec_id AS q_id, nv AS qv FROM e WHERE vec_id % 2 = 0),
+    rgt AS (SELECT vec_id AS c_id, nv AS cv FROM e WHERE vec_id % 2 = 1),
+    lq AS (SELECT * FROM lft WHERE q_id < 100),
+    scored0 AS (
+        SELECT lq.q_id, r.c_id, list_dot_product(lq.qv, r.cv) AS s
+        FROM lq CROSS JOIN rgt r
+    ),
+    avg_q AS (
+        SELECT q_id, avg(s) AS aq FROM (
+            SELECT q_id, s, row_number() OVER (
+                PARTITION BY q_id ORDER BY s DESC, c_id) AS rk
+            FROM scored0
+        ) WHERE rk <= 4 GROUP BY q_id
+    ),
+    scored AS (
+        SELECT q_id, c_id, s FROM (
+            SELECT q_id, c_id, s, row_number() OVER (
+                PARTITION BY q_id ORDER BY s DESC, c_id) AS rk
+            FROM scored0
+        ) WHERE rk <= 16
+    ),
+    all_pairs AS (
+        SELECT l.q_id, r.c_id, list_dot_product(l.qv, r.cv) AS s
+        FROM lft l CROSS JOIN rgt r
+        WHERE r.c_id IN (SELECT DISTINCT c_id FROM scored)
+    ),
+    avg_c AS (
+        SELECT c_id, avg(s) AS ac FROM (
+            SELECT c_id, s, row_number() OVER (
+                PARTITION BY c_id ORDER BY s DESC, q_id) AS rk
+            FROM all_pairs
+        ) WHERE rk <= 4 GROUP BY c_id
+    ),
+    margined AS (
+        SELECT sc.q_id, sc.c_id,
+               round(sc.s, 4) AS cos,
+               round(sc.s / ((aq.aq + ac.ac) / 2), 4) AS margin_score
+        FROM scored sc
+        JOIN avg_q aq ON aq.q_id = sc.q_id
+        JOIN avg_c ac ON ac.c_id = sc.c_id
+    )
+    SELECT q_id, c_id, cos, margin_score FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY q_id ORDER BY margin_score DESC, c_id) AS rk
+        FROM margined
+    ) WHERE rk = 1
+    """).fetchall())
+    con.close()
+    assert s == d
+    assert s  # non-vacuous
+
+
+def test_margin_demotes_hub_vector(spark):
+    """The criterion's point, isolated as an exact tie: two candidates
+    at IDENTICAL raw cosine to the query — one a hub (close to the
+    query side's other vectors), one isolated.  Raw cosine cannot
+    separate them (and the c_id tie-break would pick the hub, id 1);
+    the margin ratio must demote the hub and pick the isolated match,
+    because only the hub's neighborhood mean is inflated."""
+    from pyspark.sql import Row
+
+    from meeseeker_spark.ext.similarity import margin_knn_pairs
+
+    c, s = 0.8, 0.6  # c² + s² = 1 → both candidates are unit vectors
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),    # the query
+        # even-side fillers clustered along axis 3 (the hub direction)
+        Row(vec_id=2, embedding=[0.0, 0.0, 1.0, 0.0]),
+        Row(vec_id=4, embedding=[0.1, 0.0, 0.99, 0.0]),
+        # candidate 1 (hub): cos to query = c, e3 component aligns with
+        # the fillers → inflated neighborhood mean
+        Row(vec_id=1, embedding=[c, 0.0, s, 0.0]),
+        # candidate 3 (isolated): SAME cos to query, e4 component is
+        # orthogonal to everything → low neighborhood mean
+        Row(vec_id=3, embedding=[c, 0.0, 0.0, s]),
+    ]
+    emb = spark.createDataFrame(rows)
+    got = {r["q_id"]: r for r in
+           margin_knn_pairs(emb, k_neighbors=3).collect()}
+    assert got[0]["cos"] == round(c, 4)   # the tie premise holds
+    assert got[0]["c_id"] == 3            # margin demoted the hub
