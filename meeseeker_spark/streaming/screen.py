@@ -412,6 +412,32 @@ def rebuild_band_index(spark: SparkSession, out_dir: str, index_table: str,
     return spark.table(index_table).count()
 
 
+def rebuild_exact_index(spark: SparkSession, out_dir: str) -> int:
+    """Rewrite the fpx/bloom exact-dup index dirs from the corpus store
+    — the maintenance path after corpus-level retention deletes (a
+    Bloom filter cannot unlearn a key, so expiring corpus docs leaves
+    the bitmap over-flagging and the fpx carrying dangling rows until
+    this runs).  Fingerprints are text-pure, so recompute == index; the
+    per-batch layout (and with it the retry self-exclusion) is
+    preserved.  Returns the fingerprint row count written."""
+    corpus_dir = os.path.join(out_dir, "corpus")
+    corpus = (spark.read.option("basePath", corpus_dir)
+              .parquet(os.path.join(corpus_dir, "batch_id=*")))
+    fps = corpus.select(fingerprint(F.col("text")).alias("fp"),
+                        "doc_id", "batch_id")
+    n = 0
+    for row in sorted(r["batch_id"] for r in
+                      fps.select("batch_id").distinct().collect()):
+        part = fps.where(F.col("batch_id") == row).drop("batch_id")
+        (part.write.mode("overwrite")
+         .parquet(os.path.join(out_dir, "fpx", f"batch_id={row}")))
+        (bloom_bitmap(part.select("fp").distinct(), "fp")
+         .write.mode("overwrite")
+         .parquet(os.path.join(out_dir, "bloom", f"batch_id={row}")))
+        n += part.count()
+    return n
+
+
 def screen_report(spark: SparkSession, out_dir: str) -> DataFrame:
     """Per-batch observability rollup of a screen's output tree:
     (batch_id, n_admitted, n_flagged, n_quality_rejected), ordered by

@@ -1276,3 +1276,50 @@ def test_screen_exact_index_self_heals_missing_bloom(spark, tmp_path_factory):
     assert corpus == {1}          # re-post still rejected (banded path)
     assert flagged == {(10, 1)}
     assert os.path.isdir(out / "bloom")  # dirs recreated by batch 1
+
+
+def test_rebuild_exact_index_from_corpus(spark, tmp_path_factory):
+    """rebuild_exact_index rewrites fpx/bloom from the corpus store —
+    the maintenance path after corpus retention (a bloom cannot unlearn
+    a key).  Fingerprints are text-pure: rebuild == the per-batch
+    projections the screen itself wrote."""
+    import shutil
+    import time as _time
+
+    from meeseeker_spark.streaming.screen import (rebuild_exact_index,
+                                                  start_screen)
+
+    d = tmp_path_factory.mktemp("screen_rebuild")
+    incoming, out, ckpt = d / "incoming", d / "out", d / "ckpt"
+    os.makedirs(incoming)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    def drop(name, rows):
+        tmp = d / ("w_" + name)
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        os.rename(tmp / part, incoming / f"{name}.parquet")
+
+    drop("b1", [(1, "first corpus doc about rivers and bridges spanning "
+                    "them", "en", "web", 60)])
+    _time.sleep(1.1)
+    drop("b2", [(2, "second corpus doc about mountains and the passes "
+                    "between them", "en", "web", 66)])
+    q = start_screen(spark, str(incoming), str(out), str(ckpt),
+                     exact_index=True)
+    q.awaitTermination(120)
+
+    orig_fpx = sorted(tuple(r) for r in
+                      spark.read.parquet(str(out / "fpx")).collect())
+    orig_bloom = sorted(tuple(r) for r in
+                        spark.read.parquet(str(out / "bloom")).collect())
+    shutil.rmtree(out / "fpx")
+    shutil.rmtree(out / "bloom")
+    n = rebuild_exact_index(spark, str(out))
+    assert n == 2
+    rebuilt_fpx = sorted(tuple(r) for r in
+                         spark.read.parquet(str(out / "fpx")).collect())
+    rebuilt_bloom = sorted(tuple(r) for r in
+                           spark.read.parquet(str(out / "bloom")).collect())
+    assert rebuilt_fpx == orig_fpx
+    assert rebuilt_bloom == orig_bloom
