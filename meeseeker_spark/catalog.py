@@ -3349,6 +3349,21 @@ def margin_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                             k_neighbors=4, query_cap=100, shortlist=16)
 
 
+@register("ngram_repetition", None, tags=("F4", "quality"))
+def ngram_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher n-gram repetition battery (ext.text.ngram_repetition,
+    Rae et al. 2021 Table A1): per doc the top-{2,3,4}-gram and
+    duplicated-{5..10}-gram character-mass fractions — the
+    machine-generated-text signals gopher_rules' line family doesn't
+    carry.  ONE explode stacks all nine n values as (n, gram) structs
+    (a single corpus-scale shuffle), then two aggregates and a
+    conditional pivot; integer mass arithmetic until the final rounded
+    division.  Rows-only (window full); exact DuckDB parity in
+    tests/test_ext.py::test_ngram_repetition_vs_duckdb."""
+    from .ext.text import ngram_repetition
+    return ngram_repetition(load(spark, sf_dir, "documents"))
+
+
 def _ordered() -> list[Entry]:
     """Registry in driver-facing order: every driver-oracled entry first
     (the driver's correctness gate grades only the first 50 registrations,

@@ -517,3 +517,93 @@ def corpus_datacard_exact(df: DataFrame, group_cols: tuple[str, ...] =
              F.sum(500 * F.greatest(F.col("_nt"), F.lit(1)))
              .alias("quality_den"))
     )
+
+
+def ngram_repetition(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     top_ns: tuple[int, ...] = (2, 3, 4),
+                     dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+                     round_dp: int = 4) -> DataFrame:
+    """The Gopher n-gram repetition battery (Rae et al. 2021, App. A
+    Table A1) — the signals ``gopher_rules``' line family doesn't
+    cover: for n in ``top_ns`` the fraction of document characters
+    covered by the single heaviest n-gram, for n in ``dup_ns`` the
+    fraction covered by ALL duplicated n-grams (count ≥ 2).  High
+    values flag machine-generated / boilerplate text that passes
+    word-count and symbol rules.
+
+    Conventions (documented because the paper leaves them open, and
+    the oracle must replay them exactly): grams are positional
+    lowercase word n-grams; character mass of a gram is
+    count × its string length (overlapping occurrences both count —
+    the Dolma-style approximation, no char marking; on degenerate
+    fully-repetitive docs the ratio therefore EXCEEDS 1.0 — the signal
+    saturates upward, which is exactly what a keep-threshold wants,
+    but it is a mass ratio, not a bounded fraction); "heaviest" means
+    maximal c×len, which is deterministic without a tie rule because
+    max over integers is total (the most-frequent-gram reading needs a
+    tie-break the paper doesn't give).  Denominator = document char
+    length; docs shorter than n words score 0 for that n.
+
+    Plan: ONE explode over the per-n gram arrays stacked as (n, gram)
+    structs — a single corpus-scale shuffle for all nine n values —
+    then two vocabulary-ish aggregates (per-doc-gram counts, per-doc
+    masses) and a conditional-aggregate pivot back to one row per doc.
+    All integer arithmetic until the final division (rounded, both
+    engines); DuckDB-exact in tests/test_ext.py.
+    """
+    all_ns = tuple(top_ns) + tuple(dup_ns)
+    t = df.select(F.col(id_col).alias("_id"),
+                  F.length(F.coalesce(F.col(text_col), F.lit("")))
+                  .alias("_chars"),
+                  tokens(F.col(text_col)).alias("_w"))
+    w = F.col("_w")
+
+    def grams(n: int):
+        g = F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j + 1) for j in range(n)]))
+        return F.when(F.size(w) >= n, g).otherwise(
+            F.array().cast("array<string>"))
+
+    def stack(n: int):
+        # NB single-parameter lambda only: a second parameter (the
+        # ``_n=n`` closure idiom) would receive the array INDEX column
+        # (the r3 MinHash lambda-counter bug, ROUND_NOTES) — the plain
+        # def closure binds the int correctly.
+        return F.transform(
+            grams(n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")))
+
+    stacked = F.concat(*[stack(n) for n in all_ns])
+    exploded = (t.select("_id", "_chars", F.explode(stacked).alias("_x"))
+                .select("_id", "_chars", F.col("_x.n").alias("_n"),
+                        F.col("_x.g").alias("_g")))
+    counts = (exploded.groupBy("_id", "_chars", "_n", "_g")
+              .agg(F.count("*").alias("_c")))
+    mass = F.col("_c") * F.length(F.col("_g"))
+    per_n = (counts.groupBy("_id", "_chars", "_n")
+             .agg(F.max(mass).alias("_top_mass"),
+                  F.sum(F.when(F.col("_c") >= 2, mass).otherwise(0))
+                  .alias("_dup_mass")))
+    chars_d = F.greatest(F.col("_chars"), F.lit(1)).cast("double")
+    outcols = []
+    for n in top_ns:
+        outcols.append(F.round(
+            F.coalesce(F.max(F.when(F.col("_n") == n,
+                                    F.col("_top_mass"))), F.lit(0))
+            / chars_d, round_dp).alias(f"top_{n}gram_char_frac"))
+    for n in dup_ns:
+        outcols.append(F.round(
+            F.coalesce(F.max(F.when(F.col("_n") == n,
+                                    F.col("_dup_mass"))), F.lit(0))
+            / chars_d, round_dp).alias(f"dup_{n}gram_char_frac"))
+    scored = per_n.groupBy("_id", "_chars").agg(*outcols)
+    out = (t.select("_id").join(scored, "_id", "left")
+           .drop("_chars"))
+    # docs with zero grams at every n (short/empty text) keep a row of 0s
+    fills = {f"top_{n}gram_char_frac": 0.0 for n in top_ns}
+    fills.update({f"dup_{n}gram_char_frac": 0.0 for n in dup_ns})
+    return (out.fillna(fills)
+            .withColumnRenamed("_id", id_col))

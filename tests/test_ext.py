@@ -5858,3 +5858,85 @@ def test_margin_demotes_hub_vector(spark):
            margin_knn_pairs(emb, k_neighbors=3).collect()}
     assert got[0]["cos"] == round(c, 4)   # the tie premise holds
     assert got[0]["c_id"] == 3            # margin demoted the hub
+
+
+def test_ngram_repetition_vs_duckdb(spark):
+    """Exact DuckDB parity for the Gopher n-gram repetition battery —
+    positional grams, integer char-mass arithmetic, rounded divisions."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["ngram_repetition"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    frac_cols = ",\n".join(
+        f"         round(coalesce(max(CASE WHEN n={n} THEN "
+        f"{'top' if n <= 4 else 'dup'}_mass END), 0)"
+        f" / greatest(chars, 1), 4) AS "
+        f"{'top' if n <= 4 else 'dup'}_{n}gram_char_frac"
+        for n in range(2, 11))
+    sel_cols = ",\n".join(
+        f"       coalesce(w.{'top' if n <= 4 else 'dup'}_{n}gram_char_frac,"
+        f" 0.0) AS {'top' if n <= 4 else 'dup'}_{n}gram_char_frac"
+        for n in range(2, 11))
+    d = sorted(tuple(r) for r in con.execute(rf"""
+    WITH t AS (
+      SELECT doc_id AS _id, length(coalesce(text, '')) AS chars,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ), ns AS (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n),
+    grams AS (
+      SELECT t._id, t.chars, ns.n,
+             array_to_string(t.w[i : i + ns.n - 1], ' ') AS g
+      FROM t CROSS JOIN ns
+      CROSS JOIN UNNEST(range(1, len(t.w) - ns.n + 2)) AS u(i)
+    ), counts AS (
+      SELECT _id, chars, n, g, count(*) AS c FROM grams GROUP BY 1,2,3,4
+    ), per_n AS (
+      SELECT _id, chars, n,
+             max(c * length(g)) AS top_mass,
+             CAST(sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END)
+                  AS BIGINT) AS dup_mass
+      FROM counts GROUP BY 1,2,3
+    ), wide AS (
+      SELECT _id,
+{frac_cols}
+      FROM per_n GROUP BY _id, chars
+    )
+    SELECT d.doc_id,
+{sel_cols}
+    FROM documents d LEFT JOIN wide w ON w._id = d.doc_id
+    """).fetchall())
+    con.close()
+    assert s == d
+
+
+def test_ngram_repetition_semantics(spark):
+    """A fully-repetitive doc saturates the dup fractions (the mass
+    ratio exceeds 1.0 by the documented overlap convention); a
+    no-repeat doc scores 0 everywhere; a doc shorter than n words
+    scores 0 for that n while keeping its row."""
+    from pyspark.sql import Row
+
+    from meeseeker_spark.ext.text import ngram_repetition
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="buy now " * 30),
+        Row(doc_id=2, text=" ".join(f"u{i} w{i * 7}" for i in range(30))),
+        Row(doc_id=3, text="only three words"),
+        Row(doc_id=4, text=""),
+    ])
+    r = {x["doc_id"]: x for x in ngram_repetition(df).collect()}
+    assert r[1]["dup_5gram_char_frac"] > 1.0   # saturated repetition
+    assert r[1]["top_2gram_char_frac"] == 0.875  # 30×len("buy now")/240
+    # no-repeat doc: every dup fraction 0; top fractions small but
+    # NONZERO (a unique gram still occupies its chars — the definition)
+    assert all(r[2][f"dup_{n}gram_char_frac"] == 0.0 for n in range(5, 11))
+    assert 0.0 < r[2]["top_2gram_char_frac"] < 0.2
+    assert r[3]["top_2gram_char_frac"] > 0.0   # "only three" occupies chars
+    assert r[3]["dup_5gram_char_frac"] == 0.0  # shorter than 5 words
+    assert r[4]["dup_10gram_char_frac"] == 0.0  # empty text keeps a row
