@@ -164,6 +164,10 @@ def main(argv: list[str] | None = None) -> int:
                          "docs over --blocklist-max-frac blocked-token "
                          "fraction are dropped (ext.text)")
     pp.add_argument("--blocklist-max-frac", type=float, default=0.0)
+    pp.add_argument("--repetition", action="store_true",
+                    help="opt-in Gopher n-gram repetition screen "
+                         "(ext.text.ngram_repetition, Table A1 "
+                         "thresholds verbatim)")
     pp.add_argument("--gopher", action="store_true",
                     help="opt-in Gopher/MassiveText quality-rule screen "
                          "(ext.text.gopher_rules, default thresholds)")
@@ -391,6 +395,7 @@ def main(argv: list[str] | None = None) -> int:
                         if w.strip()] if a.blocklist else None),
             blocklist_max_frac=a.blocklist_max_frac,
             gopher=a.gopher,
+            repetition=a.repetition,
             ppl_keep=(tuple(x.strip() for x in a.ppl_keep.split(","))
                       if a.ppl_keep else None),
             logit_threshold=a.logit_threshold,

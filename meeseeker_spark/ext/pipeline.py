@@ -11,6 +11,8 @@ composed in the order a real pretraining data pipeline runs them.
       → quality filter         (composite score ≥ floor)
       → blocklist [opt-in]     (C4 word blocklist, narrow literal-array)
       → Gopher rules [opt-in]  (MassiveText rule battery, narrow)
+      → repetition [opt-in]    (Gopher n-gram char-mass battery,
+                                Table A1 thresholds verbatim)
       → perplexity keep [opt-in] (CCNet head/middle/tail bucket screen)
       → classifier keep [opt-in] (distilled linear model, narrow scoring)
       → DSIR select [opt-in]   (importance resampling toward a target corpus)
@@ -72,6 +74,7 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
                             source_cap: int | None = None,
                             source_col: str = "source",
                             gopher: bool = False,
+                            repetition: bool = False,
                             ppl_keep: tuple[str, ...] | None = None,
                             logit_threshold: float | None = None,
                             dsir_target: DataFrame | None = None,
@@ -203,6 +206,23 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
             "keep").select(id_col)
         d4 = d4.join(keep_ids, id_col)
         stages["gopher_kept"] = d4
+
+    if repetition:
+        # the Gopher Table A1 repetition thresholds verbatim: top
+        # 2/3/4-gram mass <= .20/.18/.16, duplicated 5..10-gram mass
+        # <= .15/.14/.13/.12/.11/.10
+        from .text import ngram_repetition
+        rep = ngram_repetition(d4, id_col, text_col)
+        bars = {"top_2gram_char_frac": 0.20, "top_3gram_char_frac": 0.18,
+                "top_4gram_char_frac": 0.16, "dup_5gram_char_frac": 0.15,
+                "dup_6gram_char_frac": 0.14, "dup_7gram_char_frac": 0.13,
+                "dup_8gram_char_frac": 0.12, "dup_9gram_char_frac": 0.11,
+                "dup_10gram_char_frac": 0.10}
+        cond = F.lit(True)
+        for c, bar in bars.items():
+            cond = cond & (F.col(c) <= bar)
+        d4 = d4.join(rep.where(cond).select(id_col), id_col)
+        stages["repetition_kept"] = d4
 
     if ppl_keep is not None:
         from .lm import perplexity_buckets

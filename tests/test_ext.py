@@ -5940,3 +5940,34 @@ def test_ngram_repetition_semantics(spark):
     assert r[3]["top_2gram_char_frac"] > 0.0   # "only three" occupies chars
     assert r[3]["dup_5gram_char_frac"] == 0.0  # shorter than 5 words
     assert r[4]["dup_10gram_char_frac"] == 0.0  # empty text keeps a row
+
+
+def test_prepare_funnel_repetition_stage(spark, docs):
+    """Repetition battery as a funnel stage (Table A1 thresholds
+    verbatim): monotone, and a planted repetitive doc is the one that
+    dies at the stage while clean siblings survive."""
+    from pyspark.sql import Row
+
+    from meeseeker_spark.ext.pipeline import prepare_training_corpus
+
+    filler = " ".join(f"alpha{i} beta{i * 3} gamma{i * 7} delta{i * 11}"
+                      for i in range(30))
+    spammy = ("click here to win " * 40).strip()
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=f"{filler} tail{i}", lang="en", source="web",
+             n_chars=len(filler) + 6) for i in range(8)]
+        + [Row(doc_id=99, text=spammy, lang="en", source="web",
+               n_chars=len(spammy))])
+    bench = spark.createDataFrame(
+        [Row(doc_id=1000, text="totally unrelated benchmark words",
+             lang="en", source="eval", n_chars=33)])
+    build = prepare_training_corpus(
+        corpus, bench, {"en": 1.0}, decontam_ngram=3,
+        decontam_max_overlap=0.5, quality_floor=0.0, max_tokens=256,
+        repetition=True)
+    r = build.report()
+    assert r["quality_filtered"] >= r["repetition_kept"]
+    kept = {row["doc_id"] for row in
+            build.stages["repetition_kept"].select("doc_id").collect()}
+    assert 99 not in kept          # the spam doc died at this stage
+    assert kept                    # clean docs survived
