@@ -446,9 +446,11 @@ def screen_report(spark: SparkSession, out_dir: str) -> DataFrame:
     batch_id=N layout alone, no extra bookkeeping written on the hot
     path.  Batches whose every row was rejected still appear (counts
     join FULL OUTER and coalesce to 0); quality_rejected is absent
-    entirely when no quality gate ran.  Scale: three metadata-cheap
-    count aggregates over the partition column — column pruning means
-    the text/bytes columns are never read."""
+    entirely when no quality gate ran; kl_divergence joins in when the
+    drift monitor wrote (NULL when absent — 0 would read as "no
+    drift").  Scale: metadata-cheap count aggregates over the
+    partition column — column pruning means the text/bytes columns are
+    never read."""
     def counts(sub: str, alias: str) -> DataFrame | None:
         p = os.path.join(out_dir, sub)
         if not os.path.isdir(p) or not any(
@@ -468,8 +470,18 @@ def screen_report(spark: SparkSession, out_dir: str) -> DataFrame:
         c = counts(sub, alias)
         out = (out.join(c, "batch_id", "full_outer") if c is not None
                else out.withColumn(alias, F.lit(0)))
+    drift_p = os.path.join(out_dir, "drift")
+    if os.path.isdir(drift_p) and any(
+            n.startswith("batch_id=") for n in os.listdir(drift_p)):
+        drift = (spark.read.parquet(drift_p)
+                 .select("batch_id", "kl_divergence"))
+        out = out.join(drift, "batch_id", "full_outer")
+    else:
+        out = out.withColumn("kl_divergence",
+                             F.lit(None).cast("double"))
     return out.select(
         "batch_id",
         *[F.coalesce(F.col(a), F.lit(0)).cast("long").alias(a)
-          for a in ("n_admitted", "n_flagged", "n_quality_rejected")]
+          for a in ("n_admitted", "n_flagged", "n_quality_rejected")],
+        "kl_divergence",
     ).orderBy("batch_id")

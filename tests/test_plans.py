@@ -461,3 +461,23 @@ def test_cms_estimates_broadcast_cells(spark):
     plan = explain_str(catalog.ENTRIES["cms_counts"].spark(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_margin_pairs_no_cartesian(spark):
+    """The margin miner's cross joins must plan as broadcast NLJ (tiny
+    query/candidate side), never CartesianProduct, and stay
+    Python-free; the shortlist keeps both pair stages bounded."""
+    plan = explain_str(catalog.ENTRIES["margin_pairs"].spark(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_ngram_repetition_single_generate(spark):
+    """All nine n values ride ONE explode (one Generate node) — nine
+    separate explodes would shuffle the gram volume nine times."""
+    plan = explain_str(catalog.ENTRIES["ngram_repetition"].spark(spark, SF))
+    # formatted explain mentions a node twice (tree line + detail
+    # section) — one Generate node ⇒ exactly 2 mentions; nine explodes
+    # would show 18
+    assert plan.count("Generate") == 2
+    assert "EvalPython" not in plan

@@ -1073,12 +1073,16 @@ def test_screen_report_rollup(spark, tmp_path_factory):
     w("flagged", 2, [(6, 3, 1.0)], flag_cols)
 
     got = [tuple(r) for r in screen_report(spark, str(out)).collect()]
-    assert got == [(0, 2, 0, 0), (1, 1, 2, 0), (2, 0, 1, 0)]
+    # trailing None: no drift monitor ran (NULL, not 0 — 0 would
+    # read as a measured zero-drift batch)
+    assert got == [(0, 2, 0, 0, None), (1, 1, 2, 0, None),
+                   (2, 0, 1, 0, None)]
 
     # quality_rejected dir present → real counts appear
     w("quality_rejected", 1, [(9, "junk")], doc_cols)
     got2 = [tuple(r) for r in screen_report(spark, str(out)).collect()]
-    assert got2 == [(0, 2, 0, 0), (1, 1, 2, 1), (2, 0, 1, 0)]
+    assert got2 == [(0, 2, 0, 0, None), (1, 1, 2, 1, None),
+                    (2, 0, 1, 0, None)]
 
     with _pytest.raises(FileNotFoundError):
         screen_report(spark, str(d / "nowhere"))
@@ -1231,6 +1235,12 @@ def test_screen_drift_monitor(spark, tmp_path_factory):
              spark.read.parquet(str(out / "drift")).collect()}
     assert set(drift) == {0, 1}
     assert drift[1] > drift[0]  # the spam batch drifts harder
+
+    # the rollup surfaces the same number per batch
+    from meeseeker_spark.streaming.screen import screen_report
+    rep = {r["batch_id"]: r["kl_divergence"]
+           for r in screen_report(spark, str(out)).collect()}
+    assert rep == drift
 
 
 def test_screen_exact_index_self_heals_missing_bloom(spark, tmp_path_factory):
