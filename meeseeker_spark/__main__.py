@@ -166,8 +166,13 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--blocklist-max-frac", type=float, default=0.0)
     pp.add_argument("--repetition", action="store_true",
                     help="opt-in Gopher n-gram repetition screen "
-                         "(ext.text.ngram_repetition, Table A1 "
-                         "thresholds verbatim)")
+                         "(ext.text.ngram_repetition): Table A1 "
+                         "threshold VALUES applied to an upward-biased "
+                         "approximation of the paper's statistic "
+                         "(overlapping occurrences' chars count "
+                         "multiply — no char marking), so the screen "
+                         "rejects somewhat more aggressively than the "
+                         "paper's operating point")
     pp.add_argument("--gopher", action="store_true",
                     help="opt-in Gopher/MassiveText quality-rule screen "
                          "(ext.text.gopher_rules, default thresholds)")

@@ -12,7 +12,8 @@ composed in the order a real pretraining data pipeline runs them.
       → blocklist [opt-in]     (C4 word blocklist, narrow literal-array)
       → Gopher rules [opt-in]  (MassiveText rule battery, narrow)
       → repetition [opt-in]    (Gopher n-gram char-mass battery,
-                                Table A1 thresholds verbatim)
+                                Table A1 threshold values on an
+                                upward-biased mass statistic)
       → perplexity keep [opt-in] (CCNet head/middle/tail bucket screen)
       → classifier keep [opt-in] (distilled linear model, narrow scoring)
       → DSIR select [opt-in]   (importance resampling toward a target corpus)
@@ -208,9 +209,13 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
         stages["gopher_kept"] = d4
 
     if repetition:
-        # the Gopher Table A1 repetition thresholds verbatim: top
-        # 2/3/4-gram mass <= .20/.18/.16, duplicated 5..10-gram mass
-        # <= .15/.14/.13/.12/.11/.10
+        # the Gopher Table A1 threshold VALUES — top 2/3/4-gram mass
+        # <= .20/.18/.16, duplicated 5..10-gram mass <=
+        # .15/.14/.13/.12/.11/.10 — applied to ngram_repetition's
+        # UPWARD-BIASED mass statistic (overlapping occurrences' chars
+        # count multiply; see its docstring), so this screen rejects
+        # somewhat more aggressively than the paper's char-coverage
+        # operating point
         from .text import ngram_repetition
         rep = ngram_repetition(d4, id_col, text_col)
         bars = {"top_2gram_char_frac": 0.20, "top_3gram_char_frac": 0.18,

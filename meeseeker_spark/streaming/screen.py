@@ -154,6 +154,8 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
                  index_buckets: int = 32,
                  quality_gate=None,
                  exact_index: bool = False,
+                 bloom_m_bits: int = 8192,
+                 bloom_k: int = 5,
                  drift_baseline: DataFrame | None = None) -> StreamingQuery:
     """File stream over ``incoming_dir`` → screened corpus under
     ``out_dir``/corpus + rejection log under ``out_dir``/flagged.
@@ -207,9 +209,13 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
     in the prescreen's favor, never a lost rejection.  The normal-
     regime equivalence is pinned by test; the flagged log may differ on
     exact dups (one exact row at jaccard 1.0 instead of that doc's
-    near-dup pair rows).  The layout marker records the flag: toggling
-    it against existing state would screen against an empty/stale
-    fingerprint index, so it refuses.
+    near-dup pair rows).  The layout marker records the flag AND the
+    bloom sizing (``bloom_m_bits``/``bloom_k``): toggling the flag
+    against existing state would screen against an empty/stale
+    fingerprint index, and restarting with different slot parameters
+    would probe the stored bitmap at the wrong positions — false
+    "provably fresh" verdicts admitting exact dups with no guard
+    firing — so both refuse loudly.
 
     ``drift_baseline`` (opt-in): a STATIC (token, n) count table (or a
     docs DataFrame; see ext.drift) — each raw batch's one-row smoothed
@@ -253,6 +259,22 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
                 f"{exact_index!r} would screen against an "
                 "empty/stale fingerprint index. Keep the flag stable "
                 "for the life of the store.")
+        # slot positions are part of the sketch identity: a bitmap built
+        # at one (m_bits, k) probed at another yields false "provably
+        # fresh" verdicts (exact dups admitted) with no other guard
+        # firing.  Markers written before r11 lack the keys — they were
+        # only ever built at the former hard-coded defaults.
+        if exact_index:
+            rec_m = int(rec.get("bloom_m_bits", 8192))
+            rec_k = int(rec.get("bloom_k", 5))
+            if (rec_m, rec_k) != (bloom_m_bits, bloom_k):
+                raise RuntimeError(
+                    f"screen at {out_dir} built its bloom index at "
+                    f"m_bits={rec_m}, k={rec_k}; restarting with "
+                    f"m_bits={bloom_m_bits}, k={bloom_k} would probe "
+                    "the stored bitmap at mismatched slot positions. "
+                    "Run rebuild_exact_index under the new sizing "
+                    "first (and update the marker).")
     else:
         if index_table is not None and spark.catalog.tableExists(index_table):
             raise RuntimeError(
@@ -263,9 +285,13 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
             raise RuntimeError(
                 f"{index_dir} already holds a dir-layout band index; "
                 "refusing to start a table layout beside it.")
+        rec = {"index_table": index_table,
+               "exact_index": bool(exact_index)}
+        if exact_index:
+            rec["bloom_m_bits"] = int(bloom_m_bits)
+            rec["bloom_k"] = int(bloom_k)
         with open(marker, "w") as f:
-            _json.dump({"index_table": index_table,
-                        "exact_index": bool(exact_index)}, f)
+            _json.dump(rec, f)
 
     quality_rejected_dir = os.path.join(out_dir, "quality_rejected")
 
@@ -340,7 +366,9 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
                      .parquet(bloom_dir)
                      .where(F.col("batch_id") != batch_id)
                      .groupBy("word_idx").agg(F.bit_or("word").alias("word")))
-            batch_df, seen = exact_prescreen(batch_df, fpx, bloom)
+            batch_df, seen = exact_prescreen(batch_df, fpx, bloom,
+                                             m_bits=bloom_m_bits,
+                                             k=bloom_k)
             exact_flagged = seen.select(
                 F.col("doc_id").alias("new_id"), "corpus_id",
                 F.lit(1.0).alias("jaccard"))
@@ -380,7 +408,8 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
                 fingerprint(F.col("text")).alias("fp"), "doc_id")
             (fps.write.mode("overwrite")
              .parquet(os.path.join(fpx_dir, f"batch_id={batch_id}")))
-            (bloom_bitmap(fps.select("fp").distinct(), "fp")
+            (bloom_bitmap(fps.select("fp").distinct(), "fp",
+                          m_bits=bloom_m_bits, k=bloom_k)
              .write.mode("overwrite")
              .parquet(os.path.join(bloom_dir, f"batch_id={batch_id}")))
 
@@ -390,7 +419,36 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
               .option("checkpointLocation", checkpoint_dir))
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    query = writer.start()
+    if drift_baseline is not None:
+        # the persist above lives exactly as long as the query: repeated
+        # screen restarts in one long session (the tests' own pattern)
+        # must not accumulate vocabulary-sized cached baselines in
+        # executor storage (ADVICE r10)
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        baseline, qid = drift_baseline, str(query.id)
+
+        class _UnpersistOnStop(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                pass
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                if str(event.id) != qid:
+                    return
+                try:
+                    baseline.unpersist()
+                finally:
+                    spark.streams.removeListener(self)
+
+        spark.streams.addListener(_UnpersistOnStop())
+    return query
 
 
 def rebuild_band_index(spark: SparkSession, out_dir: str, index_table: str,
@@ -419,19 +477,45 @@ def rebuild_exact_index(spark: SparkSession, out_dir: str) -> int:
     the bitmap over-flagging and the fpx carrying dangling rows until
     this runs).  Fingerprints are text-pure, so recompute == index; the
     per-batch layout (and with it the retry self-exclusion) is
-    preserved.  Returns the fingerprint row count written."""
+    preserved.  Index batches whose corpus partition no longer exists
+    are DELETED first (ADVICE r10: the per-batch rewrite loop alone
+    only overwrites surviving batches, so a retention-expired
+    ``batch_id=K`` would leave its stale fpx/bloom dirs over-flagging
+    forever — the exact condition this function exists to repair).
+    Bloom sizing comes from the screen's layout marker, so the rebuilt
+    bitmaps are probed at the positions the running screen uses.
+    Returns the fingerprint row count written."""
+    import json as _json
+    import shutil
+
+    m_bits, k = 8192, 5
+    marker = os.path.join(out_dir, "_index_layout.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            rec = _json.load(f)
+        m_bits = int(rec.get("bloom_m_bits", m_bits))
+        k = int(rec.get("bloom_k", k))
     corpus_dir = os.path.join(out_dir, "corpus")
     corpus = (spark.read.option("basePath", corpus_dir)
               .parquet(os.path.join(corpus_dir, "batch_id=*")))
     fps = corpus.select(fingerprint(F.col("text")).alias("fp"),
                         "doc_id", "batch_id")
+    batches = sorted(r["batch_id"] for r in
+                     fps.select("batch_id").distinct().collect())
+    live = {f"batch_id={b}" for b in batches}
+    for sub in ("fpx", "bloom"):
+        p = os.path.join(out_dir, sub)
+        if os.path.isdir(p):
+            for e in os.listdir(p):
+                if e.startswith("batch_id=") and e not in live:
+                    shutil.rmtree(os.path.join(p, e))
     n = 0
-    for row in sorted(r["batch_id"] for r in
-                      fps.select("batch_id").distinct().collect()):
+    for row in batches:
         part = fps.where(F.col("batch_id") == row).drop("batch_id")
         (part.write.mode("overwrite")
          .parquet(os.path.join(out_dir, "fpx", f"batch_id={row}")))
-        (bloom_bitmap(part.select("fp").distinct(), "fp")
+        (bloom_bitmap(part.select("fp").distinct(), "fp",
+                      m_bits=m_bits, k=k)
          .write.mode("overwrite")
          .parquet(os.path.join(out_dir, "bloom", f"batch_id={row}")))
         n += part.count()

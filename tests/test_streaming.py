@@ -1333,3 +1333,161 @@ def test_rebuild_exact_index_from_corpus(spark, tmp_path_factory):
                            spark.read.parquet(str(out / "bloom")).collect())
     assert rebuilt_fpx == orig_fpx
     assert rebuilt_bloom == orig_bloom
+
+
+def test_rebuild_exact_index_prunes_expired_batches(spark, tmp_path_factory):
+    """Regression (ADVICE r11): after a retention delete of
+    corpus/batch_id=K the per-batch rewrite loop alone only overwrites
+    SURVIVING batches — the stale fpx/bloom batch_id=K dirs would keep
+    over-flagging (the bitmap cannot unlearn) and carrying dangling
+    doc_ids forever.  rebuild_exact_index must remove them."""
+    import shutil
+    import time as _time
+
+    from meeseeker_spark.ext.sketch import bloom_membership
+    from meeseeker_spark.ext.text import fingerprint as _fp
+    from meeseeker_spark.streaming.screen import (rebuild_exact_index,
+                                                  start_screen)
+
+    d = tmp_path_factory.mktemp("screen_prune")
+    incoming, out, ckpt = d / "incoming", d / "out", d / "ckpt"
+    os.makedirs(incoming)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    def drop(name, rows):
+        tmp = d / ("w_" + name)
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        os.rename(tmp / part, incoming / f"{name}.parquet")
+
+    keep_text = "surviving doc about rivers and the bridges spanning them"
+    gone_text = "expiring doc about mountains and the passes between them"
+    drop("b1", [(1, keep_text, "en", "web", len(keep_text))])
+    _time.sleep(1.1)
+    drop("b2", [(2, gone_text, "en", "web", len(gone_text))])
+    q = start_screen(spark, str(incoming), str(out), str(ckpt),
+                     exact_index=True)
+    q.awaitTermination(120)
+    assert os.path.isdir(out / "fpx" / "batch_id=1")
+
+    # retention expires batch 1 from the corpus store
+    shutil.rmtree(out / "corpus" / "batch_id=1")
+    n = rebuild_exact_index(spark, str(out))
+    assert n == 1
+    assert not os.path.exists(out / "fpx" / "batch_id=1")
+    assert not os.path.exists(out / "bloom" / "batch_id=1")
+    fpx = [tuple(r) for r in spark.read.parquet(str(out / "fpx")).collect()]
+    assert {r[1] for r in fpx} == {1}  # no dangling doc_ids
+    # the merged bitmap no longer flags the expired doc's fingerprint
+    from pyspark.sql import functions as F
+    merged = (spark.read.parquet(str(out / "bloom"))
+              .groupBy("word_idx").agg(F.bit_or("word").alias("word")))
+    probes = spark.createDataFrame(
+        [(keep_text,), (gone_text,)], ["text"]).select(
+        _fp(F.col("text")).alias("fp"))
+    flags = {r["fp"]: r["maybe_seen"] for r in
+             bloom_membership(probes, merged, "fp").collect()}
+    import hashlib
+    import re as _re
+
+    def py_fp(t):
+        return hashlib.md5(
+            _re.sub(r"\s+", " ", t.lower()).strip().encode()).hexdigest()
+
+    assert flags[py_fp(keep_text)] is True
+    assert flags[py_fp(gone_text)] is False  # unlearned by the rebuild
+
+
+def test_screen_bloom_sizing_marker_guard(spark, tmp_path_factory):
+    """The layout marker records bloom_m_bits/bloom_k (ADVICE r11): a
+    restart probing the stored bitmap at different slot parameters
+    would yield false 'provably fresh' verdicts with no guard firing —
+    it must refuse instead; the recorded sizing restarts cleanly."""
+    import json
+    import time as _time
+
+    from meeseeker_spark.streaming.screen import start_screen
+
+    d = tmp_path_factory.mktemp("screen_sizing")
+    incoming, out, ckpt = d / "incoming", d / "out", d / "ckpt"
+    os.makedirs(incoming)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    def drop(name, rows):
+        tmp = d / ("w_" + name)
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        os.rename(tmp / part, incoming / f"{name}.parquet")
+
+    txt = "a document about canals and the locks that climb them"
+    drop("b1", [(1, txt, "en", "web", len(txt))])
+    q = start_screen(spark, str(incoming), str(out), str(ckpt),
+                     exact_index=True, bloom_m_bits=4096, bloom_k=3)
+    q.awaitTermination(120)
+    with open(out / "_index_layout.json") as f:
+        rec = json.load(f)
+    assert (rec["bloom_m_bits"], rec["bloom_k"]) == (4096, 3)
+
+    with pytest.raises(RuntimeError, match="mismatched slot positions"):
+        start_screen(spark, str(incoming), str(out), str(ckpt),
+                     exact_index=True, bloom_m_bits=8192, bloom_k=5)
+
+    # the recorded sizing restarts cleanly (and screens correctly)
+    _time.sleep(1.1)
+    drop("b2", [(7, txt, "en", "web", len(txt))])  # exact re-post
+    q = start_screen(spark, str(incoming), str(out), str(ckpt),
+                     exact_index=True, bloom_m_bits=4096, bloom_k=3)
+    q.awaitTermination(120)
+    flagged = {(r["new_id"], r["corpus_id"]) for r in
+               spark.read.parquet(str(out / "flagged")).collect()}
+    assert flagged == {(7, 1)}
+
+    # a pre-r11 marker (no sizing keys) means "built at the then
+    # hard-coded defaults": defaults restart, anything else refuses
+    with open(out / "_index_layout.json") as f:
+        rec = json.load(f)
+    del rec["bloom_m_bits"], rec["bloom_k"]
+    with open(out / "_index_layout.json", "w") as f:
+        json.dump(rec, f)
+    with pytest.raises(RuntimeError, match="mismatched slot positions"):
+        start_screen(spark, str(incoming), str(out), str(ckpt),
+                     exact_index=True, bloom_m_bits=4096, bloom_k=3)
+
+
+def test_screen_drift_baseline_unpersisted_on_stop(spark, tmp_path_factory):
+    """Regression (ADVICE r10): the screen persists its drift baseline
+    for the life of the QUERY, not the session — repeated screen
+    restarts in one session must not accumulate cached
+    vocabulary-sized baselines in executor storage."""
+    import time as _time
+
+    from pyspark.sql import Row
+
+    from meeseeker_spark.streaming.screen import start_screen
+
+    d = tmp_path_factory.mktemp("screen_unpersist")
+    incoming, out, ckpt = d / "incoming", d / "out", d / "ckpt"
+    os.makedirs(incoming)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    tmp = d / "w_b1"
+    txt = "steady corpus text about topic one with common shared words"
+    spark.createDataFrame([(1, txt, "en", "web", len(txt))],
+                          cols).coalesce(1).write.parquet(str(tmp))
+    part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+    os.rename(tmp / part, incoming / "b1.parquet")
+
+    # a count-table baseline: start_screen persists THIS frame (persist
+    # returns self), so its storage level is observable here
+    from meeseeker_spark.ext.drift import token_counts
+    baseline = token_counts(spark.createDataFrame(
+        [Row(doc_id=i, text=f"steady corpus text about topic {i % 5} "
+                            f"with common shared words")
+         for i in range(20)]))
+    q = start_screen(spark, str(incoming), str(out), str(ckpt),
+                     drift_baseline=baseline)
+    q.awaitTermination(120)
+    # the termination listener fires asynchronously — poll
+    deadline = _time.time() + 30
+    while _time.time() < deadline and baseline.storageLevel.useMemory:
+        _time.sleep(0.25)
+    assert not baseline.storageLevel.useMemory
