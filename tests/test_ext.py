@@ -5159,7 +5159,10 @@ def test_bloom_screen_vs_duckdb(spark):
     sketch CONTENTS replay bit-for-bit through the house md5_int32 hash
     (32 bits per BIGINT word; DuckDB refuses the 63-bit shift, which is
     why the word is 32-bit), so the oracle checks every flag AND every
-    bitmap word, not just recall statistics."""
+    bitmap word, not just recall statistics.  Driver-windowed since the
+    r11 seventh rotation wave: the flags compare executes the REGISTRY
+    oracle (the r8 no-private-copy convention); the bitmap-word compare
+    is the extra sketch-contents pin the driver hash doesn't see."""
     import duckdb
 
     from meeseeker_spark import catalog
@@ -5177,8 +5180,10 @@ def test_bloom_screen_vs_duckdb(spark):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{SF}/documents.parquet')")
-    corpus_cte = r"""
-    corpus_keys AS (
+    d = sorted(tuple(r) for r in
+               con.execute(catalog.ENTRIES["bloom_screen"].sql).fetchall())
+    dbm = sorted(tuple(r) for r in con.execute(r"""
+    WITH corpus_keys AS (
       SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
              AS key
       FROM documents
@@ -5190,35 +5195,7 @@ def test_bloom_screen_vs_duckdb(spark):
                    ::BIGINT % 8192 AS slot
             FROM corpus_keys k CROSS JOIN seeds s)
       GROUP BY 1
-    )"""
-    d = sorted(tuple(r) for r in con.execute(f"""
-    WITH {corpus_cte}, probes AS (
-      SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-             AS probe_key
-      FROM documents WHERE doc_id % 5 = 0
-      UNION
-      SELECT DISTINCT 'novel:' || doc_id::VARCHAR
-      FROM documents WHERE doc_id % 5 = 1
-    ), flagged AS (
-      SELECT p.probe_key,
-             EXISTS (SELECT 1 FROM corpus_keys c WHERE c.key = p.probe_key)
-             AS is_member
-      FROM probes p
-    ), probe_slots AS (
-      SELECT f.probe_key, f.is_member,
-             ('0x' || substr(md5(s.i::VARCHAR || ':' || f.probe_key), 1, 8))
-             ::BIGINT % 8192 AS slot
-      FROM flagged f CROSS JOIN seeds s
-    )
-    SELECT ps.probe_key, ps.is_member,
-           bool_and(coalesce(
-               (w.word & (1::BIGINT << (ps.slot % 32)::INT)) <> 0, false))
-           AS maybe_seen
-    FROM probe_slots ps LEFT JOIN words w ON w.word_idx = ps.slot // 32
-    GROUP BY 1, 2
-    """).fetchall())
-    dbm = sorted(tuple(r) for r in con.execute(f"""
-    WITH {corpus_cte} SELECT word_idx, word FROM words
+    ) SELECT word_idx, word FROM words
     """).fetchall())
     con.close()
     assert s == d
@@ -5263,7 +5240,9 @@ def test_bloom_merge_is_union(spark):
 
 def test_cms_counts_vs_duckdb(spark):
     """Exact DuckDB parity for the Count-Min estimates (md5 cells replay
-    bit-for-bit; all-integer output)."""
+    bit-for-bit; all-integer output).  Driver-windowed since the r11
+    seventh rotation wave — executes the REGISTRY oracle (the r8
+    no-private-copy convention)."""
     import duckdb
 
     from meeseeker_spark import catalog
@@ -5273,36 +5252,8 @@ def test_cms_counts_vs_duckdb(spark):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{SF}/documents.parquet')")
-    d = [tuple(r) for r in con.execute(r"""
-    WITH toks AS (
-      SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                                x -> x <> '')) AS token
-      FROM documents
-    ), exact AS (
-      SELECT token, count(*) AS n_exact FROM toks GROUP BY token
-    ), top AS (
-      SELECT token, n_exact FROM exact ORDER BY n_exact DESC, token LIMIT 25
-    ), depths AS (SELECT unnest(range(4)) AS depth),
-    cells AS (
-      SELECT depth,
-             ('0x' || substr(md5(d.depth::VARCHAR || ':' || t.token), 1, 8))
-             ::BIGINT % 2048 AS pos,
-             count(*) AS n
-      FROM toks t CROSS JOIN depths d
-      GROUP BY 1, 2
-    ), est AS (
-      SELECT t.token, min(coalesce(c.n, 0)) AS n_est
-      FROM (SELECT top.token, d.depth,
-                   ('0x' || substr(md5(d.depth::VARCHAR || ':' || top.token),
-                    1, 8))::BIGINT % 2048 AS pos
-            FROM top CROSS JOIN depths d) t
-      LEFT JOIN cells c ON c.depth = t.depth AND c.pos = t.pos
-      GROUP BY 1
-    )
-    SELECT top.token, top.n_exact, est.n_est
-    FROM top JOIN est ON est.token = top.token
-    ORDER BY top.n_exact DESC, top.token
-    """).fetchall()]
+    d = [tuple(r) for r in
+         con.execute(catalog.ENTRIES["cms_counts"].sql).fetchall()]
     con.close()
     assert s == d
     assert all(r[2] >= r[1] for r in s)  # CMS never undercounts
@@ -5971,3 +5922,95 @@ def test_prepare_funnel_repetition_stage(spark, docs):
             build.stages["repetition_kept"].select("doc_id").collect()}
     assert 99 not in kept          # the spam doc died at this stage
     assert kept                    # clean docs survived
+
+
+# --- r11 seventh rotation wave: swap-outs keep their oracles verbatim ---
+
+
+def test_jaccard_ngram_pairs_vs_duckdb(spark):
+    """Exact parity for the inverted-index exact-Jaccard pairs —
+    rotated out of the driver window in r11 seventh wave (posting
+    self-join + max_df surface driver-graded via winnow_fps and the
+    shared near_dup CTE machinery); this test IS its correctness gate
+    now.  The oracle is the registry-era SQL verbatim (the shared
+    _DUCK_SHINGLES fragment still lives in catalog.py under
+    near_dup_pairs/dedup_components)."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["jaccard_ngram_pairs"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = sorted(tuple(r) for r in con.execute(f"""
+    WITH {catalog._DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    inv0 AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    keep AS (
+        SELECT g FROM (SELECT g, count(*) AS df FROM inv0 GROUP BY g)
+        WHERE df <= 100
+    ),
+    inv AS (SELECT i.doc_id, i.g FROM inv0 i JOIN keep USING (g)),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+        SELECT doc_a, doc_b,
+               round(c::DOUBLE / (sa.n + sb.n - c), 4) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+    ) WHERE jaccard >= 0.5
+    """).fetchall())
+    con.close()
+    assert s == d and len(s) > 0
+
+
+def test_tfidf_top_terms_vs_duckdb(spark):
+    """Exact parity for the per-doc IDF top-3 terms — rotated out of
+    the driver window in r11 seventh wave (its explode → df-join →
+    rounded-key windowed-top-k shape is driver-graded per-query inside
+    bm25_batch_topk); this test IS its correctness gate now.  Oracle =
+    the registry-era SQL verbatim."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["tfidf_top_terms"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = sorted(tuple(r) for r in con.execute("""
+    WITH t AS (
+        SELECT doc_id,
+               list_distinct(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> x <> '')) AS toks
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, unnest(toks) AS term FROM t
+    ),
+    df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(ln((SELECT n_docs FROM n)::DOUBLE / df.df), 4) AS idf
+        FROM tf JOIN df ON df.term = tf.term
+    )
+    SELECT doc_id, term, idf, rk FROM (
+        SELECT doc_id, term, idf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY idf DESC, term) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    """).fetchall())
+    con.close()
+    assert s == d and len(s) > 0
