@@ -2504,44 +2504,22 @@ def unimax_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_weights",
-    f"""
-    WITH RECURSIVE {_DUCK_NEARDUP},
-    pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
-    edges AS (
-        SELECT doc_a AS u, doc_b AS v FROM pairs
-        UNION SELECT doc_b, doc_a FROM pairs
-    ),
-    reach AS (
-        SELECT u, v FROM edges
-        UNION
-        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-    ),
-    comp AS (
-        SELECT u AS cdoc, least(u, min(v)) AS component
-        FROM reach GROUP BY u
-    ),
-    csize AS (
-        SELECT component, count(*) AS cs FROM comp GROUP BY component
-    )
-    SELECT d.doc_id,
-           coalesce(c.component, d.doc_id) AS cluster,
-           coalesce(s.cs, 1)::BIGINT AS cluster_size,
-           round(1.0 / coalesce(s.cs, 1), 4) AS weight
-    FROM documents d
-    LEFT JOIN comp c ON c.cdoc = d.doc_id
-    LEFT JOIN csize s ON s.component = c.component
-    """,
+    None,
     tags=("F2", "sampling"),
 )
 def dedup_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soft deduplication (ext.dedup.dedup_weights): every document kept
     with weight 1/|near-dup cluster| — hard dropping's distributional
     alternative.  Same pair graph + components as dedup_components plus
-    a skinny size join.  Rotated INTO the driver window in r9 fifth
-    wave (VERDICT r8 item 5; oracle moved verbatim from the pytest,
-    which now executes the registry SQL and keeps the mass-conservation
-    invariant).  Boundary class: ieee-exact — the weight is 1/integer,
-    a single correctly-rounded IEEE division."""
+    a skinny size join.  Driver-graded r9-r10 (fifth wave); rotated out
+    in the r11 seventh wave: its recursive-closure CC oracle duplicates
+    staying ``dedup_components``' verbatim, the cluster-size count is
+    one aggregate of the graded components, and the weight is a single
+    IEEE division of that graded integer (the r9 repetition_scores
+    precedent).  The freed slot grades ``screen_replay`` — the composed
+    streaming screen.  Its oracle moved verbatim to
+    tests/test_ext.py::test_dedup_weights_vs_duckdb, which IS its
+    correctness gate now (including the mass-conservation invariant)."""
     from .ext.dedup import dedup_weights
     docs = load(spark, sf_dir, "documents")
     return dedup_weights(docs, threshold=0.5, max_bucket=10_000)
@@ -3408,6 +3386,242 @@ def ngram_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ext.py::test_ngram_repetition_vs_duckdb."""
     from .ext.text import ngram_repetition
     return ngram_repetition(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Composed streaming-screen batch replay (r11; VERDICT r10 item 3): the
+# exact-index + band screen driven under the driver hash.  The oracle is a
+# CTE chain replaying three sequential triggers end to end — the
+# training_funnel device applied to the streaming surface.
+# ---------------------------------------------------------------------------
+
+def _duck_screen_stage(b: int, corpus: str | None) -> str:
+    """CTE block replaying one screen trigger for batch ``b`` against the
+    doc_id set ``corpus`` (None for the first trigger): fingerprint
+    prescreen (min-id corpus match) → in-batch exact dedup (min doc_id
+    per raw text) → in-batch near-dup components (recursive closure,
+    losers flagged against their component, remapped to the component's
+    corpus match when the component itself cross-rejects) → banded
+    cross screen (corpus-side 10k bucket cap, jaccard ≥ 0.5 verify) —
+    the exact call order of streaming.screen's ``_sink``.  Emits CTEs
+    seen{b}/iloser{b}/inflag{b}/xf{b}/adm{b} consumed by the final
+    projection, and corpus{b+1} for the next stage."""
+    jacc = ("round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /"
+            " len(list_distinct(sa.shingles || sb.shingles)), 4)")
+    if corpus is None:
+        prescreen = ""
+        kept_filter = ""
+    else:
+        prescreen = f"""
+    seen{b} AS MATERIALIZED (
+        SELECT x.doc_id AS new_id, c.corpus_id
+        FROM allrows x
+        JOIN fpt xf ON xf.doc_id = x.doc_id
+        JOIN (SELECT f.fpr, min(f.doc_id) AS corpus_id
+              FROM fpt f JOIN {corpus} a ON a.doc_id = f.doc_id
+              GROUP BY 1) c ON c.fpr = xf.fpr
+        WHERE x.b = {b}
+    ),"""
+        kept_filter = (f"AND x.doc_id NOT IN "
+                       f"(SELECT new_id FROM seen{b})")
+    stage = f"""{prescreen}
+    kept{b} AS MATERIALIZED (
+        SELECT doc_id FROM (
+            SELECT x.doc_id,
+                   row_number() OVER (PARTITION BY x.text
+                                      ORDER BY x.doc_id) AS rn
+            FROM allrows x
+            WHERE x.b = {b} {kept_filter}
+        ) WHERE rn = 1
+    ),
+    ibb{b} AS MATERIALIZED (
+        SELECT bd.doc_id, bd.band_key
+        FROM bands bd JOIN kept{b} k ON k.doc_id = bd.doc_id
+    ),
+    ibk{b} AS MATERIALIZED (
+        SELECT band_key FROM ibb{b}
+        GROUP BY band_key HAVING count(*) <= 10000
+    ),
+    ipair{b} AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM (
+            SELECT c.doc_a, c.doc_b, {jacc} AS j
+            FROM (SELECT DISTINCT a.doc_id AS doc_a, x.doc_id AS doc_b
+                  FROM ibb{b} a
+                  JOIN ibk{b} kk ON kk.band_key = a.band_key
+                  JOIN ibb{b} x ON x.band_key = a.band_key
+                               AND a.doc_id < x.doc_id) c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b
+        ) WHERE j >= 0.5
+    ),
+    iedge{b} AS MATERIALIZED (
+        SELECT doc_a AS u, doc_b AS v FROM ipair{b}
+        UNION SELECT doc_b, doc_a FROM ipair{b}
+    ),
+    ireach{b} AS (
+        SELECT u, v FROM iedge{b}
+        UNION
+        SELECT r.u, e.v FROM ireach{b} r JOIN iedge{b} e ON r.v = e.u
+    ),
+    iloser{b} AS MATERIALIZED (
+        SELECT u AS new_id, least(u, min(v)) AS corpus_id
+        FROM ireach{b} GROUP BY u
+        HAVING u <> least(u, min(v))
+    ),
+    after{b} AS MATERIALIZED (
+        SELECT doc_id FROM kept{b}
+        WHERE doc_id NOT IN (SELECT new_id FROM iloser{b})
+    )"""
+    if corpus is None:
+        return stage + f""",
+    adm{b} AS MATERIALIZED (SELECT doc_id FROM after{b}),
+    corpus{b + 1} AS MATERIALIZED (SELECT doc_id FROM adm{b})"""
+    return stage + f""",
+    ccb{b} AS MATERIALIZED (
+        SELECT bd.doc_id AS corpus_id, bd.band_key
+        FROM bands bd JOIN {corpus} a ON a.doc_id = bd.doc_id
+    ),
+    cck{b} AS MATERIALIZED (
+        SELECT band_key FROM ccb{b}
+        GROUP BY band_key HAVING count(*) <= 10000
+    ),
+    xf{b} AS MATERIALIZED (
+        SELECT new_id, corpus_id FROM (
+            SELECT c.new_id, c.corpus_id, {jacc.replace('sa.', 'sn.')
+                                               .replace('sb.', 'sc.')} AS j
+            FROM (SELECT DISTINCT nb.doc_id AS new_id, cb.corpus_id
+                  FROM bands nb
+                  JOIN after{b} af ON af.doc_id = nb.doc_id
+                  JOIN ccb{b} cb ON cb.band_key = nb.band_key
+                  JOIN cck{b} ck ON ck.band_key = nb.band_key) c
+            JOIN sh sn ON sn.doc_id = c.new_id
+            JOIN sh sc ON sc.doc_id = c.corpus_id
+        ) WHERE j >= 0.5
+    ),
+    inflag{b} AS MATERIALIZED (
+        SELECT l.new_id, coalesce(r.target, l.corpus_id) AS corpus_id
+        FROM iloser{b} l
+        LEFT JOIN (SELECT new_id AS rej, min(corpus_id) AS target
+                   FROM xf{b} GROUP BY 1) r ON r.rej = l.corpus_id
+    ),
+    adm{b} AS MATERIALIZED (
+        SELECT doc_id FROM after{b}
+        WHERE doc_id NOT IN (SELECT new_id FROM xf{b})
+    ),
+    corpus{b + 1} AS MATERIALIZED (
+        SELECT doc_id FROM {corpus} UNION ALL SELECT doc_id FROM adm{b}
+    )"""
+
+
+_DUCK_SCREEN_REPLAY = f"""
+    WITH RECURSIVE
+    allrows AS MATERIALIZED (
+        SELECT doc_id, text, (doc_id % 3)::INT AS b FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id, text, 2 AS b
+        FROM documents WHERE doc_id % 21 = 0
+        UNION ALL
+        SELECT doc_id + 20000000 AS doc_id, text, 2 AS b
+        FROM documents WHERE doc_id % 21 = 0
+    ),
+    words AS MATERIALIZED (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS w
+        FROM allrows
+    ),
+    sh AS MATERIALIZED (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(w) >= 3
+                   THEN list_transform(range(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                   ELSE [array_to_string(w, ' ')] END) AS shingles
+        FROM words
+    ),
+    sig AS MATERIALIZED (
+        SELECT doc_id,
+               list_transform(range(0, 8), k ->
+                   list_min(list_transform(shingles, s ->
+                       ((976369 + 104729 * k) *
+                        (('0x' || substr(md5(s), 1, 8))::BIGINT)
+                        + 32452843 + 15485863 * k) % 4294967311)))
+               AS sigs
+        FROM sh
+    ),
+    bands AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(list_transform(range(0, 4), bb ->
+                   bb || '|' || sigs[bb*2 + 1] || '|' || sigs[bb*2 + 2]))
+               AS band_key
+        FROM sig
+    ),
+    fpt AS MATERIALIZED (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS fpr
+        FROM allrows
+    ),{_duck_screen_stage(0, None)},{_duck_screen_stage(1, "corpus1")},{
+        _duck_screen_stage(2, "corpus2")}
+    SELECT 0 AS batch_id, doc_id, NULL::BIGINT AS corpus_id,
+           'admitted' AS status FROM adm0
+    UNION ALL SELECT 0, new_id, corpus_id, 'near' FROM iloser0
+    UNION ALL SELECT 1, doc_id, NULL::BIGINT, 'admitted' FROM adm1
+    UNION ALL SELECT 1, new_id, corpus_id, 'exact' FROM seen1
+    UNION ALL SELECT 1, new_id, corpus_id, 'near' FROM xf1
+    UNION ALL SELECT 1, new_id, corpus_id, 'near' FROM inflag1
+    UNION ALL SELECT 2, doc_id, NULL::BIGINT, 'admitted' FROM adm2
+    UNION ALL SELECT 2, new_id, corpus_id, 'exact' FROM seen2
+    UNION ALL SELECT 2, new_id, corpus_id, 'near' FROM xf2
+    UNION ALL SELECT 2, new_id, corpus_id, 'near' FROM inflag2
+"""
+
+
+@register("screen_replay", _DUCK_SCREEN_REPLAY,
+          tags=("F1", "F2", "streaming"))
+def screen_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed streaming dedup screen under the driver hash
+    (streaming.screen.replay_screen — VERDICT r10 item 3): three
+    sequential triggers (batch = doc_id % 3) of the exact-index + band
+    screen replayed synchronously with the SAME component calls the
+    streaming ``_sink`` makes, over the fixture corpus plus planted
+    re-posts — each doc_id % 21 == 0 doc re-arrives TWICE in batch 2
+    under spliced ids (+1e7/+2e7, verbatim text), so the fingerprint
+    prescreen, the in-batch exact collapse, and the banded path all
+    fire on grading data (the fixture's own near-dup pairs split
+    across the three batches, exercising both in-batch components and
+    cross-corpus flags).
+
+    What only this entry grades is stage INTERACTION: a
+    prescreen-rejected doc must never reach the band machinery, the
+    per-batch corpus must be exactly the earlier admissions, and an
+    in-batch loser's flag must remap to its survivor's corpus match
+    when the survivor itself cross-rejects.  Replay == the actual
+    streaming query is pinned by
+    tests/test_streaming.py::test_replay_screen_matches_streaming.
+
+    Output is (batch_id, doc_id, corpus_id, status) —
+    integers/strings only (the jaccard evidence is graded by
+    near_dup_pairs; this hash grades the decision SET), boundary-safe
+    under the r9/r10 rule; the round() calls inside feed only ≥-0.5
+    thresholds on int/int ratios (audit class ieee-exact, the
+    near_dup_pairs precedent).  Scale: inherits every per-trigger
+    bound of the streaming path — skinny band joins, corpus-side
+    bucket caps, candidate-pruned verification, explicit
+    repartition+localCheckpoint barriers between triggers."""
+    from .streaming.screen import replay_screen
+    docs = load(spark, sf_dir, "documents")
+    base = docs.withColumn("_b", (F.col("doc_id") % 3).cast("int"))
+
+    def repost(offset: int) -> DataFrame:
+        return (docs.where(F.col("doc_id") % 21 == 0)
+                .withColumn("doc_id", F.col("doc_id") + F.lit(offset))
+                .withColumn("_b", F.lit(2)))
+
+    allrows = (base.unionByName(repost(10_000_000))
+               .unionByName(repost(20_000_000)))
+    batches = [allrows.where(F.col("_b") == b).drop("_b")
+               for b in range(3)]
+    return replay_screen(batches, threshold=0.5, exact_index=True)
 
 
 def _ordered() -> list[Entry]:

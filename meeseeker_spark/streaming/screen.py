@@ -451,6 +451,78 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
     return query
 
 
+def replay_screen(batches: list[DataFrame], threshold: float = 0.5,
+                  exact_index: bool = True) -> DataFrame:
+    """Synchronous batch replay of ``start_screen``'s per-trigger
+    pipeline — the same component calls in the same order the streaming
+    ``_sink`` makes (exact-dup prescreen → in-batch exact dedup →
+    in-batch near-dup components → cross-corpus band screen), minus the
+    file/checkpoint plumbing.  One output row per surviving input doc:
+
+        (batch_id, doc_id, corpus_id, status)
+
+    with status ``admitted`` (corpus_id NULL), ``exact`` (rejected by
+    the fingerprint prescreen; corpus_id = the min-id corpus doc with
+    the same fingerprint) or ``near`` (rejected by the banded screen or
+    the in-batch component pass; one row per flagged pair / per loser,
+    so a doc near-dup to several corpus docs appears once per match).
+    In-batch EXACT-dup losers are absent entirely — ``screen_batch``
+    collapses them silently before any flagging, exactly as the stream
+    does.  Replay == stream is pinned by
+    tests/test_streaming.py::test_replay_screen_matches_streaming.
+
+    All-integer/string output (the jaccard evidence stays on the
+    streaming log) — the boundary-safe driver-graded surface for the
+    composed screen (catalog entry ``screen_replay``): what only the
+    composition grades is stage INTERACTION — a prescreen rejection
+    must remove the doc before the band machinery sees it, an in-batch
+    loser's flag must remap to its survivor's corpus match, and the
+    per-batch corpus is exactly the earlier batches' admissions.
+
+    Scale: the replay inherits every per-trigger bound of the streaming
+    path (skinny band joins, corpus-side bucket caps, candidate-pruned
+    verification); admitted sets cross batches through an explicit
+    ``repartition().localCheckpoint()`` barrier — the funnel lesson:
+    without the repartition AQE can coalesce a checkpoint to ONE
+    partition and serialize the next batch's screen."""
+    spark = batches[0].sparkSession
+    corpus = None       # union of admitted rows from earlier batches
+    fps_acc = None      # (fp, doc_id) fingerprint index of the corpus
+    logs = []
+    for b, batch in enumerate(batches):
+        exact_rows = None
+        if exact_index and corpus is not None:
+            # merged bitmap of the accumulated index — bit_or merging
+            # per-batch bitmaps equals one build over the union
+            # (test_bloom_merge_is_union), so the replay builds it once
+            bloom = bloom_bitmap(fps_acc.select("fp").distinct(), "fp")
+            batch, seen = exact_prescreen(batch, fps_acc, bloom)
+            exact_rows = seen.select(
+                F.col("doc_id").alias("doc_id"),
+                F.col("corpus_id"),
+                F.lit("exact").alias("status"))
+        admitted, flagged = screen_batch(batch, corpus, threshold)
+        admitted = admitted.repartition(32).localCheckpoint()
+        log_b = admitted.select(
+            "doc_id", F.lit(None).cast("bigint").alias("corpus_id"),
+            F.lit("admitted").alias("status"))
+        log_b = log_b.unionByName(flagged.select(
+            F.col("new_id").alias("doc_id"), "corpus_id",
+            F.lit("near").alias("status")))
+        if exact_rows is not None:
+            log_b = log_b.unionByName(exact_rows)
+        logs.append(log_b.withColumn("batch_id", F.lit(b).cast("int")))
+        corpus = (admitted if corpus is None
+                  else corpus.unionByName(admitted))
+        fp_b = admitted.select(fingerprint(F.col("text")).alias("fp"),
+                               "doc_id")
+        fps_acc = fp_b if fps_acc is None else fps_acc.unionByName(fp_b)
+    out = logs[0]
+    for log_b in logs[1:]:
+        out = out.unionByName(log_b)
+    return out.select("batch_id", "doc_id", "corpus_id", "status")
+
+
 def rebuild_band_index(spark: SparkSession, out_dir: str, index_table: str,
                        index_buckets: int = 32) -> int:
     """Rewrite the bucketed band-index table from the corpus store — the

@@ -3445,8 +3445,10 @@ def test_perplexity_ngram_counts_matches_scoring_path(spark):
 def test_dedup_weights_vs_duckdb(spark):
     """Exact DuckDB parity for soft-dedup weights, plus mass
     conservation: the summed weight equals the number of distinct
-    clusters.  Driver-oracled since the r9 fifth wave: the test
-    executes the REGISTRY's own SQL string (no second copy to drift)."""
+    clusters.  Driver-oracled r9-r10; rotated out in the r11 seventh
+    wave (its CC closure duplicates dedup_components' staying oracle) —
+    the registry-era SQL lives here verbatim and this test IS its
+    correctness gate now."""
     import duckdb
 
     from meeseeker_spark import catalog
@@ -3456,8 +3458,33 @@ def test_dedup_weights_vs_duckdb(spark):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{SF}/documents.parquet')")
-    d = sorted(tuple(r) for r in con.execute(
-        catalog.ENTRIES["dedup_weights"].sql).fetchall())
+    d = sorted(tuple(r) for r in con.execute(f"""
+    WITH RECURSIVE {catalog._DUCK_NEARDUP},
+    pairs AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+        SELECT u AS cdoc, least(u, min(v)) AS component
+        FROM reach GROUP BY u
+    ),
+    csize AS (
+        SELECT component, count(*) AS cs FROM comp GROUP BY component
+    )
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS cluster,
+           coalesce(s.cs, 1)::BIGINT AS cluster_size,
+           round(1.0 / coalesce(s.cs, 1), 4) AS weight
+    FROM documents d
+    LEFT JOIN comp c ON c.cdoc = d.doc_id
+    LEFT JOIN csize s ON s.component = c.component
+    """).fetchall())
     con.close()
     assert s == d
     # mass conservation: Σ weight == #clusters (each cluster sums to 1)
@@ -6014,3 +6041,50 @@ def test_tfidf_top_terms_vs_duckdb(spark):
     """).fetchall())
     con.close()
     assert s == d and len(s) > 0
+
+
+def test_screen_replay_vs_duckdb_and_stage_interaction(spark):
+    """The r11 composed-screen entry (VERDICT r10 item 3): exact
+    registry-SQL parity PLUS the interaction invariants the composition
+    exists to grade — planted re-posts of ADMITTED originals reject at
+    the exact prescreen (never reaching the band machinery), re-posts
+    of REJECTED originals fall through to the band path, the per-batch
+    corpus is exactly the earlier admissions, and statuses partition
+    the surviving input."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["screen_replay"].spark(spark, SF)
+    rows = sdf.collect()
+    s = sorted((r[0], r[1], r[2], r[3]) for r in rows)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = sorted(tuple(r) for r in
+               con.execute(catalog.ENTRIES["screen_replay"].sql).fetchall())
+    con.close()
+    assert s == d
+    assert {r[3] for r in s} == {"admitted", "exact", "near"}
+
+    adm = {b: {r[1] for r in s if r[0] == b and r[3] == "admitted"}
+           for b in range(3)}
+    exact = [r for r in s if r[3] == "exact"]
+    near = [r for r in s if r[3] == "near"]
+    # admitted/exact are one-row-per-doc and disjoint from near new_ids
+    flagged_ids = {(r[0], r[1]) for r in exact + near}
+    assert all((b, i) not in flagged_ids for b in adm for i in adm[b])
+    # every exact flag references an EARLIER batch's admitted doc
+    all_prior = {b: set().union(*(adm[k] for k in range(b)))
+                 if b else set() for b in range(3)}
+    for b, new_id, corpus_id, _ in exact:
+        assert corpus_id in all_prior[b]
+    # every near flag's corpus reference is an earlier admission or an
+    # in-batch survivor (admitted in the SAME batch) — never a fellow
+    # reject (the remap invariant)
+    for b, new_id, corpus_id, _ in near:
+        assert (corpus_id in all_prior[b] or corpus_id in adm[b]), \
+            (b, new_id, corpus_id)
+    # the planted device fired both ways: re-posts of admitted
+    # originals went 'exact'; at least one re-post exists
+    assert any(r[1] >= 10_000_000 for r in exact)

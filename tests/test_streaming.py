@@ -1491,3 +1491,70 @@ def test_screen_drift_baseline_unpersisted_on_stop(spark, tmp_path_factory):
     while _time.time() < deadline and baseline.storageLevel.useMemory:
         _time.sleep(0.25)
     assert not baseline.storageLevel.useMemory
+
+
+def test_replay_screen_matches_streaming(spark, tmp_path_factory):
+    """replay_screen (the driver-graded screen_replay surface) must
+    reproduce the ACTUAL streaming screen decision-for-decision on the
+    graded input itself: the sf0.001 fixture split doc_id % 3 plus the
+    catalog entry's planted re-posts, run through
+    start_screen(exact_index=True) as three real triggers — per-batch
+    admitted sets and (new_id, corpus_id) flag multisets must be
+    identical.  This is the pin that makes the batch-replay oracle an
+    oracle OF THE STREAM."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from meeseeker_spark.streaming.screen import replay_screen, start_screen
+    from meeseeker_spark.tables import load
+
+    SF = "/root/testdata/sf0.001"
+    docs = load(spark, SF, "documents")
+    base = docs.withColumn("_b", (F.col("doc_id") % 3).cast("int"))
+
+    def repost(offset):
+        return (docs.where(F.col("doc_id") % 21 == 0)
+                .withColumn("doc_id", F.col("doc_id") + F.lit(offset))
+                .withColumn("_b", F.lit(2)))
+
+    allrows = (base.unionByName(repost(10_000_000))
+               .unionByName(repost(20_000_000)))
+    batches = [allrows.where(F.col("_b") == b).drop("_b")
+               for b in range(3)]
+
+    d = tmp_path_factory.mktemp("replay_equiv")
+    incoming, out, ckpt = d / "incoming", d / "out", d / "ckpt"
+    _os.makedirs(incoming)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    for b, bdf in enumerate(batches):
+        tmp = d / f"w_{b}"
+        bdf.select(*cols).coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in _os.listdir(tmp) if p.endswith(".parquet"))
+        dst = incoming / f"b{b}.parquet"
+        _os.rename(tmp / part, dst)
+        # explicit mtimes pin the trigger order (the file source consumes
+        # oldest-first; sleeps are flakier)
+        _os.utime(dst, (1_700_000_000 + 10 * b, 1_700_000_000 + 10 * b))
+
+    q = start_screen(spark, str(incoming), str(out), str(ckpt),
+                     exact_index=True)
+    q.awaitTermination(300)
+
+    rep = replay_screen(batches, threshold=0.5, exact_index=True)
+    rows = rep.collect()
+    rep_adm = {(r["batch_id"], r["doc_id"]) for r in rows
+               if r["status"] == "admitted"}
+    rep_flag = sorted((r["batch_id"], r["doc_id"], r["corpus_id"])
+                      for r in rows if r["status"] != "admitted")
+
+    stream_adm = {(r["batch_id"], r["doc_id"]) for r in
+                  spark.read.parquet(str(out / "corpus")).collect()}
+    stream_flag = sorted((r["batch_id"], r["new_id"], r["corpus_id"])
+                         for r in
+                         spark.read.parquet(str(out / "flagged")).collect())
+    assert rep_adm == stream_adm
+    assert rep_flag == stream_flag
+    # the composition is live on this input: every mechanism fired
+    statuses = {r["status"] for r in rows}
+    assert statuses == {"admitted", "exact", "near"}

@@ -127,7 +127,13 @@ CLASSES = {
     "near_dup_pairs": IEEE_EXACT,
     "leakage_safe_split": IEEE_EXACT,
     "dedup_components": IEEE_EXACT,    # threshold-feeding jaccard rounds
-    "dedup_weights": IEEE_EXACT,       # 1/integer cluster size (r9 wave 5)
+    "dedup_weights": IEEE_EXACT,       # 1/integer cluster size (r9 wave 5;
+    #                                    rotated out r11 wave 7 — key kept
+    #                                    for history, unused by the audit)
+    "screen_replay": IEEE_EXACT,       # rounds feed only >=0.5 thresholds
+    #                                    on int/int shingle ratios (the
+    #                                    near_dup_pairs class); graded
+    #                                    columns are ints/strings (r11)
     "ngram_novelty": IEEE_EXACT,       # int/int ratio (r9 wave 5)
     "blocklist_screen": IEEE_EXACT,    # int/int ratio + threshold (r9 wave 5)
     "training_funnel": IEEE_EXACT,     # md5 keeps; 6-dp round of fixed-order
