@@ -519,11 +519,50 @@ def corpus_datacard_exact(df: DataFrame, group_cols: tuple[str, ...] =
     )
 
 
+def _ngram_run_stats(gram_col):
+    """(top, dup) char-mass of a gram array in ONE narrow pass: sort the
+    array, then fold run-lengths of equal grams with a struct
+    accumulator — mass of a run is count × gram length, ``top`` the
+    maximal run mass, ``dup`` the summed mass of runs with count ≥ 2.
+    Exact (no hashing, no collision risk) and zero-shuffle: the whole
+    battery stays inside the row."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("top"),
+        F.lit(0).cast("long").alias("dup"))
+
+    def merge(acc, g):
+        same = acc["prev"].isNotNull() & (g == acc["prev"])
+        closed = F.coalesce(acc["run"] * F.length(acc["prev"]),
+                            F.lit(0).cast("long"))
+        return F.struct(
+            g.alias("prev"),
+            F.when(same, acc["run"] + F.lit(1).cast("long"))
+            .otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, acc["top"])
+            .otherwise(F.greatest(acc["top"], closed)).alias("top"),
+            F.when(same, acc["dup"])
+            .otherwise(acc["dup"] + F.when(acc["run"] >= 2, closed)
+                       .otherwise(F.lit(0).cast("long"))).alias("dup"))
+
+    def finish(acc):
+        closed = F.coalesce(acc["run"] * F.length(acc["prev"]),
+                            F.lit(0).cast("long"))
+        return F.struct(
+            F.greatest(acc["top"], closed).alias("top"),
+            (acc["dup"] + F.when(acc["run"] >= 2, closed)
+             .otherwise(F.lit(0).cast("long"))).alias("dup"))
+
+    return F.aggregate(F.array_sort(gram_col), init, merge, finish)
+
+
 def ngram_repetition(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text",
                      top_ns: tuple[int, ...] = (2, 3, 4),
                      dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
-                     round_dp: int = 4) -> DataFrame:
+                     round_dp: int = 4,
+                     stacked: bool = False) -> DataFrame:
     """The Gopher n-gram repetition battery (Rae et al. 2021, App. A
     Table A1) — the signals ``gopher_rules``' line family doesn't
     cover: for n in ``top_ns`` the fraction of document characters
@@ -545,12 +584,24 @@ def ngram_repetition(df: DataFrame, id_col: str = "doc_id",
     tie-break the paper doesn't give).  Denominator = document char
     length; docs shorter than n words score 0 for that n.
 
-    Plan: ONE explode over the per-n gram arrays stacked as (n, gram)
-    structs — a single corpus-scale shuffle for all nine n values —
-    then two vocabulary-ish aggregates (per-doc-gram counts, per-doc
-    masses) and a conditional-aggregate pivot back to one row per doc.
-    All integer arithmetic until the final division (rounded, both
-    engines); DuckDB-exact in tests/test_ext.py.
+    Plan (default, ``stacked=False``): the battery is per-DOC, so no
+    gram ever needs to leave its row — for each n, sort the gram array
+    and fold run-lengths with a struct accumulator
+    (``_ngram_run_stats``): ZERO shuffles, zero joins, one narrow
+    projection for all nine n values; partitions embarrassingly at any
+    corpus size.  The r10-shipped ``stacked=True`` form (ONE explode
+    over the per-n gram arrays stacked as (n, gram) structs — a single
+    corpus-scale shuffle — then two aggregates and a conditional
+    pivot) is kept for the measured variant record (SCALING.md r11):
+    narrow wins at every SF — 5.74 vs 7.48 s at sf0.1, 24.0 vs 31.5 at
+    sf0.5, 44.2 vs 62.4 at sf1 (best-of-2, warm) — a 1.3-1.4× LOCAL
+    win because gram construction dominates both forms on one box; the
+    structural win is the removed corpus-scale exchange of every gram
+    string, which a single-JVM measurement underprices relative to a
+    real cluster's disk+network shuffle.  Outputs are bit-identical
+    (test_ngram_repetition_narrow_equals_stacked); all integer
+    arithmetic until the final division (rounded, both engines);
+    DuckDB-exact in tests/test_ext.py.
     """
     all_ns = tuple(top_ns) + tuple(dup_ns)
     t = df.select(F.col(id_col).alias("_id"),
@@ -567,6 +618,15 @@ def ngram_repetition(df: DataFrame, id_col: str = "doc_id",
         return F.when(F.size(w) >= n, g).otherwise(
             F.array().cast("array<string>"))
 
+    if not stacked:
+        chars_d = F.greatest(F.col("_chars"), F.lit(1)).cast("double")
+        stats = {n: _ngram_run_stats(grams(n)) for n in all_ns}
+        outcols = [F.round(stats[n]["top"] / chars_d, round_dp)
+                   .alias(f"top_{n}gram_char_frac") for n in top_ns]
+        outcols += [F.round(stats[n]["dup"] / chars_d, round_dp)
+                    .alias(f"dup_{n}gram_char_frac") for n in dup_ns]
+        return t.select(F.col("_id").alias(id_col), *outcols)
+
     def stack(n: int):
         # NB single-parameter lambda only: a second parameter (the
         # ``_n=n`` closure idiom) would receive the array INDEX column
@@ -576,8 +636,9 @@ def ngram_repetition(df: DataFrame, id_col: str = "doc_id",
             grams(n),
             lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")))
 
-    stacked = F.concat(*[stack(n) for n in all_ns])
-    exploded = (t.select("_id", "_chars", F.explode(stacked).alias("_x"))
+    stacked_grams = F.concat(*[stack(n) for n in all_ns])
+    exploded = (t.select("_id", "_chars",
+                         F.explode(stacked_grams).alias("_x"))
                 .select("_id", "_chars", F.col("_x.n").alias("_n"),
                         F.col("_x.g").alias("_g")))
     counts = (exploded.groupBy("_id", "_chars", "_n", "_g")

@@ -6088,3 +6088,18 @@ def test_screen_replay_vs_duckdb_and_stage_interaction(spark):
     # the planted device fired both ways: re-posts of admitted
     # originals went 'exact'; at least one re-post exists
     assert any(r[1] >= 10_000_000 for r in exact)
+
+
+def test_ngram_repetition_narrow_equals_stacked(spark):
+    """The r11 zero-shuffle fold (default) and the r10 stacked-explode
+    form are bit-identical on the fixture — the equality that lets the
+    measured-variant swap keep every existing exactness gate."""
+    from meeseeker_spark.ext.text import ngram_repetition
+    from meeseeker_spark.tables import load
+
+    docs = load(spark, SF, "documents")
+    a = sorted(tuple(r) for r in
+               ngram_repetition(docs, stacked=False).collect())
+    b = sorted(tuple(r) for r in
+               ngram_repetition(docs, stacked=True).collect())
+    assert a == b and len(a) > 0

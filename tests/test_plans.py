@@ -472,12 +472,24 @@ def test_margin_pairs_no_cartesian(spark):
     assert "EvalPython" not in plan
 
 
-def test_ngram_repetition_single_generate(spark):
-    """All nine n values ride ONE explode (one Generate node) — nine
-    separate explodes would shuffle the gram volume nine times."""
+def test_ngram_repetition_plan_shapes(spark):
+    """The default (narrow) battery never leaves the row: no Generate,
+    no Exchange, no Python — one narrow projection for all nine n
+    values.  The kept stacked variant must still ride ONE explode (one
+    Generate node): nine separate explodes would shuffle the gram
+    volume nine times."""
+    from meeseeker_spark.ext.text import ngram_repetition
+    from meeseeker_spark.tables import load
+
     plan = explain_str(catalog.ENTRIES["ngram_repetition"].spark(spark, SF))
+    assert "Generate" not in plan
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+    docs = load(spark, SF, "documents")
+    stacked = explain_str(ngram_repetition(docs, stacked=True))
     # formatted explain mentions a node twice (tree line + detail
     # section) — one Generate node ⇒ exactly 2 mentions; nine explodes
     # would show 18
-    assert plan.count("Generate") == 2
-    assert "EvalPython" not in plan
+    assert stacked.count("Generate") == 2
+    assert "EvalPython" not in stacked
