@@ -114,7 +114,6 @@ IEEE_EXACT = "ieee-exact"
 CLASSES = {
     # libm ln / pow, or row-order float sums
     "bm25_batch_topk": MACHINE_DEP,    # ln in the idf term
-    "tfidf_top_terms": MACHINE_DEP,    # ln(n/df)
     "dsir_select": MACHINE_DEP,        # ln ratios + Gumbel -ln(-ln(u))
     "label_centroids": MACHINE_DEP,    # avg over rows (merge order)
     "channel_volume": MACHINE_DEP,     # sum(value) over rows
@@ -123,13 +122,14 @@ CLASSES = {
     # exact-integer / fixed-order arithmetic (cross-engine identical
     # inputs; only exact-half policy skew can flip)
     "asof_last_purchase": IEEE_EXACT,  # round of an unmodified parquet double
-    "jaccard_ngram_pairs": IEEE_EXACT,
     "near_dup_pairs": IEEE_EXACT,
     "leakage_safe_split": IEEE_EXACT,
     "dedup_components": IEEE_EXACT,    # threshold-feeding jaccard rounds
-    "dedup_weights": IEEE_EXACT,       # 1/integer cluster size (r9 wave 5;
-    #                                    rotated out r11 wave 7 — key kept
-    #                                    for history, unused by the audit)
+    # NB keys must cover exactly the GRADED round()-bearing oracles:
+    # test_full_audit_runs_at_sf0001 asserts CLASSES <= measured, so a
+    # rotated-OUT entry's key leaves with it (r11 wave 7 removed
+    # tfidf_top_terms, jaccard_ngram_pairs, dedup_weights — their
+    # oracles live verbatim in parity pytests now).
     "screen_replay": IEEE_EXACT,       # rounds feed only >=0.5 thresholds
     #                                    on int/int shingle ratios (the
     #                                    near_dup_pairs class); graded
