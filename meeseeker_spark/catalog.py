@@ -29,6 +29,17 @@ from .tables import load
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
+# MinHash constants single-sourced from the Spark implementation so the
+# two DuckDB fragments that replay signatures (_DUCK_BANDS and the
+# screen-replay oracle) can never drift from it or from each other
+# (r11 review).  The affine families are arithmetic in i, so the SQL
+# spells them as (A0 + ASTEP*k) / (B0 + BSTEP*k).
+from .ext.dedup import MINHASH_PRIME as _MH_P  # noqa: E402
+from .ext.dedup import _MH_A, _MH_B  # noqa: E402
+
+_A0, _ASTEP = _MH_A(0), _MH_A(1) - _MH_A(0)
+_B0, _BSTEP = _MH_B(0), _MH_B(1) - _MH_B(0)
+
 # Spark format / DuckDB strftime pairs used for timestamp → string outputs.
 TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
@@ -974,9 +985,9 @@ _DUCK_BANDS = f"""{_DUCK_SHINGLES},
         SELECT doc_id, shingles,
                list_transform(range(0, 8), k ->
                    list_min(list_transform(shingles, s ->
-                       ((976369 + 104729 * k) *
+                       (({_A0} + {_ASTEP} * k) *
                         (('0x' || substr(md5(s), 1, 8))::BIGINT)
-                        + 32452843 + 15485863 * k) % 4294967311)))
+                        + {_B0} + {_BSTEP} * k) % {_MH_P})))
                AS sigs
         FROM sh
     ),
@@ -3546,9 +3557,9 @@ _DUCK_SCREEN_REPLAY = f"""
         SELECT doc_id,
                list_transform(range(0, 8), k ->
                    list_min(list_transform(shingles, s ->
-                       ((976369 + 104729 * k) *
+                       (({_A0} + {_ASTEP} * k) *
                         (('0x' || substr(md5(s), 1, 8))::BIGINT)
-                        + 32452843 + 15485863 * k) % 4294967311)))
+                        + {_B0} + {_BSTEP} * k) % {_MH_P})))
                AS sigs
         FROM sh
     ),

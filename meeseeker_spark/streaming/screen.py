@@ -273,8 +273,10 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
                     f"m_bits={rec_m}, k={rec_k}; restarting with "
                     f"m_bits={bloom_m_bits}, k={bloom_k} would probe "
                     "the stored bitmap at mismatched slot positions. "
-                    "Run rebuild_exact_index under the new sizing "
-                    "first (and update the marker).")
+                    f"Run rebuild_exact_index(spark, {out_dir!r}, "
+                    f"m_bits={bloom_m_bits}, k={bloom_k}) first — it "
+                    "rewrites the bitmaps at the new sizing and "
+                    "updates this marker.")
     else:
         if index_table is not None and spark.catalog.tableExists(index_table):
             raise RuntimeError(
@@ -430,6 +432,20 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
         baseline, qid = drift_baseline, str(query.id)
 
         class _UnpersistOnStop(StreamingQueryListener):
+            _done = False
+
+            def _fire(self):
+                if self._done:
+                    return
+                self._done = True
+                try:
+                    baseline.unpersist()
+                finally:
+                    try:
+                        spark.streams.removeListener(self)
+                    except Exception:
+                        pass  # already removed / bus shut down
+
             def onQueryStarted(self, event):
                 pass
 
@@ -440,14 +456,17 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
                 pass
 
             def onQueryTerminated(self, event):
-                if str(event.id) != qid:
-                    return
-                try:
-                    baseline.unpersist()
-                finally:
-                    spark.streams.removeListener(self)
+                if str(event.id) == qid:
+                    self._fire()
 
-        spark.streams.addListener(_UnpersistOnStop())
+        listener = _UnpersistOnStop()
+        spark.streams.addListener(listener)
+        # a listener registered AFTER the termination event was posted
+        # never hears it — an availableNow query over an empty/committed
+        # dir can finish inside the addListener handshake, so the fast
+        # path needs this fallback (idempotent via _fire's flag)
+        if not query.isActive:
+            listener._fire()
     return query
 
 
@@ -485,7 +504,8 @@ def replay_screen(batches: list[DataFrame], threshold: float = 0.5,
     ``repartition().localCheckpoint()`` barrier — the funnel lesson:
     without the repartition AQE can coalesce a checkpoint to ONE
     partition and serialize the next batch's screen."""
-    spark = batches[0].sparkSession
+    if not batches:
+        raise ValueError("replay_screen needs at least one batch")
     corpus = None       # union of admitted rows from earlier batches
     fps_acc = None      # (fp, doc_id) fingerprint index of the corpus
     logs = []
@@ -542,7 +562,9 @@ def rebuild_band_index(spark: SparkSession, out_dir: str, index_table: str,
     return spark.table(index_table).count()
 
 
-def rebuild_exact_index(spark: SparkSession, out_dir: str) -> int:
+def rebuild_exact_index(spark: SparkSession, out_dir: str,
+                        m_bits: int | None = None,
+                        k: int | None = None) -> int:
     """Rewrite the fpx/bloom exact-dup index dirs from the corpus store
     — the maintenance path after corpus-level retention deletes (a
     Bloom filter cannot unlearn a key, so expiring corpus docs leaves
@@ -550,31 +572,37 @@ def rebuild_exact_index(spark: SparkSession, out_dir: str) -> int:
     this runs).  Fingerprints are text-pure, so recompute == index; the
     per-batch layout (and with it the retry self-exclusion) is
     preserved.  Index batches whose corpus partition no longer exists
-    are DELETED first (ADVICE r10: the per-batch rewrite loop alone
-    only overwrites surviving batches, so a retention-expired
-    ``batch_id=K`` would leave its stale fpx/bloom dirs over-flagging
-    forever — the exact condition this function exists to repair).
-    Bloom sizing comes from the screen's layout marker, so the rebuilt
-    bitmaps are probed at the positions the running screen uses.
-    Returns the fingerprint row count written."""
+    are DELETED first, from the directory LISTING — so a store whose
+    every corpus batch expired still prunes cleanly to an empty index
+    instead of crashing on the empty glob (ADVICE r10 + r11 review:
+    the per-batch rewrite loop alone only overwrites surviving
+    batches, so a retention-expired ``batch_id=K`` would leave its
+    stale fpx/bloom dirs over-flagging forever — the exact condition
+    this function exists to repair).
+
+    Bloom sizing defaults to the screen's layout marker, so rebuilt
+    bitmaps are probed at the positions the running screen uses; pass
+    ``m_bits``/``k`` explicitly to RESIZE the index — the marker is
+    rewritten to match, which is the recovery path start_screen's
+    sizing-mismatch error prescribes.  Returns the fingerprint row
+    count written."""
     import json as _json
     import shutil
 
-    m_bits, k = 8192, 5
     marker = os.path.join(out_dir, "_index_layout.json")
+    rec = None
     if os.path.exists(marker):
         with open(marker) as f:
             rec = _json.load(f)
-        m_bits = int(rec.get("bloom_m_bits", m_bits))
-        k = int(rec.get("bloom_k", k))
+    if m_bits is None:
+        m_bits = int(rec.get("bloom_m_bits", 8192)) if rec else 8192
+    if k is None:
+        k = int(rec.get("bloom_k", 5)) if rec else 5
     corpus_dir = os.path.join(out_dir, "corpus")
-    corpus = (spark.read.option("basePath", corpus_dir)
-              .parquet(os.path.join(corpus_dir, "batch_id=*")))
-    fps = corpus.select(fingerprint(F.col("text")).alias("fp"),
-                        "doc_id", "batch_id")
-    batches = sorted(r["batch_id"] for r in
-                     fps.select("batch_id").distinct().collect())
-    live = {f"batch_id={b}" for b in batches}
+    live = sorted(
+        e for e in (os.listdir(corpus_dir)
+                    if os.path.isdir(corpus_dir) else [])
+        if e.startswith("batch_id="))
     for sub in ("fpx", "bloom"):
         p = os.path.join(out_dir, sub)
         if os.path.isdir(p):
@@ -582,15 +610,27 @@ def rebuild_exact_index(spark: SparkSession, out_dir: str) -> int:
                 if e.startswith("batch_id=") and e not in live:
                     shutil.rmtree(os.path.join(p, e))
     n = 0
-    for row in batches:
-        part = fps.where(F.col("batch_id") == row).drop("batch_id")
-        (part.write.mode("overwrite")
-         .parquet(os.path.join(out_dir, "fpx", f"batch_id={row}")))
-        (bloom_bitmap(part.select("fp").distinct(), "fp",
-                      m_bits=m_bits, k=k)
-         .write.mode("overwrite")
-         .parquet(os.path.join(out_dir, "bloom", f"batch_id={row}")))
-        n += part.count()
+    if live:
+        corpus = (spark.read.option("basePath", corpus_dir)
+                  .parquet(os.path.join(corpus_dir, "batch_id=*")))
+        fps = corpus.select(fingerprint(F.col("text")).alias("fp"),
+                            "doc_id", "batch_id")
+        for e in live:
+            b = int(e.split("=", 1)[1])
+            part = fps.where(F.col("batch_id") == b).drop("batch_id")
+            (part.write.mode("overwrite")
+             .parquet(os.path.join(out_dir, "fpx", e)))
+            (bloom_bitmap(part.select("fp").distinct(), "fp",
+                          m_bits=m_bits, k=k)
+             .write.mode("overwrite")
+             .parquet(os.path.join(out_dir, "bloom", e)))
+            n += part.count()
+    if rec is not None and rec.get("exact_index") and \
+            (rec.get("bloom_m_bits", 8192), rec.get("bloom_k", 5)) \
+            != (m_bits, k):
+        rec["bloom_m_bits"], rec["bloom_k"] = int(m_bits), int(k)
+        with open(marker, "w") as f:
+            _json.dump(rec, f)
     return n
 
 

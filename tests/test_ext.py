@@ -6103,3 +6103,25 @@ def test_ngram_repetition_narrow_equals_stacked(spark):
     b = sorted(tuple(r) for r in
                ngram_repetition(docs, stacked=True).collect())
     assert a == b and len(a) > 0
+
+
+def test_connected_components_deep_chain(spark):
+    """Regression (r11 review): a near-dup CHAIN deeper than the
+    iteration cap used to return silently non-minimal labels (plain
+    min-label propagation needs diameter rounds).  With the
+    Shiloach-Vishkin pointer jump the distance doubles per round, so a
+    60-deep path with the min id at one end converges in ~6 rounds —
+    every node must label to the global min, matching the recursive
+    closure the graded oracles compute."""
+    from pyspark.sql import Row
+
+    from meeseeker_spark.ext.dedup import connected_components
+
+    # path 60 -> 59 -> ... -> 1: min (1) sits at the far end from the
+    # high ids, the adversarial order for min propagation
+    pairs = spark.createDataFrame(
+        [Row(doc_a=i, doc_b=i + 1) for i in range(1, 60)])
+    comps = {r["doc_id"]: r["component"]
+             for r in connected_components(pairs, max_iter=25).collect()}
+    assert set(comps) == set(range(1, 61))
+    assert all(v == 1 for v in comps.values())

@@ -1558,3 +1558,120 @@ def test_replay_screen_matches_streaming(spark, tmp_path_factory):
     # the composition is live on this input: every mechanism fired
     statuses = {r["status"] for r in rows}
     assert statuses == {"admitted", "exact", "near"}
+
+
+def test_rebuild_exact_index_total_expiry(spark, tmp_path_factory):
+    """Regression (r11 review): retention that expires EVERY corpus
+    batch must still prune the stale fpx/bloom dirs — the old glob-based
+    read crashed on the empty corpus before the prune loop ran, leaving
+    the over-flagging bitmap unreparable."""
+    import shutil
+    import time as _time
+
+    from meeseeker_spark.streaming.screen import (rebuild_exact_index,
+                                                  start_screen)
+
+    d = tmp_path_factory.mktemp("screen_total_expiry")
+    incoming, out, ckpt = d / "incoming", d / "out", d / "ckpt"
+    os.makedirs(incoming)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    tmp = d / "w_b1"
+    txt = "a doc about ferries and the tides that carry them"
+    spark.createDataFrame([(1, txt, "en", "web", len(txt))],
+                          cols).coalesce(1).write.parquet(str(tmp))
+    part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+    os.rename(tmp / part, incoming / "b1.parquet")
+    q = start_screen(spark, str(incoming), str(out), str(ckpt),
+                     exact_index=True)
+    q.awaitTermination(120)
+
+    shutil.rmtree(out / "corpus" / "batch_id=0")  # total expiry
+    n = rebuild_exact_index(spark, str(out))
+    assert n == 0
+    assert not any(e.startswith("batch_id=")
+                   for e in os.listdir(out / "fpx"))
+    assert not any(e.startswith("batch_id=")
+                   for e in os.listdir(out / "bloom"))
+
+
+def test_rebuild_exact_index_resize_recovery(spark, tmp_path_factory):
+    """Regression (r11 review): the sizing-mismatch refusal must have a
+    working recovery path — rebuild_exact_index(m_bits=..., k=...)
+    rewrites the bitmaps at the NEW sizing AND the marker, after which
+    the resized restart screens correctly."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from meeseeker_spark.streaming.screen import (rebuild_exact_index,
+                                                  start_screen)
+
+    d = tmp_path_factory.mktemp("screen_resize")
+    incoming, out, ckpt = d / "incoming", d / "out", d / "ckpt"
+    os.makedirs(incoming)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    def drop(name, rows):
+        tmp = d / ("w_" + name)
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        os.rename(tmp / part, incoming / f"{name}.parquet")
+
+    txt = "a doc about gliders and the thermals that lift them"
+    drop("b1", [(1, txt, "en", "web", len(txt))])
+    q = start_screen(spark, str(incoming), str(out), str(ckpt),
+                     exact_index=True)  # default 8192/5
+    q.awaitTermination(120)
+
+    with _pytest.raises(RuntimeError, match="rebuild_exact_index"):
+        start_screen(spark, str(incoming), str(out), str(ckpt),
+                     exact_index=True, bloom_m_bits=4096, bloom_k=3)
+    # the prescribed recovery: rebuild under the new sizing
+    rebuild_exact_index(spark, str(out), m_bits=4096, k=3)
+    _time.sleep(1.1)
+    drop("b2", [(9, txt, "en", "web", len(txt))])  # exact re-post
+    q = start_screen(spark, str(incoming), str(out), str(ckpt),
+                     exact_index=True, bloom_m_bits=4096, bloom_k=3)
+    q.awaitTermination(120)
+    flagged = {(r["new_id"], r["corpus_id"]) for r in
+               spark.read.parquet(str(out / "flagged")).collect()}
+    assert flagged == {(9, 1)}  # resized bitmap probed correctly
+
+
+def test_screen_drift_baseline_unpersist_fast_path(spark, tmp_path_factory):
+    """Regression (r11 review): an availableNow restart with nothing new
+    to process can terminate before the unpersist listener registers —
+    the isActive fallback must still release the baseline."""
+    import time as _time
+
+    from meeseeker_spark.ext.drift import token_counts
+    from meeseeker_spark.streaming.screen import start_screen
+
+    d = tmp_path_factory.mktemp("screen_unpersist_fast")
+    incoming, out, ckpt = d / "incoming", d / "out", d / "ckpt"
+    os.makedirs(incoming)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    tmp = d / "w_b1"
+    txt = "steady corpus text about topic one with common shared words"
+    spark.createDataFrame([(1, txt, "en", "web", len(txt))],
+                          cols).coalesce(1).write.parquet(str(tmp))
+    part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+    os.rename(tmp / part, incoming / "b1.parquet")
+
+    bl1 = token_counts(spark.createDataFrame(
+        [(1, txt)], ["doc_id", "text"]))
+    q = start_screen(spark, str(incoming), str(out), str(ckpt),
+                     drift_baseline=bl1)
+    q.awaitTermination(120)
+    # restart with NO new files: the query terminates near-instantly
+    bl2 = token_counts(spark.createDataFrame(
+        [(1, txt)], ["doc_id", "text"]))
+    q = start_screen(spark, str(incoming), str(out), str(ckpt),
+                     drift_baseline=bl2)
+    q.awaitTermination(120)
+    deadline = _time.time() + 30
+    while _time.time() < deadline and (
+            bl1.storageLevel.useMemory or bl2.storageLevel.useMemory):
+        _time.sleep(0.25)
+    assert not bl1.storageLevel.useMemory
+    assert not bl2.storageLevel.useMemory
