@@ -3305,6 +3305,32 @@ def cms_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       k=25, depth=4, width=2048)
 
 
+@register("hll_registers", None, tags=("F6",))
+def hll_registers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table over the corpus content-fingerprint
+    set (ext.sketch.hll_registers, p=10) — the cardinality member of
+    the sparse-DataFrame sketch family (bloom_screen = membership,
+    cms_counts = frequency), beside the engine-native
+    ``approx_cardinality`` entry: THIS sketch's contents are
+    engine-independent (two md5 draws; rho = 33 − length(bin(h2)),
+    pure integer/string arithmetic — no log2, no float), so unlike
+    Spark's HLL blob it replays bit-for-bit in DuckDB and merges by
+    max across shards.
+
+    Scale: ≤ 2^p = 1024 rows from ONE map-side-combined max groupBy at
+    any corpus size; shard merge = union + max (retry-proof the same
+    way bit_or is).  All-integer output ⇒ boundary-safe r12 rotation
+    fodder under the r9/r10 hash rule; bit-for-bit DuckDB parity in
+    tests/test_ext.py::test_hll_registers_vs_duckdb, merge identity
+    and estimate accuracy in the adjacent tests."""
+    from .ext.sketch import hll_registers
+    from .ext.text import fingerprint
+
+    docs = load(spark, sf_dir, "documents")
+    keys = docs.select(fingerprint(F.col("text")).alias("key")).distinct()
+    return hll_registers(keys, "key", p=10)
+
+
 @register("kn_quality_scores", None, tags=("F4", "quality"))
 def kn_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc cross-entropy under an interpolated Kneser-Ney bigram

@@ -33,6 +33,13 @@ shuttling, no driver state beyond the plan.
   union + sum groupBy below — which is EXACTLY the sketch of the
   concatenated streams (pinned by test, deterministic identity, not a
   property).
+- **HyperLogLog cardinality** (`hll_registers` / `hll_estimate`, r11):
+  the sketch is ``(reg, max_rho)`` rows — at most ``2^p`` — built by
+  one map-side-combined max groupBy; shard merge is union + max (the
+  same idempotent retry-proof algebra as the bloom's bit_or).  The
+  rank is pure integer/string arithmetic (``33 − length(bin(h2))``),
+  so the REGISTERS replay bit-for-bit in DuckDB; only the final
+  harmonic-mean estimate touches libm and stays a rows-only surface.
 
 Both sketches hash through ``text.md5_int32`` — the house
 oracle-reproducible hash — so every bit of the bitmap and every cell
@@ -208,6 +215,73 @@ def cms_counts(docs: DataFrame, k: int = 25, depth: int = 4,
     return (top.join(est, "token")
             .select("token", "n_exact", "n_est")
             .orderBy(F.desc("n_exact"), "token"))
+
+
+def hll_registers(df: DataFrame, key_col: str = "key",
+                  p: int = 10) -> DataFrame:
+    """HyperLogLog register table of the key column as (reg, max_rho)
+    rows — the third member of the sparse-DataFrame sketch family
+    (membership = Bloom bitmap, frequency = CMS cells, cardinality =
+    HLL registers; Flajolet et al. 2007): ≤ 2^p rows regardless of
+    input size, one map-side-combined max groupBy to build, max-merge
+    to combine shards (`hll_merge` — max is idempotent AND
+    retry-proof, the same property bit_or gives the bloom path).
+
+    Register index and rank come from two INDEPENDENT md5 draws
+    (``reg:``/``rho:`` prefixes — reusing one 32-bit draw for both
+    would correlate the register with its rank and bias the estimate):
+    reg = h1 % 2^p; rho = leading zeros of the 32-bit h2 + 1,
+    computed as ``33 - length(bin(h2))`` — `bin` renders without
+    leading zeros IDENTICALLY in Spark and DuckDB (checked), so rho is
+    pure integer/string arithmetic: no log2, no float, no boundary
+    hazard.  All-integer output ⇒ boundary-safe rotation fodder under
+    the r9/r10 hash rule; bit-for-bit DuckDB parity in
+    tests/test_ext.py::test_hll_registers_vs_duckdb."""
+    h1 = md5_int32(F.concat(F.lit("reg:"), F.col(key_col)))
+    h2 = md5_int32(F.concat(F.lit("rho:"), F.col(key_col)))
+    rho = F.when(h2 == 0, F.lit(33)).otherwise(
+        F.lit(33) - F.length(F.bin(h2)))
+    return (df.select((h1 % F.lit(2 ** p)).alias("reg"),
+                      rho.cast("int").alias("rho"))
+            .groupBy("reg").agg(F.max("rho").alias("max_rho")))
+
+
+def hll_merge(*registers: DataFrame) -> DataFrame:
+    """Max-merge register tables built with IDENTICAL p — the merged
+    table is exactly the table of the concatenated key streams (the
+    same deterministic identity as bloom_merge/cms_merge, pinned by
+    test_hll_merge_is_union)."""
+    merged = registers[0]
+    for r in registers[1:]:
+        merged = merged.unionByName(r)
+    return merged.groupBy("reg").agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate(registers: DataFrame, p: int = 10) -> DataFrame:
+    """One-row cardinality estimate from a register table: the
+    bias-corrected harmonic mean E = α_m·m²/Σ2^(−M_j) with
+    linear-counting fallback for the small range (E ≤ 2.5m with empty
+    registers), per the HLL paper.  Registers ABSENT from the sparse
+    table are empty (rho 0): they contribute 2⁰ = 1 to the harmonic
+    sum and count toward V.  The estimate passes through ln/pow ⇒
+    machine-dependent libm (rows-only surface per the r9 rule; the
+    REGISTER table is the exactness-gated object).  Scale: the input
+    is ≤ 2^p rows, so this is driver-cheap by construction — the
+    corpus-sized work already happened in the single build pass."""
+    m = 2 ** p
+    alpha = 0.7213 / (1 + 1.079 / m)  # the standard large-m constant
+    agg = registers.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_present_sum"),
+        F.count("*").alias("_present"),
+    )
+    harm = F.col("_present_sum") + (F.lit(m) - F.col("_present"))
+    raw = F.lit(alpha * m * m) / harm
+    zeros = F.lit(m) - F.col("_present")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
+    return agg.select(
+        F.round(est).cast("bigint").alias("n_est"),
+        F.col("_present").cast("bigint").alias("n_registers_touched"))
 
 
 #: Cap on the maybe-seen fingerprint list pushed into the index scan as
