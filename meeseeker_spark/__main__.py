@@ -213,6 +213,36 @@ def main(argv: list[str] | None = None) -> int:
                          "hardest-first), e.g. 'n_chars' or "
                          "'n_chars:desc' (ext.shard order_by)")
 
+    psc = sub.add_parser(
+        "screen",
+        help="continuous-ingest dedup screen: drain pending docs from "
+             "--incoming through the exact-index/band screen into "
+             "--out/corpus (+ flagged/index logs), then print the "
+             "per-batch report (streaming.screen; availableNow — each "
+             "invocation processes what arrived since the last one and "
+             "exits)")
+    psc.add_argument("--incoming", required=True,
+                     help="dir of documents-shaped parquet files; each "
+                          "file is one micro-batch")
+    psc.add_argument("--out", required=True)
+    psc.add_argument("--checkpoint", default=None,
+                     help="stream checkpoint dir (default OUT/_ckpt)")
+    psc.add_argument("--threshold", type=float, default=0.5,
+                     help="near-dup Jaccard threshold")
+    psc.add_argument("--index-table", default=None,
+                     help="opt-in: keep the band index in a metastore "
+                          "table hash-bucketed by band (index side of "
+                          "the join arrives pre-partitioned)")
+    psc.add_argument("--exact-index", action="store_true",
+                     help="opt-in Bloom exact-dup prescreen (fpx + "
+                          "bloom dirs beside the band index)")
+    psc.add_argument("--bloom-m-bits", type=int, default=8192)
+    psc.add_argument("--bloom-k", type=int, default=5)
+    psc.add_argument("--drift-baseline", default=None,
+                     help="opt-in: parquet of baseline docs (or a "
+                          "(token, n) count table) — each batch writes "
+                          "its KL drift summary before screening")
+
     a = p.parse_args(argv)
 
     if a.cmd == "sync":
@@ -438,6 +468,25 @@ def main(argv: list[str] | None = None) -> int:
                 drop_cols=("_row_id",),
                 order_by=order_by, ascending=ascending)
         print(json.dumps(build.report(), sort_keys=True))
+        return 0
+
+    if a.cmd == "screen":
+        from .streaming.screen import screen_report, start_screen
+
+        spark = _spark()
+        drift = (spark.read.parquet(a.drift_baseline)
+                 if a.drift_baseline else None)
+        q = start_screen(
+            spark, a.incoming, a.out,
+            a.checkpoint or f"{a.out}/_ckpt",
+            threshold=a.threshold,
+            index_table=a.index_table,
+            exact_index=a.exact_index,
+            bloom_m_bits=a.bloom_m_bits,
+            bloom_k=a.bloom_k,
+            drift_baseline=drift)
+        q.awaitTermination()
+        _print_rows(screen_report(spark, a.out))
         return 0
 
     # verify

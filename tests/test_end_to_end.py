@@ -537,3 +537,49 @@ def test_cli_migrate_dirs_store(spark, tmp_path_factory, capsys):
     assert len(keys) == len(set(keys))
     assert P.last_block_num(spark, str(d / "out" / "ops")) \
         == fx.blocks[-1]["block_num"]
+
+
+def test_cli_screen(spark, tmp_path_factory, capsys):
+    """`screen` drains pending incoming files through the exact-index
+    dedup screen and prints the per-batch report; a second invocation
+    with a new file screens against the accumulated corpus (the
+    operational loop: one CLI run per arrival cadence)."""
+    import json
+    import os
+    import time as _time
+
+    from meeseeker_spark.__main__ import main
+
+    d = tmp_path_factory.mktemp("cli_screen")
+    incoming = d / "incoming"
+    os.makedirs(incoming)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    txt = "a document about harbors and the cranes that unload them"
+
+    def drop(name, rows):
+        tmp = d / ("w_" + name)
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        os.rename(tmp / part, incoming / f"{name}.parquet")
+
+    drop("b1", [(1, txt, "en", "web", len(txt))])
+    rc = main(["screen", "--incoming", str(incoming),
+               "--out", str(d / "out"), "--exact-index"])
+    assert rc == 0
+    rep1 = [json.loads(x) for x in
+            capsys.readouterr().out.strip().splitlines()]
+    assert [(r["batch_id"], r["n_admitted"], r["n_flagged"])
+            for r in rep1] == [(0, 1, 0)]
+
+    _time.sleep(1.1)
+    drop("b2", [(9, txt, "en", "web", len(txt))])  # exact re-post
+    rc = main(["screen", "--incoming", str(incoming),
+               "--out", str(d / "out"), "--exact-index"])
+    assert rc == 0
+    rep2 = [json.loads(x) for x in
+            capsys.readouterr().out.strip().splitlines()]
+    assert [(r["batch_id"], r["n_admitted"], r["n_flagged"])
+            for r in rep2] == [(0, 1, 0), (1, 0, 1)]
+    flagged = {(r["new_id"], r["corpus_id"]) for r in
+               spark.read.parquet(str(d / "out" / "flagged")).collect()}
+    assert flagged == {(9, 1)}  # rejected by the prescreen
