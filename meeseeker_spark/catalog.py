@@ -3305,6 +3305,25 @@ def cms_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       k=25, depth=4, width=2048)
 
 
+@register("dedup_eval", None, tags=("F2", "ops"))
+def dedup_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall accounting of the banded MinHash screen vs the exact
+    inverted-index ground truth (ext.dedup.dedup_eval): one row of
+    integer counts — n_exact / n_banded / n_common / n_missed_by_bands
+    / n_outside_guard — at the production threshold 0.5 with both
+    standing guards (max_df=100, max_bucket=10k) engaged.  The
+    text-side twin of ``sim_noise_floor``: it turns the suite's recall
+    floors into a corpus-measurable operational number.  What it
+    uniquely checks is the INTERACTION of the two graded dedup
+    surfaces: every banded pair outside the guard must trace to
+    max_df-dropped stop-shingles, never to a verify bug.  All-integer
+    output ⇒ boundary-safe rotation fodder; DuckDB-exact in
+    tests/test_ext.py::test_dedup_eval_vs_duckdb."""
+    from .ext.dedup import dedup_eval
+    return dedup_eval(load(spark, sf_dir, "documents"), threshold=0.5,
+                      max_df=100, max_bucket=10_000)
+
+
 @register("hll_registers", None, tags=("F6",))
 def hll_registers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog register table over the corpus content-fingerprint

@@ -889,3 +889,52 @@ def containment_pairs(df: DataFrame, id_col: str = "doc_id",
         .where((F.col("containment_a_in_b") >= threshold)
                | (F.col("containment_b_in_a") >= threshold))
     )
+
+
+def dedup_eval(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", threshold: float = 0.5,
+               max_df: int | None = 100,
+               max_bucket: int | None = 10_000) -> DataFrame:
+    """Recall accounting of the banded MinHash screen against the exact
+    inverted-index ground truth — the observability operator that turns
+    "our LSH recall is fine" into a measured, driver-checkable number
+    (pairs with sim_noise_floor, the r9 embedding-side calibration op).
+
+    One row of INTEGER counts over the same corpus, same shingles, same
+    threshold:
+
+    - ``n_exact``   pairs ≥ threshold under the ``max_df``-guarded exact
+      join (the guard makes exact jaccard a LOWER bound — see
+      jaccard_ngram_pairs);
+    - ``n_banded``  pairs the banded screen emits (band collision +
+      full-shingle verify, ``max_bucket`` guard);
+    - ``n_common``  found by both;
+    - ``n_missed_by_bands``  exact pairs the bands missed (band
+      non-collision or a capped bucket — the LSH recall loss, the
+      number a production screen must watch);
+    - ``n_outside_guard``  banded pairs the guarded exact join cannot
+      see (their overlap rides stop-shingles ``max_df`` dropped; NOT
+      false positives — the banded verify uses full shingle sets).
+
+    Scale: both inputs are the existing sub-quadratic pipelines; the
+    comparison is one full-outer join on (doc_a, doc_b) pair keys plus
+    a single count aggregate — pair-mass-sized, never corpus².
+    All-integer output ⇒ boundary-safe rotation fodder under the
+    r9/r10 hash rule; DuckDB-exact in
+    tests/test_ext.py::test_dedup_eval_vs_duckdb."""
+    exact = jaccard_ngram_pairs(df, id_col, text_col,
+                                threshold=threshold, max_df=max_df) \
+        .select("doc_a", "doc_b", F.lit(True).alias("_e"))
+    banded = near_dup_pairs(df, id_col, text_col, threshold=threshold,
+                            max_bucket=max_bucket) \
+        .select("doc_a", "doc_b", F.lit(True).alias("_b"))
+    both = exact.join(banded, ["doc_a", "doc_b"], "full_outer")
+    e = F.col("_e").isNotNull()
+    b = F.col("_b").isNotNull()
+    return both.agg(
+        F.sum(e.cast("long")).alias("n_exact"),
+        F.sum(b.cast("long")).alias("n_banded"),
+        F.sum((e & b).cast("long")).alias("n_common"),
+        F.sum((e & ~b).cast("long")).alias("n_missed_by_bands"),
+        F.sum((~e & b).cast("long")).alias("n_outside_guard"),
+    )

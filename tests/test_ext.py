@@ -6242,3 +6242,59 @@ def test_hll_registers_plan_is_one_aggregate(spark):
     assert "Join" not in plan
     assert "EvalPython" not in plan
     assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_dedup_eval_vs_duckdb(spark):
+    """Exact DuckDB parity for the dedup recall-accounting row — the
+    oracle chains the SAME two CTE families the graded dedup entries
+    use (_DUCK_NEARDUP for the banded side, the posting join for the
+    exact side) and counts the pair-set algebra."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["dedup_eval"].spark(spark, SF)
+    s = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = [tuple(r) for r in con.execute(f"""
+    WITH {catalog._DUCK_NEARDUP},
+    banded AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    inv0 AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+    keep AS (
+        SELECT g FROM (SELECT g, count(*) AS df FROM inv0 GROUP BY g)
+        WHERE df <= 100
+    ),
+    inv AS (SELECT i.doc_id, i.g FROM inv0 i JOIN keep USING (g)),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT doc_a, doc_b,
+                   round(c::DOUBLE / (sa.n + sb.n - c), 4) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+        ) WHERE jaccard >= 0.5
+    ),
+    ne AS (SELECT count(*) AS n FROM exact),
+    nb AS (SELECT count(*) AS n FROM banded),
+    nc AS (SELECT count(*) AS n FROM exact JOIN banded
+           USING (doc_a, doc_b))
+    SELECT ne.n AS n_exact, nb.n AS n_banded, nc.n AS n_common,
+           ne.n - nc.n AS n_missed_by_bands,
+           nb.n - nc.n AS n_outside_guard
+    FROM ne, nb, nc
+    """).fetchall()]
+    con.close()
+    assert s == d and len(s) == 1
+    row = dict(zip(sdf.columns, s[0]))
+    # set algebra must close
+    assert row["n_exact"] == row["n_common"] + row["n_missed_by_bands"]
+    assert row["n_banded"] == row["n_common"] + row["n_outside_guard"]
+    assert row["n_exact"] > 0 and row["n_banded"] > 0
