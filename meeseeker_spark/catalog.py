@@ -3305,6 +3305,26 @@ def cms_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       k=25, depth=4, width=2048)
 
 
+@register("host_pagerank", None, tags=("F4", "urls", "graph"))
+def host_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-authority ranking of the corpus citation graph
+    (ext.graph.host_pagerank): damped PageRank with dangling-mass
+    redistribution over the (citing source, cited host) edges — the
+    domain-curation signal CommonCrawl-style pipelines publish host
+    ranks for (and C4/RefinedWeb-style filters weight by).  URLs
+    splice in-plan via attach_urls (fixture text is URL-free).
+
+    Scale: the corpus reduces to the GRAPH in one skinny map-side
+    combined aggregate; all 20 iterations then run on edge rows only
+    (joins + sums at graph size, dangling mass attached as a 1-row
+    broadcast, lineage truncated per iteration).  Rows-only: the rank
+    is a row-order float sum per the r9 hash rule; pure-Python replay
+    parity + Σrank=1 + planted-structure ordering in
+    tests/test_ext.py::test_host_pagerank_*."""
+    from .ext.graph import host_pagerank
+    return host_pagerank(load(spark, sf_dir, "documents"), iters=20)
+
+
 @register("dedup_eval", None, tags=("F2", "ops"))
 def dedup_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall accounting of the banded MinHash screen vs the exact

@@ -1,0 +1,116 @@
+"""Host-level link-graph analysis (beyond-reference LLM-pipeline
+stage; the domain-curation family beside ext/urls).
+
+Web-corpus pipelines rank DOMAINS, not pages: CommonCrawl publishes
+host-level PageRank/harmonic ranks, and C4/CCNet/RefinedWeb-style
+curation filters or weights by domain authority.  The 100 TB shape has
+two parts with very different sizes, and the split is the whole design:
+
+1. ``host_edges`` — reduce the corpus to a weighted host graph with ONE
+   skinny aggregate: (citing source, cited host, n_links).  The text
+   column never leaves the map side; the result is graph-sized (tens to
+   millions of rows), not corpus-sized.
+2. ``pagerank`` — iterate on the graph only.  Each iteration is one
+   join + one aggregate over EDGE rows; corpus size never re-enters.
+   This is the doremi/heavy-hitters budget class: corpus-scale work
+   happens exactly once, the iterative part is bounded by the graph.
+
+PageRank here is the standard damped power iteration with dangling-mass
+redistribution (Page et al. 1999): ranks sum to 1 every iteration
+(pinned by test); deterministic for a fixed iteration count.  Float
+sums over a node's in-neighbors make the values machine-dependent in
+the last ulps (libm-free, but row-order summation) — the catalog entry
+is rows-only with a pure-Python replay parity test, per the r9 hash
+rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .urls import HOST_RE, URL_RE
+
+
+def host_edges(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text",
+               source_col: str = "source") -> DataFrame:
+    """Weighted citation edges (src, dst, weight): the doc's source
+    cites every host extracted from its text, with multiplicity.
+
+    Scale: regexp extract + explode inside codegen, then one map-side
+    combined count on the skinny (source, host) pair — the corpus
+    reduces to the graph in a single pass."""
+    urls = docs.select(
+        F.col(source_col).alias("src"),
+        F.explode(F.regexp_extract_all(text_col, F.lit(URL_RE), F.lit(0)))
+        .alias("_url"))
+    host = F.lower(F.regexp_extract(F.col("_url"), HOST_RE, 1))
+    return (urls.select("src", host.alias("dst"))
+            .where(F.col("dst") != "")
+            .groupBy("src", "dst")
+            .agg(F.count("*").alias("weight")))
+
+
+def pagerank(edges: DataFrame, damping: float = 0.85,
+             iters: int = 20) -> DataFrame:
+    """Damped PageRank with dangling-mass redistribution over weighted
+    edges (src, dst, weight) → (node, rank) for every node on either
+    side; Σ rank = 1 each iteration.
+
+    Each iteration: contributions = one edges⨝ranks join + one sum
+    aggregate keyed on dst (graph-sized); the dangling mass (nodes with
+    no out-edges — every pure sink) is a 1-row aggregate attached by
+    broadcast cross join, never a driver round-trip; lineage is
+    truncated per iteration with localCheckpoint (the
+    connected_components idiom).  The node count is the one bounded
+    driver action (graph-sized by construction — the corpus was already
+    reduced by host_edges)."""
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("_ow"))
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct().localCheckpoint())
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contrib = (
+            edges.join(out_w, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"),
+                    (F.col("rank") * F.col("weight") / F.col("_ow"))
+                    .alias("_c"))
+            .groupBy("node").agg(F.sum("_c").alias("_c")))
+        dangling = (ranks.join(out_w,
+                               ranks["node"] == out_w["src"], "left_anti")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                         .alias("_dang")))
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select("node",
+                    (F.lit(base)
+                     + F.lit(damping)
+                     * (F.coalesce(F.col("_c"), F.lit(0.0))
+                        + F.col("_dang") / F.lit(float(n))))
+                    .alias("rank"))
+        ).localCheckpoint()
+    return ranks
+
+
+def host_pagerank(docs: DataFrame, damping: float = 0.85,
+                  iters: int = 20, round_dp: int = 4) -> DataFrame:
+    """The catalog composition: corpus → host graph → PageRank →
+    (node, rank) rounded for presentation.  On the fixture's spliced
+    URL grid the shared mirror host (cited by every 5th doc from ALL
+    sources) must out-rank every per-residue grid host — pinned by
+    test.  The fixture text is URL-free, so the URLs splice in-plan via
+    ``attach_urls`` (the house honesty device; byte-identical SQL
+    twin)."""
+    from .urls import attach_urls
+
+    spliced = attach_urls(docs)
+    ranks = pagerank(host_edges(spliced, text_col="text_urls"),
+                     damping=damping, iters=iters)
+    return ranks.select("node", F.round("rank", round_dp).alias("rank"))

@@ -6298,3 +6298,74 @@ def test_dedup_eval_vs_duckdb(spark):
     assert row["n_exact"] == row["n_common"] + row["n_missed_by_bands"]
     assert row["n_banded"] == row["n_common"] + row["n_outside_guard"]
     assert row["n_exact"] > 0 and row["n_banded"] > 0
+
+
+def _py_pagerank(edges, damping=0.85, iters=20):
+    """Pure-Python PageRank oracle: edges = {(src, dst): weight}."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    outw = {}
+    for (s, _), w in edges.items():
+        outw[s] = outw.get(s, 0) + w
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in nodes}
+        for (s, d), w in edges.items():
+            contrib[d] += rank[s] * w / outw[s]
+        dang = sum(rank[v] for v in nodes if v not in outw)
+        rank = {v: (1 - damping) / n
+                + damping * (contrib[v] + dang / n) for v in nodes}
+    return rank
+
+
+def test_host_pagerank_vs_python(spark):
+    """The distributed power iteration must match a pure-Python replay
+    of the same edges (tolerance covers float summation order only),
+    conserve total mass (Σ rank = 1), and respect the planted
+    structure: the shared mirror host — cited by every 5th doc from
+    ALL sources — out-ranks every per-residue grid host."""
+    from meeseeker_spark.ext.graph import host_edges, host_pagerank
+    from meeseeker_spark.ext.urls import attach_urls
+    from meeseeker_spark.tables import load
+
+    docs = load(spark, SF, "documents")
+    edges = {(r["src"], r["dst"]): r["weight"] for r in
+             host_edges(attach_urls(docs), text_col="text_urls").collect()}
+    assert edges  # splice produced a graph
+    expected = _py_pagerank(edges, iters=20)
+
+    got = {r["node"]: r["rank"] for r in
+           host_pagerank(docs, iters=20, round_dp=9).collect()}
+    assert set(got) == set(expected)
+    assert all(abs(got[v] - expected[v]) < 1e-9 for v in expected)
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # mass conserved
+    mirror = got["mirror.example.com"]
+    grid = [v for k, v in got.items()
+            if k.startswith("h") and k.endswith((".com", ".org", ".net"))
+            and k != "mirror.example.com"]
+    assert grid and all(mirror > g for g in grid)
+    # sources have no in-links: they sit at the dangling-only floor,
+    # strictly below every cited host
+    floor = min(v for k, v in got.items() if k.startswith("src"))
+    assert all(g > floor for g in grid)
+
+
+def test_pagerank_empty_and_star(spark):
+    """Degenerate shapes: an empty edge set returns an empty frame; on
+    a star graph (everyone cites one hub) the hub takes the maximal
+    rank and the leaves tie exactly."""
+    from pyspark.sql import Row
+
+    from meeseeker_spark.ext.graph import pagerank
+
+    empty = spark.createDataFrame(
+        [], "src string, dst string, weight bigint")
+    assert pagerank(empty).count() == 0
+
+    star = spark.createDataFrame(
+        [Row(src=f"leaf{i}", dst="hub", weight=1) for i in range(5)])
+    ranks = {r["node"]: r["rank"] for r in pagerank(star, iters=10).collect()}
+    assert max(ranks, key=ranks.get) == "hub"
+    leaves = {v for k, v in ranks.items() if k != "hub"}
+    assert len(leaves) == 1  # exact tie
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
