@@ -52,26 +52,56 @@ def host_edges(docs: DataFrame, id_col: str = "doc_id",
 
 
 def pagerank(edges: DataFrame, damping: float = 0.85,
-             iters: int = 20) -> DataFrame:
+             iters: int = 20,
+             driver_threshold: int = 100_000) -> DataFrame:
     """Damped PageRank with dangling-mass redistribution over weighted
     edges (src, dst, weight) → (node, rank) for every node on either
     side; Σ rank = 1 each iteration.
 
-    Each iteration: contributions = one edges⨝ranks join + one sum
-    aggregate keyed on dst (graph-sized); the dangling mass (nodes with
-    no out-edges — every pure sink) is a 1-row aggregate attached by
-    broadcast cross join, never a driver round-trip; lineage is
-    truncated per iteration with localCheckpoint (the
-    connected_components idiom).  The node count is the one bounded
-    driver action (graph-sized by construction — the corpus was already
-    reduced by host_edges)."""
+    Two regimes, measured (SCALING.md r11): a graph at or below
+    ``driver_threshold`` edges iterates ON THE DRIVER — the
+    doremi/heavy-hitters budget class (the corpus-scale work already
+    happened in host_edges' aggregate; a 69-node fixture graph pays
+    ~6.5 s of per-iteration job-launch overhead in the distributed
+    loop vs ~0.3 s collected, and a graph-sized repartition was
+    measured NOT to help — scheduling, not task width, dominates).
+    Fixed iteration order (edges sorted by (src, dst)) makes the
+    driver ranks deterministic fixed-order IEEE arithmetic.  Past the
+    threshold the distributed loop runs: each iteration is one
+    edges⨝ranks join + one sum aggregate keyed on dst (graph-sized);
+    the dangling mass is a 1-row aggregate attached by broadcast cross
+    join, never a driver round-trip; lineage truncates per iteration
+    with localCheckpoint (the connected_components idiom).  Both paths
+    are pinned against the same pure-Python oracle in tests."""
+    edges = edges.localCheckpoint()
+    spark = edges.sparkSession
+    if edges.count() <= driver_threshold:
+        rows = sorted((r["src"], r["dst"], r["weight"])
+                      for r in edges.collect())
+        node_set = sorted({s for s, _, _ in rows}
+                          | {d for _, d, _ in rows})
+        n = len(node_set)
+        if n == 0:
+            return spark.createDataFrame([], "node string, rank double")
+        outw: dict = {}
+        for s, _, w in rows:
+            outw[s] = outw.get(s, 0) + w
+        rank = {v: 1.0 / n for v in node_set}
+        base = (1.0 - damping) / n
+        for _ in range(iters):
+            contrib = {v: 0.0 for v in node_set}
+            for s, d, w in rows:
+                contrib[d] += rank[s] * w / outw[s]
+            dang = sum(rank[v] for v in node_set if v not in outw)
+            rank = {v: base + damping * (contrib[v] + dang / n)
+                    for v in node_set}
+        return spark.createDataFrame(
+            [(v, rank[v]) for v in node_set], "node string, rank double")
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("_ow"))
     nodes = (edges.select(F.col("src").alias("node"))
              .unionByName(edges.select(F.col("dst").alias("node")))
              .distinct().localCheckpoint())
     n = nodes.count()
-    if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for _ in range(iters):
@@ -90,7 +120,7 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
             nodes.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select("node",
-                    (F.lit(base)
+                    (F.lit((1.0 - damping) / n)
                      + F.lit(damping)
                      * (F.coalesce(F.col("_c"), F.lit(0.0))
                         + F.col("_dang") / F.lit(float(n))))

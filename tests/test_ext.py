@@ -6339,6 +6339,18 @@ def test_host_pagerank_vs_python(spark):
     assert set(got) == set(expected)
     assert all(abs(got[v] - expected[v]) < 1e-9 for v in expected)
     assert abs(sum(got.values()) - 1.0) < 1e-6  # mass conserved
+
+    # the DISTRIBUTED loop (the past-threshold scale path) must land on
+    # the same fixed point as the driver loop and the python oracle
+    from meeseeker_spark.ext.graph import pagerank
+    from pyspark.sql import Row
+
+    edf = spark.createDataFrame(
+        [Row(src=s, dst=d, weight=w) for (s, d), w in edges.items()])
+    dist = {r["node"]: r["rank"] for r in
+            pagerank(edf, iters=20, driver_threshold=0).collect()}
+    assert set(dist) == set(expected)
+    assert all(abs(dist[v] - expected[v]) < 1e-9 for v in expected)
     mirror = got["mirror.example.com"]
     grid = [v for k, v in got.items()
             if k.startswith("h") and k.endswith((".com", ".org", ".net"))
@@ -6364,8 +6376,10 @@ def test_pagerank_empty_and_star(spark):
 
     star = spark.createDataFrame(
         [Row(src=f"leaf{i}", dst="hub", weight=1) for i in range(5)])
-    ranks = {r["node"]: r["rank"] for r in pagerank(star, iters=10).collect()}
-    assert max(ranks, key=ranks.get) == "hub"
-    leaves = {v for k, v in ranks.items() if k != "hub"}
-    assert len(leaves) == 1  # exact tie
-    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    for thr in (100_000, 0):     # driver path AND distributed path
+        ranks = {r["node"]: r["rank"] for r in
+                 pagerank(star, iters=10, driver_threshold=thr).collect()}
+        assert max(ranks, key=ranks.get) == "hub"
+        leaves = {v for k, v in ranks.items() if k != "hub"}
+        assert len(leaves) == 1  # exact tie
+        assert abs(sum(ranks.values()) - 1.0) < 1e-9
