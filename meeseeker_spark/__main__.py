@@ -486,7 +486,12 @@ def main(argv: list[str] | None = None) -> int:
             bloom_k=a.bloom_k,
             drift_baseline=drift)
         q.awaitTermination()
-        _print_rows(screen_report(spark, a.out))
+        try:
+            _print_rows(screen_report(spark, a.out))
+        except FileNotFoundError:
+            # a cadence invocation that fired before the first file
+            # arrived commits no batch — an empty report, not a crash
+            print("no batches committed yet", file=sys.stderr)
         return 0
 
     # verify

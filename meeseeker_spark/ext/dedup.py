@@ -931,10 +931,17 @@ def dedup_eval(df: DataFrame, id_col: str = "doc_id",
     both = exact.join(banded, ["doc_a", "doc_b"], "full_outer")
     e = F.col("_e").isNotNull()
     b = F.col("_b").isNotNull()
+    # coalesce: sum over an EMPTY agg is NULL, and a clean corpus with
+    # zero qualifying pairs must report integer zeros, not NULLs
+    # (r11 review)
+    def _n(cond, alias):
+        return F.coalesce(F.sum(cond.cast("long")),
+                          F.lit(0).cast("long")).alias(alias)
+
     return both.agg(
-        F.sum(e.cast("long")).alias("n_exact"),
-        F.sum(b.cast("long")).alias("n_banded"),
-        F.sum((e & b).cast("long")).alias("n_common"),
-        F.sum((e & ~b).cast("long")).alias("n_missed_by_bands"),
-        F.sum((~e & b).cast("long")).alias("n_outside_guard"),
+        _n(e, "n_exact"),
+        _n(b, "n_banded"),
+        _n(e & b, "n_common"),
+        _n(e & ~b, "n_missed_by_bands"),
+        _n(~e & b, "n_outside_guard"),
     )

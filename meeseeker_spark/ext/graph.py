@@ -28,8 +28,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .urls import HOST_RE, URL_RE
-
 
 def host_edges(docs: DataFrame, id_col: str = "doc_id",
                text_col: str = "text",
@@ -37,15 +35,15 @@ def host_edges(docs: DataFrame, id_col: str = "doc_id",
     """Weighted citation edges (src, dst, weight): the doc's source
     cites every host extracted from its text, with multiplicity.
 
-    Scale: regexp extract + explode inside codegen, then one map-side
-    combined count on the skinny (source, host) pair — the corpus
-    reduces to the graph in a single pass."""
-    urls = docs.select(
-        F.col(source_col).alias("src"),
-        F.explode(F.regexp_extract_all(text_col, F.lit(URL_RE), F.lit(0)))
-        .alias("_url"))
-    host = F.lower(F.regexp_extract(F.col("_url"), HOST_RE, 1))
-    return (urls.select("src", host.alias("dst"))
+    Scale: regexp extract + explode inside codegen (the shared
+    ``ext.urls.hosts_in_text`` projection), then one map-side combined
+    count on the skinny (source, host) pair — the corpus reduces to
+    the graph in a single pass."""
+    from .urls import hosts_in_text
+
+    return (hosts_in_text(docs, source_col, text_col)
+            .select(F.col(source_col).alias("src"),
+                    F.col("host").alias("dst"))
             .where(F.col("dst") != "")
             .groupBy("src", "dst")
             .agg(F.count("*").alias("weight")))
@@ -73,8 +71,17 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     join, never a driver round-trip; lineage truncates per iteration
     with localCheckpoint (the connected_components idiom).  Both paths
     are pinned against the same pure-Python oracle in tests."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
     edges = edges.localCheckpoint()
     spark = edges.sparkSession
+    # the result schema derives from the edge key type, so integer-id
+    # graphs get the same (node, rank) shape on BOTH regimes (r11
+    # review: a hardcoded string schema made the driver path crash on
+    # non-string ids while the distributed path accepted them)
+    out_schema = StructType([
+        StructField("node", edges.schema["src"].dataType, True),
+        StructField("rank", DoubleType(), True)])
     if edges.count() <= driver_threshold:
         rows = sorted((r["src"], r["dst"], r["weight"])
                       for r in edges.collect())
@@ -82,7 +89,7 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
                           | {d for _, d, _ in rows})
         n = len(node_set)
         if n == 0:
-            return spark.createDataFrame([], "node string, rank double")
+            return spark.createDataFrame([], out_schema)
         outw: dict = {}
         for s, _, w in rows:
             outw[s] = outw.get(s, 0) + w
@@ -96,14 +103,13 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
             rank = {v: base + damping * (contrib[v] + dang / n)
                     for v in node_set}
         return spark.createDataFrame(
-            [(v, rank[v]) for v in node_set], "node string, rank double")
+            [(v, rank[v]) for v in node_set], out_schema)
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("_ow"))
     nodes = (edges.select(F.col("src").alias("node"))
              .unionByName(edges.select(F.col("dst").alias("node")))
              .distinct().localCheckpoint())
     n = nodes.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    base = (1.0 - damping) / n
     for _ in range(iters):
         contrib = (
             edges.join(out_w, "src")

@@ -259,26 +259,40 @@ def hll_merge(*registers: DataFrame) -> DataFrame:
 
 def hll_estimate(registers: DataFrame, p: int = 10) -> DataFrame:
     """One-row cardinality estimate from a register table: the
-    bias-corrected harmonic mean E = α_m·m²/Σ2^(−M_j) with
-    linear-counting fallback for the small range (E ≤ 2.5m with empty
-    registers), per the HLL paper.  Registers ABSENT from the sparse
-    table are empty (rho 0): they contribute 2⁰ = 1 to the harmonic
-    sum and count toward V.  The estimate passes through ln/pow ⇒
-    machine-dependent libm (rows-only surface per the r9 rule; the
-    REGISTER table is the exactness-gated object).  Scale: the input
-    is ≤ 2^p rows, so this is driver-cheap by construction — the
-    corpus-sized work already happened in the single build pass."""
+    bias-corrected harmonic mean E = α_m·m²/Σ2^(−M_j) with the HLL
+    paper's BOTH range corrections — linear counting for the small
+    range (E ≤ 2.5m with empty registers) and the 32-bit large-range
+    correction E* = −2³²·ln(1 − E/2³²) once E exceeds 2³²/30 (the rho
+    draw is 32-bit md5, so register saturation biases the raw estimate
+    low past ~143M distinct keys; r11 review).  Registers ABSENT from
+    the sparse table are empty (rho 0): they contribute 2⁰ = 1 to the
+    harmonic sum and count toward V; an EMPTY table estimates 0, not
+    NULL.  The estimate passes through ln/pow ⇒ machine-dependent libm
+    (rows-only surface per the r9 rule; the REGISTER table is the
+    exactness-gated object).  Scale: the input is ≤ 2^p rows, so this
+    is driver-cheap by construction — the corpus-sized work already
+    happened in the single build pass."""
     m = 2 ** p
+    two32 = float(2 ** 32)
     alpha = 0.7213 / (1 + 1.079 / m)  # the standard large-m constant
     agg = registers.agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("_present_sum"),
+        F.coalesce(F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))),
+                   F.lit(0.0)).alias("_present_sum"),
         F.count("*").alias("_present"),
     )
     harm = F.col("_present_sum") + (F.lit(m) - F.col("_present"))
     raw = F.lit(alpha * m * m) / harm
     zeros = F.lit(m) - F.col("_present")
     linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
-    est = F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
+    # clamp the correction's argument below 1: fully saturated registers
+    # can push the raw harmonic estimate past the hash space itself, and
+    # ln(1 − x) needs x < 1 — the clamp turns that into a finite
+    # saturation ceiling instead of NaN
+    x = F.least(raw / F.lit(two32), F.lit(1.0 - 1e-10))
+    est = (F.when((raw <= 2.5 * m) & (zeros > 0), linear)
+           .when(raw > two32 / 30.0,
+                 -F.lit(two32) * F.log(F.lit(1.0) - x))
+           .otherwise(raw))
     return agg.select(
         F.round(est).cast("bigint").alias("n_est"),
         F.col("_present").cast("bigint").alias("n_registers_touched"))

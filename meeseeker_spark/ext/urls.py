@@ -74,6 +74,25 @@ ATTACH_URLS_SQL = """
 """
 
 
+def hosts_in_text(df: DataFrame, key_col: str,
+                  text_col: str = "text") -> DataFrame:
+    """(key, host) — one row per URL extracted from ``text_col``,
+    normalized to a lowercase host.  THE shared extraction projection:
+    ``url_host_counts`` and ``ext.graph.host_edges`` both build on it
+    (r11 review — two copies of the regex pipeline would let an IDN or
+    normalization fix silently diverge the two host universes).
+    Codegen regexp extract + explode; the text column never leaves the
+    map side."""
+    urls = df.select(
+        F.col(key_col),
+        F.explode(
+            F.regexp_extract_all(text_col, F.lit(URL_RE), F.lit(0))
+        ).alias("_url"))
+    return urls.select(
+        key_col,
+        F.lower(F.regexp_extract("_url", HOST_RE, 1)).alias("host"))
+
+
 def url_host_counts(docs: DataFrame) -> DataFrame:
     """Per-host citation stats: total URL mentions and distinct citing
     docs.  Skinny (host, doc_id) shuffle; text never leaves the map side.
@@ -85,16 +104,8 @@ def url_host_counts(docs: DataFrame) -> DataFrame:
     Zipfian, so a head host would buffer millions of doc_ids in one
     aggregation buffer — the r1 collect_set trick (d3_ref_join) is only
     right when per-key sets are bounded-small."""
-    urls = attach_urls(docs).select(
-        "doc_id",
-        F.explode(
-            F.regexp_extract_all("text_urls", F.lit(URL_RE), F.lit(0))
-        ).alias("url"),
-    )
     return (
-        urls.select(
-            "doc_id",
-            F.lower(F.regexp_extract("url", HOST_RE, 1)).alias("host"))
+        hosts_in_text(attach_urls(docs), "doc_id", "text_urls")
         .groupBy("host")
         .agg(F.count("*").alias("n_urls"),
              F.count_distinct("doc_id").alias("n_docs"))

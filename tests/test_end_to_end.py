@@ -583,3 +583,20 @@ def test_cli_screen(spark, tmp_path_factory, capsys):
     flagged = {(r["new_id"], r["corpus_id"]) for r in
                spark.read.parquet(str(d / "out" / "flagged")).collect()}
     assert flagged == {(9, 1)}  # rejected by the prescreen
+
+
+def test_cli_screen_empty_incoming(tmp_path_factory, capsys):
+    """Regression (r11 review): a screen invocation that fires before
+    any file arrived exits 0 with an empty report, not a traceback."""
+    import os
+
+    from meeseeker_spark.__main__ import main
+
+    d = tmp_path_factory.mktemp("cli_screen_empty")
+    os.makedirs(d / "incoming")
+    rc = main(["screen", "--incoming", str(d / "incoming"),
+               "--out", str(d / "out")])
+    assert rc == 0
+    out = capsys.readouterr()
+    assert out.out.strip() == ""
+    assert "no batches committed yet" in out.err

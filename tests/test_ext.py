@@ -6383,3 +6383,47 @@ def test_pagerank_empty_and_star(spark):
         leaves = {v for k, v in ranks.items() if k != "hub"}
         assert len(leaves) == 1  # exact tie
         assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_dedup_eval_zero_pairs_reports_zeros(spark):
+    """Regression (r11 review): a corpus with no qualifying pairs must
+    report integer ZEROS, not the NULLs an empty ungrouped sum yields."""
+    from pyspark.sql import Row
+
+    from meeseeker_spark.ext.dedup import dedup_eval
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="completely unique first document about rivers"),
+        Row(doc_id=2, text="a second text concerning alpine glaciers only"),
+    ])
+    row = dedup_eval(docs, threshold=0.5).collect()[0]
+    assert tuple(row) == (0, 0, 0, 0, 0)
+
+
+def test_hll_estimate_empty_is_zero(spark):
+    """Regression (r11 review): the estimate of an EMPTY register table
+    is 0 (the linear-counting value at V = m), not NULL."""
+    from meeseeker_spark.ext.sketch import hll_estimate
+
+    empty = spark.createDataFrame([], "reg bigint, max_rho int")
+    row = hll_estimate(empty).collect()[0]
+    assert row["n_est"] == 0 and row["n_registers_touched"] == 0
+
+
+def test_pagerank_integer_node_ids(spark):
+    """Regression (r11 review): both regimes accept non-string node ids
+    and return the same (node, rank) schema — the driver path used to
+    hardcode a string schema and crash on integer ids."""
+    from pyspark.sql import Row
+
+    from meeseeker_spark.ext.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [Row(src=i, dst=99, weight=1) for i in range(3)])
+    a = pagerank(edges, iters=5)                       # driver path
+    b = pagerank(edges, iters=5, driver_threshold=0)   # distributed
+    assert dict(a.dtypes) == dict(b.dtypes)
+    ra = {r["node"]: r["rank"] for r in a.collect()}
+    rb = {r["node"]: r["rank"] for r in b.collect()}
+    assert set(ra) == set(rb) == {0, 1, 2, 99}
+    assert all(abs(ra[k] - rb[k]) < 1e-9 for k in ra)
