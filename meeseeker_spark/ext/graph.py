@@ -51,7 +51,7 @@ def host_edges(docs: DataFrame, id_col: str = "doc_id",
 
 def pagerank(edges: DataFrame, damping: float = 0.85,
              iters: int = 20,
-             driver_threshold: int = 100_000) -> DataFrame:
+             driver_threshold: int | None = 100_000) -> DataFrame:
     """Damped PageRank with dangling-mass redistribution over weighted
     edges (src, dst, weight) → (node, rank) for every node on either
     side; Σ rank = 1 each iteration.
@@ -70,7 +70,14 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     the dangling mass is a 1-row aggregate attached by broadcast cross
     join, never a driver round-trip; lineage truncates per iteration
     with localCheckpoint (the connected_components idiom).  Both paths
-    are pinned against the same pure-Python oracle in tests."""
+    are pinned against the same pure-Python oracle in tests.
+
+    A caller that already knows the regime can skip the edge-count job
+    (ADVICE r11): ``driver_threshold=None`` forces the driver loop
+    (collects the edges — the caller owns the memory claim),
+    ``driver_threshold=0`` forces the distributed loop.  The default
+    threshold is measured, not argued: SCALING.md r12 records the
+    organic-edge-set sweep (30k/100k/300k/1M) behind the 100k pin."""
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     edges = edges.localCheckpoint()
@@ -82,7 +89,13 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     out_schema = StructType([
         StructField("node", edges.schema["src"].dataType, True),
         StructField("rank", DoubleType(), True)])
-    if edges.count() <= driver_threshold:
+    if driver_threshold is None:
+        use_driver = True
+    elif driver_threshold <= 0:
+        use_driver = False
+    else:
+        use_driver = edges.count() <= driver_threshold
+    if use_driver:
         rows = sorted((r["src"], r["dst"], r["weight"])
                       for r in edges.collect())
         node_set = sorted({s for s, _, _ in rows}

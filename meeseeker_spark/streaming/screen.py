@@ -36,6 +36,7 @@ hermetic scope is path-based parquet.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -50,6 +51,17 @@ DOCS_SCHEMA = ("doc_id bigint, text string, lang string, source string, "
                "n_chars bigint")
 FP_SCHEMA = "fp string, doc_id bigint"
 BLOOM_SCHEMA = "word_idx bigint, word bigint"
+
+# Live screens sharing ONE persisted drift-baseline DataFrame object:
+# the unpersist-on-termination listener decrements here and only the
+# LAST screen's termination actually unpersists (ADVICE r11: the first
+# termination used to unpersist the cache out from under a still-active
+# second query — correct but silently recompute-per-trigger).  Keyed by
+# id() of the persisted object, so it protects the same-object sharing
+# case; two distinct DataFrames over an equal plan still share Spark's
+# plan-keyed cache entry and should not be run concurrently (docstring).
+_BASELINE_LOCK = threading.Lock()
+_BASELINE_REFCOUNT: dict[int, int] = {}
 
 # Above this many candidate corpus ids the screen stops collecting them
 # for predicate pushdown and falls back to the plain join (which prunes
@@ -224,7 +236,12 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
     all rejected downstream.  Static by design: an accumulated-corpus
     baseline would cost a corpus-sized aggregate per trigger; refresh
     the table offline at whatever cadence the alerting needs.  Writes
-    are deterministic ⇒ the usual overwrite idempotence."""
+    are deterministic ⇒ the usual overwrite idempotence.  The baseline
+    is persisted for the query's lifetime and unpersisted when the LAST
+    screen sharing the same DataFrame object terminates (refcounted —
+    ADVICE r11); two DISTINCT DataFrame objects over an equal plan
+    still share Spark's plan-keyed cache entry, so build concurrent
+    screens off one shared object rather than re-deriving the plan."""
     corpus_dir = os.path.join(out_dir, "corpus")
     flagged_dir = os.path.join(out_dir, "flagged")
     index_dir = os.path.join(out_dir, "index")
@@ -307,6 +324,12 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
         if set(drift_baseline.columns) != {"token", "n"}:
             from ..ext.drift import token_counts
             drift_baseline = token_counts(drift_baseline)
+        # refcount BEFORE persist: concurrent screens may share one
+        # baseline object, and only the last termination may unpersist
+        # (persist() is a no-op past the first call on the same object)
+        with _BASELINE_LOCK:
+            _BASELINE_REFCOUNT[id(drift_baseline)] = (
+                _BASELINE_REFCOUNT.get(id(drift_baseline), 0) + 1)
         drift_baseline = drift_baseline.persist()
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -430,6 +453,7 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
         from pyspark.sql.streaming import StreamingQueryListener
 
         baseline, qid = drift_baseline, str(query.id)
+        bkey = id(drift_baseline)
 
         class _UnpersistOnStop(StreamingQueryListener):
             _done = False
@@ -438,8 +462,15 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
                 if self._done:
                     return
                 self._done = True
+                with _BASELINE_LOCK:
+                    left = _BASELINE_REFCOUNT.get(bkey, 1) - 1
+                    if left <= 0:
+                        _BASELINE_REFCOUNT.pop(bkey, None)
+                    else:
+                        _BASELINE_REFCOUNT[bkey] = left
                 try:
-                    baseline.unpersist()
+                    if left <= 0:
+                        baseline.unpersist()
                 finally:
                     try:
                         spark.streams.removeListener(self)
@@ -471,7 +502,9 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
 
 
 def replay_screen(batches: list[DataFrame], threshold: float = 0.5,
-                  exact_index: bool = True) -> DataFrame:
+                  exact_index: bool = True,
+                  bloom_m_bits: int = 8192,
+                  bloom_k: int = 5) -> DataFrame:
     """Synchronous batch replay of ``start_screen``'s per-trigger
     pipeline — the same component calls in the same order the streaming
     ``_sink`` makes (exact-dup prescreen → in-batch exact dedup →
@@ -503,7 +536,14 @@ def replay_screen(batches: list[DataFrame], threshold: float = 0.5,
     verification); admitted sets cross batches through an explicit
     ``repartition().localCheckpoint()`` barrier — the funnel lesson:
     without the repartition AQE can coalesce a checkpoint to ONE
-    partition and serialize the next batch's screen."""
+    partition and serialize the next batch's screen.
+
+    ``bloom_m_bits``/``bloom_k`` mirror ``start_screen``'s sizing knobs
+    (ADVICE r11: a screen started at custom sizing could not be
+    replayed at matching sizing — the replay was internally consistent
+    but parameter-blind).  The replay builds and probes at ONE sizing,
+    so decisions match the stream whenever these equal the store's
+    layout-marker values."""
     if not batches:
         raise ValueError("replay_screen needs at least one batch")
     corpus = None       # union of admitted rows from earlier batches
@@ -515,8 +555,11 @@ def replay_screen(batches: list[DataFrame], threshold: float = 0.5,
             # merged bitmap of the accumulated index — bit_or merging
             # per-batch bitmaps equals one build over the union
             # (test_bloom_merge_is_union), so the replay builds it once
-            bloom = bloom_bitmap(fps_acc.select("fp").distinct(), "fp")
-            batch, seen = exact_prescreen(batch, fps_acc, bloom)
+            bloom = bloom_bitmap(fps_acc.select("fp").distinct(), "fp",
+                                 m_bits=bloom_m_bits, k=bloom_k)
+            batch, seen = exact_prescreen(batch, fps_acc, bloom,
+                                          m_bits=bloom_m_bits,
+                                          k=bloom_k)
             exact_rows = seen.select(
                 F.col("doc_id").alias("doc_id"),
                 F.col("corpus_id"),

@@ -6376,7 +6376,9 @@ def test_pagerank_empty_and_star(spark):
 
     star = spark.createDataFrame(
         [Row(src=f"leaf{i}", dst="hub", weight=1) for i in range(5)])
-    for thr in (100_000, 0):     # driver path AND distributed path
+    # counted driver path, FORCED driver (None skips the count job —
+    # ADVICE r11), and forced distributed
+    for thr in (100_000, None, 0):
         ranks = {r["node"]: r["rank"] for r in
                  pagerank(star, iters=10, driver_threshold=thr).collect()}
         assert max(ranks, key=ranks.get) == "hub"

@@ -1675,3 +1675,99 @@ def test_screen_drift_baseline_unpersist_fast_path(spark, tmp_path_factory):
         _time.sleep(0.25)
     assert not bl1.storageLevel.useMemory
     assert not bl2.storageLevel.useMemory
+
+
+def test_screen_shared_drift_baseline_refcounted(spark, tmp_path_factory):
+    """Regression (ADVICE r11): two live screens sharing ONE baseline
+    DataFrame object — the FIRST termination must not unpersist the
+    cache out from under the still-active second query; the LAST
+    termination releases it."""
+    import time as _time
+
+    from meeseeker_spark.ext.drift import token_counts
+    from meeseeker_spark.streaming.screen import (_BASELINE_REFCOUNT,
+                                                  start_screen)
+
+    d = tmp_path_factory.mktemp("screen_shared_baseline")
+    inc_a, out_a, ck_a = d / "inc_a", d / "out_a", d / "ck_a"
+    inc_b, out_b, ck_b = d / "inc_b", d / "out_b", d / "ck_b"
+    os.makedirs(inc_a)
+    os.makedirs(inc_b)  # stays empty: B idles until stopped
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    txt = "steady corpus text about topic one with common shared words"
+    tmp = d / "w_b1"
+    spark.createDataFrame([(1, txt, "en", "web", len(txt))],
+                          cols).coalesce(1).write.parquet(str(tmp))
+    part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+    os.rename(tmp / part, inc_a / "b1.parquet")
+
+    baseline = token_counts(spark.createDataFrame(
+        [(1, txt)], ["doc_id", "text"]))
+    key = id(baseline)
+    q_b = start_screen(spark, str(inc_b), str(out_b), str(ck_b),
+                       available_now=False, drift_baseline=baseline)
+    q_a = start_screen(spark, str(inc_a), str(out_a), str(ck_a),
+                       drift_baseline=baseline)
+    try:
+        assert _BASELINE_REFCOUNT.get(key) == 2
+        q_a.awaitTermination(120)
+        # wait for A's listener to actually fire (async), then the
+        # cache must STILL be live — B holds the remaining reference
+        deadline = _time.time() + 30
+        while _time.time() < deadline and _BASELINE_REFCOUNT.get(key) == 2:
+            _time.sleep(0.25)
+        assert _BASELINE_REFCOUNT.get(key) == 1
+        assert baseline.storageLevel.useMemory
+    finally:
+        q_b.stop()
+    deadline = _time.time() + 30
+    while _time.time() < deadline and baseline.storageLevel.useMemory:
+        _time.sleep(0.25)
+    assert not baseline.storageLevel.useMemory
+    assert key not in _BASELINE_REFCOUNT
+
+
+def test_replay_screen_custom_bloom_sizing(spark, monkeypatch):
+    """ADVICE r11: replay_screen accepts bloom_m_bits/bloom_k and
+    threads them into the bitmap build AND the prescreen probe (a
+    screen started at custom sizing is replayable at matching sizing).
+    Decisions are sizing-invariant (maybe-hits exact-verify against the
+    fingerprint index), so the pin is on the threading itself."""
+    from meeseeker_spark.ext import sketch as _sk
+    from meeseeker_spark.streaming import screen as _scr
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    t1 = "first unique document text about mountain rivers and stones"
+    t2 = "second unique document text concerning desert winds entirely"
+    t3 = "third fresh document text on coastal tides and salty air"
+    b0 = spark.createDataFrame(
+        [(1, t1, "en", "web", len(t1)), (2, t2, "en", "web", len(t2))],
+        cols)
+    b1 = spark.createDataFrame(
+        [(11, t1, "en", "web", len(t1)), (3, t3, "en", "web", len(t3))],
+        cols)
+
+    seen_sizes = []
+
+    real_bitmap, real_prescreen = _sk.bloom_bitmap, _sk.exact_prescreen
+
+    def spy_bitmap(df, col, m_bits=8192, k=5):
+        seen_sizes.append(("bitmap", m_bits, k))
+        return real_bitmap(df, col, m_bits=m_bits, k=k)
+
+    def spy_prescreen(batch, fpx, bloom, m_bits=8192, k=5):
+        seen_sizes.append(("prescreen", m_bits, k))
+        return real_prescreen(batch, fpx, bloom, m_bits=m_bits, k=k)
+
+    monkeypatch.setattr(_scr, "bloom_bitmap", spy_bitmap)
+    monkeypatch.setattr(_scr, "exact_prescreen", spy_prescreen)
+
+    out = _scr.replay_screen([b0, b1], exact_index=True,
+                             bloom_m_bits=1024, bloom_k=3)
+    rows = {(r["batch_id"], r["doc_id"]): (r["status"], r["corpus_id"])
+            for r in out.collect()}
+    assert seen_sizes == [("bitmap", 1024, 3), ("prescreen", 1024, 3)]
+    assert rows[(0, 1)] == ("admitted", None)
+    assert rows[(0, 2)] == ("admitted", None)
+    assert rows[(1, 11)] == ("exact", 1)
+    assert rows[(1, 3)] == ("admitted", None)
