@@ -242,6 +242,13 @@ def main(argv: list[str] | None = None) -> int:
                      help="opt-in: parquet of baseline docs (or a "
                           "(token, n) count table) — each batch writes "
                           "its KL drift summary before screening")
+    psc.add_argument("--rebuild-exact-index", action="store_true",
+                     help="maintenance mode: rewrite the fpx/bloom "
+                          "exact-dup index from the corpus store and "
+                          "exit WITHOUT draining incoming — run after "
+                          "retention expires corpus batches (a bloom "
+                          "cannot unlearn a key, so the stale bitmap "
+                          "over-flags until this runs)")
 
     a = p.parse_args(argv)
 
@@ -474,6 +481,11 @@ def main(argv: list[str] | None = None) -> int:
         from .streaming.screen import screen_report, start_screen
 
         spark = _spark()
+        if a.rebuild_exact_index:
+            from .streaming.screen import rebuild_exact_index
+            n = rebuild_exact_index(spark, a.out)
+            print(f"rebuilt exact index: {n} fingerprints", file=sys.stderr)
+            return 0
         drift = (spark.read.parquet(a.drift_baseline)
                  if a.drift_baseline else None)
         q = start_screen(

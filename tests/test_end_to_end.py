@@ -600,3 +600,161 @@ def test_cli_screen_empty_incoming(tmp_path_factory, capsys):
     out = capsys.readouterr()
     assert out.out.strip() == ""
     assert "no batches committed yet" in out.err
+
+
+def test_cli_screen_full_option_surface(spark, tmp_path_factory, capsys):
+    """VERDICT r12 item 4: the screen CLI's whole option surface in one
+    operational loop — THREE invocations with --exact-index, an explicit
+    --threshold, and --drift-baseline together.  Batch 1 admits steady
+    docs; batch 2 exercises BOTH rejection paths (an exact re-post via
+    the prescreen, a one-word-edit near-dup via the banded screen);
+    batch 3 plants a full distribution shift — the report's kl column
+    must flag it while the dedup decisions stay pinned (the shifted docs
+    are fresh, so they all admit: drift detection and dedup are
+    orthogonal, which is exactly what the composed surface grades)."""
+    import json
+    import os
+    import time as _time
+
+    from meeseeker_spark.__main__ import main
+
+    d = tmp_path_factory.mktemp("cli_screen_full")
+    incoming = d / "incoming"
+    os.makedirs(incoming)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    steady = ("the river carries silt from the high valley down past "
+              "cedar groves where herons wade and fish in the shallows")
+    steady2 = ("morning fog settles over the orchard while pickers move "
+               "between apple rows filling wooden crates before the heat")
+    steady3 = ("the trail climbs through pine forest toward a granite "
+               "ridge where marmots whistle warnings across the scree")
+    steady4 = ("willows lean over the oxbow pond where dragonflies "
+               "hover and tadpoles stir the warm mud near the reeds")
+    near2 = steady2.replace("wooden", "plastic")  # 1 word of 20: J≈0.7
+    shifted = [
+        "quarterly derivative settlements cleared via central "
+        "counterparty netting reduced gross margin exposure basis",
+        "collateralized tranche spreads widened as issuance calendars "
+        "repriced duration risk across investment grade curves",
+    ]
+
+    # drift baseline: docs-shaped parquet over the steady vocabulary —
+    # all three steady docs, so batches 0/1 sit near the baseline and
+    # only the planted shift moves the KL
+    base_rows = [(100 + i,
+                  f"{[steady, steady2, steady3, steady4][i % 4]} "
+                  f"variant {i}") for i in range(12)]
+    spark.createDataFrame(base_rows, ["doc_id", "text"]) \
+        .write.parquet(str(d / "baseline"))
+
+    def drop(name, rows):
+        tmp = d / ("w_" + name)
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        os.rename(tmp / part, incoming / f"{name}.parquet")
+
+    args = ["screen", "--incoming", str(incoming), "--out", str(d / "out"),
+            "--exact-index", "--threshold", "0.5",
+            "--drift-baseline", str(d / "baseline")]
+
+    drop("b1", [(1, steady, "en", "web", len(steady)),
+                (2, steady2, "en", "web", len(steady2)),
+                (3, steady3, "en", "web", len(steady3))])
+    assert main(args) == 0
+    capsys.readouterr()
+
+    _time.sleep(1.1)
+    drop("b2", [(11, steady, "en", "web", len(steady)),      # exact re-post
+                (12, near2, "en", "web", len(near2)),        # near-dup of 2
+                (13, steady4, "en", "web", len(steady4))])
+    assert main(args) == 0
+    capsys.readouterr()
+
+    _time.sleep(1.1)
+    drop("b3", [(21 + i, t, "en", "web", len(t))
+                for i, t in enumerate(shifted)])
+    assert main(args) == 0
+    rep = [json.loads(x) for x in
+           capsys.readouterr().out.strip().splitlines()]
+
+    # dedup decisions pinned across the whole run
+    assert [(r["batch_id"], r["n_admitted"], r["n_flagged"])
+            for r in rep] == [(0, 3, 0), (1, 1, 2), (2, 2, 0)]
+    flagged = {(r["new_id"], r["corpus_id"]): r["jaccard"] for r in
+               spark.read.parquet(str(d / "out" / "flagged")).collect()}
+    assert set(flagged) == {(11, 1), (12, 2)}
+    assert flagged[(11, 1)] == 1.0           # prescreen evidence
+    assert 0.5 <= flagged[(12, 2)] < 1.0     # banded-screen evidence
+
+    # the drift monitor flags the shifted batch and ONLY it
+    kl = {r["batch_id"]: r["kl_divergence"] for r in rep}
+    assert all(kl[b] is not None for b in (0, 1, 2))
+    assert kl[2] > 3 * max(kl[0], kl[1])
+
+
+def test_cli_screen_retention_rebuild_drill(spark, tmp_path_factory,
+                                            capsys):
+    """VERDICT r12 item 7: the multi-session retention+rebuild drill,
+    entirely through the CLI.  Admit two docs across two invocations;
+    retention expires the first doc's corpus batch out-of-band; `screen
+    --rebuild-exact-index` repairs the fpx/bloom index; a third
+    invocation re-posts BOTH texts — the expired one must be ADMITTED
+    (a stale bitmap would over-flag it against a doc that no longer
+    exists) while the surviving one is still rejected exact."""
+    import json
+    import os
+    import shutil
+    import time as _time
+
+    from meeseeker_spark.__main__ import main
+
+    d = tmp_path_factory.mktemp("cli_screen_drill")
+    incoming = d / "incoming"
+    os.makedirs(incoming)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    tex_a = ("old crawl snapshot text about lighthouse keepers and the "
+             "long winters they spent tending the lamp alone")
+    tex_b = ("current snapshot text describing ferry schedules between "
+             "the outer islands during the summer season")
+
+    def drop(name, rows):
+        tmp = d / ("w_" + name)
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        os.rename(tmp / part, incoming / f"{name}.parquet")
+
+    args = ["screen", "--incoming", str(incoming), "--out", str(d / "out"),
+            "--exact-index"]
+
+    drop("b1", [(1, tex_a, "en", "web", len(tex_a))])
+    assert main(args) == 0
+    _time.sleep(1.1)
+    drop("b2", [(2, tex_b, "en", "web", len(tex_b))])
+    assert main(args) == 0
+    capsys.readouterr()
+
+    # retention expires batch 0 (doc 1) from the corpus store; the
+    # bloom/fpx index cannot unlearn it until the maintenance rebuild
+    shutil.rmtree(d / "out" / "corpus" / "batch_id=0")
+    assert main(args + ["--rebuild-exact-index"]) == 0
+    err = capsys.readouterr().err
+    assert "rebuilt exact index: 1 fingerprints" in err
+    # maintenance mode drains nothing and the stale dirs are gone
+    assert not (d / "out" / "fpx" / "batch_id=0").exists()
+    assert not (d / "out" / "bloom" / "batch_id=0").exists()
+
+    _time.sleep(1.1)
+    drop("b3", [(31, tex_a, "en", "web", len(tex_a)),   # expired → fresh
+                (32, tex_b, "en", "web", len(tex_b))])  # survives → exact
+    assert main(args) == 0
+    rep = [json.loads(x) for x in
+           capsys.readouterr().out.strip().splitlines()]
+    assert [(r["batch_id"], r["n_admitted"], r["n_flagged"])
+            for r in rep] == [(1, 1, 0), (2, 1, 1)]
+    flagged = {(r["new_id"], r["corpus_id"], r["jaccard"]) for r in
+               spark.read.parquet(str(d / "out" / "flagged")).collect()}
+    assert flagged == {(32, 2, 1.0)}
+    admitted = {(r["batch_id"], r["doc_id"]) for r in
+                spark.read.parquet(str(d / "out" / "corpus")).collect()}
+    assert admitted == {(1, 2), (2, 31)}
