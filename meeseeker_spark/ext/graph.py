@@ -51,20 +51,19 @@ def host_edges(docs: DataFrame, id_col: str = "doc_id",
 
 def pagerank(edges: DataFrame, damping: float = 0.85,
              iters: int = 20,
-             driver_threshold: int | None = 100_000) -> DataFrame:
+             driver_threshold: int | None = 300_000) -> DataFrame:
     """Damped PageRank with dangling-mass redistribution over weighted
     edges (src, dst, weight) → (node, rank) for every node on either
     side; Σ rank = 1 each iteration.
 
-    Two regimes, measured (SCALING.md r11): a graph at or below
-    ``driver_threshold`` edges iterates ON THE DRIVER — the
-    doremi/heavy-hitters budget class (the corpus-scale work already
-    happened in host_edges' aggregate; a 69-node fixture graph pays
-    ~6.5 s of per-iteration job-launch overhead in the distributed
-    loop vs ~0.3 s collected, and a graph-sized repartition was
-    measured NOT to help — scheduling, not task width, dominates).
-    Fixed iteration order (edges sorted by (src, dst)) makes the
-    driver ranks deterministic fixed-order IEEE arithmetic.  Past the
+    Two regimes, measured (SCALING.md r11 + the r12 crossover sweep):
+    a graph at or below ``driver_threshold`` edges iterates ON THE
+    DRIVER — the doremi/heavy-hitters budget class (the corpus-scale
+    work already happened in host_edges' aggregate; per-iteration JOB
+    LAUNCH dominates the distributed loop at graph sizes, and a
+    graph-sized repartition was measured NOT to help).  Fixed
+    iteration order (edges sorted by (src, dst)) makes the driver
+    ranks deterministic fixed-order IEEE arithmetic.  Past the
     threshold the distributed loop runs: each iteration is one
     edges⨝ranks join + one sum aggregate keyed on dst (graph-sized);
     the dangling mass is a 1-row aggregate attached by broadcast cross
@@ -72,12 +71,21 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     with localCheckpoint (the connected_components idiom).  Both paths
     are pinned against the same pure-Python oracle in tests.
 
+    The 300k default is MEASURED (tools/pagerank_crossover.py, r12,
+    web-like hub graphs at 30k/100k/300k/1M edges, iters=20): the
+    driver loop wins at every point (0.74 vs 17.4 s at 30k; 5.9 vs
+    23.4 s at 300k; 18.6 vs 22.1 s at 1M — the distributed arm is
+    job-launch-flat), so the TIME crossover extrapolates to ~1.5M
+    edges on local[32]; the default sits an order below it because
+    the driver regime's real bound is HEAP, not time — the collected
+    edge list measures ~173 MB per 1M string-keyed edges (52 MB at
+    the 300k pin), linear in edges, and past ~1M edges that claim
+    belongs to the caller, not a default.
+
     A caller that already knows the regime can skip the edge-count job
     (ADVICE r11): ``driver_threshold=None`` forces the driver loop
     (collects the edges — the caller owns the memory claim),
-    ``driver_threshold=0`` forces the distributed loop.  The default
-    threshold is measured, not argued: SCALING.md r12 records the
-    organic-edge-set sweep (30k/100k/300k/1M) behind the 100k pin."""
+    ``driver_threshold=0`` forces the distributed loop."""
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     edges = edges.localCheckpoint()

@@ -6509,3 +6509,69 @@ def test_hll_estimate_three_regimes_property(spark):
     # the clamp turns saturation into a finite ceiling, not NaN/overflow
     n_sat, _ = spark_est(saturated)
     assert 0 < n_sat < 2 ** 40
+
+
+def test_dedup_exact_vs_duckdb(spark):
+    """Exact parity for the min-id-survivor exact dedup — rotated out
+    of the driver window in r12 eighth wave (its row_number-PARTITION
+    BY-text oracle is embedded verbatim in the staying
+    training_funnel's dd CTE and replayed per trigger by
+    screen_replay's in-batch exact collapse); this test IS its
+    correctness gate now.  The oracle is the registry-era SQL
+    verbatim."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["dedup_exact"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = sorted(tuple(r) for r in con.execute("""
+    SELECT doc_id, n_chars FROM (
+        SELECT doc_id, n_chars,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """).fetchall())
+    con.close()
+    assert s == d and len(s) > 0
+
+
+def test_repeated_spans_vs_duckdb(spark):
+    """Exact parity for the ExactSubstr duplication map — rotated out
+    of the driver window in r12 eighth wave (the posting CTEs and df
+    cap are graded verbatim inside span_cleaned_docs, the
+    all-occurrence island merge inside decontaminated_spans); this
+    test IS its correctness gate now.  The oracle is the registry-era
+    SQL verbatim (the shared _DUCK_WORDGRAMS fragment still lives in
+    catalog.py under span_cleaned_docs)."""
+    import duckdb
+
+    from meeseeker_spark import catalog
+
+    sdf = catalog.ENTRIES["repeated_spans"].spark(spark, SF)
+    s = sorted(tuple(r) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    d = sorted(tuple(r) for r in con.execute(f"""
+    WITH {catalog._DUCK_WORDGRAMS},
+    c AS (SELECT h FROM g GROUP BY h HAVING count(*) BETWEEN 2 AND 10000),
+    hits AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (h)),
+    isl AS (SELECT doc_id, pos,
+            CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                      <= 8
+                 THEN 0 ELSE 1 END AS nw
+            FROM hits),
+    sp AS (SELECT doc_id, pos,
+           sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS sid
+           FROM isl)
+    SELECT doc_id, min(pos) AS span_start, max(pos)+7 AS span_end,
+           max(pos)+7-min(pos)+1 AS span_words, count(*) AS n_dup_grams
+    FROM sp GROUP BY doc_id, sid
+    """).fetchall())
+    con.close()
+    assert s == d and len(s) > 0

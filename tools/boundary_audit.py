@@ -142,6 +142,11 @@ CLASSES = {
     #                                    window-pinned summation order, a
     #                                    single division for θ (r10 wave 6)
     "gopher_rules": IEEE_EXACT,
+    "dedup_eval": IEEE_EXACT,          # one round() of an int/int shingle
+    #                                    ratio feeding a >=0.5 threshold
+    #                                    (the near_dup_pairs class); the
+    #                                    graded columns are pure integer
+    #                                    counts (r12 wave 8)
     "knn_topk": IEEE_EXACT,            # sqrt is correctly rounded; dot is fixed-order
     "nai_amounts": IEEE_EXACT,         # round(parquet_double * 100)
 }
