@@ -324,12 +324,6 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
         if set(drift_baseline.columns) != {"token", "n"}:
             from ..ext.drift import token_counts
             drift_baseline = token_counts(drift_baseline)
-        # refcount BEFORE persist: concurrent screens may share one
-        # baseline object, and only the last termination may unpersist
-        # (persist() is a no-op past the first call on the same object)
-        with _BASELINE_LOCK:
-            _BASELINE_REFCOUNT[id(drift_baseline)] = (
-                _BASELINE_REFCOUNT.get(id(drift_baseline), 0) + 1)
         drift_baseline = drift_baseline.persist()
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -444,7 +438,17 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
               .option("checkpointLocation", checkpoint_dir))
     if available_now:
         writer = writer.trigger(availableNow=True)
-    query = writer.start()
+    try:
+        query = writer.start()
+    except Exception:
+        if drift_baseline is not None:
+            # a failed start holds no reference: unpersist unless some
+            # OTHER live screen shares this baseline object
+            with _BASELINE_LOCK:
+                shared = _BASELINE_REFCOUNT.get(id(drift_baseline), 0) > 0
+            if not shared:
+                drift_baseline.unpersist()
+        raise
     if drift_baseline is not None:
         # the persist above lives exactly as long as the query: repeated
         # screen restarts in one long session (the tests' own pattern)
@@ -454,6 +458,14 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
 
         baseline, qid = drift_baseline, str(query.id)
         bkey = id(drift_baseline)
+        # the reference is taken only once the query has actually
+        # STARTED (r12 self-review: incrementing before start() let a
+        # failed start leave a sticky count that blocked the legit
+        # unpersist forever); between start and here _fire cannot run —
+        # the listener doesn't exist yet and the isActive fallback
+        # fires after registration below
+        with _BASELINE_LOCK:
+            _BASELINE_REFCOUNT[bkey] = _BASELINE_REFCOUNT.get(bkey, 0) + 1
 
         class _UnpersistOnStop(StreamingQueryListener):
             _done = False
