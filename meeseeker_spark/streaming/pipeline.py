@@ -324,12 +324,18 @@ def resolve_engine_stream_start(spark: SparkSession, engine_dir: str,
     from ..resume import StartDecision, resolve_start_block_engine
     from ..schemas import DEFAULT_TTL_S
 
+    # tip age must be SESSION-TZ-INDEPENDENT (r12 review: to_timestamp
+    # parses the engine's UTC ISO string as session-local wall time, so
+    # a vanilla non-UTC session — the driver's own shape — skewed the
+    # age by the tz offset and could flip the fresh-sync decision near
+    # the TTL boundary).  The fixed-width ISO format sorts
+    # lexicographically = chronologically, so max() over the raw STRING
+    # is the max instant; parse it in Python as the naive UTC it is.
     row = (
         spark.read.schema(ENGINE_BLOCKS).parquet(engine_dir)
         .agg(
             F.max("blockNumber").alias("tip"),
-            F.max(F.to_timestamp(F.col("timestamp"),
-                                 "yyyy-MM-dd'T'HH:mm:ss")).alias("tip_ts"),
+            F.max("timestamp").alias("tip_ts_str"),
         ).first()
     )
     last = last_block_num(spark, ops_path)
@@ -337,8 +343,10 @@ def resolve_engine_stream_start(spark: SparkSession, engine_dir: str,
         start = 0 if last is None else last + 1
         return StartDecision(start, last is None,
                              "empty source; holding at high-water mark")
+    tip_ts = dt.datetime.strptime(row["tip_ts_str"],
+                                  "%Y-%m-%dT%H:%M:%S")
     now = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
-    tip_age_s = max(0.0, (now - row["tip_ts"]).total_seconds())
+    tip_age_s = max(0.0, (now - tip_ts).total_seconds())
     return resolve_start_block_engine(
         last, row["tip"], tip_age_s,
         DEFAULT_TTL_S if ttl_s is None else ttl_s)
@@ -467,6 +475,12 @@ def last_block_num(spark: SparkSession, ops_path: str) -> int | None:
             return None
         row = meta.agg(F.max("last_block_num").alias("m")).first()
         return row["m"] if row and row["m"] is not None else None
+    # list before globbing: a crash can leave the _meta dir existing
+    # with no committed batch subdir yet, and the bare glob would raise
+    # instead of reporting "no HWM" (r12 review — the rebuild-on-total-
+    # expiry class: walk the listing, then read)
+    if not _has_batch_dirs(meta_path):
+        return None
     row = (
         spark.read.option("basePath", meta_path).parquet(meta_path + "/batch_id=*")
         .agg(F.max("last_block_num").alias("m")).first()

@@ -1774,3 +1774,60 @@ def test_replay_screen_custom_bloom_sizing(spark, monkeypatch):
     assert rows[(0, 2)] == ("admitted", None)
     assert rows[(1, 11)] == ("exact", 1)
     assert rows[(1, 3)] == ("admitted", None)
+
+
+def test_engine_resume_tip_age_session_tz_independent(spark,
+                                                      tmp_path_factory):
+    """Regression (r12 review): to_timestamp parses the engine's UTC ISO
+    timestamp as SESSION-LOCAL wall time, so a vanilla non-UTC session
+    (the driver's own shape) skewed the tip age by the tz offset —
+    enough to flip the fresh-sync decision near the TTL boundary.  The
+    age is now derived from the max ISO STRING (lexicographic =
+    chronological) parsed in Python as the naive UTC it is, so the
+    decision must be identical under any session timezone."""
+    import datetime as dt
+
+    from meeseeker_spark.schemas import ENGINE_BLOCKS
+    from meeseeker_spark.streaming.pipeline import (
+        resolve_engine_stream_start)
+
+    d = tmp_path_factory.mktemp("engine_tz_resume")
+    blocks = spark.createDataFrame(
+        [(100, "2020-01-01T00:00:00", [], [])], schema=ENGINE_BLOCKS)
+    blocks.write.parquet(str(d / "engine"))
+    # an existing HWM, so the decision hinges purely on tip age
+    spark.createDataFrame(
+        [("hive_engine", 90, 0)],
+        "chain string, last_block_num bigint, batch_id bigint"
+    ).write.parquet(str(d / "ops_meta" / "batch_id=0"))
+    ops_path = str(d / "ops")
+    import os as _os
+    _os.rename(d / "ops_meta", d / "ops_meta_x")
+    _os.rename(d / "ops_meta_x", str(d / "ops") + "_meta")
+
+    # 2h-stale tip, 1h ttl → fresh sync at tip+1; a -4h session-tz skew
+    # under the old parse clamps the age to 0 → wrong resume-at-91
+    now = dt.datetime(2020, 1, 1, 2, 0, 0)
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            dec = resolve_engine_stream_start(
+                spark, str(d / "engine"), ops_path, ttl_s=3600, now=now)
+            assert (dec.start_block, dec.fresh_sync) == (101, True), tz
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_last_block_num_empty_meta_dir_is_none(spark, tmp_path_factory):
+    """Regression (r12 review): a crash can leave <ops>_meta existing
+    with no committed batch subdir; the HWM probe must report None (no
+    high-water mark), not raise on an empty glob."""
+    import os as _os
+
+    from meeseeker_spark.streaming.pipeline import last_block_num
+
+    d = tmp_path_factory.mktemp("empty_meta")
+    ops_path = str(d / "ops")
+    _os.makedirs(ops_path + "_meta")
+    assert last_block_num(spark, ops_path) is None
