@@ -209,15 +209,18 @@ class ManifestStore:
 
         if ttl_s == -1:
             return 0
+        from .retention import _epoch_s
         now = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
-        cutoff = now - dt.timedelta(seconds=ttl_s)
+        # epoch-seconds compare keeps the cutoff session-tz-independent
+        # (r12 review; see retention._epoch_s)
+        cutoff_s = _epoch_s(now - dt.timedelta(seconds=ttl_s))
         m = self._read_manifest()
         if not m["files"]:
             return 0
         from urllib.parse import unquote, urlparse
 
         df = self.df().withColumn("_file", F.input_file_name())
-        expired = F.col("ingested_at") < F.lit(cutoff)
+        expired = F.col("ingested_at").cast("long") < F.lit(cutoff_s)
         # ONE job finds the hot files AND the expired row count per file
         # (keyed on the RAW input_file_name URIs — reconstructing them
         # from relative paths is scheme/slash-fragile)
@@ -232,7 +235,8 @@ class ManifestStore:
         # scan of those files, never the whole store
         live = (self.spark.read.parquet(
                     *[os.path.join(self.path, f) for f in sorted(hot)])
-                .where((F.col("ingested_at") >= F.lit(cutoff))
+                .where((F.col("ingested_at").cast("long")
+                        >= F.lit(cutoff_s))
                        | F.col("ingested_at").isNull()))
         staged = self._stage(live)
         keep = [f for f in m["files"] if f not in hot]

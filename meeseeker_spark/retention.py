@@ -37,6 +37,21 @@ from pyspark.sql import SparkSession, functions as F
 from .schemas import DEFAULT_TTL_S
 
 
+def _epoch_s(ts: dt.datetime) -> int:
+    """Naive datetimes in this API mean UTC (every default is
+    ``datetime.now(timezone.utc)`` stripped naive).  TTL comparisons run
+    on ``ingested_at.cast("long")`` (epoch seconds — a property of the
+    INSTANT) against this value, never on ``F.lit(naive_datetime)`` —
+    a datetime literal converts through the PYTHON PROCESS's OS
+    timezone (PySpark ``TimestampType.toInternal``), so on a non-UTC
+    box the cutoff would skew by the OS offset (r12 hardening, found
+    while chasing the engine-tip-age session-tz bug; this container and
+    the driver run UTC OS clocks, so no shipped decision was wrong —
+    the epoch form makes the invariant structural instead of
+    environmental)."""
+    return int(ts.replace(tzinfo=dt.timezone.utc).timestamp())
+
+
 def _recover(path: str) -> None:
     """Roll a crashed swap forward or back so ``expire`` can re-run.
     Fallback protocol only: a manifest-committed store never enters any
@@ -98,13 +113,13 @@ def expire(spark: SparkSession, path: str, ttl_s: int = DEFAULT_TTL_S,
         return ManifestStore(spark, path).expire(ttl_s, now=now)
     _recover(path)
     now = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
-    cutoff = now - dt.timedelta(seconds=ttl_s)
-    live_pred = (F.col("ingested_at") >= F.lit(cutoff)) \
+    cutoff_s = _epoch_s(now - dt.timedelta(seconds=ttl_s))
+    live_pred = (F.col("ingested_at").cast("long") >= F.lit(cutoff_s)) \
         | F.col("ingested_at").isNull()
 
     df = spark.read.parquet(path)
     expired_per_chain = (
-        df.where(F.col("ingested_at") < F.lit(cutoff))
+        df.where(F.col("ingested_at").cast("long") < F.lit(cutoff_s))
         .groupBy("chain").agg(F.count("*").alias("n"))
         .collect()
     )
@@ -157,7 +172,7 @@ def live_key_count(spark: SparkSession, path: str,
     else:
         df = spark.read.parquet(path)
     if ttl_s != -1:
-        cutoff = now - dt.timedelta(seconds=ttl_s)
-        df = df.where((F.col("ingested_at") >= F.lit(cutoff))
+        cutoff_s = _epoch_s(now - dt.timedelta(seconds=ttl_s))
+        df = df.where((F.col("ingested_at").cast("long") >= F.lit(cutoff_s))
                       | F.col("ingested_at").isNull())
     return df.count()

@@ -433,3 +433,58 @@ def test_reset_on_never_committed_manifest_store(spark, tmp_path_factory):
     assert not is_manifest_store(path)   # uncommitted ⇒ not yet manifest
     OpsStore(spark, path).reset("all")
     OpsStore(spark, path).reset("hive")
+
+
+def test_ttl_cutoff_session_tz_independent(spark, tmp_path_factory):
+    """r12 hardening: the TTL cutoff used F.lit(naive_datetime), which
+    converts through the PYTHON PROCESS's OS timezone — correct on this
+    UTC container but environmental, not structural (a non-UTC OS box
+    would skew every cutoff by its offset; PySpark literals are NOT
+    session-tz-interpreted, unlike SQL-parsed strings — the engine
+    tip-age bug).  The comparison now runs on epoch seconds; this test
+    pins that expire / live_key_count / ManifestStore.expire decisions
+    are identical under any SESSION timezone and that both the live and
+    expired sides of the 24 h boundary behave (23 h old → live, 25 h →
+    expired, all three surfaces agreeing)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from meeseeker_spark import fixtures
+    from meeseeker_spark.flatten import flatten_blocks
+    from meeseeker_spark.manifest import ManifestStore
+    from meeseeker_spark.query import OpsStore
+    from meeseeker_spark.retention import expire, live_key_count
+    from meeseeker_spark.schemas import BLOCKS
+
+    fx = fixtures.generate(n_blocks=21, seed=5)
+    d = tmp_path_factory.mktemp("ttltz")
+    fixtures.write_parquet(fx, str(d))
+    ops = flatten_blocks(
+        spark.read.schema(BLOCKS).parquet(str(d / "blocks.parquet")))
+    # written under the UTC test session: the literal IS the instant
+    aged = ops.withColumn(
+        "ingested_at",
+        F.lit(dt.datetime(2020, 1, 2, 0, 0, 0)).cast("timestamp"))
+    OpsStore.write(aged, str(d / "store"))
+    ms = ManifestStore(spark, str(d / "mstore"))
+    ms.append(aged, batch_id=0)
+    n = aged.count()
+
+    now = dt.datetime(2020, 1, 2, 23, 0, 0)   # rows are 23 h old
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        assert live_key_count(spark, str(d / "store"),
+                              ttl_s=86_400, now=now) == n
+        assert expire(spark, str(d / "store"), ttl_s=86_400, now=now) == 0
+        assert ms.expire(ttl_s=86_400, now=now) == 0
+        # and the decision still flips when the rows genuinely expire
+        later = dt.datetime(2020, 1, 3, 1, 0, 0)  # 25 h old
+        assert live_key_count(spark, str(d / "store"),
+                              ttl_s=86_400, now=later) == 0
+        assert expire(spark, str(d / "store"),
+                      ttl_s=86_400, now=later) == n
+        assert ms.expire(ttl_s=86_400, now=later) == n
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
