@@ -35,7 +35,11 @@ def run_with_restarts(fn: Callable[[], T], max_restarts: int | None = None,
     while True:
         try:
             return fn()
-        except BaseException as e:  # noqa: BLE001 - supervision boundary
+        # Exception, NOT BaseException (r12 review): the reference's
+        # `rescue => e` is StandardError — KeyboardInterrupt/SystemExit
+        # must kill the daemon, not be swallowed into a silent retry
+        # (one Ctrl-C during fn() used to restart the sync loop)
+        except Exception as e:  # noqa: BLE001 - supervision boundary
             attempts += 1
             if max_restarts is not None and attempts > max_restarts:
                 raise

@@ -120,3 +120,29 @@ def test_node_pool_amnesty_and_report():
 
     pool.refresh_from_report(["x", "y", "x"], keep=lambda u: u != "y")
     assert {pool.shuffle() for _ in range(20)} == {"x"}
+
+
+def test_run_with_restarts_lets_interrupts_through():
+    """Regression (r12 review): the supervision boundary retried
+    BaseException, so a KeyboardInterrupt raised inside fn() was
+    swallowed into a backoff-retry — one Ctrl-C could not kill the
+    daemon loop.  The reference's `rescue => e` is StandardError;
+    interrupts and SystemExit must propagate immediately."""
+    import pytest
+
+    calls = {"n": 0}
+
+    def interrupted():
+        calls["n"] += 1
+        raise KeyboardInterrupt
+
+    with pytest.raises(KeyboardInterrupt):
+        run_with_restarts(interrupted, max_restarts=None,
+                          sleep=lambda s: None)
+    assert calls["n"] == 1   # no retry happened
+
+    def exits():
+        raise SystemExit(3)
+
+    with pytest.raises(SystemExit):
+        run_with_restarts(exits, max_restarts=None, sleep=lambda s: None)
