@@ -29,6 +29,15 @@ SIDECHAIN_SEGMENTS = ("chain", "block_num", "trx_id", "trx_index",
 _HEX40 = re.compile(r"^[0-9a-f]{40}$")
 
 
+def _fits_long(digits: str) -> bool:
+    """True when a digit string fits a 64-bit signed column — a larger
+    literal can't equal any bigint/int segment, and passing it through
+    py4j as a Python int raises NumberFormatException server-side (r12
+    review: a 40-digit middle crashed the translator instead of simply
+    not matching numerically)."""
+    return int(digits) <= 0x7FFF_FFFF_FFFF_FFFF
+
+
 def key_column(sidechain: bool = False) -> Column:
     """Derived composite key, kept for wire-compat with reference consumers."""
     segs = SIDECHAIN_SEGMENTS if sidechain else MAINNET_SEGMENTS
@@ -98,10 +107,12 @@ def glob_to_filter(pattern: str) -> Column:
                 continue
             col = F.col(name)
             if name in ("block_num", "trx_index"):
-                if not seg.isdigit():
-                    # numeric key segments are always rendered as digits,
-                    # so a non-digit literal here matches NOTHING (found
-                    # by the unified-surface fuzz: int() used to raise)
+                if not seg.isdigit() or not _fits_long(seg):
+                    # numeric key segments are always rendered as digits
+                    # and fit int64, so a non-digit or oversized literal
+                    # here matches NOTHING (found by the unified-surface
+                    # fuzz: int() used to raise; oversized ints crash
+                    # py4j server-side)
                     return F.lit(False)
                 preds.append(col == int(seg))
             else:
@@ -146,6 +157,10 @@ def glob_to_filter(pattern: str) -> Column:
                     preds.append(F.col("contract") == penult)
                     middles = segs[1:-2]
                 elif penult.isdigit():
+                    if not _fits_long(penult):
+                        # positionally certain trx_index, but no int
+                        # column can hold it: the pattern matches nothing
+                        return F.lit(False)
                     preds.append(F.col("trx_index") == int(penult))
                     middles = segs[1:-2]
         for seg in middles:
@@ -155,12 +170,45 @@ def glob_to_filter(pattern: str) -> Column:
                 # a bare digit middle is positionally ambiguous — the glob
                 # matches it against block_num OR trx_index — so bind the
                 # disjunction (still prunes: both are min/max-tracked) and
-                # let the residual restore exactness
-                preds.append((F.col("block_num") == int(seg))
-                             | (F.col("trx_index") == int(seg)))
+                # let the residual restore exactness; an int64-oversized
+                # literal can't equal either numeric column, so its
+                # disjunct is simply absent
+                pred = F.lit(False)
+                if _fits_long(seg):
+                    pred = (F.col("block_num") == int(seg)) \
+                        | (F.col("trx_index") == int(seg))
+                if _HEX40.match(seg):
+                    # 40 decimal digits is also a syntactically valid
+                    # trx_id (hex with no a-f) — astronomically rare but
+                    # the ANDed pred would DROP such a row, and the
+                    # residual can't restore an over-constrained pred
+                    # (r12 review)
+                    pred = pred | (F.col("trx_id") == seg)
+                if sidechain:
+                    # contract/action names are DATA-DERIVED (new
+                    # contracts must need no code change) — a contract
+                    # literally named '123' would collide with the
+                    # numeric binding, so the disjunction widens to the
+                    # name columns; the residual keeps it glob-exact
+                    pred = pred | (F.col("contract") == seg) \
+                        | (F.col("action") == seg)
+                preds.append(pred)
                 exact = False
             elif _HEX40.match(seg):
-                preds.append(F.col("trx_id") == seg)
+                if sidechain:
+                    # same data-derived-name hazard: a 40-hex contract/
+                    # action name is legal, so the binding is a
+                    # disjunction + residual, not a bare trx_id equality
+                    preds.append((F.col("trx_id") == seg)
+                                 | (F.col("contract") == seg)
+                                 | (F.col("action") == seg))
+                    exact = False
+                else:
+                    # mainnet is provably positional: op_type is a fixed
+                    # protocol vocabulary (never 40-hex) and the numeric
+                    # segments render as digits, so a non-all-digit
+                    # 40-hex middle can only equal trx_id
+                    preds.append(F.col("trx_id") == seg)
         # middles that are neither digits nor hex can't be positionally
         # resolved → need the residual
         unresolved = [s for s in middles

@@ -105,10 +105,14 @@ class OpsStore:
         an int() crash."""
         seg = parse_key(key)
         df = self.df()
+        from .keys import _fits_long
         for name, val in seg.items():
             col = F.col(name)
             if name in ("block_num", "trx_index"):
-                if not val.isdigit():
+                # oversized digit strings can't equal an int64 column and
+                # crash py4j as Python ints (r12 review) — empty result,
+                # like Redis GET on a missing key
+                if not val.isdigit() or not _fits_long(val):
                     return df.where(F.lit(False))
                 df = df.where(col == int(val))
             else:

@@ -242,3 +242,82 @@ def test_glob_unified_surface_fuzz(spark, ops, tmp_path_factory):
         assert _spark_keys(unified, pattern) == _fnmatch_keys(keys, pattern), \
             pattern
     unified.unpersist()
+
+
+def test_glob_data_derived_name_collisions(spark):
+    """Regression (r12 review): sidechain contract/action names are
+    DATA-DERIVED, so a contract literally named as digits or as a
+    40-hex string collides with the digit/hex40 middle bindings — the
+    ANDed positional predicate dropped rows the glob matches (and the
+    residual, being ANDed, cannot restore them).  Mainnet twin: a
+    trx_id of 40 DECIMAL digits is a valid hex id that the digit
+    branch's (block|index) disjunction used to drop."""
+    hexname = "deadbeef" * 5
+    digits40 = "1" * 40
+
+    def ekey(b, t, i, c, a):
+        return f"hive_engine:{b}:{t}:{i}:{c}:{a}"
+
+    erows = [
+        (ekey(10, "ab" * 20, 0, hexname, "transfer"),
+         "hive_engine", 10, "ab" * 20, 0, None, hexname, "transfer"),
+        (ekey(11, "cd" * 20, 1, "123", "buy"),
+         "hive_engine", 11, "cd" * 20, 1, None, "123", "buy"),
+        (ekey(12, "ef" * 20, 2, "tokens", "issue"),
+         "hive_engine", 12, "ef" * 20, 2, None, "tokens", "issue"),
+    ]
+    edf = spark.createDataFrame(
+        erows, "key string, chain string, block_num bigint, trx_id string,"
+               " trx_index int, op_type string, contract string,"
+               " action string")
+    ekeys = [r[0] for r in erows]
+    for pattern in (f"hive_engine:*:{hexname}:*",
+                    "hive_engine:*:123:*"):
+        assert _spark_keys(edf, pattern) == _fnmatch_keys(ekeys, pattern) \
+            and _fnmatch_keys(ekeys, pattern), pattern
+
+    mrows = [
+        (f"hive:5:{digits40}:0:vote",
+         "hive", 5, digits40, 0, "vote", None, None),
+        (f"hive:6:{'ab' * 20}:1:comment",
+         "hive", 6, "ab" * 20, 1, "comment", None, None),
+    ]
+    mdf = spark.createDataFrame(
+        mrows, "key string, chain string, block_num bigint, trx_id string,"
+               " trx_index int, op_type string, contract string,"
+               " action string")
+    mkeys = [r[0] for r in mrows]
+    pattern = f"hive:*:{digits40}:*"
+    assert _spark_keys(mdf, pattern) == _fnmatch_keys(mkeys, pattern) \
+        and _fnmatch_keys(mkeys, pattern), pattern
+
+
+def test_glob_oversized_digit_segments(spark, ops):
+    """Regression (r12 review): digit segments past int64 crashed the
+    translator through py4j (NumberFormatException) instead of simply
+    not matching any numeric column.  Every branch — positional, penult,
+    middle — must survive and stay glob-exact (fnmatch oracle)."""
+    big = "9" * 20                      # > 2^63-1, not 40 chars
+    keys = [r["key"] for r in ops.select("key").collect()]
+    for pattern in (f"hive:{big}:*", f"hive:*:{big}:*",
+                    f"hive:*:{big}:vote",
+                    f"hive:{big}:aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa:"
+                    f"{big}:vote"):
+        assert _spark_keys(ops, pattern) == _fnmatch_keys(keys, pattern), \
+            pattern
+
+
+def test_get_oversized_digit_segment_is_empty(spark, ops, tmp_path_factory):
+    """OpsStore.get twin of the overflow guard: a key whose numeric
+    segment exceeds int64 exists in no store → empty result, not a py4j
+    crash."""
+    from meeseeker_spark.query import OpsStore
+
+    d = tmp_path_factory.mktemp("get_big")
+    OpsStore.write(ops, str(d / "store"))
+    store = OpsStore(spark, str(d / "store"))
+    big = "9" * 20
+    assert store.get(
+        f"hive:{big}:aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"[:45]
+        + f":0:vote").count() == 0
+    assert store.get(f"hive:1:{'ab' * 20}:{big}:vote").count() == 0
