@@ -113,11 +113,20 @@ class ManifestStore:
             json.dump(m, f)
             f.flush()
             os.fsync(f.fileno())
-        if os.path.exists(final):      # single-writer violated
+        # link, not rename: POSIX rename silently REPLACES an existing
+        # target, so a check-then-rename race between two writers would
+        # lose a commit — link fails atomically with FileExistsError,
+        # making the documented "concurrent commit raises instead of
+        # corrupting" guarantee structural (r12 review).  The link IS
+        # the commit point; a crash before the unlink leaves a .tmp
+        # that gc() already sweeps.
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
             os.unlink(tmp)
             raise RuntimeError(
                 f"manifest v{new_v} already exists — concurrent writer?")
-        os.rename(tmp, final)
+        os.unlink(tmp)
         return new_v
 
     def _stage(self, df: DataFrame) -> list[str]:

@@ -467,3 +467,41 @@ def test_retention_api_delegates_to_manifest(spark, tmp_path):
                 if d.startswith((".old", ".tmp"))]
     # ttl=-1 disables expiry through the same API
     assert retention.expire(spark, path, ttl_s=-1, now=now) == 0
+
+
+def test_commit_collision_raises_and_keeps_winner(spark, tmp_path):
+    """Regression (r12 review): the version-collision guard was
+    check-then-rename, and POSIX rename silently REPLACES an existing
+    target — two racing writers could lose a commit.  The commit point
+    is now an os.link, which fails atomically: the second committer of
+    the same version must raise AND the first committer's manifest must
+    survive byte-for-byte."""
+    import json
+    import os
+
+    import pytest
+
+    from meeseeker_spark.manifest import ManifestStore
+
+    store = ManifestStore(spark, str(tmp_path / "m"))
+    store.append(spark.range(3).selectExpr("id", "id * 2 AS v"),
+                 batch_id=0)
+    v = store.current_version()
+    files = store.files()
+    # simulate the race: both writers read current_version == v, the
+    # winner's v{N+1} then lands first; freeze the loser's view at v so
+    # its _commit targets the SAME version
+    winner = os.path.join(str(tmp_path / "m"), "_manifest",
+                          f"v{v + 1}.json")
+    with open(winner, "w") as f:
+        json.dump({"version": v + 1, "files": files,
+                   "batch_ids": [0]}, f)
+    before = open(winner).read()
+    store.current_version = lambda: v      # the loser's stale read
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        store._commit(files, [0, 1])
+    assert open(winner).read() == before          # winner untouched
+    # no .tmp litter left behind by the failed commit
+    assert not [f for f in os.listdir(os.path.join(str(tmp_path / "m"),
+                                                   "_manifest"))
+                if f.startswith(".tmp-")]
