@@ -221,9 +221,10 @@ def main(argv: list[str] | None = None) -> int:
              "per-batch report (streaming.screen; availableNow — each "
              "invocation processes what arrived since the last one and "
              "exits)")
-    psc.add_argument("--incoming", required=True,
+    psc.add_argument("--incoming", default=None,
                      help="dir of documents-shaped parquet files; each "
-                          "file is one micro-batch")
+                          "file is one micro-batch (required unless "
+                          "--rebuild-exact-index, which never reads it)")
     psc.add_argument("--out", required=True)
     psc.add_argument("--checkpoint", default=None,
                      help="stream checkpoint dir (default OUT/_ckpt)")
@@ -236,8 +237,15 @@ def main(argv: list[str] | None = None) -> int:
     psc.add_argument("--exact-index", action="store_true",
                      help="opt-in Bloom exact-dup prescreen (fpx + "
                           "bloom dirs beside the band index)")
-    psc.add_argument("--bloom-m-bits", type=int, default=8192)
-    psc.add_argument("--bloom-k", type=int, default=5)
+    # None (not 8192/5) so --rebuild-exact-index can tell "user asked
+    # for a resize" from "use the layout marker" (ADVICE r12); the
+    # screen path applies the 8192/5 defaults at the call site
+    psc.add_argument("--bloom-m-bits", type=int, default=None,
+                     help="bloom bitmap bits (default 8192; with "
+                          "--rebuild-exact-index: RESIZE the index)")
+    psc.add_argument("--bloom-k", type=int, default=None,
+                     help="bloom hash count (default 5; with "
+                          "--rebuild-exact-index: RESIZE the index)")
     psc.add_argument("--drift-baseline", default=None,
                      help="opt-in: parquet of baseline docs (or a "
                           "(token, n) count table) — each batch writes "
@@ -483,9 +491,16 @@ def main(argv: list[str] | None = None) -> int:
         spark = _spark()
         if a.rebuild_exact_index:
             from .streaming.screen import rebuild_exact_index
-            n = rebuild_exact_index(spark, a.out)
+            # forward user-passed sizing (the documented CLI resize
+            # path — rebuild rewrites the layout marker to match);
+            # None keeps the marker's layout (ADVICE r12)
+            n = rebuild_exact_index(spark, a.out,
+                                    m_bits=a.bloom_m_bits, k=a.bloom_k)
             print(f"rebuilt exact index: {n} fingerprints", file=sys.stderr)
             return 0
+        if not a.incoming:
+            p.error("screen: --incoming is required "
+                    "(unless --rebuild-exact-index)")
         drift = (spark.read.parquet(a.drift_baseline)
                  if a.drift_baseline else None)
         q = start_screen(
@@ -494,8 +509,8 @@ def main(argv: list[str] | None = None) -> int:
             threshold=a.threshold,
             index_table=a.index_table,
             exact_index=a.exact_index,
-            bloom_m_bits=a.bloom_m_bits,
-            bloom_k=a.bloom_k,
+            bloom_m_bits=8192 if a.bloom_m_bits is None else a.bloom_m_bits,
+            bloom_k=5 if a.bloom_k is None else a.bloom_k,
             drift_baseline=drift)
         q.awaitTermination()
         try:

@@ -35,8 +35,11 @@ Protocol:
   referenced data.
 
 Single-writer assumption (one maintenance/ingest job at a time), same as
-retention.py — manifest versions make that explicit: a concurrent commit
-collides on the v{N+1} rename and raises instead of corrupting.
+retention.py — manifest versions make that explicit AND structural: every
+write path captures the manifest version it READ and commits v(read+1)
+via an os.link compare-and-swap, so a writer interleaving anywhere in the
+read → stage → commit window collides on the link and raises instead of
+silently dropping the other commit (lost update).
 
 At real scale the same design is why Delta/Iceberg win: the manifest is a
 metadata operation, O(files-touched), never O(store).
@@ -100,11 +103,17 @@ class ManifestStore:
         with open(os.path.join(self._mdir(), f"v{v}.json")) as f:
             return json.load(f)
 
-    def _commit(self, files: list[str], batch_ids: list[int]) -> int:
-        """Atomically publish a new manifest version.  The rename is the
-        commit point; everything before it is invisible to readers."""
-        prev = self.current_version() or 0
-        new_v = prev + 1
+    def _commit(self, files: list[str], batch_ids: list[int],
+                base_version: int) -> int:
+        """Atomically publish manifest v(base_version+1) — a COMPARE-AND-
+        SWAP against the version the caller READ, not whatever is newest
+        at link time.  Every write path is read-manifest → long Spark
+        stage → commit; recomputing prev at the commit point would let a
+        writer that interleaved with another's commit link v(N+2) built
+        from the v(N) file list, silently dropping the other commit
+        (ADVICE r12).  Pinning new_v to base+1 means ANY intervening
+        commit collides on the link and raises instead of winning."""
+        new_v = base_version + 1
         m = {"version": new_v, "files": sorted(files),
              "batch_ids": sorted(set(batch_ids))}
         tmp = os.path.join(self._mdir(), f".tmp-{uuid.uuid4().hex}.json")
@@ -125,7 +134,9 @@ class ManifestStore:
         except FileExistsError:
             os.unlink(tmp)
             raise RuntimeError(
-                f"manifest v{new_v} already exists — concurrent writer?")
+                f"manifest v{new_v} already exists — a concurrent writer "
+                f"committed after this one read v{base_version}; re-read "
+                "and retry (single-writer assumption violated)")
         os.unlink(tmp)
         return new_v
 
@@ -200,12 +211,13 @@ class ManifestStore:
             return False
         staged = self._stage(df)
         ids = m["batch_ids"] + ([batch_id] if batch_id is not None else [])
-        self._commit(m["files"] + staged, ids)
+        self._commit(m["files"] + staged, ids, m["version"])
         return True
 
     def overwrite(self, df: DataFrame) -> None:
+        base = self._read_manifest()["version"]
         staged = self._stage(df)
-        self._commit(staged, [])
+        self._commit(staged, [], base)
 
     def expire(self, ttl_s: int, now=None) -> int:
         """TTL retention as a manifest swap: only files CONTAINING expired
@@ -249,7 +261,7 @@ class ManifestStore:
                        | F.col("ingested_at").isNull()))
         staged = self._stage(live)
         keep = [f for f in m["files"] if f not in hot]
-        self._commit(keep + staged, m["batch_ids"])
+        self._commit(keep + staged, m["batch_ids"], m["version"])
         return n_removed
 
     def compact(self, sort_cols: tuple[str, ...] = (),
@@ -275,7 +287,7 @@ class ManifestStore:
         if present:
             df = df.sortWithinPartitions(*present)
         staged = self._stage(df)
-        self._commit(staged, m["batch_ids"])
+        self._commit(staged, m["batch_ids"], m["version"])
         return len(m["files"])
 
     # -- streaming bridge ---------------------------------------------------
@@ -397,8 +409,9 @@ def migrate_dirs_to_manifest(spark: SparkSession, path: str) -> int:
     df = (spark.read.option("basePath", path)
           .parquet(*[os.path.join(path, d) for d in batches])
           .drop("batch_id"))
+    base = store._read_manifest()["version"]
     staged = store._stage(df)
-    store._commit(staged, ids)             # atomic cut-over
+    store._commit(staged, ids, base)       # atomic cut-over
     for d in batches:
         shutil.rmtree(os.path.join(path, d))
     return len(batches)

@@ -63,6 +63,20 @@ BLOOM_SCHEMA = "word_idx bigint, word bigint"
 _BASELINE_LOCK = threading.Lock()
 _BASELINE_REFCOUNT: dict[int, int] = {}
 
+
+def _baseline_release(bkey: int) -> int:
+    """Drop one reference to a shared persisted baseline; returns the
+    count left (<=0 means the caller should unpersist).  One home for
+    the decrement so the failed-start path and the termination listener
+    can't drift apart."""
+    with _BASELINE_LOCK:
+        left = _BASELINE_REFCOUNT.get(bkey, 1) - 1
+        if left <= 0:
+            _BASELINE_REFCOUNT.pop(bkey, None)
+        else:
+            _BASELINE_REFCOUNT[bkey] = left
+    return left
+
 # Above this many candidate corpus ids the screen stops collecting them
 # for predicate pushdown and falls back to the plain join (which prunes
 # rows post-scan).  Candidates per trigger are ~batch-sized by the LSH
@@ -438,15 +452,23 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
               .option("checkpointLocation", checkpoint_dir))
     if available_now:
         writer = writer.trigger(availableNow=True)
+    # the reference is taken BEFORE start() (ADVICE r12): incrementing
+    # after start() left a window where a sibling screen sharing this
+    # baseline object could terminate, hit 0, and unpersist the cache
+    # this screen was about to use — and the failed-start path's
+    # "shared?" probe had the mirror race (count read before a sibling's
+    # increment).  The r12 no-sticky-count property is kept by the
+    # except path below, which RELEASES the reference on a failed start
+    # instead of never having taken it.
+    if drift_baseline is not None:
+        bkey = id(drift_baseline)
+        with _BASELINE_LOCK:
+            _BASELINE_REFCOUNT[bkey] = _BASELINE_REFCOUNT.get(bkey, 0) + 1
     try:
         query = writer.start()
     except Exception:
         if drift_baseline is not None:
-            # a failed start holds no reference: unpersist unless some
-            # OTHER live screen shares this baseline object
-            with _BASELINE_LOCK:
-                shared = _BASELINE_REFCOUNT.get(id(drift_baseline), 0) > 0
-            if not shared:
+            if _baseline_release(bkey) <= 0:
                 drift_baseline.unpersist()
         raise
     if drift_baseline is not None:
@@ -457,15 +479,6 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
         from pyspark.sql.streaming import StreamingQueryListener
 
         baseline, qid = drift_baseline, str(query.id)
-        bkey = id(drift_baseline)
-        # the reference is taken only once the query has actually
-        # STARTED (r12 self-review: incrementing before start() let a
-        # failed start leave a sticky count that blocked the legit
-        # unpersist forever); between start and here _fire cannot run —
-        # the listener doesn't exist yet and the isActive fallback
-        # fires after registration below
-        with _BASELINE_LOCK:
-            _BASELINE_REFCOUNT[bkey] = _BASELINE_REFCOUNT.get(bkey, 0) + 1
 
         class _UnpersistOnStop(StreamingQueryListener):
             _done = False
@@ -474,12 +487,7 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
                 if self._done:
                     return
                 self._done = True
-                with _BASELINE_LOCK:
-                    left = _BASELINE_REFCOUNT.get(bkey, 1) - 1
-                    if left <= 0:
-                        _BASELINE_REFCOUNT.pop(bkey, None)
-                    else:
-                        _BASELINE_REFCOUNT[bkey] = left
+                left = _baseline_release(bkey)
                 try:
                     if left <= 0:
                         baseline.unpersist()

@@ -693,6 +693,49 @@ def test_cli_screen_full_option_surface(spark, tmp_path_factory, capsys):
     assert kl[2] > 3 * max(kl[0], kl[1])
 
 
+def test_cli_rebuild_mode_arg_contract(spark, tmp_path_factory, capsys):
+    """ADVICE r12: (a) --rebuild-exact-index no longer requires the
+    --incoming it never reads; (b) --bloom-m-bits/--bloom-k passed with
+    it are FORWARDED (the documented CLI resize path — the rebuilt
+    marker records the new sizing), not silently ignored; (c) plain
+    screen mode still errors without --incoming."""
+    import json
+    import os
+
+    import pytest
+
+    from meeseeker_spark.__main__ import main
+
+    d = tmp_path_factory.mktemp("cli_rebuild_args")
+    incoming = d / "incoming"
+    os.makedirs(incoming)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    txt = "a single seed document about canal locks and towpath horses"
+    tmp = d / "w"
+    spark.createDataFrame([(1, txt, "en", "web", len(txt))],
+                          cols).coalesce(1).write.parquet(str(tmp))
+    part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+    os.rename(tmp / part, incoming / "b1.parquet")
+
+    out = d / "out"
+    assert main(["screen", "--incoming", str(incoming), "--out", str(out),
+                 "--exact-index"]) == 0
+    capsys.readouterr()
+    marker = out / "_index_layout.json"
+    assert json.load(open(marker))["bloom_m_bits"] == 8192
+
+    # (a)+(b): no --incoming, sizing forwarded → marker resized
+    assert main(["screen", "--out", str(out), "--rebuild-exact-index",
+                 "--bloom-m-bits", "4096", "--bloom-k", "3"]) == 0
+    assert "rebuilt exact index: 1 fingerprints" in capsys.readouterr().err
+    rec = json.load(open(marker))
+    assert (rec["bloom_m_bits"], rec["bloom_k"]) == (4096, 3)
+
+    # (c): screen mode proper still demands --incoming (argparse exit 2)
+    with pytest.raises(SystemExit):
+        main(["screen", "--out", str(out)])
+
+
 def test_cli_screen_retention_rebuild_drill(spark, tmp_path_factory,
                                             capsys):
     """VERDICT r12 item 7: the multi-session retention+rebuild drill,

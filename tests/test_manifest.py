@@ -141,15 +141,40 @@ def test_gc_keeps_version_tail(spark, tmp_path):
     assert sorted(r["id"] for r in s.df().collect()) == [2]
 
 
-def test_concurrent_commit_collides_loudly(spark, tmp_path, monkeypatch):
-    """A writer holding a stale version view collides on the v{N} rename
-    target and raises instead of silently clobbering the other commit."""
+def test_concurrent_commit_collides_loudly(spark, tmp_path):
+    """A writer holding a stale version view collides on the v{N} link
+    target and raises instead of silently clobbering the other commit.
+    base_version is the CALLER's read — no monkeypatch needed since the
+    r13 compare-and-swap (commit targets base+1, never current+1)."""
     s = ManifestStore(spark, str(tmp_path / "m"))
     s.append(_rows(spark, [1]))
     s.append(_rows(spark, [2]))                     # v2 committed
-    monkeypatch.setattr(ManifestStore, "current_version", lambda self: 1)
     with pytest.raises(RuntimeError, match="concurrent"):
-        s._commit(["data/x.parquet"], [])           # targets existing v2
+        s._commit(["data/x.parquet"], [], 1)        # stale base → v2 exists
+
+
+def test_interleaved_append_raises_instead_of_lost_update(spark, tmp_path):
+    """THE lost-update race (ADVICE r12): writer A reads the manifest,
+    writer B commits while A's Spark stage runs, then A commits.  Before
+    the compare-and-swap, A's _commit recomputed prev at link time and
+    linked v(N+2) built from A's stale v(N) file list — silently dropping
+    B's commit.  Now A targets v(base+1), collides on B's manifest, and
+    raises; B's rows survive."""
+    s = ManifestStore(spark, str(tmp_path / "m"))
+    s.append(_rows(spark, [1]), batch_id=0)         # v1
+    # writer A: reads at v1, stages
+    m_a = s._read_manifest()
+    staged_a = s._stage(_rows(spark, [10]))
+    # writer B interleaves: a full append commits v2
+    assert s.append(_rows(spark, [2]), batch_id=1)
+    # writer A commits against its stale base → must raise, not win
+    with pytest.raises(RuntimeError, match="concurrent"):
+        s._commit(m_a["files"] + staged_a, m_a["batch_ids"] + [2],
+                  m_a["version"])
+    # B's commit is intact: both its rows and its batch id survive
+    assert sorted(r["id"] for r in s.df().collect()) == [1, 2]
+    assert s.committed_batch_ids() == {0, 1}
+    assert s.current_version() == 2
 
 
 def test_streaming_sink_replay_exactly_once(spark, tmp_path):
@@ -497,9 +522,8 @@ def test_commit_collision_raises_and_keeps_winner(spark, tmp_path):
         json.dump({"version": v + 1, "files": files,
                    "batch_ids": [0]}, f)
     before = open(winner).read()
-    store.current_version = lambda: v      # the loser's stale read
     with pytest.raises(RuntimeError, match="concurrent writer"):
-        store._commit(files, [0, 1])
+        store._commit(files, [0, 1], v)    # the loser's stale base
     assert open(winner).read() == before          # winner untouched
     # no .tmp litter left behind by the failed commit
     assert not [f for f in os.listdir(os.path.join(str(tmp_path / "m"),

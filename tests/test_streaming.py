@@ -1730,6 +1730,56 @@ def test_screen_shared_drift_baseline_refcounted(spark, tmp_path_factory):
     assert key not in _BASELINE_REFCOUNT
 
 
+def test_screen_failed_start_releases_baseline_reference(
+        spark, tmp_path_factory, monkeypatch):
+    """Regression (ADVICE r12): the baseline reference is taken BEFORE
+    writer.start() — so a sibling screen terminating mid-start can no
+    longer hit 0 and unpersist the cache this screen is about to use —
+    and a FAILED start releases that reference (the r12 no-sticky-count
+    property, now via release instead of never-acquire).  Two pins:
+    (a) solo failed start → no refcount entry left, baseline
+    unpersisted; (b) failed start while a sibling holds a reference →
+    count returns to the sibling's 1 and the cache survives (the old
+    'shared?' probe read the count before a sibling's increment and
+    could unpersist a live sibling's baseline)."""
+    from pyspark.sql.streaming import DataStreamWriter
+
+    from meeseeker_spark.ext.drift import token_counts
+    from meeseeker_spark.streaming.screen import (_BASELINE_REFCOUNT,
+                                                  start_screen)
+
+    d = tmp_path_factory.mktemp("screen_failed_start")
+    os.makedirs(d / "inc")
+    baseline = token_counts(spark.createDataFrame(
+        [(1, "words in the baseline corpus")], ["doc_id", "text"]))
+    key = id(baseline)
+
+    def boom(self, *a, **k):
+        raise RuntimeError("injected start failure")
+
+    monkeypatch.setattr(DataStreamWriter, "start", boom)
+
+    # (a) solo: failed start leaves no sticky count and unpersists
+    with pytest.raises(RuntimeError, match="injected"):
+        start_screen(spark, str(d / "inc"), str(d / "out"), str(d / "ck"),
+                     drift_baseline=baseline)
+    assert key not in _BASELINE_REFCOUNT
+    assert not baseline.storageLevel.useMemory
+
+    # (b) a live sibling's reference: failed start must NOT unpersist
+    baseline.persist()
+    _BASELINE_REFCOUNT[key] = 1
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            start_screen(spark, str(d / "inc"), str(d / "out2"),
+                         str(d / "ck2"), drift_baseline=baseline)
+        assert _BASELINE_REFCOUNT.get(key) == 1
+        assert baseline.storageLevel.useMemory
+    finally:
+        _BASELINE_REFCOUNT.pop(key, None)
+        baseline.unpersist()
+
+
 def test_replay_screen_custom_bloom_sizing(spark, monkeypatch):
     """ADVICE r11: replay_screen accepts bloom_m_bits/bloom_k and
     threads them into the bitmap build AND the prescreen probe (a
