@@ -59,6 +59,20 @@ def main() -> None:
     spark = get_spark(app_name="meeseeker-bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
+    # Host-load snapshots make the bench SELF-diagnosing (VERDICT r12
+    # item 2): every band-break adjudication so far started with "what
+    # was the box doing?" answered from ROUND_NOTES archaeology — r12's
+    # 9.92 outlier had every query inflated 5-29% uniformly under an
+    # external ~3.5-core load.  The protocol is now data in the
+    # artifact: on a band break, read load_avg_* FIRST; loads well
+    # above ~1.5 (beyond this process) explain uniform inflation before
+    # any plan is suspected.
+    def _load_avg() -> list[float]:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+
+    load_at_warmup = _load_avg()
+
     # warm the JVM/codegen path and every input's file listing + parquet
     # footer (count() is metadata-served) so timings measure steady-state
     # query execution, not first-touch filesystem cache effects
@@ -182,6 +196,12 @@ def main() -> None:
             "engine_blocks_per_mainnet_block": round(n_eng / 210, 3),
             "screen_docs_per_s": screen_docs_per_s,
             "baseline_chain_blocks_per_s": 0.33,
+            # 1/5/15-min load averages at warmup start and at emit time,
+            # plus the cpu count they're relative to — the band-break
+            # adjudication inputs (see the note at capture site)
+            "load_avg_at_warmup": load_at_warmup,
+            "load_avg_at_end": _load_avg(),
+            "n_cpus": os.cpu_count(),
         },
     }))
     spark.stop()
