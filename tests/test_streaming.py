@@ -1288,6 +1288,107 @@ def test_screen_exact_index_self_heals_missing_bloom(spark, tmp_path_factory):
     assert os.path.isdir(out / "bloom")  # dirs recreated by batch 1
 
 
+def test_screen_mid_batch_crash_between_corpus_and_index(
+        spark, tmp_path_factory, monkeypatch):
+    """VERDICT r12 item 5: kill the screen INSIDE one trigger, between
+    the corpus append and the index append, then restart — the replayed
+    trigger must converge to the same admitted set and index rows with
+    no double admission.  The claimed mechanism: the checkpoint never
+    committed the batch, so the whole trigger replays; the self-
+    exclusion filters (batch_id != this batch) make the re-screen blind
+    to the crashed attempt's own partial writes, and batch_id=N
+    overwrite mode replaces them byte-identically.
+
+    Injection point: the screen module's banded_projection reference —
+    called at exactly one place in the hot sink, AFTER the corpus +
+    flagged writes and BEFORE the band-index/fpx/bloom writes (the
+    screen_batch-internal banding resolves through the dedup module's
+    namespace and is untouched)."""
+    import time as _time
+
+    import pytest
+
+    from meeseeker_spark.streaming import screen as screen_mod
+    from meeseeker_spark.streaming.screen import start_screen
+
+    d = tmp_path_factory.mktemp("screen_midbatch_crash")
+    incoming, out, ckpt = d / "incoming", d / "out", d / "ckpt"
+    os.makedirs(incoming)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    tex_a = ("archive text about granite quarries and the narrow gauge "
+             "rails that carried the blocks down to the harbour")
+    tex_b = ("unrelated text describing orchard grafting techniques for "
+             "late season apple varieties in cold climates")
+    tex_c = ("fresh text on tidal power turbines and the maintenance "
+             "diving schedules their blades demand")
+
+    def drop(name, rows):
+        tmp = d / ("w_" + name)
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        os.rename(tmp / part, incoming / f"{name}.parquet")
+
+    drop("b0", [(1, tex_a, "en", "web", len(tex_a))])
+    _time.sleep(1.1)
+    drop("b1", [(2, tex_b, "en", "web", len(tex_b))])
+    _time.sleep(1.1)
+    drop("b2", [(31, tex_a, "en", "web", len(tex_a)),   # exact dup of 1
+                (4, tex_c, "en", "web", len(tex_c))])   # genuinely new
+
+    real_proj = screen_mod.banded_projection
+    calls = []
+
+    def crash_on_third(*a, **k):
+        calls.append(1)
+        if len(calls) == 3:        # batch 2's index build, first attempt
+            raise RuntimeError("injected mid-batch kill")
+        return real_proj(*a, **k)
+
+    monkeypatch.setattr(screen_mod, "banded_projection", crash_on_third)
+
+    q = start_screen(spark, str(incoming), str(out), str(ckpt),
+                     exact_index=True)
+    with pytest.raises(Exception, match="injected mid-batch kill"):
+        q.awaitTermination()
+    # the drill's premise holds: the crashed attempt's corpus partition
+    # landed but its index partitions did not
+    assert (out / "corpus" / "batch_id=2").is_dir()
+    assert not (out / "index" / "batch_id=2").exists()
+    assert not (out / "fpx" / "batch_id=2").exists()
+
+    # restart on the same checkpoint: batch 2 replays and completes
+    q2 = start_screen(spark, str(incoming), str(out), str(ckpt),
+                      exact_index=True)
+    q2.awaitTermination(120)
+
+    admitted = [(r["batch_id"], r["doc_id"]) for r in
+                spark.read.parquet(str(out / "corpus")).collect()]
+    assert sorted(admitted) == [(0, 1), (1, 2), (2, 4)]
+    assert len(admitted) == len(set(admitted))      # no double admission
+    flagged = {(r["new_id"], r["corpus_id"], r["jaccard"]) for r in
+               spark.read.parquet(str(out / "flagged")).collect()}
+    assert flagged == {(31, 1, 1.0)}
+    # the index converged: exactly the admitted docs, batch 2 included
+    idx = spark.read.parquet(str(out / "index"))
+    assert sorted(set((r["batch_id"], r["doc_id"]) for r in
+                      idx.collect())) == [(0, 1), (1, 2), (2, 4)]
+    fpx = [(r["batch_id"], r["doc_id"]) for r in
+           spark.read.parquet(str(out / "fpx")).collect()]
+    assert sorted(fpx) == [(0, 1), (1, 2), (2, 4)]
+    assert (out / "bloom" / "batch_id=2").is_dir()
+    # a fourth invocation re-posting the crashed batch's texts screens
+    # them against the CONVERGED index (exact for both survivors)
+    _time.sleep(1.1)
+    drop("b3", [(41, tex_a, "en", "web", len(tex_a)),
+                (44, tex_c, "en", "web", len(tex_c))])
+    q3 = start_screen(spark, str(incoming), str(out), str(ckpt),
+                      exact_index=True)
+    q3.awaitTermination(120)
+    flagged2 = {(r["new_id"], r["corpus_id"]) for r in
+                spark.read.parquet(str(out / "flagged")).collect()}
+    assert flagged2 == {(31, 1), (41, 1), (44, 4)}
+
+
 def test_rebuild_exact_index_from_corpus(spark, tmp_path_factory):
     """rebuild_exact_index rewrites fpx/bloom from the corpus store —
     the maintenance path after corpus retention (a bloom cannot unlearn
