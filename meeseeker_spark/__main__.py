@@ -488,6 +488,11 @@ def main(argv: list[str] | None = None) -> int:
     if a.cmd == "screen":
         from .streaming.screen import screen_report, start_screen
 
+        # validate BEFORE building the session — a missing arg should
+        # error in milliseconds, not after a JVM spin-up
+        if not a.rebuild_exact_index and not a.incoming:
+            p.error("screen: --incoming is required "
+                    "(unless --rebuild-exact-index)")
         spark = _spark()
         if a.rebuild_exact_index:
             from .streaming.screen import rebuild_exact_index
@@ -498,9 +503,6 @@ def main(argv: list[str] | None = None) -> int:
                                     m_bits=a.bloom_m_bits, k=a.bloom_k)
             print(f"rebuilt exact index: {n} fingerprints", file=sys.stderr)
             return 0
-        if not a.incoming:
-            p.error("screen: --incoming is required "
-                    "(unless --rebuild-exact-index)")
         drift = (spark.read.parquet(a.drift_baseline)
                  if a.drift_baseline else None)
         q = start_screen(
