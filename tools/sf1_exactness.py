@@ -6,22 +6,32 @@ at sf0.001; thresholds baked into the graded queries (screen_replay's
 10,000 bucket cap, dedup_eval's max_df posting guard, domain_cap's slack
 window, frequent_lines' HAVING floor, the unimax/temperature sampling
 budgets) could in principle CROSS at a larger scale and change results in
-a way the small-SF gates never see.  This harness runs the most
-threshold-bearing graded entries Spark-vs-DuckDB at the derived sf1
-(tools/make_scaled_sf.py output — run that first), with the driver's own
-comparison convention: columns sorted by name, rows compared under a
-None-safe sort key.
+a way the small-SF gates never see.  This harness runs graded entries
+Spark-vs-DuckDB at the derived sf1 (tools/make_scaled_sf.py output — run
+that first).
+
+Comparison method: the Spark result is written to parquet (columns
+sorted by name) and DuckDB diffs it against the oracle with EXCEPT ALL
+both ways — bag equality on NATIVE types, entirely in-engine.  The r13
+first cut collected both sides into Python tuples and sorted them; that
+is exact but O(rows) in driver memory and Python-loop time, and on the
+6M-row passthrough entries (flatten_ops/trx_index/header_enrich/
+nai_amounts at sf1) one compare burned 44 CPU-minutes before it was
+killed.  The parquet diff does the identical bag-equality check in
+seconds (flatten_ops: 19 s Spark + 41 s DuckDB), with doubles compared
+bit-for-bit as doubles — no string rendering in the loop.
 
 Usage:
-    python tools/make_scaled_sf.py          # once: builds bench_data/sf1
-    python tools/sf1_exactness.py [sf_dir]  # default bench_data/sf1
+    python tools/make_scaled_sf.py             # once: builds bench_data/sf1
+    python tools/sf1_exactness.py [sf_dir] [name ...]
+                                               # default: every oracled entry
 
-Exits non-zero on any mismatch and prints per-entry EXACT/MISMATCH with
-both engines' walls (single-shot cold-session walls — exactness evidence,
-not bench numbers).
+r13 record: ALL 50 frozen-window entries ran 50/50 EXACT at sf1
+(SCALING.md).  Exits non-zero on any mismatch.
 """
 from __future__ import annotations
 
+import shutil
 import sys
 import time
 from pathlib import Path
@@ -29,8 +39,10 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-# the entries whose semantics carry a scale-sensitive threshold/cap
-NAMES = [
+# the entries whose semantics carry a scale-sensitive threshold/cap —
+# the minimal set worth re-running after a catalog change (the full
+# default sweep covers these plus every other oracled entry)
+THRESHOLD_BEARING = [
     "near_dup_pairs", "dedup_components", "span_cleaned_docs",
     "decontaminated_spans", "screen_replay", "dedup_eval",
     "domain_cap", "frequent_lines", "heavy_hitters", "winnow_fps",
@@ -40,9 +52,13 @@ NAMES = [
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# legacy alias (the r13 first-cut harness exported NAMES)
+NAMES = THRESHOLD_BEARING
+
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else str(
+    args = sys.argv[1:]
+    sf_dir = args.pop(0) if args and "/" in args[0] else str(
         REPO / "bench_data" / "sf1")
 
     import duckdb
@@ -59,35 +75,45 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
     q, o = ent.queries(), ent.oracle_sql()
-
-    def key(t):
-        # None-safe: the driver sorts column-wise, which never compares
-        # None against a value; a python tuple sort does, so lift each
-        # cell to (is-null, value)
-        return tuple((v is None, v) for v in t)
+    names = args if args else sorted(o)
 
     bad = []
-    for name in NAMES:
+    tmp = "/tmp/sf1_exactness_spark_out"
+    for name in names:
         t0 = time.time()
-        sdf = q[name](spark, sf_dir)
-        cols = sorted(sdf.columns)
-        s = sorted((tuple(r) for r in sdf.select(*cols).collect()), key=key)
-        t_spark = time.time() - t0
-        t0 = time.time()
-        order = ", ".join(f'"{c}"' for c in cols)
-        d = sorted((tuple(r) for r in con.execute(
-            f"SELECT {order} FROM ({o[name]})").fetchall()), key=key)
-        t_duck = time.time() - t0
-        ok = s == d
+        try:
+            sdf = q[name](spark, sf_dir)
+            cols = sorted(sdf.columns)
+            shutil.rmtree(tmp, ignore_errors=True)
+            sdf.select(*cols).write.mode("overwrite").parquet(tmp)
+            t_spark = time.time() - t0
+            t0 = time.time()
+            order = ", ".join(f'"{c}"' for c in cols)
+            n_spark, n_diff = con.execute(f"""
+                WITH s AS (SELECT {order}
+                           FROM read_parquet('{tmp}/*.parquet')),
+                     d AS (SELECT {order} FROM ({o[name]}))
+                SELECT (SELECT count(*) FROM s),
+                       (SELECT count(*) FROM (
+                            (SELECT * FROM s EXCEPT ALL SELECT * FROM d)
+                            UNION ALL
+                            (SELECT * FROM d EXCEPT ALL SELECT * FROM s)))
+            """).fetchone()
+            n_oracle = con.execute(
+                f"SELECT count(*) FROM ({o[name]})").fetchone()[0]
+            t_duck = time.time() - t0
+            ok = (n_diff == 0) and (n_spark == n_oracle)
+        except Exception as e:  # report and keep sweeping
+            bad.append(name)
+            print(f"{name}: ERROR {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)
+            continue
         if not ok:
             bad.append(name)
-            ss, ds = set(s), set(d)
-            print(f"  spark-only: {list(ss - ds)[:3]}")
-            print(f"  oracle-only: {list(ds - ss)[:3]}")
         print(f"{name}: {'EXACT' if ok else 'MISMATCH'} "
-              f"rows={len(s)}/{len(d)} "
+              f"rows={n_spark}/{n_oracle} diff={n_diff} "
               f"spark={t_spark:.1f}s duck={t_duck:.1f}s", flush=True)
-    print("BAD:", bad)
+    print("TOTAL", len(names), "BAD", bad)
     return 1 if bad else 0
 
 
