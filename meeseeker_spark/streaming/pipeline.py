@@ -35,6 +35,10 @@ from ..schemas import BLOCKS, ENGINE_BLOCKS, VIRTUAL_OPS, WITNESS_SCHEDULES
 
 VOP_LATENESS = "18 seconds"   # Σ(retry × BLOCK_INTERVAL), see SURVEY §4.5
 
+# Batch-id stamp written into the pending dir by _irreversible_gate's
+# commit — the replay-after-commit detector (see its docstring).
+_PENDING_STAMP = "_produced_by_batch"
+
 # The file source carries no dgpo, so the irreversible stream mode needs a
 # stand-in for head_block_number − last_irreversible_block_num.  On mainnet
 # finality needs ~3/4 of the 21-witness round to have signed past a block,
@@ -83,7 +87,8 @@ def _recover_pending(pending: str) -> None:
         shutil.rmtree(pending + ".tmp")
 
 
-def _irreversible_gate(batch_df: DataFrame, pending: str, lib_lag: int):
+def _irreversible_gate(batch_df: DataFrame, pending: str, lib_lag: int,
+                       batch_id: int | None = None):
     """Read-committed micro-batch gate (stream mode ``irreversible``,
     block_follower_job.rb:113-123): the reference simply never fetches past
     ``last_irreversible_block_num``, and re-polls the held-back range once
@@ -96,10 +101,31 @@ def _irreversible_gate(batch_df: DataFrame, pending: str, lib_lag: int):
     pending set read the OLD pending dir, so the caller must finish writing
     ``final_df`` before calling ``commit()``, which swaps the rewritten
     pending dir in (crash-safe rename-aside).  A batch replayed after a
-    crash anywhere in that window re-reads the same old pending dir and
-    reproduces the same split."""
+    crash BEFORE its commit re-reads the same old pending dir and
+    reproduces the same split.
+
+    A replay AFTER the commit (crash in the window between ``commit()``
+    and Structured Streaming's checkpoint commit — the standard
+    at-least-once window) must NOT recompute: the swapped pending dir no
+    longer holds the rows that were folded into this batch, so a
+    recomputed ``final_df`` would be missing them, and under the legacy
+    ``dirs`` store the batch_id=N overwrite would destroy the only
+    remaining copy (r13 review — silent data loss; the manifest store
+    was safe only because its recorded batch id short-circuits the
+    append).  ``commit()`` therefore stamps the new pending dir with the
+    batch id that produced it; a replay seeing its own stamp returns
+    ``(None, None)`` and the caller skips every output — by protocol
+    order the stamp exists only after all of them landed.  (Same
+    fresh-checkpoint caveat as the dirs layout itself: a NEW stream on a
+    restarted batch-id sequence must not be pointed at a stale pending
+    dir.)"""
     spark = batch_df.sparkSession
     _recover_pending(pending)
+    stamp = os.path.join(pending, _PENDING_STAMP)
+    if batch_id is not None and os.path.exists(stamp):
+        with open(stamp) as f:
+            if f.read().strip() == str(batch_id):
+                return None, None      # this batch's commit already landed
     rows = batch_df
     if os.path.isdir(pending):
         rows = rows.unionByName(
@@ -112,6 +138,12 @@ def _irreversible_gate(batch_df: DataFrame, pending: str, lib_lag: int):
         rows.where(F.col("block_num") > lib)
         .write.mode("overwrite").parquet(pending + ".tmp")
     )
+    if batch_id is not None:
+        # stamped INSIDE the tmp dir so it becomes visible atomically
+        # with the swap itself ("_"-prefixed → invisible to the parquet
+        # reader, like _SUCCESS)
+        with open(os.path.join(pending + ".tmp", _PENDING_STAMP), "w") as f:
+            f.write(str(batch_id))
 
     def commit() -> None:
         if os.path.isdir(pending):
@@ -162,7 +194,14 @@ def start_ingest(ops_stream: DataFrame, ops_path: str, channels_path: str,
         commit = None
         if mode == "irreversible":
             batch_df, commit = _irreversible_gate(
-                batch_df, ops_path + "_pending", lib_lag)
+                batch_df, ops_path + "_pending", lib_lag, batch_id)
+            if batch_df is None:
+                # replay of a batch whose pending commit already landed —
+                # by protocol order every output landed before it, so the
+                # whole trigger is a no-op (recomputing would re-split
+                # against the ALREADY-swapped pending dir and, under the
+                # dirs store, overwrite away the folded-in rows)
+                return
         batch_df = batch_df.persist()
         try:
             _write(

@@ -243,6 +243,58 @@ def test_pending_swap_recovery(tmp_path):
     assert os.path.isdir(base) and not os.path.exists(base + ".old")
 
 
+def test_irreversible_replay_after_commit_keeps_folded_rows(
+        spark, fx, tmp_path_factory):
+    """Regression (r13 review): a batch replayed AFTER its pending-dir
+    commit but BEFORE the checkpoint commit (the standard at-least-once
+    window) used to recompute its split against the already-swapped
+    pending dir — the rows folded in from the old pending set vanished
+    from the recomputed final_df, and under the legacy ``dirs`` store
+    the batch_id=N overwrite destroyed the only remaining copy (silent
+    data loss; the default manifest store was safe only via its
+    recorded-batch-id short-circuit).  The commit now stamps the pending
+    dir with its producing batch id and a replay seeing its own stamp
+    skips the whole trigger.
+
+    The replay is authentic: after the folding run completes, the
+    checkpoint's commits/N marker for the last batch is deleted —
+    Structured Streaming then replays exactly that batch from its
+    offsets log on restart."""
+    d = tmp_path_factory.mktemp("irrev_replay")
+    half = len(fx.blocks) // 2
+    _write_batches(fx.blocks[:half], "blocks", str(d / "blocks"), 1)
+    LAG = 5
+
+    def run():
+        ops = P.streaming_ops(
+            P.read_block_stream(spark, str(d / "blocks")), None)
+        q = P.start_ingest(ops, str(d / "ops"), str(d / "channels"),
+                           str(d / "ckpt"), mode="irreversible",
+                           lib_lag=LAG, store_impl="dirs")
+        q.awaitTermination(120)
+
+    run()                                    # batch 0: tail rows pend
+    _write_batches(fx.blocks[half:], "blocks", str(d / "blocks2"), 1)
+    for f in glob.glob(str(d / "blocks2" / "*.parquet")):
+        os.rename(f, str(d / "blocks" / ("late-" + os.path.basename(f))))
+    run()                                    # batch 1: pending rows fold in
+    keys_before = sorted(
+        r["key"] for r in P.ops_view(spark, str(d / "ops")).collect())
+    assert keys_before                       # the fold actually happened
+    stamp = d / "ops_pending" / "_produced_by_batch"
+    assert stamp.read_text() == "1"
+
+    # crash window: the pending swap committed, the checkpoint didn't
+    os.remove(d / "ckpt" / "commits" / "1")
+    crc = d / "ckpt" / "commits" / ".1.crc"   # hadoop checksum sidecar
+    if crc.exists():
+        os.remove(crc)
+    run()                                    # Spark replays batch 1
+    keys_after = sorted(
+        r["key"] for r in P.ops_view(spark, str(d / "ops")).collect())
+    assert keys_after == keys_before         # nothing lost, nothing doubled
+
+
 def _run_ttl_scenario(spark, d, op_fn):
     """Shared S7 TTL scenario: 3 micro-batches, a re-SET that refreshes an
     expiry, two watermark jumps.  Returns the collected output rows."""
