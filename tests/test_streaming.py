@@ -243,8 +243,9 @@ def test_pending_swap_recovery(tmp_path):
     assert os.path.isdir(base) and not os.path.exists(base + ".old")
 
 
+@pytest.mark.parametrize("store_impl", ["dirs", "manifest"])
 def test_irreversible_replay_after_commit_keeps_folded_rows(
-        spark, fx, tmp_path_factory):
+        spark, fx, tmp_path_factory, store_impl):
     """Regression (r13 review): a batch replayed AFTER its pending-dir
     commit but BEFORE the checkpoint commit (the standard at-least-once
     window) used to recompute its split against the already-swapped
@@ -259,8 +260,12 @@ def test_irreversible_replay_after_commit_keeps_folded_rows(
     The replay is authentic: after the folding run completes, the
     checkpoint's commits/N marker for the last batch is deleted —
     Structured Streaming then replays exactly that batch from its
-    offsets log on restart."""
-    d = tmp_path_factory.mktemp("irrev_replay")
+    offsets log on restart.
+
+    Parametrized over both store layouts: ``dirs`` exercises the stamp
+    fix itself; ``manifest`` (the default) turns the 'was already safe
+    via its recorded-batch-id short-circuit' claim into a pin."""
+    d = tmp_path_factory.mktemp(f"irrev_replay_{store_impl}")
     half = len(fx.blocks) // 2
     _write_batches(fx.blocks[:half], "blocks", str(d / "blocks"), 1)
     LAG = 5
@@ -270,7 +275,7 @@ def test_irreversible_replay_after_commit_keeps_folded_rows(
             P.read_block_stream(spark, str(d / "blocks")), None)
         q = P.start_ingest(ops, str(d / "ops"), str(d / "channels"),
                            str(d / "ckpt"), mode="irreversible",
-                           lib_lag=LAG, store_impl="dirs")
+                           lib_lag=LAG, store_impl=store_impl)
         q.awaitTermination(120)
 
     run()                                    # batch 0: tail rows pend
