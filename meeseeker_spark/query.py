@@ -153,11 +153,30 @@ class OpsStore:
         semantics (a retained checkpoint would otherwise short-circuit
         the re-ingest of the very keys just deleted).
 
+        The ``<path>_meta`` HWM sibling and the ``<path>_pending``
+        irreversible staging dir are dropped too (r13 review): the
+        reference's reset deletes ``{chain}:*`` (Rakefile:101-126),
+        which INCLUDES ``{chain}:meeseeker:last_block_num``
+        (block_follower_job.rb:78) — ``redis.get`` of the dropped key
+        then makes the next sync a fresh start (:111).  Leaving our
+        _meta in place broke exactly that: resolve_stream_start read
+        the STALE high-water mark and resumed past the deleted range,
+        which was then never re-ingested; a surviving _pending would
+        fold PRE-reset rows into the fresh store.  The HWM is
+        store-scoped (last_block_num aggregates max over every chain
+        in the store), so a chain-specific reset also invalidates it —
+        deleting is the conservative direction (the next sync makes a
+        fresh-start decision and re-ingests; nothing can be lost).
+        The channels store is NOT touched: the reference stores no
+        channel keys (pub/sub is transient) — our publish log is an
+        additive surface outside reset's key-drop contract.
+
         The keep filter is NULL-safe (ADVICE r6): ``chain != 'x'``
         alone would silently drop NULL-chain rows that the dir layout's
         partition drop never touched.  A store with no committed data
         resets as a no-op, matching the dirs rmtree path."""
         from .manifest import ManifestStore, is_manifest_store
+        self._drop_sync_state()
         if is_manifest_store(self.path):
             ms = ManifestStore(self.spark, self.path)
             try:
@@ -178,6 +197,17 @@ class OpsStore:
         part = os.path.join(self.path, f"chain={chain}")
         if os.path.exists(part):
             shutil.rmtree(part)
+
+    def _drop_sync_state(self) -> None:
+        """Delete the HWM (_meta) and irreversible staging (_pending)
+        siblings — reset's key-drop contract (see reset's docstring);
+        _pending's .tmp/.old swap remnants and batch-id stamp go with
+        the dir."""
+        for suffix in ("_meta", "_pending", "_pending.tmp",
+                       "_pending.old"):
+            p = self.path + suffix
+            if os.path.exists(p):
+                shutil.rmtree(p)
 
 
 class ScheduleStore:

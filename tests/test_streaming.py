@@ -300,6 +300,39 @@ def test_irreversible_replay_after_commit_keeps_folded_rows(
     assert keys_after == keys_before         # nothing lost, nothing doubled
 
 
+def test_reset_drops_hwm_and_pending(spark, fx, tmp_path_factory):
+    """Regression (r13 review): the reference's reset deletes
+    ``{chain}:*`` — which INCLUDES ``{chain}:meeseeker:last_block_num``
+    (Rakefile:101-126; block_follower_job.rb:78) — so the next sync
+    makes a fresh-start decision.  Our reset used to leave the
+    ``_meta`` HWM sibling (resolve_stream_start then resumed past the
+    deleted range, which was never re-ingested) and the ``_pending``
+    staging dir (whose pre-reset rows would fold into the fresh sync).
+    Both must go."""
+    d = tmp_path_factory.mktemp("reset_sync_state")
+    _write_batches(fx.blocks[: len(fx.blocks) // 2], "blocks",
+                   str(d / "blocks"), 1)
+    ops = P.streaming_ops(
+        P.read_block_stream(spark, str(d / "blocks")), None)
+    q = P.start_ingest(ops, str(d / "ops"), str(d / "channels"),
+                       str(d / "ckpt"), mode="irreversible", lib_lag=5)
+    q.awaitTermination(120)
+    assert P.last_block_num(spark, str(d / "ops")) is not None
+    assert (d / "ops_pending").is_dir()
+
+    from meeseeker_spark.query import OpsStore
+    OpsStore(spark, str(d / "ops")).reset("all")
+
+    assert not (d / "ops_meta").exists()
+    assert not (d / "ops_pending").exists()
+    assert P.last_block_num(spark, str(d / "ops")) is None
+    # the B10 policy now sees no HWM → fresh sync, like the reference's
+    # redis.get of the dropped key
+    decision = P.resolve_stream_start(spark, str(d / "blocks"),
+                                      str(d / "ops"))
+    assert decision.fresh_sync
+
+
 def _run_ttl_scenario(spark, d, op_fn):
     """Shared S7 TTL scenario: 3 micro-batches, a re-SET that refreshes an
     expiry, two watermark jumps.  Returns the collected output rows."""
