@@ -49,11 +49,19 @@ def main(argv: list[str] | None = None) -> int:
                          "it from --node-config (E7, meeseeker.rb:53-76)")
     ps.add_argument("--node-config",
                     help="path to a get_config JSON response for --chain auto")
+    ps.add_argument("--at-block", type=int, default=None,
+                    help="explicit first block to sync — the reference's "
+                         "`sync [chain] [block_num]` positional "
+                         "(Rakefile:54; block_follower_job.rb:106-108 / "
+                         "follower_job.rb:116-117): when given it BYPASSES "
+                         "the HWM and the --resume-policy decision, exactly "
+                         "like at_block_num there")
     ps.add_argument("--resume-policy", action="store_true",
                     help="apply the B10 skip-ahead policy: resume from the "
                          "store HWM, or start fresh at the tip when the gap "
                          "exceeds a TTL's worth of blocks "
-                         "(block_follower_job.rb:106-139)")
+                         "(block_follower_job.rb:106-139); overridden by "
+                         "--at-block")
     ps.add_argument("--ttl", type=int, default=None,
                     help="expire_keys seconds for --resume-policy "
                          "(default 86400; -1 = never skip)")
@@ -284,7 +292,14 @@ def main(argv: list[str] | None = None) -> int:
         def run_once():
             if chain.endswith("_engine"):
                 stream = P.read_engine_stream(spark, a.blocks)
-                if a.resume_policy:
+                if a.at_block is not None:
+                    # reference: an explicit at_block_num bypasses the
+                    # HWM/staleness decision (follower_job.rb:116-117)
+                    print(f"Sync from: {a.at_block}")
+                    from pyspark.sql import functions as F
+                    stream = stream.where(
+                        F.col("blockNumber") >= a.at_block)
+                elif a.resume_policy:
                     dec = P.resolve_engine_stream_start(
                         spark, a.blocks, f"{a.out}/ops", ttl_s=a.ttl)
                     # reference wording: follower_job.rb:139-143
@@ -299,7 +314,12 @@ def main(argv: list[str] | None = None) -> int:
                     chain=chain, store_impl=a.store_impl)
             else:
                 start_at = None
-                if a.resume_policy:
+                if a.at_block is not None:
+                    # reference: at_block_num bypasses HWM + policy
+                    # (block_follower_job.rb:106-108)
+                    print(f"Sync from: {a.at_block}")
+                    start_at = a.at_block
+                elif a.resume_policy:
                     dec = P.resolve_stream_start(
                         spark, a.blocks, f"{a.out}/ops", ttl_s=a.ttl)
                     # reference wording: block_follower_job.rb:133-137

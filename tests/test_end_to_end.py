@@ -118,6 +118,52 @@ def test_cli_surface(spark, tmp_path_factory, capsys):
     assert not (d / "store" / "chain=hive").exists()
 
 
+def test_cli_sync_at_block(spark, tmp_path_factory, capsys):
+    """The reference's `sync [chain] [block_num]` positional
+    (Rakefile:54 → at_block_num, block_follower_job.rb:106-108): an
+    explicit start block BYPASSES the HWM and the resume policy.  r13:
+    our sync grew the matching --at-block flag; pin that (a) only
+    blocks >= at_block land, (b) it overrides --resume-policy (which
+    would otherwise hold at the stale HWM)."""
+    from meeseeker_spark.__main__ import main
+
+    fx = fixtures.generate(n_blocks=21, seed=13)
+    d = tmp_path_factory.mktemp("cli_at_block")
+    _write_batches(fx.blocks, "blocks", str(d / "blocks"), 2)
+    mid = fx.blocks[10]["block_num"]
+
+    assert main(["sync", "--blocks", str(d / "blocks"),
+                 "--out", str(d / "out"), "--at-block", str(mid)]) == 0
+    assert f"Sync from: {mid}" in capsys.readouterr().out
+    got = sorted(r["block_num"] for r in
+                 P.ops_view(spark, str(d / "out" / "ops"))
+                 .select("block_num").distinct().collect())
+    # exactly the op-bearing blocks at/after the explicit start (a block
+    # with no transactions legitimately contributes no op rows)
+    want = sorted({o["block_num"] for o in fx.ops_expected
+                   if o["block_num"] >= mid
+                   and o["trx_id"] != "0" * 40})   # no vop stream here
+    assert got == want and want
+
+    # --at-block wins over --resume-policy: a fresh out dir, both flags,
+    # start at an even later block — the policy alone would start at the
+    # policy decision, not here
+    late = fx.blocks[15]["block_num"]
+    assert main(["sync", "--blocks", str(d / "blocks"),
+                 "--out", str(d / "out2"), "--resume-policy",
+                 "--at-block", str(late)]) == 0
+    out = capsys.readouterr().out
+    assert f"Sync from: {late}" in out
+    assert "Resuming from block" not in out and "Starting new sync" not in out
+    got2 = sorted(r["block_num"] for r in
+                  P.ops_view(spark, str(d / "out2" / "ops"))
+                  .select("block_num").distinct().collect())
+    want2 = sorted({o["block_num"] for o in fx.ops_expected
+                    if o["block_num"] >= late
+                    and o["trx_id"] != "0" * 40})
+    assert got2 == want2 and want2
+
+
 def test_cli_schedule(spark, tmp_path_factory, capsys):
     import json as _json
 
