@@ -109,6 +109,11 @@ def main(argv: list[str] | None = None) -> int:
     pf.add_argument("--schedules",
                     help="witness-schedule publish dir to include in the "
                          "unified surface (UnifiedStore)")
+    pf.add_argument("--chain", default=None,
+                    help="restrict the lookup to one chain prefix — the "
+                         "reference find task's optional chain arg "
+                         "(Rakefile:81-99; its default is the configured "
+                         "chain, ours is every chain in the store)")
 
     pc = sub.add_parser("scan", help="key-glob scan, e.g. 'hive:*:vote' or "
                                      "'hive:witness:schedule:*'")
@@ -133,12 +138,30 @@ def main(argv: list[str] | None = None) -> int:
                     help="manifest layout only: also delete unreferenced "
                          "data files and fold small commits")
 
-    pv = sub.add_parser("verify", help="D1/D2 reconciliation vs a blocks dir")
-    pv.add_argument("--store", required=True)
+    pv = sub.add_parser("verify",
+                        help="D1/D2 reconciliation vs a blocks dir, or "
+                             "--witness round verification (D4)")
+    pv.add_argument("--store",
+                    help="ops store (required except with --witness, "
+                         "which verifies schedules against blocks only)")
     pv.add_argument("--blocks", required=True)
+    pv.add_argument("--witness", action="store_true",
+                    help="verify witness-schedule rounds instead of trx "
+                         "reconciliation (Rakefile:495-643 "
+                         "verify:witness:schedule): every scheduled "
+                         "witness produced a block in its round; exit "
+                         "code = missing+extra count, the reference's "
+                         "-(missing+extra) magnitude")
+    pv.add_argument("--schedules",
+                    help="witness-schedules parquet for --witness")
     pv.add_argument("--engine", action="store_true",
                     help="sidechain D2 reconciliation (ENGINE_BLOCKS shape; "
                          "Rakefile verify:*_engine_block_org)")
+    pv.add_argument("--max-blocks", type=int, default=None,
+                    help="verify only the newest N blocks — the reference "
+                         "verify tasks' max_blocks bound (Rakefile:130-147 "
+                         "caps how many live blocks the check runs over; "
+                         "the batch analog is the newest N in --blocks)")
 
     pp = sub.add_parser(
         "prepare",
@@ -421,9 +444,9 @@ def main(argv: list[str] | None = None) -> int:
             if a.what == "block":
                 if not a.ident.isdigit():
                     p.error(f"find block needs a number, got {a.ident!r}")
-                df = store.find_block(int(a.ident))
+                df = store.find_block(int(a.ident), chain=a.chain)
             else:
-                df = store.find_trx(a.ident)
+                df = store.find_trx(a.ident, chain=a.chain)
             n = _print_rows(df)
             return 0 if n else 1
         if a.cmd == "scan":
@@ -547,13 +570,55 @@ def main(argv: list[str] | None = None) -> int:
     from .schemas import BLOCKS, ENGINE_BLOCKS
     from .verify import reconcile_blocks, reconcile_engine_blocks
 
+    if a.witness:
+        if not a.schedules:
+            p.error("verify --witness requires --schedules")
+        from pyspark.sql import functions as SF
+
+        from .schemas import WITNESS_SCHEDULES
+        from .verify import witness_rounds
+
+        spark = _spark()
+        blocks = spark.read.schema(BLOCKS).parquet(a.blocks)
+        scheds = spark.read.schema(WITNESS_SCHEDULES).parquet(a.schedules)
+        if a.max_blocks is not None:
+            tip = blocks.agg(SF.max("block_num")).first()[0]
+            if tip is not None:
+                # batch analog of the reference's max_blocks bound:
+                # verify only rounds ending in the newest N blocks
+                scheds = scheds.where(
+                    SF.col("next_shuffle_block_num")
+                    >= tip - a.max_blocks + 1)
+        rounds = witness_rounds(blocks, scheds)
+        bad = rounds.where("NOT ok").collect()
+        for r in bad:
+            print(json.dumps(r.asDict(recursive=True), default=str))
+        n_rounds = rounds.count()
+        penalty = sum(r["penalty"] for r in bad)
+        print(f"{n_rounds} rounds checked, {len(bad)} with "
+              f"missing/extra witnesses (penalty {penalty})")
+        # reference: exit(-(missing+extra)) — same magnitude, positive
+        return min(penalty, 125)
+
+    if not a.store:
+        p.error("verify requires --store (unless --witness)")
     spark = _spark()
     ops = spark.read.parquet(a.store)
+    num_col = "blockNumber" if a.engine else "block_num"
     if a.engine:
         blocks = spark.read.schema(ENGINE_BLOCKS).parquet(a.blocks)
-        rec = reconcile_engine_blocks(ops, blocks)
     else:
         blocks = spark.read.schema(BLOCKS).parquet(a.blocks)
+    if a.max_blocks is not None:
+        from pyspark.sql import functions as SF
+        tip = blocks.agg(SF.max(num_col)).first()[0]
+        if tip is not None:
+            floor_num = tip - a.max_blocks + 1
+            blocks = blocks.where(SF.col(num_col) >= floor_num)
+            ops = ops.where(SF.col("block_num") >= floor_num)
+    if a.engine:
+        rec = reconcile_engine_blocks(ops, blocks)
+    else:
         rec = reconcile_blocks(ops, blocks)
     bad = rec.where("NOT reconciled").collect()
     for r in bad:

@@ -117,6 +117,71 @@ def test_cli_surface(spark, tmp_path_factory, capsys):
     assert main(["reset", "hive", "--store", str(d / "store")]) == 0
     assert not (d / "store" / "chain=hive").exists()
 
+    # --max-blocks (r13, the reference verify tasks' bound): a store
+    # holding only the newest 10 blocks' ops fails a full-range verify
+    # (the older blocks' expected sets are empty) but passes when the
+    # check is bounded to the newest 10
+    tail_floor = fx.blocks[-10]["block_num"]
+    tail_view = view.where(f"block_num >= {tail_floor}")
+    OpsStore.write(tail_view, str(d / "tail_store"))
+    capsys.readouterr()
+    assert main(["verify", "--store", str(d / "tail_store"),
+                 "--blocks", str(d / "blocks")]) > 0
+    assert main(["verify", "--store", str(d / "tail_store"),
+                 "--blocks", str(d / "blocks"),
+                 "--max-blocks", "10"]) == 0
+    assert "10 blocks checked, 0 mismatched" in capsys.readouterr().out
+
+
+def test_cli_verify_witness_and_find_chain(spark, tmp_path_factory, capsys):
+    """r13 bin-parity additions: (a) `verify --witness` runs the D4
+    witness-round check (Rakefile:495-643 verify:witness:schedule) with
+    the reference's exit semantics — the missing+extra count (there
+    ``exit(-(missing+extra))``); (b) `find --chain` restricts the lookup
+    like the find task's optional chain arg (Rakefile:81-99)."""
+    from meeseeker_spark.__main__ import main
+    from meeseeker_spark.schemas import BLOCKS, WITNESS_SCHEDULES
+    from meeseeker_spark.verify import witness_rounds
+
+    fx = fixtures.generate(n_blocks=84, seed=13)   # several rounds, one
+    d = tmp_path_factory.mktemp("cli_witness")     # deliberately corrupted
+    _write_batches(fx.blocks, "blocks", str(d / "blocks"), 2)
+    _write_batches(fx.witness_schedules, "witness_schedules",
+                   str(d / "scheds"), 1)
+
+    rounds = witness_rounds(
+        spark.read.schema(BLOCKS).parquet(str(d / "blocks")),
+        spark.read.schema(WITNESS_SCHEDULES).parquet(str(d / "scheds")))
+    want_penalty = sum(r["penalty"] for r in
+                       rounds.where("NOT ok").collect())
+    assert want_penalty > 0            # the fixture corrupts one round
+
+    rc = main(["verify", "--witness", "--blocks", str(d / "blocks"),
+               "--schedules", str(d / "scheds")])
+    assert rc == min(want_penalty, 125)
+    assert f"penalty {want_penalty}" in capsys.readouterr().out
+
+    # --max-blocks bounds the check to rounds ending in the newest N:
+    # a window past the corrupted round verifies clean
+    last_ok_end = max(r["round_end"] for r in rounds.where("ok").collect())
+    tip = fx.blocks[-1]["block_num"]
+    if last_ok_end > tip - 21:         # newest round is clean
+        assert main(["verify", "--witness", "--blocks", str(d / "blocks"),
+                     "--schedules", str(d / "scheds"),
+                     "--max-blocks", "21"]) == 0
+
+    # find --chain: matching chain finds the key, a wrong chain finds none
+    from meeseeker_spark.flatten import flatten_blocks
+    OpsStore.write(
+        flatten_blocks(spark.read.schema(BLOCKS)
+                       .parquet(str(d / "blocks"))),
+        str(d / "store"))
+    blk = str(fx.blocks[0]["block_num"])
+    assert main(["find", "block", blk, "--store", str(d / "store"),
+                 "--chain", "hive"]) == 0
+    assert main(["find", "block", blk, "--store", str(d / "store"),
+                 "--chain", "steem"]) == 1   # no such chain in the store
+
 
 def test_cli_sync_at_block(spark, tmp_path_factory, capsys):
     """The reference's `sync [chain] [block_num]` positional
