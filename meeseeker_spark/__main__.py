@@ -122,6 +122,12 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--schedules",
                     help="witness-schedule publish dir to include in the "
                          "unified surface (UnifiedStore)")
+    pc.add_argument("--schedule-chain", default="hive",
+                    help="chain prefix the schedule publish log's derived "
+                         "keys carry (the witness:schedule task's [chain] "
+                         "arg, Rakefile:70-79; the ops side's chain is in "
+                         "its rows already, so this only names the "
+                         "schedule keys)")
 
     pr = sub.add_parser("reset", help="drop a chain partition (or all)")
     pr.add_argument("chain", nargs="?", default="all")
@@ -437,7 +443,9 @@ def main(argv: list[str] | None = None) -> int:
     if a.cmd in ("find", "scan", "reset"):
         from .query import OpsStore, UnifiedStore
         if a.cmd != "reset" and a.schedules:
-            store = UnifiedStore(_spark(), a.store, a.schedules)
+            store = UnifiedStore(
+                _spark(), a.store, a.schedules,
+                chain=getattr(a, "schedule_chain", "hive"))
         else:
             store = OpsStore(_spark(), a.store)
         if a.cmd == "find":

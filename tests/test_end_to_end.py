@@ -259,6 +259,18 @@ def test_cli_schedule(spark, tmp_path_factory, capsys):
     assert len(rows) == len(fx.witness_schedules)
     assert all(r["key"].startswith("hive:witness:schedule:") for r in rows)
     assert all(r["op_type"] is None for r in rows)
+
+    # --schedule-chain names the publish log's derived keys (r13: the
+    # witness:schedule task's [chain] arg) — same log, steem prefix
+    assert main(["scan", "steem:witness:schedule:*",
+                 "--store", str(d / "store"),
+                 "--schedules", str(d / "out" / "schedules"),
+                 "--schedule-chain", "steem"]) == 0
+    rows2 = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("{")]
+    assert len(rows2) == len(fx.witness_schedules)
+    assert all(r["key"].startswith("steem:witness:schedule:")
+               for r in rows2)
     # ops globs don't leak schedule rows through the unified surface
     assert main(["scan", "hive:*:vote", "--store", str(d / "store"),
                  "--schedules", str(d / "out" / "schedules")]) == 0
