@@ -114,6 +114,13 @@ def main(argv: list[str] | None = None) -> int:
                          "reference find task's optional chain arg "
                          "(Rakefile:81-99; its default is the configured "
                          "chain, ours is every chain in the store)")
+    pf.add_argument("--schedule-chain", default="hive",
+                    help="chain prefix the schedule publish log's derived "
+                         "keys carry (same as scan's; without it the "
+                         "unified find surface always labeled schedule "
+                         "rows 'hive', so `find --chain <other> "
+                         "--schedules` could never match them — ADVICE "
+                         "r13)")
 
     pc = sub.add_parser("scan", help="key-glob scan, e.g. 'hive:*:vote' or "
                                      "'hive:witness:schedule:*'")
@@ -602,9 +609,16 @@ def main(argv: list[str] | None = None) -> int:
         for r in bad:
             print(json.dumps(r.asDict(recursive=True), default=str))
         n_rounds = rounds.count()
+        # witness_rounds verifies only rounds fully covered by --blocks
+        # (ADVICE r13: a round straddling the capture tip must not flag
+        # its not-yet-captured witnesses); surface what it skipped so a
+        # clean exit over a short capture is not mistaken for a full one
+        n_skipped = scheds.count() - n_rounds
         penalty = sum(r["penalty"] for r in bad)
         print(f"{n_rounds} rounds checked, {len(bad)} with "
-              f"missing/extra witnesses (penalty {penalty})")
+              f"missing/extra witnesses (penalty {penalty})"
+              + (f"; {n_skipped} rounds skipped (not fully covered by "
+                 f"--blocks)" if n_skipped else ""))
         # reference: exit(-(missing+extra)) — same magnitude, positive
         return min(penalty, 125)
 

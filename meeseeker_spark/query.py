@@ -165,8 +165,12 @@ class OpsStore:
         fold PRE-reset rows into the fresh store.  The HWM is
         store-scoped (last_block_num aggregates max over every chain
         in the store), so a chain-specific reset also invalidates it —
-        deleting is the conservative direction (the next sync makes a
-        fresh-start decision and re-ingests; nothing can be lost).
+        deleting is the conservative direction: the next sync makes a
+        fresh-START decision exactly like the reference's
+        reset-then-new-sync (with no HWM, resolve_start_block under
+        ``--resume-policy`` SKIPS AHEAD to the tip — it does not
+        backfill the deleted range; a full re-ingest requires syncing
+        without ``--resume-policy``, or an explicit ``--at-block``).
         The channels store is NOT touched: the reference stores no
         channel keys (pub/sub is transient) — our publish log is an
         additive surface outside reset's key-drop contract.

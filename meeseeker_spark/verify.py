@@ -127,21 +127,47 @@ def witness_rounds(blocks: DataFrame, schedules: DataFrame) -> DataFrame:
     ``sequence()`` + explode; actual witnesses come from the block headers;
     missing/extra via array_except both ways.  Exit-code semantics
     (−(missing+extra)) are preserved in ``penalty``.
+
+    Only rounds FULLY covered by ``blocks`` are verified (ADVICE r13):
+    the reference runs live and waits for each round's headers
+    (Rakefile:552-643 polls until the blocks exist), so a batch check
+    over a bounded capture must not grade a round the capture only
+    partially holds — a round straddling the capture tip would flag its
+    not-yet-captured witnesses as "missing" (false alarm), and one
+    entirely outside it would silently vanish through an inner join
+    (false clean).  Coverage = ``round_start >= min(block_num) AND
+    round_end <= max(block_num)`` over the capture, attached as a
+    broadcast 1-row bound (no driver collect — scale-safe).  Within a
+    covered range, the header join is LEFT, so a covered round whose
+    blocks are absent (an interior capture gap) reports every scheduled
+    witness missing instead of disappearing.  Skipped (uncovered)
+    rounds are the caller's ``schedules.count() − result.count()`` —
+    one schedule row is one round.
     """
-    rounds = schedules.select(
-        "id",
-        F.col("next_shuffle_block_num").alias("round_end"),
-        F.col("current_shuffled_witnesses").alias("scheduled"),
-        F.explode(
-            F.sequence(
-                F.col("next_shuffle_block_num") - (WITNESS_ROUND - 1),
-                F.col("next_shuffle_block_num"),
-            )
-        ).alias("block_num"),
+    bounds = blocks.agg(
+        F.min("block_num").alias("_cov_min"),
+        F.max("block_num").alias("_cov_max"),
+    )
+    round_start = F.col("next_shuffle_block_num") - (WITNESS_ROUND - 1)
+    rounds = (
+        schedules.crossJoin(F.broadcast(bounds))
+        .where((round_start >= F.col("_cov_min"))
+               & (F.col("next_shuffle_block_num") <= F.col("_cov_max")))
+        .select(
+            "id",
+            F.col("next_shuffle_block_num").alias("round_end"),
+            F.col("current_shuffled_witnesses").alias("scheduled"),
+            F.explode(
+                F.sequence(round_start, F.col("next_shuffle_block_num"))
+            ).alias("block_num"),
+        )
     )
     headers = blocks.select("block_num", "witness")
+    # left join: collect_set ignores the NULL witnesses of unmatched
+    # blocks, so a covered round with zero captured blocks groups to an
+    # empty actual set (= all scheduled witnesses missing)
     actual = (
-        rounds.join(headers, "block_num")
+        rounds.join(headers, "block_num", "left")
         .groupBy("id", "round_end", "scheduled")
         .agg(F.collect_set("witness").alias("actual"))
     )

@@ -169,6 +169,17 @@ def test_cli_verify_witness_and_find_chain(spark, tmp_path_factory, capsys):
         assert main(["verify", "--witness", "--blocks", str(d / "blocks"),
                      "--schedules", str(d / "scheds"),
                      "--max-blocks", "21"]) == 0
+        capsys.readouterr()
+
+    # a capture whose tip cuts a round mid-way (ADVICE r13): the
+    # straddling round is SKIPPED and reported, not flagged missing —
+    # the exit code stays the corrupted round's penalty alone
+    _write_batches(fx.blocks[:-10], "blocks", str(d / "blocks_cut"), 2)
+    rc = main(["verify", "--witness", "--blocks", str(d / "blocks_cut"),
+               "--schedules", str(d / "scheds")])
+    assert rc == min(want_penalty, 125)     # no false 'missing' from the cut
+    out = capsys.readouterr().out
+    assert "1 rounds skipped (not fully covered by --blocks)" in out
 
     # find --chain: matching chain finds the key, a wrong chain finds none
     from meeseeker_spark.flatten import flatten_blocks
@@ -271,6 +282,23 @@ def test_cli_schedule(spark, tmp_path_factory, capsys):
     assert len(rows2) == len(fx.witness_schedules)
     assert all(r["key"].startswith("steem:witness:schedule:")
                for r in rows2)
+
+    # find inherits --schedule-chain (ADVICE r13: without it the unified
+    # find surface always labeled schedule rows 'hive', so
+    # `find block N --chain steem --schedules ...` could never match a
+    # steem publish log's keys)
+    rend = str(fx.witness_schedules[0]["next_shuffle_block_num"])
+    assert main(["find", "block", rend, "--store", str(d / "store"),
+                 "--schedules", str(d / "out" / "schedules"),
+                 "--chain", "steem", "--schedule-chain", "steem"]) == 0
+    frows = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("{")]
+    assert frows and all(r["key"].startswith("steem:witness:schedule:")
+                         for r in frows)
+    assert main(["find", "block", rend, "--store", str(d / "store"),
+                 "--schedules", str(d / "out" / "schedules"),
+                 "--chain", "steem"]) == 1   # default label is hive
+    capsys.readouterr()
     # ops globs don't leak schedule rows through the unified surface
     assert main(["scan", "hive:*:vote", "--store", str(d / "store"),
                  "--schedules", str(d / "out" / "schedules")]) == 0

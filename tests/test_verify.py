@@ -85,6 +85,65 @@ def test_d4_rounds_exact_except_corrupted(dfs, fx):
             assert r["ok"], f"round {rid}: missing={r['missing']} extra={r['extra']}"
 
 
+def test_d4_straddling_round_skipped_not_flagged(dfs, fx):
+    """ADVICE r13: a round only PARTIALLY covered by the capture (the
+    in-flight round of any live capture tip, or a trimmed head) is
+    SKIPPED — it must not flag its not-yet-captured witnesses as
+    missing (false alarm), and must not silently vanish into an exit-0
+    full-coverage claim (the caller reports the skip count)."""
+    all_ids = {s["id"] for s in fx.witness_schedules}
+    last = max(all_ids)
+    first = min(all_ids)
+
+    # trim 10 blocks off the capture TIP → the final round straddles
+    tip = dfs["blocks"].agg(F.max("block_num")).first()[0]
+    trimmed = dfs["blocks"].where(F.col("block_num") <= tip - 10)
+    res = {r["id"]: r for r in
+           verify.witness_rounds(trimmed, dfs["sched"]).collect()}
+    assert last not in res                    # straddler skipped, not graded
+    assert set(res) == all_ids - {last}       # every covered round graded
+    # the surviving rounds grade exactly as before (penalties unchanged)
+    assert all(r["ok"] for rid, r in res.items()
+               if rid != fx.corrupted_round)
+
+    # trim 10 blocks off the capture HEAD → the first round straddles
+    lo = dfs["blocks"].agg(F.min("block_num")).first()[0]
+    res2 = {r["id"] for r in verify.witness_rounds(
+        dfs["blocks"].where(F.col("block_num") >= lo + 10),
+        dfs["sched"]).collect()}
+    assert first not in res2 and res2 == all_ids - {first}
+
+
+def test_d4_interior_gap_counts_all_missing(dfs, fx):
+    """ADVICE r13's second failure mode: a round whose blocks are
+    ENTIRELY absent but which lies inside the capture's [min, max]
+    bounds (an interior gap) used to vanish through the inner header
+    join — a whole-round hole exited 0.  The left join makes it grade
+    as all-scheduled-missing instead."""
+    from meeseeker_spark.verify import WITNESS_ROUND
+
+    victim = next(s for s in fx.witness_schedules
+                  if s["id"] not in (0, fx.corrupted_round,
+                                     len(fx.witness_schedules) - 1))
+    end = victim["next_shuffle_block_num"]
+    gapped = dfs["blocks"].where(
+        ~F.col("block_num").between(end - (WITNESS_ROUND - 1), end))
+    res = {r["id"]: r for r in
+           verify.witness_rounds(gapped, dfs["sched"]).collect()}
+    assert victim["id"] in res                # still graded, not dropped
+    r = res[victim["id"]]
+    assert not r["ok"] and r["extra"] == []
+    assert sorted(r["missing"]) == sorted(
+        set(victim["current_shuffled_witnesses"]))
+
+
+def test_d4_empty_blocks_grades_nothing(spark, dfs):
+    """No capture → no covered rounds (NULL bounds filter everything);
+    the caller reports every round skipped rather than all-missing."""
+    empty = dfs["blocks"].limit(0)
+    assert verify.witness_rounds(empty, dfs["sched"]).count() == 0
+
+
 def test_d5_sample_deterministic(dfs):
     a = verify.sample_audit(dfs["ops"], k=10).collect()
     b = verify.sample_audit(dfs["ops"], k=10).collect()
