@@ -22,6 +22,7 @@ Choices mapped from the reference:
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -87,8 +88,24 @@ def _recover_pending(pending: str) -> None:
         shutil.rmtree(pending + ".tmp")
 
 
+def _checkpoint_stream_id(checkpoint: str) -> str | None:
+    """The stream's identity for the pending-dir stamp: Structured
+    Streaming writes ``<checkpoint>/metadata`` = ``{"id": "<uuid>"}`` at
+    the FIRST start of a query and keeps it across every restart of the
+    same checkpoint — exactly the lifetime of the batch-id sequence the
+    stamp's replay detector compares against.  ``None`` if unreadable
+    (foreachBatch only fires after Spark wrote it, so that is a non-
+    checkpointed caller, e.g. a unit test driving the gate directly)."""
+    try:
+        with open(os.path.join(checkpoint, "metadata")) as f:
+            return json.load(f)["id"]
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
 def _irreversible_gate(batch_df: DataFrame, pending: str, lib_lag: int,
-                       batch_id: int | None = None):
+                       batch_id: int | None = None,
+                       stream_id: str | None = None):
     """Read-committed micro-batch gate (stream mode ``irreversible``,
     block_follower_job.rb:113-123): the reference simply never fetches past
     ``last_irreversible_block_num``, and re-polls the held-back range once
@@ -115,17 +132,48 @@ def _irreversible_gate(batch_df: DataFrame, pending: str, lib_lag: int,
     append).  ``commit()`` therefore stamps the new pending dir with the
     batch id that produced it; a replay seeing its own stamp returns
     ``(None, None)`` and the caller skips every output — by protocol
-    order the stamp exists only after all of them landed.  (Same
-    fresh-checkpoint caveat as the dirs layout itself: a NEW stream on a
-    restarted batch-id sequence must not be pointed at a stale pending
-    dir.)"""
+    order the stamp exists only after all of them landed.
+
+    The stamp also carries the STREAM identity (the checkpoint's query
+    id) so a stale pending dir cannot masquerade as a replay (r13's
+    documented blind spot, now a loud failure instead of silent data
+    loss): a NEW stream restarts its batch ids at 0, so pointed at a
+    store whose ``_pending`` survives from an earlier stream, batch 0's
+    id can EQUAL the stale stamp — the batch-only detector would
+    silently drop real early triggers.  Two guards close it: a stamp
+    whose stream id differs from the running stream's raises, and a
+    stamp whose batch id is AHEAD of the current one (impossible within
+    one checkpoint's monotone sequence, so necessarily stale — also the
+    only signal available for pre-upgrade single-line stamps) raises
+    too.  Recovery is explicit: ``reset`` the store, delete the stale
+    ``_pending``, or resume the original checkpoint."""
     spark = batch_df.sparkSession
     _recover_pending(pending)
     stamp = os.path.join(pending, _PENDING_STAMP)
     if batch_id is not None and os.path.exists(stamp):
         with open(stamp) as f:
-            if f.read().strip() == str(batch_id):
-                return None, None      # this batch's commit already landed
+            lines = f.read().splitlines()
+        stamp_batch = int(lines[0])
+        stamp_stream = lines[1] if len(lines) > 1 and lines[1] else None
+        if (stamp_stream is not None and stream_id is not None
+                and stamp_stream != stream_id):
+            raise RuntimeError(
+                f"stale pending dir: {pending} was produced by a "
+                f"different stream (stamp stream id {stamp_stream}, "
+                f"this stream {stream_id}). A fresh checkpoint restarts "
+                "batch ids at 0, so trusting this stamp could silently "
+                "skip real triggers. Reset the store, delete the stale "
+                "_pending dir, or resume the original checkpoint.")
+        if stamp_batch > batch_id:
+            raise RuntimeError(
+                f"stale pending dir: {pending} is stamped with batch "
+                f"{stamp_batch}, ahead of this stream's batch "
+                f"{batch_id} — batch ids are monotone within one "
+                "checkpoint, so this pending dir belongs to an earlier "
+                "stream. Reset the store, delete the stale _pending "
+                "dir, or resume the original checkpoint.")
+        if stamp_batch == batch_id:
+            return None, None      # this batch's commit already landed
     rows = batch_df
     if os.path.isdir(pending):
         rows = rows.unionByName(
@@ -141,9 +189,11 @@ def _irreversible_gate(batch_df: DataFrame, pending: str, lib_lag: int,
     if batch_id is not None:
         # stamped INSIDE the tmp dir so it becomes visible atomically
         # with the swap itself ("_"-prefixed → invisible to the parquet
-        # reader, like _SUCCESS)
+        # reader, like _SUCCESS); line 2 is the producing stream's
+        # identity (absent only for direct non-checkpointed callers)
         with open(os.path.join(pending + ".tmp", _PENDING_STAMP), "w") as f:
-            f.write(str(batch_id))
+            f.write(str(batch_id) if stream_id is None
+                    else f"{batch_id}\n{stream_id}")
 
     def commit() -> None:
         if os.path.isdir(pending):
@@ -190,11 +240,16 @@ def start_ingest(ops_stream: DataFrame, ops_path: str, channels_path: str,
         raise ValueError(f"Unknown stream mode: {mode}")
     _write = _batch_writer(store_impl)
 
+    stream_id_cache: list[str | None] = []
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         commit = None
         if mode == "irreversible":
+            if not stream_id_cache:    # read once; stable for the query
+                stream_id_cache.append(_checkpoint_stream_id(checkpoint))
             batch_df, commit = _irreversible_gate(
-                batch_df, ops_path + "_pending", lib_lag, batch_id)
+                batch_df, ops_path + "_pending", lib_lag, batch_id,
+                stream_id=stream_id_cache[0])
             if batch_df is None:
                 # replay of a batch whose pending commit already landed —
                 # by protocol order every output landed before it, so the

@@ -283,11 +283,31 @@ def test_irreversible_replay_after_commit_keeps_folded_rows(
     for f in glob.glob(str(d / "blocks2" / "*.parquet")):
         os.rename(f, str(d / "blocks" / ("late-" + os.path.basename(f))))
     run()                                    # batch 1: pending rows fold in
-    keys_before = sorted(
-        r["key"] for r in P.ops_view(spark, str(d / "ops")).collect())
-    assert keys_before                       # the fold actually happened
+
+    def snapshot():
+        """All three sinks: ops keys, channel rows, _meta HWM rows —
+        the replay symmetry claim covers every output of the trigger,
+        not just the ops store (VERDICT r13 item 1)."""
+        ops = sorted(
+            r["key"] for r in P.ops_view(spark, str(d / "ops")).collect())
+        chans = sorted(
+            tuple(r) for r in
+            P.channel_events_view(spark, str(d / "channels")).collect())
+        meta = sorted(
+            tuple(r) for r in
+            P._batched_view(spark, str(d / "ops") + "_meta", None).collect())
+        return ops, chans, meta
+
+    before = snapshot()
+    assert before[0] and before[1] and before[2]   # every sink populated
     stamp = d / "ops_pending" / "_produced_by_batch"
-    assert stamp.read_text() == "1"
+    stamp_lines = stamp.read_text().splitlines()
+    assert stamp_lines[0] == "1"
+    # line 2 is the stream identity (the checkpoint's query id) — the
+    # r14 stale-pending guard input
+    import json as _json
+    with open(d / "ckpt" / "metadata") as f:
+        assert stamp_lines[1] == _json.load(f)["id"]
 
     # crash window: the pending swap committed, the checkpoint didn't
     os.remove(d / "ckpt" / "commits" / "1")
@@ -295,9 +315,132 @@ def test_irreversible_replay_after_commit_keeps_folded_rows(
     if crc.exists():
         os.remove(crc)
     run()                                    # Spark replays batch 1
-    keys_after = sorted(
-        r["key"] for r in P.ops_view(spark, str(d / "ops")).collect())
-    assert keys_after == keys_before         # nothing lost, nothing doubled
+    # the replay skips the WHOLE trigger exactly once: ops, channels and
+    # _meta are all byte-identical — nothing lost, nothing doubled
+    assert snapshot() == before
+
+
+@pytest.mark.parametrize("store_impl", ["dirs", "manifest"])
+def test_irreversible_replay_before_commit_all_sinks_converge(
+        spark, fx, tmp_path_factory, store_impl, monkeypatch):
+    """The other replay window (VERDICT r13 item 1): a crash AFTER every
+    output landed but BEFORE the pending-dir commit — Structured
+    Streaming replays the batch against the UNCHANGED pending dir, so
+    the recomputed split is identical and the rewrite is idempotent
+    (batch_id=N overwrite under ``dirs``; recorded-batch-id
+    short-circuit under ``manifest``).  Pin it end-to-end by comparing
+    ALL THREE sinks (ops keys, channel rows, _meta rows) of a crashed-
+    then-recovered run against a crash-free control run.
+
+    The crash is authentic: the sink's ``commit()`` raises on the
+    designated batch, failing the trigger after the ops/channel/_meta
+    writes completed, exactly the pre-commit half of the at-least-once
+    window."""
+    d = tmp_path_factory.mktemp(f"irrev_precommit_{store_impl}")
+    half = len(fx.blocks) // 2
+    LAG = 5
+
+    def scenario(root, crash: bool):
+        os.makedirs(root / "blocks")
+        _write_batches(fx.blocks[:half], "blocks", str(root / "b1"), 1)
+        for f in glob.glob(str(root / "b1" / "*.parquet")):
+            os.rename(f, str(root / "blocks" / os.path.basename(f)))
+
+        def run():
+            ops = P.streaming_ops(
+                P.read_block_stream(spark, str(root / "blocks")), None)
+            q = P.start_ingest(ops, str(root / "ops"),
+                               str(root / "channels"), str(root / "ckpt"),
+                               mode="irreversible", lib_lag=LAG,
+                               store_impl=store_impl)
+            q.awaitTermination(120)
+
+        run()                            # batch 0: tail rows pend
+        _write_batches(fx.blocks[half:], "blocks", str(root / "b2"), 1)
+        for f in glob.glob(str(root / "b2" / "*.parquet")):
+            os.rename(f, str(root / "blocks" /
+                             ("late-" + os.path.basename(f))))
+        if crash:
+            real_gate = P._irreversible_gate
+
+            def exploding_gate(batch_df, pending, lib_lag, batch_id=None,
+                               stream_id=None):
+                final_df, commit = real_gate(batch_df, pending, lib_lag,
+                                             batch_id, stream_id=stream_id)
+
+                def exploding_commit():
+                    raise RuntimeError("injected crash before commit")
+                return final_df, exploding_commit
+
+            monkeypatch.setattr(P, "_irreversible_gate", exploding_gate)
+            with pytest.raises(Exception, match="injected crash"):
+                run()                    # outputs landed, commit lost
+            monkeypatch.setattr(P, "_irreversible_gate", real_gate)
+        run()                            # (re)plays batch 1 cleanly
+        ops = sorted(r["key"] for r in
+                     P.ops_view(spark, str(root / "ops")).collect())
+        chans = sorted(tuple(r) for r in P.channel_events_view(
+            spark, str(root / "channels")).collect())
+        meta = sorted(tuple(r) for r in P._batched_view(
+            spark, str(root / "ops") + "_meta", None).collect())
+        return ops, chans, meta
+
+    control = scenario(d / "control", crash=False)
+    crashed = scenario(d / "crashed", crash=True)
+    assert control[0] and control[1] and control[2]
+    assert crashed == control      # all three sinks converge byte-identical
+
+
+def test_stale_pending_fresh_checkpoint_raises(spark, fx,
+                                               tmp_path_factory):
+    """Regression (VERDICT r13 item 2 / ADVICE r13): a NEW stream (fresh
+    checkpoint — batch ids restart at 0) pointed at a store with a
+    surviving ``_pending`` dir used to trust the stale stamp: batch 0's
+    id can EQUAL the stamp's, so the replay detector silently skipped a
+    REAL first trigger (silent data drop).  The stamp now carries the
+    producing stream's identity and the gate fails loudly on a
+    mismatch instead."""
+    d = tmp_path_factory.mktemp("stale_pending")
+    _write_batches(fx.blocks, "blocks", str(d / "blocks"), 1)
+
+    def run(ckpt):
+        ops = P.streaming_ops(
+            P.read_block_stream(spark, str(d / "blocks")), None)
+        q = P.start_ingest(ops, str(d / "ops"), str(d / "channels"),
+                           str(ckpt), mode="irreversible", lib_lag=5)
+        q.awaitTermination(120)
+
+    run(d / "ckpt1")                     # leaves a stamped _pending
+    stamp = (d / "ops_pending" / "_produced_by_batch").read_text()
+    assert len(stamp.splitlines()) == 2  # batch id + stream id
+
+    # the misuse: same store, FRESH checkpoint → its batch 0 matches the
+    # stale stamp's batch 0; without the stream-id line this silently
+    # dropped the trigger — now it must refuse loudly
+    with pytest.raises(Exception, match="stale pending"):
+        run(d / "ckpt2")
+
+    # recovery path named in the error: drop the stale _pending
+    import shutil
+    shutil.rmtree(d / "ops_pending")
+    run(d / "ckpt3")                     # fresh stream proceeds
+
+
+def test_stale_pending_legacy_stamp_ahead_raises(spark, fx,
+                                                 tmp_path_factory):
+    """Pre-upgrade stamps carry only the batch id; for those the only
+    stale signal is a stamp AHEAD of the current batch (impossible
+    within one checkpoint's monotone sequence).  The gate must raise,
+    not fold or skip."""
+    d = tmp_path_factory.mktemp("stale_pending_legacy")
+    _write_batches(fx.blocks[:6], "blocks", str(d / "blocks"), 1)
+    os.makedirs(d / "ops_pending")
+    # a legacy single-line stamp from a long-lived earlier stream
+    (d / "ops_pending" / "_produced_by_batch").write_text("7")
+    df = spark.read.schema(BLOCKS).parquet(str(d / "blocks"))
+    with pytest.raises(RuntimeError, match="ahead of this stream"):
+        P._irreversible_gate(flatten_blocks(df), str(d / "ops_pending"),
+                             5, batch_id=0, stream_id="fresh-stream")
 
 
 def test_reset_drops_hwm_and_pending(spark, fx, tmp_path_factory):
