@@ -529,3 +529,91 @@ def test_commit_collision_raises_and_keeps_winner(spark, tmp_path):
     assert not [f for f in os.listdir(os.path.join(str(tmp_path / "m"),
                                                    "_manifest"))
                 if f.startswith(".tmp-")]
+
+
+# one racer per OS process: both read the SAME base manifest version,
+# rendezvous on a filesystem barrier, then race the os.link CAS.  A
+# subprocess (not fork) keeps the parent's JVM/py4j state out of the
+# children; the child needs no SparkSession — the CAS is pure
+# filesystem protocol over already-staged files.
+_CAS_RACER = r"""
+import os, sys, time
+sys.path.insert(0, sys.argv[6])
+from meeseeker_spark.manifest import ManifestStore
+path, staged_csv, bid, ready_dir, tag = sys.argv[1:6]
+ms = ManifestStore(None, path)
+prev = ms._read_manifest()
+open(os.path.join(ready_dir, tag), "w").close()
+deadline = time.time() + 30
+while len(os.listdir(ready_dir)) < 2:          # barrier: same base version
+    if time.time() > deadline:
+        sys.exit("barrier timeout")
+    time.sleep(0.005)
+try:
+    ms._commit(prev["files"] + staged_csv.split(","),
+               prev["batch_ids"] + [int(bid)], prev["version"])
+    print("won")
+except RuntimeError as e:
+    print("lost: " + str(e)[:100])
+"""
+
+
+def test_manifest_cas_two_process_race(spark, tmp_path):
+    """VERDICT r13 item 3: the r13 os.link compare-and-swap is contract-
+    tested in-process (test_commit_collision_raises_and_keeps_winner
+    freezes the loser's view by hand); prove it CROSS-PROCESS — two OS
+    processes that genuinely read the same base version and race the
+    link.  Exactly one must win, the loser must raise (not silently
+    replace), the surviving manifest must reference only staged files
+    that exist, and gc() must sweep the loser's orphaned staging."""
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = str(tmp_path / "m")
+    store = ManifestStore(spark, path)
+    store.append(_rows(spark, [1, 2]), batch_id=0)
+    base_v = store.current_version()
+
+    # stage both contenders with the parent's Spark; neither is visible
+    # (readers see only committed manifests) until a racer links it in
+    staged_a = store._stage(_rows(spark, [10, 11]))
+    staged_b = store._stage(_rows(spark, [20]))
+    assert staged_a and staged_b
+
+    ready = tmp_path / "ready"
+    os.makedirs(ready)
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", _CAS_RACER, path, ",".join(staged),
+             str(bid), str(ready), tag, repo],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for staged, bid, tag in ((staged_a, 1, "a"), (staged_b, 2, "b"))
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err
+        outs.append(out.strip())
+    assert sorted(o.split(":")[0] for o in outs) == ["lost", "won"]
+
+    # exactly one commit landed: version advanced by exactly 1, and the
+    # surviving manifest references the winner's files (all present on
+    # disk) and none of the loser's
+    survivor = ManifestStore(spark, path)
+    assert survivor.current_version() == base_v + 1
+    files = survivor.files()
+    assert all(os.path.exists(os.path.join(path, f)) for f in files)
+    a_in, b_in = set(staged_a) <= set(files), set(staged_b) <= set(files)
+    assert a_in != b_in                          # one, not both, not neither
+    winner_rows = {10, 11} if a_in else {20}
+    assert {r["id"] for r in survivor.df().collect()} == {1, 2} | winner_rows
+
+    # the loser's staging is an invisible orphan until gc() sweeps it —
+    # the documented no-leak path (manifest.py module docstring: crashes
+    # and losers only leave garbage, never corrupt references)
+    loser = staged_b if a_in else staged_a
+    assert all(os.path.exists(os.path.join(path, f)) for f in loser)
+    survivor.gc()
+    assert not any(os.path.exists(os.path.join(path, f)) for f in loser)
+    assert {r["id"] for r in survivor.df().collect()} == {1, 2} | winner_rows
