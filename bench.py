@@ -71,7 +71,22 @@ def main() -> None:
         with open("/proc/loadavg") as f:
             return [float(x) for x in f.read().split()[:3]]
 
+    # Quiet-box protocol (VERDICT r13 item 4): the band adjudication is
+    # now IN the artifact, not a ROUND_NOTES ritual.  At warmup this
+    # process has burned ~no CPU yet, so the 1-min load is external
+    # work; above ~1.5 the box is demonstrably busy (r12/r13 A/B: an
+    # external ~3.5-core load inflates every query 5-29% uniformly) —
+    # sleep once and re-probe to let a transient settle, then classify
+    # the run "clean" or "loaded" so BENCH_rN is self-adjudicating.
+    LOADED_THRESHOLD = 1.5
     load_at_warmup = _load_avg()
+    load_reprobe = None
+    if load_at_warmup[0] > LOADED_THRESHOLD:
+        time.sleep(60)
+        load_reprobe = _load_avg()
+    effective_load = load_reprobe or load_at_warmup
+    band_adjudication = ("clean" if effective_load[0] <= LOADED_THRESHOLD
+                         else "loaded")
 
     # warm the JVM/codegen path and every input's file listing + parquet
     # footer (count() is metadata-served) so timings measure steady-state
@@ -200,8 +215,13 @@ def main() -> None:
             # plus the cpu count they're relative to — the band-break
             # adjudication inputs (see the note at capture site)
             "load_avg_at_warmup": load_at_warmup,
+            "load_avg_reprobe": load_reprobe,   # set iff warmup > threshold
             "load_avg_at_end": _load_avg(),
             "n_cpus": os.cpu_count(),
+            # "clean": timings are band-comparable; "loaded": external
+            # load persisted through a 60 s settle — read the band's
+            # upper half / prior A-B drift notes before suspecting plans
+            "band_adjudication": band_adjudication,
         },
     }))
     spark.stop()
