@@ -14,6 +14,13 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "sf1: opt-in scale-exactness gate at the derived sf1 "
+        "(SPARK_GRAFT_SF1=1; see tests/test_sf1_exactness.py)")
+
+
 @pytest.fixture(scope="session")
 def spark():
     from meeseeker_spark.session import get_spark

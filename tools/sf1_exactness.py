@@ -56,6 +56,40 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 NAMES = THRESHOLD_BEARING
 
 
+def check_entry(spark, con, queries, oracles, name, sf_dir,
+                tmp="/tmp/sf1_exactness_spark_out"):
+    """One entry's Spark-vs-DuckDB bag-equality diff at ``sf_dir``:
+    Spark writes the result to parquet (columns sorted by name), DuckDB
+    EXCEPT-ALLs it against the oracle both ways — native-typed, in-
+    engine, O(seconds) where the r13 collect-to-driver compare burned
+    44 CPU-minutes.  Returns (ok, n_spark, n_oracle, n_diff, t_spark,
+    t_duck).  Shared by the CLI sweep and the opt-in ``-m sf1`` pytest
+    gate (VERDICT r13 item 5)."""
+    t0 = time.time()
+    sdf = queries[name](spark, sf_dir)
+    cols = sorted(sdf.columns)
+    shutil.rmtree(tmp, ignore_errors=True)
+    sdf.select(*cols).write.mode("overwrite").parquet(tmp)
+    t_spark = time.time() - t0
+    t0 = time.time()
+    order = ", ".join(f'"{c}"' for c in cols)
+    n_spark, n_diff = con.execute(f"""
+        WITH s AS (SELECT {order}
+                   FROM read_parquet('{tmp}/*.parquet')),
+             d AS (SELECT {order} FROM ({oracles[name]}))
+        SELECT (SELECT count(*) FROM s),
+               (SELECT count(*) FROM (
+                    (SELECT * FROM s EXCEPT ALL SELECT * FROM d)
+                    UNION ALL
+                    (SELECT * FROM d EXCEPT ALL SELECT * FROM s)))
+    """).fetchone()
+    n_oracle = con.execute(
+        f"SELECT count(*) FROM ({oracles[name]})").fetchone()[0]
+    t_duck = time.time() - t0
+    ok = (n_diff == 0) and (n_spark == n_oracle)
+    return ok, n_spark, n_oracle, n_diff, t_spark, t_duck
+
+
 def main() -> int:
     args = sys.argv[1:]
     sf_dir = args.pop(0) if args and "/" in args[0] else str(
@@ -78,31 +112,10 @@ def main() -> int:
     names = args if args else sorted(o)
 
     bad = []
-    tmp = "/tmp/sf1_exactness_spark_out"
     for name in names:
-        t0 = time.time()
         try:
-            sdf = q[name](spark, sf_dir)
-            cols = sorted(sdf.columns)
-            shutil.rmtree(tmp, ignore_errors=True)
-            sdf.select(*cols).write.mode("overwrite").parquet(tmp)
-            t_spark = time.time() - t0
-            t0 = time.time()
-            order = ", ".join(f'"{c}"' for c in cols)
-            n_spark, n_diff = con.execute(f"""
-                WITH s AS (SELECT {order}
-                           FROM read_parquet('{tmp}/*.parquet')),
-                     d AS (SELECT {order} FROM ({o[name]}))
-                SELECT (SELECT count(*) FROM s),
-                       (SELECT count(*) FROM (
-                            (SELECT * FROM s EXCEPT ALL SELECT * FROM d)
-                            UNION ALL
-                            (SELECT * FROM d EXCEPT ALL SELECT * FROM s)))
-            """).fetchone()
-            n_oracle = con.execute(
-                f"SELECT count(*) FROM ({o[name]})").fetchone()[0]
-            t_duck = time.time() - t0
-            ok = (n_diff == 0) and (n_spark == n_oracle)
+            ok, n_spark, n_oracle, n_diff, t_spark, t_duck = check_entry(
+                spark, con, q, o, name, sf_dir)
         except Exception as e:  # report and keep sweeping
             bad.append(name)
             print(f"{name}: ERROR {type(e).__name__}: {str(e)[:300]}",
