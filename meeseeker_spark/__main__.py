@@ -604,21 +604,35 @@ def main(argv: list[str] | None = None) -> int:
                 scheds = scheds.where(
                     SF.col("next_shuffle_block_num")
                     >= tip - a.max_blocks + 1)
-        rounds = witness_rounds(blocks, scheds)
-        bad = rounds.where("NOT ok").collect()
+        # one row per round → one collect serves bad, the count AND the
+        # penalty (the where+count pair re-ran the explode+join twice)
+        rows = witness_rounds(blocks, scheds).collect()
+        bad = [r for r in rows if not r["ok"]]
         for r in bad:
             print(json.dumps(r.asDict(recursive=True), default=str))
-        n_rounds = rounds.count()
         # witness_rounds verifies only rounds fully covered by --blocks
         # (ADVICE r13: a round straddling the capture tip must not flag
         # its not-yet-captured witnesses); surface what it skipped so a
-        # clean exit over a short capture is not mistaken for a full one
-        n_skipped = scheds.count() - n_rounds
+        # clean exit over a short capture is not mistaken for a full
+        # one.  DISTINCT rounds: a raw (non-publish-log) capture can
+        # re-deliver a schedule row, which the groupBy merges — counting
+        # raw rows would report phantom skips (r14 review).
+        n_total = scheds.select("id", "next_shuffle_block_num") \
+            .distinct().count()
+        n_skipped = n_total - len(rows)
         penalty = sum(r["penalty"] for r in bad)
-        print(f"{n_rounds} rounds checked, {len(bad)} with "
+        print(f"{len(rows)} rounds checked, {len(bad)} with "
               f"missing/extra witnesses (penalty {penalty})"
               + (f"; {n_skipped} rounds skipped (not fully covered by "
                  f"--blocks)" if n_skipped else ""))
+        if not rows and n_total:
+            # every round skipped: NOTHING was verified — exit 0 here
+            # would let a scripted caller mistake a no-coverage run for
+            # a clean full verification (r14 review).  125 is the same
+            # sentinel the penalty path saturates at.
+            print("error: 0 rounds fully covered by --blocks — nothing "
+                  "was verified", file=sys.stderr)
+            return 125
         # reference: exit(-(missing+extra)) — same magnitude, positive
         return min(penalty, 125)
 

@@ -93,11 +93,27 @@ def _checkpoint_stream_id(checkpoint: str) -> str | None:
     Streaming writes ``<checkpoint>/metadata`` = ``{"id": "<uuid>"}`` at
     the FIRST start of a query and keeps it across every restart of the
     same checkpoint — exactly the lifetime of the batch-id sequence the
-    stamp's replay detector compares against.  ``None`` if unreadable
-    (foreachBatch only fires after Spark wrote it, so that is a non-
-    checkpointed caller, e.g. a unit test driving the gate directly)."""
+    stamp's replay detector compares against.
+
+    Spark accepts the checkpoint as a Hadoop path, so ``file:`` URIs
+    are normalized before the local read; a REMOTE checkpoint scheme
+    (hdfs/s3a/...) cannot be read with open() — the guard degrades to
+    batch-id-only stamps there, and says so once on stderr instead of
+    silently (r14 review).  ``None`` also for a missing metadata file
+    (a non-checkpointed caller, e.g. a unit test driving the gate
+    directly — foreachBatch itself only fires after Spark wrote it)."""
+    from urllib.parse import unquote, urlparse
+
+    parsed = urlparse(checkpoint)
+    if parsed.scheme not in ("", "file"):
+        import sys
+        print(f"meeseeker_spark: checkpoint {checkpoint} is not a local "
+              "path — the stale-pending stream-identity guard is "
+              "degraded to batch-id-only stamps", file=sys.stderr)
+        return None
+    path = unquote(parsed.path) if parsed.scheme == "file" else checkpoint
     try:
-        with open(os.path.join(checkpoint, "metadata")) as f:
+        with open(os.path.join(path, "metadata")) as f:
             return json.load(f)["id"]
     except (OSError, ValueError, KeyError, TypeError):
         return None
@@ -153,7 +169,18 @@ def _irreversible_gate(batch_df: DataFrame, pending: str, lib_lag: int,
     if batch_id is not None and os.path.exists(stamp):
         with open(stamp) as f:
             lines = f.read().splitlines()
-        stamp_batch = int(lines[0])
+        try:
+            stamp_batch = int(lines[0])
+        except (IndexError, ValueError):
+            # empty/garbled stamp (e.g. power loss before the page cache
+            # reached disk): indeterminate — the loud stale-pending stop
+            # with its recovery menu, not a bare parse traceback
+            raise RuntimeError(
+                f"unreadable pending-dir stamp {stamp} "
+                f"(content {lines!r}): cannot decide replay vs stale. "
+                "Reset the store, delete the _pending dir, or restore "
+                "the stamp by hand (line 1 = producing batch id, "
+                "line 2 = checkpoint query id).") from None
         stamp_stream = lines[1] if len(lines) > 1 and lines[1] else None
         if (stamp_stream is not None and stream_id is not None
                 and stamp_stream != stream_id):
@@ -173,6 +200,23 @@ def _irreversible_gate(batch_df: DataFrame, pending: str, lib_lag: int,
                 "stream. Reset the store, delete the stale _pending "
                 "dir, or resume the original checkpoint.")
         if stamp_batch == batch_id:
+            if stamp_stream is None and stream_id is not None:
+                # pre-upgrade single-line stamp matching OUR batch id:
+                # indistinguishable between (a) a genuine pre-upgrade
+                # replay-after-commit on the resumed checkpoint and
+                # (b) a fresh checkpoint whose restarted batch 0 collides
+                # with a stale dir — the r13 silent-drop scenario.  Stop
+                # loudly with both recovery paths instead of guessing
+                # (r14 review: the equal-batch case slipped past both
+                # staleness guards).
+                raise RuntimeError(
+                    f"pending dir {pending} carries a pre-upgrade stamp "
+                    f"(batch {stamp_batch}, no stream id) equal to this "
+                    f"stream's batch {batch_id}: cannot tell a genuine "
+                    "replay from a stale dir. If resuming the ORIGINAL "
+                    "checkpoint, append this stream's id as stamp line "
+                    f"2 ({stream_id}) and restart; otherwise reset the "
+                    "store or delete the stale _pending dir.")
             return None, None      # this batch's commit already landed
     rows = batch_df
     if os.path.isdir(pending):
@@ -194,6 +238,9 @@ def _irreversible_gate(batch_df: DataFrame, pending: str, lib_lag: int,
         with open(os.path.join(pending + ".tmp", _PENDING_STAMP), "w") as f:
             f.write(str(batch_id) if stream_id is None
                     else f"{batch_id}\n{stream_id}")
+            f.flush()
+            os.fsync(f.fileno())   # same durability bar as the manifest
+            # commit: the swap must never expose a torn/empty stamp
 
     def commit() -> None:
         if os.path.isdir(pending):

@@ -181,6 +181,26 @@ def test_cli_verify_witness_and_find_chain(spark, tmp_path_factory, capsys):
     out = capsys.readouterr().out
     assert "1 rounds skipped (not fully covered by --blocks)" in out
 
+    # r14 review: duplicate schedule rows (a raw re-delivered capture,
+    # not the deduped publish log) must not report phantom skips — the
+    # skip count keys on DISTINCT rounds
+    _write_batches([s for s in fx.witness_schedules for _ in range(2)],
+                   "witness_schedules", str(d / "scheds_dup"), 1)
+    rc = main(["verify", "--witness", "--blocks", str(d / "blocks"),
+               "--schedules", str(d / "scheds_dup")])
+    assert rc == min(want_penalty, 125)
+    assert "skipped" not in capsys.readouterr().out
+
+    # r14 review: a capture too short to fully cover ANY round verified
+    # nothing — that must be a loud non-zero exit, not a clean 0 a
+    # scripted caller mistakes for a full verification
+    _write_batches(fx.blocks[:10], "blocks", str(d / "blocks_tiny"), 1)
+    rc = main(["verify", "--witness", "--blocks", str(d / "blocks_tiny"),
+               "--schedules", str(d / "scheds")])
+    assert rc == 125
+    cap = capsys.readouterr()
+    assert "nothing" in cap.err and "verified" in cap.err
+
     # find --chain: matching chain finds the key, a wrong chain finds none
     from meeseeker_spark.flatten import flatten_blocks
     OpsStore.write(

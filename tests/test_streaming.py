@@ -443,6 +443,63 @@ def test_stale_pending_legacy_stamp_ahead_raises(spark, fx,
                              5, batch_id=0, stream_id="fresh-stream")
 
 
+def test_stale_pending_legacy_stamp_equal_batch_raises(spark, fx,
+                                                       tmp_path_factory):
+    """r14 review: the equal-batch legacy case slipped past BOTH
+    staleness guards — a pre-upgrade single-line stamp reading batch 0
+    against a fresh stream's batch 0 took the silent-skip branch, the
+    exact r13 silent-drop scenario.  With a stream identity in hand and
+    none on the stamp, the gate cannot tell a genuine pre-upgrade
+    replay from a stale dir: it must stop loudly with both recovery
+    paths (append the id for a genuine resume / reset for a stale
+    dir), never guess."""
+    d = tmp_path_factory.mktemp("stale_pending_legacy_eq")
+    _write_batches(fx.blocks[:6], "blocks", str(d / "blocks"), 1)
+    os.makedirs(d / "ops_pending")
+    (d / "ops_pending" / "_produced_by_batch").write_text("0")
+    df = spark.read.schema(BLOCKS).parquet(str(d / "blocks"))
+    with pytest.raises(RuntimeError, match="pre-upgrade stamp"):
+        P._irreversible_gate(flatten_blocks(df), str(d / "ops_pending"),
+                             5, batch_id=0, stream_id="fresh-stream")
+    # with NO identity available (direct non-checkpointed caller) the
+    # pre-upgrade semantics are preserved: equal batch = its own replay
+    final_df, commit = P._irreversible_gate(
+        flatten_blocks(df), str(d / "ops_pending"), 5, batch_id=0)
+    assert final_df is None and commit is None
+
+
+def test_corrupt_pending_stamp_raises_with_recovery(spark, fx,
+                                                    tmp_path_factory):
+    """r14 review: an empty/truncated stamp (power loss before the
+    page cache hit disk) raised a bare IndexError crash-loop; it now
+    stops with the stale-pending recovery menu.  (New stamps are
+    fsynced before the swap, so this is strictly a legacy-dir path.)"""
+    d = tmp_path_factory.mktemp("corrupt_stamp")
+    _write_batches(fx.blocks[:6], "blocks", str(d / "blocks"), 1)
+    os.makedirs(d / "ops_pending")
+    (d / "ops_pending" / "_produced_by_batch").write_text("")
+    df = spark.read.schema(BLOCKS).parquet(str(d / "blocks"))
+    with pytest.raises(RuntimeError, match="unreadable pending-dir"):
+        P._irreversible_gate(flatten_blocks(df), str(d / "ops_pending"),
+                             5, batch_id=0, stream_id="s")
+
+
+def test_checkpoint_stream_id_uri_handling(tmp_path, capsys):
+    """r14 review: Spark accepts the checkpoint as a Hadoop path, so a
+    ``file:`` URI must still resolve the identity, and a REMOTE scheme
+    must degrade LOUDLY (stderr note) instead of silently disabling
+    the guard."""
+    import json as _json
+    ck = tmp_path / "ckpt"
+    os.makedirs(ck)
+    (ck / "metadata").write_text(_json.dumps({"id": "q-123"}))
+    assert P._checkpoint_stream_id(str(ck)) == "q-123"
+    assert P._checkpoint_stream_id("file://" + str(ck)) == "q-123"
+    assert P._checkpoint_stream_id(str(tmp_path / "missing")) is None
+    assert P._checkpoint_stream_id("s3a://bucket/ckpt") is None
+    assert "degraded" in capsys.readouterr().err
+
+
 def test_reset_drops_hwm_and_pending(spark, fx, tmp_path_factory):
     """Regression (r13 review): the reference's reset deletes
     ``{chain}:*`` — which INCLUDES ``{chain}:meeseeker:last_block_num``
