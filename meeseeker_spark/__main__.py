@@ -386,20 +386,28 @@ def main(argv: list[str] | None = None) -> int:
         import os as _os
 
         from .manifest import is_manifest_store
+        from .streaming import pipeline as P
+
+        spark = _spark()
         if is_manifest_store(a.ops):
             # manifest layout compacts in place (one commit folding the
             # accumulated per-batch files); --store is a dirs-layout
             # concept and must not silently produce nothing
             from .manifest import ManifestStore
-            n = ManifestStore(_spark(), a.ops).compact(
+            n = ManifestStore(spark, a.ops).compact(
                 sort_cols=("block_num",))
+            n_meta = P.compact_meta(spark, a.ops)
             print(f"compacted {n} manifest files in place "
-                  f"(--store ignored: manifest stores compact in place)")
+                  f"(--store ignored: manifest stores compact in place)"
+                  + (f"; folded {n_meta} _meta HWM files" if n_meta
+                     else ""))
             return 0
-        from .streaming import pipeline as P
-
-        n = P.compact_stream_store(_spark(), a.ops, a.store)
-        print(f"compacted {n} batch dirs")
+        n = P.compact_stream_store(spark, a.ops, a.store)
+        # the _meta HWM sibling accumulates one row per trigger (the
+        # reference overwrites ONE key); fold it alongside (r14)
+        n_meta = P.compact_meta(spark, a.ops)
+        print(f"compacted {n} batch dirs"
+              + (f"; folded {n_meta} _meta HWM dirs" if n_meta else ""))
         return 0
 
     if a.cmd == "migrate":

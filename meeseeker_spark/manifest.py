@@ -275,7 +275,19 @@ class ManifestStore:
         row-group pruning stays sharp (columns absent from the schema are
         skipped).  Returns the number of files folded (0 = single file
         already).  Readers are never disturbed: the swap is one manifest
-        commit, and the old files remain until ``gc()``."""
+        commit, and the old files remain until ``gc()``.
+
+        Compaction also PRUNES the recorded batch ids to the replayable
+        tail (r14 review): the list otherwise grows one int per trigger
+        forever — a year of 3 s triggers is ~10M ids rewritten into the
+        manifest json on EVERY commit, O(stream-age) work on the ingest
+        hot path.  Only the newest trigger can ever replay (Structured
+        Streaming replays exactly the batches after the checkpoint's
+        last commit, and trigger N+1 only runs once commit N landed),
+        so ids ≤ max−1 can never be retried; the tail {max−1, max} is
+        kept with one slot of paranoia.  A pre-prune id arriving anyway
+        means a FRESH checkpoint was pointed at this store — the misuse
+        reset exists for, unchanged by pruning."""
         m = self._read_manifest()
         if len(m["files"]) <= 1:
             return 0
@@ -287,7 +299,10 @@ class ManifestStore:
         if present:
             df = df.sortWithinPartitions(*present)
         staged = self._stage(df)
-        self._commit(staged, m["batch_ids"], m["version"])
+        ids = m["batch_ids"]
+        if ids:
+            ids = [i for i in ids if i >= max(ids) - 1]
+        self._commit(staged, ids, m["version"])
         return len(m["files"])
 
     # -- streaming bridge ---------------------------------------------------

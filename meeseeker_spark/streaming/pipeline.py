@@ -557,6 +557,94 @@ def compact_stream_store(spark: SparkSession, ops_path: str,
     return len(batches)
 
 
+def compact_meta(spark: SparkSession, ops_path: str) -> int:
+    """Fold the ``<ops>_meta`` HWM store to one row per chain (r14
+    review).  The reference's HWM is ONE key, overwritten per block
+    (``{chain}:meeseeker:last_block_num``, block_follower_job.rb:78,111);
+    our sink APPENDS one row per micro-batch for replay idempotence, so
+    a long-running stream accumulates ~29k rows/day at 3 s triggers and
+    the ``last_block_num`` max-probe cost grows with stream AGE, not
+    data.  Folding is safe at any moment: the folded row IS the running
+    per-chain max, so readers see the same answer before, during and
+    after, and a crash mid-cleanup that leaves stale older rows changes
+    nothing (monotone max).  Returns files/dirs folded (0 = compact
+    already).
+
+    Manifest layout: one overwrite commit that KEEPS the replayable
+    batch-id tail (so a checkpointed replay of the newest trigger still
+    short-circuits) + gc.  Dirs layout: the folded rows replace the
+    newest ``batch_id=N`` dir via the same rename-aside protocol as
+    retention/_pending (write ``.foldtmp`` → aside → rename in → drop
+    aside + dominated older dirs); every crash window either leaves
+    dominated rows (no reader change) or a recoverable aside the next
+    run rolls forward — the one mid-swap window where the newest dir is
+    absent can only REGRESS the HWM, which re-ingests idempotently,
+    never skips."""
+    meta_path = ops_path + "_meta"
+    if not os.path.exists(meta_path):
+        return 0
+    folded_cols = ("chain", "last_block_num")
+    if _is_manifest(meta_path):
+        from ..manifest import ManifestStore
+        ms = ManifestStore(spark, meta_path)
+        try:
+            cur = ms.df()
+        except FileNotFoundError:
+            return 0
+        n = len(ms.files())
+        if n <= 1:
+            return 0
+        folded = (cur.groupBy("chain")
+                  .agg(F.max("last_block_num").alias("last_block_num"),
+                       F.max("batch_id").alias("batch_id"))
+                  .coalesce(1))
+        m = ms._read_manifest()
+        ids = m["batch_ids"]
+        if ids:     # same replayable-tail rule as ManifestStore.compact
+            ids = [i for i in ids if i >= max(ids) - 1]
+        staged = ms._stage(folded)
+        ms._commit(staged, ids, m["version"])
+        ms.gc()
+        return n
+    # recovery preamble: roll a crashed fold forward (aside without its
+    # target → the rename-in was lost, restore; orphan tmp → discard)
+    for d in list(os.listdir(meta_path)):
+        if d.startswith(".foldold-"):
+            tgt = os.path.join(meta_path, d[len(".foldold-"):])
+            src = os.path.join(meta_path, d)
+            if os.path.exists(tgt):
+                shutil.rmtree(src)
+            else:
+                os.rename(src, tgt)
+        elif d == ".foldtmp":
+            shutil.rmtree(os.path.join(meta_path, d))
+    if not _has_batch_dirs(meta_path):
+        return 0
+    batches = sorted((d for d in os.listdir(meta_path)
+                      if d.startswith("batch_id=")),
+                     key=lambda d: int(d.split("=")[1]))
+    if len(batches) <= 1:
+        return 0
+    folded = (
+        spark.read.option("basePath", meta_path)
+        .parquet(*[os.path.join(meta_path, d) for d in batches])
+        .groupBy("chain")
+        .agg(F.max("last_block_num").alias("last_block_num"))
+        .select(*folded_cols)
+        .coalesce(1)
+    )
+    tmp = os.path.join(meta_path, ".foldtmp")
+    folded.write.mode("overwrite").parquet(tmp)
+    newest = os.path.join(meta_path, batches[-1])
+    aside = os.path.join(meta_path, ".foldold-" + batches[-1])
+    os.rename(newest, aside)
+    os.rename(tmp, newest)
+    shutil.rmtree(aside)
+    for d in batches[:-1]:
+        shutil.rmtree(os.path.join(meta_path, d))
+    return len(batches)
+
+
 def compact_channel_store(spark: SparkSession, channels_path: str,
                           store_path: str, writers: int = 8) -> int:
     """Channels analog of compact_stream_store: fold per-trigger

@@ -226,7 +226,15 @@ def test_compact_folds_commits(spark, tmp_path):
     folded = s.compact(sort_cols=("id", "missing_col_is_skipped"))
     assert folded == 4
     assert sorted(r["id"] for r in s.df().collect()) == [0, 1, 2, 3]
-    assert s.committed_batch_ids() == {0, 1, 2, 3}   # idempotence survives
+    # r14: compaction prunes the recorded ids to the replayable tail
+    # {max-1, max} — the list otherwise grows one int per trigger
+    # forever, rewritten into the manifest json on every commit.  Only
+    # the newest trigger can replay (trigger N+1 runs only after
+    # checkpoint commit N), so the tail keeps idempotence where it can
+    # still matter:
+    assert s.committed_batch_ids() == {2, 3}
+    assert s.append(_rows(spark, [99]), batch_id=3) is False   # replay
+    assert sorted(r["id"] for r in s.df().collect()) == [0, 1, 2, 3]
     s.gc()
     assert len(s.files()) == 1        # 4 trigger-sized files → one bin
     assert s.compact() == 0           # single file: nothing to fold

@@ -2272,3 +2272,102 @@ def test_last_block_num_empty_meta_dir_is_none(spark, tmp_path_factory):
     ops_path = str(d / "ops")
     _os.makedirs(ops_path + "_meta")
     assert last_block_num(spark, ops_path) is None
+
+
+@pytest.mark.parametrize("store_impl", ["dirs", "manifest"])
+def test_compact_meta_folds_hwm(spark, fx, tmp_path_factory, store_impl):
+    """r14 review: the _meta HWM store appends one row per micro-batch
+    (replay idempotence) while the reference overwrites ONE key per
+    chain (block_follower_job.rb:78,111) — a long-running stream's
+    max-probe cost grows with stream AGE.  compact_meta folds it to one
+    row per chain: the HWM answer is identical before and after, a
+    second run is a no-op, and (manifest) the replayable batch-id tail
+    survives so the newest trigger's checkpointed replay still
+    short-circuits instead of doubling rows."""
+    d = tmp_path_factory.mktemp(f"compact_meta_{store_impl}")
+    _write_batches(fx.blocks, "blocks", str(d / "blocks"), 3)
+    ops = P.streaming_ops(
+        P.read_block_stream(spark, str(d / "blocks"),
+                            max_files_per_trigger=1), None)
+    q = P.start_ingest(ops, str(d / "ops"), str(d / "channels"),
+                       str(d / "ckpt"), store_impl=store_impl)
+    q.awaitTermination(120)
+
+    meta = str(d / "ops") + "_meta"
+    hwm_before = P.last_block_num(spark, str(d / "ops"))
+    assert hwm_before is not None
+    rows_before = P._batched_view(spark, meta, None).count()
+    assert rows_before >= 3                       # one per trigger
+
+    n = P.compact_meta(spark, str(d / "ops"))
+    assert n >= 3
+    assert P.last_block_num(spark, str(d / "ops")) == hwm_before
+    folded = P._batched_view(spark, meta, None).collect()
+    assert len(folded) == 1                       # one chain in the fixture
+    assert folded[0]["last_block_num"] == hwm_before
+    assert P.compact_meta(spark, str(d / "ops")) == 0   # already compact
+
+    if store_impl == "manifest":
+        from meeseeker_spark.manifest import ManifestStore
+        ms = ManifestStore(spark, meta)
+        assert len(ms.files()) == 1
+        ids = ms.committed_batch_ids()
+        assert ids and ids == {i for i in ids if i >= max(ids) - 1}
+    else:
+        dirs = [x for x in os.listdir(meta) if x.startswith("batch_id=")]
+        assert len(dirs) == 1
+        assert not [x for x in os.listdir(meta) if x.startswith(".fold")]
+
+    # replay of the NEWEST trigger after compaction: delete its
+    # checkpoint commit marker and restart — the HWM answer must not
+    # change and the store must not double
+    commits = sorted(int(x) for x in os.listdir(d / "ckpt" / "commits")
+                     if x.isdigit())
+    os.remove(d / "ckpt" / "commits" / str(commits[-1]))
+    crc = d / "ckpt" / "commits" / f".{commits[-1]}.crc"
+    if crc.exists():
+        os.remove(crc)
+    q = P.start_ingest(
+        P.streaming_ops(
+            P.read_block_stream(spark, str(d / "blocks"),
+                                max_files_per_trigger=1), None),
+        str(d / "ops"), str(d / "channels"), str(d / "ckpt"),
+        store_impl=store_impl)
+    q.awaitTermination(120)
+    assert P.last_block_num(spark, str(d / "ops")) == hwm_before
+    assert P._batched_view(spark, meta, None).count() <= 2
+
+
+def test_compact_meta_dirs_crash_recovery(spark, fx, tmp_path_factory):
+    """The dirs-layout fold is the rename-aside family: plant each
+    crash remnant (.foldtmp orphan; .foldold- aside with its target
+    missing) and assert the next run rolls it forward with the HWM
+    intact."""
+    import shutil
+
+    d = tmp_path_factory.mktemp("compact_meta_crash")
+    _write_batches(fx.blocks, "blocks", str(d / "blocks"), 3)
+    q = P.start_ingest(
+        P.streaming_ops(
+            P.read_block_stream(spark, str(d / "blocks"),
+                                max_files_per_trigger=1), None),
+        str(d / "ops"), str(d / "channels"), str(d / "ckpt"),
+        store_impl="dirs")
+    q.awaitTermination(120)
+    meta = str(d / "ops") + "_meta"
+    hwm = P.last_block_num(spark, str(d / "ops"))
+
+    # crash window 1: .foldtmp written, nothing renamed → discarded
+    os.makedirs(os.path.join(meta, ".foldtmp"))
+    assert P.compact_meta(spark, str(d / "ops")) >= 3
+    assert P.last_block_num(spark, str(d / "ops")) == hwm
+
+    # crash window 2: newest dir renamed aside, rename-in lost → the
+    # preamble restores it and the fold completes on the SAME run
+    batch_dir = next(x for x in os.listdir(meta)
+                     if x.startswith("batch_id="))
+    os.rename(os.path.join(meta, batch_dir),
+              os.path.join(meta, ".foldold-" + batch_dir))
+    assert P.last_block_num(spark, str(d / "ops")) is None  # mid-crash view
+    assert P.compact_meta(spark, str(d / "ops")) == 0       # restore only
+    assert P.last_block_num(spark, str(d / "ops")) == hwm
