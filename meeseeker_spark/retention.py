@@ -140,9 +140,15 @@ def expire(spark: SparkSession, path: str, ttl_s: int = DEFAULT_TTL_S,
     removed = 0
     for row in expired_per_chain:
         chain, n = row["chain"], row["n"]
-        part_dir = os.path.join(path, f"chain={chain}")
-        tmp_dir = os.path.join(path, f".tmp_chain={chain}")
-        old_dir = os.path.join(path, f".old_chain={chain}")
+        # a NULL chain groups to None but lives on disk under Hive's
+        # default-partition dir — building "chain=None" would crash the
+        # rewrite on a path that does not exist (r14 review; reset's
+        # NULL-safe keep filter already admits NULL-chain rows as real)
+        part = ("chain=__HIVE_DEFAULT_PARTITION__" if chain is None
+                else f"chain={chain}")
+        part_dir = os.path.join(path, part)
+        tmp_dir = os.path.join(path, "." + "tmp_" + part)
+        old_dir = os.path.join(path, "." + "old_" + part)
         live = (
             spark.read.parquet(part_dir)
             .where(live_pred)

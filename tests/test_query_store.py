@@ -488,3 +488,52 @@ def test_ttl_cutoff_session_tz_independent(spark, tmp_path_factory):
         assert ms.expire(ttl_s=86_400, now=later) == n
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_expire_null_chain_partition(spark, tmp_path_factory):
+    """r14 review: an expired row in the NULL-chain partition (Hive's
+    __HIVE_DEFAULT_PARTITION__ dir) crashed the partition rewrite,
+    which built the path "chain=None" from the grouped value.  NULL
+    chain is a supported corner (reset's keep filter is NULL-safe for
+    exactly these rows): the default partition must rewrite like any
+    other, and non-null partitions must survive untouched."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from meeseeker_spark import fixtures
+    from meeseeker_spark.flatten import flatten_blocks
+    from meeseeker_spark.query import OpsStore
+    from meeseeker_spark.retention import expire
+    from meeseeker_spark.schemas import BLOCKS
+
+    fx = fixtures.generate(n_blocks=21, seed=3)
+    d = tmp_path_factory.mktemp("nullchain")
+    fixtures.write_parquet(fx, str(d))
+    ops = flatten_blocks(
+        spark.read.schema(BLOCKS).parquet(str(d / "blocks.parquet")))
+    # odd blocks → NULL chain; everything gets an ancient ingest time
+    # except even-block hive rows, which stay live
+    aged = ops.withColumn(
+        "chain", F.when(F.col("block_num") % 2 == 0, F.col("chain"))
+    ).withColumn(
+        "ingested_at",
+        F.when(F.col("block_num") % 2 == 1,
+               F.lit(dt.datetime(2000, 1, 1)).cast("timestamp"))
+        .otherwise(F.lit(dt.datetime(2000, 1, 2, 23)).cast("timestamp")))
+    OpsStore.write(aged, str(d / "store"))
+    import os as _os
+    assert "chain=__HIVE_DEFAULT_PARTITION__" in _os.listdir(str(d / "store"))
+    n_null = aged.where("chain IS NULL").count()
+    n_live = aged.where("chain IS NOT NULL").count()
+    assert n_null and n_live
+
+    removed = expire(spark, str(d / "store"), ttl_s=86_400,
+                     now=dt.datetime(2000, 1, 3))
+    assert removed == n_null
+    left = spark.read.parquet(str(d / "store"))
+    assert left.count() == n_live
+    assert left.where("chain IS NULL").count() == 0
+    # no swap remnants
+    assert not [x for x in _os.listdir(str(d / "store"))
+                if x.startswith((".tmp_", ".old_"))]
