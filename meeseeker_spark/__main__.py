@@ -85,6 +85,9 @@ def main(argv: list[str] | None = None) -> int:
                         help="fold micro-batch dirs into the OpsStore layout")
     pm.add_argument("--ops", required=True)
     pm.add_argument("--store", required=True)
+    pm.add_argument("--schedules",
+                    help="also fold the witness-schedule publish log's "
+                         "per-trigger dirs (publish-once key dedup)")
 
     pg = sub.add_parser(
         "migrate",
@@ -389,6 +392,10 @@ def main(argv: list[str] | None = None) -> int:
         from .streaming import pipeline as P
 
         spark = _spark()
+        n_sched = (P.compact_schedule_log(spark, a.schedules)
+                   if a.schedules else 0)
+        sched_note = (f"; folded {n_sched} schedule publish dirs"
+                      if n_sched else "")
         if is_manifest_store(a.ops):
             # manifest layout compacts in place (one commit folding the
             # accumulated per-batch files); --store is a dirs-layout
@@ -400,14 +407,15 @@ def main(argv: list[str] | None = None) -> int:
             print(f"compacted {n} manifest files in place "
                   f"(--store ignored: manifest stores compact in place)"
                   + (f"; folded {n_meta} _meta HWM files" if n_meta
-                     else ""))
+                     else "") + sched_note)
             return 0
         n = P.compact_stream_store(spark, a.ops, a.store)
         # the _meta HWM sibling accumulates one row per trigger (the
         # reference overwrites ONE key); fold it alongside (r14)
         n_meta = P.compact_meta(spark, a.ops)
         print(f"compacted {n} batch dirs"
-              + (f"; folded {n_meta} _meta HWM dirs" if n_meta else ""))
+              + (f"; folded {n_meta} _meta HWM dirs" if n_meta else "")
+              + sched_note)
         return 0
 
     if a.cmd == "migrate":

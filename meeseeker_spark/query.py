@@ -248,10 +248,16 @@ class ScheduleStore:
                     if d.startswith("batch_id=")]
                    if os.path.isdir(self.path) else [])
         if batches:
+            # key-dedup: next_shuffle_block_num is the publish-once
+            # boundary, so duplicates can only come from the two
+            # at-least-once windows (a checkpoint-wiped replay; a
+            # compact_schedule_log fold that crashed between rename-in
+            # and the older-dir delete) — the reader absorbs both (r14)
             raw = (self.spark.read.option("basePath", self.path)
                    .schema(pub_schema.add("batch_id", "long"))
                    .parquet(*[os.path.join(self.path, d) for d in batches])
-                   .drop("batch_id"))
+                   .drop("batch_id")
+                   .dropDuplicates(["next_shuffle_block_num"]))
         else:
             raw = self.spark.createDataFrame([], pub_schema)
         return raw.select(

@@ -606,43 +606,75 @@ def compact_meta(spark: SparkSession, ops_path: str) -> int:
         ms._commit(staged, ids, m["version"])
         ms.gc()
         return n
-    # recovery preamble: roll a crashed fold forward (aside without its
-    # target → the rename-in was lost, restore; orphan tmp → discard)
-    for d in list(os.listdir(meta_path)):
+    return _fold_batch_dirs(
+        spark, meta_path,
+        lambda df: df.groupBy("chain")
+        .agg(F.max("last_block_num").alias("last_block_num"))
+        .select(*folded_cols))
+
+
+def _fold_batch_dirs(spark: SparkSession, path: str, fold_fn) -> int:
+    """The dirs-layout fold shared by compact_meta and
+    compact_schedule_log: read every ``batch_id=N`` dir, apply
+    ``fold_fn`` (a per-store row reduction — max-per-chain for _meta,
+    key-dedup for the schedule log), and swap the result in as the
+    NEWEST batch dir via rename-aside (``.foldtmp`` → aside →
+    rename-in → drop aside + older dirs).  Crash recovery preamble
+    rolls an interrupted swap forward (aside without its target →
+    restore; orphan tmp → discard)."""
+    for d in list(os.listdir(path)):
         if d.startswith(".foldold-"):
-            tgt = os.path.join(meta_path, d[len(".foldold-"):])
-            src = os.path.join(meta_path, d)
+            tgt = os.path.join(path, d[len(".foldold-"):])
+            src = os.path.join(path, d)
             if os.path.exists(tgt):
                 shutil.rmtree(src)
             else:
                 os.rename(src, tgt)
         elif d == ".foldtmp":
-            shutil.rmtree(os.path.join(meta_path, d))
-    if not _has_batch_dirs(meta_path):
+            shutil.rmtree(os.path.join(path, d))
+    if not _has_batch_dirs(path):
         return 0
-    batches = sorted((d for d in os.listdir(meta_path)
+    batches = sorted((d for d in os.listdir(path)
                       if d.startswith("batch_id=")),
                      key=lambda d: int(d.split("=")[1]))
     if len(batches) <= 1:
         return 0
-    folded = (
-        spark.read.option("basePath", meta_path)
-        .parquet(*[os.path.join(meta_path, d) for d in batches])
-        .groupBy("chain")
-        .agg(F.max("last_block_num").alias("last_block_num"))
-        .select(*folded_cols)
-        .coalesce(1)
-    )
-    tmp = os.path.join(meta_path, ".foldtmp")
+    folded = fold_fn(
+        spark.read.option("basePath", path)
+        .parquet(*[os.path.join(path, d) for d in batches])
+        .drop("batch_id")
+    ).coalesce(1)
+    tmp = os.path.join(path, ".foldtmp")
     folded.write.mode("overwrite").parquet(tmp)
-    newest = os.path.join(meta_path, batches[-1])
-    aside = os.path.join(meta_path, ".foldold-" + batches[-1])
+    newest = os.path.join(path, batches[-1])
+    aside = os.path.join(path, ".foldold-" + batches[-1])
     os.rename(newest, aside)
     os.rename(tmp, newest)
     shutil.rmtree(aside)
     for d in batches[:-1]:
-        shutil.rmtree(os.path.join(meta_path, d))
+        shutil.rmtree(os.path.join(path, d))
     return len(batches)
+
+
+def compact_schedule_log(spark: SparkSession, schedules_path: str) -> int:
+    """Fold the witness-schedule publish log's per-trigger ``batch_id=N``
+    dirs into one (r14): the publisher commits ~one dir per 63 s round
+    (witness_schedule_job.rb:41-62 cadence) — ~500k dirs/year of listing
+    + footer reads for every ScheduleStore scan.  This is the FOURTH and
+    last per-trigger sink to get a maintenance fold (ops:
+    compact_stream_store, channels: compact_channel_store, HWM:
+    compact_meta).  Rows are distinct data keyed by the publish-once
+    boundary, so the fold is a key-dedup, not a max: the one crash
+    window that can surface duplicates (fold landed, older-dir delete
+    lost) is absorbed by ScheduleStore's key dedup, and the mid-swap
+    window HIDES (never loses) the newest rows until the recovery
+    preamble restores them — same exposure as compact_stream_store's
+    own swap.  Returns dirs folded (0 = compact already)."""
+    if not os.path.exists(schedules_path):
+        return 0
+    return _fold_batch_dirs(
+        spark, schedules_path,
+        lambda df: df.dropDuplicates(["next_shuffle_block_num"]))
 
 
 def compact_channel_store(spark: SparkSession, channels_path: str,
@@ -811,8 +843,13 @@ def start_block_channel_publisher(blocks_stream: DataFrame, out_path: str,
 # Witness-schedule publish-once (SURVEY §2 B12)
 # ---------------------------------------------------------------------------
 
-def read_schedule_stream(spark: SparkSession, sched_dir: str) -> DataFrame:
-    return spark.readStream.schema(WITNESS_SCHEDULES).parquet(sched_dir)
+def read_schedule_stream(spark: SparkSession, sched_dir: str,
+                         max_files_per_trigger: int | None = None
+                         ) -> DataFrame:
+    reader = spark.readStream.schema(WITNESS_SCHEDULES)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(sched_dir)
 
 
 def schedule_publish_once(sched_stream: DataFrame) -> DataFrame:

@@ -2371,3 +2371,63 @@ def test_compact_meta_dirs_crash_recovery(spark, fx, tmp_path_factory):
     assert P.last_block_num(spark, str(d / "ops")) is None  # mid-crash view
     assert P.compact_meta(spark, str(d / "ops")) == 0       # restore only
     assert P.last_block_num(spark, str(d / "ops")) == hwm
+
+
+def test_compact_schedule_log(spark, fx, tmp_path_factory):
+    """r14: the schedule publish log accumulates one batch_id=N dir per
+    trigger (~500k/year at round cadence) — fold it to one dir on the
+    publish-once key.  The ScheduleStore answers identically before and
+    after; a crashed fold's remnants roll forward; a planted duplicate
+    (the fold-landed/delete-lost window) is absorbed by the reader's
+    key dedup."""
+    import shutil
+
+    from meeseeker_spark.query import ScheduleStore
+
+    d = tmp_path_factory.mktemp("sched_fold")
+    # one schedule per file → one batch dir per schedule (maxFiles=1)
+    _write_batches(fx.witness_schedules, "witness_schedules",
+                   str(d / "in"), len(fx.witness_schedules))
+    q = P.start_schedule_publisher(
+        P.read_schedule_stream(spark, str(d / "in"),
+                               max_files_per_trigger=1),
+        str(d / "out"), str(d / "ckpt"))
+    q.awaitTermination(120)
+    n_dirs = len([x for x in os.listdir(d / "out")
+                  if x.startswith("batch_id=")])
+    assert n_dirs >= 2
+    before = sorted(tuple(r) for r in
+                    ScheduleStore(spark, str(d / "out")).df().collect())
+    assert len(before) == len(fx.witness_schedules)
+
+    assert P.compact_schedule_log(spark, str(d / "out")) == n_dirs
+    assert len([x for x in os.listdir(d / "out")
+                if x.startswith("batch_id=")]) == 1
+    after = sorted(tuple(r) for r in
+                   ScheduleStore(spark, str(d / "out")).df().collect())
+    assert after == before
+    assert P.compact_schedule_log(spark, str(d / "out")) == 0  # idempotent
+
+    # crash drill: rename the folded dir aside (mid-swap crash) — the
+    # next run's preamble restores it with nothing lost
+    folded_dir = next(x for x in os.listdir(d / "out")
+                      if x.startswith("batch_id="))
+    os.rename(os.path.join(d / "out", folded_dir),
+              os.path.join(d / "out", ".foldold-" + folded_dir))
+    assert P.compact_schedule_log(spark, str(d / "out")) == 0
+    assert (sorted(tuple(r) for r in
+                   ScheduleStore(spark, str(d / "out")).df().collect())
+            == before)
+
+    # duplicate-window drill: copy the folded dir as an older batch id —
+    # the reader dedups on the publish-once key, and the next fold
+    # collapses the store back to one dir
+    shutil.copytree(os.path.join(d / "out", folded_dir),
+                    os.path.join(d / "out", "batch_id=0"))
+    assert (sorted(tuple(r) for r in
+                   ScheduleStore(spark, str(d / "out")).df().collect())
+            == before)
+    assert P.compact_schedule_log(spark, str(d / "out")) == 2
+    assert (sorted(tuple(r) for r in
+                   ScheduleStore(spark, str(d / "out")).df().collect())
+            == before)
