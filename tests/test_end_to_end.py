@@ -319,6 +319,27 @@ def test_cli_schedule(spark, tmp_path_factory, capsys):
                  "--schedules", str(d / "out" / "schedules"),
                  "--chain", "steem"]) == 1   # default label is hive
     capsys.readouterr()
+    # r14: compact --schedules folds the publish log's per-trigger dirs
+    # (plant a duplicate batch dir to give the fold work, as a crashed
+    # fold's duplicate window would)
+    import shutil as _sh
+    slog = str(d / "out" / "schedules")
+    src_dir = next(x for x in os.listdir(slog) if x.startswith("batch_id="))
+    _sh.copytree(os.path.join(slog, src_dir),
+                 os.path.join(slog, "batch_id=999"))
+    assert main(["compact", "--ops", str(d / "store"),
+                 "--store", str(d / "store_fold"),
+                 "--schedules", slog]) == 0
+    assert "folded 2 schedule publish dirs" in capsys.readouterr().out
+    assert len([x for x in os.listdir(slog)
+                if x.startswith("batch_id=")]) == 1
+    rows3 = None
+    assert main(["scan", "hive:witness:schedule:*",
+                 "--store", str(d / "store"), "--schedules", slog]) == 0
+    rows3 = [_json.loads(ln) for ln in capsys.readouterr().out.splitlines()
+             if ln.startswith("{")]
+    assert sorted(r["key"] for r in rows3) == sorted(r["key"] for r in rows)
+
     # ops globs don't leak schedule rows through the unified surface
     assert main(["scan", "hive:*:vote", "--store", str(d / "store"),
                  "--schedules", str(d / "out" / "schedules")]) == 0
