@@ -612,6 +612,13 @@ def main(argv: list[str] | None = None) -> int:
         spark = _spark()
         blocks = spark.read.schema(BLOCKS).parquet(a.blocks)
         scheds = spark.read.schema(WITNESS_SCHEDULES).parquet(a.schedules)
+        # dedup on the publish-once pair BEFORE grading and counting
+        # (ADVICE r14): a raw (non-publish-log) capture can re-deliver
+        # a round, and a re-delivery carrying a DIFFERENT shuffled
+        # array would otherwise grade as TWO rows for one distinct
+        # pair — making "skipped = distinct pairs − graded rows" go
+        # negative.  Same dedup boundary as ScheduleStore's reader.
+        scheds = scheds.dropDuplicates(["id", "next_shuffle_block_num"])
         if a.max_blocks is not None:
             tip = blocks.agg(SF.max("block_num")).first()[0]
             if tip is not None:
@@ -620,28 +627,38 @@ def main(argv: list[str] | None = None) -> int:
                 scheds = scheds.where(
                     SF.col("next_shuffle_block_num")
                     >= tip - a.max_blocks + 1)
-        # one row per round → one collect serves bad, the count AND the
-        # penalty (the where+count pair re-ran the explode+join twice)
-        rows = witness_rounds(blocks, scheds).collect()
-        bad = [r for r in rows if not r["ok"]]
+        # count + penalty as ONE distributed aggregate; only the bad
+        # rows (scheduled/actual arrays included) ever reach the
+        # driver — collecting every graded round made driver memory
+        # O(capture), against witness_rounds' own scale-safe design
+        # (ADVICE r14).  persist() keeps it one execution of the
+        # explode+join, the r14 concern that motivated the collect.
+        graded = witness_rounds(blocks, scheds).persist()
+        try:
+            stats = graded.agg(
+                SF.count("*").alias("n_rounds"),
+                SF.coalesce(SF.sum("penalty"), SF.lit(0)).alias("penalty"),
+            ).first()
+            n_rounds = int(stats["n_rounds"])
+            penalty = int(stats["penalty"])
+            bad = graded.where(~SF.col("ok")).collect()
+        finally:
+            graded.unpersist()
         for r in bad:
             print(json.dumps(r.asDict(recursive=True), default=str))
         # witness_rounds verifies only rounds fully covered by --blocks
         # (ADVICE r13: a round straddling the capture tip must not flag
         # its not-yet-captured witnesses); surface what it skipped so a
         # clean exit over a short capture is not mistaken for a full
-        # one.  DISTINCT rounds: a raw (non-publish-log) capture can
-        # re-deliver a schedule row, which the groupBy merges — counting
-        # raw rows would report phantom skips (r14 review).
-        n_total = scheds.select("id", "next_shuffle_block_num") \
-            .distinct().count()
-        n_skipped = n_total - len(rows)
-        penalty = sum(r["penalty"] for r in bad)
-        print(f"{len(rows)} rounds checked, {len(bad)} with "
+        # one.  scheds is already distinct on the pair, so this count
+        # can never undershoot the graded rows.
+        n_total = scheds.count()
+        n_skipped = n_total - n_rounds
+        print(f"{n_rounds} rounds checked, {len(bad)} with "
               f"missing/extra witnesses (penalty {penalty})"
               + (f"; {n_skipped} rounds skipped (not fully covered by "
                  f"--blocks)" if n_skipped else ""))
-        if not rows and n_total:
+        if not n_rounds and n_total:
             # every round skipped: NOTHING was verified — exit 0 here
             # would let a scripted caller mistake a no-coverage run for
             # a clean full verification (r14 review).  125 is the same

@@ -396,17 +396,16 @@ def migrate_dirs_to_manifest(spark: SparkSession, path: str) -> int:
     ids = [int(d.split("=", 1)[1]) for d in batches]
     store = ManifestStore(spark, path)
     if has_manifest and store.current_version():
-        committed_ids = store.committed_batch_ids()
-        stray = [i for i in ids if i not in committed_ids]
-        if stray:
-            raise RuntimeError(
-                f"{path} already has a manifest but batch dirs "
-                f"{stray} are NOT in its committed ids — a post-migration "
-                "dirs-writer ran; re-ingest those batches explicitly")
         # crash window: commit landed, cleanup didn't.  Verify by
-        # CONTENT before deleting — colliding ids from a fresh-
-        # checkpoint dirs-writer must not be mistaken for the crash
-        # leftover (that would be silent data loss)
+        # CONTENT before deleting — a batch id proves nothing in
+        # EITHER direction: a colliding id can come from a fresh-
+        # checkpoint dirs-writer carrying new rows (silent data loss
+        # if trusted), and an ABSENT id can be the crash leftover
+        # itself after compaction pruned the recorded ids to the
+        # replayable tail (ADVICE r14: the id-membership gate turned
+        # the documented crash recovery into a false 're-ingest'
+        # refusal).  Every leftover dir takes the same exceptAll
+        # check: fully covered → delete; any uncovered row → refuse.
         committed = store.df()
         leftover = (spark.read.option("basePath", path)
                     .parquet(*[os.path.join(path, d) for d in batches])
@@ -414,10 +413,12 @@ def migrate_dirs_to_manifest(spark: SparkSession, path: str) -> int:
         uncovered = leftover.exceptAll(committed).count()
         if uncovered:
             raise RuntimeError(
-                f"{path}: leftover batch dirs {ids} reuse committed batch "
-                f"ids but carry {uncovered} row(s) NOT in the committed "
-                "table — a dirs-writer on a fresh checkpoint collided; "
-                "re-ingest those batches explicitly (refusing to delete)")
+                f"{path}: leftover batch dirs {ids} carry {uncovered} "
+                "row(s) NOT in the committed table — a dirs-writer ran "
+                "against the migrated store (a fresh checkpoint "
+                "restarts ids at 0, so id collisions mean nothing); "
+                "re-ingest those batches explicitly (refusing to "
+                "delete)")
         for d in batches:
             shutil.rmtree(os.path.join(path, d))
         return len(batches)

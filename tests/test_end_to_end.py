@@ -191,6 +191,25 @@ def test_cli_verify_witness_and_find_chain(spark, tmp_path_factory, capsys):
     assert rc == min(want_penalty, 125)
     assert "skipped" not in capsys.readouterr().out
 
+    # ADVICE r14: a re-delivered round carrying a DIFFERENT shuffled
+    # array graded as TWO rows for one distinct (id, boundary) pair,
+    # driving the skip count negative.  The CLI now dedups on the
+    # publish-once pair before grading AND counting — graded rows equal
+    # distinct pairs, no phantom (or negative) skips.  The mutation is
+    # a reversal: set-compare grading is order-blind, so the penalty is
+    # identical whichever duplicate survives the dedup.
+    mut = dict(fx.witness_schedules[0])
+    mut["current_shuffled_witnesses"] = list(
+        reversed(mut["current_shuffled_witnesses"]))
+    _write_batches(fx.witness_schedules + [mut], "witness_schedules",
+                   str(d / "scheds_mut"), 1)
+    rc = main(["verify", "--witness", "--blocks", str(d / "blocks"),
+               "--schedules", str(d / "scheds_mut")])
+    assert rc == min(want_penalty, 125)
+    out = capsys.readouterr().out
+    assert f"{len(fx.witness_schedules)} rounds checked" in out
+    assert "skipped" not in out
+
     # r14 review: a capture too short to fully cover ANY round verified
     # nothing — that must be a loud non-zero exit, not a clean 0 a
     # scripted caller mistakes for a full verification

@@ -464,10 +464,24 @@ def test_migrate_dirs_to_manifest(spark, tmp_path):
     _sh.rmtree(os.path.join(path, "batch_id=2"))
 
     # a stray POST-migration dirs-writer batch (id beyond the committed
-    # set) is refused loudly too
+    # set) carrying NEW rows is refused loudly too — by CONTENT, same
+    # gate as the colliding-id case
     _rows(spark, [8]).write.parquet(os.path.join(path, "batch_id=9"))
-    with pytest.raises(RuntimeError, match="NOT in its committed ids"):
+    with pytest.raises(RuntimeError, match="NOT in the committed table"):
         migrate_dirs_to_manifest(spark, path)
+    _sh.rmtree(os.path.join(path, "batch_id=9"))
+
+    # ADVICE r14: after compact() prunes the recorded batch ids to the
+    # replayable tail, a migration-crash leftover whose id fell OUT of
+    # the committed set must still reach the content-verified delete —
+    # id membership alone must not trigger the 're-ingest' refusal
+    s.append(_rows(spark, [10]), batch_id=7)
+    s.compact()                       # prunes ids to the {max-1, max} tail
+    assert 0 not in s.committed_batch_ids()
+    _rows(spark, [1, 2]).write.parquet(os.path.join(path, "batch_id=0"))
+    assert migrate_dirs_to_manifest(spark, path) == 1      # covered → clean
+    assert sorted(r["id"] for r in s.df().collect()) == [1, 2, 3, 4, 5, 6, 10]
+    assert not [d for d in os.listdir(path) if d.startswith("batch_id=")]
 
 
 def test_migrate_nothing_to_do(spark, tmp_path):
