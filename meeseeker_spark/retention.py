@@ -52,6 +52,38 @@ def _epoch_s(ts: dt.datetime) -> int:
     return int(ts.replace(tzinfo=dt.timezone.utc).timestamp())
 
 
+def _exchange(a: str, b: str) -> bool:
+    """Atomically SWAP two paths with ``renameat2(..., RENAME_EXCHANGE)``
+    (VERDICT r14 item 4): the whole-store expire fallback used to
+    two-rename (``path`` → ``.old``, ``.tmp`` → ``path``), leaving a
+    reader-visible ENOENT window between the renames — the one reader
+    exposure the partition-level swap hides behind dot-prefix
+    invisibility.  An exchange has NO window: every reader sees either
+    the old store or the new one.
+
+    Returns False when the libc or the filesystem lacks the call
+    (non-Linux libc, kernel < 3.15, or an FS without exchange support —
+    the syscall then fails EINVAL/ENOSYS/ENOTSUP) so the caller can
+    fall back to the two-rename protocol, loudly.  Any other errno is a
+    real error and raises."""
+    import ctypes
+    import errno
+
+    libc = ctypes.CDLL(None, use_errno=True)
+    if not hasattr(libc, "renameat2"):
+        return False
+    AT_FDCWD = -100
+    RENAME_EXCHANGE = 2
+    r = libc.renameat2(AT_FDCWD, os.fsencode(a), AT_FDCWD, os.fsencode(b),
+                       RENAME_EXCHANGE)
+    if r == 0:
+        return True
+    err = ctypes.get_errno()
+    if err in (errno.EINVAL, errno.ENOSYS, errno.ENOTSUP):
+        return False
+    raise OSError(err, os.strerror(err), a)
+
+
 def _recover(path: str) -> None:
     """Roll a crashed swap forward or back so ``expire`` can re-run.
     Fallback protocol only: a manifest-committed store never enters any
@@ -127,14 +159,32 @@ def expire(spark: SparkSession, path: str, ttl_s: int = DEFAULT_TTL_S,
         return 0
 
     if not any(d.startswith("chain=") for d in os.listdir(path)):
-        # un-partitioned layout: one whole-store swap (sibling tmp/old)
+        # un-partitioned layout: one whole-store swap.  Primary path is
+        # an atomic renameat2 exchange — concurrent readers see either
+        # the old store or the new one, never ENOENT (VERDICT r14
+        # item 4).  A crash after the exchange leaves ``.tmp`` holding
+        # the superseded OLD rows, which _recover discards — the same
+        # terminal state as a pre-write crash, so no new recovery case.
         n_total = sum(r["n"] for r in expired_per_chain)
         live = df.where(live_pred).sortWithinPartitions(
             "block_num", "trx_id", "trx_index")
         live.write.mode("overwrite").parquet(path + ".tmp")
-        os.rename(path, path + ".old")
-        os.rename(path + ".tmp", path)
-        shutil.rmtree(path + ".old")
+        if _exchange(path, path + ".tmp"):
+            shutil.rmtree(path + ".tmp")       # now the old rows
+        else:
+            # two-rename fallback (exchange unsupported here): there IS
+            # a reader-visible ENOENT instant between the renames — an
+            # operational fact worth a loud line, not a silent downgrade
+            import sys
+            print(f"meeseeker_spark: filesystem at {path} does not "
+                  "support renameat2 exchange — whole-store expire "
+                  "falls back to a two-rename swap with a momentary "
+                  "ENOENT window for concurrent readers (schedule an "
+                  "offline window, or use a manifest/partitioned "
+                  "store)", file=sys.stderr)
+            os.rename(path, path + ".old")
+            os.rename(path + ".tmp", path)
+            shutil.rmtree(path + ".old")
         return n_total
 
     removed = 0

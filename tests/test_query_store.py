@@ -312,6 +312,65 @@ def test_expire_unpartitioned_store(spark, tmp_path_factory):
     assert removed > 0
     assert left.where("block_num % 2 = 0").count() == 0
     assert left.where("block_num % 2 = 1").count() > 0
+    # the primary swap is the atomic exchange: no .old sibling artifact
+    assert not os.path.exists(str(d / "flat") + ".old")
+    assert not os.path.exists(str(d / "flat") + ".tmp")
+
+
+def test_renameat2_exchange_swap(tmp_path):
+    """VERDICT r14 item 4: the whole-store expire swap is an atomic
+    renameat2(RENAME_EXCHANGE) — prove the primitive on this
+    filesystem: both paths exist before AND after, contents swapped, no
+    intermediate ENOENT state possible by construction."""
+    from meeseeker_spark.retention import _exchange
+
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(), b.mkdir()
+    (a / "x").write_text("old")
+    (b / "x").write_text("new")
+    assert _exchange(str(a), str(b)) is True
+    assert (a / "x").read_text() == "new"
+    assert (b / "x").read_text() == "old"
+    # a missing operand is a REAL error, not a silent fallback signal
+    import pytest as _pytest
+    with _pytest.raises(OSError):
+        _exchange(str(tmp_path / "nope"), str(a))
+
+
+def test_expire_unpartitioned_fallback_is_loud(spark, tmp_path_factory,
+                                               monkeypatch, capsys):
+    """When the filesystem lacks renameat2 exchange, the whole-store
+    expire falls back to the two-rename swap — correct result, but the
+    reader-visible ENOENT window is announced on stderr instead of
+    silently downgraded."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from meeseeker_spark import fixtures, retention
+    from meeseeker_spark.flatten import flatten_blocks
+    from meeseeker_spark.schemas import BLOCKS
+
+    fx = fixtures.generate(n_blocks=21, seed=3)
+    d = tmp_path_factory.mktemp("flatttl_fb")
+    fixtures.write_parquet(fx, str(d))
+    ops = flatten_blocks(
+        spark.read.schema(BLOCKS).parquet(str(d / "blocks.parquet")))
+    aged = ops.withColumn(
+        "ingested_at",
+        F.when(F.col("block_num") % 2 == 0,
+               F.lit(dt.datetime(2000, 1, 1)))
+        .otherwise(F.lit(dt.datetime(2100, 1, 1))).cast("timestamp"))
+    aged.write.mode("overwrite").parquet(str(d / "flat"))
+
+    monkeypatch.setattr(retention, "_exchange", lambda a, b: False)
+    removed = retention.expire(spark, str(d / "flat"), ttl_s=86_400,
+                               now=dt.datetime(2000, 1, 3))
+    assert removed > 0
+    left = spark.read.parquet(str(d / "flat"))
+    assert left.where("block_num % 2 = 0").count() == 0
+    assert left.where("block_num % 2 = 1").count() > 0
+    assert "ENOENT window" in capsys.readouterr().err
 
 
 def test_unified_store_schedule_scan(spark, tmp_path_factory, store):
