@@ -117,14 +117,51 @@ def main() -> None:
 
     warmup_total = round(sum(_run_pass().values()), 3)
     pass_times = [_run_pass() for _ in range(reps)]
+    pass_totals = [round(sum(p.values()), 3) for p in pass_times]
+
+    # Converge instead of adjudicating after the fact (VERDICT r14
+    # item 1): BENCH_r13 and r14 both recorded loaded-box numbers that
+    # the band machinery could only explain, not fix.  When the warmup
+    # probe classified the box "loaded" OR the warm passes spread past
+    # ~10%, keep running warm passes (cap below) until the two BEST
+    # pass totals agree within ~8% — the box draining shows up as new
+    # minima converging; a genuinely busy box never settles and the
+    # trace proves it.  The headline numbers are best-pass-derived
+    # either way (per-query min over all warm passes).
+    MAX_PASSES = max(reps, int(os.environ.get(
+        "SPARK_GRAFT_BENCH_MAX_PASSES", "6")))
+    CONVERGE_GAP_PCT = 8.0
+    TRIGGER_SPREAD_PCT = 10.0
+
+    def _best_two_gap() -> float | None:
+        s = sorted(pass_totals)[:2]
+        return (round((s[1] - s[0]) / s[0] * 100, 1)
+                if len(s) == 2 and s[0] > 0 else None)
+
+    def _spread() -> float | None:
+        return (round((max(pass_totals) - min(pass_totals))
+                      / min(pass_totals) * 100, 1)
+                if pass_totals and min(pass_totals) > 0 else None)
+
+    gap = _best_two_gap()
+    needs_convergence = (band_adjudication == "loaded"
+                         or (_spread() or 0) > TRIGGER_SPREAD_PCT
+                         or gap is None)
+    while (needs_convergence and len(pass_times) < MAX_PASSES
+           and (gap is None or gap > CONVERGE_GAP_PCT)):
+        pass_times.append(_run_pass())
+        pass_totals.append(round(sum(pass_times[-1].values()), 3))
+        gap = _best_two_gap()
+    bench_converged = gap is not None and gap <= CONVERGE_GAP_PCT
+    final_adjudication = (
+        band_adjudication if not needs_convergence
+        else ("converged" if bench_converged else "never_settled"))
+
     results = {name: round(min(p[name] for p in pass_times), 3)
                for name in HEADLINE}
-    pass_totals = [round(sum(p.values()), 3) for p in pass_times]
     # guard the degenerate cases (empty headline / zero-time pass) so a
     # broken run still emits its JSON line instead of dying on the stat
-    spread_pct = (round(
-        (max(pass_totals) - min(pass_totals)) / min(pass_totals) * 100, 1)
-        if pass_totals and min(pass_totals) > 0 else None)
+    spread_pct = _spread()
 
     # ingest throughput: flatten 210 fixture blocks → keyed store
     from meeseeker_spark import fixtures
@@ -222,6 +259,17 @@ def main() -> None:
             # load persisted through a 60 s settle — read the band's
             # upper half / prior A-B drift notes before suspecting plans
             "band_adjudication": band_adjudication,
+            # convergence trace (VERDICT r14 item 1): when the warmup
+            # said "loaded" or the passes spread >10%, extra warm
+            # passes ran (cap 6) until the two best totals agreed
+            # within 8%.  final_adjudication: "clean"/"loaded" (no
+            # convergence needed) | "converged" (headline is the
+            # settled best-pass number) | "never_settled" (the box
+            # stayed busy through every pass — totals prove it)
+            "n_warm_passes": len(pass_times),
+            "best_two_gap_pct": gap,
+            "bench_converged": bench_converged,
+            "final_adjudication": final_adjudication,
         },
     }))
     spark.stop()

@@ -19,6 +19,11 @@ def pytest_configure(config):
         "markers",
         "sf1: opt-in scale-exactness gate at the derived sf1 "
         "(SPARK_GRAFT_SF1=1; see tests/test_sf1_exactness.py)")
+    config.addinivalue_line(
+        "markers",
+        "sf1smoke: the pre-commit-sized sf1 subset — the five entries "
+        "whose thresholds bind first at scale (~7 min vs ~54 for the "
+        "full sf1 gate)")
 
 
 @pytest.fixture(scope="session")

@@ -63,6 +63,24 @@ def main() -> int:
         print("PREFLIGHT FAIL: suite half B red")
         return 1
 
+    # opt-in sf1 smoke (VERDICT r14 item 5): when the caller exports
+    # SPARK_GRAFT_SF1=1 and the derived tables exist, run the five
+    # entries whose scale thresholds bind first (~7 min) — the full
+    # 12-entry sf1 gate stays a round-boundary ritual, this keeps a
+    # scale-exactness canary inside the pre-commit loop.
+    if os.environ.get("SPARK_GRAFT_SF1"):
+        sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR",
+                                 str(REPO / "bench_data" / "sf1"))
+        if os.path.isdir(sf1_dir):
+            if run([py, "-m", "pytest", "-q", "-m", "sf1smoke",
+                    "tests/test_sf1_exactness.py"]):
+                print("PREFLIGHT FAIL: sf1 smoke red (a scale "
+                      "threshold crossed — see tests/test_sf1_exactness.py)")
+                return 1
+        else:
+            print(f"sf1 smoke skipped: {sf1_dir} missing "
+                  "(tools/make_scaled_sf.py builds it)")
+
     if not fast:
         if run([py, "tools/boundary_audit.py"]):
             print("PREFLIGHT FAIL: rounding-boundary audit red (a graded "
