@@ -143,16 +143,35 @@ def main() -> None:
                       / min(pass_totals) * 100, 1)
                 if pass_totals and min(pass_totals) > 0 else None)
 
+    # "settled" needs BOTH: the two best totals agree within the gap
+    # AND the newest pass did not just set a meaningfully lower minimum
+    # — a draining box produces monotone-falling minima whose two best
+    # can already agree within 8% while still sliding (the r13/r14
+    # post-suite signature: 19.0 → 15.1 → 13.5 → ...), so a fresh
+    # minimum means "keep measuring", not "done".
+    STILL_DROPPING_PCT = 2.0
+
+    def _still_dropping() -> bool:
+        if len(pass_totals) < 2:
+            return True
+        prev_min = min(pass_totals[:-1])
+        return (prev_min > 0
+                and (prev_min - pass_totals[-1]) / prev_min * 100
+                > STILL_DROPPING_PCT)
+
     gap = _best_two_gap()
     needs_convergence = (band_adjudication == "loaded"
                          or (_spread() or 0) > TRIGGER_SPREAD_PCT
                          or gap is None)
     while (needs_convergence and len(pass_times) < MAX_PASSES
-           and (gap is None or gap > CONVERGE_GAP_PCT)):
+           and (gap is None or gap > CONVERGE_GAP_PCT
+                or _still_dropping())):
         pass_times.append(_run_pass())
         pass_totals.append(round(sum(pass_times[-1].values()), 3))
         gap = _best_two_gap()
-    bench_converged = gap is not None and gap <= CONVERGE_GAP_PCT
+    bench_converged = (not needs_convergence
+                       or (gap is not None and gap <= CONVERGE_GAP_PCT
+                           and not _still_dropping()))
     final_adjudication = (
         band_adjudication if not needs_convergence
         else ("converged" if bench_converged else "never_settled"))

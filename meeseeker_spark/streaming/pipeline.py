@@ -151,11 +151,21 @@ def _checkpoint_stream_id(checkpoint: str,
         return json.loads(content)["id"]
     except (ValueError, KeyError, TypeError):
         return None          # garbled/shapeless metadata: no identity
-    except Exception:
-        # Py4J surfaces FileNotFound/connection errors as Py4JJavaError;
-        # a metadata file Spark has not written yet is the normal case
-        # (first start), the rest degrade to batch-id-only stamps the
-        # same way the pre-upgrade local read did
+    except Exception as e:
+        # Py4J surfaces JVM IO errors as Py4JJavaError.  A metadata
+        # file Spark has not written yet (FileNotFound) is the normal
+        # first-start case — silent None, same contract as the local
+        # fast path.  Anything else (connection refused, auth, ...)
+        # means the guard is degrading for an OPERATIONAL reason the
+        # operator should hear about once, not silently.
+        jexc = getattr(e, "java_exception", None)
+        jname = jexc.getClass().getName() if jexc is not None else ""
+        if "FileNotFound" not in jname:
+            import sys
+            print(f"meeseeker_spark: could not read {checkpoint}/metadata "
+                  f"through the Hadoop FileSystem ({jname or type(e).__name__})"
+                  " — the stale-pending stream-identity guard is degraded "
+                  "to batch-id-only stamps", file=sys.stderr)
         return None
 
 

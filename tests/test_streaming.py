@@ -537,13 +537,33 @@ def test_checkpoint_stream_id_hadoop_fs(spark, tmp_path, capsys,
     assert P._checkpoint_stream_id("s3a://bucket/ckpt", spark) \
         == "q-remote"
     assert seen == ["s3a://bucket/ckpt/metadata"]
-    # missing-on-remote (first start): None, silently — same contract
-    # as the local fast path
+
+    # missing-on-remote (first start, JVM FileNotFound): None, silently
+    # — same contract as the local fast path
+    class _FakeJExc:
+        class _Cls:
+            @staticmethod
+            def getName():
+                return "java.io.FileNotFoundException"
+
+        def getClass(self):
+            return self._Cls
+
+    class _NotFound(Exception):
+        java_exception = _FakeJExc()
+
     monkeypatch.setattr(
         P, "_hadoop_read_utf8",
-        lambda s, uri: (_ for _ in ()).throw(RuntimeError("not found")))
+        lambda s, uri: (_ for _ in ()).throw(_NotFound()))
     assert P._checkpoint_stream_id("s3a://bucket/ckpt", spark) is None
     assert "degraded" not in capsys.readouterr().err
+
+    # any OTHER remote failure (connection, auth, ...) degrades LOUDLY
+    monkeypatch.setattr(
+        P, "_hadoop_read_utf8",
+        lambda s, uri: (_ for _ in ()).throw(RuntimeError("conn refused")))
+    assert P._checkpoint_stream_id("s3a://bucket/ckpt", spark) is None
+    assert "degraded" in capsys.readouterr().err
 
 
 def test_reset_drops_hwm_and_pending(spark, fx, tmp_path_factory):
