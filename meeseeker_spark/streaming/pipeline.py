@@ -630,9 +630,10 @@ def compact_meta(spark: SparkSession, ops_path: str) -> int:
     same-checkpoint replay's ``mode("overwrite")`` of it cannot destroy
     folded rows (ADVICE r14 — the dirs twin of the manifest tail).
     Every crash window either leaves dominated rows (no reader change)
-    or a recoverable aside the next run rolls forward — the one
-    mid-swap window where the fold target is absent can only REGRESS
-    the HWM, which re-ingests idempotently, never skips."""
+    or a recoverable aside the next run rolls forward — and because the
+    newest dir is never the swap target, the mid-swap window where the
+    fold target is briefly absent does not even regress the HWM: the
+    untouched newest dir carries the global (monotone) max."""
     meta_path = ops_path + "_meta"
     if not os.path.exists(meta_path):
         return 0
