@@ -40,10 +40,13 @@ HALF_A = ["tests/test_streaming.py", "tests/test_end_to_end.py",
           "tests/test_oracle_parity.py"]
 
 
-def run(cmd: list[str], env: dict | None = None) -> int:
+def run(cmd: list[str], env: dict | None = None,
+        drop: tuple[str, ...] = ()) -> int:
     print(f"\n=== {' '.join(cmd)}", flush=True)
     t0 = time.time()
     e = dict(os.environ)
+    for k in drop:
+        e.pop(k, None)
     if env:
         e.update(env)
     rc = subprocess.call(cmd, cwd=REPO, env=e)
@@ -55,11 +58,16 @@ def main() -> int:
     fast = "--fast" in sys.argv[1:]
     py = sys.executable
 
+    # the suite halves must NOT inherit SPARK_GRAFT_SF1 — with it set,
+    # half B un-skips the FULL 12-entry sf1 gate (~54 min) instead of
+    # the smoke subset the dedicated step below runs (r15: the first
+    # wiring attempt timed a preflight out exactly this way)
     half_b = ["--ignore=" + p for p in HALF_A]
-    if run([py, "-m", "pytest", "-q", *HALF_A]):
+    if run([py, "-m", "pytest", "-q", *HALF_A], drop=("SPARK_GRAFT_SF1",)):
         print("PREFLIGHT FAIL: suite half A red")
         return 1
-    if run([py, "-m", "pytest", "-q", "tests/", *half_b]):
+    if run([py, "-m", "pytest", "-q", "tests/", *half_b],
+           drop=("SPARK_GRAFT_SF1",)):
         print("PREFLIGHT FAIL: suite half B red")
         return 1
 
