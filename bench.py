@@ -71,6 +71,19 @@ def main() -> None:
         with open("/proc/loadavg") as f:
             return [float(x) for x in f.read().split()[:3]]
 
+    # Hypervisor steal (r15): load average only sees guest-visible
+    # processes — a shared host can take CPU the guest asked for
+    # (steal) with load reading 0.0x, inflating every query UNIFORMLY.
+    # Measured on this box: 12% of busy time stolen during a 32-core
+    # spin while loadavg read 0.07 — the residual plateau wander the
+    # r13-r15 "clean"-adjudicated readings (9.7 vs 10.2 vs 12.9 on
+    # byte-identical trees) could never pin on load.  Sampled across
+    # the measured region; steal/(user+nice+system+steal) is the share
+    # of CPU we wanted but did not get.
+    def _cpu_stat() -> list[int]:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:9]]
+
     # Quiet-box protocol (VERDICT r13 item 4): the band adjudication is
     # now IN the artifact, not a ROUND_NOTES ritual.  At warmup this
     # process has burned ~no CPU yet, so the 1-min load is external
@@ -115,6 +128,7 @@ def main() -> None:
             times[name] = time.perf_counter() - t0
         return times
 
+    stat_at_warmup = _cpu_stat()
     warmup_total = round(sum(_run_pass().values()), 3)
     pass_times = [_run_pass() for _ in range(reps)]
     pass_totals = [round(sum(p.values()), 3) for p in pass_times]
@@ -175,6 +189,18 @@ def main() -> None:
     final_adjudication = (
         band_adjudication if not needs_convergence
         else ("converged" if bench_converged else "never_settled"))
+
+    # steal share over the whole measured region (warmup + every warm
+    # pass).  host_throttled means: the numbers are internally stable
+    # but the HOST ran us slow — prefer an un-throttled artifact for
+    # band comparisons; convergence cannot measure this away.
+    stat_at_end = _cpu_stat()
+    _d = [b - a for a, b in zip(stat_at_warmup, stat_at_end)]
+    _busy = _d[0] + _d[1] + _d[2] + _d[7]     # user+nice+system+steal
+    steal_pct_of_busy = (round(100 * _d[7] / _busy, 1) if _busy > 0
+                         else None)
+    host_throttled = (steal_pct_of_busy is not None
+                      and steal_pct_of_busy > 3.0)
 
     results = {name: round(min(p[name] for p in pass_times), 3)
                for name in HEADLINE}
@@ -289,6 +315,12 @@ def main() -> None:
             "best_two_gap_pct": gap,
             "bench_converged": bench_converged,
             "final_adjudication": final_adjudication,
+            # hypervisor steal over the measured region (see note at
+            # _cpu_stat): >3% of busy time means the host throttled
+            # this run — internally-stable numbers, externally slow;
+            # band-compare against an un-throttled artifact
+            "steal_pct_of_busy": steal_pct_of_busy,
+            "host_throttled": host_throttled,
         },
     }))
     spark.stop()
