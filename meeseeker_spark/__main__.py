@@ -612,13 +612,17 @@ def main(argv: list[str] | None = None) -> int:
         spark = _spark()
         blocks = spark.read.schema(BLOCKS).parquet(a.blocks)
         scheds = spark.read.schema(WITNESS_SCHEDULES).parquet(a.schedules)
-        # dedup on the publish-once pair BEFORE grading and counting
-        # (ADVICE r14): a raw (non-publish-log) capture can re-deliver
-        # a round, and a re-delivery carrying a DIFFERENT shuffled
-        # array would otherwise grade as TWO rows for one distinct
-        # pair — making "skipped = distinct pairs − graded rows" go
-        # negative.  Same dedup boundary as ScheduleStore's reader.
-        scheds = scheds.dropDuplicates(["id", "next_shuffle_block_num"])
+        # dedup on the publish-once boundary BEFORE grading and
+        # counting (ADVICE r14): a raw (non-publish-log) capture can
+        # re-deliver a round, and a re-delivery carrying a DIFFERENT
+        # shuffled array (or a different schedule-object id for the
+        # same boundary) would otherwise grade as TWO rows for one
+        # round — making "skipped = rounds − graded rows" go negative.
+        # The key is next_shuffle_block_num ALONE, the exact key
+        # ScheduleStore's reader and compact_schedule_log dedup on, so
+        # a stream verifies identically through a raw capture and the
+        # compacted publish log.
+        scheds = scheds.dropDuplicates(["next_shuffle_block_num"])
         if a.max_blocks is not None:
             tip = blocks.agg(SF.max("block_num")).first()[0]
             if tip is not None:
@@ -650,8 +654,8 @@ def main(argv: list[str] | None = None) -> int:
         # (ADVICE r13: a round straddling the capture tip must not flag
         # its not-yet-captured witnesses); surface what it skipped so a
         # clean exit over a short capture is not mistaken for a full
-        # one.  scheds is already distinct on the pair, so this count
-        # can never undershoot the graded rows.
+        # one.  scheds is already distinct on the boundary, so this
+        # count can never undershoot the graded rows.
         n_total = scheds.count()
         n_skipped = n_total - n_rounds
         print(f"{n_rounds} rounds checked, {len(bad)} with "

@@ -690,7 +690,15 @@ def _fold_batch_dirs(spark: SparkSession, path: str, fold_fn) -> int:
     (batch ids are monotone within one checkpoint and trigger N+1 only
     runs after commit N landed).  Overlap between the untouched newest
     dir and a folded row set is absorbed by the readers (monotone max
-    for _meta; publish-once key dedup for ScheduleStore)."""
+    for _meta; publish-once key dedup for ScheduleStore).
+
+    Blast-radius note (r15 review): the swap victim is always a single
+    RAW trigger dir — on every fold after the first, the previously
+    folded history dir carries the smallest batch id, making it a fold
+    INPUT in ``fold_set[:-1]``, still on disk through the swap and
+    deleted only after its rows landed in the new target.  The
+    mid-swap window therefore hides at most one trigger's rows, same
+    exposure before and after the newest-dir protection."""
     for d in list(os.listdir(path)):
         if d.startswith(".foldold-"):
             tgt = os.path.join(path, d[len(".foldold-"):])

@@ -192,17 +192,21 @@ def test_cli_verify_witness_and_find_chain(spark, tmp_path_factory, capsys):
     assert "skipped" not in capsys.readouterr().out
 
     # ADVICE r14: a re-delivered round carrying a DIFFERENT shuffled
-    # array graded as TWO rows for one distinct (id, boundary) pair,
-    # driving the skip count negative.  The CLI now dedups on the
-    # publish-once pair before grading AND counting — graded rows equal
-    # distinct pairs, no phantom (or negative) skips.  The mutation is
-    # a reversal: set-compare grading is order-blind, so the penalty is
-    # identical whichever duplicate survives the dedup.
+    # array (or a different schedule-object id for the same boundary)
+    # graded as TWO rows for one round, driving the skip count
+    # negative.  The CLI now dedups on the publish-once boundary —
+    # next_shuffle_block_num alone, the reader's own key — before
+    # grading AND counting, so graded rows equal rounds.  The array
+    # mutation is a reversal: set-compare grading is order-blind, so
+    # the penalty is identical whichever duplicate survives the dedup;
+    # the id mutation is a pure copy under a new id, same invariance.
     mut = dict(fx.witness_schedules[0])
     mut["current_shuffled_witnesses"] = list(
         reversed(mut["current_shuffled_witnesses"]))
-    _write_batches(fx.witness_schedules + [mut], "witness_schedules",
-                   str(d / "scheds_mut"), 1)
+    mut2 = dict(fx.witness_schedules[1])
+    mut2["id"] = 990000 + int(mut2["id"])
+    _write_batches(fx.witness_schedules + [mut, mut2],
+                   "witness_schedules", str(d / "scheds_mut"), 1)
     rc = main(["verify", "--witness", "--blocks", str(d / "blocks"),
                "--schedules", str(d / "scheds_mut")])
     assert rc == min(want_penalty, 125)
