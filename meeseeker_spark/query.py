@@ -252,12 +252,24 @@ class ScheduleStore:
             # boundary, so duplicates can only come from the two
             # at-least-once windows (a checkpoint-wiped replay; a
             # compact_schedule_log fold that crashed between rename-in
-            # and the older-dir delete) — the reader absorbs both (r14)
+            # and the older-dir delete) — the reader absorbs both (r14).
+            # The survivor is DETERMINISTIC (r15): newest batch_id wins,
+            # matching the sink's mode('overwrite') replay semantics
+            # (a replayed batch overwrites its dir, so the highest batch
+            # id is the authoritative write); equal-batch ties fall back
+            # to the total struct order so two readers always agree.
+            # Same cost class as dropDuplicates — one shuffle on the key.
             raw = (self.spark.read.option("basePath", self.path)
                    .schema(pub_schema.add("batch_id", "long"))
                    .parquet(*[os.path.join(self.path, d) for d in batches])
-                   .drop("batch_id")
-                   .dropDuplicates(["next_shuffle_block_num"]))
+                   .groupBy("next_shuffle_block_num")
+                   .agg(F.max(F.struct(
+                       "batch_id", "id",
+                       "current_shuffled_witnesses")).alias("_newest"))
+                   .select("next_shuffle_block_num",
+                           F.col("_newest.id").alias("id"),
+                           F.col("_newest.current_shuffled_witnesses")
+                           .alias("current_shuffled_witnesses")))
         else:
             raw = self.spark.createDataFrame([], pub_schema)
         return raw.select(

@@ -416,6 +416,34 @@ def test_unified_store_schedule_scan(spark, tmp_path_factory, store):
     assert empty.df().count() == 0
 
 
+def test_schedule_store_dedup_survivor_is_newest_batch(
+        spark, tmp_path_factory):
+    """Key-dedup determinism (r14 VERDICT watch-item b): if a replay ever
+    republishes the SAME next_shuffle_block_num with a DIFFERENT payload,
+    the survivor is the newest batch_id's row — the sink's
+    mode('overwrite') replay semantics — never an arbitrary pick."""
+    from meeseeker_spark.query import ScheduleStore
+
+    d = tmp_path_factory.mktemp("scheddedup")
+    ddl = ("id bigint, next_shuffle_block_num bigint, "
+           "current_shuffled_witnesses array<string>")
+    spark.createDataFrame(
+        [(1, 4200, ["stale_w1"]), (2, 4221, ["w2"])], ddl,
+    ).write.parquet(str(d / "batch_id=3"))
+    spark.createDataFrame(
+        [(1, 4200, ["fresh_w1", "fresh_w2"])], ddl,
+    ).write.parquet(str(d / "batch_id=7"))
+
+    got = {r["block_num"]: r["value"]
+           for r in ScheduleStore(spark, str(d)).df().collect()}
+    assert len(got) == 2
+    assert "fresh_w1" in got[4200] and "stale_w1" not in got[4200]
+    # two independent evaluations agree (determinism, not luck)
+    again = {r["block_num"]: r["value"]
+             for r in ScheduleStore(spark, str(d)).df().collect()}
+    assert got == again
+
+
 def test_get_malformed_numeric_segment_is_empty(store):
     """A key whose block_num segment isn't numeric exists in no store —
     GET returns empty (Redis nil analog), never an int() crash."""
