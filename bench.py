@@ -84,6 +84,41 @@ def main() -> None:
         with open("/proc/stat") as f:
             return [int(x) for x in f.readline().split()[1:9]]
 
+    # CPU ticks burned by THIS process tree (python + the JVM it
+    # launched + executors' helpers): utime+stime of self and every
+    # live descendant, plus each member's reaped-children cutime+cstime
+    # (a child that exits mid-region moves its ticks into the parent's
+    # cutime, so the two-snapshot delta stays exact).  Total-box busy
+    # minus this is EXTERNAL work — the only sound end-of-run load
+    # signal, because a plain loadavg probe right after warm passes
+    # mostly reads the bench's own just-finished saturation (r15
+    # review: that mislabeled every settled loaded-start run
+    # "converged_under_load").
+    def _tree_cpu_ticks() -> int:
+        procs: dict[int, tuple[int, int]] = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as f:
+                    parts = f.read().rsplit(")", 1)[1].split()
+            except (OSError, IndexError):
+                continue
+            # post-comm 0-based: state=0 ppid=1 ... utime=11 stime=12
+            # cutime=13 cstime=14
+            procs[int(d)] = (int(parts[1]),
+                             int(parts[11]) + int(parts[12])
+                             + int(parts[13]) + int(parts[14]))
+        tree = {os.getpid()}
+        grew = True
+        while grew:
+            grew = False
+            for pid, (ppid, _) in procs.items():
+                if ppid in tree and pid not in tree:
+                    tree.add(pid)
+                    grew = True
+        return sum(t for pid, (_pp, t) in procs.items() if pid in tree)
+
     # Quiet-box protocol (VERDICT r13 item 4): the band adjudication is
     # now IN the artifact, not a ROUND_NOTES ritual.  At warmup this
     # process has burned ~no CPU yet, so the 1-min load is external
@@ -129,6 +164,8 @@ def main() -> None:
         return times
 
     stat_at_warmup = _cpu_stat()
+    tree_at_warmup = _tree_cpu_ticks()
+    region_t0 = time.perf_counter()
     warmup_total = round(sum(_run_pass().values()), 3)
     pass_times = [_run_pass() for _ in range(reps)]
     pass_totals = [round(sum(p.values()), 3) for p in pass_times]
@@ -142,8 +179,12 @@ def main() -> None:
     # minima converging; a genuinely busy box never settles and the
     # trace proves it.  The headline numbers are best-pass-derived
     # either way (per-query min over all warm passes).
+    # default cap = reps + headroom for the loop, never max(reps, k):
+    # a run launched with REPS >= k would otherwise get ZERO
+    # convergence passes and be labeled never_settled without the loop
+    # ever executing (r15 review); an explicit env cap is respected.
     MAX_PASSES = max(reps, int(os.environ.get(
-        "SPARK_GRAFT_BENCH_MAX_PASSES", "6")))
+        "SPARK_GRAFT_BENCH_MAX_PASSES", str(max(6, reps + 4)))))
     CONVERGE_GAP_PCT = 8.0
     TRIGGER_SPREAD_PCT = 10.0
 
@@ -195,32 +236,43 @@ def main() -> None:
     gap = _best_two_gap()
     needs_convergence = _triggered()
     bench_converged = not needs_convergence or _settled()
-    # Label semantics (r15 review): "converged" alone would also cover
-    # a box under STEADY external load — stable passes, uniformly
-    # inflated, nothing for the loop to converge away.  If the warmup
-    # probe said "loaded" and the 1-min load is STILL above threshold
-    # after the last pass, the settled number is stable-under-load,
-    # not a quiet-box number — label it so band comparisons know.
-    load_after_passes = _load_avg()
-    final_adjudication = (
-        band_adjudication if not needs_convergence
-        else "never_settled" if not bench_converged
-        else "converged_under_load"
-        if (band_adjudication == "loaded"
-            and load_after_passes[0] > LOADED_THRESHOLD)
-        else "converged")
-
     # steal share over the whole measured region (warmup + every warm
     # pass).  host_throttled means: the numbers are internally stable
     # but the HOST ran us slow — prefer an un-throttled artifact for
     # band comparisons; convergence cannot measure this away.
     stat_at_end = _cpu_stat()
+    tree_at_end = _tree_cpu_ticks()
+    region_wall_s = time.perf_counter() - region_t0
     _d = [b - a for a, b in zip(stat_at_warmup, stat_at_end)]
     _busy = _d[0] + _d[1] + _d[2] + _d[7]     # user+nice+system+steal
     steal_pct_of_busy = (round(100 * _d[7] / _busy, 1) if _busy > 0
                          else None)
     host_throttled = (steal_pct_of_busy is not None
                       and steal_pct_of_busy > 3.0)
+
+    # Label semantics (r15 review): "converged" alone would also cover
+    # a box under STEADY external load — stable passes, uniformly
+    # inflated, nothing for the loop to converge away.  The signal is
+    # the EXTERNAL average core use across the measured region (total
+    # guest busy minus this process tree) — a loadavg probe here would
+    # mostly read the bench's own just-finished passes and relabel
+    # every settled loaded-start run.  Same ~1.5-core threshold as the
+    # warmup probe (the r12/r13 A/B's measured inflation point).
+    try:
+        hz = os.sysconf("SC_CLK_TCK")
+    except (ValueError, OSError):
+        hz = 100
+    external_ticks = max(
+        0, (_d[0] + _d[1] + _d[2]) - (tree_at_end - tree_at_warmup))
+    external_cores_avg = (round(external_ticks / hz / region_wall_s, 2)
+                          if region_wall_s > 0 else None)
+    final_adjudication = (
+        band_adjudication if not needs_convergence
+        else "never_settled" if not bench_converged
+        else "converged_under_load"
+        if (band_adjudication == "loaded"
+            and (external_cores_avg or 0) > LOADED_THRESHOLD)
+        else "converged")
 
     results = {name: round(min(p[name] for p in pass_times), 3)
                for name in HEADLINE}
@@ -326,8 +378,8 @@ def main() -> None:
             "band_adjudication": band_adjudication,
             # convergence trace (VERDICT r14 item 1): when the warmup
             # said "loaded" or the passes spread >10%, extra warm
-            # passes ran (cap 6) until the two best totals agreed
-            # within 8% and the minima stopped falling.
+            # passes ran (cap reps+4, min 6) until the two best totals
+            # agreed within 8% and the minima stopped falling.
             # final_adjudication: "clean" (no convergence needed) |
             # "converged" (settled, load drained — a quiet-box number)
             # | "converged_under_load" (settled but the external load
@@ -337,6 +389,12 @@ def main() -> None:
             "best_two_gap_pct": gap,
             "bench_converged": bench_converged,
             "final_adjudication": final_adjudication,
+            # average EXTERNAL core use across the measured region
+            # (total guest busy minus this process tree) — the
+            # under-load discriminator for the label above; loadavg at
+            # end is kept for continuity but includes the bench's own
+            # just-finished passes
+            "external_cores_avg": external_cores_avg,
             # hypervisor steal over the measured region (see note at
             # _cpu_stat): >3% of busy time means the host throttled
             # this run — internally-stable numbers, externally slow;

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -609,20 +610,39 @@ def main(argv: list[str] | None = None) -> int:
         from .schemas import WITNESS_SCHEDULES
         from .verify import witness_rounds
 
+        from .query import newest_by_key
+
         spark = _spark()
         blocks = spark.read.schema(BLOCKS).parquet(a.blocks)
-        scheds = spark.read.schema(WITNESS_SCHEDULES).parquet(a.schedules)
         # dedup on the publish-once boundary BEFORE grading and
         # counting (ADVICE r14): a raw (non-publish-log) capture can
         # re-deliver a round, and a re-delivery carrying a DIFFERENT
         # shuffled array (or a different schedule-object id for the
         # same boundary) would otherwise grade as TWO rows for one
         # round — making "skipped = rounds − graded rows" go negative.
-        # The key is next_shuffle_block_num ALONE, the exact key
-        # ScheduleStore's reader and compact_schedule_log dedup on, so
-        # a stream verifies identically through a raw capture and the
-        # compacted publish log.
-        scheds = scheds.dropDuplicates(["next_shuffle_block_num"])
+        # The survivor is DETERMINISTIC (r15 review): on a publish-log
+        # capture (batch_id=N dirs) the batch id is read and the newest
+        # batch wins — the exact rule ScheduleStore's reader and
+        # compact_schedule_log apply, so a stream verifies identically
+        # through a raw capture and the compacted publish log even when
+        # a replay carried a different payload; a raw capture falls
+        # back to the payload total order (still deterministic).
+        batch_dirs = ([d for d in os.listdir(a.schedules)
+                       if d.startswith("batch_id=")]
+                      if os.path.isdir(a.schedules) else [])
+        if batch_dirs:
+            import pyspark.sql.types as T
+            sched_schema = T.StructType(
+                WITNESS_SCHEDULES.fields
+                + [T.StructField("batch_id", T.LongType())])
+            scheds = (spark.read.option("basePath", a.schedules)
+                      .schema(sched_schema)
+                      .parquet(*[os.path.join(a.schedules, d)
+                                 for d in batch_dirs]))
+        else:
+            scheds = spark.read.schema(WITNESS_SCHEDULES) \
+                .parquet(a.schedules)
+        scheds = newest_by_key(scheds, "next_shuffle_block_num")
         if a.max_blocks is not None:
             tip = blocks.agg(SF.max("block_num")).first()[0]
             if tip is not None:
@@ -639,13 +659,24 @@ def main(argv: list[str] | None = None) -> int:
         # explode+join, the r14 concern that motivated the collect.
         graded = witness_rounds(blocks, scheds).persist()
         try:
+            # ok/penalty are NULL when a capture row carries a NULL
+            # scheduled array (array_except(NULL,·) → NULL): such a
+            # round is UNGRADABLE, and `where(~ok)` + sum() would
+            # silently skip it while count(*) still reports it checked
+            # — a malformed capture must fail loudly, not pass (r15
+            # review; the pre-r14 code crashed on it, which was at
+            # least loud).
             stats = graded.agg(
                 SF.count("*").alias("n_rounds"),
                 SF.coalesce(SF.sum("penalty"), SF.lit(0)).alias("penalty"),
+                SF.count(SF.when(SF.col("ok").isNull(), 1))
+                .alias("n_ungradable"),
             ).first()
             n_rounds = int(stats["n_rounds"])
             penalty = int(stats["penalty"])
-            bad = graded.where(~SF.col("ok")).collect()
+            n_ungradable = int(stats["n_ungradable"])
+            bad = graded.where(
+                ~SF.col("ok").eqNullSafe(SF.lit(True))).collect()
         finally:
             graded.unpersist()
         for r in bad:
@@ -669,6 +700,14 @@ def main(argv: list[str] | None = None) -> int:
             # sentinel the penalty path saturates at.
             print("error: 0 rounds fully covered by --blocks — nothing "
                   "was verified", file=sys.stderr)
+            return 125
+        if n_ungradable:
+            # printed above among the bad rows (ok=NULL); the exit must
+            # not depend on NULL-skipping arithmetic — same sentinel as
+            # the no-coverage case: the verification did not complete.
+            print(f"error: {n_ungradable} round(s) ungradable (NULL "
+                  "scheduled-witness payload in the capture)",
+                  file=sys.stderr)
             return 125
         # reference: exit(-(missing+extra)) — same magnitude, positive
         return min(penalty, 125)

@@ -22,6 +22,26 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .keys import glob_to_filter, parse_key
 
 
+def newest_by_key(df: DataFrame, key: str,
+                  batch_col: str = "batch_id") -> DataFrame:
+    """Deterministic last-writer-wins key dedup (r15, shared by
+    ScheduleStore.df, compact_schedule_log and ``verify --witness``):
+    keep the row with the highest ``batch_col`` per key — the sink
+    replays a trigger with ``mode("overwrite")``, so the newest write is
+    the authoritative one.  Without a batch column (a raw capture), or
+    on equal batches, the total struct order over the payload breaks the
+    tie, so two readers of the same store always agree — never
+    ``dropDuplicates``' partition-order luck.  One shuffle on the key,
+    same cost class as dropDuplicates.  All payload columns must be
+    orderable types (parquet publish rows are)."""
+    others = [c for c in df.columns if c not in (key, batch_col)]
+    ordered = ([batch_col] if batch_col in df.columns else []) + others
+    return (df.groupBy(key)
+            .agg(F.max(F.struct(*ordered)).alias("_newest"))
+            .select(key, *[F.col(f"_newest.{c}").alias(c)
+                           for c in others]))
+
+
 class OpsStore:
     """Keyed op table (the engine's Redis analog; SURVEY §1.2)."""
 
@@ -253,23 +273,15 @@ class ScheduleStore:
             # at-least-once windows (a checkpoint-wiped replay; a
             # compact_schedule_log fold that crashed between rename-in
             # and the older-dir delete) — the reader absorbs both (r14).
-            # The survivor is DETERMINISTIC (r15): newest batch_id wins,
-            # matching the sink's mode('overwrite') replay semantics
-            # (a replayed batch overwrites its dir, so the highest batch
-            # id is the authoritative write); equal-batch ties fall back
-            # to the total struct order so two readers always agree.
-            # Same cost class as dropDuplicates — one shuffle on the key.
-            raw = (self.spark.read.option("basePath", self.path)
-                   .schema(pub_schema.add("batch_id", "long"))
-                   .parquet(*[os.path.join(self.path, d) for d in batches])
-                   .groupBy("next_shuffle_block_num")
-                   .agg(F.max(F.struct(
-                       "batch_id", "id",
-                       "current_shuffled_witnesses")).alias("_newest"))
-                   .select("next_shuffle_block_num",
-                           F.col("_newest.id").alias("id"),
-                           F.col("_newest.current_shuffled_witnesses")
-                           .alias("current_shuffled_witnesses")))
+            # The survivor is DETERMINISTIC (r15): newest batch_id wins
+            # (newest_by_key), matching the sink's mode('overwrite')
+            # replay semantics — the same rule the fold and the verify
+            # CLI apply, so all three surfaces agree on the survivor.
+            raw = newest_by_key(
+                self.spark.read.option("basePath", self.path)
+                .schema(pub_schema.add("batch_id", "long"))
+                .parquet(*[os.path.join(self.path, d) for d in batches]),
+                "next_shuffle_block_num")
         else:
             raw = self.spark.createDataFrame([], pub_schema)
         return raw.select(

@@ -720,10 +720,14 @@ def _fold_batch_dirs(spark: SparkSession, path: str, fold_fn) -> int:
         # re-run a true no-op)
         return 0
     fold_set = batches[:-1]
+    # batch_id stays visible to fold_fn (r15 review): the schedule fold
+    # needs it to pick the same newest-batch survivor as the readers —
+    # an arbitrary dropDuplicates here could permanently keep a STALE
+    # replayed payload after the fresh row's dir is deleted below.
+    # Each fold_fn drops/aggregates it away before the write.
     folded = fold_fn(
         spark.read.option("basePath", path)
         .parquet(*[os.path.join(path, d) for d in fold_set])
-        .drop("batch_id")
     ).coalesce(1)
     tmp = os.path.join(path, ".foldtmp")
     folded.write.mode("overwrite").parquet(tmp)
@@ -745,7 +749,10 @@ def compact_schedule_log(spark: SparkSession, schedules_path: str) -> int:
     last per-trigger sink to get a maintenance fold (ops:
     compact_stream_store, channels: compact_channel_store, HWM:
     compact_meta).  Rows are distinct data keyed by the publish-once
-    boundary, so the fold is a key-dedup, not a max — which is exactly
+    boundary, so the fold is a key-dedup (newest_by_key — the same
+    deterministic newest-batch-wins rule ScheduleStore's reader
+    applies, so folding never flips which payload a duplicate key
+    resolves to), not a max — which is exactly
     why the newest dir must stay OUT of the fold (ADVICE r14, high): a
     same-checkpoint replay overwrites ``batch_id=<max>`` with only its
     own schedule rows, and a fold that had moved older rows into that
@@ -758,9 +765,10 @@ def compact_schedule_log(spark: SparkSession, schedules_path: str) -> int:
     already)."""
     if not os.path.exists(schedules_path):
         return 0
+    from ..query import newest_by_key
     return _fold_batch_dirs(
         spark, schedules_path,
-        lambda df: df.dropDuplicates(["next_shuffle_block_num"]))
+        lambda df: newest_by_key(df, "next_shuffle_block_num"))
 
 
 def compact_channel_store(spark: SparkSession, channels_path: str,

@@ -237,6 +237,65 @@ def test_cli_verify_witness_and_find_chain(spark, tmp_path_factory, capsys):
                  "--chain", "steem"]) == 1   # no such chain in the store
 
 
+def test_cli_verify_witness_publish_log_and_null_payload(
+        spark, tmp_path_factory, capsys):
+    """r15 review hardening of `verify --witness`:
+
+    (a) On a publish-log capture (batch_id=N dirs) a payload-divergent
+    replayed duplicate resolves to the NEWEST batch's row — the same
+    rule ScheduleStore and compact_schedule_log apply — even when the
+    stale payload sorts higher in the raw payload order, so the verdict
+    matches what any reader of the same log would grade.
+
+    (b) A capture row with a NULL scheduled-witness array is UNGRADABLE
+    (ok/penalty go NULL); that must be a loud 125, not a silent pass —
+    NULL-skipping aggregation previously reported the round as checked
+    and clean."""
+    from meeseeker_spark.__main__ import main
+    from meeseeker_spark.schemas import BLOCKS, WITNESS_SCHEDULES
+    from meeseeker_spark.verify import witness_rounds
+
+    fx = fixtures.generate(n_blocks=84, seed=13)
+    d = tmp_path_factory.mktemp("cli_witness_log")
+    _write_batches(fx.blocks, "blocks", str(d / "blocks"), 2)
+    _write_batches(fx.witness_schedules, "witness_schedules",
+                   str(d / "scheds"), 1)
+    rounds = witness_rounds(
+        spark.read.schema(BLOCKS).parquet(str(d / "blocks")),
+        spark.read.schema(WITNESS_SCHEDULES).parquet(str(d / "scheds")))
+    want_penalty = sum(r["penalty"] for r in
+                       rounds.where("NOT ok").collect())
+
+    # (a) stale divergent payload in an OLD batch dir; the corrected
+    # full set in a NEWER one.  "zzz..." sorts the stale payload HIGHEST
+    # in raw payload order, so only batch-id precedence can pick fresh.
+    stale = dict(fx.witness_schedules[0])
+    stale["current_shuffled_witnesses"] = (
+        ["zzz_phantom"] + stale["current_shuffled_witnesses"][1:])
+    _write_batches([stale], "witness_schedules",
+                   str(d / "log" / "batch_id=0"), 1)
+    _write_batches(fx.witness_schedules, "witness_schedules",
+                   str(d / "log" / "batch_id=5"), 1)
+    rc = main(["verify", "--witness", "--blocks", str(d / "blocks"),
+               "--schedules", str(d / "log")])
+    out = capsys.readouterr().out
+    assert rc == min(want_penalty, 125)
+    assert "zzz_phantom" not in out           # the stale payload lost
+    assert f"{len(fx.witness_schedules)} rounds checked" in out
+
+    # (b) a NULL scheduled array on a unique (covered) boundary
+    nul = dict(fx.witness_schedules[1])
+    nul["next_shuffle_block_num"] = int(nul["next_shuffle_block_num"]) + 1
+    nul["current_shuffled_witnesses"] = None
+    _write_batches(fx.witness_schedules + [nul], "witness_schedules",
+                   str(d / "scheds_null"), 1)
+    rc = main(["verify", "--witness", "--blocks", str(d / "blocks"),
+               "--schedules", str(d / "scheds_null")])
+    cap = capsys.readouterr()
+    assert rc == 125
+    assert "ungradable" in cap.err
+
+
 def test_cli_sync_at_block(spark, tmp_path_factory, capsys):
     """The reference's `sync [chain] [block_num]` positional
     (Rakefile:54 → at_block_num, block_follower_job.rb:106-108): an

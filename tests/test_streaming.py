@@ -2560,6 +2560,40 @@ def test_compact_schedule_log_replay_survival(spark, fx, tmp_path_factory):
             == before)
 
 
+def test_compact_schedule_log_fold_is_deterministic(
+        spark, fx, tmp_path_factory):
+    """r15 review: the fold must keep the same newest-batch survivor as
+    ScheduleStore's reader when a replayed duplicate carries a DIVERGENT
+    payload — an arbitrary dropDuplicates could permanently fold the
+    STALE row in and delete the fresh one.  The stale payload here sorts
+    HIGHEST in raw payload order, so only batch-id precedence passes."""
+    from meeseeker_spark.query import ScheduleStore
+
+    d = tmp_path_factory.mktemp("sched_fold_det")
+    fresh = fx.witness_schedules[0]
+    stale = dict(fresh)
+    stale["current_shuffled_witnesses"] = ["zzz_replaced"]
+    other = fx.witness_schedules[1]
+    _write_batches([stale], "witness_schedules",
+                   str(d / "out" / "batch_id=0"), 1)
+    _write_batches([fresh], "witness_schedules",
+                   str(d / "out" / "batch_id=5"), 1)
+    _write_batches([other], "witness_schedules",
+                   str(d / "out" / "batch_id=9"), 1)
+
+    key = fresh["next_shuffle_block_num"]
+    before = {r["block_num"]: r["value"]
+              for r in ScheduleStore(spark, str(d / "out")).df().collect()}
+    assert "zzz_replaced" not in before[key]      # reader: newest wins
+
+    # dirs 0 and 5 fold (into 5); the newest stays protected
+    assert P.compact_schedule_log(spark, str(d / "out")) == 2
+    after = {r["block_num"]: r["value"]
+             for r in ScheduleStore(spark, str(d / "out")).df().collect()}
+    assert after == before                        # fold flipped nothing
+    assert "zzz_replaced" not in after[key]
+
+
 def test_schedule_fold_crash_between_rename_in_and_delete(
         spark, fx, tmp_path_factory, monkeypatch):
     """VERDICT r14 item 3: inject a crash BETWEEN the fold's rename-in
