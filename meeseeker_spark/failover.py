@@ -41,9 +41,10 @@ class NodePool:
 
     def __init__(self, urls: Iterable[str], seed: int | None = None,
                  amnesty_every: int = 1000):
-        self._urls = list(dict.fromkeys(urls))
-        if not self._urls:
+        self._seed_urls = list(dict.fromkeys(urls))
+        if not self._seed_urls:
             raise ValueError("NodePool needs at least one URL")
+        self._report_urls: list[str] = []
         self._rng = random.Random(seed)
         self._blacklist: set[str] = set()
         self._amnesty_every = amnesty_every
@@ -54,12 +55,21 @@ class NodePool:
         return frozenset(self._blacklist)
 
     def _candidates(self) -> list[str]:
-        live = [u for u in self._urls if u not in self._blacklist]
+        # reported nodes are PREFERRED but the seed failover list stays
+        # a permanent fallback (r15 review): the reference re-derives
+        # from its static list on every shuffle and only samples the
+        # report for the current pick (meeseeker.rb:167-190
+        # `nodes.any? ? nodes.sample : failover_urls.sample`) — a pool
+        # that REPLACED its urls with a 2-node report would re-offer
+        # those two dead nodes forever once both blacklist.
+        live = [u for u in self._report_urls if u not in self._blacklist]
+        if not live:
+            live = [u for u in self._seed_urls if u not in self._blacklist]
         # a fully-blacklisted pool resets rather than deadlocking — the
         # reference would loop erroring; bounded recovery is strictly better
         if not live:
             self._blacklist.clear()
-            live = list(self._urls)
+            live = (list(self._report_urls) or list(self._seed_urls))
         return live
 
     def shuffle(self) -> str:
@@ -79,9 +89,11 @@ class NodePool:
     def refresh_from_report(self, reported: Iterable[str],
                             keep: Callable[[str], bool] = lambda u: True,
     ) -> None:
-        """Merge a live-node report (the @fullnodeupdate pattern,
-        meeseeker.rb:173-189): filtered, deduped, blacklist still applies
-        at choice time."""
-        fresh = [u for u in dict.fromkeys(reported) if keep(u)]
-        if fresh:
-            self._urls = fresh
+        """Take a live-node report (the @fullnodeupdate pattern,
+        meeseeker.rb:173-189): filtered, deduped, preferred at choice
+        time over the seed failover list (which remains the fallback —
+        the report never shrinks the recoverable pool); blacklist still
+        applies at choice time.  A newer report replaces the previous
+        one; an empty (or fully filtered) report clears it, falling back
+        to the seed list — the reference's own `nodes.any?` branch."""
+        self._report_urls = [u for u in dict.fromkeys(reported) if keep(u)]

@@ -4,7 +4,11 @@ The reference decides where to start from the HWM key + chain tip
 (/root/reference/lib/meeseeker/block_follower_job.rb:106-139): resume from
 last+1 normally; start fresh at the tip when the gap exceeds expire_keys/3
 (don't backfill what would expire before it's read); with TTL disabled,
-never skip.  In Spark the *mechanism* is the checkpoint; this policy decides
+jump to ``max(last+1, tip)`` — the downtime gap is NOT backfilled
+(block_follower_job.rb:126 ``[last_block_num, block_num].max``; an
+operator wanting a full backfill must pass an explicit start block, the
+reference's ``at_block_num``).  In Spark the *mechanism* is the
+checkpoint; this policy decides
 the ``startingOffsets`` equivalent when a checkpoint is absent or stale.
 Pure function → unit-testable without a cluster.
 
@@ -85,7 +89,8 @@ def resolve_start_block_engine(last_block: int | None, tip_block: int,
     next block to be produced), not the tip itself.
 
     - no HWM → new sync at tip+1
-    - ttl == -1 → max(hwm+1, tip), never skip data
+    - ttl == -1 → max(hwm+1, tip): keys never expire, but the downtime
+      gap is not backfilled (same jump as the mainnet policy)
     - tip_age_s > ttl → everything resumable already expired; tip+1
     - else → resume at hwm+1
     """

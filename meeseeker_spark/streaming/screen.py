@@ -335,6 +335,13 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
     # design exists to avoid).  The cache lives for the stream's
     # lifetime; it is vocabulary-sized.
     if drift_baseline is not None:
+        # the refcount key is the CALLER's object (r15 review): two
+        # screens sharing one docs-shaped baseline each derive their own
+        # token_counts() DataFrame here — distinct id()s over ONE
+        # plan-keyed Spark cache entry — so keying on the derived object
+        # would give each screen a private count of 1 and the first
+        # terminator would unpersist the entry out from under the rest.
+        bkey = id(drift_baseline)
         if set(drift_baseline.columns) != {"token", "n"}:
             from ..ext.drift import token_counts
             drift_baseline = token_counts(drift_baseline)
@@ -419,9 +426,10 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
         # append this batch's banded projection so FUTURE batches screen
         # against it without re-hashing (reads the admitted rows just
         # written — signatures are text-pure, so index == recompute)
-        proj = banded_projection(
-            s.read.schema(DOCS_SCHEMA)
-            .parquet(os.path.join(corpus_dir, f"batch_id={batch_id}")))
+        written = (s.read.schema(DOCS_SCHEMA)
+                   .parquet(os.path.join(corpus_dir,
+                                         f"batch_id={batch_id}")))
+        proj = banded_projection(written)
         if index_table is not None:
             (proj.withColumn("batch_id", F.lit(batch_id))
              .write.mode("append")
@@ -433,10 +441,9 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
         if exact_index:
             # fingerprint + bloom projections of the rows just written —
             # text-pure, so index == recompute and a retry overwrites
-            # byte-identically
-            written = (s.read.schema(DOCS_SCHEMA)
-                       .parquet(os.path.join(corpus_dir,
-                                             f"batch_id={batch_id}")))
+            # byte-identically (one shared `written` read with the band
+            # projection above — r15 review: this branch re-listed and
+            # re-scanned the same partition on every trigger)
             fps = written.select(
                 fingerprint(F.col("text")).alias("fp"), "doc_id")
             (fps.write.mode("overwrite")
@@ -461,7 +468,6 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
     # except path below, which RELEASES the reference on a failed start
     # instead of never having taken it.
     if drift_baseline is not None:
-        bkey = id(drift_baseline)
         with _BASELINE_LOCK:
             _BASELINE_REFCOUNT[bkey] = _BASELINE_REFCOUNT.get(bkey, 0) + 1
     try:
@@ -484,9 +490,16 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
             _done = False
 
             def _fire(self):
-                if self._done:
-                    return
-                self._done = True
+                # claim-once under the lock (r15 review): the listener
+                # bus thread (onQueryTerminated) and the main-thread
+                # isActive fallback below can race this guard, and an
+                # unlocked check-then-act would decrement the shared
+                # refcount twice — unpersisting a baseline a sibling
+                # screen is still using
+                with _BASELINE_LOCK:
+                    if self._done:
+                        return
+                    self._done = True
                 left = _baseline_release(bkey)
                 try:
                     if left <= 0:
@@ -522,14 +535,19 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
 
 
 def replay_screen(batches: list[DataFrame], threshold: float = 0.5,
-                  exact_index: bool = True,
+                  exact_index: bool = False,
                   bloom_m_bits: int = 8192,
                   bloom_k: int = 5) -> DataFrame:
     """Synchronous batch replay of ``start_screen``'s per-trigger
     pipeline — the same component calls in the same order the streaming
     ``_sink`` makes (exact-dup prescreen → in-batch exact dedup →
     in-batch near-dup components → cross-corpus band screen), minus the
-    file/checkpoint plumbing.  One output row per surviving input doc:
+    file/checkpoint plumbing.  Defaults MATCH start_screen's (r15
+    review: exact_index defaulted True here vs False there, so a
+    default-configured stream replayed with defaults produced a
+    different log — pass the stream's own settings, as the graded
+    ``screen_replay`` entry does explicitly).  One output row per
+    surviving input doc:
 
         (batch_id, doc_id, corpus_id, status)
 
@@ -615,8 +633,20 @@ def rebuild_band_index(spark: SparkSession, out_dir: str, index_table: str,
     this runs.  Signatures are text-pure, so recompute == index.
     Returns the row count written."""
     corpus_dir = os.path.join(out_dir, "corpus")
-    corpus = (spark.read.option("basePath", corpus_dir)
-              .parquet(os.path.join(corpus_dir, "batch_id=*")))
+    # empty-corpus guard (r15 review, mirroring rebuild_exact_index's
+    # ADVICE r10+r11 hardening): after retention expired every corpus
+    # batch — or before the first commit — the glob matches nothing and
+    # spark.read would raise, leaving the duplicate-inflated table rows
+    # this rewrite exists to purge; an empty corpus must rewrite the
+    # table EMPTY instead.
+    live = (any(e.startswith("batch_id=") for e in os.listdir(corpus_dir))
+            if os.path.isdir(corpus_dir) else False)
+    if live:
+        corpus = (spark.read.option("basePath", corpus_dir)
+                  .parquet(os.path.join(corpus_dir, "batch_id=*")))
+    else:
+        corpus = (spark.createDataFrame([], DOCS_SCHEMA)
+                  .withColumn("batch_id", F.lit(0).cast("long")))
     proj = banded_projection(corpus.drop("batch_id")).join(
         corpus.select("doc_id", "batch_id"), "doc_id")
     (proj.write.mode("overwrite")

@@ -121,6 +121,19 @@ def test_node_pool_amnesty_and_report():
     pool.refresh_from_report(["x", "y", "x"], keep=lambda u: u != "y")
     assert {pool.shuffle() for _ in range(20)} == {"x"}
 
+    # r15 review: the report PREFERS, it never shrinks the pool — when
+    # every reported node goes bad the seed failover list must recover
+    # the pool (the reference re-derives from its static list per pick,
+    # meeseeker.rb:167-190), not re-offer the dead report forever
+    pool2 = NodePool(["a", "b"], seed=3, amnesty_every=0)
+    pool2.refresh_from_report(["x"])
+    assert {pool2.shuffle() for _ in range(10)} == {"x"}
+    pool2.report_failure("x")
+    assert {pool2.shuffle() for _ in range(20)} == {"a", "b"}
+    # a newer (empty-after-filter) report clears the old one
+    pool2.refresh_from_report(["y"], keep=lambda u: u != "y")
+    assert {pool2.shuffle() for _ in range(20)} == {"a", "b"}
+
 
 def test_run_with_restarts_lets_interrupts_through():
     """Regression (r12 review): the supervision boundary retried

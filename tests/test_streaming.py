@@ -1329,6 +1329,15 @@ def test_rebuild_band_index_clears_duplicates(spark, tmp_path_factory):
         want = {(r["doc_id"], r["band"]) for r in proj.drop("batch_id")
                 .collect()}
         assert got == want
+
+        # r15 review (mirrors rebuild_exact_index's ADVICE r10+r11
+        # guard): every corpus batch expired → the rebuild must purge
+        # the stale table to EMPTY, not crash on the empty glob
+        import shutil as _sh
+        _sh.rmtree(str(d / "out" / "corpus" / "batch_id=0"))
+        assert rebuild_band_index(spark, str(d / "out"), TBL,
+                                  index_buckets=4) == 0
+        assert spark.table(TBL).count() == 0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {TBL}")
 
@@ -2184,6 +2193,56 @@ def test_screen_shared_drift_baseline_refcounted(spark, tmp_path_factory):
     while _time.time() < deadline and baseline.storageLevel.useMemory:
         _time.sleep(0.25)
     assert not baseline.storageLevel.useMemory
+    assert key not in _BASELINE_REFCOUNT
+
+
+def test_screen_shared_docs_shaped_baseline_refcounted(
+        spark, tmp_path_factory):
+    """r15 review: the refcount must key on the CALLER's object even
+    when the baseline is docs-shaped — start_screen derives its own
+    token_counts() DataFrame per call, so keying on the derived object
+    gave two screens sharing one docs frame two private counts of 1,
+    and the first termination unpersisted the shared plan-keyed cache
+    entry out from under the second."""
+    import time as _time
+
+    from meeseeker_spark.streaming.screen import (_BASELINE_REFCOUNT,
+                                                  start_screen)
+
+    d = tmp_path_factory.mktemp("screen_shared_docs_baseline")
+    inc_a, out_a, ck_a = d / "inc_a", d / "out_a", d / "ck_a"
+    inc_b, out_b, ck_b = d / "inc_b", d / "out_b", d / "ck_b"
+    os.makedirs(inc_a)
+    os.makedirs(inc_b)  # stays empty: B idles until stopped
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    txt = "steady corpus text about topic one with common shared words"
+    tmp = d / "w_b1"
+    spark.createDataFrame([(1, txt, "en", "web", len(txt))],
+                          cols).coalesce(1).write.parquet(str(tmp))
+    part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+    os.rename(tmp / part, inc_a / "b1.parquet")
+
+    docs_baseline = spark.createDataFrame([(1, txt)], ["doc_id", "text"])
+    key = id(docs_baseline)
+    q_b = start_screen(spark, str(inc_b), str(out_b), str(ck_b),
+                       available_now=False, drift_baseline=docs_baseline)
+    q_a = start_screen(spark, str(inc_a), str(out_a), str(ck_a),
+                       drift_baseline=docs_baseline)
+    try:
+        # both references live under the CALLER-object key (pre-fix:
+        # two derived-object keys of 1 each, and this get() was None)
+        assert _BASELINE_REFCOUNT.get(key) in (1, 2)
+        q_a.awaitTermination(120)
+        deadline = _time.time() + 30
+        while _time.time() < deadline and _BASELINE_REFCOUNT.get(key) == 2:
+            _time.sleep(0.25)
+        # B still holds its reference after A's listener fired
+        assert _BASELINE_REFCOUNT.get(key) == 1
+    finally:
+        q_b.stop()
+    deadline = _time.time() + 30
+    while _time.time() < deadline and key in _BASELINE_REFCOUNT:
+        _time.sleep(0.25)
     assert key not in _BASELINE_REFCOUNT
 
 
