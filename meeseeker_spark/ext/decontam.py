@@ -41,6 +41,16 @@ def contamination(docs: DataFrame, bench: DataFrame,
     training_funnel/decontaminate inherited the hole — a NULL-text doc
     could neither be screened nor counted).
 
+    Known n-gram-screen limitation (r15 review, standard to the
+    method — GPT-3/PaLM-style n-gram decontamination shares it): a
+    benchmark item SHORTER than ``n`` words emits its whole text as one
+    shingle, which can only collide with an equally-short corpus
+    document — verbatim paste of a sub-n item INSIDE a longer document
+    is not detected.  If the benchmark has short items, lower ``n`` to
+    its minimum item length (the knob the papers use); the semantic
+    screen (``semantic_contamination``) is the paraphrase/short-item
+    backstop.
+
     Plan shape (r9 rewrite, measured 16×): ONE corpus shingle explode
     feeding ONE aggregate that counts n_grams and n_hits together off a
     broadcast left join.  The previous two-subtree form (a size()
@@ -197,6 +207,18 @@ def semantic_contamination(corpus_emb: DataFrame, bench_emb: DataFrame,
     """
     from .similarity import dot, normalized
 
+    if bench_emb.isEmpty():
+        # an empty benchmark side must still report every corpus vector
+        # as screened-clean (r15 review: the unconditioned cross join
+        # returned ZERO rows — 'never screened' masquerading as absent,
+        # the same silent-row-loss the text screen was hardened against
+        # in r9)
+        return corpus_emb.select(
+            F.col(id_col),
+            F.lit(None).cast("double").alias("max_sim"),
+            F.lit(0).cast("bigint").alias("n_bench_hits"),
+            F.lit(False).alias("contaminated"))
+
     corpus = normalized(corpus_emb, id_col, vec_col)
     bench = (normalized(bench_emb, id_col, vec_col)
              .select(F.col(id_col).alias("_bid"),
@@ -230,6 +252,12 @@ def strip_contaminated_spans(docs: DataFrame, bench: DataFrame,
 
     Returns all input columns plus (clean_text, n_removed_words,
     n_spans_removed).
+
+    Same sub-n limitation as ``contamination`` (r15 review), one step
+    stricter: position-gram extraction yields NOTHING for a benchmark
+    item shorter than ``n`` words (no whole-text fallback here), so
+    such items strip no spans at all — lower ``n`` to the benchmark's
+    minimum item length when that matters.
 
     Scale shape: the benchmark gram-hash set is tiny by construction
     and broadcasts; the corpus side is the skinny (id, pos, 16-hex h)

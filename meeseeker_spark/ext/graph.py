@@ -130,6 +130,12 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
              .unionByName(edges.select(F.col("dst").alias("node")))
              .distinct().localCheckpoint())
     n = nodes.count()
+    if n == 0:
+        # empty-graph guard (r15 review): the driver regime returns an
+        # empty frame for this input; without the same guard here the
+        # 1.0/n below raises ZeroDivisionError and the two documented
+        # regimes diverge on the same (empty) edge set
+        return spark.createDataFrame([], out_schema)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
         contrib = (

@@ -189,8 +189,17 @@ def perplexity_buckets(docs: DataFrame, n_buckets: int = 3,
     exact here so the DuckDB oracle can replay the interpolation.)
     Documents too short to score (NULL xent) land in bucket 'na'.
     """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
     qs = [i / n_buckets for i in range(1, n_buckets)]
     scores = bigram_lm_scores(docs, id_col, text_col, k)
+    if not qs:
+        # one bucket: nothing to cut — and agg(*[]) is rejected by
+        # Spark, so the degenerate case needs its own (trivial) branch
+        return scores.select(
+            id_col, "n_bigrams", "xent",
+            F.when(F.col("xent").isNull(), "na").otherwise("b0")
+            .alias("ppl_bucket"))
     ths = (scores.where(F.col("xent").isNotNull())
            .agg(*[F.round(F.expr(f"percentile(xent, {q!r})"), 4)
                   .alias(f"_t{i}") for i, q in enumerate(qs)]))

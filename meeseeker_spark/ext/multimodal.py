@@ -898,12 +898,19 @@ def resize_media(df: DataFrame, max_side: int = 256,
         F.lit(1.0),
         F.lit(max_side) / F.greatest(F.col("width"), F.col("height"),
                                      F.lit(1)))
+    # NULL geometry propagates (r15 review): greatest() SKIPS nulls, so
+    # an undecodable blob (width/height NULL) fabricated a "valid" 1×1
+    # output a downstream tensor-sizing consumer would trust; the
+    # poisoned-row contract is NULL out, never invented dimensions
+    has_dims = F.col("width").isNotNull() & F.col("height").isNotNull()
     return decoded.select(
         "*",
-        F.greatest(F.round(F.col("width") * scale).cast("int"), F.lit(1))
-        .alias("out_width"),
-        F.greatest(F.round(F.col("height") * scale).cast("int"), F.lit(1))
-        .alias("out_height"),
+        F.when(has_dims,
+               F.greatest(F.round(F.col("width") * scale).cast("int"),
+                          F.lit(1))).alias("out_width"),
+        F.when(has_dims,
+               F.greatest(F.round(F.col("height") * scale).cast("int"),
+                          F.lit(1))).alias("out_height"),
     )
 
 
@@ -922,15 +929,16 @@ def extract_features(df: DataFrame, dim: int = 16,
     the output plugs straight into ext.similarity (same array<float>
     contract as the embeddings fixture); the real encoder is the stubbed
     import. Vectorized per Arrow batch — no per-row Python loop."""
-    try:
-        import torch  # noqa: F401
-        have_model = True
-    except ImportError:
-        have_model = False
-    if not fake and not have_model:
+    if not fake:
+        # unconditional (r15 review): the previous guard only fired when
+        # torch was missing, but the "real" branch below is the SAME
+        # md5-seeded stand-in — with torch importable, fake=False would
+        # silently return deterministic junk labeled as real features.
+        # Until a real encoder lands, honesty beats availability.
         raise NotImplementedError(
-            "feature extraction requires an encoder not present in this "
-            "environment; pass fake=True for the deterministic stand-in")
+            "the real encoder branch is not implemented (it would need "
+            "a model runtime such as torch); pass fake=True for the "
+            "deterministic content-digest stand-in")
 
     src = df.select(F.col(id_col).alias("doc_id"), F.col("media.bytes")
                     .alias("_bytes"))
@@ -1038,12 +1046,15 @@ def media_phash(df: DataFrame, id_col: str = "doc_id",
         for pdf in batches:
             ids, hs = [], []
             for i, b in zip(pdf["_id"], pdf["_b"]):
-                if b is None:
-                    continue
                 ids.append(int(i))
-                hs.append(int(hl.md5(bytes(b)).hexdigest()[:15], 16))
+                # NULL media → NULL phash, row KEPT (r15 review: both
+                # paths skipped the row, so phash output had fewer rows
+                # than decode_media's — breaking any doc_id
+                # reconciliation between the two stages)
+                hs.append(None if b is None else
+                          int(hl.md5(bytes(b)).hexdigest()[:15], 16))
             yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
-                                "phash": pd.Series(hs, dtype="int64")})
+                                "phash": pd.Series(hs, dtype="Int64")})
 
     def _real(batches):
         import io
@@ -1056,10 +1067,11 @@ def media_phash(df: DataFrame, id_col: str = "doc_id",
         for pdf in batches:
             ids, hs = [], []
             for i, b in zip(pdf["_id"], pdf["_b"]):
-                if b is None:
+                ids.append(int(i))
+                if b is None:      # NULL media → NULL phash, row kept
+                    hs.append(None)
                     continue
                 blob = bytes(b)
-                ids.append(int(i))
                 gray = bmp_gray(blob)
                 if gray is None:
                     gray = png_gray(blob)

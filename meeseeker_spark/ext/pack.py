@@ -23,6 +23,18 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .text import tokens
 
 
+def _token_count(text_col: str, tokens_col: str | None):
+    """Per-doc token count as a LONG named ``_tok``; NULL for a NULL
+    text/count (r15 review).  ``nullif(-1)`` makes the NULL portable:
+    under ANSI (Spark 4 default) ``size(NULL)`` is already NULL, but
+    with ``spark.sql.legacy.sizeOfNull`` it is -1 — which would silently
+    DECREMENT pack offsets and bin fills instead of poisoning the row."""
+    if tokens_col is not None:
+        return F.col(tokens_col).cast("long").alias("_tok")
+    return F.nullif(F.size(tokens(F.col(text_col))).cast("long"),
+                    F.lit(-1)).alias("_tok")
+
+
 def pack_sequences(docs: DataFrame, max_tokens: int,
                    id_col: str = "doc_id", text_col: str = "text",
                    tokens_col: str | None = None,
@@ -38,17 +50,14 @@ def pack_sequences(docs: DataFrame, max_tokens: int,
     pretraining loader that will re-slice the stream.
 
     ``tokens_col`` uses a precomputed token count; otherwise whitespace
-    tokens of ``text_col`` are counted.
+    tokens of ``text_col`` are counted.  A NULL text/count poisons only
+    its own row (NULL n_tokens/offset/bins — window and total sums skip
+    NULLs, so every other document's layout is unaffected).
     """
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
-    if tokens_col is not None:
-        d = docs.select(F.col(id_col).alias("_id"),
-                        F.col(tokens_col).cast("long").alias("_tok"))
-    else:
-        d = docs.select(F.col(id_col).alias("_id"),
-                        F.size(tokens(F.col(text_col))).cast("long")
-                        .alias("_tok"))
+    d = docs.select(F.col(id_col).alias("_id"),
+                    _token_count(text_col, tokens_col))
 
     # 1. range shards: quantile bounds are the only driver-held structure
     #    (n_shards-1 doubles).  Shard boundaries respect id order, so
@@ -74,7 +83,8 @@ def pack_sequences(docs: DataFrame, max_tokens: int,
     prefix, acc = {}, 0
     for s in range(len(bounds) + 1):
         prefix[s] = acc
-        acc += totals.get(s, 0)
+        # `or 0`: a shard holding only NULL-token rows sums to NULL
+        acc += totals.get(s) or 0
     pexpr = F.element_at(
         F.array(*[F.lit(int(prefix[s])) for s in range(len(bounds) + 1)]),
         F.col("_shard") + 1)
@@ -135,16 +145,17 @@ def pack_bins_ffd(docs: DataFrame, max_tokens: int,
         raise ValueError("n_shards must be positive")
     from .text import md5_int32
 
-    if tokens_col is not None:
-        d = docs.select(F.col(id_col).alias("_id"),
-                        F.col(tokens_col).cast("long").alias("_tok"))
-    else:
-        d = docs.select(F.col(id_col).alias("_id"),
-                        F.size(tokens(F.col(text_col))).cast("long")
-                        .alias("_tok"))
+    d = docs.select(F.col(id_col).alias("_id"),
+                    _token_count(text_col, tokens_col))
     d = d.withColumn(
         "_shard",
         (md5_int32(F.col("_id").cast("string")) % n_shards).cast("int"))
+    # a NULL token count cannot be packed (r15 review: it reached the
+    # pandas stage as NaN and int(NaN) killed the whole task — the
+    # poisoned-row-never-kills-the-scan contract).  Route such rows
+    # around the FFD with NULL bin/oversize; they occupy no capacity.
+    d_null = d.where(F.col("_tok").isNull())
+    d = d.where(F.col("_tok").isNotNull())
 
     cap = int(max_tokens)
     shards = int(n_shards)
@@ -184,5 +195,12 @@ def pack_bins_ffd(docs: DataFrame, max_tokens: int,
             "oversize": out_over,
         })
 
-    return (d.groupBy("_shard").applyInPandas(ffd, BIN_SCHEMA)
+    packed = d.groupBy("_shard").applyInPandas(ffd, BIN_SCHEMA)
+    unpackable = d_null.select(
+        F.col("_id").alias("doc_id"),
+        F.lit(None).cast("long").alias("n_tokens"),
+        F.col("_shard").alias("shard"),
+        F.lit(None).cast("long").alias("bin"),
+        F.lit(None).cast("boolean").alias("oversize"))
+    return (packed.unionByName(unpackable)
             .withColumnRenamed("doc_id", id_col))

@@ -30,7 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .similarity import (_seed_centroids, _top_cells_udf, as_double, dot,
-                         ivf_train_centroids, l2_norm, unit)
+                         ivf_train_centroids, l2_norm,
+                         pinned_shuffle_partitions, unit)
 
 
 def auto_clusters(n: int, n_probe: int = 2, target_cell: int = 512,
@@ -103,15 +104,20 @@ def _clustered_normalized(emb: DataFrame, n_clusters: int,
     # assignment evaluation per row, visible in the physical plan); a
     # null/empty embedding lands in cell 0 where its null unit vector
     # yields null sims the threshold drops
-    cells = F.coalesce(_top_cells_udf(cents, n_probe)(F.col("_v")),
-                       F.array(F.lit(0)))
-    e = e.select("_id", "_v", F.explode(cells).alias("_cell"))
-    e = e.select("_id", "_cell", "_v", l2_norm(F.col("_v")).alias("_n"))
+    # normalize BEFORE the n_probe explode (r15 review): _n/_nv derived
+    # from the exploded stream re-ran the norm aggregate and the
+    # elementwise divide once per probed replica; computed here they
+    # run once per vector and ride the Generate as passthrough columns
+    e = e.select("_id", "_v", l2_norm(F.col("_v")).alias("_n"))
     # unit(), not transform(x -> x/_n): CollapseProject would inline the
     # norm aggregate per ELEMENT (see similarity.unit; 10× measured)
-    e = e.select("_id", "_cell",
+    e = e.select("_id", "_v",
                  unit(F.col("_v"), F.col("_n")).alias("_nv"))
-    n_parts = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    cells = F.coalesce(_top_cells_udf(cents, n_probe)(F.col("_v")),
+                       F.array(F.lit(0)))
+    e = e.select("_id", "_nv", F.explode(cells).alias("_cell"))
+    e = e.select("_id", "_cell", "_nv")
+    n_parts = pinned_shuffle_partitions(emb.sparkSession)
     return e.repartition(n_parts, F.col("_cell"))
 
 

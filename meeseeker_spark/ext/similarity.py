@@ -28,6 +28,21 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+def pinned_shuffle_partitions(spark) -> int:
+    """The explicit partition count for the repartition barriers below.
+    ``spark.sql.shuffle.partitions`` is not always numeric (managed
+    platforms set "auto" under AQE-managed shuffle — r15 review: int()
+    crashed every entry that pins a barrier); fall back to the
+    cluster's default parallelism, which serves the same purpose — a
+    nonzero explicit N that stops AQE coalescing the barrier to ONE
+    partition."""
+    v = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        return int(v)
+    except ValueError:
+        return spark.sparkContext.defaultParallelism
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -82,7 +97,7 @@ def normalized(emb: DataFrame, id_col: str = "vec_id",
     # the (tiny-by-bytes) exchange to ONE partition, serializing the O(n²)
     # join that follows — measured 9× worse. Pinning N keeps the barrier
     # AND the parallelism.
-    n_parts = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = pinned_shuffle_partitions(emb.sparkSession)
     return e.repartition(n_parts, F.col(id_col))
 
 
@@ -196,11 +211,18 @@ def _top_cells_udf(cents: list[list[float]], n_probe: int):
 def _seed_centroids(emb: DataFrame, n_centroids: int, id_col: str,
                     vec_col: str) -> list[list[float]]:
     """Deterministic id-ordered seed sample (no RNG: retries and the
-    recall tests see the same codebook)."""
+    recall tests see the same codebook).  NULL vectors — and vectors
+    carrying a NULL element — are skipped (r15 review: one poisoned row
+    among the n_centroids smallest ids crashed every IVF/semdedup entry
+    driver-side with a TypeError; every other path in this module
+    routes them to NULL cells instead)."""
+    clean = emb.where(
+        F.col(vec_col).isNotNull()
+        & ~F.exists(F.col(vec_col), lambda x: x.isNull()))
     return [
         [float(x) for x in row[0]]
-        for row in emb.select(vec_col).orderBy(id_col).limit(n_centroids)
-        .collect()
+        for row in clean.select(vec_col).orderBy(id_col)
+        .limit(n_centroids).collect()
     ]
 
 
@@ -295,12 +317,16 @@ def ivf_topk(emb: DataFrame, query_ids: list[int] | None = None,
     )
     c = assigned.select(F.col("_id").alias("c_id"), F.col("_v").alias("cv"),
                         "_cell")
+    # score BEFORE the n_probe dedup (r15 review, same rule as
+    # lsh_cosine_topk): sim is a pure function of the pair, so deduping
+    # after it exchanges skinny (q_id, c_id, sim) rows instead of
+    # shipping both full double vectors per duplicated candidate
     scored = (
         F.broadcast(q).join(c, "_cell")
         .where(F.col("c_id") != F.col("q_id"))
-        .dropDuplicates(["q_id", "c_id"])
         .select("q_id", "c_id",
                 F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("sim"))
+        .dropDuplicates(["q_id", "c_id"])
     )
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("c_id"))
     return (

@@ -231,9 +231,12 @@ def chunk_windows(df: DataFrame, id_col: str = "doc_id",
             id_col,
             F.col("_c.chunk_id").alias("chunk_id"),
             F.col("_c.chunk_start").alias("chunk_start"),
-            # an empty doc splits to [''] — count it as zero words, not
-            # one phantom word, so token budgets reconcile
-            F.when(F.col("_c._cw") == F.array(F.lit("")), F.lit(0))
-            .otherwise(F.size("_c._cw")).alias("n_words"),
+            # count NON-EMPTY tokens (r15 review): irregular whitespace
+            # splits to empty strings ('a  b' → ['a','','b']) which are
+            # slice positions but not words — a raw size() over-counted
+            # token budgets on real-world text (and the empty doc's ['']
+            # needed a special case this filter now subsumes)
+            F.size(F.filter("_c._cw", lambda x: x != F.lit("")))
+            .alias("n_words"),
             F.concat_ws(" ", "_c._cw").alias("chunk_text"))
     )

@@ -140,10 +140,13 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id",
     diversity + stopword plausibility, with a deterministic bucket."""
     t = _with_tokens(df, id_col, text_col)
     tok = F.col("_tok")
-    n_tok = F.size(tok)
+    # LONG from the start (r15 review): 2·min(n,100)·n + 200u + 100s in
+    # 32-bit int wraps (legacy) or throws (ANSI) past ~10M tokens — a
+    # single giant concatenated document; values are identical in range
+    n_tok = F.size(tok).cast("long")
     n = F.greatest(n_tok, F.lit(1))
-    u = F.size(F.array_distinct(tok))
-    s = stopword_hits(tok, LANG_STOPWORDS["en"])
+    u = F.size(F.array_distinct(tok)).cast("long")
+    s = stopword_hits(tok, LANG_STOPWORDS["en"]).cast("long")
     # 0.4·min(n,100)/100 + 0.4·u/n + 0.2·s/n, folded into ONE integer
     # numerator and a single division — exact cross-engine reproducibility
     # (independent float terms differ in the last bit at round() boundaries)
@@ -226,6 +229,17 @@ def lang_id_ngram(docs: DataFrame, profiles: DataFrame,
     no corpus shuffle beyond the doc-keyed reduce.  Returns
     (doc_id, lang_pred, score)."""
     from pyspark.sql import Window
+
+    # the weight base must cover the profile's ranks (r15 review): a
+    # profile trained at a larger top_k than this scorer's makes
+    # (top_k + 1 − rank) NEGATIVE for mid-rank grams — matching MORE of
+    # the true language then LOWERS its score.  The profile table is
+    # n_langs × top_k rows, so the probe is a tiny driver action.
+    max_rank = profiles.agg(F.max("rank")).first()[0]
+    if max_rank is not None and max_rank > top_k:
+        raise ValueError(
+            f"profiles carry ranks up to {max_rank} but top_k={top_k}; "
+            "score with the top_k the profiles were trained at")
 
     grams = docs.select(
         F.col(id_col).alias("_id"),
@@ -441,12 +455,14 @@ def corpus_datacard(df: DataFrame, group_cols: tuple[str, ...] =
     exact median (not approx), reproducible by DuckDB's quantile_cont;
     doubles round to 4 dp on both sides."""
     toks = tokens(F.col(text_col))
-    q_num = (2 * F.least(F.size(toks), F.lit(100))
-             * F.greatest(F.size(toks), F.lit(1))
-             + 200 * F.size(F.array_distinct(toks))
-             + 100 * stopword_hits(toks, LANG_STOPWORDS["en"]))
+    # long math (r15 review): the int form wraps/throws past ~10M tokens
+    _nt = F.size(toks).cast("long")
+    q_num = (2 * F.least(_nt, F.lit(100))
+             * F.greatest(_nt, F.lit(1))
+             + 200 * F.size(F.array_distinct(toks)).cast("long")
+             + 100 * stopword_hits(toks, LANG_STOPWORDS["en"]).cast("long"))
     quality = (q_num.cast("double")
-               / (500 * F.greatest(F.size(toks), F.lit(1))))
+               / (500 * F.greatest(_nt, F.lit(1))))
     base = df.select(
         *group_cols,
         F.size(toks).cast("bigint").alias("_nt"),
@@ -499,15 +515,18 @@ def corpus_datacard_exact(df: DataFrame, group_cols: tuple[str, ...] =
     Scale shape unchanged: one scan, one low-cardinality groupBy with
     map-side partials, KB-sized result at any corpus size."""
     toks = tokens(F.col(text_col))
-    q_num = (2 * F.least(F.size(toks), F.lit(100))
-             * F.greatest(F.size(toks), F.lit(1))
-             + 200 * F.size(F.array_distinct(toks))
-             + 100 * stopword_hits(toks, LANG_STOPWORDS["en"]))
+    # long math (r15 review): the "exact integers" contract is exactly
+    # where a silent 32-bit wrap would hurt most
+    _nt = F.size(toks).cast("long")
+    q_num = (2 * F.least(_nt, F.lit(100))
+             * F.greatest(_nt, F.lit(1))
+             + 200 * F.size(F.array_distinct(toks)).cast("long")
+             + 100 * stopword_hits(toks, LANG_STOPWORDS["en"]).cast("long"))
     base = df.select(
         *group_cols,
         F.size(toks).cast("bigint").alias("_nt"),
         fingerprint(F.col(text_col)).alias("_fp"),
-        q_num.cast("bigint").alias("_qn"))
+        q_num.alias("_qn"))
     return (
         base.groupBy(*group_cols)
         .agg(F.count("*").alias("n_docs"),

@@ -1128,6 +1128,178 @@ def test_pack_sequences_sharding_invariant(docs):
     assert a == b
 
 
+def test_pack_null_text_poisons_only_its_row(spark, docs):
+    """r15 review: a NULL text (or NULL precomputed count) must poison
+    only its own row — NULL n_tokens/offset/bins — never shift the rest
+    of the layout (legacy size(NULL) = -1 decremented every later
+    offset) and never kill the FFD pandas stage (int(NaN))."""
+    from meeseeker_spark.ext.pack import pack_bins_ffd, pack_sequences
+
+    base = docs.limit(20).select("doc_id", "text")
+    poisoned = base.unionByName(spark.createDataFrame(
+        [(990001, None)], "doc_id long, text string"))
+
+    want = {r["doc_id"]: (r["n_tokens"], r["start_offset"])
+            for r in pack_sequences(base, 128).collect()}
+    got = {r["doc_id"]: (r["n_tokens"], r["start_offset"])
+           for r in pack_sequences(poisoned, 128).collect()}
+    assert got.pop(990001) == (None, None)
+    # the poisoned row shifted nothing: doc_ids < 990001 keep their
+    # exact offsets (990001 sorts last, but NULL must not count anyway)
+    assert got == want
+
+    bins = {r["doc_id"]: r for r in pack_bins_ffd(poisoned, 128).collect()}
+    assert len(bins) == 21                      # row kept, stage alive
+    assert bins[990001]["n_tokens"] is None
+    assert bins[990001]["bin"] is None
+    assert bins[990001]["oversize"] is None
+    # capacity invariant unaffected for the packable rows
+    from collections import defaultdict
+    fill = defaultdict(int)
+    for r in bins.values():
+        if r["bin"] is not None and not r["oversize"]:
+            fill[r["bin"]] += r["n_tokens"]
+    assert fill and all(v <= 128 for v in fill.values())
+
+
+def test_seed_centroids_skip_null_vectors(spark):
+    """r15 review: a NULL embedding (or one carrying a NULL element)
+    among the smallest ids crashed _seed_centroids driver-side; it must
+    be skipped, matching the NULL-cell routing everywhere else."""
+    from meeseeker_spark.ext.similarity import _seed_centroids
+
+    emb = spark.createDataFrame(
+        [(0, None), (1, [1.0, None]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    cents = _seed_centroids(emb, 2, "vec_id", "embedding")
+    assert cents == [[1.0, 0.0], [0.0, 1.0]]
+
+
+def test_pagerank_empty_edges_both_regimes(spark):
+    """r15 review: the distributed regime divided by zero on an empty
+    edge set where the driver regime returned empty — the two documented
+    regimes must agree on every input."""
+    from meeseeker_spark.ext.graph import pagerank
+
+    empty = spark.createDataFrame(
+        [], "src string, dst string, weight double")
+    assert pagerank(empty).count() == 0                       # driver
+    assert pagerank(empty, driver_threshold=0).count() == 0   # distributed
+
+
+def test_media_phash_and_resize_null_media(spark):
+    """r15 review: a NULL media blob must yield a (doc_id, NULL phash)
+    row — not silently vanish from the output — and an undecodable blob
+    (NULL width/height) must propagate NULL out_width/out_height, not a
+    fabricated 1×1 geometry."""
+    df = spark.createDataFrame(
+        [(1, ("image/bmp", None)),
+         (2, ("text/plain", bytearray(b"not an image at all")))],
+        "doc_id long, media struct<mime:string, bytes:binary>")
+    ph = {r["doc_id"]: r["phash"]
+          for r in multimodal.media_phash(df, fake=False).collect()}
+    assert set(ph) == {1, 2}        # both rows present
+    assert ph[1] is None            # NULL bytes → NULL phash
+    ph_fake = {r["doc_id"]: r["phash"]
+               for r in multimodal.media_phash(df, fake=True).collect()}
+    assert set(ph_fake) == {1, 2} and ph_fake[1] is None
+
+    rz = {r["doc_id"]: (r["out_width"], r["out_height"])
+          for r in multimodal.resize_media(df, max_side=64,
+                                           fake=False).collect()}
+    assert rz[2] == (None, None)    # undecodable → NULL, never 1×1
+
+
+def test_exact_dedup_tie_survivor_is_partition_independent(spark):
+    """r15 review: equal order_col values (routine for batch loads with
+    one ingest timestamp) fell back to partition-order luck; the
+    content-hash tie-break makes the survivor a pure function of the
+    data on any partitioning."""
+    rows = [(i, "same-key", f"payload-{i}", 100) for i in range(40)]
+    df = spark.createDataFrame(rows, ["rid", "k", "payload", "ts"])
+    pick1 = dedup.exact_dedup(df.repartition(1), ["k"], "ts").collect()
+    pick8 = dedup.exact_dedup(df.repartition(8, "rid"), ["k"],
+                              "ts").collect()
+    assert len(pick1) == len(pick8) == 1
+    assert pick1[0]["rid"] == pick8[0]["rid"]
+
+
+def test_banding_and_simhash_params_validated(docs):
+    """r15 review: k < bands·rows silently collapsed trailing LSH bands
+    into one corpus-wide bucket (concat_ws skips the NULL out-of-range
+    signatures); simhash's 4-band pigeonhole only covers distance <= 3.
+    Both now fail loudly."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bands"):
+        dedup.near_dup_pairs(docs, k=4, bands=4, rows=2)
+    with _pytest.raises(ValueError, match="bands"):
+        dedup.banded_projection(docs, k=7, bands=4, rows=2)
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_dup_pairs(docs, max_hamming=5)
+
+
+def test_semantic_contamination_empty_bench(spark):
+    """r15 review: an empty benchmark side must report every corpus
+    vector screened-clean, not return zero rows."""
+    from meeseeker_spark.ext.decontam import semantic_contamination
+
+    ddl = "vec_id long, embedding array<double>"
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ddl)
+    bench = spark.createDataFrame([], ddl)
+    got = {r["vec_id"]: (r["n_bench_hits"], r["contaminated"])
+           for r in semantic_contamination(corpus, bench).collect()}
+    assert got == {1: (0, False), 2: (0, False)}
+
+
+def test_perplexity_buckets_degenerate_counts(docs):
+    """r15 review: n_buckets=1 crashed on agg(*[]); it is a legitimate
+    degenerate sweep point (everything lands in one bucket)."""
+    import pytest as _pytest
+
+    from meeseeker_spark.ext.lm import perplexity_buckets
+
+    small = docs.limit(20)
+    rows = perplexity_buckets(small, n_buckets=1).collect()
+    assert len(rows) == 20
+    assert {r["ppl_bucket"] for r in rows} <= {"b0", "na"}
+    with _pytest.raises(ValueError):
+        perplexity_buckets(small, n_buckets=0)
+
+
+def test_lang_id_ngram_profile_mismatch_is_loud(spark):
+    """r15 review: scoring with a smaller top_k than the profiles were
+    trained at made mid-rank grams vote NEGATIVE — matching more of the
+    true language lowered its score.  Loud error instead."""
+    import pytest as _pytest
+
+    from meeseeker_spark.ext.text import char_ngram_profiles, lang_id_ngram
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog", "en"),
+         (2, "der schnelle braune fuchs springt ueber den hund", "de")],
+        ["doc_id", "text", "lang"])
+    profiles = char_ngram_profiles(df, top_k=50)
+    with _pytest.raises(ValueError, match="top_k"):
+        lang_id_ngram(df, profiles, top_k=10)
+    # matched sizing still classifies
+    assert {r["lang_pred"] for r in
+            lang_id_ngram(df, profiles, top_k=50).collect()} == {"en", "de"}
+
+
+def test_quality_scores_giant_doc_no_overflow(spark):
+    """r15 review: the composite-quality integer numerator overflowed
+    32-bit int past ~10M tokens (ANSI throws; legacy wraps negative).
+    A giant doc must score, positively, in long arithmetic."""
+    from meeseeker_spark.ext.text import quality_scores
+
+    giant = spark.createDataFrame(
+        [(1, "word " * 11_000_000)], ["doc_id", "text"])
+    r = quality_scores(giant).collect()[0]
+    assert r["quality"] is not None and 0.0 < r["quality"] <= 1.0
+
+
 def test_minhash_signatures_stable_across_dataframes(docs):
     """Signatures are a pure function of the shingles — two independently
     built expression trees must agree (the session-global lambda-counter
@@ -1861,6 +2033,16 @@ def test_chunk_windows_partition_and_overlap(spark):
                    key=lambda r: r["chunk_id"])
     assert " ".join(r["chunk_text"] for r in rows2) == " ".join(words)
 
+    # r15 review: irregular whitespace splits to empty tokens — slice
+    # positions, not words; n_words counts the real ones while
+    # chunk_text still rebuilds the original spacing exactly
+    ws = spark.createDataFrame([(1, "a  b c "), (2, "")],
+                               ["doc_id", "text"])
+    got = {(r["doc_id"], r["chunk_id"]): (r["n_words"], r["chunk_text"])
+           for r in spans.chunk_windows(ws, size=32, stride=24).collect()}
+    assert got[(1, 0)] == (3, "a  b c ")
+    assert got[(2, 0)] == (0, "")
+
 
 def test_span_cleaned_docs_vs_duckdb(spark):
     """Exact DuckDB parity for the corpus rewrite.  Driver-oracled
@@ -1892,8 +2074,8 @@ def test_chunk_windows_vs_duckdb(spark):
         WITH w AS (SELECT doc_id, string_split(text,' ') AS words
                    FROM documents)
         SELECT doc_id, (s / 24)::INT AS chunk_id, s::INT AS chunk_start,
-               CASE WHEN words[s+1:s+32] = [''] THEN 0
-                    ELSE len(words[s+1:s+32]) END::INT AS n_words,
+               len(list_filter(words[s+1:s+32],
+                               x -> x <> ''))::INT AS n_words,
                array_to_string(words[s+1:s+32], ' ') AS chunk_text
         FROM w, unnest(range(0, greatest(len(words)-1, 0) + 1, 24)) t(s)
     """)
