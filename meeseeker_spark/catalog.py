@@ -3392,6 +3392,7 @@ def dedup_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
              AS key
       FROM documents
+      WHERE text IS NOT NULL
     ), h AS (
       SELECT ('0x' || substr(md5('reg:' || key), 1, 8))::BIGINT % 1024
                  AS reg,

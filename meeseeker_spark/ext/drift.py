@@ -46,6 +46,13 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def _joined(batch_counts: DataFrame, base_counts: DataFrame,
             smoothing: float) -> DataFrame:
     """Union-vocab join with smoothed P/Q columns attached."""
+    if smoothing <= 0:
+        # r15 review: smoothing=0 turns exactly the novel-token terms
+        # this module exists to surface (q≈0) into NULL log/division
+        # results that sum() silently DROPS — a quietly truncated KL,
+        # not an error.  The additive smoothing is what makes every
+        # term finite; loud beats truncated.
+        raise ValueError("smoothing must be positive")
     both = (batch_counts.withColumnRenamed("n", "n_batch")
             .join(base_counts.withColumnRenamed("n", "n_base"),
                   "token", "full_outer")

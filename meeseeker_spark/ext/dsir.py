@@ -152,6 +152,12 @@ def dsir_select(raw: DataFrame, target: DataFrame, k: int,
     limit is planned as TakeOrderedAndProject — per-partition top-k,
     k-row merge, no global sort.  Docs too short to produce any gram
     (NULL logw) are never selected."""
+    if temperature <= 0:
+        # r15 review: /0 is NULL in non-ANSI Spark, so every score went
+        # NULL and "selection" silently became first-k-by-id; negative T
+        # inverts it.  Same guard as temperature_plan.  (T→0 argmax =
+        # sort by logw directly, a one-line caller-side expression.)
+        raise ValueError("temperature must be positive")
     w = dsir_log_weights(raw, target, id_col, text_col, n_buckets)
     u = (md5_int32(F.concat(F.lit("dsir:"), F.col(id_col).cast("string")))
          + F.lit(0.5)) / F.lit(float(2 ** 32))

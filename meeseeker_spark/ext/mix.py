@@ -60,7 +60,11 @@ def mixture_plan(docs: DataFrame, weights: dict[str, float],
         .agg(F.sum(size_col).cast("bigint").alias("domain_size"))
     )
     if budget is None:
-        total = docs.agg(F.sum(size_col).cast("double").alias("_budget"))
+        # aggregate over the D-row sizes table, not the corpus (r15
+        # review): a docs-side total is a second full scan Spark cannot
+        # share with the sizes groupBy; same exact value (Σ domain sums)
+        total = sizes.agg(
+            F.sum("domain_size").cast("double").alias("_budget"))
         sizes = sizes.crossJoin(F.broadcast(total))
         budget_col = F.col("_budget")
     else:
@@ -95,16 +99,22 @@ def sample_from_plan(docs: DataFrame, plan: DataFrame,
     ``copy`` (0-based epoch index).  Shared tail of mixture_sample and
     temperature_sample — the plan side is #domains rows → broadcast
     join; the explode is narrow."""
-    frac_scaled = F.floor(F.col("frac") * _HASH_MOD).cast("bigint")
+    # underscored internals (r15 review): unqualified 'domain'/'epochs'/
+    # 'frac' collided with user columns of the same name (AMBIGUOUS_
+    # REFERENCE on e.g. domain_col="domain") — the module's own
+    # _-prefix convention, applied here
+    p = plan.select(F.col("domain").alias("_mx_dom"),
+                    F.col("epochs").alias("_mx_epochs"),
+                    F.col("frac").alias("_mx_frac"))
+    frac_scaled = F.floor(F.col("_mx_frac") * _HASH_MOD).cast("bigint")
     keep_last = _keep_hash(F.col(id_col), F.col("copy")) < frac_scaled
     return (
-        docs.join(F.broadcast(plan.select("domain", "epochs", "frac")),
-                  docs[domain_col] == F.col("domain"))
-        .select(*docs.columns, "epochs", "frac",
-                F.explode(F.sequence(F.lit(0), F.col("epochs")))
+        docs.join(F.broadcast(p), docs[domain_col] == F.col("_mx_dom"))
+        .select(*docs.columns, "_mx_epochs", "_mx_frac",
+                F.explode(F.sequence(F.lit(0), F.col("_mx_epochs")))
                 .alias("copy"))
-        .where((F.col("copy") < F.col("epochs")) | keep_last)
-        .drop("epochs", "frac")
+        .where((F.col("copy") < F.col("_mx_epochs")) | keep_last)
+        .drop("_mx_epochs", "_mx_frac")
     )
 
 
@@ -313,7 +323,11 @@ def unimax_plan(docs: DataFrame, budget: float | None = None,
     rows = (docs.groupBy(F.col(domain_col).alias("d"))
             .agg(F.sum(size_col).cast("double").alias("s"))
             .collect())
-    sizes = {r["d"]: r["s"] for r in rows if r["d"] is not None}
+    # skip NULL domains AND NULL sums (r15 review: a domain whose every
+    # size_col is NULL summed to None and crashed the sort/budget math;
+    # mixture_plan's domain_size > 0 guard drops the same input)
+    sizes = {r["d"]: r["s"] for r in rows
+             if r["d"] is not None and r["s"] is not None}
     if budget is None:
         # sum of exact integer-valued doubles: order-independent
         budget = sum(sizes.values())
@@ -354,22 +368,31 @@ def unimax_sample(docs: DataFrame, budget: float | None = None,
     broadcast; the explode is narrow — no corpus shuffle at any scale."""
     plan = unimax_plan(docs, budget, domain_col, size_col, max_epochs)
     spark = docs.sparkSession
+    # explicit schema, typed from the caller's domain column (r15
+    # review: a names-only createDataFrame cannot infer types from an
+    # EMPTY plan — empty docs crashed instead of returning empty);
+    # underscored internals for the same collision reason as
+    # sample_from_plan
+    import pyspark.sql.types as T
     pdf = spark.createDataFrame(
-        [(d, float(f)) for d, _, _, f in plan], ["domain", "factor"])
+        [(d, float(f)) for d, _, _, f in plan],
+        T.StructType([
+            T.StructField("_mx_dom", docs.schema[domain_col].dataType),
+            T.StructField("_mx_factor", T.DoubleType())]))
     frac_scaled = F.floor(
-        F.round(F.col("factor") - F.floor(F.col("factor")), 6)
+        F.round(F.col("_mx_factor") - F.floor(F.col("_mx_factor")), 6)
         * _HASH_MOD).cast("bigint")
     keep_last = _keep_hash(F.col(id_col), F.col("copy")) < frac_scaled
     return (
-        docs.join(F.broadcast(pdf), docs[domain_col] == pdf["domain"])
+        docs.join(F.broadcast(pdf), docs[domain_col] == F.col("_mx_dom"))
         .select(*docs.columns,
-                F.floor("factor").cast("bigint").alias("epochs"),
+                F.floor("_mx_factor").cast("bigint").alias("_mx_epochs"),
                 frac_scaled.alias("_fs"),
                 F.explode(F.sequence(
-                    F.lit(0), F.floor("factor").cast("bigint")))
+                    F.lit(0), F.floor("_mx_factor").cast("bigint")))
                 .alias("copy"))
-        .where((F.col("copy") < F.col("epochs")) | keep_last)
-        .drop("epochs", "_fs")
+        .where((F.col("copy") < F.col("_mx_epochs")) | keep_last)
+        .drop("_mx_epochs", "_fs")
     )
 
 

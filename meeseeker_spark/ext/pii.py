@@ -99,8 +99,12 @@ def pii_report(df: DataFrame, id_col: str = "doc_id",
     that decides redact-vs-drop.  regexp_count per pattern, all narrow."""
     cols = [F.col(id_col)]
     total = F.lit(0)
+    # NULL text → zero hits, not NULL counts (r15 review, same guard as
+    # pii_counts): a NULL-text doc must appear in the report as clean,
+    # not with NULL tallies that NULL-poison n_pii and sums
+    t = F.coalesce(F.col(text_col), F.lit(""))
     for name, pat in PII_PATTERNS:
-        c = F.regexp_count(F.col(text_col), F.lit(pat))
+        c = F.regexp_count(t, F.lit(pat))
         cols.append(c.alias(f"n_{name}"))
         total = total + c
     cols.append(total.alias("n_pii"))
@@ -131,7 +135,13 @@ def pii_counts(col: Column) -> tuple[Column, Column, Column]:
     masked, so every count equals the replacements its redaction stage
     makes (no phantom hits from shapes nested inside an email)."""
     out = []
-    staged = col
+    # NULL text counts as zero hits in every class (r15 review): raw
+    # size(regexp_extract_all(NULL)) is NULL (ANSI) or -1 (legacy
+    # sizeOfNull) — the first silently drops the doc from PII sums, the
+    # second drives per-source totals negative.  Cross-engine note:
+    # DuckDB also yields NULL counts on NULL text, and sums skip NULLs
+    # in both engines, so aggregate parity is unchanged by this guard.
+    staged = F.coalesce(col, F.lit(""))
     for pat, token in REDACTIONS:
         out.append(F.size(F.regexp_extract_all(staged, F.lit(pat), F.lit(0))))
         staged = F.regexp_replace(staged, pat, token)

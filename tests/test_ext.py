@@ -1300,6 +1300,107 @@ def test_quality_scores_giant_doc_no_overflow(spark):
     assert r["quality"] is not None and 0.0 < r["quality"] <= 1.0
 
 
+def test_mix_internals_survive_user_column_collisions(spark):
+    """r15 review: the plan join used unqualified 'domain'/'epochs'/
+    'frac' names — a docs frame carrying any of them (or
+    domain_col='domain' itself) crashed with AMBIGUOUS_REFERENCE."""
+    from meeseeker_spark.ext.mix import mixture_sample, unimax_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", 100, 7, 0.5, 3)
+         for i in range(20)],
+        ["doc_id", "domain", "n_chars", "epochs", "frac", "factor"])
+    out = mixture_sample(df, {"en": 0.5, "de": 0.5},
+                         domain_col="domain").collect()
+    assert out and {r["domain"] for r in out} == {"en", "de"}
+    assert all(r["copy"] >= 0 for r in out)
+    out2 = unimax_sample(df, domain_col="domain").collect()
+    assert out2 and {r["domain"] for r in out2} == {"en", "de"}
+
+
+def test_mix_dsir_drift_degenerate_inputs(spark, docs):
+    """r15 review bundle: unimax on empty docs returns empty (was a
+    schema-inference crash) and skips all-NULL-size domains (was a
+    driver TypeError); dsir_select and drift reject non-positive
+    temperature/smoothing instead of NULL-poisoning their math."""
+    import pytest as _pytest
+
+    from meeseeker_spark.ext.drift import drift_report
+    from meeseeker_spark.ext.dsir import dsir_select
+    from meeseeker_spark.ext.mix import unimax_sample
+
+    ddl = "doc_id long, lang string, n_chars long"
+    assert unimax_sample(spark.createDataFrame([], ddl)).count() == 0
+    mixed = spark.createDataFrame(
+        [(1, "en", 10), (2, "xx", None), (3, "xx", None)], ddl)
+    got = unimax_sample(mixed).collect()
+    assert got and all(r["lang"] == "en" for r in got)
+
+    small = docs.limit(10)
+    with _pytest.raises(ValueError, match="temperature"):
+        dsir_select(small, small, k=3, temperature=0.0)
+    with _pytest.raises(ValueError, match="smoothing"):
+        drift_report(small, small, smoothing=0.0).collect()
+
+
+def test_pii_and_hll_null_inputs(spark):
+    """r15 review: a NULL-text doc must report ZERO PII hits (raw
+    size/regexp_count of NULL is NULL — or -1 under legacy sizeOfNull,
+    driving per-source totals negative), and a NULL key must not emit a
+    phantom HLL register row."""
+    from meeseeker_spark.ext.pii import pii_counts, pii_report
+    from meeseeker_spark.ext.sketch import hll_registers
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "mail me at a@b.org today")],
+        "doc_id long, text string")
+    rep = {r["doc_id"]: r["n_pii"] for r in pii_report(df).collect()}
+    assert rep[1] == 0 and rep[2] >= 1
+    e, i, p = pii_counts(F.col("text"))
+    counted = {r["doc_id"]: (r["e"], r["i"], r["p"])
+               for r in df.select("doc_id", e.alias("e"), i.alias("i"),
+                                  p.alias("p")).collect()}
+    assert counted[1] == (0, 0, 0)
+
+    keys = spark.createDataFrame([(None,), ("k1",), ("k2",)],
+                                 "key string")
+    regs = hll_registers(keys, "key", p=4).collect()
+    assert len(regs) <= 2
+    assert all(r["reg"] is not None and r["max_rho"] is not None
+               for r in regs)
+
+
+def test_exact_prescreen_over_cap_fallback(spark, tmp_path_factory,
+                                           monkeypatch):
+    """r15 review: past EXACT_PRUNE_CAP the fallback aggregated the
+    WHOLE corpus fp index; it now semi-joins the probed fps first.
+    Same split either way — this drill forces the over-cap path with a
+    tiny cap and checks exactness against the under-cap result."""
+    from meeseeker_spark.ext import sketch as _sk
+    from meeseeker_spark.ext.sketch import bloom_bitmap, exact_prescreen
+    from meeseeker_spark.ext.text import fingerprint
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i % 5}") for i in range(10)],
+        ["doc_id", "text"])
+    fpx = corpus.select(fingerprint(F.col("text")).alias("fp"), "doc_id")
+    bloom = bloom_bitmap(fpx.select("fp").distinct(), "fp")
+    batch = spark.createDataFrame(
+        [(100, "corpus doc 0"), (101, "corpus doc 1"),
+         (102, "corpus doc 2"), (103, "brand new text")],
+        ["doc_id", "text"])
+
+    fresh_a, seen_a = exact_prescreen(batch, fpx, bloom)
+    want_seen = sorted((r["doc_id"], r["corpus_id"])
+                       for r in seen_a.collect())
+    monkeypatch.setattr(_sk, "EXACT_PRUNE_CAP", 1)
+    fresh_b, seen_b = exact_prescreen(batch, fpx, bloom)
+    assert sorted((r["doc_id"], r["corpus_id"])
+                  for r in seen_b.collect()) == want_seen
+    assert (sorted(r["doc_id"] for r in fresh_b.collect())
+            == sorted(r["doc_id"] for r in fresh_a.collect()))
+
+
 def test_minhash_signatures_stable_across_dataframes(docs):
     """Signatures are a pure function of the shingles — two independently
     built expression trees must agree (the session-global lambda-counter
