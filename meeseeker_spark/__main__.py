@@ -716,6 +716,17 @@ def main(argv: list[str] | None = None) -> int:
         p.error("verify requires --store (unless --witness)")
     spark = _spark()
     ops = spark.read.parquet(a.store)
+    # keep only the verified side's chain rows (r15 review): after
+    # `compact` mainnet and engine ops share one store, and block
+    # numbers collide across chains generically — unfiltered, engine
+    # trx ids leak into a mainnet block's expected set (and vice versa)
+    # and a healthy store exits non-zero.  NULL-chain rows classify as
+    # neither and are excluded from both sides rather than misverified.
+    if "chain" in ops.columns:
+        from pyspark.sql import functions as SF
+        eng = SF.col("chain").endswith("_engine")
+        ops = ops.where(SF.coalesce(eng if a.engine else ~eng,
+                                    SF.lit(False)))
     num_col = "blockNumber" if a.engine else "block_num"
     if a.engine:
         blocks = spark.read.schema(ENGINE_BLOCKS).parquet(a.blocks)

@@ -115,7 +115,19 @@ def flatten_engine_blocks(engine_blocks: DataFrame,
     ``'transactionId' => "#{VIRTUAL_TRX_ID}-#{vtrx_in_block}"``) — the wire
     format consumers key on, and what makes virtual trxs identifiable in
     the store (verify excludes the sentinel, Rakefile:366).
+
+    ``chain`` MUST end in ``_engine``: the glob translator classifies
+    key shapes (5-segment mainnet vs 6-segment sidechain) by exactly
+    that suffix, so a differently-named engine chain would have its
+    scans positionally bound against the WRONG layout and silently drop
+    rows (r15 review) — enforced here, at write time, where the
+    convention is cheap and loud.
     """
+    if not chain.endswith("_engine"):
+        raise ValueError(
+            f"sidechain chain name must end in '_engine' (got {chain!r}):"
+            " the key-glob translator resolves the 6-segment key layout "
+            "by that suffix")
     virt = F.transform(
         F.coalesce("virtualTransactions", F.array()),
         lambda t: F.struct(

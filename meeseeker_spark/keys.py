@@ -62,7 +62,57 @@ def _glob_to_regex(pattern: str) -> str:
     # Spark RLIKE has Java find() substring semantics — fnmatch.translate
     # only \Z-anchors the end, so a bare residual could match mid-string
     # (pattern 'vote' inside key '...:unvote').  Anchor both ends.
-    return "^(?:" + fnmatch.translate(pattern) + ")$"
+    # Redis negates classes with [^..]; fnmatch only honors [!..] and
+    # would treat '^' as a literal set member — matching exactly the
+    # rows Redis excludes (r15 review).
+    return "^(?:" + fnmatch.translate(pattern.replace("[^", "[!")) + ")$"
+
+
+def _split_segments(pattern: str) -> list[str]:
+    """Split a glob on ':' EXCEPT inside a [...] class (r15 review: a
+    class body containing ':' — 'hive:*:[a:b]' — split naively, and the
+    fragment after the class was bound as a bogus op_type equality that
+    dropped every row the glob matches)."""
+    segs: list[str] = []
+    buf: list[str] = []
+    in_class = False
+    for ch in pattern:
+        if ch == "[" and not in_class:
+            in_class = True
+        elif ch == "]" and in_class:
+            in_class = False
+        if ch == ":" and not in_class:
+            segs.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    segs.append("".join(buf))
+    return segs
+
+
+def schedule_glob_filter(pattern: str) -> Column:
+    """Glob filter for the 4-segment witness-schedule keys
+    (``{chain}:witness:schedule:{n}`` — query.ScheduleStore).
+    ``glob_to_filter``'s positional bindings assume 5/6-segment ops
+    keys, so an anchored literal tail would bind ``op_type == tail``
+    and drop every schedule row (their trx columns are NULL by design —
+    r15 review: an exact-key scan of a schedule key returned empty).
+    Here: chain prune when the head is literal + the exact anchored
+    residual — correct for every glob over this key shape."""
+    if "\\" in pattern:
+        raise ValueError(_BACKSLASH_MSG)
+    segs = _split_segments(pattern)
+    residual = F.col("key").rlike(_glob_to_regex(pattern))
+    head = segs[0] if segs else ""
+    if head and not any(ch in head for ch in "*?["):
+        return (F.col("chain") == head) & residual
+    return residual
+
+
+_BACKSLASH_MSG = (
+    "Redis backslash escapes are not supported by this glob translator "
+    "(fnmatch has no escape syntax — the pattern would be silently "
+    "mis-translated); rewrite the literal as a [c] class instead")
 
 
 def glob_to_filter(pattern: str) -> Column:
@@ -81,7 +131,9 @@ def glob_to_filter(pattern: str) -> Column:
     those rows — so that case degrades to a pure rlike on ``key``
     (matching the reference: a leading-* SCAN is a full scan anyway).
     """
-    segs = pattern.split(":")
+    if "\\" in pattern:
+        raise ValueError(_BACKSLASH_MSG)
+    segs = _split_segments(pattern)
     residual = F.col("key").rlike(_glob_to_regex(pattern))
 
     head = segs[0]
@@ -163,6 +215,14 @@ def glob_to_filter(pattern: str) -> Column:
                         return F.lit(False)
                     preds.append(F.col("trx_index") == int(penult))
                     middles = segs[1:-2]
+                else:
+                    # mainnet penult before a literal tail is
+                    # positionally trx_index, which is ALWAYS digits —
+                    # a literal non-digit here matches nothing (r15
+                    # review: a 40-hex penult fell through to the
+                    # middle loop, bound trx_id == hex with NO residual,
+                    # and returned rows the glob cannot match)
+                    return F.lit(False)
         for seg in middles:
             if seg == "*" or any(ch in seg for ch in "*?["):
                 continue

@@ -61,8 +61,11 @@ class OpsStore:
         on chain alone — a chain-only repartition means ONE writer task
         per chain, a serial choke at any real volume. Range partitioning
         keeps every output file a contiguous block range (min/max
-        row-group pruning stays as sharp as a global sort) while
-        ``writers_per_chain`` tasks write in parallel per chain directory.
+        row-group pruning stays as sharp as a global sort).
+        ``writers_per_chain`` is the TOTAL range-partition count across
+        all chains (r15 review: the old name read as per-chain — a
+        two-chain frame splits these tasks between the chains, so size
+        it as chains × desired-writers on a multi-chain store).
         """
         if "ingested_at" not in ops.columns:
             ops = ops.withColumn("ingested_at", F.current_timestamp())
@@ -300,15 +303,21 @@ class ScheduleStore:
         )
 
     def scan(self, pattern: str) -> DataFrame:
-        return self.df().where(glob_to_filter(pattern))
+        # schedule keys are 4 segments — the ops translator's positional
+        # bindings (op_type == tail etc.) assume 5/6 and would drop
+        # every schedule row on anchored patterns (r15 review)
+        from .keys import schedule_glob_filter
+        return self.df().where(schedule_glob_filter(pattern))
 
 
 class UnifiedStore:
     """One scan/get/find surface over EVERY keyed artifact a deployment
     writes — mainnet ops and engine ops (both live in one chain-
     partitioned OpsStore after ``compact``) plus the witness-schedule
-    publish log — all through the same ``keys.glob_to_filter`` the fuzz
-    suite covers (VERDICT r3 item 8).  Schedule rows ride the ops row
+    publish log — ops rows through ``keys.glob_to_filter`` and schedule
+    rows through ``keys.schedule_glob_filter`` (VERDICT r3 item 8; the
+    per-shape split is r15 — one translator over both shapes dropped
+    schedule rows on anchored patterns).  Schedule rows ride the ops row
     shape with NULL trx columns, so ops globs never match them and
     schedule globs resolve by chain predicate + anchored key residual."""
 
@@ -326,7 +335,18 @@ class UnifiedStore:
         return df
 
     def scan(self, pattern: str) -> DataFrame:
-        return self.df().where(glob_to_filter(pattern))
+        # per-shape translation (r15 review): the ops translator over
+        # the unified frame dropped schedule rows on anchored patterns
+        # (it binds op_type == tail; schedule rows carry NULL trx
+        # columns by design) and returned lit(False) for an exact
+        # 4-segment schedule key.  Each side gets its own sound filter;
+        # ops globs still never match schedule rows (the schedule
+        # residual is anchored on the 4-segment key shape).
+        ops_rows = self.ops.df().where(glob_to_filter(pattern))
+        if self.schedules is None:
+            return ops_rows
+        return ops_rows.unionByName(self.schedules.scan(pattern),
+                                    allowMissingColumns=True)
 
     def get(self, key: str) -> DataFrame:
         parts = key.split(":")

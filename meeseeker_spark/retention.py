@@ -143,6 +143,19 @@ def expire(spark: SparkSession, path: str, ttl_s: int = DEFAULT_TTL_S,
     from .manifest import ManifestStore, is_manifest_store
     if is_manifest_store(path):
         return ManifestStore(spark, path).expire(ttl_s, now=now)
+    if os.path.isdir(path) and any(
+            d.startswith("batch_id=") for d in os.listdir(path)):
+        # r15 review: a raw per-trigger batch-dirs sink (no manifest, no
+        # chain= partitions) fell into the whole-store swap below, which
+        # rewrites the rows as LOOSE part files — destroying the
+        # batch_id=N layout its readers (_batched_view) require and the
+        # replay-overwrite idempotence of in-flight triggers.  Refuse
+        # loudly; compaction folds these dirs into an expirable layout.
+        raise ValueError(
+            f"{path} is a raw streaming batch-dirs sink (batch_id=N "
+            "dirs): expiring it in place would flatten the layout its "
+            "readers and checkpoint replay depend on. Run compact "
+            "first, then expire the compacted store.")
     _recover(path)
     now = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     cutoff_s = _epoch_s(now - dt.timedelta(seconds=ttl_s))

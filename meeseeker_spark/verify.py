@@ -72,9 +72,9 @@ def reconcile_engine_blocks(engine_ops: DataFrame,
         F.coalesce("expected_ids", F.array()).alias("expected_ids"),
         "actual_ids",
     )
-    # store side: drop the virtual sentinel too, mirroring `- [VIRTUAL]`
-    j = j.withColumn("expected_ids",
-                     F.array_remove("expected_ids", VIRTUAL_TRX_ID))
+    # (the sentinel is already excluded from expected_ids by the
+    # where-filter above — a second array_remove here was a no-op that
+    # implied the sentinel could reach this point; removed, r15 review)
     inter = F.array_intersect("expected_ids", "actual_ids")
     return j.select(
         "block_num",

@@ -132,6 +132,21 @@ def test_cli_surface(spark, tmp_path_factory, capsys):
                  "--max-blocks", "10"]) == 0
     assert "10 blocks checked, 0 mismatched" in capsys.readouterr().out
 
+    # r15 review: a COMBINED (post-compact) store holds mainnet and
+    # engine rows, and block numbers collide across chains generically —
+    # the mainnet verify must not let the other chain's trx ids pollute
+    # a block's expected set.  Fabricate the collision explicitly: same
+    # block numbers, engine-suffixed chain, DIFFERENT trx ids.
+    from pyspark.sql import functions as SF
+    polluter = (view.withColumn("chain", SF.lit("hive_engine"))
+                .withColumn("trx_id", SF.concat(
+                    SF.lit("ee"), SF.substring("trx_id", 3, 38))))
+    OpsStore.write(view.unionByName(polluter), str(d / "combined_store"))
+    capsys.readouterr()
+    assert main(["verify", "--store", str(d / "combined_store"),
+                 "--blocks", str(d / "blocks")]) == 0
+    assert "0 mismatched" in capsys.readouterr().out
+
 
 def test_cli_verify_witness_and_find_chain(spark, tmp_path_factory, capsys):
     """r13 bin-parity additions: (a) `verify --witness` runs the D4

@@ -207,22 +207,38 @@ def test_glob_engine_and_mixed_fuzz(ops, engine_ops):
 
 def test_glob_unified_surface_fuzz(spark, ops, tmp_path_factory):
     """The UnifiedStore surface (mainnet ops + 4-segment schedule keys
-    with NULL trx columns) through the same translator: for any pattern
-    drawn from mixed segment vocabularies, glob_to_filter == fnmatch
-    over ALL keys in the union."""
+    with NULL trx columns): for any pattern drawn from mixed segment
+    vocabularies, ``UnifiedStore.scan`` == fnmatch over ALL keys in the
+    union.  r15: the surface routes each key shape through its own
+    translator — the previous single-translator pass bound
+    ``op_type == tail`` on anchored patterns and dropped the schedule
+    rows fnmatch matches (never drawn by the old fuzz's seed; the
+    vocabulary below now draws those shapes every run)."""
     import random
 
-    from meeseeker_spark.query import ScheduleStore
+    from meeseeker_spark.query import OpsStore, UnifiedStore
 
     d = tmp_path_factory.mktemp("unifuzz")
     rows = [(i, 4200 + 21 * i, [f"w{i}", f"w{i+1}"]) for i in range(6)]
     (spark.createDataFrame(
         rows, "id bigint, next_shuffle_block_num bigint, "
               "current_shuffled_witnesses array<string>")
-     .write.parquet(str(d / "batch_id=0")))
-    sched = ScheduleStore(spark, str(d)).df()
-    unified = ops.select(*sched.columns).unionByName(sched).cache()
-    keys = [r["key"] for r in unified.select("key").collect()]
+     .write.parquet(str(d / "sched" / "batch_id=0")))
+    OpsStore.write(ops, str(d / "ops"))
+    u = UnifiedStore(spark, str(d / "ops"), str(d / "sched"))
+    keys = [r["key"] for r in u.df().select("key").collect()]
+
+    def scan_keys(pattern):
+        return sorted(r["key"] for r in u.scan(pattern).collect())
+
+    # the anchored schedule shapes the old translator dropped
+    assert scan_keys("hive:witness:schedule:4200") == \
+        ["hive:witness:schedule:4200"]
+    assert (scan_keys("hive:*:schedule:4221")
+            == _fnmatch_keys(keys, "hive:*:schedule:4221")
+            == ["hive:witness:schedule:4221"])
+    assert scan_keys("hive:witness:*") == _fnmatch_keys(
+        keys, "hive:witness:*")
 
     vocab = {
         "chain": ["hive", "*", "h*", "steem"],
@@ -239,9 +255,45 @@ def test_glob_unified_surface_fuzz(spark, ops, tmp_path_factory):
             segs.append(rng.choice(vocab["tail" if i == n_seg - 1
                                          else "mid"]))
         pattern = ":".join(segs)
-        assert _spark_keys(unified, pattern) == _fnmatch_keys(keys, pattern), \
-            pattern
-    unified.unpersist()
+        assert scan_keys(pattern) == _fnmatch_keys(keys, pattern), pattern
+
+
+def test_glob_redis_class_negation_and_colon_classes(ops):
+    """r15 review: Redis negates classes with [^..] (fnmatch only honors
+    [!..] — the raw translation matched EXACTLY the rows Redis excludes),
+    and a class body containing ':' mis-tokenized the segment split,
+    ANDing a bogus op_type equality.  Both against the Redis-semantics
+    oracle (fnmatch over the [!-normalized pattern)."""
+    keys = [r["key"] for r in ops.select("key").collect()]
+
+    def redis_match(pattern):
+        return sorted(k for k in keys if fnmatch.fnmatchcase(
+            k, pattern.replace("[^", "[!")))
+
+    for pattern in ("hive:*:[^v]*", "hive:*:[^x]*", "hive:*:[!v]*",
+                    "hive:*:*:*:[^v]*", "hive:*:[a:b]*", "hive:*:v[o:a]te"):
+        got = _spark_keys(ops, pattern)
+        assert got == redis_match(pattern), pattern
+    # negation must actually exclude: a POSITIONAL [^v]* tail (5 aligned
+    # segments — no '*' left to absorb colons) drops vote-family rows
+    five = _spark_keys(ops, "hive:*:*:*:[^v]*")
+    assert five and all(not k.split(":")[-1].startswith("v") for k in five)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="backslash"):
+        glob_to_filter(r"hive:*:\*")
+
+
+def test_glob_hex_penult_with_literal_tail_matches_nothing(ops):
+    """r15 review: 'hive:*:<40-hex>:vote' end-anchors the hex against
+    trx_index (always digits) — it matches NOTHING, but the translator
+    bound trx_id == hex with no residual and returned spurious rows."""
+    some_trx = ops.select("trx_id").where(
+        "trx_id rlike '[a-f]'").first()["trx_id"]
+    pattern = f"hive:*:{some_trx}:vote"
+    keys = [r["key"] for r in ops.select("key").collect()]
+    assert _fnmatch_keys(keys, pattern) == []
+    assert _spark_keys(ops, pattern) == []
 
 
 def test_glob_data_derived_name_collisions(spark):

@@ -444,6 +444,43 @@ def test_schedule_store_dedup_survivor_is_newest_batch(
     assert got == again
 
 
+def test_expire_refuses_raw_batch_dirs_sink(spark, tmp_path_factory):
+    """r15 review: a raw per-trigger batch_id=N sink has neither a
+    manifest nor chain= partitions, so it fell into the whole-store
+    swap — which flattens the layout _batched_view and checkpoint
+    replay depend on (silent reader data loss).  expire must refuse
+    loudly and point at compact."""
+    import pytest as _pytest
+
+    from meeseeker_spark.retention import expire
+
+    d = tmp_path_factory.mktemp("rawsink")
+    spark.createDataFrame(
+        [(1, "k1")], "block_num long, key string",
+    ).write.parquet(str(d / "out" / "batch_id=0"))
+    with _pytest.raises(ValueError, match="compact"):
+        expire(spark, str(d / "out"), ttl_s=1)
+    # the layout is untouched by the refusal
+    import os as _os
+    assert _os.path.isdir(d / "out" / "batch_id=0")
+
+
+def test_flatten_engine_chain_name_enforced(spark):
+    """r15 review: the glob translator resolves the 6-segment engine key
+    layout by the '_engine' chain-name suffix; a differently-named
+    engine chain would scan against the WRONG layout and silently drop
+    rows — enforced at flatten time."""
+    import pytest as _pytest
+
+    from meeseeker_spark.flatten import flatten_engine_blocks
+    from meeseeker_spark.schemas import ENGINE_BLOCKS
+
+    eb = spark.createDataFrame([], ENGINE_BLOCKS)
+    with _pytest.raises(ValueError, match="_engine"):
+        flatten_engine_blocks(eb, chain="steem")
+    flatten_engine_blocks(eb, chain="steem_engine")   # fine
+
+
 def test_get_malformed_numeric_segment_is_empty(store):
     """A key whose block_num segment isn't numeric exists in no store —
     GET returns empty (Redis nil analog), never an int() crash."""
