@@ -41,13 +41,26 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     w = (Window.partitionBy(*by)
          .orderBy(F.col(on).asc(), F.col("_side").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    for c in rcols:
-        merged = merged.withColumn(
-            f"{c}{suffix}",
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w))
+    # ONE last() over the WHOLE matched right row as a struct (r15
+    # review): per-column last(ignorenulls) skipped a genuine NULL in
+    # one value column and stitched that column from an OLDER right row
+    # — a (ts_asof, value) combination that never existed, where the
+    # DuckDB ASOF oracle returns the matched row intact, NULLs and all.
+    # The struct is non-NULL exactly when a right row matched, so
+    # ignorenulls still means "no right row yet", never "this column
+    # was NULL".
     merged = merged.withColumn(
-        f"{on}{suffix}", F.last(F.col("_r_ts"), ignorenulls=True).over(w))
+        "_r_row",
+        F.when(F.col("_side") == 0,
+               F.struct(F.col("_r_ts").alias("_ts"),
+                        *[F.col(f"_r_{c}").alias(c) for c in rcols])))
+    merged = merged.withColumn(
+        "_m", F.last("_r_row", ignorenulls=True).over(w))
+    for c in rcols:
+        merged = merged.withColumn(f"{c}{suffix}", F.col(f"_m.{c}"))
+    merged = merged.withColumn(f"{on}{suffix}", F.col("_m._ts"))
     return (
         merged.where(F.col("_side") == 1)
-        .drop("_side", "_r_ts", *[f"_r_{c}" for c in rcols])
+        .drop("_side", "_r_ts", "_r_row", "_m",
+              *[f"_r_{c}" for c in rcols])
     )

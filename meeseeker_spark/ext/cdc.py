@@ -141,7 +141,11 @@ def cdc_chunks(df: DataFrame, id_col: str = "doc_id",
                                     ("doc_id", "chunk_no", "offset",
                                      "length", "chunk_hash")}
             for doc_id, blob in zip(pdf["_id"], pdf["_b"]):
-                if blob is None:
+                # a NULL id arrives as NaN and int(NaN) would kill the
+                # whole task on every retry (r15 review — the same
+                # poisoned-row contract as pack_bins_ffd); chunks are
+                # keyed by doc_id, so an unattributable blob is skipped
+                if blob is None or pd.isna(doc_id):
                     continue
                 data = bytes(blob)
                 s = 0

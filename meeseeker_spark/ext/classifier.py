@@ -107,6 +107,13 @@ def train_quality_logit(docs: DataFrame, label: Column,
             row = feats.agg(*[
                 F.avg(err * F.col(f"f{i}")).alias(f"g{i}")
                 for i in range(d)]).first()
+            if row[f"g{0}"] is None:
+                # avg over zero usable rows (empty input, or every
+                # label/text NULL) — fail with the cause, not a
+                # float*None TypeError mid-iteration (r15 review)
+                raise ValueError(
+                    "train_quality_logit: no usable training rows "
+                    "(empty input, or labels/text all NULL)")
             w = [wi - lr * row[f"g{i}"] for i, wi in enumerate(w)]
         return [round(wi, 4) for wi in w]
     finally:

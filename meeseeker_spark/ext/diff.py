@@ -29,17 +29,25 @@ def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
     """Per-document diff table: (id_col, old_fp, new_fp, status) for
     every id present in either snapshot; status in
     {'added','removed','changed','unchanged'}."""
+    # classify by ROW PRESENCE, not fingerprint nullity (r15 review):
+    # fingerprint(NULL text) is NULL, so a NULL-text doc present in both
+    # snapshots read as 'added', and one deleted from the new snapshot
+    # read as 'added' too — corrupting diff_summary.  Presence flags +
+    # null-safe fp equality classify every row correctly.
     o = old.select(F.col(id_col).alias("_id"),
-                   fingerprint(F.col(text_col)).alias("old_fp"))
+                   fingerprint(F.col(text_col)).alias("old_fp"),
+                   F.lit(True).alias("_in_old"))
     n = new.select(F.col(id_col).alias("_id"),
-                   fingerprint(F.col(text_col)).alias("new_fp"))
+                   fingerprint(F.col(text_col)).alias("new_fp"),
+                   F.lit(True).alias("_in_new"))
     return (
         o.join(n, "_id", "full_outer")
         .select(
             F.col("_id").alias(id_col), "old_fp", "new_fp",
-            F.when(F.col("old_fp").isNull(), F.lit("added"))
-            .when(F.col("new_fp").isNull(), F.lit("removed"))
-            .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+            F.when(F.col("_in_old").isNull(), F.lit("added"))
+            .when(F.col("_in_new").isNull(), F.lit("removed"))
+            .when(F.col("old_fp").eqNullSafe(F.col("new_fp")),
+                  F.lit("unchanged"))
             .otherwise(F.lit("changed")).alias("status"))
     )
 

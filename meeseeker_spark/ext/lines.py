@@ -120,8 +120,14 @@ def strip_frequent_lines(df: DataFrame, id_col: str = "doc_id",
     (exchange reused), one doc_id shuffle for the rebuild, left join to
     re-attach untouched passthrough columns.
     """
-    if min_df < 1:
-        raise ValueError("min_df must be >= 1 (0 would drop every line)")
+    if min_df < 2:
+        # r15 review: every line occurs in >= 1 document (its own), so
+        # min_df=1 keeps every hash in the frequent set and the
+        # left_anti rewrite empties EVERY document — the same total loss
+        # the old >= 1 guard claimed only min_df=0 could cause
+        raise ValueError(
+            "min_df must be >= 2 (every line occurs in >= 1 document — "
+            "its own — so min_df <= 1 would drop every line)")
     ls = doc_lines(df, id_col, text_col, delim)
     freq = (ls.groupBy("h", "_id").count()
             .groupBy("h").agg(F.count("*").alias("df_docs"))

@@ -273,8 +273,11 @@ def prepare_training_corpus(docs: DataFrame, bench: DataFrame,
     # stay ≤ ~9.2e15 for the ×1000 encode to fit int64.  Decode with
     # integer div — float /1000 loses exactness past 2^53 (same rule as
     # the nanos→micros conversion in tables.py).
+    # cast BEFORE the ×1000 (r15 review): an IntegerType id column over
+    # ~2.1M wraps in 32-bit arithmetic (non-ANSI), silently colliding
+    # distinct documents on one _pack_id
     with_key = mixed.withColumn(
-        "_pack_id", F.col(id_col) * 1000 + F.col("copy"))
+        "_pack_id", F.col(id_col).cast("long") * 1000 + F.col("copy"))
     decode = [F.expr("_pack_id div 1000").alias(id_col),
               F.pmod(F.col("_pack_id"), F.lit(1000)).alias("copy")]
     if pack_mode == "chunk":

@@ -56,7 +56,10 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
     # corpus stats as an in-plan 1-row broadcast (never a driver action)
     stats = toked.agg(
         F.count("*").alias("_n_docs"),
-        F.avg(F.size("_w")).alias("_avgdl"))
+        # nullif(-1): a NULL-text doc must not drag avgdl negative under
+        # legacy sizeOfNull configs (ANSI already yields NULL, which avg
+        # skips — same value both ways; r15 review)
+        F.avg(F.nullif(F.size("_w"), F.lit(-1))).alias("_avgdl"))
     # only query-term occurrences survive into the shuffle; dl rides along
     hits = (
         toked.select(
@@ -124,7 +127,10 @@ def bm25_batch_topk(df: DataFrame, queries: DataFrame, k: int = 10,
                       tokens(F.col(text_col)).alias("_w"))
     stats = toked.agg(
         F.count("*").alias("_n_docs"),
-        F.avg(F.size("_w")).alias("_avgdl"))
+        # nullif(-1): a NULL-text doc must not drag avgdl negative under
+        # legacy sizeOfNull configs (ANSI already yields NULL, which avg
+        # skips — same value both ways; r15 review)
+        F.avg(F.nullif(F.size("_w"), F.lit(-1))).alias("_avgdl"))
     hits = (
         toked.select("_id", F.size("_w").alias("_dl"),
                      F.explode("_w").alias("_t"))

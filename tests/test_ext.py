@@ -1401,6 +1401,68 @@ def test_exact_prescreen_over_cap_fallback(spark, tmp_path_factory,
             == sorted(r["doc_id"] for r in fresh_a.collect()))
 
 
+def test_asof_join_returns_whole_matched_row(spark):
+    """r15 review: per-column last(ignorenulls) skipped a genuine NULL
+    in one value column and stitched it from an OLDER right row — a
+    (ts_asof, value) pair that never existed.  The matched right row
+    must come back intact, NULLs included (DuckDB ASOF semantics)."""
+    from meeseeker_spark.ext.asof import asof_join
+
+    left = spark.createDataFrame([(1, 3)], "user_id long, ts long")
+    right = spark.createDataFrame(
+        [(1, 1, 5.0, 7.0), (1, 2, None, 9.0)],
+        "user_id long, ts long, x double, y double")
+    r = asof_join(left, right, on="ts", by=("user_id",)).collect()[0]
+    assert r["ts_asof"] == 2
+    assert r["y_asof"] == 9.0
+    assert r["x_asof"] is None          # NOT 5.0 from the ts=1 row
+
+
+def test_corpus_diff_null_text_classifies_by_presence(spark):
+    """r15 review: fingerprint(NULL text) is NULL, so a NULL-text doc
+    deleted from the new snapshot read 'added' (and a NULL→text edit
+    read 'added' too).  Presence decides added/removed; null-safe fp
+    equality decides changed/unchanged."""
+    from meeseeker_spark.ext.diff import corpus_diff
+
+    ddl = "doc_id long, text string"
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same"), (4, None)], ddl)
+    new = spark.createDataFrame(
+        [(2, "now text"), (3, "same"), (4, None), (5, None)], ddl)
+    got = {r["doc_id"]: r["status"]
+           for r in corpus_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "changed", 3: "unchanged",
+                   4: "unchanged", 5: "added"}
+
+
+def test_lines_cdc_classifier_degenerate_inputs(spark, docs):
+    """r15 review bundle: strip_frequent_lines(min_df=1) would empty
+    EVERY document (each line occurs in >= 1 doc — its own) and now
+    refuses; cdc_chunks skips a NULL doc_id instead of killing the task
+    on int(NaN); the logit trainer raises a clear error on an
+    empty/all-NULL training set."""
+    import pytest as _pytest
+
+    from meeseeker_spark.ext.cdc import cdc_chunks
+    from meeseeker_spark.ext.classifier import train_quality_logit
+    from meeseeker_spark.ext.lines import strip_frequent_lines
+
+    with _pytest.raises(ValueError, match="min_df"):
+        strip_frequent_lines(docs, min_df=1)
+
+    blobs = spark.createDataFrame(
+        [(1, bytearray(b"x" * 200)), (None, bytearray(b"y" * 200))],
+        "doc_id long, blob binary")
+    chunks = cdc_chunks(blobs, id_col="doc_id", bytes_col="blob",
+                        min_size=64, max_size=128).collect()
+    assert chunks and {r["doc_id"] for r in chunks} == {1}
+
+    empty = spark.createDataFrame([], "doc_id long, text string, y int")
+    with _pytest.raises(ValueError, match="usable"):
+        train_quality_logit(empty, F.col("y"), iters=2)
+
+
 def test_minhash_signatures_stable_across_dataframes(docs):
     """Signatures are a pure function of the shingles — two independently
     built expression trees must agree (the session-global lambda-counter
@@ -4197,9 +4259,10 @@ def test_corpus_diff_vs_duckdb(spark):
                           '\\s+', ' ', 'g'))) AS new_fp
                FROM documents WHERE doc_id % 7 <> 0)
         SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, old_fp, new_fp,
-               CASE WHEN old_fp IS NULL THEN 'added'
-                    WHEN new_fp IS NULL THEN 'removed'
-                    WHEN old_fp = new_fp THEN 'unchanged'
+               CASE WHEN v1.doc_id IS NULL THEN 'added'
+                    WHEN v2.doc_id IS NULL THEN 'removed'
+                    WHEN old_fp IS NOT DISTINCT FROM new_fp
+                         THEN 'unchanged'
                     ELSE 'changed' END AS status
         FROM v1 FULL OUTER JOIN v2 USING (doc_id)
     """).fetchall())
