@@ -320,14 +320,22 @@ def main(argv: list[str] | None = None) -> int:
             with open(a.node_config) as f:
                 chain = chain_key_prefix(json.load(f))
 
-        spark = _spark()
-
+        # argument validation BEFORE the JVM spin-up (r15 review: the
+        # screen branch already follows this rule — a usage error should
+        # surface in milliseconds)
         if chain.endswith("_engine") and a.vops:
             p.error("--vops is mainnet-only (virtual engine trxs ride "
                     "inside ENGINE_BLOCKS)")
         if chain.endswith("_engine") and a.mode != "head":
             p.error("--mode is mainnet-only (the sidechain follower polls "
                     "latest blocks only, follower_job.rb:148-185)")
+        if chain.endswith("_engine") and a.lib_lag is not None:
+            # r15 review: this was the one mainnet-only flag that was
+            # silently IGNORED on engine chains while its siblings error
+            p.error("--lib-lag is mainnet-only (engine reversibility is "
+                    "the staleness policy, resolve_start_block_engine)")
+
+        spark = _spark()
 
         def run_once():
             if chain.endswith("_engine"):
@@ -387,8 +395,6 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if a.cmd == "compact":
-        import os as _os
-
         from .manifest import is_manifest_store
         from .streaming import pipeline as P
 
@@ -420,15 +426,13 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if a.cmd == "migrate":
-        import os as _os
-
         from .manifest import migrate_sink_to_manifest
 
         channels = a.channels
         if channels is None:
-            sib = _os.path.join(_os.path.dirname(a.ops.rstrip("/")),
+            sib = os.path.join(os.path.dirname(a.ops.rstrip("/")),
                                 "channels")
-            channels = sib if _os.path.isdir(sib) else None
+            channels = sib if os.path.isdir(sib) else None
         counts = migrate_sink_to_manifest(_spark(), a.ops, channels)
         print("migrated " + ", ".join(
             f"{k}={v}" for k, v in counts.items()) + " batch dirs")
@@ -459,8 +463,19 @@ def main(argv: list[str] | None = None) -> int:
             P.read_schedule_stream(spark, a.schedules),
             f"{a.out}/schedules", f"{a.out}/ckpt")
         q.awaitTermination()
-        n = (spark.read.option("basePath", f"{a.out}/schedules")
-             .parquet(f"{a.out}/schedules/batch_id=*").count())
+        sched_dir = f"{a.out}/schedules"
+        batches = ([d for d in os.listdir(sched_dir)
+                    if d.startswith("batch_id=")]
+                   if os.path.isdir(sched_dir) else [])
+        if not batches:
+            # a cadence invocation before the first schedule arrives
+            # commits zero batches — the glob read crashed instead of
+            # reporting the (normal) empty run (r15 review; the screen
+            # command already guards its own first-run case)
+            print("published 0 schedules")
+            return 0
+        n = (spark.read.option("basePath", sched_dir)
+             .parquet(*[f"{sched_dir}/{d}" for d in batches]).count())
         print(f"published {n} schedules")
         return 0
 
@@ -627,19 +642,10 @@ def main(argv: list[str] | None = None) -> int:
         # through a raw capture and the compacted publish log even when
         # a replay carried a different payload; a raw capture falls
         # back to the payload total order (still deterministic).
-        batch_dirs = ([d for d in os.listdir(a.schedules)
-                       if d.startswith("batch_id=")]
-                      if os.path.isdir(a.schedules) else [])
-        if batch_dirs:
-            import pyspark.sql.types as T
-            sched_schema = T.StructType(
-                WITNESS_SCHEDULES.fields
-                + [T.StructField("batch_id", T.LongType())])
-            scheds = (spark.read.option("basePath", a.schedules)
-                      .schema(sched_schema)
-                      .parquet(*[os.path.join(a.schedules, d)
-                                 for d in batch_dirs]))
-        else:
+        from .query import read_schedule_batches
+        scheds = read_schedule_batches(spark, a.schedules,
+                                       WITNESS_SCHEDULES)
+        if scheds is None:   # a raw (non-publish-log) capture
             scheds = spark.read.schema(WITNESS_SCHEDULES) \
                 .parquet(a.schedules)
         scheds = newest_by_key(scheds, "next_shuffle_block_num")
@@ -715,7 +721,13 @@ def main(argv: list[str] | None = None) -> int:
     if not a.store:
         p.error("verify requires --store (unless --witness)")
     spark = _spark()
-    ops = spark.read.parquet(a.store)
+    # layout-aware read (r15 review): a raw parquet read over a
+    # manifest-committed store (the default sync layout) sees DEAD data
+    # files — rows already expired but not yet gc'd, or orphans from a
+    # crashed pre-commit write — and verify would grade rows the query
+    # surface no longer serves
+    from .query import OpsStore as _OpsStore
+    ops = _OpsStore(spark, a.store).df()
     # keep only the verified side's chain rows (r15 review): after
     # `compact` mainnet and engine ops share one store, and block
     # numbers collide across chains generically — unfiltered, engine

@@ -23,7 +23,8 @@ global RNG):
 - members 0 and 1 carry IDENTICAL pixels encoded in DIFFERENT formats
   (``format = (group + member) % 4`` over the four lanes, with the
   noisy member 2 remapped off the lossy JPEG lane — see ``doc_blob``;
-  consecutive members always land in different formats), so every
+  members 0 and 1 always land in different formats — the remapped
+  member 2 can share member 1's lane in some groups), so every
   group plants one cross-format Hamming-0 pair — the identity the
   shared luma + pinned dHash kernel must preserve;
 - member 2 is the base image plus small deterministic noise (±6): a
@@ -371,6 +372,12 @@ def jpeg_bytes(img, quality=90, subsample=False, restart=0):
             out.append(byte)
             if byte == 0xFF:
                 out.append(0x00)
+        # drop the flushed high bits (r15 review): without this the
+        # accumulator grows to the full scan length in bits and every
+        # put() shifts a multi-megabit int — O(n²) encode on large
+        # images; the low st['n'] bits are all any later read touches
+        # (the GIF packer's `acc >>= 8` is the same discipline)
+        st["acc"] &= (1 << st["n"]) - 1
 
     def flush():
         if st["n"]:
@@ -449,14 +456,14 @@ def doc_image(doc_id: int) -> np.ndarray:
     group, member = divmod(doc_id, 4)
     h, w = DOC_IMAGE_SHAPE
     if member == 3:                        # unrelated image
-        rng = np.random.default_rng(0xD0C0 + 7919 * doc_id)
+        rng = np.random.default_rng((0xD0C0 + 7919 * doc_id) % (1 << 64))
         cells = rng.integers(0, 256, (h // 8, w // 8), dtype=np.uint8)
         return np.kron(cells, np.ones((8, 8), np.uint8))
-    rng = np.random.default_rng(0xBA5E + group)
+    rng = np.random.default_rng((0xBA5E + group) % (1 << 64))
     cells = rng.integers(0, 256, (h // 8, w // 8), dtype=np.uint8)
     base = np.kron(cells, np.ones((8, 8), np.uint8))
     if member == 2:                        # near-dup: small planted noise
-        nrng = np.random.default_rng(0x0135 + group)
+        nrng = np.random.default_rng((0x0135 + group) % (1 << 64))
         noise = nrng.integers(-6, 7, (h, w))
         return np.clip(base.astype(int) + noise, 0, 255).astype(np.uint8)
     return base                            # members 0 and 1: identical

@@ -42,6 +42,26 @@ def newest_by_key(df: DataFrame, key: str,
                            for c in others]))
 
 
+def read_schedule_batches(spark: SparkSession, path: str,
+                          schema) -> DataFrame | None:
+    """Read a witness-schedule publish log's ``batch_id=N`` dirs with
+    ``batch_id`` as a column (the newest_by_key ordering input), or
+    ``None`` when the path holds no batch dirs.  ONE home for the
+    layout recipe (r15 review): ScheduleStore.df and ``verify
+    --witness`` both read this layout, and two inline copies could
+    silently diverge on which replayed duplicate wins."""
+    import pyspark.sql.types as T
+    batches = ([d for d in os.listdir(path)
+                if d.startswith("batch_id=")]
+               if os.path.isdir(path) else [])
+    if not batches:
+        return None
+    full = T.StructType(list(schema.fields)
+                        + [T.StructField("batch_id", T.LongType())])
+    return (spark.read.option("basePath", path).schema(full)
+            .parquet(*[os.path.join(path, d) for d in batches]))
+
+
 class OpsStore:
     """Keyed op table (the engine's Redis analog; SURVEY §1.2)."""
 
@@ -267,10 +287,8 @@ class ScheduleStore:
             [f for f in WITNESS_SCHEDULES.fields
              if f.name in ("id", "next_shuffle_block_num",
                            "current_shuffled_witnesses")])
-        batches = ([d for d in os.listdir(self.path)
-                    if d.startswith("batch_id=")]
-                   if os.path.isdir(self.path) else [])
-        if batches:
+        batched = read_schedule_batches(self.spark, self.path, pub_schema)
+        if batched is not None:
             # key-dedup: next_shuffle_block_num is the publish-once
             # boundary, so duplicates can only come from the two
             # at-least-once windows (a checkpoint-wiped replay; a
@@ -280,11 +298,7 @@ class ScheduleStore:
             # (newest_by_key), matching the sink's mode('overwrite')
             # replay semantics — the same rule the fold and the verify
             # CLI apply, so all three surfaces agree on the survivor.
-            raw = newest_by_key(
-                self.spark.read.option("basePath", self.path)
-                .schema(pub_schema.add("batch_id", "long"))
-                .parquet(*[os.path.join(self.path, d) for d in batches]),
-                "next_shuffle_block_num")
+            raw = newest_by_key(batched, "next_shuffle_block_num")
         else:
             raw = self.spark.createDataFrame([], pub_schema)
         return raw.select(

@@ -45,4 +45,28 @@ def get_spark(app_name: str = "meeseeker-spark", cpus: int | str | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # getOrCreate() silently IGNORES every conf above when a session
+    # already exists (a host harness/notebook created one first — r15
+    # review): re-apply the runtime-settable plan-shaping confs on the
+    # live session.  excludedRules and session.timeZone are the
+    # load-bearing two (a measured 16× regression and timestamp
+    # semantics); master/memory are static and legitimately stay the
+    # host's.
+    for k, v in (
+        ("spark.sql.shuffle.partitions", str(shuffle)),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.optimizer.excludedRules",
+         "org.apache.spark.sql.catalyst.optimizer."
+         "InferFiltersFromGenerate"),
+        ("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # a host that pinned a conf non-modifiable keeps it
+    return spark

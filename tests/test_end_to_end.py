@@ -311,6 +311,59 @@ def test_cli_verify_witness_publish_log_and_null_payload(
     assert "ungradable" in cap.err
 
 
+def test_cli_verify_reads_store_layout_aware(spark, tmp_path_factory,
+                                             capsys):
+    """r15 review: `verify --store` raw-read the path, so on a manifest
+    store it graded DEAD data files (expired-but-not-gc'd rows, orphans
+    from a crashed pre-commit write) the query surface never serves.
+    An uncommitted orphan planting a bogus trx id must not flip a
+    healthy store to a non-zero exit."""
+    from pyspark.sql import functions as F
+
+    from meeseeker_spark.__main__ import main
+    from meeseeker_spark.flatten import flatten_ops_with_virtual
+    from meeseeker_spark.manifest import ManifestStore
+    from meeseeker_spark.schemas import BLOCKS, VIRTUAL_OPS
+
+    fx = fixtures.generate(n_blocks=21, seed=31)
+    d = tmp_path_factory.mktemp("cli_verify_manifest")
+    _write_batches(fx.blocks, "blocks", str(d / "blocks"), 1)
+    _write_batches(fx.virtual_ops, "virtual_ops", str(d / "vops"), 1)
+    ops = flatten_ops_with_virtual(
+        spark.read.schema(BLOCKS).parquet(str(d / "blocks")),
+        spark.read.schema(VIRTUAL_OPS).parquet(str(d / "vops")))
+    ms = ManifestStore(spark, str(d / "store"))
+    ms.append(ops.withColumn("ingested_at", F.current_timestamp()),
+              batch_id=0)
+    assert main(["verify", "--store", str(d / "store"),
+                 "--blocks", str(d / "blocks")]) == 0
+    capsys.readouterr()
+
+    # orphan data file NOT in the manifest: a phantom trx in a real block
+    phantom = ops.limit(1).withColumn(
+        "trx_id", F.lit("f" * 40)).withColumn(
+        "ingested_at", F.current_timestamp())
+    phantom.coalesce(1).write.mode("append").parquet(
+        str(d / "store" / "data"))
+    assert main(["verify", "--store", str(d / "store"),
+                 "--blocks", str(d / "blocks")]) == 0
+    assert "0 mismatched" in capsys.readouterr().out
+
+
+def test_cli_schedule_zero_batches_is_clean(spark, tmp_path_factory,
+                                            capsys):
+    """r15 review: a cadence `schedule` run before the first schedule
+    file arrives commits zero batches — the post-run count crashed on
+    the empty glob instead of reporting the (normal) empty run."""
+    from meeseeker_spark.__main__ import main
+
+    d = tmp_path_factory.mktemp("cli_sched_empty")
+    os.makedirs(d / "in")
+    assert main(["schedule", "--schedules", str(d / "in"),
+                 "--out", str(d / "out")]) == 0
+    assert "published 0 schedules" in capsys.readouterr().out
+
+
 def test_cli_sync_at_block(spark, tmp_path_factory, capsys):
     """The reference's `sync [chain] [block_num]` positional
     (Rakefile:54 → at_block_num, block_follower_job.rb:106-108): an
