@@ -27,6 +27,27 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from .text import tokens
 
 
+def _hashable_cols(df: DataFrame) -> list[str]:
+    """Columns xxhash64 accepts: Spark's hash expressions reject
+    MapType anywhere in the type tree (map equality is order-
+    insensitive, so a content hash over one is ill-defined) — hashing
+    every column unconditionally made exact_dedup raise
+    AnalysisException on any frame carrying a map payload (r15 second
+    review), even when the tie-break never decides anything."""
+    from pyspark.sql import types as T
+
+    def ok(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return ok(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(ok(f.dataType) for f in dt.fields)
+        return True
+
+    return [f.name for f in df.schema.fields if ok(f.dataType)]
+
+
 def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
     """Keep one row per key group — the survivor is min(order_col), so reruns
     pick the same winner (dropDuplicates' winner is partition-order luck).
@@ -35,9 +56,13 @@ def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
     without it, equal order values (same ingest timestamp, a routine
     batch-load case) handed the pick back to partition-order luck.  Rows
     identical in every column remain interchangeable, so the survivor is
-    a pure function of the data on any partitioning."""
+    a pure function of the data on any partitioning.  Map-typed columns
+    are excluded from the tie-break hash (Spark's hash expressions
+    reject them); rows whose ONLY difference is a map payload therefore
+    still tie — document-corpus rows key on hashable columns, so in
+    practice the survivor stays deterministic."""
     w = Window.partitionBy(*keys).orderBy(
-        order_col, F.xxhash64(*[F.col(c) for c in df.columns]))
+        order_col, F.xxhash64(*[F.col(c) for c in _hashable_cols(df)]))
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)

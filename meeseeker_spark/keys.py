@@ -72,20 +72,42 @@ def _split_segments(pattern: str) -> list[str]:
     """Split a glob on ':' EXCEPT inside a [...] class (r15 review: a
     class body containing ':' — 'hive:*:[a:b]' — split naively, and the
     fragment after the class was bound as a bogus op_type equality that
-    dropped every row the glob matches)."""
+    dropped every row the glob matches).
+
+    Class scanning mirrors ``fnmatch.translate`` exactly, because the
+    rlike residual IS fnmatch's regex and a positional predicate built
+    from a DIFFERENT parse can contradict it (r15 second review): a
+    ']' directly after '[' / '[!' / '[^' is a literal class member, not
+    the terminator — '[]:]' is a class matching ']' or ':', and closing
+    it at the first ']' mis-counts the segments and binds trx_index
+    against the literal ']7' (lit(False) for keys Redis returns).  An
+    unterminated '[' is a literal character (fnmatch again), so the
+    ':'s after it are real separators."""
     segs: list[str] = []
     buf: list[str] = []
-    in_class = False
-    for ch in pattern:
-        if ch == "[" and not in_class:
-            in_class = True
-        elif ch == "]" and in_class:
-            in_class = False
-        if ch == ":" and not in_class:
+    i, n = 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "[":
+            j = i + 1
+            if j < n and pattern[j] in "!^":
+                j += 1
+            if j < n and pattern[j] == "]":
+                j += 1          # leading ']' is a literal member
+            k = pattern.find("]", j)
+            if k < 0:
+                buf.append(ch)  # unterminated class: literal '['
+                i += 1
+            else:
+                buf.append(pattern[i:k + 1])
+                i = k + 1
+            continue
+        if ch == ":":
             segs.append("".join(buf))
             buf = []
         else:
             buf.append(ch)
+        i += 1
     segs.append("".join(buf))
     return segs
 

@@ -57,11 +57,26 @@ BLOOM_SCHEMA = "word_idx bigint, word bigint"
 # LAST screen's termination actually unpersists (ADVICE r11: the first
 # termination used to unpersist the cache out from under a still-active
 # second query — correct but silently recompute-per-trigger).  Keyed by
-# id() of the persisted object, so it protects the same-object sharing
-# case; two distinct DataFrames over an equal plan still share Spark's
-# plan-keyed cache entry and should not be run concurrently (docstring).
+# id() of the CALLER's object (the identity two sharing screens agree
+# on); _BASELINE_ANCHOR pins that object alive for exactly the
+# refcounted lifetime (r15 second review: start_screen rebinds its
+# local to the derived token_counts frame, so nothing else keeps the
+# caller's object alive — a GC'd baseline lets CPython recycle its id
+# for an UNRELATED later baseline, aliasing the two refcounts and
+# leaking the persisted cache).  Two distinct DataFrames over an equal
+# plan still share Spark's plan-keyed cache entry and should not be run
+# concurrently (docstring).
 _BASELINE_LOCK = threading.Lock()
 _BASELINE_REFCOUNT: dict[int, int] = {}
+_BASELINE_ANCHOR: dict[int, object] = {}
+
+
+def _baseline_acquire(bkey: int, obj: object) -> None:
+    """Take one reference to a shared persisted baseline and pin the
+    identity object against id reuse."""
+    with _BASELINE_LOCK:
+        _BASELINE_REFCOUNT[bkey] = _BASELINE_REFCOUNT.get(bkey, 0) + 1
+        _BASELINE_ANCHOR[bkey] = obj
 
 
 def _baseline_release(bkey: int) -> int:
@@ -73,6 +88,7 @@ def _baseline_release(bkey: int) -> int:
         left = _BASELINE_REFCOUNT.get(bkey, 1) - 1
         if left <= 0:
             _BASELINE_REFCOUNT.pop(bkey, None)
+            _BASELINE_ANCHOR.pop(bkey, None)
         else:
             _BASELINE_REFCOUNT[bkey] = left
     return left
@@ -342,6 +358,9 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
         # would give each screen a private count of 1 and the first
         # terminator would unpersist the entry out from under the rest.
         bkey = id(drift_baseline)
+        bobj = drift_baseline   # anchored at acquire: the local below is
+        # rebound to the derived frame, so this is the only reference
+        # that keeps bkey's identity from being recycled mid-stream
         if set(drift_baseline.columns) != {"token", "n"}:
             from ..ext.drift import token_counts
             drift_baseline = token_counts(drift_baseline)
@@ -468,8 +487,7 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
     # except path below, which RELEASES the reference on a failed start
     # instead of never having taken it.
     if drift_baseline is not None:
-        with _BASELINE_LOCK:
-            _BASELINE_REFCOUNT[bkey] = _BASELINE_REFCOUNT.get(bkey, 0) + 1
+        _baseline_acquire(bkey, bobj)
     try:
         query = writer.start()
     except Exception:

@@ -173,11 +173,21 @@ def witness_rounds(blocks: DataFrame, schedules: DataFrame) -> DataFrame:
     )
     missing = F.array_sort(F.array_except("scheduled", "actual"))
     extra = F.array_sort(F.array_except("actual", "scheduled"))
+    # a NULL scheduled array (malformed capture row) must grade as NULL
+    # ok/penalty — the CLI's ungradable sentinel keys on that.  Guard
+    # EXPLICITLY on scheduled rather than relying on size(NULL)=NULL
+    # propagation: with ANSI off, Spark's size(NULL) is -1 (legacy
+    # sizeOfNull — still the ANSI-off default in Spark 4, measured),
+    # which silently turned each such round into ok=false/penalty=-2,
+    # hiding the sentinel AND cancelling real penalties (r15 second
+    # review; this module must grade identically on any host session).
+    gradable = F.col("scheduled").isNotNull()
     return actual.select(
         "id", "round_end",
         missing.alias("missing"), extra.alias("extra"),
-        (F.size(missing) + F.size(extra)).alias("penalty"),
-        ((F.size(missing) == 0) & (F.size(extra) == 0)).alias("ok"),
+        F.when(gradable, F.size(missing) + F.size(extra)).alias("penalty"),
+        F.when(gradable,
+               (F.size(missing) == 0) & (F.size(extra) == 0)).alias("ok"),
     )
 
 

@@ -1224,6 +1224,29 @@ def test_exact_dedup_tie_survivor_is_partition_independent(spark):
     assert pick1[0]["rid"] == pick8[0]["rid"]
 
 
+def test_exact_dedup_tolerates_map_columns(spark):
+    """r15 second review: the tie-break hash was built over EVERY column,
+    but Spark's hash expressions reject MapType — exact_dedup raised
+    AnalysisException on any frame carrying a map payload, even when the
+    order column alone decides the survivor.  Map columns are excluded
+    from the tie-break; the survivor stays deterministic on the hashable
+    columns."""
+    ddl = "rid long, k string, ts long, meta map<string,string>"
+    rows = [(i, "same-key", 100, {"n": str(i)}) for i in range(20)]
+    df = spark.createDataFrame(rows, ddl)
+    pick1 = dedup.exact_dedup(df.repartition(1), ["k"], "ts").collect()
+    pick8 = dedup.exact_dedup(df.repartition(8, "rid"), ["k"],
+                              "ts").collect()
+    assert len(pick1) == len(pick8) == 1
+    assert pick1[0]["rid"] == pick8[0]["rid"]
+    # and a nested map (struct/array wrapper) is excluded too
+    ddl2 = ("rid long, k string, ts long, "
+            "wrapped array<struct<m: map<string,int>>>")
+    rows2 = [(i, "same-key", 100, [{"m": {"x": i}}]) for i in range(8)]
+    df2 = spark.createDataFrame(rows2, ddl2)
+    assert len(dedup.exact_dedup(df2, ["k"], "ts").collect()) == 1
+
+
 def test_banding_and_simhash_params_validated(docs):
     """r15 review: k < bands·rows silently collapsed trailing LSH bands
     into one corpus-wide bucket (concat_ws skips the NULL out-of-range

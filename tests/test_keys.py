@@ -284,6 +284,35 @@ def test_glob_redis_class_negation_and_colon_classes(ops):
         glob_to_filter(r"hive:*:\*")
 
 
+def test_glob_leading_bracket_literal_in_class(ops):
+    """r15 second review: fnmatch (and POSIX) treat a ']' DIRECTLY after
+    '[' / '[!' / '[^' as a literal class member, not the terminator —
+    '[]:o]' is one class matching ']' ':' or 'o'.  The segment splitter
+    closed the class at the first ']', so the ':' inside leaked out as a
+    separator, mis-counting the segments and binding positional
+    predicates that contradict the rlike residual (lit(False) for keys
+    Redis returns)."""
+    keys = [r["key"] for r in ops.select("key").collect()]
+
+    def redis_match(pattern):
+        return sorted(k for k in keys if fnmatch.fnmatchcase(
+            k, pattern.replace("[^", "[!")))
+
+    # leading-']' classes whose body contains ':' — the mis-split shape
+    for pattern in ("hive:*:*:*:v[]:o]te", "hive:*:v[]:o]te",
+                    "hive:*:*:*:[]v]*", "hive:*:*:*:v[!]:x]te"):
+        got = _spark_keys(ops, pattern)
+        assert got == redis_match(pattern), pattern
+    # the first shape is 5 aligned segments over real vote keys — it must
+    # actually RETURN them (the old splitter returned zero rows here)
+    assert _spark_keys(ops, "hive:*:*:*:v[]:o]te")
+    # unterminated '[' is a literal char (fnmatch): the ':'s after it are
+    # real separators; no real key contains '[', so both sides are empty
+    for pattern in ("hive:*:*[:*:vote", "hive:*:*:*:vote["):
+        assert _spark_keys(ops, pattern) == redis_match(pattern) == [], \
+            pattern
+
+
 def test_glob_hex_penult_with_literal_tail_matches_nothing(ops):
     """r15 review: 'hive:*:<40-hex>:vote' end-anchors the hex against
     trx_index (always digits) — it matches NOTHING, but the translator

@@ -2246,6 +2246,42 @@ def test_screen_shared_docs_shaped_baseline_refcounted(
     assert key not in _BASELINE_REFCOUNT
 
 
+def test_baseline_anchor_pins_caller_object_against_id_reuse():
+    """r15 second review: the refcount keys on id() of the CALLER's
+    object, but start_screen rebinds its local to the derived
+    token_counts frame — nothing kept the caller's object alive, so
+    CPython could recycle its id for an UNRELATED later baseline and
+    alias the two refcounts (the second screen's termination then
+    leaked the first's persisted cache forever).  The acquire path must
+    hold a strong reference for exactly the refcounted lifetime."""
+    import gc
+    import weakref
+
+    from meeseeker_spark.streaming.screen import (_BASELINE_ANCHOR,
+                                                  _BASELINE_REFCOUNT,
+                                                  _baseline_acquire,
+                                                  _baseline_release)
+
+    class Sentinel:  # weakref-able stand-in for the caller's DataFrame
+        pass
+
+    obj = Sentinel()
+    ref = weakref.ref(obj)
+    key = id(obj)
+    _baseline_acquire(key, obj)
+    _baseline_acquire(key, obj)      # second sharing screen
+    del obj                           # caller drops its reference
+    gc.collect()
+    # the anchor keeps the identity alive → the id CANNOT be recycled
+    assert ref() is not None and _BASELINE_ANCHOR[key] is ref()
+    assert _baseline_release(key) == 1
+    assert ref() is not None          # still pinned: one screen live
+    assert _baseline_release(key) == 0
+    gc.collect()
+    assert ref() is None              # released with the last reference
+    assert key not in _BASELINE_REFCOUNT and key not in _BASELINE_ANCHOR
+
+
 def test_screen_failed_start_releases_baseline_reference(
         spark, tmp_path_factory, monkeypatch):
     """Regression (ADVICE r12): the baseline reference is taken BEFORE

@@ -137,6 +137,35 @@ def test_d4_interior_gap_counts_all_missing(dfs, fx):
         set(victim["current_shuffled_witnesses"]))
 
 
+def test_d4_null_schedule_ungradable_any_ansi_mode(spark, dfs, fx):
+    """r15 second review: a NULL scheduled array must grade ok=NULL /
+    penalty=NULL (the CLI's ungradable sentinel keys on it) on ANY host
+    session.  With ANSI off, Spark's size(NULL) is -1 — the legacy
+    sizeOfNull behavior is still the ANSI-off default in Spark 4 — so
+    the un-guarded grade silently became ok=false / penalty=-2, hiding
+    the sentinel and CANCELLING real penalties in the CLI's sum."""
+    sched = dfs["sched"]
+    mid = fx.witness_schedules[len(fx.witness_schedules) // 2]
+    nulled = sched.withColumn(
+        "current_shuffled_witnesses",
+        F.when(F.col("next_shuffle_block_num")
+               == mid["next_shuffle_block_num"],
+               F.lit(None)).otherwise(F.col("current_shuffled_witnesses")))
+    old_ansi = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        for ansi in ("true", "false"):
+            spark.conf.set("spark.sql.ansi.enabled", ansi)
+            rows = {r["id"]: r for r in
+                    verify.witness_rounds(dfs["blocks"], nulled).collect()}
+            r = rows[mid["id"]]
+            assert r["ok"] is None and r["penalty"] is None, ansi
+            # and a real (non-NULL) round still grades identically
+            good = rows[0]
+            assert good["ok"] is not None and good["penalty"] is not None
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old_ansi)
+
+
 def test_d4_empty_blocks_grades_nothing(spark, dfs):
     """No capture → no covered rounds (NULL bounds filter everything);
     the caller reports every round skipped rather than all-missing."""
