@@ -27,17 +27,25 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from .text import tokens
 
 
-def _hashable_cols(df: DataFrame) -> list[str]:
-    """Columns xxhash64 accepts: Spark's hash expressions reject
-    MapType anywhere in the type tree (map equality is order-
-    insensitive, so a content hash over one is ill-defined) — hashing
-    every column unconditionally made exact_dedup raise
+def _tiebreak_cols(df: DataFrame) -> list[Column]:
+    """Tie-break hash inputs for every column: Spark's hash expressions
+    reject MapType (map equality is order-insensitive, so a content
+    hash over one is ill-defined) and VariantType anywhere in the type
+    tree — hashing every column unconditionally made exact_dedup raise
     AnalysisException on any frame carrying a map payload (r15 second
-    review), even when the tie-break never decides anything."""
+    review), even when the tie-break never decides anything.  A
+    top-level map whose key/value types are themselves hashable is
+    CANONICALIZED instead of dropped — ``array_sort(map_entries(c))``
+    is entry-order-independent, so rows differing only in that map
+    still get a deterministic survivor; only types no sorted projection
+    can fix (variant; maps nested in deeper maps) fall out of the
+    hash, with the docstring caveat."""
     from pyspark.sql import types as T
 
+    variant = getattr(T, "VariantType", ())
+
     def ok(dt) -> bool:
-        if isinstance(dt, T.MapType):
+        if isinstance(dt, T.MapType) or (variant and isinstance(dt, variant)):
             return False
         if isinstance(dt, T.ArrayType):
             return ok(dt.elementType)
@@ -45,7 +53,14 @@ def _hashable_cols(df: DataFrame) -> list[str]:
             return all(ok(f.dataType) for f in dt.fields)
         return True
 
-    return [f.name for f in df.schema.fields if ok(f.dataType)]
+    cols: list[Column] = []
+    for f in df.schema.fields:
+        if ok(f.dataType):
+            cols.append(F.col(f.name))
+        elif isinstance(f.dataType, T.MapType) \
+                and ok(f.dataType.keyType) and ok(f.dataType.valueType):
+            cols.append(F.array_sort(F.map_entries(f.name)))
+    return cols
 
 
 def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
@@ -57,12 +72,14 @@ def exact_dedup(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
     batch-load case) handed the pick back to partition-order luck.  Rows
     identical in every column remain interchangeable, so the survivor is
     a pure function of the data on any partitioning.  Map-typed columns
-    are excluded from the tie-break hash (Spark's hash expressions
-    reject them); rows whose ONLY difference is a map payload therefore
-    still tie — document-corpus rows key on hashable columns, so in
-    practice the survivor stays deterministic."""
+    (which Spark's hash expressions reject) enter the hash as their
+    sorted entry arrays, so rows differing only in a map payload still
+    pick deterministically; only variant columns and maps nested inside
+    deeper maps have no canonical projection and fall out of the
+    tie-break — rows whose ONLY difference lives there tie
+    arbitrarily."""
     w = Window.partitionBy(*keys).orderBy(
-        order_col, F.xxhash64(*[F.col(c) for c in _hashable_cols(df)]))
+        order_col, F.xxhash64(*_tiebreak_cols(df)))
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)

@@ -74,15 +74,17 @@ def _split_segments(pattern: str) -> list[str]:
     fragment after the class was bound as a bogus op_type equality that
     dropped every row the glob matches).
 
-    Class scanning mirrors ``fnmatch.translate`` exactly, because the
-    rlike residual IS fnmatch's regex and a positional predicate built
-    from a DIFFERENT parse can contradict it (r15 second review): a
-    ']' directly after '[' / '[!' / '[^' is a literal class member, not
-    the terminator — '[]:]' is a class matching ']' or ':', and closing
-    it at the first ']' mis-counts the segments and binds trx_index
-    against the literal ']7' (lit(False) for keys Redis returns).  An
-    unterminated '[' is a literal character (fnmatch again), so the
-    ':'s after it are real separators."""
+    Class scanning mirrors ``fnmatch.translate`` exactly — the dialect
+    this module implements (see glob_to_filter's GLOB DIALECT note) —
+    because the rlike residual IS fnmatch's regex and a positional
+    predicate built from a DIFFERENT parse can contradict it (r15
+    second review): in fnmatch a ']' directly after '[' / '[!' / '[^'
+    is a literal class member, not the terminator — '[]:]' is a class
+    matching ']' or ':', and closing it at the first ']' mis-counts the
+    segments and binds trx_index against the literal ']7', lit(False)
+    for keys the residual matches.  An unterminated '[' is a literal
+    character (fnmatch again), so the ':'s after it are real
+    separators."""
     segs: list[str] = []
     buf: list[str] = []
     i, n = 0, len(pattern)
@@ -152,6 +154,22 @@ def glob_to_filter(pattern: str) -> Column:
     ``*`` absorbing a colon — positional predicates would silently drop
     those rows — so that case degrades to a pure rlike on ``key``
     (matching the reference: a leading-* SCAN is a full scan anyway).
+
+    GLOB DIALECT (the one home for this contract): the implemented
+    semantics are Python ``fnmatch``'s, with Redis's ``[^..]`` negation
+    spelling normalized to fnmatch's ``[!..]`` first — that normalized
+    fnmatch regex IS the residual, and the segment splitter mirrors the
+    same scanner, so the two can never contradict each other.  For the
+    literal/bare-``*`` shapes the reference README documents (and every
+    key alphabet the stores actually hold) this is exactly Redis.  The
+    engines differ only in class corners, resolved in fnmatch's favor:
+    real Redis (util.c ``stringmatchlen``) closes a class at the FIRST
+    ``]`` — so a leading ``]`` leaves an empty class matching nothing —
+    while fnmatch/POSIX treat a ``]`` directly after ``[`` / ``[!`` /
+    ``[^`` as a literal member; Redis negates only with ``^`` (a ``!``
+    is a literal member), fnmatch only with ``!``; Redis honors
+    backslash escapes, which this translator REFUSES loudly (see
+    _BACKSLASH_MSG) rather than mistranslate.
     """
     if "\\" in pattern:
         raise ValueError(_BACKSLASH_MSG)

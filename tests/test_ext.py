@@ -1228,9 +1228,11 @@ def test_exact_dedup_tolerates_map_columns(spark):
     """r15 second review: the tie-break hash was built over EVERY column,
     but Spark's hash expressions reject MapType — exact_dedup raised
     AnalysisException on any frame carrying a map payload, even when the
-    order column alone decides the survivor.  Map columns are excluded
-    from the tie-break; the survivor stays deterministic on the hashable
-    columns."""
+    order column alone decides the survivor.  Top-level maps enter the
+    hash as sorted entry arrays (entry-order-independent, so rows
+    differing ONLY in a map payload still pick deterministically);
+    types with no canonical projection (maps nested inside deeper
+    structures' maps, variant) fall out of the tie-break."""
     ddl = "rid long, k string, ts long, meta map<string,string>"
     rows = [(i, "same-key", 100, {"n": str(i)}) for i in range(20)]
     df = spark.createDataFrame(rows, ddl)
@@ -1239,12 +1241,25 @@ def test_exact_dedup_tolerates_map_columns(spark):
                               "ts").collect()
     assert len(pick1) == len(pick8) == 1
     assert pick1[0]["rid"] == pick8[0]["rid"]
-    # and a nested map (struct/array wrapper) is excluded too
+    # rows identical EXCEPT the map payload: the canonicalized entries
+    # feed the hash, so the survivor's map is partition-independent too
+    rows_m = [(0, "same-key", 100, {"v": str(i)}) for i in range(12)]
+    dfm = spark.createDataFrame(rows_m, ddl)
+    m1 = dedup.exact_dedup(dfm.repartition(1), ["k"], "ts").collect()
+    m8 = dedup.exact_dedup(dfm.repartition(8), ["k"], "ts").collect()
+    assert m1[0]["meta"] == m8[0]["meta"]
+    # and a nested map (struct/array wrapper) is excluded, not a crash
     ddl2 = ("rid long, k string, ts long, "
             "wrapped array<struct<m: map<string,int>>>")
     rows2 = [(i, "same-key", 100, [{"m": {"x": i}}]) for i in range(8)]
     df2 = spark.createDataFrame(rows2, ddl2)
     assert len(dedup.exact_dedup(df2, ["k"], "ts").collect()) == 1
+    # variant columns (hash-rejected in Spark 4) are excluded as well
+    dfv = spark.createDataFrame(
+        [(i, "same-key", 100, '{"n": %d}' % i) for i in range(8)],
+        "rid long, k string, ts long, payload string",
+    ).withColumn("payload", F.parse_json("payload"))
+    assert len(dedup.exact_dedup(dfv, ["k"], "ts").collect()) == 1
 
 
 def test_banding_and_simhash_params_validated(docs):

@@ -285,13 +285,15 @@ def test_glob_redis_class_negation_and_colon_classes(ops):
 
 
 def test_glob_leading_bracket_literal_in_class(ops):
-    """r15 second review: fnmatch (and POSIX) treat a ']' DIRECTLY after
-    '[' / '[!' / '[^' as a literal class member, not the terminator —
-    '[]:o]' is one class matching ']' ':' or 'o'.  The segment splitter
-    closed the class at the first ']', so the ':' inside leaked out as a
-    separator, mis-counting the segments and binding positional
-    predicates that contradict the rlike residual (lit(False) for keys
-    Redis returns)."""
+    """r15 second review: in fnmatch — the dialect this translator
+    implements (glob_to_filter's GLOB DIALECT note; real Redis closes a
+    class at the first ']', an intentionally-documented divergence) — a
+    ']' DIRECTLY after '[' / '[!' / '[^' is a literal class member, not
+    the terminator: '[]:o]' is one class matching ']' ':' or 'o'.  The
+    segment splitter closed the class at the first ']', so the ':'
+    inside leaked out as a separator, mis-counting the segments and
+    binding positional predicates that contradict the rlike residual
+    (lit(False) for keys the residual matches)."""
     keys = [r["key"] for r in ops.select("key").collect()]
 
     def redis_match(pattern):
