@@ -47,9 +47,12 @@ HEADLINE = [
 ]
 
 
-def _consume(df) -> int:
-    """Force full execution without driver-side materialization costs."""
-    return df.write.mode("overwrite").format("noop").save() or df.count()
+def _consume(df) -> None:
+    """Force full execution without driver-side materialization costs.
+    (r15 review: the old ``save() or df.count()`` fallthrough ran every
+    consumed query TWICE — noop save returns None — doubling the work
+    behind each ab_infer_gen timing.)"""
+    df.write.mode("overwrite").format("noop").save()
 
 
 def main() -> None:
