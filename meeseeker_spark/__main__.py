@@ -89,6 +89,13 @@ def main(argv: list[str] | None = None) -> int:
     pm.add_argument("--schedules",
                     help="also fold the witness-schedule publish log's "
                          "per-trigger dirs (publish-once key dedup)")
+    pm.add_argument("--channels",
+                    help="channels store of the same sink (default: the "
+                         "'channels' sibling of --ops when present); "
+                         "dirs layout folds its batch dirs into "
+                         "<channels>_store, manifest layout compacts in "
+                         "place — without this the channel sink is the "
+                         "one per-trigger surface compact never bounds")
 
     pg = sub.add_parser(
         "migrate",
@@ -100,6 +107,15 @@ def main(argv: list[str] | None = None) -> int:
     pg.add_argument("--channels",
                     help="channels store of the same sink (default: the "
                          "'channels' sibling of --ops when present)")
+    pg.add_argument("--store",
+                    help="separate compacted ops store a prior `compact` "
+                         "produced; its rows are absorbed into the "
+                         "migrated manifest and the dir removed (a "
+                         "manifest reader takes no store_path, so "
+                         "leaving it behind strands the compacted bulk)")
+    pg.add_argument("--channels-store",
+                    help="separate compacted channels store to absorb, "
+                         "same contract as --store")
 
     pw = sub.add_parser("schedule",
                         help="witness-schedule publisher (publish-once)")
@@ -403,6 +419,30 @@ def main(argv: list[str] | None = None) -> int:
                    if a.schedules else 0)
         sched_note = (f"; folded {n_sched} schedule publish dirs"
                       if n_sched else "")
+
+        # the channel sink was the one per-trigger surface compact never
+        # bounded (r15 durability review): compact_channel_store existed
+        # but had NO CLI caller, and the manifest-layout channels store
+        # had no compaction/gc at all — per-trigger files and the
+        # recorded batch-id list grew with stream age on both layouts
+        channels = a.channels
+        if channels is None:
+            sib = os.path.join(os.path.dirname(a.ops.rstrip("/")),
+                               "channels")
+            channels = sib if os.path.isdir(sib) else None
+        chan_note = ""
+        if channels:
+            if is_manifest_store(channels):
+                from .manifest import ManifestStore
+                n_chan = ManifestStore(spark, channels).compact(
+                    sort_cols=("channel", "block_num"))
+                ManifestStore(spark, channels).gc(keep_versions=2)
+            else:
+                n_chan = P.compact_channel_store(
+                    spark, channels, channels.rstrip("/") + "_store")
+            chan_note = (f"; folded {n_chan} channel batch "
+                         f"dirs/files" if n_chan else "")
+
         if is_manifest_store(a.ops):
             # manifest layout compacts in place (one commit folding the
             # accumulated per-batch files); --store is a dirs-layout
@@ -414,7 +454,7 @@ def main(argv: list[str] | None = None) -> int:
             print(f"compacted {n} manifest files in place "
                   f"(--store ignored: manifest stores compact in place)"
                   + (f"; folded {n_meta} _meta HWM files" if n_meta
-                     else "") + sched_note)
+                     else "") + sched_note + chan_note)
             return 0
         n = P.compact_stream_store(spark, a.ops, a.store)
         # the _meta HWM sibling accumulates one row per trigger (the
@@ -422,7 +462,7 @@ def main(argv: list[str] | None = None) -> int:
         n_meta = P.compact_meta(spark, a.ops)
         print(f"compacted {n} batch dirs"
               + (f"; folded {n_meta} _meta HWM dirs" if n_meta else "")
-              + sched_note)
+              + sched_note + chan_note)
         return 0
 
     if a.cmd == "migrate":
@@ -433,9 +473,11 @@ def main(argv: list[str] | None = None) -> int:
             sib = os.path.join(os.path.dirname(a.ops.rstrip("/")),
                                 "channels")
             channels = sib if os.path.isdir(sib) else None
-        counts = migrate_sink_to_manifest(_spark(), a.ops, channels)
+        counts = migrate_sink_to_manifest(
+            _spark(), a.ops, channels, store_path=a.store,
+            channels_store_path=a.channels_store)
         print("migrated " + ", ".join(
-            f"{k}={v}" for k, v in counts.items()) + " batch dirs")
+            f"{k}={v}" for k, v in counts.items()))
         return 0
 
     if a.cmd == "expire":
@@ -451,7 +493,10 @@ def main(argv: list[str] | None = None) -> int:
         if a.gc and is_manifest_store(a.store):
             ms = ManifestStore(spark, a.store)
             ms.compact(sort_cols=("block_num",))
-            ms.gc()
+            # one version of grace for concurrent readers (the same
+            # rule the maintenance folds apply); the leftover version
+            # is collected by the next --gc pass
+            ms.gc(keep_versions=2)
         print(f"expired {n} rows")
         return 0
 

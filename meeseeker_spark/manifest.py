@@ -395,6 +395,28 @@ def migrate_dirs_to_manifest(spark: SparkSession, path: str) -> int:
         raise FileNotFoundError(f"{path} has no batch_id=N dirs to migrate")
     ids = [int(d.split("=", 1)[1]) for d in batches]
     store = ManifestStore(spark, path)
+    # Does the NATIVE manifest writer for this store carry batch_id as a
+    # physical data column?  The sink's _meta HWM rows do (pipeline
+    # withColumn's it before the write — compact_meta's manifest fold
+    # aggregates max(batch_id) over it), so the migrated files must too:
+    # dropping the partition column here left a migrated _meta store
+    # whose first `compact` crashed on an unresolvable batch_id (r15
+    # durability review).  The dir files themselves answer the question
+    # — a dirs writer writes the df as-is, so a physical batch_id in
+    # the files means the native manifest rows would carry one.  The
+    # basePath read SHADOWS the physical column with the dir-derived
+    # partition value (same value by construction), so cast it back to
+    # the physical type instead of dropping it.
+    phys = spark.read.parquet(os.path.join(path, batches[0])).schema
+    keep_batch = "batch_id" in phys.fieldNames()
+
+    def _shape(df):
+        if keep_batch:
+            return df.withColumn(
+                "batch_id",
+                F.col("batch_id").cast(phys["batch_id"].dataType))
+        return df.drop("batch_id")
+
     if has_manifest and store.current_version():
         # crash window: commit landed, cleanup didn't.  Verify by
         # CONTENT before deleting — a batch id proves nothing in
@@ -407,9 +429,10 @@ def migrate_dirs_to_manifest(spark: SparkSession, path: str) -> int:
         # refusal).  Every leftover dir takes the same exceptAll
         # check: fully covered → delete; any uncovered row → refuse.
         committed = store.df()
-        leftover = (spark.read.option("basePath", path)
-                    .parquet(*[os.path.join(path, d) for d in batches])
-                    .drop("batch_id").select(*committed.columns))
+        leftover = _shape(
+            spark.read.option("basePath", path)
+            .parquet(*[os.path.join(path, d) for d in batches])
+        ).select(*committed.columns)
         uncovered = leftover.exceptAll(committed).count()
         if uncovered:
             raise RuntimeError(
@@ -422,9 +445,8 @@ def migrate_dirs_to_manifest(spark: SparkSession, path: str) -> int:
         for d in batches:
             shutil.rmtree(os.path.join(path, d))
         return len(batches)
-    df = (spark.read.option("basePath", path)
-          .parquet(*[os.path.join(path, d) for d in batches])
-          .drop("batch_id"))
+    df = _shape(spark.read.option("basePath", path)
+                .parquet(*[os.path.join(path, d) for d in batches]))
     base = store._read_manifest()["version"]
     staged = store._stage(df)
     store._commit(staged, ids, base)       # atomic cut-over
@@ -433,16 +455,65 @@ def migrate_dirs_to_manifest(spark: SparkSession, path: str) -> int:
     return len(batches)
 
 
+def _absorb_compacted_store(spark: SparkSession, manifest_path: str,
+                            store_path: str,
+                            key_col: str | None) -> int:
+    """Fold a pre-compaction separate store (compact_stream_store /
+    compact_channel_store output) into the migrated manifest at
+    ``manifest_path``, then delete it (r15 durability review: without
+    this, a deployment that had ever run ``compact`` migrated only the
+    residual batch dirs — the compacted BULK of the data became
+    unreachable, because every manifest-layout reader refuses a
+    ``store_path`` argument by design).  Returns rows absorbed.
+
+    Idempotent across crashes: with ``key_col`` (the keyed ops store)
+    only rows whose key is not already committed are appended
+    (anti-join — the batch-dir version of a key wins, matching
+    compact's own key-idempotent dedup); without one (the append-only
+    channels store) the full-row remainder (``exceptAll``) is appended.
+    A re-run after a crash between the append commit and the store
+    delete finds an empty remainder and just finishes the delete."""
+    ms = ManifestStore(spark, manifest_path)
+    store_df = spark.read.parquet(store_path)
+    if ms.current_version():
+        committed = ms.df()
+        store_df = store_df.select(*committed.columns)
+        remainder = (store_df.join(committed.select(key_col).distinct(),
+                                   key_col, "left_anti")
+                     if key_col else store_df.exceptAll(committed))
+    else:
+        remainder = store_df
+    n = remainder.count()
+    if n:
+        ms.append(remainder)
+    shutil.rmtree(store_path)
+    return n
+
+
 def migrate_sink_to_manifest(spark: SparkSession, ops_path: str,
-                             channels_path: str | None = None) -> dict:
+                             channels_path: str | None = None,
+                             store_path: str | None = None,
+                             channels_store_path: str | None = None) -> dict:
     """Migrate a WHOLE legacy dir-layout sink — the ops store, its
     ``<ops>_meta`` HWM sibling, and (when given) the channels store —
     because a sink is three dirs-layout stores, and a stream resumed
     with the manifest default aborts on the FIRST un-migrated one
-    (the mixed-layout refusal in the batch writer).  Returns
-    {store: dirs_absorbed}; stores that are already manifest (or
-    absent) count 0."""
-    out = {"ops": migrate_dirs_to_manifest(spark, ops_path)}
+    (the mixed-layout refusal in the batch writer).  ``store_path`` /
+    ``channels_store_path`` name the separate compacted stores an
+    earlier ``compact`` produced; their rows are absorbed into the
+    migrated manifests and the store dirs removed (see
+    _absorb_compacted_store — a migrated manifest cannot take a
+    store_path at read time, so leaving them behind stranded the bulk
+    of the data).  Returns {store: dirs_absorbed} plus
+    {store_rows, channels_store_rows} when stores were absorbed."""
+    try:
+        out = {"ops": migrate_dirs_to_manifest(spark, ops_path)}
+    except FileNotFoundError:
+        # fully-compacted sink: every batch dir already folded into the
+        # separate store — the absorb below creates the manifest
+        if not (store_path and os.path.isdir(store_path)):
+            raise
+        out = {"ops": 0}
     for label, p in (("meta", ops_path + "_meta"), ("channels",
                                                     channels_path)):
         if p and os.path.isdir(p) and (
@@ -451,4 +522,11 @@ def migrate_sink_to_manifest(spark: SparkSession, ops_path: str,
             out[label] = migrate_dirs_to_manifest(spark, p)
         else:
             out[label] = 0
+    if store_path and os.path.isdir(store_path):
+        out["store_rows"] = _absorb_compacted_store(
+            spark, ops_path, store_path, "key")
+    if channels_store_path and os.path.isdir(channels_store_path) \
+            and channels_path:
+        out["channels_store_rows"] = _absorb_compacted_store(
+            spark, channels_path, channels_store_path, None)
     return out

@@ -221,8 +221,35 @@ class OpsStore:
         The keep filter is NULL-safe (ADVICE r6): ``chain != 'x'``
         alone would silently drop NULL-chain rows that the dir layout's
         partition drop never touched.  A store with no committed data
-        resets as a no-op, matching the dirs rmtree path."""
+        resets as a no-op, matching the dirs rmtree path.
+
+        Layout dispatch for a CHAIN-specific reset (r15 durability
+        review): a raw streaming batch-dirs sink is REFUSED loudly
+        (chain is a data column there — the partition drop would delete
+        nothing while the sync-state drop below still destroyed the HWM
+        and pending rows); an un-partitioned loose-file store is
+        rewritten in place (atomic exchange swap, retention.expire's
+        protocol) instead of the old silent nothing-deleted no-op."""
         from .manifest import ManifestStore, is_manifest_store
+        if (chain != "all" and not is_manifest_store(self.path)
+                and os.path.isdir(self.path)
+                and any(d.startswith("batch_id=")
+                        for d in os.listdir(self.path))):
+            # r15 durability review: a chain-specific reset on a raw
+            # dirs-layout streaming sink (batch_id=N dirs — chain is a
+            # DATA column there, not a chain= partition) used to fall
+            # through to the partition-drop branch, delete NOTHING, and
+            # still destroy the _meta HWM and _pending staging dirs —
+            # every key stayed readable while the next sync made a
+            # fresh-start decision over data that was never deleted,
+            # and pending irreversible rows were silently lost.  Refuse
+            # BEFORE touching sync state (expire has the same guard).
+            raise ValueError(
+                f"{self.path} is a raw streaming batch-dirs sink "
+                "(batch_id=N dirs): a chain-specific reset cannot drop "
+                "a chain= partition that does not exist there. Run "
+                "compact first (then reset the compacted store), or "
+                "reset 'all' to truncate the sink.")
         self._drop_sync_state()
         if is_manifest_store(self.path):
             ms = ManifestStore(self.spark, self.path)
@@ -234,16 +261,45 @@ class OpsStore:
                 else cur.where((F.col("chain") != chain)
                                | F.col("chain").isNull())
             ms.overwrite(keep)
-            ms.gc()
+            # one version of grace for concurrent readers of the
+            # pre-reset manifest (see compact_meta's gc note)
+            ms.gc(keep_versions=2)
             return
         if chain == "all":
             if os.path.exists(self.path):
                 shutil.rmtree(self.path)
             os.makedirs(self.path, exist_ok=True)
             return
+        from .retention import _recover
+        _recover(self.path)   # roll a crashed prior swap forward first
         part = os.path.join(self.path, f"chain={chain}")
         if os.path.exists(part):
             shutil.rmtree(part)
+            return
+        if os.path.isdir(self.path) and any(
+                f.endswith(".parquet") for f in os.listdir(self.path)):
+            # un-partitioned loose-file store (the expire fallback's
+            # layout): rewrite the survivors in place instead of the
+            # old silent nothing-deleted no-op (r15 durability review).
+            # NULL-safe keep filter, same contract as the manifest
+            # branch; atomic renameat2 exchange with the loud
+            # two-rename fallback, same protocol as retention.expire.
+            from .retention import _exchange
+            keep = self.df().where((F.col("chain") != chain)
+                                   | F.col("chain").isNull())
+            keep.write.mode("overwrite").parquet(self.path + ".tmp")
+            if _exchange(self.path, self.path + ".tmp"):
+                shutil.rmtree(self.path + ".tmp")  # now the old rows
+            else:
+                import sys
+                print(f"meeseeker_spark: filesystem at {self.path} does "
+                      "not support renameat2 exchange — chain reset "
+                      "falls back to a two-rename swap with a momentary "
+                      "ENOENT window for concurrent readers",
+                      file=sys.stderr)
+                os.rename(self.path, self.path + ".old")
+                os.rename(self.path + ".tmp", self.path)
+                shutil.rmtree(self.path + ".old")
 
     def _drop_sync_state(self) -> None:
         """Delete the HWM (_meta) and irreversible staging (_pending)

@@ -272,8 +272,16 @@ def _irreversible_gate(batch_df: DataFrame, pending: str, lib_lag: int,
     if os.path.isdir(pending):
         rows = rows.unionByName(
             spark.read.parquet(pending).select(*batch_df.columns))
+    # one materialization for the gate's three consumers (r15 durability
+    # review): the head max-agg, the pending rewrite, and the caller's
+    # output writes each re-derived this union from scratch — re-reading
+    # the trigger's source files AND the pending parquet three times per
+    # trigger on the hot ingest path (the caller's own persist covers
+    # only its final_df).  Unpersisted in commit()/the no-rows path.
+    rows = rows.persist()
     head = rows.agg(F.max("block_num")).first()[0]
     if head is None:
+        rows.unpersist()
         return batch_df, (lambda: None)
     lib = head - lib_lag    # resolve_tip(head, lib, "irreversible") == lib
     (
@@ -297,7 +305,12 @@ def _irreversible_gate(batch_df: DataFrame, pending: str, lib_lag: int,
             os.rename(pending, pending + ".old")
         os.rename(pending + ".tmp", pending)
         shutil.rmtree(pending + ".old", ignore_errors=True)
+        rows.unpersist()   # the caller's outputs all landed by protocol
 
+    # failure-path twin: a caller whose output write raises must still
+    # release the gate's cache (supervision restarts the query in the
+    # SAME session, so an un-released entry would outlive the trigger)
+    commit.abort = rows.unpersist
     return rows.where(F.col("block_num") <= lib), commit
 
 
@@ -342,9 +355,19 @@ def start_ingest(ops_stream: DataFrame, ops_path: str, channels_path: str,
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         commit = None
         if mode == "irreversible":
-            if not stream_id_cache:    # read once; stable for the query
-                stream_id_cache.append(_checkpoint_stream_id(
-                    checkpoint, batch_df.sparkSession))
+            # read once and cache — but only cache a SUCCESSFUL read
+            # (r15 durability review): the id is stable for the query's
+            # lifetime, yet a transient remote-checkpoint read failure
+            # returns None, and pinning that None would silently run
+            # every later trigger with the stale-pending identity guard
+            # degraded even after the checkpoint became reachable again
+            if not stream_id_cache or stream_id_cache[0] is None:
+                sid = _checkpoint_stream_id(
+                    checkpoint, batch_df.sparkSession)
+                if not stream_id_cache:
+                    stream_id_cache.append(sid)
+                else:
+                    stream_id_cache[0] = sid
             batch_df, commit = _irreversible_gate(
                 batch_df, ops_path + "_pending", lib_lag, batch_id,
                 stream_id=stream_id_cache[0])
@@ -367,6 +390,10 @@ def start_ingest(ops_stream: DataFrame, ops_path: str, channels_path: str,
                 F.max("block_num").alias("last_block_num"),
             ).withColumn("batch_id", F.lit(batch_id))
             _write(hwm, ops_path + "_meta", batch_id)
+        except BaseException:
+            if commit is not None:
+                commit.abort()   # release the gate's cache on failure
+            raise
         finally:
             batch_df.unpersist()
         if commit is not None:   # only after every output landed
@@ -558,12 +585,14 @@ def compact_stream_store(spark: SparkSession, ops_path: str,
     Returns the number of batch dirs consumed (0 = nothing to do).
 
     Crash-safe by ordering, like retention.expire: the merged store is
-    written to a hidden ``.tmp`` dir, the old store renamed aside, tmp
-    renamed in, THEN old + consumed batch dirs are deleted.  A crash at
-    any point loses nothing: batch dirs are only removed after the swap
-    lands, and re-compacting a batch dir that survived a crash is a no-op
-    (key-idempotent dedup).  Single-writer assumption (one maintenance
-    job at a time), same as retention.
+    written to a hidden ``.tmp`` dir, atomically EXCHANGED with the old
+    store (renameat2 — concurrent ops_view readers see either store,
+    never a missing path; loud two-rename fallback where the filesystem
+    lacks the call), THEN the superseded rows + consumed batch dirs are
+    deleted.  A crash at any point loses nothing: batch dirs are only
+    removed after the swap lands, and re-compacting a batch dir that
+    survived a crash is a no-op (key-idempotent dedup).  Single-writer
+    assumption (one maintenance job at a time), same as retention.
     """
     tmp_store = store_path + ".tmp"
     old_store = store_path + ".old"
@@ -599,10 +628,30 @@ def compact_stream_store(spark: SparkSession, ops_path: str,
     from ..query import OpsStore
     OpsStore.write(merged, tmp_store)
     if os.path.exists(store_path):
-        os.rename(store_path, old_store)
-    os.rename(tmp_store, store_path)
-    if os.path.exists(old_store):
-        shutil.rmtree(old_store)
+        # atomic renameat2 exchange (r15 durability review): the old
+        # two-rename swap left a window where ops_view's
+        # os.path.exists(store_path) read False and a concurrent reader
+        # silently saw ONLY the residual batch dirs — the same
+        # reader-visible hole VERDICT r14 item 4 closed in
+        # retention.expire, with the same loud fallback when the
+        # filesystem lacks the call.  After the exchange tmp_store
+        # holds the superseded OLD rows; the recovery preamble above
+        # discards a leftover tmp either way.
+        from ..retention import _exchange
+        if _exchange(store_path, tmp_store):
+            shutil.rmtree(tmp_store)
+        else:
+            import sys
+            print(f"meeseeker_spark: filesystem at {store_path} does "
+                  "not support renameat2 exchange — compact falls back "
+                  "to a two-rename swap with a momentary window where "
+                  "concurrent readers see only the batch dirs",
+                  file=sys.stderr)
+            os.rename(store_path, old_store)
+            os.rename(tmp_store, store_path)
+            shutil.rmtree(old_store)
+    else:
+        os.rename(tmp_store, store_path)
     for d in batches:
         shutil.rmtree(os.path.join(ops_path, d))
     return len(batches)
@@ -658,7 +707,14 @@ def compact_meta(spark: SparkSession, ops_path: str) -> int:
             ids = [i for i in ids if i >= max(ids) - 1]
         staged = ms._stage(folded)
         ms._commit(staged, ids, m["version"])
-        ms.gc()
+        # keep_versions=2: one version of grace for a reader that
+        # resolved the just-superseded manifest before this commit —
+        # gc fused to the commit with keep_versions=1 unlinked files a
+        # concurrent last_block_num probe had already pinned (r15
+        # durability review).  The leftover version is collected by the
+        # NEXT maintenance pass, so growth stays bounded at one stale
+        # version per store.
+        ms.gc(keep_versions=2)
         return n
     return _fold_batch_dirs(
         spark, meta_path,

@@ -1147,3 +1147,60 @@ def test_cli_screen_retention_rebuild_drill(spark, tmp_path_factory,
     admitted = {(r["batch_id"], r["doc_id"]) for r in
                 spark.read.parquet(str(d / "out" / "corpus")).collect()}
     assert admitted == {(1, 2), (2, 31)}
+
+
+def test_cli_compact_bounds_the_channel_sink(spark, tmp_path_factory,
+                                             capsys):
+    """r15 durability review: compact_channel_store existed but had NO
+    CLI caller, and the manifest-layout channels store had no
+    compaction at all — the channel sink was the one per-trigger
+    surface `compact` never bounded, growing files (and, on manifest,
+    the recorded batch-id list) with stream age.  `compact` now folds
+    the channels sibling by default on BOTH layouts."""
+    import json as _json
+
+    from meeseeker_spark.__main__ import main
+    from meeseeker_spark.manifest import ManifestStore, is_manifest_store
+    from meeseeker_spark.streaming import pipeline as P
+
+    fx = fixtures.generate(n_blocks=42, seed=13)
+
+    # dirs layout: channel batch dirs fold into the <channels>_store
+    d = tmp_path_factory.mktemp("clichancompact")
+    _write_batches(fx.blocks, "blocks", str(d / "blocks"), 3)
+    assert main(["sync", "--blocks", str(d / "blocks"),
+                 "--out", str(d / "out"), "--store-impl", "dirs"]) == 0
+    capsys.readouterr()
+    chan = str(d / "out" / "channels")
+    want = P.channel_events_view(spark, chan).count()
+    assert want > 0
+    assert main(["compact", "--ops", str(d / "out" / "ops"),
+                 "--store", str(d / "store")]) == 0
+    out = capsys.readouterr().out
+    assert "channel batch" in out
+    assert not [x for x in os.listdir(chan) if x.startswith("batch_id=")]
+    got = P.channel_events_view(spark, chan, chan + "_store").count()
+    assert got == want
+
+    # manifest layout (the default): the channels manifest compacts in
+    # place — fewer committed files, batch ids pruned to the tail, rows
+    # intact
+    d2 = tmp_path_factory.mktemp("clichancompact_m")
+    _write_batches(fx.blocks, "blocks", str(d2 / "blocks"), 3)
+    assert main(["sync", "--blocks", str(d2 / "blocks"),
+                 "--out", str(d2 / "out")]) == 0
+    capsys.readouterr()
+    chan2 = str(d2 / "out" / "channels")
+    assert is_manifest_store(chan2)
+    ms = ManifestStore(spark, chan2)
+    pre_files = len(ms.files())
+    pre_rows = ms.df().count()
+    assert pre_files > 1
+    assert main(["compact", "--ops", str(d2 / "out" / "ops"),
+                 "--store", str(d2 / "ignored")]) == 0
+    out2 = capsys.readouterr().out
+    assert "channel batch" in out2
+    assert len(ms.files()) < pre_files
+    assert ms.df().count() == pre_rows
+    ids = ms.committed_batch_ids()
+    assert ids and min(ids) >= max(ids) - 1   # pruned to the tail

@@ -639,3 +639,124 @@ def test_manifest_cas_two_process_race(spark, tmp_path):
     survivor.gc()
     assert not any(os.path.exists(os.path.join(path, f)) for f in loser)
     assert {r["id"] for r in survivor.df().collect()} == {1, 2} | winner_rows
+
+
+def test_migrate_meta_keeps_physical_batch_id(spark, tmp_path):
+    """r15 durability review: the sink's _meta HWM rows carry batch_id
+    as a PHYSICAL data column (compact_meta's manifest fold aggregates
+    max(batch_id) over it), but migration dropped the column with the
+    partition dir — the migrated store's first compact crashed on an
+    unresolvable batch_id.  Migration now keeps the column exactly when
+    the dir files carry it physically (an ops store, which doesn't,
+    still migrates without one)."""
+    from meeseeker_spark.manifest import migrate_dirs_to_manifest
+    from meeseeker_spark.streaming.pipeline import compact_meta
+
+    ops = str(tmp_path / "ops")
+    meta = ops + "_meta"
+    for b in range(3):
+        (spark.createDataFrame([("hive", 100 + b)],
+                               "chain string, last_block_num long")
+         .withColumn("batch_id", F.lit(b))
+         .write.parquet(os.path.join(meta, f"batch_id={b}")))
+    assert migrate_dirs_to_manifest(spark, meta) == 3
+    s = ManifestStore(spark, meta)
+    assert "batch_id" in s.df().columns
+    # the previously-crashing maintenance pass now folds cleanly
+    assert compact_meta(spark, ops) == 3
+    row = s.df().collect()
+    assert len(row) == 1 and row[0]["last_block_num"] == 102
+    # an ops-shaped store (no physical batch_id) still drops the
+    # partition column on migration, matching the native writer
+    path2 = str(tmp_path / "ops2")
+    for b in range(2):
+        (spark.createDataFrame([(f"k{b}", "hive")],
+                               "key string, chain string")
+         .write.parquet(os.path.join(path2, f"batch_id={b}")))
+    assert migrate_dirs_to_manifest(spark, path2) == 2
+    assert "batch_id" not in ManifestStore(spark, path2).df().columns
+
+
+def test_migrate_absorbs_compacted_store(spark, tmp_path):
+    """r15 durability review: a deployment that ran `compact` before
+    migrating holds the BULK of its data in a separate store dir — and
+    a migrated manifest refuses store_path at read time, stranding it.
+    migrate_sink_to_manifest now absorbs the store (key-anti-join: the
+    batch-dir version of a key wins), removes the dir, and is
+    idempotent across a crash between the append commit and the
+    delete."""
+    import shutil as _sh
+
+    from meeseeker_spark.manifest import migrate_sink_to_manifest
+    from meeseeker_spark.query import OpsStore
+
+    ops = str(tmp_path / "ops")
+    store = str(tmp_path / "store")
+    ddl = "key string, chain string, block_num long, trx_id string, trx_index long"
+    # compacted history: keys a..c
+    OpsStore.write(spark.createDataFrame(
+        [(f"hive:{i}:t:0:vote", "hive", i, "t", 0) for i in (1, 2, 3)],
+        ddl), store)
+    # residual batch dirs: key 3 again (newer copy) + key 4
+    (spark.createDataFrame(
+        [("hive:3:t:0:vote", "hive", 3, "t", 0),
+         ("hive:4:t:0:vote", "hive", 4, "t", 0)], ddl)
+     .write.parquet(os.path.join(ops, "batch_id=0")))
+
+    counts = migrate_sink_to_manifest(spark, ops, store_path=store)
+    assert counts["ops"] == 1
+    assert counts["store_rows"] == 2          # keys 1,2 (3 was committed)
+    assert not os.path.exists(store)
+    got = sorted(r["block_num"]
+                 for r in ManifestStore(spark, ops).df().collect())
+    assert got == [1, 2, 3, 4]
+
+    # crash window: append landed, store delete lost → re-run absorbs
+    # nothing new and just finishes the delete
+    OpsStore.write(spark.createDataFrame(
+        [(f"hive:{i}:t:0:vote", "hive", i, "t", 0) for i in (1, 2)],
+        ddl), store)
+    counts2 = migrate_sink_to_manifest(spark, ops, store_path=store)
+    assert counts2["store_rows"] == 0
+    assert not os.path.exists(store)
+    assert sorted(r["block_num"] for r in
+                  ManifestStore(spark, ops).df().collect()) == [1, 2, 3, 4]
+
+    # fully-compacted sink (no batch dirs at all): the absorb creates
+    # the manifest instead of FileNotFoundError
+    ops2 = str(tmp_path / "ops_full")
+    store2 = str(tmp_path / "store_full")
+    OpsStore.write(spark.createDataFrame(
+        [("hive:9:t:0:vote", "hive", 9, "t", 0)], ddl), store2)
+    c3 = migrate_sink_to_manifest(spark, ops2, store_path=store2)
+    assert c3["ops"] == 0 and c3["store_rows"] == 1
+    assert [r["block_num"] for r in
+            ManifestStore(spark, ops2).df().collect()] == [9]
+
+
+def test_maintenance_gc_leaves_one_version_of_grace(spark, tmp_path):
+    """r15 durability review: gc fused to a maintenance commit with
+    keep_versions=1 unlinked files a concurrent reader of the
+    just-superseded version had already resolved.  The maintenance
+    folds keep one prior version; the next pass collects it, so growth
+    stays bounded."""
+    from meeseeker_spark.streaming.pipeline import compact_meta
+
+    ops = str(tmp_path / "ops")
+    meta = ops + "_meta"
+    s = ManifestStore(spark, meta)
+    for b in range(3):
+        s.append(spark.createDataFrame(
+            [("hive", 100 + b)], "chain string, last_block_num long")
+            .withColumn("batch_id", F.lit(b)), batch_id=b)
+    pre_files = [os.path.join(meta, f) for f in s.files()]
+    assert len(pre_files) > 1
+    assert compact_meta(spark, meta[:-5]) == len(pre_files)
+    # the superseded version's files survive the fused gc (grace)...
+    assert all(os.path.exists(f) for f in pre_files)
+    # ...and a later maintenance pass collects them
+    s.append(spark.createDataFrame(
+        [("hive", 200)], "chain string, last_block_num long")
+        .withColumn("batch_id", F.lit(9)), batch_id=9)
+    compact_meta(spark, meta[:-5])
+    assert not any(os.path.exists(f) for f in pre_files)

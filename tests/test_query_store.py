@@ -670,3 +670,68 @@ def test_expire_null_chain_partition(spark, tmp_path_factory):
     # no swap remnants
     assert not [x for x in _os.listdir(str(d / "store"))
                 if x.startswith((".tmp_", ".old_"))]
+
+
+def test_chain_reset_refuses_raw_batch_dirs_sink(spark, tmp_path_factory):
+    """r15 durability review: a chain-specific reset on a raw streaming
+    batch-dirs sink used to fall into the partition-drop branch, delete
+    NOTHING (chain is a data column there), and still destroy the _meta
+    HWM and _pending staging dirs — keys stayed readable while the next
+    sync made a fresh-start decision and pending irreversible rows were
+    silently lost.  Refused loudly now, BEFORE sync state is touched;
+    `reset all` still truncates."""
+    import os as _os
+
+    d = tmp_path_factory.mktemp("reset_batchdirs")
+    path = str(d / "ops")
+    ddl = ("key string, chain string, block_num long, trx_id string, "
+           "trx_index long")
+    (spark.createDataFrame(
+        [("hive:1:t:0:vote", "hive", 1, "t", 0)], ddl)
+     .write.parquet(_os.path.join(path, "batch_id=0")))
+    _os.makedirs(path + "_meta")
+    _os.makedirs(path + "_pending")
+
+    st = OpsStore(spark, path)
+    with pytest.raises(ValueError, match="compact first"):
+        st.reset("hive")
+    # the refusal fired BEFORE the sync-state drop: both dirs survive
+    assert _os.path.isdir(path + "_meta")
+    assert _os.path.isdir(path + "_pending")
+    assert _os.path.isdir(_os.path.join(path, "batch_id=0"))
+    # truncate is still available
+    st.reset("all")
+    assert not _os.listdir(path)
+    assert not _os.path.exists(path + "_meta")
+    assert not _os.path.exists(path + "_pending")
+
+
+def test_chain_reset_rewrites_unpartitioned_store(spark, tmp_path_factory):
+    """r15 durability review: a chain-specific reset on an
+    un-partitioned loose-file store (the expire fallback's layout) was
+    a silent nothing-deleted no-op that still destroyed the HWM.  It
+    now rewrites the survivors in place — NULL-chain rows kept
+    (NULL-safe filter), target chain gone, no swap remnants."""
+    import os as _os
+
+    d = tmp_path_factory.mktemp("reset_loose")
+    path = str(d / "store")
+    ddl = ("key string, chain string, block_num long, trx_id string, "
+           "trx_index long")
+    rows = [("hive:1:t:0:vote", "hive", 1, "t", 0),
+            ("steem:2:t:0:vote", "steem", 2, "t", 0),
+            ("x:3:t:0:vote", None, 3, "t", 0)]
+    spark.createDataFrame(rows, ddl).write.parquet(path)
+
+    st = OpsStore(spark, path)
+    st.reset("hive")
+    left = spark.read.parquet(path)
+    got = sorted((r["chain"] or "~null", r["block_num"])
+                 for r in left.collect())
+    assert got == [("steem", 2), ("~null", 3)]
+    assert left.where("chain = 'hive'").count() == 0
+    assert not _os.path.exists(path + ".tmp")
+    assert not _os.path.exists(path + ".old")
+    # resetting a chain with no rows is a clean no-op rewrite
+    st.reset("hive")
+    assert spark.read.parquet(path).count() == 2
