@@ -21,6 +21,7 @@ hook instead of a literal dice roll — same amortized behavior, testable.
 from __future__ import annotations
 
 import random
+import threading
 from collections.abc import Callable, Iterable
 
 DEFAULT_HIVE_FAILOVER_URLS = [
@@ -49,10 +50,19 @@ class NodePool:
         self._blacklist: set[str] = set()
         self._amnesty_every = amnesty_every
         self._shuffles = 0
+        # one lock over every mutation and read-of-mutable state (r15
+        # runtime review): the pool is driver-side shared state and
+        # probe failures arrive on listener/supervision threads —
+        # unsynchronized, a report_failure add racing _candidates'
+        # set-comprehension raised "set changed size during iteration",
+        # and an amnesty clear() could drop a just-added blacklist
+        # entry (the dead node was immediately re-offered)
+        self._lock = threading.Lock()
 
     @property
     def blacklist(self) -> frozenset[str]:
-        return frozenset(self._blacklist)
+        with self._lock:
+            return frozenset(self._blacklist)
 
     def _candidates(self) -> list[str]:
         # reported nodes are PREFERRED but the seed failover list stays
@@ -75,16 +85,19 @@ class NodePool:
     def shuffle(self) -> str:
         """Pick the next node URL (meeseeker.rb:108-115): amortized
         amnesty, then uniform choice over non-blacklisted nodes."""
-        self._shuffles += 1
-        if self._amnesty_every and self._shuffles % self._amnesty_every == 0:
-            self._blacklist.clear()
-        return self._rng.choice(self._candidates())
+        with self._lock:
+            self._shuffles += 1
+            if self._amnesty_every \
+                    and self._shuffles % self._amnesty_every == 0:
+                self._blacklist.clear()
+            return self._rng.choice(self._candidates())
 
     def report_failure(self, url: str) -> str:
         """Blacklist a misbehaving node and re-sample
         (meeseeker.rb:193-198)."""
-        self._blacklist.add(url)
-        return self._rng.choice(self._candidates())
+        with self._lock:
+            self._blacklist.add(url)
+            return self._rng.choice(self._candidates())
 
     def refresh_from_report(self, reported: Iterable[str],
                             keep: Callable[[str], bool] = lambda u: True,
@@ -96,4 +109,6 @@ class NodePool:
         applies at choice time.  A newer report replaces the previous
         one; an empty (or fully filtered) report clears it, falling back
         to the seed list — the reference's own `nodes.any?` branch."""
-        self._report_urls = [u for u in dict.fromkeys(reported) if keep(u)]
+        urls = [u for u in dict.fromkeys(reported) if keep(u)]
+        with self._lock:
+            self._report_urls = urls

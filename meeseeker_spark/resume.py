@@ -94,15 +94,23 @@ def resolve_start_block_engine(last_block: int | None, tip_block: int,
     - tip_age_s > ttl → everything resumable already expired; tip+1
     - else → resume at hwm+1
     """
-    new_sync = last_block is None
-    nxt = tip_block if new_sync else last_block + 1
+    if last_block is None:
+        # the no-HWM branch OUTRANKS the ttl sentinel (r15 runtime
+        # review: checking ttl==-1 first made a brand-new sync with TTL
+        # disabled report fresh_sync=False with a "resuming" reason —
+        # the CLI then printed "Resuming from block N" for a store with
+        # no high-water mark at all, and any caller branching on
+        # fresh_sync mislabeled a genuinely new sync)
+        return StartDecision(tip_block + 1, True,
+                             "no high-water mark; new sync")
+    nxt = last_block + 1
     if ttl_s == -1:
         start = max(nxt, tip_block)
         return StartDecision(start, start != nxt,
                              "ttl disabled; resume at max(hwm+1, tip)")
-    if new_sync or tip_age_s > ttl_s:
-        why = ("no high-water mark" if new_sync
-               else f"chain tip {tip_age_s:.0f}s stale > ttl {ttl_s}s")
-        return StartDecision(tip_block + 1, True, why + "; new sync")
+    if tip_age_s > ttl_s:
+        return StartDecision(
+            tip_block + 1, True,
+            f"chain tip {tip_age_s:.0f}s stale > ttl {ttl_s}s; new sync")
     return StartDecision(nxt, False,
                          f"resuming from sidechain block {nxt}")

@@ -52,6 +52,40 @@ DOCS_SCHEMA = ("doc_id bigint, text string, lang string, source string, "
 FP_SCHEMA = "fp string, doc_id bigint"
 BLOOM_SCHEMA = "word_idx bigint, word bigint"
 
+
+def _write_marker(marker: str, rec: dict) -> None:
+    """Atomic, durable layout-marker write (r15 runtime review: a plain
+    open+dump could be torn by a crash mid-write, leaving every later
+    start_screen failing on raw JSON).  Same bar as the pending stamp:
+    fsync the content, then rename into place."""
+    import json as _json
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(rec, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, marker)
+
+
+def _load_marker(marker: str) -> dict:
+    """Load a layout marker; a garbled/torn file stops with the
+    recovery menu instead of a bare JSONDecodeError (pre-atomic-write
+    markers can only be torn by a crash mid-write)."""
+    import json as _json
+    with open(marker) as f:
+        content = f.read()
+    try:
+        return _json.loads(content)
+    except ValueError:
+        raise RuntimeError(
+            f"unreadable screen layout marker {marker} (content "
+            f"{content[:120]!r}): likely torn by a crash mid-write. "
+            "Restore it by hand (keys: index_table, exact_index, "
+            "bloom_m_bits, bloom_k, stream_id), or delete the whole "
+            "out_dir if the store is disposable — deleting ONLY the "
+            "marker silently disables the layout-toggle protection."
+        ) from None
+
 # Live screens sharing ONE persisted drift-baseline DataFrame object:
 # the unpersist-on-termination listener decrements here and only the
 # LAST screen's termination actually unpersists (ADVICE r11: the first
@@ -71,24 +105,36 @@ _BASELINE_REFCOUNT: dict[int, int] = {}
 _BASELINE_ANCHOR: dict[int, object] = {}
 
 
-def _baseline_acquire(bkey: int, obj: object) -> None:
+def _baseline_acquire(bkey: int, obj: object, persisted=None) -> None:
     """Take one reference to a shared persisted baseline and pin the
-    identity object against id reuse."""
+    identity object against id reuse.  Re-arms the persist flag under
+    the lock (r15 runtime review): a supervised restart's acquire can
+    interleave with a terminating sibling's release-to-zero, whose
+    unpersist (now also under the lock) would otherwise drop the
+    plan-keyed cache out from under the new query — re-persisting here
+    makes the cache rebuild on the next trigger instead of silently
+    recomputing per trigger forever."""
     with _BASELINE_LOCK:
         _BASELINE_REFCOUNT[bkey] = _BASELINE_REFCOUNT.get(bkey, 0) + 1
         _BASELINE_ANCHOR[bkey] = obj
+        if persisted is not None:
+            persisted.persist()
 
 
-def _baseline_release(bkey: int) -> int:
+def _baseline_release(bkey: int, persisted=None) -> int:
     """Drop one reference to a shared persisted baseline; returns the
-    count left (<=0 means the caller should unpersist).  One home for
-    the decrement so the failed-start path and the termination listener
-    can't drift apart."""
+    count left.  One home for the decrement so the failed-start path
+    and the termination listener can't drift apart.  The unpersist
+    itself happens INSIDE the lock (r15 runtime review): decrement-to-
+    zero outside it left a window where a supervised restart acquired
+    and then had its cache unpersisted out from under it."""
     with _BASELINE_LOCK:
         left = _BASELINE_REFCOUNT.get(bkey, 1) - 1
         if left <= 0:
             _BASELINE_REFCOUNT.pop(bkey, None)
             _BASELINE_ANCHOR.pop(bkey, None)
+            if persisted is not None:
+                persisted.unpersist()
         else:
             _BASELINE_REFCOUNT[bkey] = left
     return left
@@ -169,7 +215,12 @@ def screen_batch(batch: DataFrame, corpus: DataFrame | None,
            .limit(PRUNE_IDS_CAP + 1).collect()]
     corpus_v = (corpus.where(F.col("doc_id").isin(ids))
                 if len(ids) <= PRUNE_IDS_CAP else corpus)
-    flagged = verify_jaccard(cand, batch, corpus_v, threshold=threshold)
+    # localCheckpoint: flagged feeds the remap subplan, the admitted
+    # anti-join, and the final log union — without it the pruned corpus
+    # read + shingle verification re-execute 2-3x per trigger (r15
+    # runtime review; same convention as in_pairs/cand above)
+    flagged = verify_jaccard(cand, batch, corpus_v,
+                             threshold=threshold).localCheckpoint()
     if losers is not None:
         # a cross-rejected in-batch survivor never reaches the corpus:
         # remap its dependents' corpus_id to the survivor's own corpus
@@ -286,12 +337,55 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
     # table name whose rows survive an out_dir wipe) would silently
     # screen against an incomplete/stale index — refuse loudly instead,
     # like pipeline._batch_writer does for store layouts.
-    import json as _json
     marker = os.path.join(out_dir, "_index_layout.json")
     os.makedirs(out_dir, exist_ok=True)
     if os.path.exists(marker):
-        with open(marker) as f:
-            rec = _json.load(f)
+        rec = _load_marker(marker)
+        if "bloom_rebuild_target" in rec:
+            t = rec["bloom_rebuild_target"]
+            raise RuntimeError(
+                f"screen at {out_dir} has an UNFINISHED bloom resize "
+                f"(target m_bits={t.get('m_bits')}, k={t.get('k')}): "
+                "some bitmaps are rewritten at the new sizing, some at "
+                "the old — probing either way admits exact duplicates. "
+                f"Re-run rebuild_exact_index(spark, {out_dir!r}) to "
+                "finish the resize, then restart the screen.")
+        # stream identity (r15 runtime review, the ops sink's stale-
+        # pending lesson applied with one deliberate difference): a
+        # DIFFERENT established checkpoint — its own progress, its own
+        # batch-id sequence — is inconsistent with this store's
+        # partitions and stops loudly.  A FRESH checkpoint (no query
+        # metadata yet) is the documented recovery pattern instead:
+        # a full replay of the unchanged incoming dir converges through
+        # the batch-id self-exclusion + overwrite idempotence (pinned
+        # by test_streaming_dedup_screen's wipe-and-replay drill) — but
+        # with CHANGED or reordered input the restarted batch ids remap
+        # to different content and results silently diverge, so the
+        # fresh-over-populated case warns on stderr rather than
+        # refusing.
+        rec_sid = rec.get("stream_id")
+        if rec_sid is not None:
+            from .pipeline import _checkpoint_stream_id
+            ckpt_sid = _checkpoint_stream_id(checkpoint_dir, spark)
+            if ckpt_sid is not None and ckpt_sid != rec_sid:
+                raise RuntimeError(
+                    f"screen at {out_dir} was produced by a different "
+                    f"stream (marker stream id {rec_sid}, this "
+                    f"checkpoint {ckpt_sid}): that checkpoint's batch "
+                    "ids and file offsets are inconsistent with this "
+                    "store's partitions. Resume the original "
+                    "checkpoint, wipe this checkpoint for a full "
+                    "replay, or start a fresh out_dir.")
+            if ckpt_sid is None and _has_data(corpus_dir):
+                import sys
+                print(
+                    f"meeseeker_spark: screen at {out_dir} holds "
+                    "committed batches but the checkpoint is fresh — "
+                    "treating this as a full replay. This converges "
+                    "ONLY if the incoming dir is unchanged since the "
+                    "original run; changed/reordered input remaps "
+                    "batch ids to different content and the overwrite "
+                    "silently diverges the store.", file=sys.stderr)
         recorded = rec.get("index_table")
         if recorded != index_table:
             raise RuntimeError(
@@ -339,8 +433,7 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
         if exact_index:
             rec["bloom_m_bits"] = int(bloom_m_bits)
             rec["bloom_k"] = int(bloom_k)
-        with open(marker, "w") as f:
-            _json.dump(rec, f)
+        _write_marker(marker, rec)
 
     quality_rejected_dir = os.path.join(out_dir, "quality_rejected")
 
@@ -406,6 +499,17 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
                     .where(F.col("batch_id") != batch_id)
                     .drop("batch_id")
                 )
+            if bands is not None and bands.isEmpty():
+                # an EMPTY band index beside a non-empty corpus is not
+                # a legitimate state — it is the window of a concurrent
+                # rebuild_band_index overwrite (saveAsTable drops and
+                # recreates the table) or a crashed index write.
+                # Screening against it would generate zero candidates
+                # and silently admit near-duplicates for the committed
+                # batch (r15 runtime review); bands=None instead makes
+                # incremental_candidates recompute the projection from
+                # the corpus text — slower for one trigger, correct.
+                bands = None
         exact_flagged = None
         # BOTH index dirs must exist: a crash between the fpx write and
         # the bloom write would otherwise leave every retry failing on
@@ -487,14 +591,24 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
     # except path below, which RELEASES the reference on a failed start
     # instead of never having taken it.
     if drift_baseline is not None:
-        _baseline_acquire(bkey, bobj)
+        _baseline_acquire(bkey, bobj, drift_baseline)
     try:
         query = writer.start()
     except Exception:
         if drift_baseline is not None:
-            if _baseline_release(bkey) <= 0:
-                drift_baseline.unpersist()
+            _baseline_release(bkey, drift_baseline)
         raise
+    # stamp the producing stream's identity into the layout marker
+    # (r15 runtime review): Structured Streaming wrote the checkpoint's
+    # query id during start(), and the marker check above uses it to
+    # refuse a FRESH checkpoint pointed at this populated out_dir (a
+    # restarted batch 0 would screen against the old run as a phantom
+    # corpus, then overwrite its partitions — the ops sink's
+    # stale-pending lesson).  Pre-upgrade markers backfill here.
+    from .pipeline import _checkpoint_stream_id as _ckpt_sid
+    sid_now = _ckpt_sid(checkpoint_dir, spark)
+    if sid_now and rec.get("stream_id") != sid_now:
+        _write_marker(marker, {**rec, "stream_id": sid_now})
     if drift_baseline is not None:
         # the persist above lives exactly as long as the query: repeated
         # screen restarts in one long session (the tests' own pattern)
@@ -518,10 +632,8 @@ def start_screen(spark: SparkSession, incoming_dir: str, out_dir: str,
                     if self._done:
                         return
                     self._done = True
-                left = _baseline_release(bkey)
                 try:
-                    if left <= 0:
-                        baseline.unpersist()
+                    _baseline_release(bkey, baseline)
                 finally:
                     try:
                         spark.streams.removeListener(self)
@@ -695,20 +807,39 @@ def rebuild_exact_index(spark: SparkSession, out_dir: str,
     bitmaps are probed at the positions the running screen uses; pass
     ``m_bits``/``k`` explicitly to RESIZE the index — the marker is
     rewritten to match, which is the recovery path start_screen's
-    sizing-mismatch error prescribes.  Returns the fingerprint row
-    count written."""
-    import json as _json
+    sizing-mismatch error prescribes.  A RESIZE is two-phase (r15
+    runtime review): the marker first records ``bloom_rebuild_target``
+    (start_screen refuses to start while it is present — a crash
+    mid-rebuild otherwise left marker sizing consistent with SOME
+    bitmaps and the sizing-mismatch guard structurally unable to
+    fire), then the bitmaps are rewritten, then the final marker lands
+    with the new sizing and the target cleared.  A re-run with default
+    sizing ADOPTS an unfinished target and completes it.  The screen
+    must be STOPPED while this runs — the per-batch overwrites are not
+    atomic against a live trigger's reads.  Returns the fingerprint
+    row count written."""
     import shutil
 
     marker = os.path.join(out_dir, "_index_layout.json")
     rec = None
     if os.path.exists(marker):
-        with open(marker) as f:
-            rec = _json.load(f)
+        rec = _load_marker(marker)
+    pending_target = (rec or {}).get("bloom_rebuild_target")
     if m_bits is None:
-        m_bits = int(rec.get("bloom_m_bits", 8192)) if rec else 8192
+        m_bits = int(pending_target["m_bits"]) if pending_target else (
+            int(rec.get("bloom_m_bits", 8192)) if rec else 8192)
     if k is None:
-        k = int(rec.get("bloom_k", 5)) if rec else 5
+        k = int(pending_target["k"]) if pending_target else (
+            int(rec.get("bloom_k", 5)) if rec else 5)
+    resizing = rec is not None and rec.get("exact_index") and (
+        pending_target is not None
+        or (int(rec.get("bloom_m_bits", 8192)),
+            int(rec.get("bloom_k", 5))) != (int(m_bits), int(k)))
+    if resizing and pending_target is None:
+        # phase 1: declare the resize BEFORE touching any bitmap
+        rec["bloom_rebuild_target"] = {"m_bits": int(m_bits),
+                                       "k": int(k)}
+        _write_marker(marker, rec)
     corpus_dir = os.path.join(out_dir, "corpus")
     live = sorted(
         e for e in (os.listdir(corpus_dir)
@@ -736,12 +867,11 @@ def rebuild_exact_index(spark: SparkSession, out_dir: str,
              .write.mode("overwrite")
              .parquet(os.path.join(out_dir, "bloom", e)))
             n += part.count()
-    if rec is not None and rec.get("exact_index") and \
-            (rec.get("bloom_m_bits", 8192), rec.get("bloom_k", 5)) \
-            != (m_bits, k):
+    if resizing:
+        # phase 2: every bitmap is at the new sizing — finalize
         rec["bloom_m_bits"], rec["bloom_k"] = int(m_bits), int(k)
-        with open(marker, "w") as f:
-            _json.dump(rec, f)
+        rec.pop("bloom_rebuild_target", None)
+        _write_marker(marker, rec)
     return n
 
 

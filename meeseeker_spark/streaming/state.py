@@ -50,8 +50,17 @@ def ttl_keyed_state(keyed: DataFrame, ttl_seconds: int,
     and an event-time ``timestamp`` column. Returns an update-mode stream
     of (key, status, last_seen_ms): ``live`` on every observation,
     ``expired`` exactly once when the watermark passes last_seen + ttl.
+
+    ``ttl_seconds < 0`` is the subsystem-wide "never expire" sentinel
+    (retention/resume honor -1 the same way): no timeout is ever set,
+    so keys stay live forever (r15 runtime review: the raw arithmetic
+    silently INVERTED -1 into expire-next-batch — mx − 1000 ms sits
+    below the watermark, and the watermark clamp fired every key one
+    batch after observation).
     """
     import pandas as pd
+
+    never_expire = ttl_seconds < 0
 
     def fn(key: tuple, pdfs: Iterator["pd.DataFrame"],
            state: Any) -> Iterator["pd.DataFrame"]:
@@ -68,10 +77,13 @@ def ttl_keyed_state(keyed: DataFrame, ttl_seconds: int,
             (prev,) = state.get
             mx = max(mx, prev)
         state.update((mx,))
-        # expiry must sit beyond the current watermark or Spark rejects it
-        # (an op later than ttl behind the watermark expires next batch)
-        state.setTimeoutTimestamp(
-            max(mx + ttl_seconds * 1000, state.getCurrentWatermarkMs() + 1))
+        if not never_expire:
+            # expiry must sit beyond the current watermark or Spark
+            # rejects it (an op later than ttl behind the watermark
+            # expires next batch)
+            state.setTimeoutTimestamp(
+                max(mx + ttl_seconds * 1000,
+                    state.getCurrentWatermarkMs() + 1))
         yield pd.DataFrame({"key": [key[0]], "status": ["live"],
                             "last_seen_ms": [mx]})
 
@@ -116,6 +128,7 @@ def ttl_keyed_state_tws(keyed: DataFrame, ttl_seconds: int,
     )
 
     ttl_ms = ttl_seconds * 1000
+    never_expire = ttl_seconds < 0   # same sentinel as ttl_keyed_state
 
     class _TTLProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -131,12 +144,18 @@ def ttl_keyed_state_tws(keyed: DataFrame, ttl_seconds: int,
             if self._seen.exists():
                 prev, prev_timer = self._seen.get()
                 mx = max(mx, prev)
-                self._handle.deleteTimer(prev_timer)
-            # same watermark clamp as the GroupState path: a key already
-            # ttl behind the watermark must still fire (next batch), and
-            # the engine rejects timers at/behind the watermark
-            timer = max(mx + ttl_ms, timerValues.getCurrentWatermarkInMs() + 1)
-            self._handle.registerTimer(timer)
+                if prev_timer:
+                    self._handle.deleteTimer(prev_timer)
+            if never_expire:
+                timer = 0            # sentinel: no timer registered
+            else:
+                # same watermark clamp as the GroupState path: a key
+                # already ttl behind the watermark must still fire (next
+                # batch), and the engine rejects timers at/behind the
+                # watermark
+                timer = max(mx + ttl_ms,
+                            timerValues.getCurrentWatermarkInMs() + 1)
+                self._handle.registerTimer(timer)
             self._seen.update((mx, timer))
             yield pd.DataFrame({"key": [key[0]], "status": ["live"],
                                 "last_seen_ms": [mx]})

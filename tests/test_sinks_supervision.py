@@ -159,3 +159,43 @@ def test_run_with_restarts_lets_interrupts_through():
 
     with pytest.raises(SystemExit):
         run_with_restarts(exits, max_restarts=None, sleep=lambda s: None)
+
+
+def test_node_pool_thread_safe_under_concurrent_failures():
+    """r15 runtime review: the pool is driver-side shared state — probe
+    failures arrive on listener/supervision threads.  Unsynchronized,
+    a report_failure add racing _candidates' set comprehension raised
+    'set changed size during iteration' and an amnesty clear could drop
+    a just-added blacklist entry.  Hammer the full surface from four
+    threads; every pick must come from the pool and no call may raise."""
+    import threading
+
+    from meeseeker_spark.failover import NodePool
+
+    urls = [f"https://node{i}.example" for i in range(8)]
+    pool = NodePool(urls, seed=7, amnesty_every=50)
+    errors: list[BaseException] = []
+    picks: list[str] = []
+
+    def hammer(tid: int) -> None:
+        try:
+            for i in range(2000):
+                u = pool.shuffle()
+                picks.append(u)
+                if (i + tid) % 3 == 0:
+                    pool.report_failure(u)
+                if (i + tid) % 7 == 0:
+                    pool.refresh_from_report(urls[tid:tid + 3])
+                if (i + tid) % 11 == 0:
+                    _ = pool.blacklist
+        except BaseException as e:   # noqa: BLE001 - recorded for assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=hammer, args=(t,))
+               for t in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert picks and set(picks) <= set(urls)

@@ -599,7 +599,7 @@ def test_reset_drops_hwm_and_pending(spark, fx, tmp_path_factory):
     assert decision.fresh_sync
 
 
-def _run_ttl_scenario(spark, d, op_fn):
+def _run_ttl_scenario(spark, d, op_fn, ttl_seconds=300):
     """Shared S7 TTL scenario: 3 micro-batches, a re-SET that refreshes an
     expiry, two watermark jumps.  Returns the collected output rows."""
     import datetime as dt
@@ -637,7 +637,7 @@ def _run_ttl_scenario(spark, d, op_fn):
 
     stream = (spark.readStream.schema("key string, timestamp timestamp")
               .option("maxFilesPerTrigger", 1).parquet(src))
-    ttl = op_fn(stream, ttl_seconds=300, lateness="0 seconds")
+    ttl = op_fn(stream, ttl_seconds=ttl_seconds, lateness="0 seconds")
 
     def _sink(batch_df, batch_id):
         batch_df.write.mode("append").parquet(out)
@@ -675,6 +675,23 @@ def test_ttl_keyed_state_expires(spark, tmp_path_factory):
     rows = _run_ttl_scenario(spark, tmp_path_factory.mktemp("ttlstate"),
                              ttl_keyed_state)
     _check_ttl_rows(rows)
+
+
+def test_ttl_keyed_state_never_expire_sentinel(spark, tmp_path_factory):
+    """r15 runtime review: ttl_seconds=-1 is the subsystem-wide "never
+    expire" sentinel (resume/retention honor it), but the raw timeout
+    arithmetic INVERTED it — mx − 1000 ms sat below the watermark and
+    the clamp expired every key one batch after observation.  With the
+    sentinel honored, the same watermark-advancing scenario emits zero
+    expired rows and every key stays live."""
+    from meeseeker_spark.streaming.state import ttl_keyed_state
+
+    rows = _run_ttl_scenario(spark, tmp_path_factory.mktemp("ttlnever"),
+                             ttl_keyed_state, ttl_seconds=-1)
+    assert rows and all(r["status"] == "live" for r in rows)
+    assert {r["key"] for r in rows} == {
+        "hive:1:a:0:vote", "hive:1:b:0:comment",
+        "hive:9:z:0:vote", "hive:99:w:0:vote"}
 
 
 def test_ttl_keyed_state_tws_matches(spark, tmp_path_factory):
@@ -715,6 +732,11 @@ def test_resume_policy_engine():
     assert d.start_block == 500
     d = resolve_start_block_engine(510, 500, tip_age_s=3.0, ttl_s=-1)
     assert d.start_block == 511
+    # r15 runtime review: no-HWM outranks the ttl sentinel — a brand-new
+    # sync with TTL disabled is a FRESH sync at tip+1, not a "resume"
+    d = resolve_start_block_engine(None, 500, tip_age_s=3.0, ttl_s=-1)
+    assert d.fresh_sync and d.start_block == 501
+    assert "no high-water mark" in d.reason
 
 
 def test_stream_batch_parity_channel_volume(spark, tmp_path_factory):
@@ -2761,3 +2783,165 @@ def test_schedule_fold_crash_between_rename_in_and_delete(
                    ScheduleStore(spark, out).df().collect()) == before)
     assert len([x for x in os.listdir(out)
                 if x.startswith("batch_id=")]) == 2
+
+
+def test_screen_marker_torn_and_stream_identity(spark, tmp_path_factory):
+    """r15 runtime review, two marker guards: (a) a torn layout marker
+    stops with the recovery menu instead of a raw JSONDecodeError; (b) a
+    DIFFERENT established checkpoint pointed at this out_dir is refused
+    (its batch ids and offsets are inconsistent with the store); a
+    FRESH checkpoint instead proceeds as the documented full-replay
+    recovery (test_streaming_dedup_screen's wipe drill) with a loud
+    stderr warning.  A restart on the ORIGINAL checkpoint proceeds
+    silently (the marker carries the producing stream's id)."""
+    import json as _json
+
+    from meeseeker_spark.streaming.screen import start_screen
+
+    d = tmp_path_factory.mktemp("screen_identity")
+    inc = d / "incoming"
+    os.makedirs(inc)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    txt = "steady corpus text about topic one with common shared words"
+    tmp = d / "w"
+    spark.createDataFrame([(1, txt, "en", "web", len(txt))],
+                          cols).coalesce(1).write.parquet(str(tmp))
+    part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+    os.rename(tmp / part, inc / "b1.parquet")
+
+    q = start_screen(spark, str(inc), str(d / "out"), str(d / "ckpt"))
+    q.awaitTermination(120)
+    marker = d / "out" / "_index_layout.json"
+    rec = _json.loads(marker.read_text())
+    assert rec.get("stream_id")          # stamped after the first start
+
+    # (b) fresh checkpoint over the populated store → proceeds as a
+    # full replay (the documented recovery; warning goes to stderr) and
+    # converges to the same store on unchanged input
+    pre = {r["doc_id"] for r in
+           spark.read.parquet(str(d / "out" / "corpus")).collect()}
+    q_replay = start_screen(spark, str(inc), str(d / "out"),
+                            str(d / "ckpt2"))
+    q_replay.awaitTermination(120)
+    post = {r["doc_id"] for r in
+            spark.read.parquet(str(d / "out" / "corpus")).collect()}
+    assert post == pre
+    # the replay stamped ITS id; restore the original stream's marker
+    # so the checks below run against the first checkpoint's identity
+    rec = _json.loads(marker.read_text())
+    # original checkpoint now mismatches the replay's stamp → refused
+    with pytest.raises(RuntimeError, match="different stream"):
+        start_screen(spark, str(inc), str(d / "out"), str(d / "ckpt"))
+    # its own (replay) checkpoint restarts fine
+    q2 = start_screen(spark, str(inc), str(d / "out"), str(d / "ckpt2"))
+    q2.awaitTermination(120)
+
+    # a marker stamped by a DIFFERENT stream also refuses
+    other = dict(rec, stream_id="00000000-0000-0000-0000-000000000000")
+    marker.write_text(_json.dumps(other))
+    with pytest.raises(RuntimeError, match="different stream"):
+        start_screen(spark, str(inc), str(d / "out"), str(d / "ckpt2"))
+    marker.write_text(_json.dumps(rec))
+
+    # (a) torn marker → recovery menu, not JSONDecodeError
+    marker.write_text('{"index_table": null, "exa')
+    with pytest.raises(RuntimeError, match="torn by a crash"):
+        start_screen(spark, str(inc), str(d / "out"), str(d / "ckpt2"))
+
+
+def test_rebuild_exact_index_resize_is_two_phase(spark,
+                                                 tmp_path_factory):
+    """r15 runtime review: a bloom RESIZE crash-window used to leave
+    marker sizing consistent with SOME bitmaps — the sizing-mismatch
+    guard then structurally could not fire and exact dups were
+    admitted.  The resize now declares bloom_rebuild_target first;
+    start_screen refuses mid-resize; a default-sizing re-run ADOPTS the
+    target and finishes."""
+    import json as _json
+
+    from meeseeker_spark.streaming.screen import (rebuild_exact_index,
+                                                  start_screen)
+
+    d = tmp_path_factory.mktemp("resize2phase")
+    inc = d / "incoming"
+    os.makedirs(inc)
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    tmp = d / "w"
+    spark.createDataFrame([(1, txt, "en", "web", len(txt))],
+                          cols).coalesce(1).write.parquet(str(tmp))
+    part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+    os.rename(tmp / part, inc / "b1.parquet")
+    q = start_screen(spark, str(inc), str(d / "out"), str(d / "ckpt"),
+                     exact_index=True)
+    q.awaitTermination(120)
+
+    marker = d / "out" / "_index_layout.json"
+    rec = _json.loads(marker.read_text())
+    assert rec["bloom_m_bits"] == 8192
+
+    # simulate the crash window: phase-1 marker landed, bitmaps did not
+    rec["bloom_rebuild_target"] = {"m_bits": 16384, "k": 7}
+    marker.write_text(_json.dumps(rec))
+    with pytest.raises(RuntimeError, match="UNFINISHED bloom resize"):
+        start_screen(spark, str(inc), str(d / "out"), str(d / "ckpt"),
+                     exact_index=True)
+    # a default-sizing re-run adopts and completes the declared target
+    rebuild_exact_index(spark, str(d / "out"))
+    rec2 = _json.loads(marker.read_text())
+    assert "bloom_rebuild_target" not in rec2
+    assert (rec2["bloom_m_bits"], rec2["bloom_k"]) == (16384, 7)
+    # and the screen restarts at the new sizing
+    q2 = start_screen(spark, str(inc), str(d / "out"), str(d / "ckpt"),
+                      exact_index=True, bloom_m_bits=16384, bloom_k=7)
+    q2.awaitTermination(120)
+
+
+def test_screen_empty_band_index_falls_back_to_corpus(spark,
+                                                      tmp_path_factory):
+    """r15 runtime review: an EMPTY band index beside a non-empty corpus
+    (the window of a concurrent rebuild_band_index overwrite, or a
+    crashed index write) used to generate zero candidates — near-dups
+    of corpus docs were silently admitted and the checkpoint committed
+    the loss.  The screen now treats empty-bands as bands=None and
+    recomputes the projection from the corpus text."""
+    import time as _time
+
+    from meeseeker_spark.streaming.screen import start_screen
+
+    d = tmp_path_factory.mktemp("screen_emptybands")
+    incoming, out, ckpt = d / "incoming", d / "out", d / "ckpt"
+    os.makedirs(incoming)
+    TBL = "screen_empty_band_index_test"
+    spark.sql(f"DROP TABLE IF EXISTS {TBL}")
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat watches from the warm stone wall near the garden gate")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+
+    def drop(name, rows):
+        tmp = d / ("w_" + name)
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(str(tmp))
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        os.rename(tmp / part, incoming / f"{name}.parquet")
+
+    try:
+        drop("b1", [(1, base, "en", "web", len(base))])
+        q = start_screen(spark, str(incoming), str(out), str(ckpt),
+                         index_table=TBL)
+        q.awaitTermination(120)
+        # simulate the rebuild window: table exists but holds no rows
+        spark.sql(f"TRUNCATE TABLE {TBL}")
+        assert spark.table(TBL).count() == 0
+        _time.sleep(1.1)
+        drop("b2", [(10, base.replace("warm", "cold"), "en", "web", 100)])
+        q = start_screen(spark, str(incoming), str(out), str(ckpt),
+                         index_table=TBL)
+        q.awaitTermination(120)
+        flagged = {(r["new_id"], r["corpus_id"]) for r in
+                   spark.read.parquet(str(out / "flagged")).collect()}
+        assert (10, 1) in flagged         # near-dup still caught
+        corpus = {r["doc_id"] for r in
+                  spark.read.parquet(str(out / "corpus")).collect()}
+        assert corpus == {1}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {TBL}")
