@@ -96,6 +96,11 @@ def main(argv: list[str] | None = None) -> int:
                          "<channels>_store, manifest layout compacts in "
                          "place — without this the channel sink is the "
                          "one per-trigger surface compact never bounds")
+    pm.add_argument("--skip-channels", action="store_true",
+                    help="leave the channels sink untouched (dir-layout "
+                         "consumers reading the channels dir directly "
+                         "would otherwise need channel_events_view with "
+                         "the <channels>_store path after the fold)")
 
     pg = sub.add_parser(
         "migrate",
@@ -426,30 +431,39 @@ def main(argv: list[str] | None = None) -> int:
         # had no compaction/gc at all — per-trigger files and the
         # recorded batch-id list grew with stream age on both layouts
         channels = a.channels
-        if channels is None:
+        if channels is None and not a.skip_channels:
             sib = os.path.join(os.path.dirname(a.ops.rstrip("/")),
                                "channels")
             channels = sib if os.path.isdir(sib) else None
         chan_note = ""
-        if channels:
+        if channels and not a.skip_channels:
             if is_manifest_store(channels):
                 from .manifest import ManifestStore
                 n_chan = ManifestStore(spark, channels).compact(
                     sort_cols=("channel", "block_num"))
                 ManifestStore(spark, channels).gc(keep_versions=2)
+                chan_note = (f"; folded {n_chan} channel manifest "
+                             "files in place" if n_chan else "")
             else:
-                n_chan = P.compact_channel_store(
-                    spark, channels, channels.rstrip("/") + "_store")
-            chan_note = (f"; folded {n_chan} channel batch "
-                         f"dirs/files" if n_chan else "")
+                chan_store = channels.rstrip("/") + "_store"
+                n_chan = P.compact_channel_store(spark, channels,
+                                                 chan_store)
+                chan_note = (f"; folded {n_chan} channel batch dirs "
+                             f"into {chan_store} (read them back with "
+                             "channel_events_view(..., store_path="
+                             f"{chan_store!r}))" if n_chan else "")
 
         if is_manifest_store(a.ops):
             # manifest layout compacts in place (one commit folding the
             # accumulated per-batch files); --store is a dirs-layout
             # concept and must not silently produce nothing
             from .manifest import ManifestStore
-            n = ManifestStore(spark, a.ops).compact(
-                sort_cols=("block_num",))
+            ms_ops = ManifestStore(spark, a.ops)
+            n = ms_ops.compact(sort_cols=("block_num",))
+            # gc with one version of grace (r15 self-review: compact
+            # rewrote the full ops table each cycle but never collected
+            # the superseded files — N cycles retained ~N full copies)
+            ms_ops.gc(keep_versions=2)
             n_meta = P.compact_meta(spark, a.ops)
             print(f"compacted {n} manifest files in place "
                   f"(--store ignored: manifest stores compact in place)"
@@ -473,9 +487,17 @@ def main(argv: list[str] | None = None) -> int:
             sib = os.path.join(os.path.dirname(a.ops.rstrip("/")),
                                 "channels")
             channels = sib if os.path.isdir(sib) else None
+        channels_store = a.channels_store
+        if channels_store is None and channels:
+            # compact's own convention (r15 self-review: compact folds
+            # channel batch dirs into this sibling BY DEFAULT, so a
+            # compacted-then-migrated sink silently stranded its entire
+            # channel history unless the operator re-derived the path)
+            sib = channels.rstrip("/") + "_store"
+            channels_store = sib if os.path.isdir(sib) else None
         counts = migrate_sink_to_manifest(
             _spark(), a.ops, channels, store_path=a.store,
-            channels_store_path=a.channels_store)
+            channels_store_path=channels_store)
         print("migrated " + ", ".join(
             f"{k}={v}" for k, v in counts.items()))
         return 0

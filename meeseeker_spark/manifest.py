@@ -506,14 +506,22 @@ def migrate_sink_to_manifest(spark: SparkSession, ops_path: str,
     store_path at read time, so leaving them behind stranded the bulk
     of the data).  Returns {store: dirs_absorbed} plus
     {store_rows, channels_store_rows} when stores were absorbed."""
-    try:
+    # explicit no-dirs probe instead of catching FileNotFoundError
+    # (r15 self-review: the catch also swallowed ManifestStore.df()'s
+    # broken-manifest error from the content-verification branch,
+    # bypassing the designed loud refusal and mutating sibling stores
+    # before failing with a misleading message)
+    has_dirs = os.path.isdir(ops_path) and any(
+        d.startswith("batch_id=") for d in os.listdir(ops_path))
+    if has_dirs or is_manifest_store(ops_path):
         out = {"ops": migrate_dirs_to_manifest(spark, ops_path)}
-    except FileNotFoundError:
+    elif store_path and os.path.isdir(store_path):
         # fully-compacted sink: every batch dir already folded into the
         # separate store — the absorb below creates the manifest
-        if not (store_path and os.path.isdir(store_path)):
-            raise
         out = {"ops": 0}
+    else:
+        raise FileNotFoundError(
+            f"{ops_path} has no batch_id=N dirs to migrate")
     for label, p in (("meta", ops_path + "_meta"), ("channels",
                                                     channels_path)):
         if p and os.path.isdir(p) and (
@@ -525,8 +533,14 @@ def migrate_sink_to_manifest(spark: SparkSession, ops_path: str,
     if store_path and os.path.isdir(store_path):
         out["store_rows"] = _absorb_compacted_store(
             spark, ops_path, store_path, "key")
-    if channels_store_path and os.path.isdir(channels_store_path) \
-            and channels_path:
+    if channels_store_path and os.path.isdir(channels_store_path):
+        if not channels_path:
+            # silent skip here would strand the channel history the
+            # caller explicitly asked to absorb (r15 self-review)
+            raise ValueError(
+                "channels_store_path given without channels_path — the "
+                "absorbed rows need a channels manifest to land in; "
+                "pass the sink's channels dir")
         out["channels_store_rows"] = _absorb_compacted_store(
             spark, channels_path, channels_store_path, None)
     return out

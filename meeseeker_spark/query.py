@@ -284,22 +284,11 @@ class OpsStore:
             # NULL-safe keep filter, same contract as the manifest
             # branch; atomic renameat2 exchange with the loud
             # two-rename fallback, same protocol as retention.expire.
-            from .retention import _exchange
+            from .retention import _swap_in
             keep = self.df().where((F.col("chain") != chain)
                                    | F.col("chain").isNull())
             keep.write.mode("overwrite").parquet(self.path + ".tmp")
-            if _exchange(self.path, self.path + ".tmp"):
-                shutil.rmtree(self.path + ".tmp")  # now the old rows
-            else:
-                import sys
-                print(f"meeseeker_spark: filesystem at {self.path} does "
-                      "not support renameat2 exchange — chain reset "
-                      "falls back to a two-rename swap with a momentary "
-                      "ENOENT window for concurrent readers",
-                      file=sys.stderr)
-                os.rename(self.path, self.path + ".old")
-                os.rename(self.path + ".tmp", self.path)
-                shutil.rmtree(self.path + ".old")
+            _swap_in(self.path, "chain reset")
 
     def _drop_sync_state(self) -> None:
         """Delete the HWM (_meta) and irreversible staging (_pending)

@@ -84,6 +84,28 @@ def _exchange(a: str, b: str) -> bool:
     raise OSError(err, os.strerror(err), a)
 
 
+
+def _swap_in(path: str, what: str) -> None:
+    """Swap ``<path>.tmp`` into place: atomic renameat2 exchange when
+    the filesystem supports it (concurrent readers see either the old
+    store or the new one, never a missing path; the superseded rows
+    land in ``.tmp`` and are deleted), else the loud two-rename
+    fallback.  ONE home for the protocol (r15 self-review: expire,
+    chain-reset and compact_stream_store each hand-rolled the same ~15
+    lines, a drift hazard for any future protocol fix)."""
+    if _exchange(path, path + ".tmp"):
+        shutil.rmtree(path + ".tmp")       # now the superseded rows
+    else:
+        import sys
+        print(f"meeseeker_spark: filesystem at {path} does not support "
+              f"renameat2 exchange — {what} falls back to a two-rename "
+              "swap with a momentary window where concurrent readers "
+              "miss the store", file=sys.stderr)
+        os.rename(path, path + ".old")
+        os.rename(path + ".tmp", path)
+        shutil.rmtree(path + ".old")
+
+
 def _recover(path: str) -> None:
     """Roll a crashed swap forward or back so ``expire`` can re-run.
     Fallback protocol only: a manifest-committed store never enters any
@@ -182,22 +204,7 @@ def expire(spark: SparkSession, path: str, ttl_s: int = DEFAULT_TTL_S,
         live = df.where(live_pred).sortWithinPartitions(
             "block_num", "trx_id", "trx_index")
         live.write.mode("overwrite").parquet(path + ".tmp")
-        if _exchange(path, path + ".tmp"):
-            shutil.rmtree(path + ".tmp")       # now the old rows
-        else:
-            # two-rename fallback (exchange unsupported here): there IS
-            # a reader-visible ENOENT instant between the renames — an
-            # operational fact worth a loud line, not a silent downgrade
-            import sys
-            print(f"meeseeker_spark: filesystem at {path} does not "
-                  "support renameat2 exchange — whole-store expire "
-                  "falls back to a two-rename swap with a momentary "
-                  "ENOENT window for concurrent readers (schedule an "
-                  "offline window, or use a manifest/partitioned "
-                  "store)", file=sys.stderr)
-            os.rename(path, path + ".old")
-            os.rename(path + ".tmp", path)
-            shutil.rmtree(path + ".old")
+        _swap_in(path, "whole-store expire")
         return n_total
 
     removed = 0

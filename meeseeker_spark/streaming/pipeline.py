@@ -282,7 +282,15 @@ def _irreversible_gate(batch_df: DataFrame, pending: str, lib_lag: int,
     head = rows.agg(F.max("block_num")).first()[0]
     if head is None:
         rows.unpersist()
-        return batch_df, (lambda: None)
+
+        def _noop() -> None:
+            return None
+        # every returned commit carries .abort (r15 self-review: the
+        # sink's failure handler calls it unconditionally, and a bare
+        # lambda here turned any write failure on an empty batch into
+        # an AttributeError masking the real cause)
+        _noop.abort = _noop
+        return batch_df, _noop
     lib = head - lib_lag    # resolve_tip(head, lib, "irreversible") == lib
     (
         rows.where(F.col("block_num") > lib)
@@ -637,19 +645,8 @@ def compact_stream_store(spark: SparkSession, ops_path: str,
         # filesystem lacks the call.  After the exchange tmp_store
         # holds the superseded OLD rows; the recovery preamble above
         # discards a leftover tmp either way.
-        from ..retention import _exchange
-        if _exchange(store_path, tmp_store):
-            shutil.rmtree(tmp_store)
-        else:
-            import sys
-            print(f"meeseeker_spark: filesystem at {store_path} does "
-                  "not support renameat2 exchange — compact falls back "
-                  "to a two-rename swap with a momentary window where "
-                  "concurrent readers see only the batch dirs",
-                  file=sys.stderr)
-            os.rename(store_path, old_store)
-            os.rename(tmp_store, store_path)
-            shutil.rmtree(old_store)
+        from ..retention import _swap_in
+        _swap_in(store_path, "compact")
     else:
         os.rename(tmp_store, store_path)
     for d in batches:

@@ -1182,6 +1182,21 @@ def test_cli_compact_bounds_the_channel_sink(spark, tmp_path_factory,
     got = P.channel_events_view(spark, chan, chan + "_store").count()
     assert got == want
 
+    # migrate after compact: the compacted ops store AND the
+    # <channels>_store sibling (compact's own default destination) are
+    # absorbed into the manifests by default — without the derivation a
+    # compacted-then-migrated sink silently stranded its entire channel
+    # history (r15 self-review)
+    assert main(["migrate", "--ops", str(d / "out" / "ops"),
+                 "--store", str(d / "store")]) == 0
+    mig_out = capsys.readouterr().out
+    assert "store_rows" in mig_out and "channels_store_rows" in mig_out
+    assert not os.path.exists(str(d / "store"))
+    assert not os.path.exists(chan + "_store")
+    assert ManifestStore(spark, chan).df().count() == want
+    ops_rows = ManifestStore(spark, str(d / "out" / "ops")).df().count()
+    assert ops_rows > 0
+
     # manifest layout (the default): the channels manifest compacts in
     # place — fewer committed files, batch ids pruned to the tail, rows
     # intact
@@ -1199,7 +1214,7 @@ def test_cli_compact_bounds_the_channel_sink(spark, tmp_path_factory,
     assert main(["compact", "--ops", str(d2 / "out" / "ops"),
                  "--store", str(d2 / "ignored")]) == 0
     out2 = capsys.readouterr().out
-    assert "channel batch" in out2
+    assert "channel manifest" in out2
     assert len(ms.files()) < pre_files
     assert ms.df().count() == pre_rows
     ids = ms.committed_batch_ids()

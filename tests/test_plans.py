@@ -133,11 +133,23 @@ def test_screen_verify_prunes_corpus_scan(spark, tmp_path_factory):
         [(100, base.replace("warm", "cold") + " tail marker 3", "en",
           "web", 120)], cols)
 
-    _, flagged = screen_batch(batch, corpus)
-    plan = explain_str(flagged)
+    # screen_batch localCheckpoints its verify output (r15: it feeds
+    # 2-3 consumers), so the COMPOSED frame's explain shows only the
+    # materialized scan — assert the pushdown on the same verify stage
+    # screen_batch builds (candidate ids → In filter on the corpus
+    # read), then the composition's behavior end-to-end.
+    from meeseeker_spark.ext.dedup import (incremental_candidates,
+                                           verify_jaccard)
+
+    cand = incremental_candidates(batch, corpus)
+    ids = [r[0] for r in cand.select("corpus_id").distinct().collect()]
+    corpus_v = corpus.where(F.col("doc_id").isin(ids))
+    plan = explain_str(verify_jaccard(cand, batch, corpus_v))
     scan_filters = [l for l in plan.splitlines()
                     if "PushedFilters" in l and "In(doc_id" in l]
     assert scan_filters, plan
+
+    _, flagged = screen_batch(batch, corpus)
     assert flagged.count() >= 1  # the near-copy is actually caught
 
 

@@ -379,7 +379,7 @@ def test_expire_unpartitioned_fallback_is_loud(spark, tmp_path_factory,
     left = spark.read.parquet(str(d / "flat"))
     assert left.where("block_num % 2 = 0").count() == 0
     assert left.where("block_num % 2 = 1").count() > 0
-    assert "ENOENT window" in capsys.readouterr().err
+    assert "two-rename swap" in capsys.readouterr().err
 
 
 def test_unified_store_schedule_scan(spark, tmp_path_factory, store):
