@@ -219,8 +219,11 @@ def semantic_contamination(corpus_emb: DataFrame, bench_emb: DataFrame,
             F.lit(0).cast("bigint").alias("n_bench_hits"),
             F.lit(False).alias("contaminated"))
 
-    corpus = normalized(corpus_emb, id_col, vec_col)
-    bench = (normalized(bench_emb, id_col, vec_col)
+    # narrow barriers (r15): corpus streams once into the broadcast
+    # join, bench is built once into the broadcast — neither needs an
+    # exchange reuse point, and the corpus-side shuffle disappears
+    corpus = normalized(corpus_emb, id_col, vec_col, barrier="narrow")
+    bench = (normalized(bench_emb, id_col, vec_col, barrier="narrow")
              .select(F.col(id_col).alias("_bid"),
                      F.col("_nv").alias("_bv")))
     sim = F.round(dot(F.col("_nv"), F.col("_bv")), 4)

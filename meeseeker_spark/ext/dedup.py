@@ -666,7 +666,10 @@ def embedding_bucket_projection(emb: DataFrame, n_planes: int = 4,
     re-projecting the history."""
     from .similarity import hashed_lsh_buckets, normalized
 
-    e = normalized(emb, id_col, vec_col)
+    # narrow barrier (r15): the projection has exactly one consumer, so
+    # the exchange bought nothing but a corpus shuffle — the explode
+    # barrier keeps the once-per-row norm with zero shuffle
+    e = normalized(emb, id_col, vec_col, barrier="narrow")
     return e.select(
         F.col(id_col).alias("_id"),
         F.explode(
@@ -736,9 +739,11 @@ def incremental_embedding_dups(new_emb: DataFrame, corpus_emb: DataFrame,
     # index the corpus otherwise pays a full normalize pass just to
     # score a candidate-sized subset
     hit = cand.select(F.col("corpus_id").alias(id_col)).distinct()
+    # narrow barriers (r15): each verify side feeds exactly one join —
+    # no reuse point needed, no shuffle of either vector set
     ec = normalized(corpus_emb.join(hit, id_col, "left_semi"),
-                    id_col, vec_col)
-    en = normalized(new_emb, id_col, vec_col)
+                    id_col, vec_col, barrier="narrow")
+    en = normalized(new_emb, id_col, vec_col, barrier="narrow")
     va = en.select(F.col(id_col).alias("new_id"), F.col("_nv").alias("_va"))
     vb = ec.select(F.col(id_col).alias("corpus_id"),
                    F.col("_nv").alias("_vb"))

@@ -73,26 +73,44 @@ def unit(vec: Column, norm: Column) -> Column:
 
 def normalized(emb: DataFrame, id_col: str = "vec_id",
                vec_col: str = "embedding",
-               keep_cols: tuple[str, ...] = ()) -> DataFrame:
+               keep_cols: tuple[str, ...] = (),
+               barrier: str = "exchange") -> DataFrame:
     """(id_col, *keep_cols, _nv): unit-normalized double vectors, norm
     computed once per row (``unit`` — see its docstring for the
     CollapseProject per-element trap this sidesteps, measured 10× on
-    this very function at sf1 in r6) — MATERIALIZED through a shuffle
-    barrier.
+    this very function at sf1 in r6) — MATERIALIZED through an
+    optimization barrier.
 
     The barrier is the point: CollapseProject + codegen fuse bare
     projections into their consumers, so feeding a lazily-computed
     normalized array into an O(n²) join re-runs the norm aggregate per
-    element per PAIR. The repartition forces the computed arrays into
-    exchange rows first — one linear shuffle of n vectors buying a
-    12× drop on the quadratic stage (measured sf0.1: 25 s → 2 s; 41×
-    vs the original per-pair-cosine form)."""
+    element per PAIR. Two barrier shapes (r15):
+
+    - ``"exchange"`` — repartition by id.  One linear shuffle of n
+      vectors buying a 12× drop on the quadratic stage (measured sf0.1:
+      25 s → 2 s; 41× vs the original per-pair-cosine form).  Use when
+      SEVERAL consumers reference the normalized table: identical
+      exchanges are computed once and AQE/ReuseExchange serves every
+      consumer (verified in embedding_dup_pairs_lsh's executed plan —
+      3 ReusedExchange nodes).
+    - ``"narrow"`` — a single-element explode.  Generate is opaque to
+      CollapseProject, so the norm still evaluates once per row, but NO
+      shuffle of the corpus happens at all.  Strictly better for
+      single-consumer pipelines (broadcast-side or streamed-side feeds):
+      cosine_topk dropped 3 exchanges → 1 and 0.48 s → 0.42 s at sf0.1;
+      at 100 TB it removes a full-corpus shuffle.  Not a reuse point —
+      a plan referencing it twice recomputes the scan, so keep
+      "exchange" for multi-consumer shapes like the LSH pair pipeline.
+    """
     keep = [F.col(c) for c in keep_cols]
     e = emb.select(F.col(id_col), *keep,
                    as_double(F.col(vec_col)).alias("_v"))
     e = e.select(id_col, *keep, "_v", l2_norm(F.col("_v")).alias("_n"))
     e = e.select(id_col, *keep,
                  unit(F.col("_v"), F.col("_n")).alias("_nv"))
+    if barrier == "narrow":
+        return e.select(id_col, *keep,
+                        F.explode(F.array(F.col("_nv"))).alias("_nv"))
     # explicit partition count: a bare repartition(col) lets AQE coalesce
     # the (tiny-by-bytes) exchange to ONE partition, serializing the O(n²)
     # join that follows — measured 9× worse. Pinning N keeps the barrier
@@ -115,7 +133,12 @@ def cosine_topk(emb: DataFrame, query_ids: list[int] | None = None,
 
     # normalize once per vector (linear) so the scored stage is a bare
     # dot product — cosine() would recompute both norms per pair
-    normed = normalized(emb, id_col, vec_col)
+    # narrow barrier (r15): the corpus side streams into the broadcast
+    # cross join exactly once and the query side is a pushed-filter
+    # re-scan, so no consumer needs an exchange reuse point — the
+    # explode barrier keeps the once-per-row norm WITHOUT shuffling the
+    # corpus (3 exchanges -> 1, 0.48 s -> 0.42 s at sf0.1).
+    normed = normalized(emb, id_col, vec_col, barrier="narrow")
     cand = normed.select(F.col(id_col).alias("c_id"),
                          F.col("_nv").alias("cv"))
     q = normed
@@ -552,7 +575,7 @@ def hard_negatives(emb: DataFrame, query_ids: list[int] | None = None,
     normed = normalized(
         emb.select(F.col(id_col), F.col(vec_col),
                    F.col(label_col).alias("_lab")),
-        id_col, vec_col, keep_cols=("_lab",))
+        id_col, vec_col, keep_cols=("_lab",), barrier="narrow")
     cand = normed.select(F.col(id_col).alias("c_id"),
                          F.col("_lab").alias("c_label"),
                          F.col("_nv").alias("cv"))

@@ -68,8 +68,34 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nano_cols = _NANO_TS_COLS.get(name, ())
     if nano_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.schema(_physical_schema(spark, path)).parquet(path)
     return normalize_ts(df, nano_cols)
+
+
+# (path, mtime_ns, size) → StructType.  Schema inference re-reads the
+# parquet footer on EVERY spark.read.parquet call — measured 0.109 s vs
+# 0.029 s with an explicit schema at sf0.1 (r15), ~0.1-0.2 s of pure
+# driver latency per query build, and at warehouse scale footer sampling
+# over many files is strictly worse.  This memoizes METADATA only (the
+# fixture files are immutable; mtime+size key invalidates if a test
+# overwrites a path) — never rows, so every action still computes from
+# the parquet inputs.
+_SCHEMA_CACHE: dict[tuple[str, int, int], object] = {}
+
+
+def _physical_schema(spark: SparkSession, path: str):
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        # directory datasets / remote schemes: key on path only
+        key = (path, -1, -1)
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = sch
+    return sch
 
 
 def normalize_ts(df: DataFrame, cols) -> DataFrame:
