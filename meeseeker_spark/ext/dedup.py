@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from .text import tokens
+from .text import sql_name, tokens
 
 
 def _tiebreak_cols(df: DataFrame) -> list[Column]:
@@ -96,6 +96,15 @@ def shingles_from_tokens(w: Column, n: int = 3) -> Column:
     tokenizer would re-run split+filter at every element_at site — O(len²)
     per document. ``shingle_df`` below wires this correctly.
     """
+    name = sql_name(w)
+    if name is not None:   # one-hop build (r15); see text.sql_name
+        els = ", ".join(f"element_at({name}, i + {j + 1})"
+                        for j in range(n))
+        return F.expr(
+            f"array_distinct(CASE WHEN size({name}) >= {n} THEN "
+            f"transform(sequence(0, size({name}) - {n}), "
+            f"i -> concat_ws(' ', {els})) "
+            f"ELSE array(concat_ws(' ', {name})) END)")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(w) - n),
         lambda i: F.concat_ws(
@@ -128,6 +137,11 @@ def hashed_shingles(shingle_col: Column) -> Column:
     Must be projected as a BOUND column before minhash_signatures so the
     md5 map runs once per row, not once per signature (same rule as
     shingles_from_tokens)."""
+    name = sql_name(shingle_col)
+    if name is not None:   # one-hop build (r15); see text.sql_name
+        return F.expr(
+            f"transform({name}, s -> cast(conv(substring("
+            f"md5(cast(s as binary)), 1, 8), 16, 10) as bigint))")
     from .text import md5_int32
     return F.transform(shingle_col, md5_int32)
 
@@ -143,6 +157,14 @@ def minhash_signatures(hashed_col: Column, k: int = 8) -> Column:
     self-consistent inside ONE expression tree (a self-join dedup never
     notices) but breaks cross-DataFrame banding and oracle parity.
     """
+    name = sql_name(hashed_col)
+    if name is not None:   # one-hop build (r15); see text.sql_name
+        sigs = ", ".join(
+            f"array_min(transform({name}, h -> "
+            f"(h * {_MH_A(i)}L + {_MH_B(i)}L) % {MINHASH_PRIME}L))"
+            for i in range(k))
+        return F.expr(f"array({sigs})")
+
     def _perm(a: int, b: int):
         return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
 
@@ -168,6 +190,13 @@ def band_keys(sig_col: Column, bands: int = 4, rows: int = 2) -> Column:
     """LSH banding: concat `rows` consecutive signatures per band.
     Callers validate k >= bands*rows via ``_check_banding`` (the
     signature length is runtime data here)."""
+    name = sql_name(sig_col)
+    if name is not None:   # one-hop build (r15); see text.sql_name
+        bandexprs = ", ".join(
+            f"concat_ws('|', '{b}', " + ", ".join(
+                f"{name}[{b * rows + r}]" for r in range(rows)) + ")"
+            for b in range(bands))
+        return F.expr(f"array({bandexprs})")
     return F.array(*[
         F.concat_ws("|", F.lit(str(b)),
                     *[sig_col[b * rows + r] for r in range(rows)])
@@ -553,7 +582,8 @@ def embedding_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
     small; at scale they are shuffle joins keyed on id — no skew, ids are
     unique).  Planes are hash-derived (similarity.hashed_lsh_buckets): no
     dimension probe, no driver state."""
-    from .similarity import dot, hashed_lsh_buckets, normalized
+    from .similarity import (dot, hashed_lsh_buckets, normalized,
+                             pinned_shuffle_partitions)
 
     e = normalized(emb, id_col, vec_col)
     buckets = e.select(
@@ -562,6 +592,18 @@ def embedding_dup_pairs_lsh(emb: DataFrame, threshold: float = 0.4,
             hashed_lsh_buckets("_nv", n_planes, n_tables, seed)
         ).alias("_bucket"),
     )
+    # bucket barrier (r15): both candidate-join sides consume `buckets`,
+    # but the shared subtree used to end at the NORMALIZE exchange — the
+    # executed plan showed the n_tables·n_planes signature dots computed
+    # twice (once above the exchange, once above its ReusedExchange).
+    # Repartitioning the skinny (id, bucket) rows moves the reuse point
+    # ABOVE the signature: one extra 16-byte-per-row shuffle buys the
+    # whole second signature pass — at corpus scale that is 30
+    # interpreted plane-dots per row.  Same explicit-N rule as
+    # normalized's barrier (AQE would coalesce the tiny exchange to one
+    # partition otherwise).
+    buckets = buckets.repartition(
+        pinned_shuffle_partitions(emb.sparkSession), "_id")
     # multiprobe on ONE side only, else Hamming-2 pairs sneak in twice
     a = buckets.select(
         F.col("_id").alias("vec_a"),

@@ -23,8 +23,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .text import sql_name
+
 
 def as_double(vec: Column) -> Column:
+    name = sql_name(vec)
+    if name is not None:   # one-hop build (r15); see text.sql_name
+        return F.expr(f"transform({name}, x -> cast(x as double))")
     return F.transform(vec, lambda x: x.cast("double"))
 
 
@@ -44,6 +49,11 @@ def pinned_shuffle_partitions(spark) -> int:
 
 
 def dot(a: Column, b: Column) -> Column:
+    na, nb = sql_name(a), sql_name(b)
+    if na is not None and nb is not None:   # one-hop build (r15)
+        return F.expr(
+            f"aggregate(zip_with({na}, {nb}, (x, y) -> x * y), "
+            f"cast(0 as double), (acc, x) -> acc + x)")
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0), lambda acc, x: acc + x)
@@ -67,6 +77,11 @@ def unit(vec: Column, norm: Column) -> Column:
     sf1 embeddings normalize (r6).  ``array_repeat`` materializes the
     scalar once per row and ``zip_with`` divides elementwise; identical
     arithmetic, same doubles."""
+    nv, nn = sql_name(vec), sql_name(norm)
+    if nv is not None and nn is not None:   # one-hop build (r15)
+        return F.expr(
+            f"zip_with({nv}, array_repeat({nn}, size({nv})), "
+            f"(x, n) -> x / n)")
     return F.zip_with(vec, F.array_repeat(norm, F.size(vec)),
                       lambda x, n: x / n)
 

@@ -52,6 +52,10 @@ def main() -> None:
         print(f"{name}: min={min(times):.3f} med={statistics.median(times):.3f} "
               f"all={[round(t, 3) for t in times]}")
         if show_plan:
+            # the noop .save() executes a SEPARATE QueryExecution — this
+            # df's own plan stays isFinalPlan=false until the df itself
+            # runs, so collect() first (same trick as test_plans.py)
+            df.collect()
             print(df._jdf.queryExecution().executedPlan().toString())
     spark.stop()
 
