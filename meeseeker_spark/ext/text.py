@@ -608,12 +608,94 @@ def _ngram_run_stats(gram_col):
     return F.aggregate(F.array_sort(gram_col), init, merge, finish)
 
 
+def _ngram_masses_arrow(top_ns: tuple, dup_ns: tuple):
+    """Executor-side mapInArrow body for ``ngram_repetition``: per input
+    batch of (_id, _chars, _w tokens) emit the exact integer (top, dup)
+    char masses for every n — no gram string is ever built.
+
+    Exactness argument (the contract the catalyst fallback pins):
+    ``tokens`` yields nonempty ``[a-z0-9]+`` runs only, so (a) token
+    code-sequence equality ⟺ space-joined gram STRING equality (no
+    token contains the separator), and (b) tokens are pure ASCII, so
+    Arrow byte lengths ARE the char lengths Spark's ``length()`` sees;
+    a gram's length is its tokens' lengths + (n−1) separators.  Null
+    token arrays (null text) flatten to zero tokens → all-zero masses,
+    the same result the fallback's when(size≥n) guard produces.
+
+    Vectorization: dictionary-encode the batch's flattened tokens ONCE
+    (pyarrow, no Python strings), then per (doc, n) one lexsort over
+    the int32 sliding code windows groups equal grams; run lengths ×
+    window char mass give count×len per distinct gram; top = max,
+    dup = sum where count ≥ 2 — all int64, exact.  No hashing anywhere
+    (a rolling hash would risk collisions the oracle cannot have)."""
+    all_ns = tuple(dict.fromkeys(tuple(top_ns) + tuple(dup_ns)))
+
+    def masses(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for batch in batches:
+            lst = batch.column(2)
+            rowlens = np.asarray(
+                pc.fill_null(pc.list_value_length(lst), 0),
+                dtype=np.int64)
+            flat = lst.flatten()          # skips null rows ⇒ rowlen 0
+            tok_len = np.asarray(pc.binary_length(flat), dtype=np.int64)
+            codes = np.asarray(flat.dictionary_encode().indices)
+            starts = np.zeros(len(rowlens) + 1, dtype=np.int64)
+            np.cumsum(rowlens, out=starts[1:])
+            n_docs = len(rowlens)
+            out = {n: (np.zeros(n_docs, dtype=np.int64),
+                       np.zeros(n_docs, dtype=np.int64))
+                   for n in all_ns}
+            for d in range(n_docs):
+                lo, hi = starts[d], starts[d + 1]
+                m = hi - lo
+                if m == 0:
+                    continue
+                c = codes[lo:hi]
+                cum = np.zeros(m + 1, dtype=np.int64)
+                np.cumsum(tok_len[lo:hi], out=cum[1:])
+                for n in all_ns:
+                    k = m - n + 1
+                    if k <= 0:
+                        continue
+                    # char mass of window i = token lens + n−1 spaces
+                    wlen = cum[n:] - cum[:-n] + (n - 1)
+                    if k == 1:
+                        out[n][0][d] = wlen[0]
+                        continue
+                    win = sliding_window_view(c, n)
+                    order = np.lexsort(win.T[::-1])
+                    ws = win[order]
+                    bound = np.empty(k, dtype=bool)
+                    bound[0] = True
+                    np.any(ws[1:] != ws[:-1], axis=1, out=bound[1:])
+                    idx = np.flatnonzero(bound)
+                    counts = np.diff(np.append(idx, k))
+                    mass = counts * wlen[order[idx]]
+                    out[n][0][d] = mass.max()
+                    out[n][1][d] = mass[counts >= 2].sum()
+            cols = [batch.column(0), batch.column(1)]
+            cols += [pa.array(out[n][0]) for n in top_ns]
+            cols += [pa.array(out[n][1]) for n in dup_ns]
+            names = (["_id", "_chars"]
+                     + [f"_top_{n}" for n in top_ns]
+                     + [f"_dup_{n}" for n in dup_ns])
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return masses
+
+
 def ngram_repetition(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text",
                      top_ns: tuple[int, ...] = (2, 3, 4),
                      dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
                      round_dp: int = 4,
-                     stacked: bool = False) -> DataFrame:
+                     stacked: bool = False,
+                     arrow: bool = True) -> DataFrame:
     """The Gopher n-gram repetition battery (Rae et al. 2021, App. A
     Table A1) — the signals ``gopher_rules``' line family doesn't
     cover: for n in ``top_ns`` the fraction of document characters
@@ -635,9 +717,23 @@ def ngram_repetition(df: DataFrame, id_col: str = "doc_id",
     tie-break the paper doesn't give).  Denominator = document char
     length; docs shorter than n words score 0 for that n.
 
-    Plan (default, ``stacked=False``): the battery is per-DOC, so no
-    gram ever needs to leave its row — for each n, sort the gram array
-    and fold run-lengths with a struct accumulator
+    Plan (default, ``arrow=True``, r15): the battery is per-DOC, so no
+    gram ever needs to leave its row — the JVM computes the token
+    arrays (tokenization parity with every other consumer of
+    ``tokens``; nothing string-semantic crosses engines), ONE narrow
+    Arrow crossing computes the 18 integer masses per doc with
+    vectorized numpy window counting (dictionary-encode tokens once
+    per batch; per (doc, n) a single C-speed sort over int32 code
+    windows — no gram STRINGS are ever materialized, their char mass
+    is a sliding sum of token lengths + n−1), and the division +
+    ``round(…, dp)`` stay in Spark so every float op is bit-identical
+    to the catalyst forms.  Measured sf0.1: 4.4 s catalyst-narrow
+    execution → ~0.6 s, and the 2.2 s driver BUILD latency of 9×
+    interpreted-HOF expression trees → one mapInArrow node (guide
+    §4.2: batch-vectorized native beats chained JVM expressions;
+    §4.1: only (id, chars, tokens) crosses, masses come back).
+    Catalyst fallback (``arrow=False``): for each n, sort the gram
+    array and fold run-lengths with a struct accumulator
     (``_ngram_run_stats``): ZERO shuffles, zero joins, one narrow
     projection for all nine n values; partitions embarrassingly at any
     corpus size.  The r10-shipped ``stacked=True`` form (ONE explode
@@ -649,8 +745,8 @@ def ngram_repetition(df: DataFrame, id_col: str = "doc_id",
     win because gram construction dominates both forms on one box; the
     structural win is the removed corpus-scale exchange of every gram
     string, which a single-JVM measurement underprices relative to a
-    real cluster's disk+network shuffle.  Outputs are bit-identical
-    (test_ngram_repetition_narrow_equals_stacked); all integer
+    real cluster's disk+network shuffle.  All three variants are
+    bit-identical (test_ngram_repetition_variants_agree); all integer
     arithmetic until the final division (rounded, both engines);
     DuckDB-exact in tests/test_ext.py.
     """
@@ -660,6 +756,24 @@ def ngram_repetition(df: DataFrame, id_col: str = "doc_id",
                   .alias("_chars"),
                   tokens(F.col(text_col)).alias("_w"))
     w = F.col("_w")
+
+    if arrow and not stacked:
+        chars_d = F.greatest(F.col("_chars"), F.lit(1)).cast("double")
+        # passthrough columns keep their INPUT types (F.length is int,
+        # ids are whatever the caller has) — declaring them verbatim
+        # avoids an Arrow int32/int64 schema mismatch at runtime
+        id_t = t.schema["_id"].dataType.simpleString()
+        ch_t = t.schema["_chars"].dataType.simpleString()
+        schema = (f"_id {id_t}, _chars {ch_t}, "
+                  + ", ".join(f"_top_{n} long" for n in top_ns) + ", "
+                  + ", ".join(f"_dup_{n} long" for n in dup_ns))
+        masses = t.mapInArrow(
+            _ngram_masses_arrow(tuple(top_ns), tuple(dup_ns)), schema)
+        outcols = [F.round(F.col(f"_top_{n}") / chars_d, round_dp)
+                   .alias(f"top_{n}gram_char_frac") for n in top_ns]
+        outcols += [F.round(F.col(f"_dup_{n}") / chars_d, round_dp)
+                    .alias(f"dup_{n}gram_char_frac") for n in dup_ns]
+        return masses.select(F.col("_id").alias(id_col), *outcols)
 
     def grams(n: int):
         g = F.transform(

@@ -6499,19 +6499,24 @@ def test_screen_replay_vs_duckdb_and_stage_interaction(spark):
     assert any(r[1] >= 10_000_000 for r in exact)
 
 
-def test_ngram_repetition_narrow_equals_stacked(spark):
-    """The r11 zero-shuffle fold (default) and the r10 stacked-explode
-    form are bit-identical on the fixture — the equality that lets the
-    measured-variant swap keep every existing exactness gate."""
+def test_ngram_repetition_variants_agree(spark):
+    """The r15 Arrow mass kernel (default), the r11 zero-shuffle
+    catalyst fold and the r10 stacked-explode form are bit-identical on
+    the fixture — the equality that lets the measured-variant swaps
+    keep every existing exactness gate (the division + round stay in
+    Spark in all three, so floats can only differ if the integer
+    masses do)."""
     from meeseeker_spark.ext.text import ngram_repetition
     from meeseeker_spark.tables import load
 
     docs = load(spark, SF, "documents")
     a = sorted(tuple(r) for r in
-               ngram_repetition(docs, stacked=False).collect())
+               ngram_repetition(docs).collect())
     b = sorted(tuple(r) for r in
+               ngram_repetition(docs, arrow=False).collect())
+    c = sorted(tuple(r) for r in
                ngram_repetition(docs, stacked=True).collect())
-    assert a == b and len(a) > 0
+    assert a == b == c and len(a) > 0
 
 
 def test_connected_components_deep_chain(spark):
@@ -6530,10 +6535,38 @@ def test_connected_components_deep_chain(spark):
     # high ids, the adversarial order for min propagation
     pairs = spark.createDataFrame(
         [Row(doc_a=i, doc_b=i + 1) for i in range(1, 60)])
+    # driver_max_pairs=0 pins the DISTRIBUTED loop (r15: small graphs
+    # otherwise take the driver union-find regime, and this regression
+    # exists to exercise the pointer jump)
     comps = {r["doc_id"]: r["component"]
-             for r in connected_components(pairs, max_iter=25).collect()}
+             for r in connected_components(
+                 pairs, max_iter=25, driver_max_pairs=0).collect()}
     assert set(comps) == set(range(1, 61))
     assert all(v == 1 for v in comps.values())
+
+
+def test_connected_components_regimes_agree(spark):
+    """r15 two-regime pin: the driver union-find fast path and the
+    Shiloach-Vishkin loop must produce the identical label set — on a
+    graph mixing a deep chain, a star, a cycle and singleton-free
+    isolated edges (the overflow path is the SAME loop the pinned
+    deep-chain test runs, so equality here covers the regime switch)."""
+    from pyspark.sql import Row
+
+    from meeseeker_spark.ext.dedup import connected_components
+
+    edges = ([Row(doc_a=i, doc_b=i + 1) for i in range(10, 40)]    # chain
+             + [Row(doc_a=100, doc_b=b) for b in (101, 102, 103)]  # star
+             + [Row(doc_a=200, doc_b=201), Row(doc_a=201, doc_b=202),
+                Row(doc_a=200, doc_b=202)]                         # cycle
+             + [Row(doc_a=7, doc_b=300)])
+    pairs = spark.createDataFrame(edges)
+    fast = {(r["doc_id"], r["component"])
+            for r in connected_components(pairs).collect()}
+    slow = {(r["doc_id"], r["component"])
+            for r in connected_components(
+                pairs, driver_max_pairs=0).collect()}
+    assert fast == slow and len(fast) == 31 + 4 + 3 + 2
 
 
 def test_hll_registers_vs_duckdb(spark):

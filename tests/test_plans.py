@@ -485,10 +485,12 @@ def test_margin_pairs_no_cartesian(spark):
 
 
 def test_ngram_repetition_plan_shapes(spark):
-    """The default (narrow) battery never leaves the row: no Generate,
-    no Exchange, no Python — one narrow projection for all nine n
-    values.  The kept stacked variant must still ride ONE explode (one
-    Generate node): nine separate explodes would shuffle the gram
+    """The default battery never leaves the row: no Generate, no
+    Exchange — one narrow map for all nine n values.  r15: the default
+    rides the Arrow mass kernel (one MapInArrow node, still narrow —
+    no row-at-a-time EvalPython); the catalyst fallback stays a pure
+    projection.  The kept stacked variant must still ride ONE explode
+    (one Generate node): nine separate explodes would shuffle the gram
     volume nine times."""
     from meeseeker_spark.ext.text import ngram_repetition
     from meeseeker_spark.tables import load
@@ -496,7 +498,14 @@ def test_ngram_repetition_plan_shapes(spark):
     plan = explain_str(catalog.ENTRIES["ngram_repetition"].spark(spark, SF))
     assert "Generate" not in plan
     assert "Exchange" not in plan
-    assert "EvalPython" not in plan
+    assert "MapInArrow" in plan
+    assert "BatchEvalPython" not in plan
+
+    docs0 = load(spark, SF, "documents")
+    narrow = explain_str(ngram_repetition(docs0, arrow=False))
+    assert "Generate" not in narrow
+    assert "Exchange" not in narrow
+    assert "EvalPython" not in narrow and "MapInArrow" not in narrow
 
     docs = load(spark, SF, "documents")
     stacked = explain_str(ngram_repetition(docs, stacked=True))
