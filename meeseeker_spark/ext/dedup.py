@@ -709,20 +709,22 @@ def simhash_table(df: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("_id"),
         F.explode(tokens(F.col(text_col))).alias("_t"),
     ).select("_id", F.xxhash64("_t").alias("_h"))
+    # one-hop build (r15, see text.sql_name): the 64 bit-sum aggregates
+    # + the 64-step OR fold were ~128 py4j Column round-trips ≈ 2.3 s
+    # of DRIVER build latency per query; the SQL strings parse JVM-side
+    # into the IDENTICAL catalyst expressions (same CaseWhen/shiftright
+    # trees, values unchanged)
     bit_sums = toks.groupBy("_id").agg(*[
-        F.sum(
-            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1,
-                   F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"_b{b}")
+        F.expr(f"sum(CASE WHEN (shiftright(_h, {b}) & 1) = 1 "
+               f"THEN 1 ELSE -1 END) AS _b{b}")
         for b in range(64)
     ])
-    sim = F.lit(0).cast("long")
-    for b in range(64):
-        sim = sim.bitwiseOR(
-            F.when(F.col(f"_b{b}") > 0,
-                   F.shiftleft(F.lit(1).cast("long"), b))
-            .otherwise(F.lit(0).cast("long")))
-    return bit_sums.select("_id", sim.alias("_sh"))
+    sim = " | ".join(
+        f"(CASE WHEN _b{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b}) "
+        f"ELSE CAST(0 AS BIGINT) END)"
+        for b in range(64))
+    return bit_sums.select(
+        "_id", F.expr(f"CAST(0 AS BIGINT) | {sim}").alias("_sh"))
 
 
 def simhash_dup_pairs(df: DataFrame, id_col: str = "doc_id",

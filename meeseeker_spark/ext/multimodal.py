@@ -765,13 +765,14 @@ def attach_media_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     is one small parquet file → ONE scan partition, so the pure-Python
     codecs downstream ran serially — measured 16.9 s at sf0.1 in
     media_phash_dups_real, exactly its 5 000 docs × ~3.4 ms/doc on a
-    single core.  Repartitioning the 8-byte id projection costs a
-    trivial exchange and hands every core a slice (guide §8: spread
-    with small rows, generate the heavy bytes post-shuffle)."""
-    from .similarity import pinned_shuffle_partitions
-    src = (df.select(F.col(id_col).cast("long").alias("doc_id"))
-           .repartition(pinned_shuffle_partitions(df.sparkSession),
-                        "doc_id"))
+    single core.  Spreading the 8-byte id projection costs a trivial
+    exchange and hands every core a slice (guide §8: spread with small
+    rows, generate the heavy bytes post-shuffle); via ``spread_scan``
+    it is a no-op once the scan already fills the cluster, so a
+    many-partition corpus is never re-shuffled."""
+    from ..tables import spread_scan
+    src = spread_scan(
+        df.select(F.col(id_col).cast("long").alias("doc_id")))
 
     def _gen(batches: Iterator) -> Iterator:
         import pandas as pd

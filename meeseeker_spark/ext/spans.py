@@ -54,12 +54,20 @@ def gram_positions(df: DataFrame, id_col: str = "doc_id",
 
     The word array is projected in a separate select so the split runs
     once per row (same bound-column rule as ext.dedup.shingles_from_tokens
-    — an inlined split would re-tokenize at every element_at site)."""
+    — an inlined split would re-tokenize at every element_at site).
+
+    r15: the per-position md5 construction is the span family's heavy
+    NARROW stage — on an unsplittable small scan it ran serial; the
+    whole family shares this builder, so ``spread_scan`` here
+    parallelizes repeated_spans / span_cleaned_docs /
+    decontaminated_spans / chunk_windows at once (measured +0.25-0.6 s
+    each at sf0.1; no-op branch at scale — guide §2.5)."""
     if n < 1:
         raise ValueError("gram width n must be >= 1")
+    from ..tables import spread_scan
     w = (
-        df.select(F.col(id_col).alias("_id"),
-                  F.split(F.col(text_col), " ").alias("_w"))
+        spread_scan(df.select(F.col(id_col).alias("_id"),
+                              F.split(F.col(text_col), " ").alias("_w")))
         .where(F.size("_w") >= n)
     )
     hashes = F.transform(

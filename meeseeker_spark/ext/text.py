@@ -112,9 +112,21 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     (substr/md5/array ops over a bound column); output is explodable into
     an inverted fp→doc index for pair generation, exactly like
     jaccard_ngram_pairs.
-    """
+
+    Plan (r15): the heavy per-doc work (len−k+1 md5 grams + the O(m·w)
+    rolling minimum) is NARROW, so on a small unsplittable scan it ran
+    on ONE core — this was the sf1 gate's slowest entry (~16 min) for
+    no structural reason.  ``spread_scan`` round-robins the slim
+    (id, normalized-text) rows first when (and only when) the scan
+    can't fill the cluster: 4.64 → 0.62 s at sf0.1, no plan change at
+    scale (guide §2.5 input skew).  A mapInArrow rolling-min kernel
+    was measured and REJECTED: once the work is spread, the interpreted
+    HOF (0.62 s) beats the kernel (0.75 s) — the md5-string crossing
+    costs more than interpreted slice/array_min saves."""
+    from ..tables import spread_scan
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
-    base = df.select(F.col(id_col).alias("_id"), norm.alias("_t"))
+    base = spread_scan(
+        df.select(F.col(id_col).alias("_id"), norm.alias("_t")))
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(F.col("_t")) - k + 1,
                                         F.lit(1))),
@@ -695,7 +707,8 @@ def ngram_repetition(df: DataFrame, id_col: str = "doc_id",
                      dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
                      round_dp: int = 4,
                      stacked: bool = False,
-                     arrow: bool = True) -> DataFrame:
+                     arrow: bool = True,
+                     spread: bool = True) -> DataFrame:
     """The Gopher n-gram repetition battery (Rae et al. 2021, App. A
     Table A1) — the signals ``gopher_rules``' line family doesn't
     cover: for n in ``top_ns`` the fraction of document characters
@@ -751,10 +764,19 @@ def ngram_repetition(df: DataFrame, id_col: str = "doc_id",
     DuckDB-exact in tests/test_ext.py.
     """
     all_ns = tuple(top_ns) + tuple(dup_ns)
-    t = df.select(F.col(id_col).alias("_id"),
-                  F.length(F.coalesce(F.col(text_col), F.lit("")))
-                  .alias("_chars"),
-                  tokens(F.col(text_col)).alias("_w"))
+    src = df.select(F.col(id_col).alias("_id0"), F.col(text_col))
+    if spread:
+        # guide §2.5: the per-doc battery is heavy NARROW compute — on
+        # an unsplittable small scan it ran serial (2.87 → 0.54 s at
+        # sf0.1); no-op branch when the scan already fills the cluster,
+        # so the at-scale plan stays exchange-free (pinned with
+        # spread=False in test_plans)
+        from ..tables import spread_scan
+        src = spread_scan(src)
+    t = src.select(F.col("_id0").alias("_id"),
+                   F.length(F.coalesce(F.col(text_col), F.lit("")))
+                   .alias("_chars"),
+                   tokens(F.col(text_col)).alias("_w"))
     w = F.col("_w")
 
     if arrow and not stacked:

@@ -118,6 +118,34 @@ def table_rows(spark: SparkSession, sf_dir: str, name: str) -> int:
     return n
 
 
+def spread_scan(df: DataFrame, min_parallelism: int | None = None
+                ) -> DataFrame:
+    """Guide §2.5 input-skew remedy for unsplittable small inputs,
+    decided at BUILD time: when the plan yields fewer partitions than
+    the cluster's parallelism (the fixture tables are single-row-group
+    parquet files — ONE effective scan task at every bench SF), an
+    operator whose narrow per-row compute is heavy runs essentially
+    serial; a round-robin repartition of the slim input rows hands
+    every core a slice for a trivially small local shuffle.  Measured
+    sf0.1: winnow_fingerprints 4.85 → 0.75 s, ngram_repetition
+    2.87 → 0.54 s.  At scale this is a NO-OP branch — a corpus whose
+    scan already fills the cluster is returned unchanged, so no
+    full-corpus exchange is ever added where it could hurt (the same
+    blanket repartition measured SLOWER on every agg-first headline
+    query, so callers opt in only where narrow compute dominates).
+
+    Deterministic under retries: keyless repartition round-robins after
+    a local sort (sortBeforeRepartition, Spark default) — retried tasks
+    reproduce their row→partition assignment."""
+    spark = df.sparkSession
+    want = min_parallelism or spark.sparkContext.defaultParallelism
+    try:
+        have = df.rdd.getNumPartitions()
+    except Exception:       # Connect / exotic plans: leave unchanged
+        return df
+    return df if have >= want else df.repartition(want)
+
+
 def _physical_schema(spark: SparkSession, path: str):
     try:
         st = os.stat(path)

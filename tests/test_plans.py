@@ -18,6 +18,17 @@ from meeseeker_spark.schemas import BLOCKS, VIRTUAL_OPS
 SF = "/root/testdata/sf0.001"
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _uncached(spark):
+    """Plan assertions must see the real scan, not a cached relation.
+    test_ext's module fixtures cache documents/embeddings in the shared
+    session; in a filtered run (-k) that skips their natural teardown
+    order, CacheManager substitutes InMemoryRelation into these plans
+    and ReadSchema widens to the full table (pre-existing order flake,
+    diagnosed r15)."""
+    spark.catalog.clearCache()
+
+
 def explain_str(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -497,12 +508,18 @@ def test_ngram_repetition_plan_shapes(spark):
 
     plan = explain_str(catalog.ENTRIES["ngram_repetition"].spark(spark, SF))
     assert "Generate" not in plan
-    assert "Exchange" not in plan
     assert "MapInArrow" in plan
     assert "BatchEvalPython" not in plan
 
     docs0 = load(spark, SF, "documents")
-    narrow = explain_str(ngram_repetition(docs0, arrow=False))
+    # spread=False pins the AT-SCALE shape (the spread branch is a
+    # build-time no-op once the scan fills the cluster): zero Exchange
+    nospread = explain_str(ngram_repetition(docs0, spread=False))
+    assert "Generate" not in nospread
+    assert "Exchange" not in nospread
+    assert "MapInArrow" in nospread
+    narrow = explain_str(ngram_repetition(docs0, arrow=False,
+                                          spread=False))
     assert "Generate" not in narrow
     assert "Exchange" not in narrow
     assert "EvalPython" not in narrow and "MapInArrow" not in narrow
@@ -514,3 +531,23 @@ def test_ngram_repetition_plan_shapes(spark):
     # would show 18
     assert stacked.count("Generate") == 2
     assert "EvalPython" not in stacked
+
+
+def test_spread_scan_two_regimes(spark):
+    """r15 input-skew helper (guide §2.5): below the cluster's
+    parallelism the scan is round-robined up to it; a plan already at
+    or above the target is returned UNCHANGED (the at-scale no-op
+    branch — no exchange is ever added to a scan that fills the
+    cluster).  Row multiset is invariant either way."""
+    from meeseeker_spark.tables import load, spread_scan
+
+    docs = load(spark, SF, "documents")
+    assert docs.rdd.getNumPartitions() < 32  # single-row-group fixture
+    sp = spread_scan(docs, min_parallelism=32)
+    assert sp.rdd.getNumPartitions() == 32
+    assert "Exchange" in explain_str(sp)
+    assert sorted(r["doc_id"] for r in sp.select("doc_id").collect()) == \
+        sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+
+    wide = docs.repartition(64)
+    assert spread_scan(wide, min_parallelism=32) is wide  # no-op branch
