@@ -124,8 +124,14 @@ def benchmark_coverage(docs: DataFrame, bench: DataFrame,
         .select(F.col("_id").alias("bench_id"),
                 F.explode_outer(nonempty(F.col("_sh"))).alias("_g"))
     )
+    # r15: the corpus-side 13-gram shingle explode is the heavy narrow
+    # stage (md5-free but gram-string concat per position) — serial on
+    # an unsplittable small scan (guide §2.5); no-op branch at scale.
+    # The bench side is a small fraction by contract and stays as-is.
+    from ..tables import spread_scan
     postings = (
-        shingle_df(docs, id_col, text_col, n)
+        shingle_df(spread_scan(docs.select(id_col, text_col)),
+                   id_col, text_col, n)
         .select(F.col("_id").alias("_cid"),
                 F.explode(nonempty(F.col("_sh"))).alias("_g"))
     )
