@@ -843,16 +843,38 @@ def incremental_embedding_dups(new_emb: DataFrame, corpus_emb: DataFrame,
         keep = (cb.groupBy("_bucket").agg(F.count("*").alias("_w"))
                 .where(F.col("_w") <= max_bucket).select("_bucket"))
         cb = cb.join(keep, "_bucket")
-    cand = (
+    raw = (
         nb.hint("shuffle_hash").join(cb.hint("shuffle_hash"), "_bucket")
         .select("new_id", "corpus_id")
+    )
+    # pinned dedup barrier (r15): with narrow barriers on every upstream
+    # projection, AQE coalesces the dedup's skinny pair shuffle to ONE
+    # partition at small sizes — and the whole verify (two broadcast
+    # joins + one interpreted dot per candidate PAIR) then runs serial
+    # on that single task.  Repartitioning on exactly the dedup keys
+    # replaces the AQE-managed exchange (the aggregate reuses the
+    # distribution — exchange count unchanged) with an explicit-N one
+    # that keeps the candidate-sized dot stage parallel.  Map-side
+    # partial dedup is lost, but duplicates of a pair collide in
+    # DIFFERENT buckets, i.e. different map partitions — the partial
+    # pass removed almost nothing.  Measured sf0.1, interleaved ×5:
+    # wins every pair, mean −1.0 s on ~6 s (220k candidate dots moved
+    # from 1 task to 32); output-identical.
+    from .similarity import pinned_shuffle_partitions
+    cand = (
+        raw.repartition(pinned_shuffle_partitions(new_emb.sparkSession),
+                        F.col("new_id"), F.col("corpus_id"))
         .dropDuplicates(["new_id", "corpus_id"])
     )
     # semi-join BEFORE normalizing the verification side (the text
     # twin's "semi-join first, shingle after" rule): with a persisted
     # index the corpus otherwise pays a full normalize pass just to
-    # score a candidate-sized subset
-    hit = cand.select(F.col("corpus_id").alias(id_col)).distinct()
+    # score a candidate-sized subset.  `hit` deliberately hangs off the
+    # PRE-barrier pairs: pair-dedup ahead of a coarser distinct is a
+    # semantic no-op the optimizer used to elide anyway, and deriving it
+    # from `cand` would force the pinned exchange into the semi-join
+    # path too (+1 exchange for nothing).
+    hit = raw.select(F.col("corpus_id").alias(id_col)).distinct()
     # narrow barriers (r15): each verify side feeds exactly one join —
     # no reuse point needed, no shuffle of either vector set
     ec = normalized(corpus_emb.join(hit, id_col, "left_semi"),

@@ -421,8 +421,14 @@ def ngram_novelty(df: DataFrame, n: int = 3, id_col: str = "doc_id",
     a gram-keyed document-frequency aggregate (map-side partials, rows ∝
     distinct grams), one shuffle join back, one per-doc reduce — the
     tf-idf skeleton, all JVM built-ins."""
-    toks = df.select(F.col(id_col).alias("_id"),
-                     tokens(F.col(text_col)).alias("_w"))
+    # r15: the distinct-gram explode (tokenize + per-position concat_ws)
+    # is the heavy narrow stage and feeds BOTH consumers through one
+    # reused _g exchange — serial on an unsplittable small scan
+    # (guide §2.5); no-op branch at scale.  Quiet-box interleaved ×6:
+    # wins 5/6 pairs, min 1.55 → 1.26 s; output-identical.
+    from ..tables import spread_scan
+    toks = spread_scan(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_w"))
     # sequence(1, 0) DESCENDS in Spark rather than yielding empty — the
     # when-guard keeps short docs out instead of emitting partial grams
     gram_arr = F.when(
