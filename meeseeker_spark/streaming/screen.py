@@ -733,7 +733,17 @@ def replay_screen(batches: list[DataFrame], threshold: float = 0.5,
                 F.col("corpus_id"),
                 F.lit("exact").alias("status"))
         admitted, flagged = screen_batch(batch, corpus, threshold)
-        admitted = admitted.repartition(32).localCheckpoint()
+        # r15: the barrier width was a literal 32 — a local[32] constant
+        # baked into a scale path (the round rule this repo optimizes
+        # under: parameterize, keep the local default identical).  The
+        # pinned-partitions rule resolves to the session's shuffle
+        # partitions (32 on the bench session — bytes and plan
+        # unchanged there) and to the cluster's real width in
+        # production, where 32 would bottleneck the next batch's screen.
+        from ..ext.similarity import pinned_shuffle_partitions
+        admitted = admitted.repartition(
+            pinned_shuffle_partitions(admitted.sparkSession)
+        ).localCheckpoint()
         log_b = admitted.select(
             "doc_id", F.lit(None).cast("bigint").alias("corpus_id"),
             F.lit("admitted").alias("status"))
