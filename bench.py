@@ -55,6 +55,129 @@ def _consume(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+# --- sf1 core-scaling lane (r16, VERDICT r15 item 1) -------------------
+#
+# The sf0.1 headline is now job-latency bound (every r15 low/high-core
+# ratio ≈ 1), so parallelism claims need a scale point where compute
+# dominates.  This lane times the heaviest catalog entries at the
+# DERIVED sf1 (tools/make_scaled_sf.py — bench-only input, never the
+# correctness fixture) at 8 and 32 cores and reports the speedup ratio
+# per entry.  STRICTLY opt-in via SPARK_GRAFT_BENCH_SF1_LANE: unset (the
+# driver's path) leaves bench.py's behavior and output untouched.
+#   SPARK_GRAFT_BENCH_SF1_LANE=1       orchestrate both core counts,
+#                                      print ONE JSON line with ratios
+#   SPARK_GRAFT_BENCH_SF1_LANE=worker  internal: one core count
+#                                      (from $SPARK_GRAFT_CPUS), one
+#                                      JSON line of per-entry seconds
+SF1_LANE_ENTRIES = [
+    "near_dup_pairs",
+    "embedding_dups_lsh",
+    "incremental_embedding_dups",
+    "winnow_fps",
+    "benchmark_coverage",
+    "dsir_select",
+    "media_phash_dups_real",
+    "ngram_repetition",
+]
+
+
+def _sf1_dir() -> str:
+    d = os.environ.get("SPARK_GRAFT_SF1_DIR",
+                       str(REPO / "bench_data" / "sf1"))
+    if not Path(d).is_dir():
+        raise SystemExit(
+            f"sf1 lane: {d} missing — run tools/make_scaled_sf.py first "
+            "(deterministic derivation from the driver's sf0.1)")
+    return d
+
+
+def _sf1_worker() -> None:
+    """One core count's pass over the lane entries at sf1: per entry one
+    discarded warmup then best-of-reps noop-sink runs (the headline
+    bench's methodology at the heavier SF)."""
+    from meeseeker_spark import catalog
+    from meeseeker_spark.session import get_spark
+    from meeseeker_spark.tables import load as load_table
+
+    sf_dir = _sf1_dir()
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    spark = get_spark(app_name="meeseeker-sf1-lane")
+    for t in ("region", "lineitem", "orders", "events", "documents",
+              "embeddings"):
+        load_table(spark, sf_dir, t).count()
+    results: dict[str, float] = {}
+    for name in SF1_LANE_ENTRIES:
+        fn = catalog.ENTRIES[name].spark
+        spark.sparkContext.setJobDescription(f"sf1-lane:{name}")
+        _consume(fn(spark, sf_dir))                     # warmup
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _consume(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        results[name] = round(best, 3)
+    print(json.dumps({
+        "metric": "sf1_lane_pass",
+        "value": round(sum(results.values()), 3),
+        "unit": "sec",
+        "queries": results,
+        "sf": "1",
+        "extras": {"cpus": os.environ.get("SPARK_GRAFT_CPUS", "32")},
+    }))
+    spark.stop()
+
+
+def _sf1_orchestrate() -> None:
+    """Run the worker at 8 then 32 cores (fresh JVM each — the same
+    cold-session methodology as the driver's own low-core probe) and
+    print one JSON line with per-entry ratios.  The 8-core pass runs
+    FIRST so the 32-core numbers cannot ride a warmer page cache than
+    the 8-core ones (any cache bias thus UNDERSTATES the ratio)."""
+    import subprocess
+
+    _sf1_dir()                       # fail fast before any JVM spins up
+    t_start = time.time()
+    with open("/proc/stat") as f:
+        stat0 = [int(x) for x in f.readline().split()[1:9]]
+    passes: dict[str, dict[str, float]] = {}
+    for cpus in ("8", "32"):
+        env = dict(os.environ,
+                   SPARK_GRAFT_BENCH_SF1_LANE="worker",
+                   SPARK_GRAFT_CPUS=cpus,
+                   SPARK_GRAFT_SF_DIR=_sf1_dir())
+        out = subprocess.run(
+            [sys.executable, str(REPO / "bench.py")],
+            env=env, capture_output=True, text=True, check=True)
+        line = [ln for ln in out.stdout.splitlines()
+                if ln.startswith("{")][-1]
+        passes[cpus] = json.loads(line)["queries"]
+    with open("/proc/stat") as f:
+        stat1 = [int(x) for x in f.readline().split()[1:9]]
+    d = [b - a for a, b in zip(stat0, stat1)]
+    busy = d[0] + d[1] + d[2] + d[7]
+    ratios = {n: round(passes["8"][n] / passes["32"][n], 2)
+              for n in SF1_LANE_ENTRIES if passes["32"][n] > 0}
+    import math
+    geomean = round(math.exp(
+        sum(math.log(r) for r in ratios.values())
+        / max(1, len(ratios))), 2)
+    print(json.dumps({
+        "metric": "sf1_core_scaling_8_to_32",
+        "value": geomean,
+        "unit": "x",
+        "queries": {n: passes["32"][n] for n in SF1_LANE_ENTRIES},
+        "sf": "1",
+        "extras": {
+            "sec_at_8_cores": passes["8"],
+            "sec_at_32_cores": passes["32"],
+            "speedup_8_to_32": ratios,
+            "wall_s": round(time.time() - t_start, 1),
+            "steal_pct_of_busy": (round(100 * d[7] / busy, 1)
+                                  if busy > 0 else None),
+        },
+    }))
+
+
 def main() -> None:
     from meeseeker_spark import catalog
     from meeseeker_spark.session import get_spark
@@ -410,4 +533,10 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    _lane = os.environ.get("SPARK_GRAFT_BENCH_SF1_LANE", "")
+    if _lane == "worker":
+        _sf1_worker()
+    elif _lane:
+        _sf1_orchestrate()
+    else:
+        main()

@@ -23,8 +23,15 @@ the arithmetic is overflow-free — hence bit-identical — in both engines.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.types import (ByteType, IntegerType, LongType, ShortType,
+                               StringType)
 
 from .text import sql_name, tokens
+
+# id types the connected-components driver regime may compare in Python
+# (see connected_components): Python int ordering matches Spark's for
+# every integral width, and the result widens to bigint as it always has.
+_CC_INT_TYPES = (ByteType, ShortType, IntegerType, LongType)
 
 
 def _tiebreak_cols(df: DataFrame) -> list[Column]:
@@ -457,7 +464,20 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     iterative graph algorithms (same loop GraphFrames' CC runs). The
     driver only orchestrates; per-row work never leaves the executors.
     """
-    if driver_max_pairs:
+    # Type contract (r16, VERDICT r15 item 4): the driver regime compares
+    # ids in PYTHON (union-by-min) and rebuilds the result schema, so it
+    # only runs for types whose Python ordering provably matches Spark's
+    # min() — integrals (returned widened to bigint, the historical
+    # shape) and strings (Python code-point order == UTF-8 binary order,
+    # Spark's string comparison).  Anything else (floats with NaN,
+    # decimals, binary, structs) falls through to the distributed loop
+    # instead of crashing on int(n).
+    a_t = pairs.schema[a_col].dataType
+    b_t = pairs.schema[b_col].dataType
+    integral = isinstance(a_t, _CC_INT_TYPES) and isinstance(
+        b_t, _CC_INT_TYPES)
+    stringly = isinstance(a_t, StringType) and isinstance(b_t, StringType)
+    if driver_max_pairs and (integral or stringly):
         probe = (pairs.select(F.col(a_col).alias("u"),
                               F.col(b_col).alias("v"))
                  .limit(driver_max_pairs + 1).collect())
@@ -487,9 +507,13 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                     if rv < ru:
                         ru, rv = rv, ru
                     parent[rv] = ru
-            rows = [(int(n), int(find(n))) for n in parent]
-            return pairs.sparkSession.createDataFrame(
-                rows, "doc_id bigint, component bigint")
+            if integral:
+                rows = [(int(n), int(find(n))) for n in parent]
+                schema = "doc_id bigint, component bigint"
+            else:
+                rows = [(n, find(n)) for n in parent]
+                schema = "doc_id string, component string"
+            return pairs.sparkSession.createDataFrame(rows, schema)
     edges = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     edges = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -504,11 +528,22 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
     # below; decimal keeps the sum exact up to ~1e38, far past any id
     # space × row count this loop can see — a bigint sum could wrap and
     # alias two different label sets).
+    # The O(1) sum probe is only sound for INTEGRAL labels (r16): the
+    # decimal(38,0) cast truncates fractional values (aliasing distinct
+    # float label sets) and nulls out strings entirely (sum = NULL every
+    # round, and NULL == NULL would "converge" after one iteration).
+    # Non-integral ids keep exactness through the join-based changed-row
+    # probe instead — one extra bounded join per iteration, the pre-r15
+    # shape, paid only by the exotic-id path.
     def _label_sum(lbl: DataFrame):
         return lbl.agg(F.sum(F.col("label").cast("decimal(38,0)"))
                        ).collect()[0][0]
 
-    prev_sum = _label_sum(labels)
+    def _unchanged(new: DataFrame, old: DataFrame) -> bool:
+        return (new.join(old.withColumnRenamed("label", "_old"), "u")
+                .where(F.col("label") != F.col("_old")).isEmpty())
+
+    prev_sum = _label_sum(labels) if integral else None
     for _ in range(max_iter):
         prop = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
@@ -529,11 +564,15 @@ def connected_components(pairs: DataFrame, a_col: str = "doc_a",
                                  F.coalesce(F.col("_ll"), F.col("label")))
                     .alias("label"))
         ).localCheckpoint()
-        cur_sum = _label_sum(new_labels)
+        if integral:
+            cur_sum = _label_sum(new_labels)
+            done = cur_sum == prev_sum
+            prev_sum = cur_sum
+        else:
+            done = _unchanged(new_labels, labels)
         labels = new_labels
-        if cur_sum == prev_sum:
+        if done:
             break
-        prev_sum = cur_sum
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "

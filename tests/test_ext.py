@@ -6569,6 +6569,37 @@ def test_connected_components_regimes_agree(spark):
     assert fast == slow and len(fast) == 31 + 4 + 3 + 2
 
 
+def test_connected_components_string_ids_both_regimes(spark):
+    """r16 type-contract hardening (VERDICT r15 item 3): string-keyed
+    graphs must work through BOTH regimes and agree.  The driver
+    union-find compares in Python (code-point order == Spark's UTF-8
+    binary order) and returns string columns; the distributed loop
+    cannot use the decimal-sum convergence probe on strings (the cast
+    nulls out and NULL == NULL would fake convergence after one round),
+    so it switches to the exact changed-row probe — a >2-round chain
+    catches a premature break."""
+    from pyspark.sql import Row
+
+    from meeseeker_spark.ext.dedup import connected_components
+
+    # chain a->b->...->j (needs several propagation rounds) + a star
+    names = [chr(ord("a") + i) for i in range(10)]
+    edges = ([Row(doc_a=x, doc_b=y) for x, y in zip(names, names[1:])]
+             + [Row(doc_a="zz", doc_b=b) for b in ("zx", "zy")])
+    pairs = spark.createDataFrame(edges)
+    fast = {(r["doc_id"], r["component"])
+            for r in connected_components(pairs).collect()}
+    slow = {(r["doc_id"], r["component"])
+            for r in connected_components(
+                pairs, driver_max_pairs=0).collect()}
+    assert fast == slow
+    assert {c for _n, c in fast if _n in names} == {"a"}
+    assert {c for _n, c in fast if _n.startswith("z")} == {"zx"}
+    # schema parity: both regimes return string columns for string ids
+    assert dict(connected_components(pairs).dtypes) == {
+        "doc_id": "string", "component": "string"}
+
+
 def test_hll_registers_vs_duckdb(spark):
     """Exact DuckDB parity for the HLL register table — the rank is
     33 − length(bin(h2)) (bin renders without leading zeros identically
