@@ -817,12 +817,24 @@ def embedding_bucket_projection(emb: DataFrame, n_planes: int = 4,
     one ingest job are interchangeable with a fresh recompute.  Persist
     one per ingested batch and batch-vs-corpus screening stops
     re-projecting the history."""
+    from ..tables import spread_scan
     from .similarity import hashed_lsh_buckets, normalized
 
     # narrow barrier (r15): the projection has exactly one consumer, so
     # the exchange bought nothing but a corpus shuffle — the explode
-    # barrier keeps the once-per-row norm with zero shuffle
-    e = normalized(emb, id_col, vec_col, barrier="narrow")
+    # barrier keeps the once-per-row norm with zero shuffle.
+    # spread_scan (r16): with ONLY narrow barriers upstream, the
+    # signature dots (n_tables·n_planes interpreted plane-dots per row —
+    # 50/row at the sf1 entry's auto-scaled sizing) ran on the
+    # unsplittable fixture scan's 1-2 partitions, SERIAL on any core
+    # count — the r16 sf1 core-scaling lane read 0.66× going 8→32 cores
+    # for incremental_embedding_dups because of exactly this stage.
+    # Round-robin spreading the slim (id, vec) projection hands every
+    # core a slice; measured interleaved ×3: sf1 ~28 → ~7.3 s, sf0.1
+    # 2.4-3.0 → 1.8-2.2 s, wins every pair.  Exact no-op branch once the
+    # scan fills the cluster (guide §2.5), so nothing is added at scale.
+    e = normalized(spread_scan(emb.select(id_col, vec_col)),
+                   id_col, vec_col, barrier="narrow")
     return e.select(
         F.col(id_col).alias("_id"),
         F.explode(
@@ -838,8 +850,8 @@ def incremental_embedding_dups(new_emb: DataFrame, corpus_emb: DataFrame,
                                id_col: str = "vec_id",
                                vec_col: str = "embedding",
                                max_bucket: int | None = 10_000,
-                               corpus_buckets: DataFrame | None = None
-                               ) -> DataFrame:
+                               corpus_buckets: DataFrame | None = None,
+                               arrow: bool = True) -> DataFrame:
     """Batch-vs-corpus embedding near-dup screen: which NEW vectors are
     near-duplicates (cosine ≥ threshold) of something already ingested —
     the ANN twin of ``incremental_near_dups``, for pipelines that dedup
@@ -922,8 +934,25 @@ def incremental_embedding_dups(new_emb: DataFrame, corpus_emb: DataFrame,
     va = en.select(F.col(id_col).alias("new_id"), F.col("_nv").alias("_va"))
     vb = ec.select(F.col(id_col).alias("corpus_id"),
                    F.col("_nv").alias("_vb"))
+    joined = cand.join(va, "new_id").join(vb, "corpus_id")
+    if arrow:
+        # Arrow verify dot (r16, VERDICT r15 item 5): the candidate-pair
+        # dot was the remaining interpreted per-pair cost after the r15
+        # barrier fix (220k HOF folds at sf0.1).  exact_pair_dot's
+        # cumsum summation is BIT-identical to the HOF fold (pinned by
+        # test), and round + threshold stay in Spark, so the 4-dp
+        # boundary semantics are untouched.  Only the four needed
+        # columns cross (guide §4.1).
+        from .similarity import exact_pair_dot
+        scored = exact_pair_dot(
+            joined.select("new_id", "corpus_id", "_va", "_vb"),
+            "_va", "_vb")
+        return (scored.select(
+            "new_id", "corpus_id",
+            F.round(F.col("_dot"), 4).alias("sim"))
+            .where(F.col("sim") >= threshold))
     return (
-        cand.join(va, "new_id").join(vb, "corpus_id")
+        joined
         .select("new_id", "corpus_id",
                 F.round(dot(F.col("_va"), F.col("_vb")), 4).alias("sim"))
         .where(F.col("sim") >= threshold)

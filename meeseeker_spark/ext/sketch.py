@@ -340,6 +340,15 @@ def exact_prescreen(batch: DataFrame, fp_index: DataFrame,
     # the flagged log, the fresh anti-join, and everything downstream of
     # fresh — without the barriers the bloom probe and the In-pruned
     # index read re-execute per consumer on the streaming hot path.
+    #
+    # Probe shape examined and kept (r16): an inline driver-collected
+    # literal-array probe (collect the ≤ m/32 bitmap words, test the k
+    # bits as row-local expressions — no explode, no broadcast join, no
+    # (id, fp) re-group exchange) was built and interleave-A/B'd against
+    # this join probe: it LOST or tied every pair (2.23/2.18/1.93/1.66
+    # vs 2.12/1.65/1.87/1.62 s) — the extra collect job plus duplicated
+    # per-seed md5s outweigh the removed exchange at every measured
+    # batch size.  The join probe stays.
     flags = bloom_membership(fps, bloom, "fp", m_bits, k)
     maybe = (flags.where(F.col("maybe_seen")).select(id_col, "fp")
              .localCheckpoint())

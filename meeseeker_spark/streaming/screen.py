@@ -706,6 +706,18 @@ def replay_screen(batches: list[DataFrame], threshold: float = 0.5,
     without the repartition AQE can coalesce a checkpoint to ONE
     partition and serialize the next batch's screen.
 
+    The replay also maintains the two SKINNY per-corpus indexes the
+    stream persists on disk, as lazily-checkpointed frames (r16,
+    VERDICT r15 item 2): the fingerprint index (fp, doc_id) and the
+    banded MinHash projection (doc_id, band).  Without them every
+    trigger re-derived BOTH from the accumulated corpus text — one
+    corpus-wide md5 pass per prescreen consumer and a corpus-wide
+    shingle→minhash→band pass per candidate join, the exact O(history)
+    terms the streaming fpx/index dirs exist to avoid (index ≡
+    recompute: signatures and fingerprints are text-pure, pinned by
+    test).  ``localCheckpoint(eager=False)`` materializes each on first
+    use, so no extra job is launched for it.
+
     ``bloom_m_bits``/``bloom_k`` mirror ``start_screen``'s sizing knobs
     (ADVICE r11: a screen started at custom sizing could not be
     replayed at matching sizing — the replay was internally consistent
@@ -716,6 +728,7 @@ def replay_screen(batches: list[DataFrame], threshold: float = 0.5,
         raise ValueError("replay_screen needs at least one batch")
     corpus = None       # union of admitted rows from earlier batches
     fps_acc = None      # (fp, doc_id) fingerprint index of the corpus
+    bands_acc = None    # (doc_id, band) banded index of the corpus
     logs = []
     for b, batch in enumerate(batches):
         exact_rows = None
@@ -732,7 +745,8 @@ def replay_screen(batches: list[DataFrame], threshold: float = 0.5,
                 F.col("doc_id").alias("doc_id"),
                 F.col("corpus_id"),
                 F.lit("exact").alias("status"))
-        admitted, flagged = screen_batch(batch, corpus, threshold)
+        admitted, flagged = screen_batch(batch, corpus, threshold,
+                                         corpus_bands=bands_acc)
         # r15: the barrier width was a literal 32 — a local[32] constant
         # baked into a scale path (the round rule this repo optimizes
         # under: parameterize, keep the local default identical).  The
@@ -757,7 +771,13 @@ def replay_screen(batches: list[DataFrame], threshold: float = 0.5,
                   else corpus.unionByName(admitted))
         fp_b = admitted.select(fingerprint(F.col("text")).alias("fp"),
                                "doc_id")
-        fps_acc = fp_b if fps_acc is None else fps_acc.unionByName(fp_b)
+        fps_acc = (fp_b if fps_acc is None
+                   else fps_acc.unionByName(fp_b)
+                   ).localCheckpoint(eager=False)
+        band_b = banded_projection(admitted)
+        bands_acc = (band_b if bands_acc is None
+                     else bands_acc.unionByName(band_b)
+                     ).localCheckpoint(eager=False)
     out = logs[0]
     for log_b in logs[1:]:
         out = out.unionByName(log_b)
