@@ -230,7 +230,21 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     recall over mega-clusters is reduced (documented lower bound).
     """
     _check_banding(k, bands, rows)
-    base = shingle_df(df, id_col, text_col, n_shingle)
+    # spread_scan (r16): the shingle→md5→minhash signature — the heavy
+    # narrow stage — runs on the INPUT's partitioning for all three
+    # consumers of `base` (the banded exchange sits above it, so the
+    # exchange-reuse never parallelizes it), and the fixture corpus is
+    # a single-row-group parquet file: one core did all the hashing at
+    # every bench SF.  r15 measured this spread 1.19→1.42 s and
+    # rejected it, but that A/B ran under ~50% hypervisor steal; the
+    # r16 quiet-box interleaved re-run wins EVERY pair at both SFs
+    # (sf0.1: 1.44/1.07/0.97 → 0.73/0.93/0.69; sf1: 7.98/9.17/9.15 →
+    # 2.40/3.53/2.59 — the sf1 core-scaling lane read a flat 1.07
+    # ratio for exactly this reason).  Slim (id, text) projection only;
+    # exact no-op branch once the scan fills the cluster (guide §2.5).
+    from ..tables import spread_scan
+    base = shingle_df(spread_scan(df.select(id_col, text_col)),
+                      id_col, text_col, n_shingle)
     # two bound projections: the md5 map runs once per row (not once per
     # signature), and the 4 band expressions index one computed sig array
     # instead of re-hashing per band
@@ -329,6 +343,17 @@ def incremental_near_dups(new_df: DataFrame, corpus_df: DataFrame,
     same lower-bound caveat), measured by corpus width — a hot shingle
     pattern in the historical store is the skew that matters.
     """
+    # spread_scan (r16, same evidence class as near_dup_pairs): both
+    # sides' shingle→md5→minhash signatures are heavy narrow compute on
+    # the unsplittable fixture scans — serial at any core count.
+    # Interleaved A/B spreading both slim (id, text) projections:
+    # sf1 6.64/6.86/6.32 → 2.22/2.02/2.00 s (×3.2, wins every pair);
+    # sf0.1 within noise.  No-op branch at scale.  The streaming screen
+    # is untouched — it drives incremental_candidates/verify_jaccard
+    # directly with its own persisted-index layout.
+    from ..tables import spread_scan
+    new_df = spread_scan(new_df.select(id_col, text_col))
+    corpus_df = spread_scan(corpus_df.select(id_col, text_col))
     cand = incremental_candidates(new_df, corpus_df, id_col, text_col,
                                   k, bands, rows, n_shingle, max_bucket,
                                   corpus_bands)

@@ -54,8 +54,18 @@ def hashed_gram_counts(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        n_buckets: int = DEFAULT_BUCKETS) -> DataFrame:
     """(_id, bucket, c): per-document hashed n-gram bucket counts.
-    The md5 bucket hash is the repo-wide oracle-reproducible idiom."""
-    g = docs.select(
+    The md5 bucket hash is the repo-wide oracle-reproducible idiom.
+
+    spread_scan (r16): the gram explode + per-gram md5 — the heavy
+    narrow stage — ran on the unsplittable fixture scan's partitions,
+    serial at any core count (the r16 sf1 core-scaling lane read a
+    0.78 ratio for dsir_select; the r15 spread rejection for this
+    entry was re-measured on a quiet box and reversed).  Interleaved
+    A/B via dsir_select: sf1 18.1/17.8/17.1 → 5.4/4.1/4.2 s (×3.8);
+    sf0.1 2.56/2.96/3.03 → 2.26/2.23/2.63 — wins every pair.  Exact
+    no-op branch once the scan fills the cluster (guide §2.5)."""
+    from ..tables import spread_scan
+    g = spread_scan(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("_id"),
         tokens(F.col(text_col)).alias("_w"))
     g = g.select("_id", F.explode(_grams(F.col("_w"))).alias("_g"))
