@@ -205,9 +205,17 @@ def cms_counts(docs: DataFrame, k: int = 25, depth: int = 4,
     n_exact, n_est), ordered by (n_exact desc, token).  All-integer
     output; n_est ≥ n_exact always (CMS never undercounts) — the gap
     IS the measured collision overcount at (depth, width)."""
+    from ..tables import spread_scan
     from .heavy import token_stream
 
-    toks = token_stream(docs, text_col)
+    # spread_scan (r16): the tokenize+explode feeding BOTH consumers
+    # (exact counts and the CMS cell explode — 4 cells per token) is
+    # narrow compute on the unsplittable fixture scan.  Quiet-box
+    # interleaved A/B ×3: 1.86/1.70/1.57 → 1.11/1.27/1.14 s, wins every
+    # pair (the only winner of the r16 re-probe of r15's steal-era
+    # spread rejections besides the dedup/DSIR paths — the other six
+    # probed entries confirmed their rejections).  No-op at scale.
+    toks = token_stream(spread_scan(docs.select(text_col)), text_col)
     exact = toks.groupBy("token").agg(F.count("*").alias("n_exact"))
     top = exact.orderBy(F.desc("n_exact"), "token").limit(k)
     cms = cms_table(toks, "token", depth, width)
