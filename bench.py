@@ -97,14 +97,12 @@ def _sf1_worker() -> None:
     bench's methodology at the heavier SF)."""
     from meeseeker_spark import catalog
     from meeseeker_spark.session import get_spark
-    from meeseeker_spark.tables import load as load_table
+    from meeseeker_spark.tables import warm_tables
 
     sf_dir = _sf1_dir()
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     spark = get_spark(app_name="meeseeker-sf1-lane")
-    for t in ("region", "lineitem", "orders", "events", "documents",
-              "embeddings"):
-        load_table(spark, sf_dir, t).count()
+    warm_tables(spark, sf_dir)
     results: dict[str, float] = {}
     for name in SF1_LANE_ENTRIES:
         fn = catalog.ENTRIES[name].spark
@@ -147,7 +145,15 @@ def _sf1_orchestrate() -> None:
                    SPARK_GRAFT_SF_DIR=_sf1_dir())
         out = subprocess.run(
             [sys.executable, str(REPO / "bench.py")],
-            env=env, capture_output=True, text=True, check=True)
+            env=env, capture_output=True, text=True)
+        if out.returncode != 0:
+            # surface the worker's Spark stack trace (r16 review: bare
+            # check=True discarded the captured stderr, leaving a dead
+            # lane entry undiagnosable from the run output)
+            sys.stderr.write(out.stderr[-4000:])
+            raise SystemExit(
+                f"sf1 lane worker (cpus={cpus}) failed rc={out.returncode}"
+                " — worker stderr tail above")
         line = [ln for ln in out.stdout.splitlines()
                 if ln.startswith("{")][-1]
         passes[cpus] = json.loads(line)["queries"]
@@ -265,10 +271,8 @@ def main() -> None:
     # warm the JVM/codegen path and every input's file listing + parquet
     # footer (count() is metadata-served) so timings measure steady-state
     # query execution, not first-touch filesystem cache effects
-    from meeseeker_spark.tables import load as load_table
-    for t in ("region", "lineitem", "orders", "events", "documents",
-              "embeddings"):
-        load_table(spark, SF_DIR, t).count()
+    from meeseeker_spark.tables import warm_tables
+    warm_tables(spark, SF_DIR)
 
     # One discarded warmup pass (codegen/JIT first-touch: ~2x the warm
     # total — reporting it as "variance" would be noise), then N warm
@@ -533,10 +537,14 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    _lane = os.environ.get("SPARK_GRAFT_BENCH_SF1_LANE", "")
+    # strict opt-in values only (r16 review): "0"/"false"/"no"/"off"
+    # must run the NORMAL bench — a harness disabling the lane the
+    # conventional way would otherwise get the orchestrator's entirely
+    # different output schema.
+    _lane = os.environ.get("SPARK_GRAFT_BENCH_SF1_LANE", "").lower()
     if _lane == "worker":
         _sf1_worker()
-    elif _lane:
+    elif _lane in ("1", "true", "yes", "on"):
         _sf1_orchestrate()
     else:
         main()

@@ -242,6 +242,14 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     # 2.40/3.53/2.59 — the sf1 core-scaling lane read a flat 1.07
     # ratio for exactly this reason).  Slim (id, text) projection only;
     # exact no-op branch once the scan fills the cluster (guide §2.5).
+    # NOTE this also reaches the streaming screen's per-trigger in-batch
+    # pass (screen_batch → near_dup_pairs): each trigger pays the
+    # ~60 ms build-time partition probe plus a round-robin exchange of
+    # the micro-batch's (id, text) rows, and in return the in-batch
+    # signature runs parallel instead of on the file-source's single
+    # split.  Measured end-to-end: bench screen extra 428.6 → 459.8
+    # docs/s with this in place, replay timings unchanged, the 27-test
+    # streaming battery green.
     from ..tables import spread_scan
     base = shingle_df(spread_scan(df.select(id_col, text_col)),
                       id_col, text_col, n_shingle)

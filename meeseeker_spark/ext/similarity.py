@@ -182,7 +182,15 @@ def exact_pair_dot(df: DataFrame, a_col: str, b_col: str,
                 vb = cb.values.to_numpy(zero_copy_only=False)
                 A = va[oa[0]:oa[-1]].reshape(n, d)
                 B = vb[ob[0]:ob[-1]].reshape(n, d)
-                dots = np.cumsum(A * B, axis=1)[:, -1]
+                P = A * B
+                # replicate the fold's 0.0 seed (r16 review): the JVM
+                # aggregate computes 0.0 + p0, which turns a -0.0 first
+                # product into +0.0; bare cumsum would keep -0.0 and
+                # break the pinned bit-identity on all-negative-zero
+                # rows.  p0 + 0.0 == 0.0 + p0 for every double incl.
+                # signed zeros, so seeding in place is exact.
+                P[:, 0] += 0.0
+                dots = np.cumsum(P, axis=1)[:, -1]
                 dot_arr = pa.array(dots, type=pa.float64())
             else:
                 # ragged / null-bearing batch: exact per-row fold with

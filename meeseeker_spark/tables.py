@@ -180,6 +180,22 @@ def normalize_ts(df: DataFrame, cols) -> DataFrame:
     return df
 
 
+#: The fixture tables every bench/sweep harness warms before timing —
+#: ONE list (r16 review: five hand-maintained copies of the same warm
+#: loop had grown across bench.py and tools/; a missed edit silently
+#: benches cold scans).
+WARM_TABLES = ("region", "lineitem", "orders", "events", "documents",
+               "embeddings")
+
+
+def warm_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Warm file listings + parquet footers (count() is metadata-served)
+    so bench timings measure steady-state execution, not first-touch
+    filesystem effects."""
+    for t in WARM_TABLES:
+        load(spark, sf_dir, t).count()
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLES}
 

@@ -6623,6 +6623,8 @@ def test_exact_pair_dot_bit_identity(spark):
         Row(i=2, a=[0.1, 0.2], b=[0.3, 0.7]),
         Row(i=3, a=[1e-17, 1.0, -1e-17], b=[1.0, 1e-17, 1.0]),  # order-sensitive
         Row(i=4, a=[], b=[]),                                   # empty → 0.0
+        Row(i=8, a=[0.0, 0.0], b=[-1.0, -1.0]),  # -0.0 products: the JVM
+        # fold's 0.0 seed yields +0.0; the kernel must too (r16 review)
         Row(i=5, a=[1.0, 2.0], b=[1.0, 2.0, 3.0]),              # ragged → NULL
         Row(i=6, a=None, b=[1.0]),                              # null vec → NULL
         Row(i=7, a=[1.0, None], b=[1.0, 1.0]),                  # null elem → NULL

@@ -46,12 +46,10 @@ def main() -> None:
     from bench import HEADLINE, _consume
     from meeseeker_spark import catalog
     from meeseeker_spark.session import get_spark
-    from meeseeker_spark.tables import load as load_table
+    from meeseeker_spark.tables import warm_tables
 
     spark = get_spark(app_name="ab-infer-gen")
-    for t in ("region", "lineitem", "orders", "events", "documents",
-              "embeddings"):
-        load_table(spark, SF_DIR, t).count()
+    warm_tables(spark, SF_DIR)
 
     def set_arm(stock: bool) -> None:
         if stock:

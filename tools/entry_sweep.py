@@ -34,17 +34,23 @@ def main() -> None:
     reps = 2
     if "--reps" in args:
         i = args.index("--reps")
-        reps = int(args[i + 1])
+        # floor at 1 (r16 review): reps 0 left build/exec at inf, which
+        # json.dumps renders as bare Infinity — invalid JSON downstream
+        reps = max(1, int(args[i + 1]))
         del args[i:i + 2]
 
     from meeseeker_spark import catalog
     from meeseeker_spark.session import get_spark
-    from meeseeker_spark.tables import load
+    from meeseeker_spark.tables import warm_tables
+
+    # validate names BEFORE any JVM spins up (r16 review: a typo used
+    # to pay the full warm-up, then die on a raw KeyError)
+    unknown = [n for n in args if n not in catalog.ENTRIES]
+    if unknown:
+        raise SystemExit(f"unknown catalog entries: {unknown}")
 
     spark = get_spark(app_name="entry-sweep")
-    for t in ("region", "lineitem", "orders", "events", "documents",
-              "embeddings"):
-        load(spark, SF_DIR, t).count()
+    warm_tables(spark, SF_DIR)
 
     names = args or sorted(catalog.ENTRIES)
     rows = []
